@@ -1,0 +1,153 @@
+"""Runtime artifact loading.
+
+Artifacts are the analog of the reference's compiled-in phf maps
+(``src/codegen/*.rs``): built once by ``scripts/build_tables.py``, committed,
+and loaded once per worker/actor (never per batch). Loading is cached
+per-process; actors call :func:`load_tables` / :func:`load_nb_model` /
+:func:`load_char_lm` in ``__init__``.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+from functools import lru_cache
+from pathlib import Path
+
+import numpy as np
+
+ARTIFACT_DIR = Path(__file__).resolve().parent.parent / "artifacts"
+
+DEFAULT_LOG_PROB = -19.0  # classifier.rs:10
+MAX_TOKEN_BYTES = 32  # classifier.rs:9
+MAX_CONTENT_SIZE_BYTES = 51200  # lib.rs:22
+
+
+def _decode_str_list(arr: np.ndarray) -> list[str]:
+    return arr.tobytes().decode("utf-8").split("\n")
+
+
+@lru_cache(maxsize=None)
+def load_tables(artifact_dir: str | None = None) -> dict:
+    """Lookup tables: languages, language_info, filenames, extensions,
+    interpreters, disambiguations. See scripts/build_tables.py for shapes."""
+    d = Path(artifact_dir) if artifact_dir else ARTIFACT_DIR
+    with gzip.open(d / "tables.json.gz", "rb") as f:
+        return json.loads(f.read().decode("utf-8"))
+
+
+class NBModel:
+    """Naive-Bayes token model (``classifier.rs:18-49`` semantics).
+
+    Per-language token log-probs stored CSR-style; scoring uses
+    ``np.searchsorted`` over each language's sorted token-id row so a batch
+    of tokens is scored without a Python inner loop.
+    """
+
+    def __init__(self, langs, vocab, indptr, token_ids, logprob):
+        self.langs = langs
+        self.vocab_id = {t: i for i, t in enumerate(vocab)}
+        self.indptr = indptr
+        self.token_ids = token_ids
+        self.logprob = logprob
+        self.lang_row = {lang: i for i, lang in enumerate(langs)}
+
+    def token_ids_for(self, tokens) -> np.ndarray:
+        """Map token texts -> vocab ids; unknown tokens -> -1."""
+        get = self.vocab_id.get
+        return np.asarray([get(t, -1) for t in tokens], dtype=np.int64)
+
+    def score(self, lang: str, ids: np.ndarray) -> float:
+        """sum over tokens of logP(token|lang); absent token -> -19.0;
+        language without a trained table -> -inf (classifier.rs:31-37)."""
+        row = self.lang_row.get(lang)
+        if row is None:
+            return float("-inf")
+        lo, hi = self.indptr[row], self.indptr[row + 1]
+        lang_ids = self.token_ids[lo:hi]
+        lang_logp = self.logprob[lo:hi]
+        if len(ids) == 0:
+            return 0.0
+        pos = np.searchsorted(lang_ids, ids)
+        pos_clip = np.minimum(pos, len(lang_ids) - 1) if len(lang_ids) else np.zeros_like(pos)
+        hit = len(lang_ids) > 0
+        matched = (lang_ids[pos_clip] == ids) if hit else np.zeros(len(ids), dtype=bool)
+        n_miss = int(len(ids) - matched.sum())
+        return float(lang_logp[pos_clip][matched].sum() + n_miss * DEFAULT_LOG_PROB)
+
+
+@lru_cache(maxsize=None)
+def load_nb_model(artifact_dir: str | None = None) -> NBModel:
+    d = Path(artifact_dir) if artifact_dir else ARTIFACT_DIR
+    with np.load(d / "nb_model.npz") as z:
+        return NBModel(
+            langs=_decode_str_list(z["langs"]),
+            vocab=_decode_str_list(z["vocab"]),
+            indptr=z["indptr"].copy(),
+            token_ids=z["token_ids"].copy(),
+            logprob=z["logprob"].copy(),
+        )
+
+
+class CharLM:
+    """[EXT] byte-trigram stupid-backoff LM (alpha=0.4) for perplexity
+    scoring. Vectorized: content bytes -> trigram keys -> searchsorted."""
+
+    ALPHA = 0.4
+
+    def __init__(self, tri_keys, tri_counts, bi_keys, bi_counts, uni_counts, total):
+        self.tri_keys = tri_keys
+        self.tri_counts = tri_counts.astype(np.float64)
+        self.bi_keys = bi_keys
+        self.bi_counts = bi_counts.astype(np.float64)
+        self.uni_counts = uni_counts.astype(np.float64)
+        self.total = float(total)
+        # context counts for trigram = count of leading bigram
+        self._bi_lookup_keys = bi_keys
+        self._uni = np.maximum(self.uni_counts, 1.0)
+
+    def _lookup(self, keys_sorted, counts, queries):
+        if len(keys_sorted) == 0:
+            return np.zeros(len(queries))
+        pos = np.searchsorted(keys_sorted, queries)
+        pos = np.minimum(pos, len(keys_sorted) - 1)
+        out = counts[pos]
+        out[keys_sorted[pos] != queries] = 0.0
+        return out
+
+    def perplexity(self, text: str) -> float:
+        b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint32)
+        n = len(b)
+        if n < 3:
+            return 1.0
+        tri_q = (b[:-2] << 16) | (b[1:-1] << 8) | b[2:]
+        bi_ctx = (b[:-2] << 8) | b[1:-1]
+        bi_q = (b[1:-1] << 8) | b[2:]
+        uni_ctx = b[1:-1]
+        last = b[2:]
+
+        c3 = self._lookup(self.tri_keys, self.tri_counts, tri_q)
+        c2ctx = self._lookup(self.bi_keys, self.bi_counts, bi_ctx)
+        c2 = self._lookup(self.bi_keys, self.bi_counts, bi_q)
+        c1ctx = self._uni[uni_ctx]
+        c1 = self.uni_counts[last]
+
+        p_uni = np.maximum(c1, 0.5) / self.total
+        p_bi = np.where(c2 > 0, c2 / c1ctx, self.ALPHA * p_uni)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p_tri = np.where((c3 > 0) & (c2ctx > 0), c3 / np.maximum(c2ctx, 1.0), self.ALPHA * p_bi)
+        return float(np.exp(-np.mean(np.log(p_tri))))
+
+
+@lru_cache(maxsize=None)
+def load_char_lm(artifact_dir: str | None = None) -> CharLM:
+    d = Path(artifact_dir) if artifact_dir else ARTIFACT_DIR
+    with np.load(d / "char_lm.npz") as z:
+        return CharLM(
+            tri_keys=z["tri_keys"].copy(),
+            tri_counts=z["tri_counts"].copy(),
+            bi_keys=z["bi_keys"].copy(),
+            bi_counts=z["bi_counts"].copy(),
+            uni_counts=z["uni_counts"].copy(),
+            total=int(z["total"][0]),
+        )

@@ -1,0 +1,254 @@
+"""The five-tier language-detection cascade, decision-exact to the reference.
+
+Pure-Python core (no Ray imports). All shared state lives in a
+:class:`Detector` instance built once per worker from the committed
+artifacts — the analog of the reference's compiled-in phf maps.
+
+Tier semantics (SURVEY.md Appendix A, ``src/lib.rs:136-195``):
+
+1. filename  — exact basename lookup (``detectors/filenames.rs:5-7``)
+2. extension — first-matching-suffix scan (``detectors/extensions.rs:16-32``)
+3. shebang   — interpreter lookup incl. env / sh-exec hack / version strip
+               (``detectors/interpreters.rs:8-65``)
+4. heuristics— ordered disambiguation rules, PCRE-style patterns
+               (``detectors/heuristics.rs:46-72``)
+5. classifier— token NB, tie -> first candidate (``detectors/classifier.rs:18-49``)
+"""
+
+from __future__ import annotations
+
+import re
+
+import regex as regex_mod
+
+from ..artifacts import (
+    MAX_CONTENT_SIZE_BYTES,
+    load_char_lm,
+    load_nb_model,
+    load_tables,
+)
+
+# interpreters.rs:36 — the sh-exec hack regex
+_SHEBANG_HACK_RE = re.compile(r"exec (\w+).+\$0.+\$@")
+# interpreters.rs:54 — version strip: split at first digit.digit
+_VERSION_RE = re.compile(r"[0-9]\.[0-9]")
+
+
+def truncate_to_char_boundary(content: str, max_bytes: int = MAX_CONTENT_SIZE_BYTES) -> str:
+    """Byte-truncate backing off to a UTF-8 char boundary (lib.rs:198-207)."""
+    raw = content.encode("utf-8")
+    if len(raw) <= max_bytes:
+        return content
+    # decode(...,"ignore") drops the trailing partial char — identical to the
+    # reference's back-off over continuation bytes
+    return raw[:max_bytes].decode("utf-8", errors="ignore")
+
+
+def filter_candidates(previous: list[str], new: list[str]) -> list[str]:
+    """Intersect candidate lists with the reference's fallbacks (lib.rs:268-290)."""
+    if not previous:
+        return new
+    if not new:
+        return previous
+    filtered = [l for l in previous if l in new]
+    return filtered if filtered else previous
+
+
+class _CompiledPattern:
+    """Compiled heuristic pattern tree (heuristics.rs:8-44).
+
+    ``matches`` on a Negative node returns True only when the inner regex ran
+    successfully AND did not match — a regex execution error counts as
+    "matched" (``heuristics.rs:38`` uses ``unwrap_or(true)``). With Python's
+    ``regex`` module, compile errors surface at artifact-build time instead,
+    so the runtime path always runs successfully.
+    """
+
+    __slots__ = ("kind", "regex", "children")
+
+    def __init__(self, node: dict):
+        if "positive" in node:
+            self.kind = "positive"
+            self.regex = regex_mod.compile(node["positive"], regex_mod.MULTILINE)
+            self.children = None
+        elif "negative" in node:
+            self.kind = "negative"
+            self.regex = regex_mod.compile(node["negative"], regex_mod.MULTILINE)
+            self.children = None
+        elif "or" in node:
+            self.kind = "or"
+            self.regex = None
+            self.children = [_CompiledPattern(c) for c in node["or"]]
+        else:
+            self.kind = "and"
+            self.regex = None
+            self.children = [_CompiledPattern(c) for c in node["and"]]
+
+    def matches(self, content: str) -> bool:
+        k = self.kind
+        if k == "positive":
+            return self.regex.search(content) is not None
+        if k == "negative":
+            return self.regex.search(content) is None
+        if k == "or":
+            return any(c.matches(content) for c in self.children)
+        return all(c.matches(content) for c in self.children)
+
+
+class Detector:
+    """Holds all lookup tables + compiled rules + NB model.
+
+    Build once per process/actor (``__init__`` cost ~100ms); ``detect`` is
+    then pure per row. PCRE CRLF semantics (``heuristics.rs:24-30``) are
+    reproduced by normalizing CRLF to LF before heuristic matching.
+    """
+
+    def __init__(self, artifact_dir: str | None = None):
+        t = load_tables(artifact_dir)
+        self.languages: list[str] = t["languages"]
+        self.language_info: dict = t["language_info"]
+        self.filenames: dict = t["filenames"]
+        self.extensions: dict = t["extensions"]
+        self.interpreters: dict = t["interpreters"]
+        self.disambiguations = {
+            ext: [
+                (r["languages"], _CompiledPattern(r["pattern"]) if r["pattern"] else None)
+                for r in rules
+            ]
+            for ext, rules in t["disambiguations"].items()
+        }
+        self.nb = load_nb_model(artifact_dir)
+        self.char_lm = load_char_lm(artifact_dir)
+
+    # -- tier 1: filename (filenames.rs:5-7) -----------------------------
+    def language_from_filename(self, filename: str):
+        return self.filenames.get(filename)
+
+    # -- tier 2: extension (extensions.rs:16-32) -------------------------
+    def get_extension(self, filename: str):
+        if filename.startswith("."):
+            filename = filename[1:]
+        filename = filename.lower()
+        pos = filename.find(".")
+        while pos != -1:
+            ext = filename[pos:]
+            if ext in self.extensions:
+                return ext
+            pos = filename.find(".", pos + 1)
+        return None
+
+    def languages_from_extension(self, extension: str) -> list[str]:
+        return list(self.extensions.get(extension, []))
+
+    # -- tier 3: shebang (interpreters.rs:8-65) --------------------------
+    def languages_from_shebang(self, content: str) -> list[str]:
+        nl = content.find("\n")
+        first = content if nl == -1 else content[:nl]
+        if first.endswith("\r"):
+            first = first[:-1]
+        if not first.startswith("#!"):
+            return []
+        interpreter_part = first.rsplit("/", 1)[-1]
+        splits = interpreter_part.split()
+        if not splits:
+            return []
+        if splits[0] == "env":
+            if len(splits) < 2:
+                return []
+            interpreter = splits[1]
+        elif splits[0] == "sh":
+            # read the next <=4 lines for the sh-exec hack (interpreters.rs:31-44)
+            rest = "" if nl == -1 else content[nl + 1 :]
+            lines = [l[:-1] if l.endswith("\r") else l for l in rest.split("\n")[:4]]
+            extra = "\n".join(lines)
+            m = _SHEBANG_HACK_RE.search(extra)
+            interpreter = m.group(1) if m else "sh"
+        else:
+            interpreter = splits[0]
+        # strip trailing version: python2.6.3 -> python, python2 -> python2
+        interpreter = _VERSION_RE.split(interpreter, maxsplit=1)[0]
+        return list(self.interpreters.get(interpreter, []))
+
+    # -- tier 4: heuristics (heuristics.rs:46-72) ------------------------
+    def languages_from_heuristics(self, extension: str, candidates: list[str], content: str) -> list[str]:
+        rules = self.disambiguations.get(extension)
+        if rules is None:
+            return []
+        if "\r" in content:
+            content = content.replace("\r\n", "\n")
+        for langs, pattern in rules:
+            if not all(l in candidates for l in langs):
+                continue
+            if pattern is None or pattern.matches(content):
+                return list(langs)
+        return []
+
+    # -- tier 5: classifier (classifier.rs:18-49) ------------------------
+    def classify(self, content: str, candidates: list[str]) -> str:
+        from .tokenizer import get_key_tokens
+
+        if not candidates:
+            candidates = self.languages
+        tokens = [
+            t
+            for t in get_key_tokens(content)
+            if len(t) <= 32 and len(t.encode("utf-8")) <= 32
+        ]
+        ids = self.nb.token_ids_for(tokens)
+        best_lang = candidates[0]
+        best_score = float("-inf")
+        first = True
+        for lang in candidates:
+            score = self.nb.score(lang, ids)
+            # strict > keeps the FIRST candidate on ties (stable sort desc,
+            # classifier.rs:42-48)
+            if first or score > best_score:
+                best_lang, best_score, first = lang, score, False
+        return best_lang
+
+    # -- the cascade (lib.rs:136-195) ------------------------------------
+    def detect(self, path: str, content: str):
+        """Returns (strategy, language) or None. ``path`` may be a full
+        relative path; only the basename participates in tiers 1-2."""
+        filename = path.rsplit("/", 1)[-1]
+        if not filename:
+            return None
+
+        lang = self.filenames.get(filename)
+        if lang is not None:
+            return ("Filename", lang)
+
+        extension = self.get_extension(filename)
+        candidates = list(self.extensions.get(extension, [])) if extension else []
+        if len(candidates) == 1:
+            return ("Extension", candidates[0])
+
+        candidates = filter_candidates(candidates, self.languages_from_shebang(content))
+        if len(candidates) == 1:
+            return ("Shebang", candidates[0])
+
+        body = truncate_to_char_boundary(content, MAX_CONTENT_SIZE_BYTES)
+
+        if len(candidates) > 1 and extension:
+            heur = self.languages_from_heuristics(extension, candidates, body)
+            candidates = filter_candidates(candidates, heur)
+
+        if len(candidates) == 0:
+            return None
+        if len(candidates) == 1:
+            return ("Heuristics", candidates[0])
+        return ("Classifier", self.classify(body, candidates))
+
+
+_DETECTOR = None
+
+
+def get_detector(artifact_dir: str | None = None) -> Detector:
+    """Process-level cached Detector (actors build their own in __init__)."""
+    global _DETECTOR
+    if _DETECTOR is None or artifact_dir is not None:
+        d = Detector(artifact_dir)
+        if artifact_dir is None:
+            _DETECTOR = d
+        return d
+    return _DETECTOR

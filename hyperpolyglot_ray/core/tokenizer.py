@@ -1,0 +1,310 @@
+"""Pure-Python port of the polyglot tokenizer.
+
+Behavioral spec: the unit tests of the reference tokenizer
+(``crates/polyglot_tokenizer/src/tokenizer.rs:411-809``) plus its doc tests.
+The committed Rust ``take_block`` (``tokenizer.rs:209-239``) is logically
+inverted against a faithful ``circular_queue`` and fails its own tests; per
+SURVEY.md Appendix B the corrected comparison (take while the trailing chars
+do NOT equal the end sequence) is the intended behavior and is what we
+implement here.
+
+Tokens are ``(kind, text)`` tuples with kind one of::
+
+    block_comment   (open, body, close)   -> 3-tuple tail
+    line_comment    (open, body)          -> 2-tuple tail
+    ident, number, symbol, string         -> strings
+
+``get_key_tokens`` mirrors ``crates/polyglot_tokenizer/src/lib.rs:13-18``:
+only Ident and Symbol texts, in stream order.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+# Token kind constants (kept short: these appear in hot loops)
+IDENT = "ident"
+NUMBER = "number"
+SYMBOL = "symbol"
+STRING = "string"
+LINE_COMMENT = "line_comment"
+BLOCK_COMMENT = "block_comment"
+
+_ASCII_PUNCT = set("!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~")
+
+
+class _Tokens:
+    """Single-pass scanner with a pushback backlog.
+
+    Mirrors ``Tokens`` in ``tokenizer.rs:77-240``: the backlog holds
+    ``(index, char)`` pairs that are re-scanned before the main cursor; all
+    slices are taken from the original content by index, so re-scanned
+    constructs produce exactly the reference's (sometimes quirky) output.
+    """
+
+    __slots__ = ("content", "n", "pos", "backlog", "tok_start")
+
+    def __init__(self, content: str) -> None:
+        self.content = content
+        self.n = len(content)
+        self.pos = 0
+        self.backlog: deque = deque()
+        self.tok_start = 0
+
+    # -- cursor ----------------------------------------------------------
+    def advance(self):
+        if self.backlog:
+            return self.backlog.popleft()
+        if self.pos < self.n:
+            i = self.pos
+            self.pos = i + 1
+            return (i, self.content[i])
+        return None
+
+    def peek(self):
+        if self.backlog:
+            return self.backlog[0]
+        if self.pos < self.n:
+            return (self.pos, self.content[self.pos])
+        return None
+
+    def push_backlog(self, pairs):
+        # preserves order of `pairs` at the front of the backlog
+        self.backlog.extendleft(reversed(pairs))
+
+    def start_new_token(self):
+        nxt = self.advance()
+        if nxt is None:
+            return None
+        self.tok_start = nxt[0]
+        return nxt[1]
+
+    # -- scanning helpers ------------------------------------------------
+    def eat_whitespace(self):
+        while True:
+            p = self.peek()
+            if p is None:
+                return self.n
+            if p[1].isspace():
+                self.advance()
+            else:
+                return p[0]
+
+    def eat_non_newline_whitespace(self):
+        while True:
+            p = self.peek()
+            if p is None:
+                return self.n
+            ch = p[1]
+            if ch == "\n" or ch == "\r":
+                return p[0]
+            if ch.isspace():
+                self.advance()
+            else:
+                return p[0]
+
+    def take_if(self, cond):
+        while True:
+            p = self.peek()
+            if p is None:
+                return self.n
+            if not cond(p[1]):
+                return p[0]
+            self.advance()
+
+    def take_if_slice(self, cond):
+        end = self.take_if(cond)
+        return self.content[self.tok_start : end]
+
+    # -- block constructs ------------------------------------------------
+    def block_comment(self, start_seq: str, end_seq: str):
+        symbol = [start_seq[0]]
+        for expected in start_seq[1:]:
+            p = self.peek()
+            if p is not None and p[1] == expected:
+                symbol.append(expected)
+                self.advance()
+            else:
+                ts = self.tok_start
+                # NOTE: index is ts + i (not ts + i + 1) to mirror the
+                # reference's enumerate() offset in tokenizer.rs:192-195 —
+                # load-bearing for token-stream parity on e.g. "<!DOCTYPE".
+                self.push_backlog([(ts + i, c) for i, c in enumerate(symbol[1:])])
+                return (SYMBOL, self.content[ts : ts + 1])
+        sym = self.content[self.tok_start : self.tok_start + len(symbol)]
+        res = self.take_block(self.tok_start + len(symbol), end_seq)
+        if res[0] is None:
+            _, body, close = res
+            return (BLOCK_COMMENT, sym, body, close)
+        return res[1]
+
+    def take_block(self, content_idx: int, end_seq: str):
+        """Take chars until the trailing window equals ``end_seq``.
+
+        Returns ``(None, body, close)`` on success, else
+        ``("err", token)`` after pushing the scanned tail onto the backlog
+        (re-scan semantics, tokenizer.rs:230-238).
+        """
+        end_list = list(end_seq)
+        k = len(end_list)
+        prev = deque(maxlen=k)
+
+        def take(ch, _prev=prev, _end=end_list):
+            should_take = list(_prev) != _end
+            if should_take:
+                _prev.append(ch)
+            return should_take
+
+        end = self.take_if(take)
+        if list(prev) == end_list:
+            end_start = end - k
+            return (None, self.content[content_idx:end_start], self.content[end_start:end])
+        backlog_start = self.tok_start + 1
+        pairs = [(backlog_start + i, c) for i, c in enumerate(self.content[backlog_start:end])]
+        self.push_backlog(pairs)
+        return ("err", (SYMBOL, self.content[self.tok_start : backlog_start]))
+
+    def line_comment(self, marker_char: str):
+        symbol = self.take_if_slice(lambda ch: ch == marker_char)
+        comment_start = self.eat_non_newline_whitespace()
+        comment_end = self.take_if(lambda ch: ch != "\r" and ch != "\n")
+        return (LINE_COMMENT, symbol, self.content[comment_start:comment_end])
+
+    # -- main loop -------------------------------------------------------
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        self.eat_whitespace()
+        ch = self.start_new_token()
+        if ch is None:
+            raise StopIteration
+
+        if ch.isalpha() or ch == "_":
+            return (IDENT, self.take_if_slice(lambda c: c.isalnum() or c == "_"))
+
+        if ch == "0":
+            p = self.peek()
+            nxt = p[1] if p is not None else None
+            if nxt == "b":
+                self.advance()
+                return (NUMBER, self.take_if_slice(lambda c: c in "01_"))
+            if nxt == "o":
+                self.advance()
+                return (NUMBER, self.take_if_slice(lambda c: c == "_" or "0" <= c <= "7"))
+            if nxt == "x":
+                self.advance()
+                return (NUMBER, self.take_if_slice(lambda c: c == "_" or c in "0123456789abcdefABCDEF"))
+            return (NUMBER, self.take_if_slice(_numeric_closure()))
+
+        if ch == "-" or ch == "+":
+            p = self.peek()
+            if p is not None and p[1].isnumeric():
+                return (NUMBER, self.take_if_slice(_numeric_closure()))
+            if p is not None and p[1] == "-" and ch == "-":
+                return self.line_comment("-")
+            return (SYMBOL, self.content[self.tok_start : self.tok_start + 1])
+
+        if ch.isnumeric():
+            return (NUMBER, self.take_if_slice(_numeric_closure()))
+
+        if ch == "/":
+            p = self.peek()
+            if p is not None and p[1] == "/":
+                return self.line_comment("/")
+            if p is not None and p[1] == "*":
+                return self.block_comment("/*", "*/")
+            return (SYMBOL, self.content[self.tok_start : self.tok_start + 1])
+
+        if ch == "{":
+            p = self.peek()
+            if p is not None and p[1] == "-":
+                return self.block_comment("{-", "-}")
+            return (SYMBOL, self.content[self.tok_start : self.tok_start + 1])
+
+        if ch == "(":
+            p = self.peek()
+            if p is not None and p[1] == "*":
+                return self.block_comment("(*", "*)")
+            return (SYMBOL, self.content[self.tok_start : self.tok_start + 1])
+
+        if ch == "<":
+            return self.block_comment("<!--", "-->")
+
+        if ch == "#":
+            return self.line_comment("#")
+
+        if ch == "%":
+            return self.line_comment("%")
+
+        if ch == '"' or ch == "'" or ch == "`":
+            return self._string(ch)
+
+        # any other punctuation / char: one-char symbol
+        return (SYMBOL, self.content[self.tok_start : self.tok_start + 1])
+
+    def _string(self, quote: str):
+        symbol = self.take_if_slice(lambda c: c == quote)
+        n_quotes = len(symbol)
+        ts = self.tok_start
+        if n_quotes == 1:
+            state = {"escaped": False}
+
+            def string_closure(c, _s=state, _q=quote):
+                should_take = not ((c == _q and not _s["escaped"]) or c == "\n")
+                _s["escaped"] = c == "\\" and not _s["escaped"]
+                return should_take
+
+            string_end = self.take_if(string_closure)
+            body = self.content[ts + 1 : string_end]
+            p = self.peek()
+            if p is not None and p[1] == quote:
+                self.advance()
+                return (
+                    STRING,
+                    self.content[ts : ts + 1],
+                    body,
+                    self.content[string_end : string_end + 1],
+                )
+            backlog_start = ts + 1
+            self.push_backlog([(backlog_start + i, c) for i, c in enumerate(body)])
+            return (SYMBOL, self.content[ts:backlog_start])
+        if n_quotes == 2:
+            return (STRING, self.content[ts : ts + 1], "", self.content[ts + 1 : ts + 2])
+        res = self.take_block(ts + n_quotes, quote * n_quotes)
+        if res[0] is None:
+            _, body, close = res
+            return (STRING, self.content[ts : ts + n_quotes], body, close)
+        return res[1]
+
+
+def _numeric_closure():
+    state = {"seen_decimal": False}
+
+    def closure(ch, _s=state):
+        if ch.isnumeric() or ch == "_":
+            return True
+        if ch == "." and not _s["seen_decimal"]:
+            _s["seen_decimal"] = True
+            return True
+        return False
+
+    return closure
+
+
+def tokenize(content: str):
+    """Yield token tuples for ``content``.
+
+    Shapes: ``(kind, text)`` for ident/number/symbol,
+    ``(STRING|BLOCK_COMMENT, open, body, close)``,
+    ``(LINE_COMMENT, open, body)``.
+    """
+    return _Tokens(content)
+
+
+def get_key_tokens(content: str):
+    """Ident + Symbol texts only (``polyglot_tokenizer/src/lib.rs:13-18``)."""
+    for tok in _Tokens(content):
+        kind = tok[0]
+        if kind == IDENT or kind == SYMBOL:
+            yield tok[1]

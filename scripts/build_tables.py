@@ -1,0 +1,294 @@
+#!/usr/bin/env python
+"""Offline artifact builder — the analog of the reference's codegen + trainer.
+
+Reads ``languages.yml`` + ``heuristics.yml`` and the ``samples/`` training
+corpus from the reference checkout (data files, not code) and emits the
+runtime artifacts our Ray workers load once per actor:
+
+* ``artifacts/tables.json.gz``  — lookup tables with PINNED deterministic
+  ordering (the reference freezes HashMap iteration order into generated
+  Rust source; we freeze YAML document order instead — SURVEY.md §7).
+  Mirrors ``src/bin/codegen.rs:188-355``.
+* ``artifacts/nb_model.npz``    — Naive-Bayes token log-probabilities
+  trained over top-level files of each ``samples/<Lang>/`` dir.
+  Mirrors ``train_classifier`` (``codegen.rs:357-428``).
+* ``artifacts/char_lm.npz``     — [EXT] byte-trigram stupid-backoff LM over
+  the same corpus, for the perplexity quality signal (north rule).
+
+Run once: ``python scripts/build_tables.py [reference_dir]``.
+Pure Python, no Ray. Deterministic: sorted directory walks, pinned orders.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import json
+import math
+import sys
+from collections import Counter
+from pathlib import Path
+
+import numpy as np
+import regex as regex_mod
+import yaml
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from hyperpolyglot_ray.core.tokenizer import get_key_tokens  # noqa: E402
+
+ARTIFACT_DIR = REPO / "artifacts"
+MAX_TOKEN_BYTES = 32  # classifier.rs:9, codegen.rs:186
+
+
+# --------------------------------------------------------------------------
+# languages.yml -> language list / info / filename / interpreter / extension
+# maps (codegen.rs:205-321)
+# --------------------------------------------------------------------------
+
+def build_language_tables(languages_yml: str) -> dict:
+    with open(languages_yml, "r", encoding="utf-8") as f:
+        langs = yaml.safe_load(f)
+
+    languages = list(langs.keys())  # pinned order: YAML document order
+    language_info = {}
+    filenames = {}
+    interpreters: dict[str, list[str]] = {}
+    extensions: dict[str, list[str]] = {}
+
+    for name, dto in langs.items():
+        language_info[name] = {
+            "type": dto["type"].capitalize(),  # data -> Data etc (lib.rs:67-73)
+            "color": dto.get("color"),
+            "group": dto.get("group"),
+        }
+        for fn in dto.get("filenames") or []:
+            filenames[fn] = name  # later entries overwrite like phf dedup
+        for interp in dto.get("interpreters") or []:
+            interpreters.setdefault(interp, []).append(name)
+        for ext in dto.get("extensions") or []:
+            extensions.setdefault(ext.lower(), []).append(name)
+
+    return {
+        "languages": languages,
+        "language_info": language_info,
+        "filenames": filenames,
+        "interpreters": interpreters,
+        "extensions": extensions,
+    }
+
+
+# --------------------------------------------------------------------------
+# heuristics.yml -> disambiguation rules (codegen.rs:323-355)
+# Pattern JSON: {"positive": str} | {"negative": str} | {"or": [..]} | {"and": [..]}
+# --------------------------------------------------------------------------
+
+def _compile_check(pattern: str) -> None:
+    # fail fast on invalid regex like codegen.rs:120-131
+    regex_mod.compile(pattern, regex_mod.MULTILINE)
+
+
+def _pattern_from_dto(dto: dict, named_patterns: dict):
+    keys = [k for k in ("pattern", "negative_pattern", "named_pattern", "and") if k in dto]
+    if not keys:
+        return None
+    key = keys[0]
+    val = dto[key]
+    if key == "pattern":
+        if isinstance(val, list):
+            return {"or": [{"positive": _check1(p)} for p in val]}
+        return {"positive": _check1(val)}
+    if key == "negative_pattern":
+        return {"negative": _check1(val)}
+    if key == "named_pattern":
+        resolved = named_patterns[val]  # KeyError = fail fast (codegen.rs:158-162)
+        if isinstance(resolved, list):
+            return {"or": [{"positive": _check1(p)} for p in resolved]}
+        return {"positive": _check1(resolved)}
+    # and
+    return {"and": [_pattern_from_dto(sub, named_patterns) for sub in val]}
+
+
+def _check1(p: str) -> str:
+    _compile_check(p)
+    return p
+
+
+def build_heuristics_tables(heuristics_yml: str) -> dict:
+    with open(heuristics_yml, "r", encoding="utf-8") as f:
+        heur = yaml.safe_load(f)
+
+    named = heur["named_patterns"]
+    disambiguations: dict[str, list] = {}
+    for dis in heur["disambiguations"]:
+        rules = []
+        for rule in dis["rules"]:
+            langs = rule["language"]
+            if isinstance(langs, str):
+                langs = [langs]
+            rules.append(
+                {"languages": langs, "pattern": _pattern_from_dto(rule, named)}
+            )
+        for ext in dis["extensions"]:
+            ext_rules = list(rules)
+            # injected default rule: .h -> C when no ObjC/C++ rule matches
+            # (codegen.rs:329-335)
+            if ext == ".h":
+                ext_rules.append({"languages": ["C"], "pattern": None})
+            disambiguations[ext.lower()] = ext_rules
+    return {"disambiguations": disambiguations}
+
+
+# --------------------------------------------------------------------------
+# samples/ -> NB token log-probabilities (codegen.rs:357-428)
+# --------------------------------------------------------------------------
+
+def iter_sample_files(samples_dir: Path):
+    """Yield (language, file_path) over top-level files of each language dir.
+
+    Sorted for determinism (the reference relies on OS read_dir order).
+    ``Fstar`` -> ``F*`` rename per codegen.rs:369-371. The ``filenames/``
+    subdirectories are excluded by the is_file filter (codegen.rs:374-377).
+    """
+    for lang_dir in sorted(p for p in samples_dir.iterdir() if p.is_dir()):
+        language = lang_dir.name
+        if language == "Fstar":
+            language = "F*"
+        for fp in sorted(p for p in lang_dir.iterdir() if p.is_file()):
+            yield language, fp
+
+
+def train_nb(samples_dir: Path) -> dict:
+    token_counts: dict[str, Counter] = {}
+    totals: Counter = Counter()
+    for language, fp in iter_sample_files(samples_dir):
+        # invalid-UTF-8 files train as "" wholesale (codegen.rs:389-390)
+        try:
+            content = fp.read_bytes().decode("utf-8")
+        except UnicodeDecodeError:
+            content = ""
+        counts = token_counts.setdefault(language, Counter())
+        for token in get_key_tokens(content):
+            if len(token) <= MAX_TOKEN_BYTES and len(token.encode("utf-8")) <= MAX_TOKEN_BYTES:
+                counts[token] += 1
+                totals[language] += 1
+
+    langs = sorted(token_counts.keys())
+    vocab_set = set()
+    for counts in token_counts.values():
+        vocab_set.update(counts.keys())
+    vocab = sorted(vocab_set)
+    vocab_id = {t: i for i, t in enumerate(vocab)}
+
+    indptr = [0]
+    ids_all = []
+    logp_all = []
+    for lang in langs:
+        counts = token_counts[lang]
+        total = float(totals[lang])
+        pairs = sorted((vocab_id[t], math.log(c / total)) for t, c in counts.items())
+        ids_all.extend(p[0] for p in pairs)
+        logp_all.extend(p[1] for p in pairs)
+        indptr.append(len(ids_all))
+
+    return {
+        "langs": langs,
+        "vocab": vocab,
+        "indptr": np.asarray(indptr, dtype=np.int64),
+        "token_ids": np.asarray(ids_all, dtype=np.int32),
+        "logprob": np.asarray(logp_all, dtype=np.float64),
+    }
+
+
+# --------------------------------------------------------------------------
+# [EXT] byte-trigram LM with stupid backoff (north rule perplexity signal)
+# --------------------------------------------------------------------------
+
+def train_char_lm(samples_dir: Path, min_count: int = 2) -> dict:
+    tri: Counter = Counter()
+    bi: Counter = Counter()
+    uni = np.zeros(256, dtype=np.int64)
+    total = 0
+    for _language, fp in iter_sample_files(samples_dir):
+        data = fp.read_bytes()
+        try:
+            data.decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        b = np.frombuffer(data, dtype=np.uint8)
+        if len(b) == 0:
+            continue
+        counts = np.bincount(b, minlength=256)
+        uni += counts
+        total += len(b)
+        if len(b) >= 2:
+            b32 = b.astype(np.uint32)
+            bi_keys = (b32[:-1] << 8) | b32[1:]
+            ks, cs = np.unique(bi_keys, return_counts=True)
+            for k, c in zip(ks.tolist(), cs.tolist()):
+                bi[k] += c
+        if len(b) >= 3:
+            b32 = b.astype(np.uint32)
+            tri_keys = (b32[:-2] << 16) | (b32[1:-1] << 8) | b32[2:]
+            ks, cs = np.unique(tri_keys, return_counts=True)
+            for k, c in zip(ks.tolist(), cs.tolist()):
+                tri[k] += c
+
+    tri_items = sorted((k, c) for k, c in tri.items() if c >= min_count)
+    bi_items = sorted(bi.items())
+    return {
+        "tri_keys": np.asarray([k for k, _ in tri_items], dtype=np.uint32),
+        "tri_counts": np.asarray([c for _, c in tri_items], dtype=np.int64),
+        "bi_keys": np.asarray([k for k, _ in bi_items], dtype=np.uint32),
+        "bi_counts": np.asarray([c for _, c in bi_items], dtype=np.int64),
+        "uni_counts": uni,
+        "total": np.asarray([total], dtype=np.int64),
+    }
+
+
+# --------------------------------------------------------------------------
+
+def _encode_str_list(strings: list[str]) -> np.ndarray:
+    blob = "\n".join(strings).encode("utf-8")
+    return np.frombuffer(blob, dtype=np.uint8)
+
+
+def main(reference_dir: str = "/root/reference") -> None:
+    ref = Path(reference_dir)
+    ARTIFACT_DIR.mkdir(exist_ok=True)
+
+    tables = build_language_tables(str(ref / "languages.yml"))
+    tables.update(build_heuristics_tables(str(ref / "heuristics.yml")))
+    raw = json.dumps(tables, ensure_ascii=False, sort_keys=True).encode("utf-8")
+    # mtime=0 => byte-stable output
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(raw)
+    (ARTIFACT_DIR / "tables.json.gz").write_bytes(buf.getvalue())
+    print(
+        f"tables: {len(tables['languages'])} languages, "
+        f"{len(tables['filenames'])} filenames, {len(tables['extensions'])} extensions, "
+        f"{len(tables['interpreters'])} interpreters, "
+        f"{len(tables['disambiguations'])} disambiguation exts"
+    )
+
+    samples = ref / "samples"
+    nb = train_nb(samples)
+    np.savez_compressed(
+        ARTIFACT_DIR / "nb_model.npz",
+        langs=_encode_str_list(nb["langs"]),
+        vocab=_encode_str_list(nb["vocab"]),
+        indptr=nb["indptr"],
+        token_ids=nb["token_ids"],
+        logprob=nb["logprob"],
+    )
+    print(f"nb_model: {len(nb['langs'])} langs, {len(nb['vocab'])} vocab, {len(nb['token_ids'])} entries")
+
+    lm = train_char_lm(samples)
+    np.savez_compressed(ARTIFACT_DIR / "char_lm.npz", **lm)
+    print(f"char_lm: {len(lm['tri_keys'])} trigrams, {len(lm['bi_keys'])} bigrams, total={int(lm['total'][0])}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

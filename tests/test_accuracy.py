@@ -1,0 +1,47 @@
+"""End-to-end self-accuracy over the reference's own samples corpus.
+
+Mirrors ``src/lib.rs:386-432``: every top-level file in
+``samples/<Lang>/`` must be detected as ``<Lang>`` (with ``Fstar`` -> ``F*``
+and the two known ``.h``-rule misses excluded). accuracy == 1.0 is the
+reference's own definition of correct — this is the primary conformance gate
+for the whole cascade (tables, tokenizer, NB model, heuristics).
+"""
+
+from pathlib import Path
+
+import pytest
+
+from hyperpolyglot_ray.core.detect import get_detector
+
+SAMPLES = Path("/root/reference/samples")
+
+pytestmark = pytest.mark.skipif(not SAMPLES.exists(), reason="reference samples not present")
+
+
+def test_detect_accuracy():
+    det = get_detector()
+    total = correct = 0
+    wrong = []
+    for lang_dir in sorted(p for p in SAMPLES.iterdir() if p.is_dir()):
+        language = "F*" if lang_dir.name == "Fstar" else lang_dir.name
+        for fp in sorted(p for p in lang_dir.iterdir() if p.is_file()):
+            # known misses of the injected .h->C rule (lib.rs:408-412)
+            if fp.name in ("rpc.h", "Field.h"):
+                continue
+            try:
+                content = fp.read_bytes().decode("utf-8")
+            except UnicodeDecodeError:
+                # reference detect() errors on non-UTF-8 and the walker
+                # silently drops errored files (lib.rs:247)
+                continue
+            detection = det.detect(fp.name, content)
+            if detection is None:
+                continue
+            total += 1
+            if detection[1] == language:
+                correct += 1
+            else:
+                wrong.append((str(fp), detection, language))
+
+    assert total > 2000
+    assert correct == total, f"misses: {wrong[:20]}"

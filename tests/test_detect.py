@@ -1,0 +1,241 @@
+"""Detection-cascade unit tests, ported 1:1 from the reference:
+
+* extensions      — ``src/detectors/extensions.rs:34-61``
+* filenames       — ``src/detectors/filenames.rs:9-24``
+* interpreters    — ``src/detectors/interpreters.rs:67-158``
+* heuristics      — ``src/detectors/heuristics.rs:74-171``
+* classifier      — ``src/detectors/classifier.rs:51-104``
+* filter_candidates + cascade — ``src/lib.rs:299-383,434-472``
+"""
+
+from pathlib import Path
+
+import pytest
+
+from hyperpolyglot_ray.core.detect import filter_candidates, get_detector
+
+SAMPLES = Path("/root/reference/samples")
+
+
+@pytest.fixture(scope="module")
+def det():
+    return get_detector()
+
+
+# -- extensions ---------------------------------------------------------
+
+
+def test_get_languages_from_extension(det):
+    assert det.languages_from_extension(".djs") == ["Dogescript"]
+    assert det.languages_from_extension(".cmake.in") == ["CMake"]
+    assert sorted(det.languages_from_extension(".h")) == ["C", "C++", "Objective-C"]
+    assert det.languages_from_extension("") == []
+
+
+def test_get_extension(det):
+    assert det.get_extension("index.djs") == ".djs"
+    assert det.get_extension("example.cmake.in") == ".cmake.in"
+    assert det.get_extension("nonsense.notrealextension.c") == ".c"
+    assert det.get_extension("uppercase.C") == ".c"
+    assert det.get_extension(".eslintrc.json") == ".json"
+    assert det.get_extension(".cs") is None
+    assert det.get_extension("noextension") is None
+
+
+# -- filenames ----------------------------------------------------------
+
+
+def test_get_language_from_filename(det):
+    assert det.language_from_filename("APKBUILD") == "Alpine Abuild"
+    assert det.language_from_filename(".eslintrc.json") == "JSON with Comments"
+
+
+# -- interpreters -------------------------------------------------------
+
+
+def test_shebang_get_languages(det):
+    assert det.languages_from_shebang("#!/usr/bin/python") == ["Python"]
+
+
+def test_shebang_get_languages_env(det):
+    assert det.languages_from_shebang("#!/usr/bin/env node") == ["JavaScript"]
+
+
+def test_shebang_get_languages_multiple(det):
+    assert sorted(det.languages_from_shebang("#!/usr/bin/parrot")) == [
+        "Parrot Assembly",
+        "Parrot Internal Representation",
+    ]
+
+
+def test_shebang_get_languages_with_minor_version(det):
+    assert det.languages_from_shebang("#!/usr/bin/python2.6") == ["Python"]
+
+
+def test_shebang_empty_cases(det):
+    for content in [
+        "#!/usr/bin/env",
+        "#!",
+        "",
+        "aslkdfjas;ldk",
+        " #!/usr/bin/python",
+        " #!/usr/bin/ ",
+        " #!/usr/bin",
+    ]:
+        assert det.languages_from_shebang(content) == []
+
+
+def test_shebang_hack(det):
+    content = '#!/bin/sh\n   exec scala "$0" "$@"\n   !#\n'
+    assert det.languages_from_shebang(content) == ["Scala"]
+
+
+# -- heuristics ---------------------------------------------------------
+
+
+def test_heuristics_positive_pattern(det):
+    assert det.languages_from_heuristics(
+        ".es", ["Erlang", "JavaScript"], "'use strict';"
+    ) == ["JavaScript"]
+
+
+def test_heuristics_negative_pattern(det):
+    assert det.languages_from_heuristics(
+        ".sql", ["PLSQL", "PLpgSQL", "SQL", "SQLPL", "TSQL"], "LALA THIS IS SQL"
+    ) == ["SQL"]
+
+
+def test_heuristics_and_positives_pattern(det):
+    assert det.languages_from_heuristics(
+        ".pro", ["Proguard", "Prolog", "INI", "QMake", "IDL"], "HEADERS SOURCES"
+    ) == ["QMake"]
+
+
+def test_heuristics_and_not_all_match(det):
+    assert det.languages_from_heuristics(
+        ".pro", ["Proguard", "Prolog", "INI", "QMake", "IDL"], "HEADERS"
+    ) == []
+
+
+def test_heuristics_and_negative_pattern(det):
+    assert det.languages_from_heuristics(
+        ".ms", ["Roff", "Unix Assembly", "MAXScript"], ".include:"
+    ) == ["Unix Assembly"]
+
+
+def test_heuristics_or_pattern(det):
+    assert det.languages_from_heuristics(".p", ["Gnuplot", "OpenEdge ABL"], "plot") == [
+        "Gnuplot"
+    ]
+
+
+def test_heuristics_named_pattern(det):
+    assert det.languages_from_heuristics(".h", ["Objective-C", "C++"], "std::out") == [
+        "C++"
+    ]
+
+
+def test_heuristics_default_pattern(det):
+    assert det.languages_from_heuristics(
+        ".man", ["Roff Manpage", "Roff"], "alskdjfahij"
+    ) == ["Roff"]
+
+
+def test_heuristics_multiple_anchors(det):
+    content = (
+        '.TH LYXCLIENT 1 "@LYX_DATE@" "Version @VERSION@" "lyxclient @VERSION@"\n'
+        ".SH NAME"
+    )
+    assert det.languages_from_heuristics(".1in", ["Roff Manpage", "Roff"], content) == [
+        "Roff Manpage"
+    ]
+
+
+# -- classifier ---------------------------------------------------------
+
+
+def test_classify(det):
+    content = (SAMPLES / "Rust/main.rs").read_text()
+    assert det.classify(content, ["C", "Rust"]) == "Rust"
+
+    content = (SAMPLES / "Erlang/170-os-daemons.es").read_text()
+    assert det.classify(content, ["Erlang", "JavaScript"]) == "Erlang"
+
+    content = (SAMPLES / "TypeScript/classes.ts").read_text()
+    assert det.classify(content, ["C++", "Java", "C#", "TypeScript"]) == "TypeScript"
+
+
+def test_classify_non_sample_data(det):
+    sample = (
+        '#[cfg(not(feature = "pcre2"))]\n'
+        "    fn imp(args: &Args) -> Result<bool> {\n"
+        "        let mut stdout = args.stdout();\n"
+        '        writeln!(stdout, "PCRE2 is not available in this build of ripgrep.")?;\n'
+        "        Ok(false)\n"
+        "    }\n\n"
+        "    imp(args)"
+    )
+    assert det.classify(sample, ["Rust", "RenderScript"]) == "Rust"
+
+
+def test_classify_empty_candidates(det):
+    content = (SAMPLES / "Rust/main.rs").read_text()
+    assert det.classify(content, []) == "Rust"
+
+
+def test_classify_f_star(det):
+    content = (SAMPLES / "Fstar/Hacl.HKDF.fst").read_text()
+    assert det.classify(content, []) == "F*"
+
+
+# -- filter_candidates (lib.rs:434-472) ---------------------------------
+
+
+def test_filter_candidates():
+    assert filter_candidates(["JavaScript", "Python"], ["Python", "Bibbity"]) == ["Python"]
+    assert filter_candidates(["JavaScript", "Python"], []) == ["JavaScript", "Python"]
+    assert filter_candidates([], ["JavaScript", "Erlang"]) == ["JavaScript", "Erlang"]
+    assert filter_candidates(["Python"], ["JavaScript", "Erlang"]) == ["Python"]
+
+
+# -- cascade (lib.rs:299-383) -------------------------------------------
+
+
+def test_detect_filename(det):
+    assert det.detect("APKBUILD", "") == ("Filename", "Alpine Abuild")
+
+
+def test_detect_extension(det):
+    assert det.detect("pizza.purs", "") == ("Extension", "PureScript")
+
+
+def test_detect_shebang(det):
+    assert det.detect("a", "#!/usr/bin/python") == ("Shebang", "Python")
+
+
+def test_detect_heuristics(det):
+    assert det.detect("a.es", "'use strict'") == ("Heuristics", "JavaScript")
+
+
+def test_detect_classify(det):
+    content = (
+        "\n            match optional {\n"
+        '                Some(pattern) => println!("Hello World"),\n'
+        '                None => println!("u missed")\n'
+        "            }\n            "
+    )
+    assert det.detect("peep.rs", content) == ("Classifier", "Rust")
+
+
+def test_detect_none(det):
+    content = (
+        "\n            use std::io;\n"
+        "            fn main() {\n"
+        '                println!("{}", "Hello World");\n'
+        "            }"
+    )
+    assert det.detect("y", content) is None
+
+
+def test_detect_nested_path(det):
+    assert det.detect("some/dir/pizza.purs", "") == ("Extension", "PureScript")

@@ -1,0 +1,257 @@
+"""Tokenizer conformance tests.
+
+Every case is ported 1:1 from the reference tokenizer's unit tests
+(``crates/polyglot_tokenizer/src/tokenizer.rs:411-809``) and doc tests
+(``tokenizer.rs:12-57``, ``lib.rs:5-12``) — those tests are the behavioral
+spec (SURVEY.md §2.9 / Appendix B).
+"""
+
+from hyperpolyglot_ray.core.tokenizer import get_key_tokens, tokenize
+
+
+def toks(content):
+    return list(tokenize(content))
+
+
+def I(t):  # noqa: E743
+    return ("ident", t)
+
+
+def N(t):
+    return ("number", t)
+
+
+def S(t):
+    return ("symbol", t)
+
+
+def Str(o, b, c):
+    return ("string", o, b, c)
+
+
+def LC(o, b):
+    return ("line_comment", o, b)
+
+
+def BC(o, b, c):
+    return ("block_comment", o, b, c)
+
+
+def test_doc_examples():
+    assert toks("/* Block Comment */") == [BC("/*", " Block Comment ", "*/")]
+    assert toks("// Line Comment") == [LC("//", "Line Comment")]
+    assert toks("let x = 5;") == [I("let"), I("x"), S("="), N("5"), S(";")]
+    assert list(get_key_tokens('let x = [5, "hello"];')) == [
+        "let", "x", "=", "[", ",", "]", ";",
+    ]
+
+
+def test_idents_symbols():
+    sample = """
+        fn main() {
+            let x_x2 = 京y;
+            let _ = 4;
+            println!("{}", x_x2);
+        }
+        """
+    expected = [
+        I("fn"), I("main"), S("("), S(")"), S("{"),
+        I("let"), I("x_x2"), S("="), I("京y"), S(";"),
+        I("let"), I("_"), S("="), N("4"), S(";"),
+        I("println"), S("!"), S("("), Str('"', "{}", '"'), S(","),
+        I("x_x2"), S(")"), S(";"), S("}"),
+    ]
+    assert toks(sample) == expected
+
+
+def test_numbers():
+    sample = """
+            1;
+            1_000;
+            -1;
+            -1_000;
+            1.5;
+            .1.5;
+            1.1.4;
+            0b1010;
+            0o700;
+            0xFFFFFFFFFFFFFFFFF;
+        """
+    expected = [
+        N("1"), S(";"),
+        N("1_000"), S(";"),
+        N("-1"), S(";"),
+        N("-1_000"), S(";"),
+        N("1.5"), S(";"),
+        S("."), N("1.5"), S(";"),
+        N("1.1"), S("."), N("4"), S(";"),
+        N("0b1010"), S(";"),
+        N("0o700"), S(";"),
+        N("0xFFFFFFFFFFFFFFFFF"), S(";"),
+    ]
+    assert toks(sample) == expected
+
+
+def test_line_comment():
+    sample = """
+            // this is a line comment
+            /// this is also one
+            //
+            --Another line
+            ## Python here
+            % anotha one
+        """
+    expected = [
+        LC("//", "this is a line comment"),
+        LC("///", "this is also one"),
+        LC("//", ""),
+        LC("--", "Another line"),
+        LC("##", "Python here"),
+        LC("%", "anotha one"),
+    ]
+    assert toks(sample) == expected
+
+
+def test_string():
+    sample = """
+          "Hello, World"
+          'Heyyy, single quotes'
+          `Back ticks`
+        """
+    expected = [
+        Str('"', "Hello, World", '"'),
+        Str("'", "Heyyy, single quotes", "'"),
+        Str("`", "Back ticks", "`"),
+    ]
+    assert toks(sample) == expected
+
+
+def test_string_multiline():
+    sample = '\n        """ Hey there\n        this is a multiliner"""\n        '
+    expected = [Str('"""', " Hey there\n        this is a multiliner", '"""')]
+    assert toks(sample) == expected
+
+
+def test_string_multiline_other():
+    sample = "\n        ''' hey single quotes '''\n        ``` hey backticks ```\n        "
+    expected = [
+        Str("'''", " hey single quotes ", "'''"),
+        Str("```", " hey backticks ", "```"),
+    ]
+    assert toks(sample) == expected
+
+
+def test_string_unterminated_multiline():
+    sample = '\n        """\n        '
+    expected = [S('"'), Str('"', "", '"')]
+    assert toks(sample) == expected
+
+
+def test_incomplete_string():
+    sample = '\n          "Hello\n          10\n        '
+    expected = [S('"'), I("Hello"), N("10")]
+    assert toks(sample) == expected
+
+
+def test_escaped_quote():
+    sample = '\n          "Hello\\" World"\n        '
+    expected = [Str('"', 'Hello\\" World', '"')]
+    assert toks(sample) == expected
+
+
+def test_mismatched_string_identifiers():
+    sample = "\n          \"Hello World'\n        "
+    expected = [S('"'), I("Hello"), I("World"), S("'")]
+    assert toks(sample) == expected
+
+
+def test_block_comment():
+    sample = """
+        /* Comment Here */
+        /*    */
+        /**/
+        /*
+         * Multi line*/
+        """
+    expected = [
+        BC("/*", " Comment Here ", "*/"),
+        BC("/*", "    ", "*/"),
+        BC("/*", "", "*/"),
+        BC("/*", "\n         * Multi line", "*/"),
+    ]
+    assert toks(sample) == expected
+
+
+def test_other_block_comments():
+    sample = """
+        {-comment-}
+        (*block*)
+        """
+    expected = [BC("{-", "comment", "-}"), BC("(*", "block", "*)")]
+    assert toks(sample) == expected
+
+
+def test_html_comment():
+    sample = (
+        "\n        <!-- Comment Here-->"
+        "\n        <!-- \n         Multi line\n         Comment\n         -->"
+        "\n         <!---->"
+        "\n         <!--       -->\n        "
+    )
+    expected = [
+        BC("<!--", " Comment Here", "-->"),
+        BC("<!--", " \n         Multi line\n         Comment\n         ", "-->"),
+        BC("<!--", "", "-->"),
+        BC("<!--", "       ", "-->"),
+    ]
+    assert toks(sample) == expected
+
+
+def test_unterminated_html_comment():
+    sample = "\n          <!-- hey\n        "
+    expected = [S("<"), S("!"), LC("--", "hey")]
+    assert toks(sample) == expected
+
+
+def test_unterminated_html_comment2():
+    sample = "\n          < let x\n        "
+    expected = [S("<"), I("let"), I("x")]
+    assert toks(sample) == expected
+
+
+def test_unterminated_html_comment3():
+    assert toks("<") == [S("<")]
+
+
+def test_unterminated_block_comment():
+    sample = "\n        /* let x\n        "
+    expected = [S("/"), S("*"), I("let"), I("x")]
+    assert toks(sample) == expected
+
+
+def test_random_chars():
+    sample = "\n            →\n"
+    assert toks(sample) == [S("→")]
+
+
+def test_nested_backlog():
+    sample = "\n        /* `helloworldwhat\n         let x = 5\n        "
+    expected = [
+        S("/"), S("*"), S("`"),
+        I("helloworldwhat"), I("let"), I("x"), S("="), N("5"),
+    ]
+    assert toks(sample) == expected
+
+
+def test_escaped_string():
+    sample = (
+        '\n          "Hello \\"World"\n'
+        '          "Hello World\\\\"\n'
+        '          "Hello World\\" x\n        '
+    )
+    expected = [
+        Str('"', 'Hello \\"World', '"'),
+        Str('"', "Hello World\\\\", '"'),
+        S('"'), I("Hello"), I("World"), S("\\"), S('"'), I("x"),
+    ]
+    assert toks(sample) == expected
