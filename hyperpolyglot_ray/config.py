@@ -1,0 +1,73 @@
+"""Frozen [EXT] pipeline configuration (north-rule extensions).
+
+These constants define OUR keep/drop + scrub spec. They are deliberately
+frozen: the driver generates reference labels with the same constants, and
+changing any value is a breaking change to the golden outputs.
+"""
+
+from __future__ import annotations
+
+# ---- quality heuristics (SURVEY.md §2.2 M11) ----------------------------
+MAX_LINE_LEN = 1000  # chars; minified/bundled one-liners
+MEAN_LINE_LEN = 250.0  # chars
+MIN_ALPHA_RATIO = 0.40  # alnum / non-whitespace chars
+MAX_REP_RATIO = 0.50  # 1 - distinct/total over non-blank lines (needs >=20 lines)
+REP_MIN_LINES = 20  # repetition only judged when enough non-blank lines
+MAX_PPL = 100.0  # byte-trigram LM perplexity (code p99 ~= 39, junk >= 340)
+PPL_MAX_BYTES = 8192  # score a bounded prefix; enough to damn a blob
+PPL_MIN_BYTES = 64  # too little signal below this -> perplexity not judged
+
+# ---- scrubber (SURVEY.md §2.2 M12) --------------------------------------
+# Ordered; each is (category, RE2-compatible pattern, replacement).
+# Order is load-bearing: keys before emails before IPs before phones.
+SCRUB_PATTERNS: list[tuple[str, str, str]] = [
+    (
+        "key",
+        r"\b(?:AKIA[0-9A-Z]{16}|(?:aws_secret_access_key|api[_-]?key|secret[_-]?key|access[_-]?token|auth[_-]?token)\s*[=:]\s*[\"']?[A-Za-z0-9/+=_\-]{16,})",
+        "<KEY>",
+    ),
+    (
+        "email",
+        r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9][A-Za-z0-9.\-]*\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    (
+        "ipv6",
+        r"\b(?:[0-9A-Fa-f]{1,4}:){3,7}[0-9A-Fa-f]{1,4}\b",
+        "<IP>",
+    ),
+    (
+        "ipv4",
+        r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b",
+        "<IP>",
+    ),
+    (
+        "phone",
+        r"\+[0-9]{1,3}[ .\-]?(?:\([0-9]{1,4}\)[ .\-]?)?[0-9]{2,4}(?:[ .\-]?[0-9]{2,4}){1,3}",
+        "<PHONE>",
+    ),
+    (
+        "toxicity",
+        r"(?i)\b(?:fuck\w*|shit\w*|bitch\w*|asshole\w*|bastard\w*|dumbass\w*)\b",
+        "<TOX>",
+    ),
+]
+
+SCRUB_CATEGORIES = [c for c, _, _ in SCRUB_PATTERNS]
+
+# ---- drop reasons (stable vocabulary, emitted in this order) ------------
+DROP_REASONS = [
+    "vendored",
+    "documentation",
+    "no_language",
+    "max_line_len",
+    "mean_line_len",
+    "alpha_ratio",
+    "rep_ratio",
+    "perplexity",
+]
+
+# ---- execution knobs (scale-tested defaults) ----------------------------
+DETECT_BATCH_SIZE = 512  # rows/batch into the Detector actor pool
+SCRUB_BATCH_SIZE = 1024
+TARGET_MAX_BLOCK_SIZE = 128 * 1024 * 1024  # Arrow block target

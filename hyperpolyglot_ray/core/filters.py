@@ -1,0 +1,312 @@
+"""Vendor / documentation path filters.
+
+The reference expresses these as ~140+26 gitignore-style override globs fed
+to the ``ignore`` crate (``src/filters/vendor.rs:3-364``,
+``src/filters/documentation.rs:3-33``). At 10^12-file scale the corpus is a
+path *column*, not a filesystem walk, so each glob list is compiled into ONE
+anchored alternation regex evaluated vectorized over the ``path`` column
+(``pyarrow.compute.match_substring_regex`` / RE2). The translation uses only
+alternation + character classes — no lookarounds — so the exact same pattern
+string runs under Python ``re``, RE2 and DuckDB (the correctness oracle).
+
+Semantics: a glob matches a *file or directory*; a matched directory ignores
+everything beneath it, hence the ``(?:/.*)?$`` suffix on every pattern.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+# src/filters/vendor.rs:3-364, in source order (comments preserved there)
+VENDOR_GLOBS = [
+    "**/cache/**",
+    "**/[Dd]ependencies/**",
+    "**/dist/**",
+    "**/deps/**",
+    "**/configure",
+    "**/config.guess",
+    "**/config.sub",
+    "**/aclocal.m4",
+    "**/libtool.m4",
+    "**/ltoptions.m4",
+    "**/ltsugar.m4",
+    "**/ltversion.m4",
+    "**/lt~obsolete.m4",
+    "**/dotnet-install.ps1",
+    "**/dotnet-install.sh",
+    "**/cpplint.py",
+    "**/node_modules/**",
+    "**/.yarn/releases/**",
+    "**/_esy",
+    "**/bower_components/**",
+    "**/rebar/**",
+    "**/erlang.mk",
+    "**/Godeps/_workspace/**",
+    "**/testdata/**",
+    "**/.indent.pro",
+    "**/*[.-]min.{css,js}",
+    "**/*import.{css,less,scss,styl}",
+    "**/bootstrap*.{js,css,less,scss,styl}",
+    "**/custom.bootstrap*.{js,css,less,scss,styl}",
+    "**/font*awesome.{js,css,less,scss,styl}",
+    "**/font*awesome/**/*.{js,css,less,scss,styl}",
+    "**/foundation.{css,less,scss,styl}",
+    "**/normalize.{css,less,scss,styl}",
+    "**/skeleton.{css,less,scss,styl}",
+    "**/[Bb]ourbon.{css,less,scss,styl}",
+    "**/animate.{css,less,scss,styl}",
+    "**/materialize.{css,less,scss,styl,js}",
+    "**/select2/*.{css,scss,js}",
+    "**/bulma.{css,sass,scss}",
+    "**/{3rd,[Tt]hird}*[Pp]arty/**",
+    "**/vendor/**",
+    "**/vendors/**",
+    "**/external/**",
+    "**/extern/**",
+    "**/[Vv]endor/**",
+    "**/debian/**",
+    "**/run.n",
+    "**/bootstrap-datepicker/**",
+    "**/jquery*.{js,css}",
+    "**/fuelux.js",
+    "**/bootbox.js",
+    "**/pdf.worker.js",
+    "**/slick.*.js",
+    "**/Leaflet.Coordinates*.src.js",
+    "**/leaflet.draw-src.js",
+    "**/leaflet.draw.css",
+    "**/Control.FullScreen.{css,js}",
+    "**/leaflet.spin.js",
+    "**/wicket-leaflet.js",
+    "**/.sublime-project",
+    "**/.sublime-workspace",
+    "**/.vscode",
+    "**/prototype*.js",
+    "**/effects.js",
+    "**/controls.js",
+    "**/dragdrop.js",
+    "**/*.d.ts",
+    "**/mootools*.js",
+    "**/dojo.js",
+    "**/MochiKit.js",
+    "**/yahoo-*.js",
+    "**/yui*.js",
+    "**/ckeditor.js",
+    "**/tiny_mce*.js",
+    "**/tiny_mce/{langs,plugins,themes,utils}/**",
+    "**/ace-build/**",
+    "**/fontello*.css",
+    "**/MathJax/**",
+    "**/Chart.js",
+    "**/[Cc]ode[Mm]irror/*{lib,mode,theme,addon,keymap,demo}/**",
+    "**/shBrush*.js",
+    "**/shCore.js",
+    "**/shLegacy.js",
+    "**/angular*.js",
+    "**/d3*.js",
+    "**/react*.js",
+    "**/flow-typed/*.js",
+    "**/modernizr*.js",
+    "**/knockout-*.js",
+    "**/{doc,docs}/{build,themes,theme,templates,template,static}",
+    "**/admin_media/**",
+    "**/env/**",
+    "**/fabfile.py",
+    "**/waf",
+    "**/.osx",
+    "**/.xctemplate/**",
+    "**/.imageset/**",
+    "**/Carthage/**",
+    "**/Sparkle/**",
+    "**/Crashlytics.framework/**",
+    "**/Fabric.framework/**",
+    "**/BuddyBuildSDK.framework/**",
+    "**/Realm.framework",
+    "**/RealmSwift.framework",
+    "**/.gitattributes",
+    "**/.gitignore",
+    "**/.gitmodules",
+    "**/gradlew",
+    "**/gradlew.bat",
+    "**/gradle/wrapper/**",
+    "**/mvnw",
+    "**/mvnw.cmd",
+    "**/.mvn/wrapper/**",
+    "**/*-vsdoc.js",
+    "**/*.intellisense.js",
+    "**/jquery*.validate*.js",
+    "**/jquery*.unobtrusive-ajax.js.js",
+    "**/[Mm]icrosoft{[Aa]jax,[Vv]alidation}*.js",
+    "**/[Pp]ackages/*.*/**",
+    "**/extjs/*.{js,xml,txt,html,properties}",
+    "**/extjs/{.sencha,docs,builds,cmd,examples,locale,packages,plugins,resources,src,welcome}/**",
+    "**/html5shiv.js",
+    "**/[Tt]es{t,ts}/fixtures/**",
+    "**/[Ss]pe{c,cs}/fixtures/**",
+    "**/cordova*.js",
+    "**/foundation*.js",
+    "**/Vagrantfile",
+    "**/.[Dd][Ss]_[Ss]tore",
+    "**/vignettes/**",
+    "**/inst/extdata/**",
+    "**/octicons.css",
+    "**/sprockets-octicons.scss",
+    "**/activiator",
+    "**/activator.bat",
+    "**/proguard.pro",
+    "**/proguard-rules.pro",
+    "**/puphet/**",
+    "**/.google_apis/**",
+    "**/Jenkinsfile",
+]
+
+# src/filters/documentation.rs:3-33
+DOCUMENTATION_GLOBS = [
+    "**/[Dd]ocs/**",
+    "**/[Dd]oc/**",
+    "**/[Dd]ocumentation/**",
+    "**/[Gg]roovydoc/**",
+    "**/[Jj]avadoc/**",
+    "**/[Mm]an/**",
+    "**/[Ee]xamples/**",
+    "**/[Dd]emo/**",
+    "**/[Dd]emos/**",
+    "**/inst/doc/**",
+    "**/CHANGE*",
+    "**/CHANGES*",
+    "**/CHANGELOG*",
+    "**/CONTRIBUTING*",
+    "**/COPYING*",
+    "**/INSTALL*",
+    "**/LICEN[CS]E*",
+    "**/[Ll]icen[cs]e*",
+    "**/README*",
+    "**/[Rr]eadme*",
+    "**/[Ss]ample/**",
+    "**/[Ss]amples/**",
+]
+
+
+def glob_to_regex(glob: str) -> str:
+    """Translate one gitignore-style override glob into an (unanchored)
+    regex body. ``**/`` prefix -> any directory depth; trailing ``/**`` ->
+    required descendants; a bare match also ignores everything beneath it."""
+    body = _translate(glob)
+    return body
+
+
+def _translate(glob: str) -> str:
+    out = []
+    i = 0
+    n = len(glob)
+    while i < n:
+        c = glob[i]
+        if c == "*":
+            if glob[i : i + 3] == "**/":
+                if i == 0:
+                    out.append("(?:^|.*/)")
+                else:
+                    out.append("(?:.*/)?")
+                i += 3
+                continue
+            if glob[i : i + 2] == "**":
+                out.append(".*")
+                i += 2
+                continue
+            out.append("[^/]*")
+            i += 1
+        elif c == "?":
+            out.append("[^/]")
+            i += 1
+        elif c == "[":
+            j = glob.index("]", i)
+            out.append(glob[i : j + 1])
+            i = j + 1
+        elif c == "{":
+            j = _matching_brace(glob, i)
+            inner = glob[i + 1 : j]
+            parts = [_translate(p) for p in _split_top(inner)]
+            out.append("(?:" + "|".join(parts) + ")")
+            i = j + 1
+        elif c == "/":
+            if glob[i:] == "/**":
+                out.append("/.*")
+                i = n
+            else:
+                out.append("/")
+                i += 1
+        else:
+            out.append(re.escape(c))
+            i += 1
+    return "".join(out)
+
+
+def _matching_brace(s: str, start: int) -> int:
+    depth = 0
+    for i in range(start, len(s)):
+        if s[i] == "{":
+            depth += 1
+        elif s[i] == "}":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError(f"unbalanced brace in glob: {s}")
+
+
+def _split_top(s: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def combined_pattern(globs: list[str]) -> str:
+    """ONE anchored alternation matching any glob (or any ancestor-dir
+    match). RE2-safe: no lookarounds, no backrefs."""
+    alts = []
+    for g in globs:
+        body = glob_to_regex(g)
+        if body.endswith("/.*"):
+            alts.append(body)
+        else:
+            # a matched file OR dir; dir match ignores the subtree
+            alts.append(body + "(?:/.*)?")
+    return "^(?:" + "|".join(alts) + ")$"
+
+
+@lru_cache(maxsize=None)
+def vendor_pattern() -> str:
+    return combined_pattern(VENDOR_GLOBS)
+
+
+@lru_cache(maxsize=None)
+def documentation_pattern() -> str:
+    return combined_pattern(DOCUMENTATION_GLOBS)
+
+
+@lru_cache(maxsize=None)
+def _vendor_re():
+    return re.compile(vendor_pattern())
+
+
+@lru_cache(maxsize=None)
+def _documentation_re():
+    return re.compile(documentation_pattern())
+
+
+def is_vendored(path: str) -> bool:
+    return _vendor_re().match(path) is not None
+
+
+def is_documentation(path: str) -> bool:
+    return _documentation_re().match(path) is not None

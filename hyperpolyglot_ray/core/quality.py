@@ -1,0 +1,81 @@
+"""[EXT] per-row quality heuristics + keep/drop decision (north rule).
+
+No counterpart in the reference; the spec is frozen here + in config.py:
+
+* ``max_line_len``  — longest line in chars
+* ``mean_line_len`` — mean over all lines
+* ``alpha_ratio``   — alphanumeric chars / non-whitespace chars
+* ``rep_ratio``     — 1 - distinct/total over non-blank lines (>=REP_MIN_LINES)
+* ``ppl``           — byte-trigram LM perplexity of a bounded prefix
+
+``keep`` is True iff the row is not vendored/documentation, has a detected
+language, and trips no quality threshold. ``drop_reasons`` lists every
+tripped reason in the stable order of ``config.DROP_REASONS``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .. import config
+
+# spec: "alphanumeric" = ASCII [0-9A-Za-z]; "whitespace" = the 6 ASCII
+# whitespace chars. Both definitions are RE2-expressible so the Arrow
+# stage and the DuckDB oracle compute the identical ratio.
+_NON_ALNUM_RE = re.compile(r"[^0-9A-Za-z]+")
+_WS_CHARS = " \t\r\n\x0b\x0c"
+
+
+def line_stats(content: str) -> tuple[int, float, float, float]:
+    """(max_line_len, mean_line_len, alpha_ratio, rep_ratio).
+
+    Pure per-row function using C-level str ops only (no per-char loop).
+    """
+    lines = content.split("\n")
+    n_lines = len(lines)
+    lens = [len(l) for l in lines]
+    max_len = max(lens) if lens else 0
+    mean_len = (sum(lens) / n_lines) if n_lines else 0.0
+
+    n_ws = sum(content.count(c) for c in _WS_CHARS)
+    n_non_ws = len(content) - n_ws
+    n_alnum = len(_NON_ALNUM_RE.sub("", content))
+    alpha_ratio = (n_alnum / n_non_ws) if n_non_ws else 0.0
+
+    non_blank = [l for l in lines if l.strip()]
+    if len(non_blank) >= config.REP_MIN_LINES:
+        rep_ratio = 1.0 - len(set(non_blank)) / len(non_blank)
+    else:
+        rep_ratio = 0.0
+    return max_len, mean_len, alpha_ratio, rep_ratio
+
+
+def quality_row(content: str, ppl: float, vendored: bool, documentation: bool,
+                detected_lang: str) -> tuple[bool, list[str], dict]:
+    """Full keep/drop decision for one row. Returns (keep, drop_reasons, metrics)."""
+    max_len, mean_len, alpha_ratio, rep_ratio = line_stats(content)
+    reasons = []
+    if vendored:
+        reasons.append("vendored")
+    if documentation:
+        reasons.append("documentation")
+    if not detected_lang:
+        reasons.append("no_language")
+    if max_len > config.MAX_LINE_LEN:
+        reasons.append("max_line_len")
+    if mean_len > config.MEAN_LINE_LEN:
+        reasons.append("mean_line_len")
+    if alpha_ratio < config.MIN_ALPHA_RATIO:
+        reasons.append("alpha_ratio")
+    if rep_ratio > config.MAX_REP_RATIO:
+        reasons.append("rep_ratio")
+    if ppl > config.MAX_PPL and len(content) >= config.PPL_MIN_BYTES:
+        reasons.append("perplexity")
+    metrics = {
+        "ppl": float(ppl),
+        "max_line_len": int(max_len),
+        "mean_line_len": float(mean_len),
+        "alpha_ratio": float(alpha_ratio),
+        "rep_ratio": float(rep_ratio),
+    }
+    return (not reasons), reasons, metrics

@@ -1,0 +1,37 @@
+"""[EXT] PII / toxicity scrubber (north rule; SURVEY.md §2.2 M12).
+
+Deterministic compiled-regex scrub: each category's pattern is replaced by a
+fixed sentinel, hits are counted per category, and the sha256 of the scrubbed
+text is recorded (the per-row invariant ``content_sha == sha256(scrubbed)``).
+
+Patterns are RE2-compatible (config.SCRUB_PATTERNS), so the Ray stage runs
+them vectorized with ``pyarrow.compute`` while this pure-Python version
+defines the spec for unit tests and the DuckDB oracle mirrors it with
+``regexp_replace(..., 'g')``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from functools import lru_cache
+
+from .. import config
+
+
+@lru_cache(maxsize=None)
+def _compiled() -> list[tuple[str, re.Pattern, str]]:
+    return [(cat, re.compile(pat), repl) for cat, pat, repl in config.SCRUB_PATTERNS]
+
+
+def scrub_text(content: str) -> tuple[str, dict[str, int]]:
+    """Apply all scrub categories in order; returns (scrubbed, counts)."""
+    counts: dict[str, int] = {}
+    for cat, rx, repl in _compiled():
+        content, n = rx.subn(repl, content)
+        counts[cat] = n
+    return content, counts
+
+
+def sha256_hex(text: str) -> str:
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()

@@ -1,0 +1,67 @@
+"""Flagship pipeline: read -> detect -> quality+scrub -> (write | aggregate).
+
+Ray-Data-first composition (SURVEY.md §3.1 Ray equivalent):
+
+    read_parquet(files)
+      -> map_batches(DetectStage,      actor pool, zero-copy Arrow)
+      -> map_batches(QualityScrubStage, actor pool, zero-copy Arrow)
+      [-> write_parquet(partitioned) | groupby reports]
+
+The whole keep/drop + scrub pass is shuffle-free map-only; the only
+all-to-all exchanges are the tiny report aggregates (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import ray
+import ray.data
+
+from .. import config
+from ..stages.detector import DetectStage
+from ..stages.quality_scrub import QualityScrubStage
+
+
+def _default_concurrency() -> tuple[int, int]:
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return (1, max(2, cpus))
+
+
+def detect_dataset(ds: ray.data.Dataset, concurrency=None, batch_size=None) -> ray.data.Dataset:
+    return ds.map_batches(
+        DetectStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size or config.DETECT_BATCH_SIZE,
+        concurrency=concurrency or _default_concurrency(),
+    )
+
+
+def quality_scrub_dataset(ds: ray.data.Dataset, concurrency=None, batch_size=None) -> ray.data.Dataset:
+    return ds.map_batches(
+        QualityScrubStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size or config.SCRUB_BATCH_SIZE,
+        concurrency=concurrency or _default_concurrency(),
+    )
+
+
+def quality_filter_pipeline(
+    files_path: str | list[str],
+    concurrency=None,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Full streaming pipeline over a ``files`` Parquet table/directory."""
+    ds = ray.data.read_parquet(files_path, columns=columns)
+    ds = detect_dataset(ds, concurrency=concurrency)
+    ds = quality_scrub_dataset(ds, concurrency=concurrency)
+    return ds
+
+
+def kept_files(files_path: str | list[str], concurrency=None) -> ray.data.Dataset:
+    """Rows surviving keep/drop, with scrubbed content + lineage columns."""
+    ds = quality_filter_pipeline(files_path, concurrency=concurrency)
+    return ds.filter(expr="keep == True")

@@ -1,0 +1,63 @@
+"""Report aggregations (SURVEY.md §2.5 A1-A3, ``src/bin/main.rs:121-199``).
+
+All three reports follow the partial-aggregate pattern: per-block counts via
+``map_batches`` (vectorized ``pyarrow`` ``value_counts``), then a small
+``groupby().sum()`` over the (language|strategy)-cardinality intermediate —
+the shuffle moves at most a few hundred distinct keys, never the corpus.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def _value_counts_batch(cols: list[str]):
+    def fn(batch: pa.Table) -> pa.Table:
+        grouped = batch.group_by(cols).aggregate([([], "count_all")])
+        return grouped.rename_columns(cols + ["cnt"])
+
+    return fn
+
+
+def language_counts(detected: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-language file counts (breakdown A1, lib.rs:257-265)."""
+    partial = detected.map_batches(
+        _value_counts_batch(["detected_lang"]), batch_format="pyarrow"
+    )
+    return partial.groupby("detected_lang").sum("cnt").rename_columns(
+        {"sum(cnt)": "file_count"}
+    )
+
+
+def language_split(detected: ray.data.Dataset) -> "pa.Table":
+    """Markup+Programming percentage split by file count, sorted desc
+    (A2, main.rs:45-53,121-133). Returns a small in-memory table."""
+    filtered = detected.filter(
+        expr="language_type == 'Markup' or language_type == 'Programming'"
+    )
+    counts = language_counts(filtered).to_pandas()
+    total = counts["file_count"].sum()
+    counts["percentage"] = counts["file_count"] * 100.0 / total if total else 0.0
+    counts = counts.sort_values(
+        ["file_count", "detected_lang"], ascending=[False, True]
+    ).reset_index(drop=True)
+    return pa.Table.from_pandas(counts, preserve_index=False)
+
+
+def strategy_counts(detected: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-strategy counts (A3 header counts, main.rs:159-199)."""
+    partial = detected.map_batches(
+        _value_counts_batch(["strategy"]), batch_format="pyarrow"
+    )
+    return partial.groupby("strategy").sum("cnt").rename_columns(
+        {"sum(cnt)": "file_count"}
+    )
+
+
+def strategy_breakdown(detected: ray.data.Dataset) -> ray.data.Dataset:
+    """(strategy, detected_lang, path) sorted asc within strategy —
+    the distributed analog of the BinaryHeap walk (main.rs:163-175)."""
+    slim = detected.select_columns(["strategy", "detected_lang", "path"])
+    return slim.sort(["strategy", "detected_lang", "path"])

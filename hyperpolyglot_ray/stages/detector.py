@@ -1,0 +1,86 @@
+"""Ray Data detection stage: stateful actor pool over zero-copy Arrow batches.
+
+The analog of the reference's per-thread ``detect`` calls inside the parallel
+walker (``src/lib.rs:239-254``) — here a callable class for
+``Dataset.map_batches(DetectStage, batch_format="pyarrow",
+zero_copy_batch=True, concurrency=N)``. All lookup tables, compiled heuristic
+regexes and the NB model are built ONCE per actor in ``__init__``.
+
+Tier-ordering optimization (SURVEY.md §2.2 M7): tiers 1-2 need only the
+basename, so the batch is first resolved path-only; the ``content`` column is
+materialized to Python strings only for the ambiguous remainder — at real
+corpus mixes that skips string conversion for the large majority of rows.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..core.detect import Detector, filter_candidates, truncate_to_char_boundary
+from ..artifacts import MAX_CONTENT_SIZE_BYTES
+
+
+class DetectStage:
+    """Appends ``detected_lang``, ``strategy``, ``language_type`` columns."""
+
+    def __init__(self, artifact_dir: str | None = None):
+        self.det = Detector(artifact_dir)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        det = self.det
+        paths = batch.column("path").to_pylist()
+        n = len(paths)
+        langs: list[str] = [""] * n
+        strategies: list[str] = [""] * n
+        pending: list[tuple[int, str | None, list]] = []  # (row, ext, candidates)
+
+        filenames_map = det.filenames
+        extensions_map = det.extensions
+        for i, p in enumerate(paths):
+            filename = p.rsplit("/", 1)[-1]
+            if not filename:
+                continue
+            hit = filenames_map.get(filename)
+            if hit is not None:
+                langs[i] = hit
+                strategies[i] = "Filename"
+                continue
+            ext = det.get_extension(filename)
+            candidates = extensions_map.get(ext, []) if ext else []
+            if len(candidates) == 1:
+                langs[i] = candidates[0]
+                strategies[i] = "Extension"
+                continue
+            pending.append((i, ext, list(candidates)))
+
+        if pending:
+            idxs = [t[0] for t in pending]
+            contents = batch.column("content").take(pa.array(idxs)).to_pylist()
+            for (i, ext, candidates), content in zip(pending, contents):
+                candidates = filter_candidates(
+                    candidates, det.languages_from_shebang(content)
+                )
+                if len(candidates) == 1:
+                    langs[i] = candidates[0]
+                    strategies[i] = "Shebang"
+                    continue
+                body = truncate_to_char_boundary(content, MAX_CONTENT_SIZE_BYTES)
+                if len(candidates) > 1 and ext:
+                    heur = det.languages_from_heuristics(ext, candidates, body)
+                    candidates = filter_candidates(candidates, heur)
+                if len(candidates) == 0:
+                    continue
+                if len(candidates) == 1:
+                    langs[i] = candidates[0]
+                    strategies[i] = "Heuristics"
+                else:
+                    langs[i] = det.classify(body, candidates)
+                    strategies[i] = "Classifier"
+
+        info = det.language_info
+        types = [info[l]["type"] if l else "" for l in langs]
+        return (
+            batch.append_column("detected_lang", pa.array(langs, type=pa.string()))
+            .append_column("strategy", pa.array(strategies, type=pa.string()))
+            .append_column("language_type", pa.array(types, type=pa.string()))
+        )

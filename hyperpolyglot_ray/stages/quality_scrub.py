@@ -1,0 +1,130 @@
+"""[EXT] quality + scrub Ray stage (the north rule's keep/drop + scrub pass).
+
+One actor-pool ``map_batches`` stage appending::
+
+    is_vendored, is_documentation : bool     (S3/S4 path filters, vectorized RE2)
+    quality  : struct<ppl, max_line_len, mean_line_len, alpha_ratio, rep_ratio>
+    keep     : bool
+    drop_reasons : list<string>
+    scrubbed : string
+    scrub_counts : struct<key,email,ipv6,ipv4,phone,toxicity : int32>
+    content_sha  : string   (sha256 of scrubbed — the per-row invariant)
+
+Vectorization split: path filters and all scrub regexes run as
+``pyarrow.compute`` kernels over the whole batch (RE2); line stats are
+C-speed ``str`` ops per row; perplexity is a numpy pass per row over a
+bounded prefix; sha256 is hashlib per row. No per-char Python loops.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import config
+from ..artifacts import load_char_lm
+from ..core.filters import documentation_pattern, vendor_pattern
+from ..core.quality import line_stats
+
+
+class QualityScrubStage:
+    def __init__(self, artifact_dir: str | None = None):
+        self.lm = load_char_lm(artifact_dir)
+        self.vendor_pat = vendor_pattern()
+        self.doc_pat = documentation_pattern()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        path = batch.column("path")
+        content = batch.column("content")
+        n = len(batch)
+
+        vendored = pc.match_substring_regex(path, self.vendor_pat)
+        documentation = pc.match_substring_regex(path, self.doc_pat)
+
+        # ---- scrub: vectorized RE2 per category over the whole batch ----
+        scrubbed = content
+        counts_cols = {}
+        for cat, pattern, repl in config.SCRUB_PATTERNS:
+            cnt = pc.count_substring_regex(scrubbed, pattern)
+            counts_cols[cat] = cnt.cast(pa.int32())
+            scrubbed = pc.replace_substring_regex(scrubbed, pattern, repl)
+
+        # ---- per-row stats: C-level str ops + numpy LM ------------------
+        contents = content.to_pylist()
+        scrubbed_list = scrubbed.to_pylist()
+        detected = (
+            batch.column("detected_lang").to_pylist()
+            if "detected_lang" in batch.column_names
+            else [""] * n
+        )
+        vend_list = vendored.to_pylist()
+        doc_list = documentation.to_pylist()
+
+        ppl_list = [0.0] * n
+        max_len_l = [0] * n
+        mean_len_l = [0.0] * n
+        alpha_l = [0.0] * n
+        rep_l = [0.0] * n
+        keep_l = [False] * n
+        reasons_l: list[list[str]] = [[]] * n
+        sha_l = [""] * n
+
+        lm = self.lm
+        ppl_max_bytes = config.PPL_MAX_BYTES
+        for i, text in enumerate(contents):
+            ppl = lm.perplexity(text[:ppl_max_bytes])
+            max_len, mean_len, alpha_ratio, rep_ratio = line_stats(text)
+            reasons = []
+            if vend_list[i]:
+                reasons.append("vendored")
+            if doc_list[i]:
+                reasons.append("documentation")
+            if not detected[i]:
+                reasons.append("no_language")
+            if max_len > config.MAX_LINE_LEN:
+                reasons.append("max_line_len")
+            if mean_len > config.MEAN_LINE_LEN:
+                reasons.append("mean_line_len")
+            if alpha_ratio < config.MIN_ALPHA_RATIO:
+                reasons.append("alpha_ratio")
+            if rep_ratio > config.MAX_REP_RATIO:
+                reasons.append("rep_ratio")
+            if ppl > config.MAX_PPL and len(text) >= config.PPL_MIN_BYTES:
+                reasons.append("perplexity")
+            ppl_list[i] = float(ppl)
+            max_len_l[i] = max_len
+            mean_len_l[i] = float(mean_len)
+            alpha_l[i] = float(alpha_ratio)
+            rep_l[i] = float(rep_ratio)
+            keep_l[i] = not reasons
+            reasons_l[i] = reasons
+            sha_l[i] = hashlib.sha256(scrubbed_list[i].encode("utf-8")).hexdigest()
+
+        quality = pa.StructArray.from_arrays(
+            [
+                pa.array(ppl_list, type=pa.float64()),
+                pa.array(max_len_l, type=pa.int32()),
+                pa.array(mean_len_l, type=pa.float64()),
+                pa.array(alpha_l, type=pa.float64()),
+                pa.array(rep_l, type=pa.float64()),
+            ],
+            names=["ppl", "max_line_len", "mean_line_len", "alpha_ratio", "rep_ratio"],
+        )
+        scrub_counts = pa.StructArray.from_arrays(
+            [counts_cols[cat].combine_chunks() if isinstance(counts_cols[cat], pa.ChunkedArray)
+             else counts_cols[cat] for cat in config.SCRUB_CATEGORIES],
+            names=list(config.SCRUB_CATEGORIES),
+        )
+
+        return (
+            batch.append_column("is_vendored", vendored)
+            .append_column("is_documentation", documentation)
+            .append_column("quality", quality)
+            .append_column("keep", pa.array(keep_l, type=pa.bool_()))
+            .append_column("drop_reasons", pa.array(reasons_l, type=pa.list_(pa.string())))
+            .append_column("scrubbed", scrubbed)
+            .append_column("scrub_counts", scrub_counts)
+            .append_column("content_sha", pa.array(sha_l, type=pa.string()))
+        )

@@ -1,0 +1,26 @@
+"""Session-scoped Ray fixture — ONE ray.init per pytest session."""
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=4,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def files_fixture_small():
+    """files table fixture at sf0.001 (1000 rows) + expected sidecar dir."""
+    from hyperpolyglot_ray.sources.fixtures import build_files_fixture
+
+    return build_files_fixture(0.001)

@@ -1,0 +1,96 @@
+"""Vendor / documentation filter tests.
+
+Positive/negative cases ported from ``src/filters/vendor.rs:366-430`` and
+``src/filters/documentation.rs:35-59``; plus RE2-compatibility checks so the
+same pattern strings are valid for pyarrow and the DuckDB oracle.
+"""
+
+import re
+
+import pytest
+
+from hyperpolyglot_ray.core.filters import (
+    documentation_pattern,
+    is_documentation,
+    is_vendored,
+    vendor_pattern,
+)
+
+
+def test_override_single_dir():
+    assert is_vendored("cache/file.ext")
+    assert is_vendored("first-dir/cache/file.ext")
+    assert not is_vendored("not-ignored/peep.ext")
+
+
+def test_override_character_set():
+    assert is_vendored("Dependencies/mod/file.ext")
+    assert is_vendored("dependencies/mod/file.ext")
+    assert not is_vendored("folder/not-dependencies/module/x.ext")
+
+
+def test_override_matches_file():
+    assert is_vendored("some/configure")
+    assert is_vendored("configure")
+    assert is_vendored("dir/dirs/config.guess")
+    assert is_vendored("dir/dirs/config.sub")
+
+
+def test_override_multiple_dirs():
+    assert is_vendored("dir/.yarn/releases/file.ext")
+
+
+def test_override_pattern_list():
+    assert is_vendored("dir/some-min.js")
+    assert is_vendored("dir/some.min.js")
+    assert is_vendored("dir/some.min.css")
+
+
+def test_override_character_set_in_pattern_list():
+    assert is_vendored("dir/microsoftAjax.js")
+    assert is_vendored("dir/microsoftajax.js")
+
+
+def test_vendor_misc():
+    assert is_vendored("a/node_modules/hello.go")
+    assert is_vendored("jquery-3.2.1.min.js")
+    assert is_vendored("x/y/z.d.ts")
+    assert is_vendored("proj/Godeps/_workspace/src/x.go")
+    assert is_vendored("Test/fixtures/data.json")
+    assert is_vendored("tests/fixtures/data.json")
+    assert not is_vendored("src/main.rs")
+    assert not is_vendored("lib/query.js")
+
+
+def test_documentation_directories():
+    assert is_documentation("dir/Docs/docfile.ext")
+    assert is_documentation("Docs/x")
+    assert not is_documentation("dir/not-docs/not-doc.ext")
+
+
+def test_documentation_files():
+    assert is_documentation("dir/CHANGELOG.md")
+    assert is_documentation("dir/CHANGELOG")
+    assert not is_documentation("dir/NOT")
+    assert is_documentation("doc/README.md")
+    assert is_documentation("LICENSE")
+    assert is_documentation("License.txt")
+    assert not is_documentation("src/lib.rs")
+
+
+def test_patterns_are_re2_compatible():
+    # the same strings must compile under RE2 (pyarrow / DuckDB oracle)
+    pa = pytest.importorskip("pyarrow")
+    import pyarrow.compute as pc
+
+    arr = pa.array(["a/node_modules/x.go", "src/main.rs", "doc/README.md"])
+    v = pc.match_substring_regex(arr, vendor_pattern())
+    d = pc.match_substring_regex(arr, documentation_pattern())
+    assert v.to_pylist() == [True, False, False]
+    assert d.to_pylist() == [False, False, True]
+
+
+def test_no_lookarounds():
+    for pat in (vendor_pattern(), documentation_pattern()):
+        assert "(?=" not in pat and "(?!" not in pat and "(?<" not in pat
+        re.compile(pat)

@@ -1,0 +1,101 @@
+"""End-to-end Ray Data pipeline tests over the files fixture.
+
+Checks the full read -> detect -> quality+scrub stream against the
+expected.parquet sidecar (ground truth constructed independently of the
+pipeline — FIXTURES.md §1).
+"""
+
+import pyarrow.parquet as pq
+import pytest
+
+from hyperpolyglot_ray.core.scrub import sha256_hex
+
+
+@pytest.fixture(scope="module")
+def result_df(ray_session, files_fixture_small):
+    from hyperpolyglot_ray.pipelines.quality_filter import quality_filter_pipeline
+
+    ds = quality_filter_pipeline(str(files_fixture_small / "files.parquet"), concurrency=(1, 2))
+    return ds.to_pandas()
+
+
+@pytest.fixture(scope="module")
+def expected_df(files_fixture_small):
+    return pq.read_table(files_fixture_small / "expected.parquet").to_pandas()
+
+
+def test_row_count_and_schema(result_df):
+    assert len(result_df) == 1000
+    for col in [
+        "repo", "path", "commit", "lang", "content", "detected_lang", "strategy",
+        "language_type", "is_vendored", "is_documentation", "quality", "keep",
+        "drop_reasons", "scrubbed", "scrub_counts", "content_sha",
+    ]:
+        assert col in result_df.columns, col
+
+
+def test_detection_matches_ground_truth(result_df, expected_df):
+    merged = result_df.merge(expected_df, on="path", suffixes=("", "_exp"))
+    assert len(merged) == len(result_df)
+    detectable = merged[merged["detectable"]]
+    mism = detectable[detectable["detected_lang"] != detectable["lang_exp"]]
+    assert mism.empty, mism[["path", "detected_lang", "lang_exp"]].head(20)
+    # undetectable rows must come out empty
+    undet = merged[~merged["detectable"] & (merged["family"] != "samples_filenames")]
+    fam_undet = undet[undet["family"].isin(["t6", "q_binaryish", "pii_key"])]
+    assert (fam_undet["detected_lang"] == "").all()
+
+
+def test_keep_drop_matches_families(result_df, expected_df):
+    merged = result_df.merge(expected_df, on="path", suffixes=("", "_exp"))
+    fam = merged[merged["expected_keep"].notna()]
+    bad = fam[fam["keep"] != fam["expected_keep"]]
+    assert bad.empty, bad[["path", "keep", "expected_keep", "drop_reasons"]].head(20)
+
+
+def test_scrub_matches_families(result_df, expected_df):
+    merged = result_df.merge(expected_df, on="path", suffixes=("", "_exp"))
+    fam = merged[merged["expected_scrubbed"].notna()]
+    assert len(fam) > 0
+    bad = fam[fam["scrubbed"] != fam["expected_scrubbed"]]
+    assert bad.empty, bad[["path", "scrubbed", "expected_scrubbed"]].head(5)
+
+
+def test_sha_invariant(result_df):
+    sample = result_df.sample(n=50, random_state=42)
+    for _, row in sample.iterrows():
+        assert row["content_sha"] == sha256_hex(row["scrubbed"])
+    # clean rows pass content through untouched
+    clean = result_df[
+        result_df["scrub_counts"].apply(lambda c: all(v == 0 for v in c.values()))
+    ]
+    assert (clean["scrubbed"] == clean["content"]).all()
+
+
+def test_strategies_present(result_df):
+    fam = result_df[result_df["path"].str.contains("/t1_filename/APKBUILD")]
+    assert (fam["strategy"] == "Filename").all() and len(fam) > 0
+    fam = result_df[result_df["path"].str.contains("/t5_clf/peep.rs")]
+    assert (fam["strategy"] == "Classifier").all() and (fam["detected_lang"] == "Rust").all()
+    fam = result_df[result_df["path"].str.contains("/t4_heur/hdr_c.h")]
+    assert (fam["strategy"] == "Heuristics").all() and (fam["detected_lang"] == "C").all()
+
+
+def test_reports(ray_session, files_fixture_small):
+    import ray.data
+
+    from hyperpolyglot_ray.pipelines.quality_filter import detect_dataset
+    from hyperpolyglot_ray.pipelines.reports import (
+        language_split,
+        strategy_counts,
+    )
+
+    ds = ray.data.read_parquet(str(files_fixture_small / "files.parquet"))
+    detected = detect_dataset(ds, concurrency=(1, 2))
+    split = language_split(detected).to_pandas()
+    assert abs(split["percentage"].sum() - 100.0) < 1e-6
+    assert (split["file_count"].diff().dropna() <= 0).all()  # sorted desc
+
+    sc = strategy_counts(detected).to_pandas()
+    assert set(sc["strategy"]) <= {"", "Filename", "Extension", "Shebang", "Heuristics", "Classifier"}
+    assert sc["file_count"].sum() == 1000
