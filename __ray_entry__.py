@@ -1,44 +1,613 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the hyperpolyglot_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()``    — flagship keep/drop + scrub pipeline over the sf0.001 files
+                 fixture (deterministic synthetic table per FIXTURES.md).
+``queries()``  — one callable per implemented operator (SURVEY.md §2 plus
+                 the training-data extensions: dedup, similarity, text
+                 analysis, windows, multimodal).
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query.
+                 Correctness runs at sf=0.01; fixture paths are pinned
+                 accordingly. Tables region..embeddings are pre-registered
+                 views; the synthetic files fixture + lookup dims are read
+                 via read_parquet() from deterministic paths.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver — nothing here calls ray.init().
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+REPO = Path(__file__).resolve().parent
+LOOKUPS = REPO / "artifacts" / "lookups"
+ORACLE_SF = 0.01  # driver runs correctness at sf=0.01
+
+
+def _fixture_dir(sf: float) -> Path:
+    from hyperpolyglot_ray.sources.fixtures import build_files_fixture
+
+    return build_files_fixture(sf)
+
+
+def _sf(sf_dir: str) -> float:
+    from hyperpolyglot_ray.sources.fixtures import sf_from_dir
+
+    return sf_from_dir(sf_dir)
+
+
+def _files_ds(sf_dir: str):
+    import ray.data
+
+    fix = _fixture_dir(_sf(sf_dir))
+    return ray.data.read_parquet(str(fix / "files.parquet")), fix
+
+
+def _expected_map(fix: Path, cols: list[str]):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(fix / "expected.parquet", columns=["path"] + cols)
+    return t
+
+
+def _semijoin_paths(ds, path_set: set):
+    """Broadcast semijoin on ``path`` (small side stays a python set)."""
+    import pyarrow as pa
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = pa.array([p in path_set for p in batch.column("path").to_pylist()])
+        return batch.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_detect_cascade(sf_dir: str):
+    from hyperpolyglot_ray.pipelines.quality_filter import detect_dataset
+
+    ds, fix = _files_ds(sf_dir)
+    exp = _expected_map(fix, ["detectable"])
+    detectable = {
+        p for p, d in zip(exp.column("path").to_pylist(), exp.column("detectable").to_pylist()) if d
+    }
+    out = detect_dataset(ds)
+    return _semijoin_paths(out, detectable).select_columns(["path", "detected_lang"])
+
+
+def _q_strategy_counts(sf_dir: str):
+    import pyarrow as pa
+
+    from hyperpolyglot_ray.pipelines.quality_filter import detect_dataset
+    from hyperpolyglot_ray.pipelines.reports import strategy_counts
+
+    ds, _fix = _files_ds(sf_dir)
+
+    def family_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.match_substring_regex(batch.column("path"), r"/t[1-5]_")
+        return batch.filter(mask)
+
+    filtered = ds.map_batches(family_filter, batch_format="pyarrow", zero_copy_batch=True)
+    return strategy_counts(detect_dataset(filtered))
+
+
+def _q_language_split(sf_dir: str):
+    from hyperpolyglot_ray.pipelines.quality_filter import detect_dataset
+    from hyperpolyglot_ray.pipelines.reports import language_split
+
+    ds, fix = _files_ds(sf_dir)
+    exp = _expected_map(fix, ["detectable"])
+    detectable = {
+        p for p, d in zip(exp.column("path").to_pylist(), exp.column("detectable").to_pylist()) if d
+    }
+    detected = _semijoin_paths(detect_dataset(ds), detectable)
+    return language_split(detected)
+
+
+def _q_vendor_filter(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hyperpolyglot_ray.core.filters import vendor_pattern
+
+    ds, _ = _files_ds(sf_dir)
+    pat = vendor_pattern()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "path": batch.column("path"),
+                "is_vendored": pc.match_substring_regex(batch.column("path"), pat),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_doc_filter(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hyperpolyglot_ray.core.filters import documentation_pattern
+
+    ds, _ = _files_ds(sf_dir)
+    pat = documentation_pattern()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "path": batch.column("path"),
+                "is_documentation": pc.match_substring_regex(batch.column("path"), pat),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_extension_extract(sf_dir: str):
+    import pyarrow as pa
+
+    from hyperpolyglot_ray.core.detect import get_detector
+
+    ds, _ = _files_ds(sf_dir)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        det = get_detector()
+        exts = [
+            det.get_extension(p.rsplit("/", 1)[-1])
+            for p in batch.column("path").to_pylist()
+        ]
+        return pa.table(
+            {"path": batch.column("path"), "extension": pa.array(exts, type=pa.string())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_filename_detect(sf_dir: str):
+    import pyarrow as pa
+
+    from hyperpolyglot_ray.core.detect import get_detector
+
+    ds, _ = _files_ds(sf_dir)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        det = get_detector()
+        paths, langs = [], []
+        for p in batch.column("path").to_pylist():
+            hit = det.filenames.get(p.rsplit("/", 1)[-1])
+            if hit is not None:
+                paths.append(p)
+                langs.append(hit)
+        return pa.table(
+            {
+                "path": pa.array(paths, type=pa.string()),
+                "flang": pa.array(langs, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_ext_unique_detect(sf_dir: str):
+    import pyarrow as pa
+
+    from hyperpolyglot_ray.core.detect import get_detector
+
+    ds, _ = _files_ds(sf_dir)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        det = get_detector()
+        paths, langs = [], []
+        for p in batch.column("path").to_pylist():
+            ext = det.get_extension(p.rsplit("/", 1)[-1])
+            cands = det.extensions.get(ext, []) if ext else []
+            if len(cands) == 1:
+                paths.append(p)
+                langs.append(cands[0])
+        return pa.table(
+            {
+                "path": pa.array(paths, type=pa.string()),
+                "elang": pa.array(langs, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _pipeline_result(sf_dir: str):
+    from hyperpolyglot_ray.pipelines.quality_filter import (
+        detect_dataset,
+        quality_scrub_dataset,
+    )
+
+    ds, fix = _files_ds(sf_dir)
+    return quality_scrub_dataset(detect_dataset(ds)), fix
+
+
+def _q_keep_drop(sf_dir: str):
+    out, fix = _pipeline_result(sf_dir)
+    exp = _expected_map(fix, ["expected_keep"])
+    have = {
+        p
+        for p, k in zip(exp.column("path").to_pylist(), exp.column("expected_keep").to_pylist())
+        if k is not None
+    }
+    return _semijoin_paths(out, have).select_columns(["path", "keep"])
+
+
+def _q_scrub(sf_dir: str):
+    out, fix = _pipeline_result(sf_dir)
+    exp = _expected_map(fix, ["expected_scrubbed"])
+    have = {
+        p
+        for p, s in zip(
+            exp.column("path").to_pylist(), exp.column("expected_scrubbed").to_pylist()
+        )
+        if s is not None
+    }
+    return _semijoin_paths(out, have).select_columns(["path", "scrubbed", "content_sha"])
+
+
+def _q_drop_reason_counts(sf_dir: str):
+    import pyarrow as pa
+
+    out, _fix = _pipeline_result(sf_dir)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        reasons = []
+        for rs in batch.column("drop_reasons").to_pylist():
+            reasons.extend(rs)
+        return pa.table({"reason": pa.array(reasons, type=pa.string())})
+
+    exploded = out.map_batches(explode, batch_format="pyarrow")
+    return exploded.groupby("reason").count().rename_columns({"count()": "n"})
+
+
+def _q_files_langid_fused(sf_dir: str):
+    import ray.data
+
+    from hyperpolyglot_ray.pipelines.quality_filter import detect_dataset
+    from hyperpolyglot_ray.stages.langid import (
+        fuse_with_cascade,
+        predict_langid,
+        train_langid,
+    )
+
+    ds, fix = _files_ds(sf_dir)
+    labeled = ds.filter(expr="lang != ''")
+    model = train_langid(labeled, "content", "lang")
+    detected = detect_dataset(ds)
+    scored = predict_langid(detected, model, "content")
+    return fuse_with_cascade(scored).select_columns(["path", "fused_lang"])
+
+
+# ---- documents -----------------------------------------------------------
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_doc_exact_dedup(sf_dir: str):
+    from hyperpolyglot_ray.stages.text_ops import exact_dedup_keep_ids
+
+    return exact_dedup_keep_ids(_docs(sf_dir))
+
+
+def _q_doc_token_count(sf_dir: str):
+    from hyperpolyglot_ray.stages.text_ops import token_count
+
+    return token_count(_docs(sf_dir))
+
+
+def _q_doc_subtoken_count(sf_dir: str):
+    from hyperpolyglot_ray.stages.text_ops import bpe_ish_token_count
+
+    return bpe_ish_token_count(_docs(sf_dir))
+
+
+def _q_doc_quality_stats(sf_dir: str):
+    from hyperpolyglot_ray.stages.text_ops import doc_quality_stats
+
+    return doc_quality_stats(_docs(sf_dir))
+
+
+def _q_doc_lang_counts(sf_dir: str):
+    import pyarrow as pa
+
+    ds = _docs(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "cnt"])
+
+    p = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby("lang").sum("cnt").rename_columns({"sum(cnt)": "n_docs"})
+
+
+def _q_doc_minhash_dedup(sf_dir: str):
+    from hyperpolyglot_ray.stages.text_ops import minhash_dedup_keep_ids
+
+    return minhash_dedup_keep_ids(_docs(sf_dir))
+
+
+def _q_doc_simhash(sf_dir: str):
+    from hyperpolyglot_ray.stages.text_ops import add_simhash
+
+    return add_simhash(_docs(sf_dir)).select_columns(["doc_id", "simhash"])
+
+
+def _q_doc_fingerprint(sf_dir: str):
+    from hyperpolyglot_ray.stages.text_ops import fingerprint
+
+    return fingerprint(_docs(sf_dir))
+
+
+def _q_doc_langid(sf_dir: str):
+    from hyperpolyglot_ray.stages.langid import predict_langid, train_langid
+
+    ds = _docs(sf_dir)
+    model = train_langid(ds, "text", "lang")
+    return predict_langid(ds, model, "text").select_columns(
+        ["doc_id", "langid_lang"]
+    )
+
+
+def _q_doc_multimodal(sf_dir: str):
+    from hyperpolyglot_ray.stages.multimodal import (
+        attach_binary_payload,
+        multimodal_features,
+    )
+
+    ds = attach_binary_payload(_docs(sf_dir).select_columns(["doc_id", "text"]))
+    out = multimodal_features(ds)
+    return out.select_columns(["doc_id", "payload_len", "features"])
+
+
+# ---- embeddings ----------------------------------------------------------
+
+
+def _emb_queries(sf_dir: str, nq: int = 10):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = t.column("vec_id").to_numpy()
+    mask = ids < nq
+    emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)[mask]
+    return emb, ids[mask].tolist()
+
+
+def _q_emb_knn(sf_dir: str):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.similarity import knn_bruteforce
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q, qids = _emb_queries(sf_dir)
+    out = knn_bruteforce(ds, q, qids, k=5)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+def _q_emb_knn_ivf(sf_dir: str):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.similarity import knn_ivf
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q, qids = _emb_queries(sf_dir)
+    out = knn_ivf(ds, q, qids, k=5, n_clusters=8, nprobe=3)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+# ---- events --------------------------------------------------------------
+
+
+def _q_events_window(sf_dir: str):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.windows import tumbling_window_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    return tumbling_window_agg(ds)
+
+
+def _q_events_sessionize(sf_dir: str):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.windows import sessionize
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ds)
+
+
+# ---------------------------------------------------------------------------
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001 (driver smoke check)."""
+    from hyperpolyglot_ray.pipelines.quality_filter import quality_filter_pipeline
+
+    fix = _fixture_dir(0.001)
+    ds = quality_filter_pipeline(str(fix / "files.parquet"))
+    return ds.select_columns(
+        ["repo", "path", "commit", "detected_lang", "strategy", "keep", "content_sha"]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "detect_cascade": _q_detect_cascade,
+        "strategy_counts": _q_strategy_counts,
+        "language_split": _q_language_split,
+        "vendor_filter": _q_vendor_filter,
+        "doc_filter": _q_doc_filter,
+        "extension_extract": _q_extension_extract,
+        "filename_detect": _q_filename_detect,
+        "ext_unique_detect": _q_ext_unique_detect,
+        "keep_drop": _q_keep_drop,
+        "scrub": _q_scrub,
+        "drop_reason_counts": _q_drop_reason_counts,
+        "files_langid_fused": _q_files_langid_fused,
+        "doc_exact_dedup": _q_doc_exact_dedup,
+        "doc_token_count": _q_doc_token_count,
+        "doc_subtoken_count": _q_doc_subtoken_count,
+        "doc_quality_stats": _q_doc_quality_stats,
+        "doc_lang_counts": _q_doc_lang_counts,
+        "doc_minhash_dedup": _q_doc_minhash_dedup,
+        "doc_simhash": _q_doc_simhash,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "doc_langid": _q_doc_langid,
+        "doc_multimodal": _q_doc_multimodal,
+        "emb_knn": _q_emb_knn,
+        "emb_knn_ivf": _q_emb_knn_ivf,
+        "events_window": _q_events_window,
+        "events_sessionize": _q_events_sessionize,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    fix = _fixture_dir(ORACLE_SF)
+    files = str(fix / "files.parquet")
+    exp = str(fix / "expected.parquet")
+    ext_map = str(LOOKUPS / "ext_map.parquet")
+    fname_map = str(LOOKUPS / "filename_map.parquet")
+    lang_info = str(LOOKUPS / "language_info.parquet")
+
+    from hyperpolyglot_ray.core.filters import documentation_pattern, vendor_pattern
+
+    ext_cte = f"""
+WITH f AS (
+  SELECT path, lower(regexp_extract(path, '[^/]+$')) AS fname0
+  FROM read_parquet('{files}')
+), g AS (
+  SELECT path, CASE WHEN fname0 LIKE '.%' THEN substr(fname0, 2) ELSE fname0 END AS fname FROM f
+), parts AS (
+  SELECT path, string_split(fname, '.') AS ps FROM g
+), sufs AS (
+  SELECT path, j, '.' || array_to_string(ps[j:], '.') AS suffix
+  FROM parts, unnest(range(2, len(ps) + 1)) AS t(j)
+), hits AS (
+  SELECT s.path, s.suffix, s.j
+  FROM sufs s
+  WHERE s.suffix IN (SELECT DISTINCT extension FROM read_parquet('{ext_map}'))
+), best AS (
+  SELECT path, arg_min(suffix, j) AS extension FROM hits GROUP BY path
+)"""
+
+    return {
+        "detect_cascade": (
+            f"SELECT path, lang AS detected_lang FROM read_parquet('{exp}') WHERE detectable"
+        ),
+        "strategy_counts": f"""
+SELECT CASE family
+         WHEN 't1' THEN 'Filename' WHEN 't2' THEN 'Extension'
+         WHEN 't3' THEN 'Shebang'  WHEN 't4' THEN 'Heuristics'
+         WHEN 't5' THEN 'Classifier' END AS strategy,
+       count(*) AS file_count
+FROM read_parquet('{exp}')
+WHERE family IN ('t1','t2','t3','t4','t5')
+GROUP BY 1""",
+        "language_split": f"""
+WITH c AS (
+  SELECT e.lang AS detected_lang, count(*) AS file_count
+  FROM read_parquet('{exp}') e
+  JOIN read_parquet('{lang_info}') li ON e.lang = li.lang
+  WHERE e.detectable AND li.language_type IN ('Markup', 'Programming')
+  GROUP BY e.lang
+), t AS (SELECT sum(file_count) AS s FROM c)
+SELECT detected_lang, file_count, file_count * 100.0 / t.s AS percentage FROM c, t""",
+        "vendor_filter": (
+            f"SELECT path, regexp_matches(path, '{vendor_pattern()}') AS is_vendored "
+            f"FROM read_parquet('{files}')"
+        ),
+        "doc_filter": (
+            f"SELECT path, regexp_matches(path, '{documentation_pattern()}') AS is_documentation "
+            f"FROM read_parquet('{files}')"
+        ),
+        "extension_extract": ext_cte
+        + "\nSELECT g.path, b.extension FROM g LEFT JOIN best b USING (path)",
+        "filename_detect": f"""
+SELECT f.path, m.lang AS flang
+FROM read_parquet('{files}') f
+JOIN read_parquet('{fname_map}') m
+  ON regexp_extract(f.path, '[^/]+$') = m.filename""",
+        "ext_unique_detect": ext_cte
+        + f""",
+uniq AS (
+  SELECT extension, min(lang) AS elang FROM read_parquet('{ext_map}')
+  GROUP BY extension HAVING count(*) = 1
+)
+SELECT b.path, u.elang FROM best b JOIN uniq u USING (extension)""",
+        "keep_drop": (
+            f"SELECT path, expected_keep AS keep FROM read_parquet('{exp}') "
+            "WHERE expected_keep IS NOT NULL"
+        ),
+        "scrub": (
+            f"SELECT path, expected_scrubbed AS scrubbed, sha256(expected_scrubbed) AS content_sha "
+            f"FROM read_parquet('{exp}') WHERE expected_scrubbed IS NOT NULL"
+        ),
+        "doc_exact_dedup": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "doc_token_count": (
+            r"SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents"
+        ),
+        "doc_subtoken_count": (
+            r"SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))"
+            " AS n_subtokens FROM documents"
+        ),
+        "doc_quality_stats": r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(regexp_extract_all(text, '\S+')) AS n_tokens,
+       CASE WHEN length(text) - len(regexp_extract_all(text, '[ \t\r\n\x0b\x0c]')) > 0
+            THEN CAST(len(regexp_extract_all(text, '[0-9A-Za-z]')) AS DOUBLE)
+                 / (length(text) - len(regexp_extract_all(text, '[ \t\r\n\x0b\x0c]')))
+            ELSE 0.0 END AS alpha_ratio,
+       CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+            THEN CAST(length(text) - len(regexp_extract_all(text, '[ \t\r\n\x0b\x0c]')) AS DOUBLE)
+                 / len(regexp_extract_all(text, '\S+'))
+            ELSE 0.0 END AS mean_token_len
+FROM documents""",
+        "doc_lang_counts": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        "emb_knn": """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id < 10),
+sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q CROSS JOIN e WHERE e.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""",
+        "events_window": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       sum(CAST(floor(value * 1000) AS BIGINT)) AS sum_value_millis
+FROM events GROUP BY 1, 2""",
+        "events_sessionize": """
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+  FROM e
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, session_id""",
+    }

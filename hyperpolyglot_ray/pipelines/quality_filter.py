@@ -39,9 +39,12 @@ def detect_dataset(ds: ray.data.Dataset, concurrency=None, batch_size=None) -> r
     )
 
 
-def quality_scrub_dataset(ds: ray.data.Dataset, concurrency=None, batch_size=None) -> ray.data.Dataset:
+def quality_scrub_dataset(
+    ds: ray.data.Dataset, concurrency=None, batch_size=None, stats_actor=None
+) -> ray.data.Dataset:
     return ds.map_batches(
         QualityScrubStage,
+        fn_constructor_kwargs={"stats_actor": stats_actor},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size or config.SCRUB_BATCH_SIZE,

@@ -125,9 +125,24 @@ def family_rows() -> list[dict]:
     add("t4_heur/hdr_cpp.h", "std::out\n", "C++", "t4", keep=True)
     add("t4_heur/hdr_c.h", "int x;\n", "C", "t4", keep=True)
     add("t4_heur/m.man", "alskdjfahij\n", "Roff", "t4", keep=True)
-    # tier 5: classifier (lib.rs:344-361, classifier.rs:68-71)
+    # tier 4b: .ts always resolves by heuristics (XML '<TS\\b' rule else
+    # patternless TypeScript default, heuristics.yml:480-484)
+    add("t4_heur/cls.ts", ts_snippet, "TypeScript", "t4", keep=True)
+    # tier 5: classifier (lib.rs:344-361, classifier.rs:57-66)
     add("t5_clf/peep.rs", rust_snippet, "Rust", "t5", keep=True)
-    add("t5_clf/cls.ts", ts_snippet, "TypeScript", "t5", keep=True)
+    erlang_snippet = (
+        "-module(daemon).\n"
+        "-export([start/0]).\n"
+        "start() ->\n"
+        "    Pid = spawn(fun loop/0),\n"
+        "    register(daemon, Pid),\n"
+        "    ok.\n"
+        "loop() ->\n"
+        "    receive\n"
+        "        {ping, From} -> From ! pong, loop()\n"
+        "    end.\n"
+    )
+    add("t5_clf/daemon.es", erlang_snippet, "Erlang", "t5", keep=True)
     # None (lib.rs:365-383)
     add("t6_none/noext_rustcode", none_rust, "", "t6", keep=False)
     # filtered by vendor/documentation overrides (lib.rs:475-490)

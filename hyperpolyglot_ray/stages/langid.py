@@ -1,0 +1,163 @@
+"""fastText-style hashed char-ngram language-ID (north-star fusion model).
+
+A linear NB model over hashed character trigrams (hashing trick, 2^16
+buckets): training is a distributed sparse count aggregation
+(map_batches partial -> groupby sum -> driver-side dense weights), and
+prediction is a broadcast matmul per row slice — the classic fastText
+supervised topology re-expressed Ray-Data-first.
+
+Used two ways:
+* ``doc_langid``  — natural-language ID over a documents table
+* fusion with the detection cascade over code: ``fused_lang`` =
+  ``detected_lang`` when the cascade decided, else the langid argmax
+  (never overrides the decision-exact cascade).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+N_BUCKETS = 1 << 16
+ALPHA = 0.5  # additive smoothing
+MAX_BYTES = 4096  # char-ngram profile prefix (train AND predict — frozen spec)
+
+
+def _bucket_ids(text: str) -> np.ndarray:
+    b = np.frombuffer(text[:MAX_BYTES].encode("utf-8"), dtype=np.uint8).astype(np.uint32)
+    if len(b) < 3:
+        return np.zeros(0, dtype=np.int64)
+    tri = (b[:-2] << 16) | (b[1:-1] << 8) | b[2:]
+    return (tri % N_BUCKETS).astype(np.int64)
+
+
+class HashedLangIDModel:
+    def __init__(self, labels: list[str], weights: np.ndarray, priors: np.ndarray):
+        self.labels = labels
+        self.weights = weights  # (L, B) log P(bucket | label), float32
+        self.priors = priors  # (L,) log P(label)
+
+    def predict_one(self, text: str) -> tuple[str, float]:
+        ids = _bucket_ids(text)
+        if len(ids) == 0:
+            return self.labels[0], 0.0
+        buckets, counts = np.unique(ids, return_counts=True)
+        scores = self.priors + self.weights[:, buckets] @ counts.astype(np.float32)
+        top = int(scores.argmax())
+        # stable margin-based confidence
+        if len(scores) > 1:
+            srt = np.sort(scores)[::-1]
+            conf = float(srt[0] - srt[1]) / max(1, len(ids))
+        else:
+            conf = 1.0
+        return self.labels[top], conf
+
+
+def train_langid(
+    ds: ray.data.Dataset, text_col: str, label_col: str
+) -> HashedLangIDModel:
+    """Distributed training: per-block sparse (label, bucket, cnt) partials,
+    small groupby-sum shuffle, dense weights built driver-side."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # dense per-label bincount (0.5 MB each), emitted sparse — no
+        # Python inner loop over ngrams
+        texts = batch.column(text_col).to_pylist()
+        labels = batch.column(label_col).to_pylist()
+        acc: dict[str, np.ndarray] = {}
+        for text, label in zip(texts, labels):
+            if not label:
+                continue
+            ids = _bucket_ids(text)
+            if len(ids) == 0:
+                continue
+            dense = acc.get(label)
+            if dense is None:
+                dense = acc[label] = np.zeros(N_BUCKETS, dtype=np.int64)
+            dense += np.bincount(ids, minlength=N_BUCKETS)
+        out_label, out_bucket, out_cnt = [], [], []
+        for label, dense in acc.items():
+            nz = np.nonzero(dense)[0]
+            out_label.extend([label] * len(nz))
+            out_bucket.extend(nz.tolist())
+            out_cnt.extend(dense[nz].tolist())
+        return pa.table(
+            {
+                "label": pa.array(out_label, type=pa.string()),
+                "bucket": pa.array(out_bucket, type=pa.int64()),
+                "cnt": pa.array(out_cnt, type=pa.int64()),
+            }
+        )
+
+    # driver-side dense reduction over streamed sparse partials: the
+    # intermediate is (labels x buckets) ~ a few hundred MB at most, far
+    # cheaper than an all-to-all groupby over millions of sparse rows.
+    # (At 100 TB the same topology holds: partials are per-block, the
+    # reduce is O(labels x buckets) regardless of corpus size.)
+    parts = ds.select_columns([text_col, label_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    dense_acc: dict[str, np.ndarray] = {}
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        lab = b.column("label").to_pylist()
+        buck = b.column("bucket").to_numpy(zero_copy_only=False)
+        cnt = b.column("cnt").to_numpy(zero_copy_only=False)
+        # contiguous runs share one label; use np.add.at per run
+        i = 0
+        while i < len(lab):
+            j = i
+            while j < len(lab) and lab[j] == lab[i]:
+                j += 1
+            d = dense_acc.get(lab[i])
+            if d is None:
+                d = dense_acc[lab[i]] = np.zeros(N_BUCKETS, dtype=np.int64)
+            np.add.at(d, buck[i:j], cnt[i:j])
+            i = j
+    labels = sorted(dense_acc)
+    counts = np.zeros((len(labels), N_BUCKETS), dtype=np.float64)
+    for i, l in enumerate(labels):
+        counts[i] = dense_acc[l]
+    totals = counts.sum(axis=1, keepdims=True)
+    weights = np.log((counts + ALPHA) / (totals + ALPHA * N_BUCKETS)).astype(np.float32)
+    priors = np.log(np.maximum(totals[:, 0], 1.0) / max(totals.sum(), 1.0)).astype(
+        np.float32
+    )
+    return HashedLangIDModel(labels, weights, priors)
+
+
+def predict_langid(
+    ds: ray.data.Dataset,
+    model: HashedLangIDModel,
+    text_col: str,
+    out_col: str = "langid_lang",
+) -> ray.data.Dataset:
+    """Broadcast the model once (ray.put), score per row inside map_batches."""
+    model_ref = ray.put(model)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = ray.get(model_ref)
+        preds, confs = [], []
+        for text in batch.column(text_col).to_pylist():
+            lang, conf = m.predict_one(text)
+            preds.append(lang)
+            confs.append(conf)
+        return batch.append_column(out_col, pa.array(preds, type=pa.string())).append_column(
+            out_col + "_conf", pa.array(confs, type=pa.float64())
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fuse_with_cascade(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """fused_lang = cascade decision when present, else langid fallback."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        detected = batch.column("detected_lang")
+        langid = batch.column("langid_lang")
+        fused = pc.if_else(pc.equal(detected, ""), langid, detected)
+        return batch.append_column("fused_lang", fused)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

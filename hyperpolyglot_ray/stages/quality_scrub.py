@@ -30,10 +30,11 @@ from ..core.quality import line_stats
 
 
 class QualityScrubStage:
-    def __init__(self, artifact_dir: str | None = None):
+    def __init__(self, artifact_dir: str | None = None, stats_actor=None):
         self.lm = load_char_lm(artifact_dir)
         self.vendor_pat = vendor_pattern()
         self.doc_pat = documentation_pattern()
+        self.stats_actor = stats_actor  # lineage counter sink (fire-and-forget)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         path = batch.column("path")
@@ -117,6 +118,17 @@ class QualityScrubStage:
              else counts_cols[cat] for cat in config.SCRUB_CATEGORIES],
             names=list(config.SCRUB_CATEGORIES),
         )
+
+        if self.stats_actor is not None:
+            deltas = {"rows_in": n, "rows_kept": int(sum(keep_l))}
+            for rs in reasons_l:
+                for r in rs:
+                    deltas[f"drop_{r}"] = deltas.get(f"drop_{r}", 0) + 1
+            for cat in config.SCRUB_CATEGORIES:
+                deltas[f"scrub_{cat}"] = int(
+                    pc.sum(counts_cols[cat]).as_py() or 0
+                )
+            self.stats_actor.increment.remote(deltas)
 
         return (
             batch.append_column("is_vendored", vendored)

@@ -1,0 +1,186 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* ``knn_bruteforce`` — exact top-k cosine: the query matrix is normalized
+  once, broadcast via ``ray.put``, and every block computes a (block x nq)
+  matmul then emits only its block-local top-k rows; a final small
+  ``groupby(query_id)`` reduces to the global top-k. The shuffle carries
+  O(nq * k * num_blocks) candidate rows, never the corpus.
+* ``ivf_assign`` / ``knn_ivf`` — the scale path: deterministic k-means
+  (init = vectors of the smallest ids, fixed iterations), cluster id as a
+  partition key; queries probe only the ``nprobe`` nearest clusters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _to_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def knn_bruteforce(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_self: bool = True,
+) -> ray.data.Dataset:
+    """Exact top-k cosine neighbors. Output: (query_id, neighbor_id, rank, sim).
+
+    Ties broken by ascending neighbor id (deterministic).
+    """
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put((qn, np.asarray(query_ids, dtype=np.int64)))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        qmat, qids = ray.get(q_ref)
+        emb = _normalize(_to_matrix(batch, emb_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = emb @ qmat.T  # (n_block, nq)
+        out_q, out_n, out_s = [], [], []
+        for j in range(sims.shape[1]):
+            col = sims[:, j]
+            mask = ids != qids[j] if exclude_self else np.ones(len(ids), bool)
+            cand_ids = ids[mask]
+            cand_sims = col[mask]
+            if len(cand_ids) == 0:
+                continue
+            take = min(k, len(cand_ids))
+            # top-k by (-sim, id): lexsort is stable + deterministic
+            order = np.lexsort((cand_ids, -cand_sims))[:take]
+            out_q.extend([qids[j]] * take)
+            out_n.extend(cand_ids[order].tolist())
+            out_s.extend(cand_sims[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    partial = ds.map_batches(block_topk, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        sims = group.column("sim").to_numpy(zero_copy_only=False)
+        nids = group.column("neighbor_id").to_numpy(zero_copy_only=False)
+        qid = group.column("query_id")[0].as_py()
+        take = min(k, len(nids))
+        order = np.lexsort((nids, -sims))[:take]
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * take, type=pa.int64()),
+                "neighbor_id": pa.array(nids[order], type=pa.int64()),
+                "rank": pa.array(np.arange(1, take + 1), type=pa.int64()),
+                "sim": pa.array(sims[order], type=pa.float64()),
+            }
+        )
+
+    return partial.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+
+
+def deterministic_kmeans(
+    ds: ray.data.Dataset,
+    n_clusters: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic distributed k-means: init = the vectors with the
+    ``n_clusters`` smallest ids; each iteration is one map_batches partial
+    (sum, count per cluster) + driver-side reduce. Returns centroids."""
+    init_rows = (
+        ds.sort(id_col).limit(n_clusters).select_columns([emb_col]).take_all()
+    )
+    centroids = np.asarray([r[emb_col] for r in init_rows], dtype=np.float64)
+
+    for _ in range(n_iter):
+        c_ref = ray.put(centroids)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(c_ref)
+            emb = _to_matrix(batch, emb_col)
+            d = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            sums = np.zeros_like(c)
+            counts = np.zeros(len(c), dtype=np.int64)
+            np.add.at(sums, assign, emb)
+            np.add.at(counts, assign, 1)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(len(c)), type=pa.int64()),
+                    "vsum": pa.array(list(sums), type=pa.list_(pa.float64())),
+                    "cnt": pa.array(counts, type=pa.int64()),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(len(centroids), dtype=np.int64)
+        for _, row in parts.iterrows():
+            sums[row["cluster"]] += np.asarray(row["vsum"])
+            counts[row["cluster"]] += row["cnt"]
+        nonzero = counts > 0
+        centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
+    return centroids
+
+
+def ivf_assign(
+    ds: ray.data.Dataset, centroids: np.ndarray, emb_col: str = "embedding"
+) -> ray.data.Dataset:
+    """Appends ``cluster`` (int32) — the IVF partition key."""
+    c_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        emb = _to_matrix(batch, emb_col)
+        d = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return batch.append_column(
+            "cluster", pa.array(d.argmin(axis=1).astype(np.int32()), type=pa.int32())
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def knn_ivf(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Approximate top-k: brute force restricted to the nprobe clusters
+    nearest each query. With nprobe == n_clusters this is exact."""
+    centroids = deterministic_kmeans(ds, n_clusters=n_clusters, id_col=id_col, emb_col=emb_col)
+    assigned = ivf_assign(ds, centroids, emb_col=emb_col)
+
+    q = np.asarray(queries, dtype=np.float64)
+    d = ((q[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(d, axis=1)[:, :nprobe]  # (nq, nprobe)
+    probed_clusters = sorted({int(c) for row in probe for c in row})
+    subset = assigned.filter(
+        expr=" or ".join(f"cluster == {c}" for c in probed_clusters)
+    )
+    return knn_bruteforce(
+        subset, q, query_ids, k=k, id_col=id_col, emb_col=emb_col
+    )

@@ -1,0 +1,104 @@
+"""Windowed aggregation over an event-time table (custom operator).
+
+Ray Data has no windowing primitive; a tumbling window is expressed as
+truncate-timestamp (vectorized) + per-block partial aggregate + a small
+``groupby`` over (window_start, key) — SURVEY.md §2's custom-operator
+recipe (a). The partitioning assumption: windows x keys cardinality is
+small relative to rows, so the shuffle moves pre-aggregated partials only.
+
+Float sums are carried as integer millis (floor(value*1000)) to keep the
+result bit-deterministic regardless of reduction order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def tumbling_window_agg(
+    ds: ray.data.Dataset,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window: str = "hour",
+) -> ray.data.Dataset:
+    """Per (window_start, key): n_events + sum_value_millis.
+
+    Output columns: window_start (timestamp), {key_col}, n_events,
+    sum_value_millis.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(batch.column(ts_col), unit=window)
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+        millis = np.floor(vals * 1000.0).astype(np.int64)
+        t = pa.table(
+            {
+                "window_start": win,
+                key_col: batch.column(key_col),
+                "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "millis": pa.array(millis),
+            }
+        )
+        g = t.group_by(["window_start", key_col]).aggregate(
+            [("one", "sum"), ("millis", "sum")]
+        )
+        return g.rename_columns(["window_start", key_col, "n_events", "sum_value_millis"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    final = (
+        partials.groupby(["window_start", key_col])
+        .sum(["n_events", "sum_value_millis"])
+        .rename_columns(
+            {"sum(n_events)": "n_events", "sum(sum_value_millis)": "sum_value_millis"}
+        )
+    )
+    return final
+
+
+def sessionize(
+    ds: ray.data.Dataset,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_minutes: float = 30.0,
+) -> ray.data.Dataset:
+    """Session assignment per user: a new session starts after a gap >
+    ``gap_minutes``. Custom operator recipe (a): groupby(user) +
+    map_groups with an in-group sort — state never crosses the user key.
+
+    Output: user_id, session_id (int64, 0-based per user), n_events,
+    session_start, session_end.
+    """
+    gap_us = int(gap_minutes * 60 * 1e6)
+
+    def per_user(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[(ts_col, "ascending")])
+        g = group.take(order)
+        ts = g.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = g.column(user_col)[0].as_py()
+        new_sess = np.zeros(len(ts), dtype=bool)
+        new_sess[0] = True
+        if len(ts) > 1:
+            new_sess[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sess = np.cumsum(new_sess) - 1
+        starts, ends, counts = [], [], []
+        for s in range(sess.max() + 1):
+            m = sess == s
+            starts.append(int(ts[m].min()))
+            ends.append(int(ts[m].max()))
+            counts.append(int(m.sum()))
+        n = len(starts)
+        return pa.table(
+            {
+                user_col: pa.array([uid] * n, type=pa.int64()),
+                "session_id": pa.array(range(n), type=pa.int64()),
+                "n_events": pa.array(counts, type=pa.int64()),
+                "session_start": pa.array(starts, type=pa.int64()).cast(pa.timestamp("us")),
+                "session_end": pa.array(ends, type=pa.int64()).cast(pa.timestamp("us")),
+            }
+        )
+
+    return ds.groupby(user_col).map_groups(per_user, batch_format="pyarrow")

@@ -1,0 +1,142 @@
+"""Checkpoint store: per-partition lineage + counters + resumable runs.
+
+North-rule requirement: a killed job must resume without recomputing
+finished partitions, and every stage emits per-partition lineage records
+and counters.
+
+Design (SURVEY.md §4 checkpoint row):
+
+* The corpus is processed as deterministic partitions (one or more input
+  Parquet files each — at 100 TB, one partition per input shard / key
+  range). Each partition flows through the full streaming pipeline and is
+  written to ``out_root/part=<pid>/`` as Parquet.
+* A ``manifest.jsonl`` in the checkpoint dir records one line per FINISHED
+  partition: partition id, input files, row counters, per-stage counters,
+  wall time. The line is appended atomically (tmp file + rename of the
+  whole manifest) AFTER the partition's output is fully written — a crash
+  mid-partition leaves no manifest line, so the rerun redoes exactly that
+  partition (output dirs are overwritten idempotently).
+* Resume = set difference of planned vs finished partition ids — an
+  anti-join done driver-side on the (tiny) manifest.
+* Counters are collected by a named ``StatsActor`` that stages increment
+  per batch (the lineage side-channel).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+
+import ray
+
+
+@ray.remote(num_cpus=0)
+class StatsActor:
+    """Per-run counter sink; stages increment per batch."""
+
+    def __init__(self):
+        self.counters: dict[str, int] = {}
+
+    def increment(self, deltas: dict[str, int]) -> None:
+        for k, v in deltas.items():
+            self.counters[k] = self.counters.get(k, 0) + int(v)
+
+    def get_and_reset(self) -> dict[str, int]:
+        out = self.counters
+        self.counters = {}
+        return out
+
+
+class CheckpointStore:
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+        self.manifest_path = self.root / "manifest.jsonl"
+
+    def finished(self) -> dict[str, dict]:
+        out = {}
+        if self.manifest_path.exists():
+            with open(self.manifest_path) as f:
+                for line in f:
+                    if line.strip():
+                        rec = json.loads(line)
+                        out[rec["partition_id"]] = rec
+        return out
+
+    def record(self, rec: dict) -> None:
+        """Atomic append: rewrite manifest to a temp file + rename."""
+        records = self.finished()
+        records[rec["partition_id"]] = rec
+        tmp = self.manifest_path.with_suffix(".tmp")
+        with open(tmp, "w") as f:
+            for r in records.values():
+                f.write(json.dumps(r, sort_keys=True) + "\n")
+        os.replace(tmp, self.manifest_path)
+
+
+def plan_partitions(input_files: list[str], files_per_partition: int = 1) -> dict[str, list[str]]:
+    """Deterministic partition plan: sorted input files chunked."""
+    files = sorted(str(f) for f in input_files)
+    plan = {}
+    for i in range(0, len(files), files_per_partition):
+        chunk = files[i : i + files_per_partition]
+        plan[f"p{i // files_per_partition:05d}"] = chunk
+    return plan
+
+
+def run_resumable(
+    input_files: list[str],
+    out_root: str | Path,
+    pipeline_fn,
+    files_per_partition: int = 1,
+    checkpoint_dir: str | Path | None = None,
+) -> dict:
+    """Run ``pipeline_fn(files: list[str], stats_actor) -> Dataset`` per
+    unfinished partition, write each to ``out_root/part=<pid>/``, record
+    lineage. Returns the run summary."""
+    out_root = Path(out_root)
+    store = CheckpointStore(checkpoint_dir or (out_root / "_checkpoint"))
+    plan = plan_partitions(input_files, files_per_partition)
+    done = store.finished()
+
+    stats = StatsActor.remote()
+    summary = {"planned": len(plan), "skipped": 0, "ran": 0, "rows": 0}
+    for pid, files in plan.items():
+        if pid in done:
+            summary["skipped"] += 1
+            summary["rows"] += done[pid]["counters"].get("rows_out", 0)
+            continue
+        t0 = time.time()
+        ds = pipeline_fn(files, stats)
+        part_dir = out_root / f"part={pid}"
+        part_dir.mkdir(parents=True, exist_ok=True)
+        # idempotent overwrite: clear stale output from a crashed attempt
+        for old in part_dir.glob("*.parquet"):
+            old.unlink()
+        ds.write_parquet(str(part_dir))
+        n_rows = sum(
+            pq_meta.num_rows
+            for pq_meta in (_pq_meta(p) for p in part_dir.glob("*.parquet"))
+        )
+        counters = ray.get(stats.get_and_reset.remote())
+        counters["rows_out"] = n_rows
+        store.record(
+            {
+                "partition_id": pid,
+                "input_files": files,
+                "counters": counters,
+                "wall_sec": round(time.time() - t0, 3),
+                "out_dir": str(part_dir),
+            }
+        )
+        summary["ran"] += 1
+        summary["rows"] += n_rows
+    return summary
+
+
+def _pq_meta(path: Path):
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(path)

@@ -254,6 +254,48 @@ def _encode_str_list(strings: list[str]) -> np.ndarray:
     return np.frombuffer(blob, dtype=np.uint8)
 
 
+def write_lookup_parquets(tables: dict) -> None:
+    """Small dimension tables as Parquet for the DuckDB correctness oracle
+    (the relational face of the broadcast dict lookups, SURVEY.md §2.4)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = ARTIFACT_DIR / "lookups"
+    out.mkdir(exist_ok=True)
+    fn = tables["filenames"]
+    pq.write_table(
+        pa.table({"filename": list(fn.keys()), "lang": list(fn.values())}),
+        out / "filename_map.parquet",
+    )
+    ext_rows = [
+        (ext, lang, pos)
+        for ext, langs in tables["extensions"].items()
+        for pos, lang in enumerate(langs)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "extension": [r[0] for r in ext_rows],
+                "lang": [r[1] for r in ext_rows],
+                "pos": pa.array([r[2] for r in ext_rows], type=pa.int32()),
+            }
+        ),
+        out / "ext_map.parquet",
+    )
+    info = tables["language_info"]
+    pq.write_table(
+        pa.table(
+            {
+                "lang": list(info.keys()),
+                "language_type": [v["type"] for v in info.values()],
+                "color": [v["color"] for v in info.values()],
+                "lang_group": [v["group"] for v in info.values()],
+            }
+        ),
+        out / "language_info.parquet",
+    )
+
+
 def main(reference_dir: str = "/root/reference") -> None:
     ref = Path(reference_dir)
     ARTIFACT_DIR.mkdir(exist_ok=True)
@@ -266,6 +308,7 @@ def main(reference_dir: str = "/root/reference") -> None:
     with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
         gz.write(raw)
     (ARTIFACT_DIR / "tables.json.gz").write_bytes(buf.getvalue())
+    write_lookup_parquets(tables)
     print(
         f"tables: {len(tables['languages'])} languages, "
         f"{len(tables['filenames'])} filenames, {len(tables['extensions'])} extensions, "

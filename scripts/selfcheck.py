@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Mimic the driver's correctness gate: run every queries() entry and its
+oracle_sql() side-by-side at sf0.01 and compare row count, schema, and
+order-insensitive values.
+
+Usage: python scripts/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TESTDATA_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()  # ray Dataset
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        if np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].round(9)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
+    if len(ray_df) != len(sql_df):
+        return f"ROWS {len(ray_df)} vs {len(sql_df)}"
+    if sorted(ray_df.columns) != sorted(sql_df.columns):
+        return f"SCHEMA {sorted(ray_df.columns)} vs {sorted(sql_df.columns)}"
+    a, b = canon(ray_df), canon(sql_df)
+    try:
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-12)
+    except AssertionError as e:
+        diff_mask = ~(a.eq(b) | (a.isna() & b.isna()))
+        nbad = int(diff_mask.any(axis=1).sum())
+        first = a[diff_mask.any(axis=1)].head(3)
+        firstb = b[diff_mask.any(axis=1)].head(3)
+        return f"VALUES ({nbad} rows differ)\n  ray:\n{first}\n  sql:\n{firstb}"
+    return "OK"
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False)
+
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            ray_df = to_pandas(fn(sf_dir))
+        except Exception as e:
+            failures.append(name)
+            print(f"{name:24s} RAY-ERROR {type(e).__name__}: {e}")
+            continue
+        wall = time.time() - t0
+        if name not in oracles:
+            print(f"{name:24s} rows-only  {len(ray_df):7d} rows  {wall:6.1f}s")
+            continue
+        try:
+            sql_df = con.sql(oracles[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"{name:24s} SQL-ERROR {type(e).__name__}: {e}")
+            continue
+        verdict = compare(name, ray_df, sql_df)
+        status = "ok" if verdict == "OK" else "FAIL"
+        if verdict != "OK":
+            failures.append(name)
+        print(f"{name:24s} {status:5s} {len(ray_df):7d} rows  {wall:6.1f}s  {'' if verdict=='OK' else verdict}")
+
+    print()
+    if failures:
+        print("FAILURES:", failures)
+        sys.exit(1)
+    print("all checks passed")
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

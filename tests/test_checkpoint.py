@@ -1,0 +1,55 @@
+"""Checkpoint / resume / lineage tests."""
+
+import json
+
+import pyarrow.parquet as pq
+
+
+def test_resumable_run_and_skip(ray_session, files_fixture_small, tmp_path):
+    import ray.data
+
+    from hyperpolyglot_ray.pipelines.quality_filter import (
+        detect_dataset,
+        quality_scrub_dataset,
+    )
+    from hyperpolyglot_ray.state.checkpoint import run_resumable
+
+    # split the fixture into 3 partition inputs
+    src = pq.read_table(files_fixture_small / "files.parquet")
+    inputs = []
+    n = len(src)
+    for i in range(3):
+        p = tmp_path / f"in_{i}.parquet"
+        pq.write_table(src.slice(i * n // 3, (n // 3) if i < 2 else n - 2 * (n // 3)), p)
+        inputs.append(str(p))
+
+    def pipeline(files, stats):
+        ds = ray.data.read_parquet(files)
+        ds = detect_dataset(ds, concurrency=(1, 2))
+        return quality_scrub_dataset(ds, concurrency=(1, 2), stats_actor=stats)
+
+    out_root = tmp_path / "out"
+    s1 = run_resumable(inputs, out_root, pipeline, files_per_partition=1)
+    assert s1["ran"] == 3 and s1["skipped"] == 0 and s1["rows"] == n
+
+    # second run: everything skipped, zero recompute
+    s2 = run_resumable(inputs, out_root, pipeline, files_per_partition=1)
+    assert s2["ran"] == 0 and s2["skipped"] == 3 and s2["rows"] == n
+
+    # manifest carries lineage + counters per partition
+    manifest = [
+        json.loads(l)
+        for l in (out_root / "_checkpoint" / "manifest.jsonl").read_text().splitlines()
+    ]
+    assert len(manifest) == 3
+    for rec in manifest:
+        assert rec["counters"]["rows_in"] == rec["counters"]["rows_out"]
+        assert "rows_kept" in rec["counters"]
+        assert rec["input_files"]
+
+    # resume after losing one manifest line: only that partition reruns
+    recs = manifest[:2]
+    mf = out_root / "_checkpoint" / "manifest.jsonl"
+    mf.write_text("".join(json.dumps(r) + "\n" for r in recs))
+    s3 = run_resumable(inputs, out_root, pipeline, files_per_partition=1)
+    assert s3["ran"] == 1 and s3["skipped"] == 2

@@ -1,0 +1,190 @@
+"""Tests for dedup / text-analysis / similarity / window operators."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_exact_dedup(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.text_ops import exact_dedup_keep_ids
+
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "aaa"},
+            {"doc_id": 2, "text": "bbb"},
+            {"doc_id": 3, "text": "aaa"},
+            {"doc_id": 4, "text": "aaa"},
+        ]
+    )
+    kept = sorted(r["doc_id"] for r in exact_dedup_keep_ids(ds).take_all())
+    assert kept == [1, 2]
+
+
+def test_minhash_dedup_finds_near_dups(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.text_ops import minhash_dedup_keep_ids, ngram_jaccard
+
+    base = " ".join(f"word{i} token{i*7%97}" for i in range(120))  # non-repetitive
+    near = base.replace("word60", "edited60", 1)  # one edit -> jaccard > 0.95
+    far = " ".join(f"other{i} thing{i*11%89}" for i in range(120))
+    assert ngram_jaccard(base, near) > 0.8
+    assert ngram_jaccard(base, far) < 0.1
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 10, "text": base},
+            {"doc_id": 11, "text": near},
+            {"doc_id": 12, "text": far},
+            {"doc_id": 13, "text": base},
+        ]
+    )
+    kept = sorted(r["doc_id"] for r in minhash_dedup_keep_ids(ds).take_all())
+    assert kept == [10, 12]
+
+
+def test_simhash_similar_texts_close(ray_session):
+    from hyperpolyglot_ray.stages.text_ops import simhash64
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 10
+    near = base.replace("zeta", "zetta", 1)
+    far = "one two three four five six seven eight nine ten " * 10
+    d_near = bin(simhash64(base) ^ simhash64(near)).count("1")
+    d_far = bin(simhash64(base) ^ simhash64(far)).count("1")
+    assert d_near < d_far
+    assert d_near <= 12
+
+
+def test_fingerprint_order_sensitive(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.text_ops import fingerprint
+
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "a b c"},
+            {"doc_id": 2, "text": "c b a"},
+            {"doc_id": 3, "text": "a  b\n c"},  # whitespace-insensitive
+        ]
+    )
+    fps = {r["doc_id"]: r["fp"] for r in fingerprint(ds).take_all()}
+    assert fps[1] != fps[2]
+    assert fps[1] == fps[3]
+
+
+def test_token_counts_and_quality(docs_ds):
+    from hyperpolyglot_ray.stages.text_ops import doc_quality_stats, token_count
+
+    tc = token_count(docs_ds).to_pandas()
+    assert (tc["n_tokens"] > 0).all()
+    q = doc_quality_stats(docs_ds).to_pandas()
+    assert ((q["alpha_ratio"] > 0) & (q["alpha_ratio"] <= 1)).all()
+
+
+def test_knn_bruteforce_self_consistency(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.similarity import knn_bruteforce
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    ids = t.column("vec_id").to_numpy()
+    q = emb[ids < 3]
+    out = knn_bruteforce(ds, q, ids[ids < 3].tolist(), k=4).to_pandas()
+    assert len(out) == 12
+    # verify against a numpy oracle
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = en @ qn.T
+    for j, qid in enumerate(ids[ids < 3].tolist()):
+        col = sims[:, j].copy()
+        col[ids == qid] = -np.inf
+        expect = ids[np.lexsort((ids, -col))[:4]].tolist()
+        got = out[out["query_id"] == qid].sort_values("rank")["neighbor_id"].tolist()
+        assert got == expect
+
+
+def test_knn_ivf_overlaps_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from hyperpolyglot_ray.stages.similarity import knn_bruteforce, knn_ivf
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    ids = t.column("vec_id").to_numpy()
+    q = emb[ids < 5]
+    qids = ids[ids < 5].tolist()
+    bf = knn_bruteforce(ds, q, qids, k=5).to_pandas()
+    ivf = knn_ivf(ds, q, qids, k=5, n_clusters=8, nprobe=8).to_pandas()  # nprobe=all -> exact
+    for qid in qids:
+        a = bf[bf["query_id"] == qid].sort_values("rank")["neighbor_id"].tolist()
+        b = ivf[ivf["query_id"] == qid].sort_values("rank")["neighbor_id"].tolist()
+        assert a == b
+
+
+def test_tumbling_window(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.windows import tumbling_window_agg
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    out = tumbling_window_agg(ds).to_pandas()
+    assert out["n_events"].sum() == 1000
+    assert out.duplicated(["window_start", "event_type"]).sum() == 0
+
+
+def test_sessionize(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.windows import sessionize
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    out = sessionize(ds).to_pandas()
+    assert out["n_events"].sum() == 1000
+    assert (out["session_end"] >= out["session_start"]).all()
+
+
+def test_multimodal_stub(docs_ds):
+    from hyperpolyglot_ray.stages.multimodal import (
+        DecodeStage,
+        attach_binary_payload,
+        multimodal_features,
+    )
+
+    with_bin = attach_binary_payload(docs_ds.select_columns(["doc_id", "text"]))
+    out = multimodal_features(with_bin).to_pandas()
+    assert len(out) == 500
+    assert all(len(f) == 8 for f in out["features"])
+    assert (out["payload_len"] > 0).all()
+    # real decode is explicitly stubbed
+    with pytest.raises(NotImplementedError):
+        DecodeStage(fake=False)._features(b"xxx")
+
+
+def test_langid_roundtrip(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.langid import predict_langid, train_langid
+
+    rows = []
+    for i in range(40):
+        rows.append({"doc_id": i, "lang": "py", "text": f"def f{i}(): return {i} # python code\n" * 8})
+        rows.append({"doc_id": 100 + i, "lang": "lisp", "text": f"(defun g{i} (x) (+ x {i})) ;; lisp\n" * 8})
+    ds = ray.data.from_items(rows)
+    model = train_langid(ds, "text", "lang")
+    pred = predict_langid(ds, model, "text").to_pandas()
+    acc = (pred["langid_lang"] == pred["lang"]).mean()
+    assert acc == 1.0
