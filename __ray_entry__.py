@@ -41,7 +41,7 @@ def _files_ds(sf_dir: str):
     import ray.data
 
     fix = _fixture_dir(_sf(sf_dir))
-    return ray.data.read_parquet(str(fix / "files.parquet")), fix
+    return ray.data.read_parquet(str(fix / "files")), fix
 
 
 def _expected_map(fix: Path, cols: list[str]):
@@ -438,7 +438,7 @@ def entry() -> Any:
     from hyperpolyglot_ray.pipelines.quality_filter import quality_filter_pipeline
 
     fix = _fixture_dir(0.001)
-    ds = quality_filter_pipeline(str(fix / "files.parquet"))
+    ds = quality_filter_pipeline(str(fix / "files"))
     return ds.select_columns(
         ["repo", "path", "commit", "detected_lang", "strategy", "keep", "content_sha"]
     )
@@ -477,7 +477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     fix = _fixture_dir(ORACLE_SF)
-    files = str(fix / "files.parquet")
+    files = str(fix / "files" / "*.parquet")
     exp = str(fix / "expected.parquet")
     ext_map = str(LOOKUPS / "ext_map.parquet")
     fname_map = str(LOOKUPS / "filename_map.parquet")

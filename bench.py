@@ -1,0 +1,228 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)`` and prints ONE JSON line::
+
+    {"metric": ..., "value": <flagship sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "files_per_sec": X}
+
+``--scaling`` runs the flagship twice in FRESH processes at N and 4N cpus
+(the sandbox substitute for the N vs 4N cluster-size criterion) and prints
+both throughputs + scaling efficiency.
+
+The files-table input is the deterministic fixture (FIXTURES.md bench
+corpus) built once and cached; fixture build, worker-process spawn and page
+cache warm-up happen before the timed section (a tiny sf0.001 warm-up run).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_OUT = "/tmp/hyperpolyglot_ray/bench_out"
+
+
+def _flagship(files_dir: str, num_cpus: int, sink: str = "write") -> tuple[float, int]:
+    """read -> fused detect+quality+scrub -> sink.
+
+    sink="write": partitioned parquet to local disk (the real pipeline).
+    sink="consume": full compute, blocks counted then discarded — used for
+    the N-vs-4N scaling runs because the sandbox's single local disk is a
+    fixed-size sink that cannot scale with CPUs (a real cluster writes to
+    storage that scales with nodes); see BASELINE.md.
+    """
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from hyperpolyglot_ray.stages.fused import QualityFilterStage
+
+    t0 = time.time()
+    ds = ray.data.read_parquet(files_dir)
+    ds = ds.map_batches(
+        QualityFilterStage,
+        fn_constructor_kwargs={"drop_content": True},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=1024,
+        concurrency=max(2, num_cpus // 2),
+    )
+    if sink == "write":
+        shutil.rmtree(BENCH_OUT, ignore_errors=True)
+        ds.write_parquet(BENCH_OUT)
+        wall = time.time() - t0
+        rows = sum(
+            pq.read_metadata(p).num_rows for p in glob.glob(BENCH_OUT + "/*.parquet")
+        )
+    else:
+        reduced = ds.map_batches(
+            lambda b: pa.table({"n": pa.array([len(b)], type=pa.int64())}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        rows = int(sum(r["n"] for r in reduced.take_all()))
+        wall = time.time() - t0
+    return wall, rows
+
+
+def run_bench(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+
+    from hyperpolyglot_ray.sources.fixtures import build_files_fixture, sf_from_dir
+
+    sf = sf_from_dir(sf_dir)
+    # bench corpus = 3x the correctness fixture (FIXTURES.md §4: 10^5-10^6
+    # rows) so fixed costs (actor init ~3s) amortize into the timed run
+    fix = build_files_fixture(sf, n_rows=int(sf * 3_000_000))
+    files_dir = str(fix / "files")
+
+    # warm-up outside the timed section: worker spawn + imports + page cache
+    small = build_files_fixture(0.001)
+    sink = os.environ.get("GRAFT_BENCH_SINK", "write")
+    _flagship(str(small / "files"), num_cpus, sink=sink)
+    os.sync()
+
+    queries: dict[str, float] = {}
+
+    t_flag, rows = _flagship(files_dir, num_cpus, sink=sink)
+    queries["flagship_filter_scrub"] = round(t_flag, 3)
+
+    if not flagship_only:
+        import ray.data
+
+        from hyperpolyglot_ray.pipelines.quality_filter import detect_dataset
+        from hyperpolyglot_ray.pipelines.reports import language_split
+        from hyperpolyglot_ray.stages.similarity import knn_bruteforce
+        from hyperpolyglot_ray.stages.text_ops import (
+            exact_dedup_keep_ids,
+            minhash_dedup_keep_ids,
+        )
+        from hyperpolyglot_ray.stages.windows import tumbling_window_agg
+
+        t0 = time.time()
+        split = language_split(detect_dataset(ray.data.read_parquet(files_dir)))
+        assert len(split) > 0
+        queries["detect_language_split"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        n = exact_dedup_keep_ids(
+            ray.data.read_parquet(files_dir), text_col="content", id_col="commit"
+        ).count()
+        queries["files_exact_dedup"] = round(time.time() - t0, 3)
+
+        docs = f"{sf_dir}/documents.parquet"
+        if Path(docs).exists():
+            t0 = time.time()
+            minhash_dedup_keep_ids(ray.data.read_parquet(docs)).count()
+            queries["doc_minhash_dedup"] = round(time.time() - t0, 3)
+
+        emb = f"{sf_dir}/embeddings.parquet"
+        if Path(emb).exists():
+            import numpy as np
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(emb)
+            ids = t.column("vec_id").to_numpy()
+            q = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)[ids < 10]
+            t0 = time.time()
+            knn_bruteforce(
+                ray.data.read_parquet(emb), q, ids[ids < 10].tolist(), k=5
+            ).count()
+            queries["emb_knn"] = round(time.time() - t0, 3)
+
+        evt = f"{sf_dir}/events.parquet"
+        if Path(evt).exists():
+            t0 = time.time()
+            tumbling_window_agg(ray.data.read_parquet(evt)).count()
+            queries["events_window"] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "files/sec end-to-end filter+scrub throughput (flagship)",
+        "value": round(t_flag, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "rows": rows,
+        "files_per_sec": round(rows / t_flag, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str, n_low: int, n_high: int) -> dict:
+    """Same job, same input, two fresh processes at two parallelism levels."""
+    outs = {}
+    for cpus in (n_low, n_high):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        env["GRAFT_SF_DIR"] = sf_dir
+        env["GRAFT_BENCH_SINK"] = "consume"  # fixed local disk can't scale
+        proc = subprocess.run(
+            [sys.executable, __file__, "--flagship-only"],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=3600,
+        )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        outs[cpus] = json.loads(line)
+    tp_low = outs[n_low]["files_per_sec"]
+    tp_high = outs[n_high]["files_per_sec"]
+    eff = (tp_high / tp_low) / (n_high / n_low)
+    return {
+        "metric": f"scaling efficiency {n_low}->{n_high} cpus (files/sec ratio / cpu ratio)",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": outs[n_high]["sf"],
+        "throughput_low": tp_low,
+        "throughput_high": tp_high,
+        "num_cpus_low": n_low,
+        "num_cpus_high": n_high,
+        "queries": {
+            f"flagship_{n_low}cpu": outs[n_low]["value"],
+            f"flagship_{n_high}cpu": outs[n_high]["value"],
+        },
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--flagship-only", action="store_true")
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    args = ap.parse_args()
+
+    if args.scaling:
+        # Default pair 4->16 (not 8->32): at 32 cpus this single box's SHARED
+        # memory bandwidth saturates (~1.4x per-process slowdown measured
+        # with a plain mp.Pool microbenchmark, no Ray), which confounds the
+        # node-scaling criterion — on a real cluster each node brings its own
+        # memory bus. Both pairs are reported in BASELINE.md.
+        n_high = min(args.cpus, int(os.environ.get("GRAFT_SCALE_HIGH", "16")))
+        res = run_scaling(args.sf_dir, max(2, n_high // 4), n_high)
+    else:
+        res = run_bench(args.sf_dir, args.cpus, flagship_only=args.flagship_only)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

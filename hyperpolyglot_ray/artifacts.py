@@ -96,24 +96,15 @@ class CharLM:
     ALPHA = 0.4
 
     def __init__(self, tri_keys, tri_counts, bi_keys, bi_counts, uni_counts, total):
-        self.tri_keys = tri_keys
-        self.tri_counts = tri_counts.astype(np.float64)
-        self.bi_keys = bi_keys
-        self.bi_counts = bi_counts.astype(np.float64)
+        # dense lookup tables: O(1) gather instead of searchsorted.
+        # trigram space = 2^24 (float32, 67 MB) — built once per actor.
+        self.tri_dense = np.zeros(1 << 24, dtype=np.float32)
+        self.tri_dense[tri_keys] = tri_counts.astype(np.float32)
+        self.bi_dense = np.zeros(1 << 16, dtype=np.float32)
+        self.bi_dense[bi_keys] = bi_counts.astype(np.float32)
         self.uni_counts = uni_counts.astype(np.float64)
         self.total = float(total)
-        # context counts for trigram = count of leading bigram
-        self._bi_lookup_keys = bi_keys
         self._uni = np.maximum(self.uni_counts, 1.0)
-
-    def _lookup(self, keys_sorted, counts, queries):
-        if len(keys_sorted) == 0:
-            return np.zeros(len(queries))
-        pos = np.searchsorted(keys_sorted, queries)
-        pos = np.minimum(pos, len(keys_sorted) - 1)
-        out = counts[pos]
-        out[keys_sorted[pos] != queries] = 0.0
-        return out
 
     def perplexity(self, text: str) -> float:
         b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint32)
@@ -126,9 +117,9 @@ class CharLM:
         uni_ctx = b[1:-1]
         last = b[2:]
 
-        c3 = self._lookup(self.tri_keys, self.tri_counts, tri_q)
-        c2ctx = self._lookup(self.bi_keys, self.bi_counts, bi_ctx)
-        c2 = self._lookup(self.bi_keys, self.bi_counts, bi_q)
+        c3 = self.tri_dense[tri_q].astype(np.float64)
+        c2ctx = self.bi_dense[bi_ctx].astype(np.float64)
+        c2 = self.bi_dense[bi_q].astype(np.float64)
         c1ctx = self._uni[uni_ctx]
         c1 = self.uni_counts[last]
 

@@ -81,14 +81,20 @@ class _Tokens:
 
     # -- scanning helpers ------------------------------------------------
     def eat_whitespace(self):
-        while True:
-            p = self.peek()
-            if p is None:
-                return self.n
-            if p[1].isspace():
-                self.advance()
-            else:
-                return p[0]
+        backlog = self.backlog
+        while backlog:
+            idx, ch = backlog[0]
+            if not ch.isspace():
+                return idx
+            backlog.popleft()
+        # fast path: scan content directly (no per-char tuples/calls)
+        content = self.content
+        n = self.n
+        pos = self.pos
+        while pos < n and content[pos].isspace():
+            pos += 1
+        self.pos = pos
+        return pos if pos < n else self.n
 
     def eat_non_newline_whitespace(self):
         while True:
@@ -104,13 +110,20 @@ class _Tokens:
                 return p[0]
 
     def take_if(self, cond):
-        while True:
-            p = self.peek()
-            if p is None:
-                return self.n
-            if not cond(p[1]):
-                return p[0]
-            self.advance()
+        backlog = self.backlog
+        while backlog:
+            idx, ch = backlog[0]
+            if not cond(ch):
+                return idx
+            backlog.popleft()
+        # fast path once the backlog is drained
+        content = self.content
+        n = self.n
+        pos = self.pos
+        while pos < n and cond(content[pos]):
+            pos += 1
+        self.pos = pos
+        return pos if pos < n else self.n
 
     def take_if_slice(self, cond):
         end = self.take_if(cond)

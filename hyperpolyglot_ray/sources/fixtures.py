@@ -245,23 +245,27 @@ def _commit(repo: str, path: str) -> str:
     return hashlib.sha1(f"{repo}/{path}".encode()).hexdigest()
 
 
-def build_files_fixture(sf: float, root: Path | None = None, force: bool = False) -> Path:
+def build_files_fixture(
+    sf: float, root: Path | None = None, force: bool = False, n_rows: int | None = None
+) -> Path:
     """Build (or reuse) the fixture for scale factor ``sf``.
 
-    Returns the directory containing ``files.parquet`` + ``expected.parquet``.
+    Returns the directory containing ``files/part-*.parquet`` + ``expected.parquet``.
     """
     root = Path(root) if root else FIXTURE_ROOT
-    out = root / f"sf{sf:g}"
-    files_pq = out / "files.parquet"
-    if files_pq.exists() and (out / "expected.parquet").exists() and not force:
+    out = root / (f"sf{sf:g}" if n_rows is None else f"sf{sf:g}_n{n_rows}")
+    files_dir = out / "files"
+    if (out / "_DONE").exists() and not force:
         return out
-    out.mkdir(parents=True, exist_ok=True)
+    files_dir.mkdir(parents=True, exist_ok=True)
+    for stale in files_dir.glob("*.parquet"):
+        stale.unlink()
 
     pool = family_rows()
     for r in pool:
         r.setdefault("detectable", bool(r["lang"]))
     pool += samples_rows()
-    n_target = max(240, int(sf * 1_000_000))
+    n_target = n_rows if n_rows is not None else max(240, int(sf * 1_000_000))
 
     files_schema = pa.schema(
         [
@@ -283,12 +287,21 @@ def build_files_fixture(sf: float, root: Path | None = None, force: bool = False
         ]
     )
 
-    fw = pq.ParquetWriter(files_pq, files_schema)
+    # one part file per ~4 tiles (~10k rows, ~35 MB) so reads parallelize —
+    # the sharded-input layout a real corpus would have
+    tiles_per_part = 4
     ew = pq.ParquetWriter(out / "expected.parquet", exp_schema)
+    fw = None
+    part_no = -1
     idx = 0
     tile = 0
     done = False
     while not done:
+        if fw is None or (tile % tiles_per_part == 0 and tile // tiles_per_part != part_no):
+            if fw is not None:
+                fw.close()
+            part_no = tile // tiles_per_part
+            fw = pq.ParquetWriter(files_dir / f"part-{part_no:05d}.parquet", files_schema)
         fcols = {k: [] for k in ("repo", "path", "commit", "lang", "content")}
         ecols = {k: [] for k in ("path", "family", "lang", "detectable", "expected_keep", "expected_scrubbed")}
         for r in pool:
@@ -314,9 +327,16 @@ def build_files_fixture(sf: float, root: Path | None = None, force: bool = False
             fw.write_table(pa.table(fcols, schema=files_schema))
             ew.write_table(pa.table(ecols, schema=exp_schema))
         tile += 1
-    fw.close()
+    if fw is not None:
+        fw.close()
     ew.close()
+    (out / "_DONE").write_text("ok\n")
     return out
+
+
+def files_path(fixture_dir: Path) -> str:
+    """The files-table input path (directory of part files)."""
+    return str(Path(fixture_dir) / "files")
 
 
 def sf_from_dir(sf_dir: str) -> float:

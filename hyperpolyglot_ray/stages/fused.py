@@ -1,0 +1,36 @@
+"""Fused detect + quality + scrub stage.
+
+One actor pool, one pass over the content column: halves the object-store
+hops for the heavy ``content`` bytes versus two chained stages (SURVEY.md
+§2.2 M11 suggests fusing the quality pass into the detector's output pass).
+Semantically identical to DetectStage -> QualityScrubStage (tested both
+ways); the flagship pipeline uses the fused stage, the composable stages
+remain available for mix-and-match pipelines.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .detector import DetectStage
+from .quality_scrub import QualityScrubStage
+
+
+class QualityFilterStage:
+    def __init__(
+        self,
+        artifact_dir: str | None = None,
+        stats_actor=None,
+        drop_content: bool = False,
+    ):
+        self.detect = DetectStage(artifact_dir)
+        self.scrub = QualityScrubStage(artifact_dir, stats_actor=stats_actor)
+        self.drop_content = drop_content
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = self.scrub(self.detect(batch))
+        if self.drop_content:
+            # scrubbed (+ sha) is the product; shedding the original bytes
+            # here halves this stage's output volume through the object store
+            out = out.drop_columns(["content"])
+        return out

@@ -26,7 +26,22 @@ import pyarrow.compute as pc
 from .. import config
 from ..artifacts import load_char_lm
 from ..core.filters import documentation_pattern, vendor_pattern
-from ..core.quality import line_stats
+from ..core.quality import line_stats  # noqa: F401  (spec reference impl)
+
+
+def _line_shape_stats(content: str) -> tuple[int, float, float]:
+    """(max_line_len, mean_line_len, rep_ratio) — the line-level subset of
+    core.quality.line_stats; char-class counts are done vectorized."""
+    lines = content.split("\n")
+    lens = [len(l) for l in lines]
+    max_len = max(lens) if lens else 0
+    mean_len = (sum(lens) / len(lines)) if lines else 0.0
+    non_blank = [l for l in lines if l.strip()]
+    if len(non_blank) >= config.REP_MIN_LINES:
+        rep_ratio = 1.0 - len(set(non_blank)) / len(non_blank)
+    else:
+        rep_ratio = 0.0
+    return max_len, mean_len, rep_ratio
 
 
 class QualityScrubStage:
@@ -45,12 +60,29 @@ class QualityScrubStage:
         documentation = pc.match_substring_regex(path, self.doc_pat)
 
         # ---- scrub: vectorized RE2 per category over the whole batch ----
+        # replace pass skipped when the whole batch has zero hits for a
+        # category (the common case for keys/phones/toxicity in clean code)
         scrubbed = content
         counts_cols = {}
         for cat, pattern, repl in config.SCRUB_PATTERNS:
             cnt = pc.count_substring_regex(scrubbed, pattern)
             counts_cols[cat] = cnt.cast(pa.int32())
-            scrubbed = pc.replace_substring_regex(scrubbed, pattern, repl)
+            if pc.sum(cnt).as_py():
+                scrubbed = pc.replace_substring_regex(scrubbed, pattern, repl)
+
+        # ---- char-class counts: vectorized RE2 over the whole batch.
+        # Counting runs (delete + length diff) beats counting single-char
+        # matches ~3x because match bookkeeping dominates single-char counts.
+        n_chars = pc.utf8_length(content)
+        n_alnum_arr = pc.subtract(
+            n_chars,
+            pc.utf8_length(pc.replace_substring_regex(content, "[0-9A-Za-z]+", "")),
+        ).to_numpy(zero_copy_only=False)
+        n_ws_arr = pc.subtract(
+            n_chars,
+            pc.utf8_length(pc.replace_substring_regex(content, "[ \t\r\n\x0b\x0c]+", "")),
+        ).to_numpy(zero_copy_only=False)
+        n_chars_arr = n_chars.to_numpy(zero_copy_only=False)
 
         # ---- per-row stats: C-level str ops + numpy LM ------------------
         contents = content.to_pylist()
@@ -76,7 +108,9 @@ class QualityScrubStage:
         ppl_max_bytes = config.PPL_MAX_BYTES
         for i, text in enumerate(contents):
             ppl = lm.perplexity(text[:ppl_max_bytes])
-            max_len, mean_len, alpha_ratio, rep_ratio = line_stats(text)
+            max_len, mean_len, rep_ratio = _line_shape_stats(text)
+            n_non_ws = int(n_chars_arr[i] - n_ws_arr[i])
+            alpha_ratio = (int(n_alnum_arr[i]) / n_non_ws) if n_non_ws else 0.0
             reasons = []
             if vend_list[i]:
                 reasons.append("vendored")

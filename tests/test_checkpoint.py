@@ -15,7 +15,8 @@ def test_resumable_run_and_skip(ray_session, files_fixture_small, tmp_path):
     from hyperpolyglot_ray.state.checkpoint import run_resumable
 
     # split the fixture into 3 partition inputs
-    src = pq.read_table(files_fixture_small / "files.parquet")
+    import pyarrow.dataset as pads
+    src = pads.dataset(files_fixture_small / "files").to_table()
     inputs = []
     n = len(src)
     for i in range(3):

@@ -15,7 +15,7 @@ from hyperpolyglot_ray.core.scrub import sha256_hex
 def result_df(ray_session, files_fixture_small):
     from hyperpolyglot_ray.pipelines.quality_filter import quality_filter_pipeline
 
-    ds = quality_filter_pipeline(str(files_fixture_small / "files.parquet"), concurrency=(1, 2))
+    ds = quality_filter_pipeline(str(files_fixture_small / "files"), concurrency=(1, 2))
     return ds.to_pandas()
 
 
@@ -90,7 +90,7 @@ def test_reports(ray_session, files_fixture_small):
         strategy_counts,
     )
 
-    ds = ray.data.read_parquet(str(files_fixture_small / "files.parquet"))
+    ds = ray.data.read_parquet(str(files_fixture_small / "files"))
     detected = detect_dataset(ds, concurrency=(1, 2))
     split = language_split(detected).to_pandas()
     assert abs(split["percentage"].sum() - 100.0) < 1e-6
