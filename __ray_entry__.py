@@ -373,6 +373,49 @@ def _q_doc_multimodal(sf_dir: str):
     return out.select_columns(["doc_id", "payload_len", "features"])
 
 
+def _q_repo_stats(sf_dir: str):
+    from hyperpolyglot_ray.stages.aggregates import salted_repo_stats
+
+    ds, _ = _files_ds(sf_dir)
+    return salted_repo_stats(ds)
+
+
+def _q_orders_by_nation(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from hyperpolyglot_ray.stages.joins import broadcast_join
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    customer = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+
+    joined = broadcast_join(orders, customer, "o_custkey", "c_custkey", ["c_nationkey"])
+    joined = broadcast_join(joined, nation, "c_nationkey", "n_nationkey", ["n_name"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["n_name"]).aggregate([([], "count_all")])
+        return g.rename_columns(["nation", "cnt"])
+
+    p = joined.map_batches(partial, batch_format="pyarrow")
+    return p.groupby("nation").sum("cnt").rename_columns({"sum(cnt)": "n_orders"})
+
+
+def _q_events_asof(sf_dir: str):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.joins import asof_join
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    views = ev.filter(expr="event_type == 'view'")
+    return asof_join(
+        purchases, views, key_col="user_id", ts_col="ts",
+        left_id="event_id", right_id="event_id", out_col="view_event_id",
+    )
+
+
 # ---- embeddings ----------------------------------------------------------
 
 
@@ -472,6 +515,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivf": _q_emb_knn_ivf,
         "events_window": _q_events_window,
         "events_sessionize": _q_events_sessionize,
+        "repo_stats": _q_repo_stats,
+        "orders_by_nation": _q_orders_by_nation,
+        "events_asof": _q_events_asof,
     }
 
 
@@ -596,6 +642,21 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events,
        sum(CAST(floor(value * 1000) AS BIGINT)) AS sum_value_millis
 FROM events GROUP BY 1, 2""",
+        "repo_stats": (
+            f"SELECT repo, count(*) AS n_files, sum(length(content)) AS total_chars "
+            f"FROM read_parquet('{files}') GROUP BY repo"
+        ),
+        "orders_by_nation": """
+SELECT n.n_name AS nation, count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1""",
+        "events_asof": """
+SELECT p.user_id, p.event_id, v.event_id AS view_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts > v.ts""",
         "events_sessionize": """
 WITH e AS (
   SELECT user_id, ts,

@@ -1,0 +1,19 @@
+"""hyperpolyglot_ray — a Ray-Data-native language-ID + quality-filter engine.
+
+Reimplements monkslc/hyperpolyglot's detection semantics (filename /
+extension / shebang / heuristics / NB-classifier cascade, decision-exact)
+as streaming Ray Data pipelines over zero-copy Arrow batches, extended with
+the north-rule keep/drop + PII-scrub pass, dedup/similarity/text-analysis
+operators and checkpointed resumable runs. See SURVEY.md for the full
+operator inventory and README.md for architecture.
+"""
+
+from .api import (  # noqa: F401
+    classify,
+    detect,
+    detect_content,
+    get_language_breakdown,
+    language_info,
+)
+
+__version__ = "0.1.0"

@@ -1,0 +1,86 @@
+"""CLI parity with the reference binary (``src/bin/main.rs:39-119``).
+
+    python -m hyperpolyglot_ray PATH [-b] [-s] [-c] [-f REGEX ...] [-n]
+
+Prints the Markup+Programming language split by file count (``{:.2}%``
+format, sorted by count desc, main.rs:121-133), plus optional per-file
+(-b) and per-strategy (-s) breakdowns with -c condensed output and -f
+header filters. -n disables color (color output is not implemented; the
+flag is accepted for CLI compatibility).
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+
+from .api import get_language_breakdown, language_info
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="hyperpolyglot_ray", description="programming language detector")
+    ap.add_argument("PATH", nargs="?", default=".")
+    ap.add_argument("-b", "--breakdown", action="store_true", help="per-file breakdown")
+    ap.add_argument("-s", "--strategies", action="store_true", help="per-strategy breakdown")
+    ap.add_argument("-c", "--condensed", action="store_true", help="headers only")
+    ap.add_argument("-f", "--filter", action="append", help="regex filter on headers")
+    ap.add_argument("-n", "--no-color", action="store_true", help="accepted for compatibility")
+    args = ap.parse_args(argv)
+
+    filters = [re.compile(f) for f in args.filter] if args.filter else None
+
+    def matches(header: str) -> bool:
+        return not filters or any(f.search(header) for f in filters)
+
+    breakdown = get_language_breakdown(args.PATH)
+
+    # Markup+Programming only (main.rs:45-52), sorted by count desc
+    counted = [
+        (lang, files)
+        for lang, files in breakdown.items()
+        if _lang_type(lang) in ("Markup", "Programming")
+    ]
+    counted.sort(key=lambda kv: -len(kv[1]))
+    total = sum(len(files) for _, files in counted)
+    for lang, files in counted:
+        pct = len(files) * 100.0 / total if total else 0.0
+        print(f"{pct:.2f}% {lang}")
+
+    if args.breakdown:
+        print()
+        for lang, files in counted:
+            if not matches(lang):
+                continue
+            print(f"{lang} ({len(files)})")
+            if not args.condensed:
+                for _detection, path in files:
+                    print(path)
+                print()
+
+    if args.strategies:
+        print()
+        by_strategy: dict[str, list] = {}
+        for lang, files in counted:
+            for (strategy, language), path in files:
+                by_strategy.setdefault(strategy, []).append((language, path))
+        for strategy, entries in sorted(by_strategy.items(), key=lambda kv: -len(kv[1])):
+            if not matches(strategy):
+                continue
+            print(f"{strategy} ({len(entries)})")
+            if not args.condensed:
+                for language, path in sorted(entries):
+                    print(f"{path} ({language})")
+                print()
+    return 0
+
+
+def _lang_type(lang: str) -> str:
+    try:
+        return language_info(lang)["type"]
+    except KeyError:
+        return ""
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,144 @@
+"""Library API parity with the reference crate (SURVEY.md §2.11).
+
+* :func:`detect`                — ``hyperpolyglot::detect`` (lib.rs:136-195)
+* :func:`detect_content`        — same, content provided directly
+* :func:`classify`              — re-exported classifier (detectors/mod.rs:7)
+* :func:`language_info`         — ``Language::try_from`` (lib.rs:59-64)
+* :func:`get_language_breakdown`— walk a real directory with the doc/vendor
+  overrides and tally detections per language (lib.rs:221-266), executed as
+  a Ray Data pipeline over the file list.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from .core.detect import get_detector
+from .core.filters import is_documentation, is_vendored
+
+
+def detect(path: str | Path) -> tuple[str, str] | None:
+    """Detect the language of a file on disk. Returns (strategy, language)
+    or None. Raises OSError on io errors; non-UTF-8 content raises
+    UnicodeDecodeError (the reference's detect() errors likewise)."""
+    p = Path(path)
+    content = p.read_bytes().decode("utf-8")
+    return get_detector().detect(p.name, content)
+
+
+def detect_content(path: str, content: str) -> tuple[str, str] | None:
+    """Detect from an in-memory (path, content) row."""
+    return get_detector().detect(path, content)
+
+
+def classify(content: str, candidates: list[str] | None = None) -> str:
+    """NB classifier; empty/None candidates scores all 553 languages
+    (classifier.rs:19-22)."""
+    return get_detector().classify(content, list(candidates or []))
+
+
+def language_info(name: str) -> dict:
+    """{type, color, group} for a language name; KeyError if unknown
+    (Language::try_from, lib.rs:59-64)."""
+    return get_detector().language_info[name]
+
+
+def iter_detectable_files(root: str | Path):
+    """Walk ``root`` like the reference's override-filtered walker: skips
+    hidden files/dirs and paths matching the documentation/vendor globs."""
+    root = Path(root)
+    for dirpath, dirnames, filenames in os.walk(root):
+        rel_dir = os.path.relpath(dirpath, root)
+        rel_dir = "" if rel_dir == "." else rel_dir.replace(os.sep, "/")
+        # prune hidden + filtered directories before descending
+        kept_dirs = []
+        for d in dirnames:
+            rel = f"{rel_dir}/{d}" if rel_dir else d
+            if d.startswith("."):
+                continue
+            if is_documentation(rel) or is_vendored(rel):
+                continue
+            kept_dirs.append(d)
+        dirnames[:] = kept_dirs
+        for f in filenames:
+            if f.startswith("."):
+                continue
+            rel = f"{rel_dir}/{f}" if rel_dir else f
+            if is_documentation(rel) or is_vendored(rel):
+                continue
+            yield rel
+
+
+def get_language_breakdown(
+    root: str | Path, use_ray: bool | None = None
+) -> dict[str, list[tuple[tuple[str, str], str]]]:
+    """{language: [((strategy, language), rel_path), ...]} over a directory
+    tree (lib.rs:221-266 semantics: hidden files skipped, doc/vendor
+    overrides applied, io/decode errors silently dropped).
+
+    Uses a Ray Data pipeline when Ray is initialised (or ``use_ray=True``);
+    falls back to in-process execution for small trees.
+    """
+    root = Path(root)
+    rels = list(iter_detectable_files(root))
+
+    if use_ray is None:
+        try:
+            import ray
+
+            use_ray = ray.is_initialized() and len(rels) > 100
+        except ImportError:
+            use_ray = False
+
+    results: list[tuple[str, tuple[str, str] | None]]
+    if use_ray:
+        import pyarrow as pa
+        import ray.data
+
+        from .stages.detector import DetectStage
+
+        root_str = str(root)
+
+        def load(batch: pa.Table) -> pa.Table:
+            paths, contents = [], []
+            for rel in batch.column("path").to_pylist():
+                try:
+                    content = (Path(root_str) / rel).read_bytes().decode("utf-8")
+                except (OSError, UnicodeDecodeError):
+                    continue  # silently dropped (lib.rs:247)
+                paths.append(rel)
+                contents.append(content)
+            return pa.table(
+                {
+                    "path": pa.array(paths, type=pa.string()),
+                    "content": pa.array(contents, type=pa.string()),
+                }
+            )
+
+        ds = ray.data.from_items([{"path": r} for r in rels])
+        ds = ds.map_batches(load, batch_format="pyarrow")
+        ds = ds.map_batches(
+            DetectStage, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+        )
+        rows = ds.select_columns(["path", "detected_lang", "strategy"]).take_all()
+        results = [
+            (r["path"], (r["strategy"], r["detected_lang"]) if r["detected_lang"] else None)
+            for r in rows
+        ]
+    else:
+        det = get_detector()
+        results = []
+        for rel in rels:
+            try:
+                content = (root / rel).read_bytes().decode("utf-8")
+            except (OSError, UnicodeDecodeError):
+                continue
+            results.append((rel, det.detect(rel, content)))
+
+    breakdown: dict[str, list] = {}
+    for rel, detection in results:
+        if detection is None:
+            continue
+        breakdown.setdefault(detection[1], []).append((detection, rel))
+    return breakdown

@@ -1,0 +1,64 @@
+"""Skew-safe aggregation: salted two-phase groupby.
+
+The bench corpus puts 50% of rows in one mega-repo (FIXTURES.md), which
+would make a naive ``groupby(repo)`` ship half the corpus to one reducer.
+``salted_agg`` pre-aggregates inside each block, then reduces by
+``(key, salt)`` (splitting the hot key across ``n_salts`` reducers), then
+collapses the salt with a second tiny groupby — total shuffled volume is
+O(distinct keys x salts), independent of row count.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def salted_repo_stats(
+    ds: ray.data.Dataset, n_salts: int = 16
+) -> ray.data.Dataset:
+    """Per repo: n_files + total content chars. Output:
+    (repo, n_files, total_chars)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        chars = pc.utf8_length(batch.column("content")).cast(pa.int64())
+        # deterministic salt from the path hash splits the hot repo
+        salts = pa.array(
+            [hash_salt(p, n_salts) for p in batch.column("path").to_pylist()],
+            type=pa.int32(),
+        )
+        t = pa.table(
+            {
+                "repo": batch.column("repo"),
+                "salt": salts,
+                "n_files": pa.array([1] * len(batch), type=pa.int64()),
+                "total_chars": chars,
+            }
+        )
+        g = t.group_by(["repo", "salt"]).aggregate(
+            [("n_files", "sum"), ("total_chars", "sum")]
+        )
+        return g.rename_columns(["repo", "salt", "n_files", "total_chars"])
+
+    phase1 = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["repo", "salt"])
+        .sum(["n_files", "total_chars"])
+    )
+    phase2 = (
+        phase1.rename_columns(
+            {"sum(n_files)": "n_files", "sum(total_chars)": "total_chars"}
+        )
+        .groupby("repo")
+        .sum(["n_files", "total_chars"])
+        .rename_columns({"sum(n_files)": "n_files", "sum(total_chars)": "total_chars"})
+    )
+    return phase2
+
+
+def hash_salt(path: str, n_salts: int) -> int:
+    """Deterministic salt (no Python hash(): PYTHONHASHSEED-dependent)."""
+    import zlib
+
+    return zlib.crc32(path.encode("utf-8")) % n_salts

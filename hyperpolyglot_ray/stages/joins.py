@@ -1,0 +1,112 @@
+"""Join operators: broadcast hash join and as-of join.
+
+The reference has no relational joins (every lookup is a static-map probe,
+SURVEY.md §2.4); these are the engine-level primitives that pattern:
+
+* ``broadcast_join`` — small side shipped once via ``ray.put`` and probed
+  as a dict inside ``map_batches``; the big side never shuffles. The only
+  correct choice when one side fits in memory (dimension tables).
+* ``asof_join`` — per-key most-recent-prior match (Ray Data has no asof
+  primitive): ``groupby(key).map_groups`` with an in-group sort +
+  ``searchsorted``; partitioning assumption: one key's rows fit in one
+  group (salt or window the key first if a key is pathologically hot).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+def broadcast_join(
+    ds: ray.data.Dataset,
+    small: pa.Table,
+    left_on: str,
+    right_on: str,
+    take_cols: list[str],
+) -> ray.data.Dataset:
+    """Left join ``ds`` with in-memory ``small``; appends ``take_cols``."""
+    lookup = {}
+    keys = small.column(right_on).to_pylist()
+    cols = {c: small.column(c).to_pylist() for c in take_cols}
+    for i, k in enumerate(keys):
+        lookup[k] = tuple(cols[c][i] for c in take_cols)
+    lookup_ref = ray.put(lookup)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        probe = batch.column(left_on).to_pylist()
+        out_cols = {c: [] for c in take_cols}
+        for k in probe:
+            hit = lk.get(k)
+            for j, c in enumerate(take_cols):
+                out_cols[c].append(hit[j] if hit is not None else None)
+        for c in take_cols:
+            batch = batch.append_column(c, pa.array(out_cols[c]))
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    left_id: str,
+    right_id: str,
+    out_col: str = "matched_id",
+) -> ray.data.Dataset:
+    """For each left row: the right row with the greatest ts strictly
+    before the left ts, per key. Output: key, {left_id}, {out_col}
+    (nullable). Both sides are unioned with a side tag so ONE groupby
+    shuffle co-locates each key."""
+    l_tag = left.map_batches(
+        lambda b: pa.table(
+            {
+                key_col: b.column(key_col),
+                "ts": b.column(ts_col).cast(pa.int64()),
+                "row_id": b.column(left_id).cast(pa.int64()),
+                "side": pa.array(["L"] * len(b)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    r_tag = right.map_batches(
+        lambda b: pa.table(
+            {
+                key_col: b.column(key_col),
+                "ts": b.column(ts_col).cast(pa.int64()),
+                "row_id": b.column(right_id).cast(pa.int64()),
+                "side": pa.array(["R"] * len(b)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    both = l_tag.union(r_tag)
+
+    def per_key(group: pa.Table) -> pa.Table:
+        sides = np.asarray(group.column("side").to_pylist())
+        ts = group.column("ts").to_numpy(zero_copy_only=False)
+        ids = group.column("row_id").to_numpy(zero_copy_only=False)
+        key = group.column(key_col)[0].as_py()
+        lmask = sides == "L"
+        rmask = ~lmask
+        lts, lids = ts[lmask], ids[lmask]
+        rts, rids = ts[rmask], ids[rmask]
+        order = np.argsort(rts, kind="stable")
+        rts, rids = rts[order], rids[order]
+        pos = np.searchsorted(rts, lts, side="left") - 1
+        matched = [int(rids[p]) if p >= 0 else None for p in pos]
+        return pa.table(
+            {
+                key_col: pa.array([key] * len(lids)),
+                left_id: pa.array(lids, type=pa.int64()),
+                out_col: pa.array(matched, type=pa.int64()),
+            }
+        )
+
+    return both.groupby(key_col).map_groups(per_key, batch_format="pyarrow")

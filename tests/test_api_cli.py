@@ -1,0 +1,78 @@
+"""Library API + CLI parity tests (SURVEY.md §2.11) and the driver-contract
+smoke path (entry/queries/oracle_sql shapes)."""
+
+import io
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+import pytest
+
+import hyperpolyglot_ray as hp
+
+
+def test_detect_file(tmp_path):
+    p = tmp_path / "pizza.purs"
+    p.write_text("module Pizza where\n")
+    assert hp.detect(p) == ("Extension", "PureScript")
+
+
+def test_detect_content():
+    assert hp.detect_content("a/b/APKBUILD", "") == ("Filename", "Alpine Abuild")
+
+
+def test_classify_exported():
+    content = Path("/root/reference/samples/Rust/main.rs").read_text()
+    assert hp.classify(content, ["C", "Rust"]) == "Rust"
+    assert hp.classify(content) == "Rust"  # empty candidates -> all languages
+
+
+def test_language_info():
+    info = hp.language_info("Rust")
+    assert info == {"type": "Programming", "color": "#dea584", "group": None}
+    with pytest.raises(KeyError):
+        hp.language_info("NotALanguage")
+
+
+def test_breakdown_skips_overrides(tmp_path):
+    (tmp_path / "node_modules").mkdir()
+    (tmp_path / "node_modules" / "hello.go").write_text("package main\n")
+    (tmp_path / "docs").mkdir()
+    (tmp_path / "docs" / "guide.md").write_text("# hi\n")
+    (tmp_path / "README.md").write_text("# readme\n")
+    (tmp_path / ".hidden.py").write_text("x=1\n")
+    (tmp_path / "main.py").write_text("print('hi')\n")
+    bd = hp.get_language_breakdown(tmp_path, use_ray=False)
+    assert set(bd) == {"Python"}
+    assert bd["Python"] == [(("Extension", "Python"), "main.py")]
+
+
+def test_cli_split_and_strategies(tmp_path):
+    (tmp_path / "a.py").write_text("print(1)\n")
+    (tmp_path / "b.py").write_text("print(2)\n")
+    (tmp_path / "c.go").write_text("package main\n")
+    from hyperpolyglot_ray.__main__ import main
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([str(tmp_path), "-s", "-c", "-n"])
+    assert rc == 0
+    out = buf.getvalue()
+    assert "66.67% Python" in out
+    assert "33.33% Go" in out
+    assert "Extension (3)" in out
+
+
+def test_driver_contract_shapes(ray_session):
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    res = e.entry()
+    df = res.to_pandas()
+    assert len(df) >= 1
+    assert list(df.columns) == [
+        "repo", "path", "commit", "detected_lang", "strategy", "keep", "content_sha",
+    ]
