@@ -39,7 +39,8 @@ def test_tokenizer_consumes_non_whitespace(content):
     (totality: the scanner never silently drops visible input)."""
     tokens = list(tokenize(content))
     consumed = sum(sum(len(p) for p in tok[1:]) for tok in tokens)
-    non_ws = len(content) - sum(content.count(c) for c in " \t\r\n\x0b\x0c")
+    # unicode-aware: the scanner eats char.isspace() (Rust is_whitespace)
+    non_ws = sum(1 for c in content if not c.isspace())
     # token texts exclude eaten whitespace but may include whitespace inside
     # strings/comments, so consumed >= non_ws is NOT guaranteed exactly;
     # sanity: empty input -> no tokens, non-empty non-ws input -> tokens
