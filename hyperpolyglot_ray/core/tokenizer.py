@@ -22,6 +22,52 @@ from __future__ import annotations
 
 from collections import deque
 
+import regex as _regex
+
+# Rust char-class parity (verified against the corrected Rust oracle over
+# the full samples corpus):
+# * is_whitespace  = Unicode White_Space (Python isspace() wrongly includes
+#   the \x1c-\x1f separators)
+# * is_alphabetic  = Unicode Alphabetic (includes Other_Alphabetic combining
+#   marks that Python isalpha() excludes)
+# * is_alphanumeric = Alphabetic | Nd | Nl | No
+# ASCII fast paths; non-ASCII memoized via `regex` property classes.
+_WS_RE = _regex.compile(r"\p{White_Space}")
+_ALPHA_RE = _regex.compile(r"\p{Alphabetic}")
+_ALNUM_RE = _regex.compile(r"[\p{Alphabetic}\p{Nd}\p{Nl}\p{No}]")
+
+_ws_memo: dict = {}
+_alpha_memo: dict = {}
+_alnum_memo: dict = {}
+
+
+def _is_ws(ch: str) -> bool:
+    o = ord(ch)
+    if o < 128:
+        return o in (0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C)
+    v = _ws_memo.get(ch)
+    if v is None:
+        v = _ws_memo[ch] = _WS_RE.match(ch) is not None
+    return v
+
+
+def _is_alpha(ch: str) -> bool:
+    if ch.isascii():
+        return ch.isalpha()
+    v = _alpha_memo.get(ch)
+    if v is None:
+        v = _alpha_memo[ch] = _ALPHA_RE.match(ch) is not None
+    return v
+
+
+def _is_alnum(ch: str) -> bool:
+    if ch.isascii():
+        return ch.isalnum()
+    v = _alnum_memo.get(ch)
+    if v is None:
+        v = _alnum_memo[ch] = _ALNUM_RE.match(ch) is not None
+    return v
+
 # Token kind constants (kept short: these appear in hot loops)
 IDENT = "ident"
 NUMBER = "number"
@@ -84,14 +130,14 @@ class _Tokens:
         backlog = self.backlog
         while backlog:
             idx, ch = backlog[0]
-            if not ch.isspace():
+            if not _is_ws(ch):
                 return idx
             backlog.popleft()
         # fast path: scan content directly (no per-char tuples/calls)
         content = self.content
         n = self.n
         pos = self.pos
-        while pos < n and content[pos].isspace():
+        while pos < n and _is_ws(content[pos]):
             pos += 1
         self.pos = pos
         return pos if pos < n else self.n
@@ -104,7 +150,7 @@ class _Tokens:
             ch = p[1]
             if ch == "\n" or ch == "\r":
                 return p[0]
-            if ch.isspace():
+            if _is_ws(ch):
                 self.advance()
             else:
                 return p[0]
@@ -193,8 +239,8 @@ class _Tokens:
         if ch is None:
             raise StopIteration
 
-        if ch.isalpha() or ch == "_":
-            return (IDENT, self.take_if_slice(lambda c: c.isalnum() or c == "_"))
+        if _is_alpha(ch) or ch == "_":
+            return (IDENT, self.take_if_slice(lambda c: _is_alnum(c) or c == "_"))
 
         if ch == "0":
             p = self.peek()

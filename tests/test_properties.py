@@ -26,10 +26,12 @@ def test_tokenizer_total(content):
         }
         for part in tok[1:]:
             assert isinstance(part, str)
-    # key tokens contain no whitespace
+    # key tokens are non-empty and contain no (Rust-definition) whitespace
+    from hyperpolyglot_ray.core.tokenizer import _is_ws
+
     for t in get_key_tokens(content):
-        assert t == t.strip()
         assert t != ""
+        assert not any(_is_ws(c) for c in t)
 
 
 @settings(max_examples=200, deadline=None)

@@ -1,0 +1,35 @@
+"""Golden token-stream conformance vs the corrected Rust oracle.
+
+``tests/data/tokens_golden.jsonl`` was emitted by the reference tokenizer
+compiled with the SURVEY.md Appendix B correction (circular-queue shim +
+reversed take_block comparison; all 20+4 of its own tests pass). The full
+2315-file samples corpus was verified 100% token-stream-identical at
+generation time; this file freezes a 57-case subset (diverse languages +
+quirky backlog/partial-marker snippets) so conformance is enforced without
+a Rust toolchain.
+
+Line format: ``kind\thex(part1)[\thex(part2)...]``.
+"""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from hyperpolyglot_ray.core.tokenizer import tokenize
+
+GOLDEN = Path(__file__).parent / "data" / "tokens_golden.jsonl"
+
+
+def _cases():
+    with open(GOLDEN, encoding="utf-8") as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+@pytest.mark.parametrize("rec", _cases(), ids=lambda r: r["case"])
+def test_golden_stream(rec):
+    got = [
+        "\t".join([tok[0]] + [part.encode("utf-8").hex() for part in tok[1:]])
+        for tok in tokenize(rec["content"])
+    ]
+    assert got == rec["golden"]
