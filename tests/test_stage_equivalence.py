@@ -1,0 +1,82 @@
+"""Stage/core equivalence: the Ray batch stages must produce exactly the
+per-row core results, and the fused stage exactly the chained stages."""
+
+import pyarrow.dataset as pads
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sample_table(files_fixture_small):
+    t = pads.dataset(files_fixture_small / "files").to_table()
+    return t.slice(0, 400)
+
+
+def test_detect_stage_matches_core(sample_table):
+    from hyperpolyglot_ray.core.detect import get_detector
+    from hyperpolyglot_ray.stages.detector import DetectStage
+
+    det = get_detector()
+    out = DetectStage()(sample_table)
+    paths = out.column("path").to_pylist()
+    contents = out.column("content").to_pylist()
+    langs = out.column("detected_lang").to_pylist()
+    strategies = out.column("strategy").to_pylist()
+    for p, c, lang, strat in zip(paths, contents, langs, strategies):
+        expected = det.detect(p, c)
+        if expected is None:
+            assert lang == "" and strat == ""
+        else:
+            assert (strat, lang) == expected, p
+
+
+def test_fused_matches_chained(sample_table):
+    from hyperpolyglot_ray.stages.detector import DetectStage
+    from hyperpolyglot_ray.stages.fused import QualityFilterStage
+    from hyperpolyglot_ray.stages.quality_scrub import QualityScrubStage
+
+    chained = QualityScrubStage()(DetectStage()(sample_table))
+    fused = QualityFilterStage()(sample_table)
+    assert chained.schema.names == fused.schema.names
+    assert chained.equals(fused)
+
+
+def test_scrub_stage_matches_core(sample_table):
+    from hyperpolyglot_ray.core.scrub import scrub_text, sha256_hex
+    from hyperpolyglot_ray.stages.detector import DetectStage
+    from hyperpolyglot_ray.stages.quality_scrub import QualityScrubStage
+
+    out = QualityScrubStage()(DetectStage()(sample_table))
+    contents = out.column("content").to_pylist()
+    scrubbed = out.column("scrubbed").to_pylist()
+    shas = out.column("content_sha").to_pylist()
+    counts = out.column("scrub_counts").to_pylist()
+    for content, s, sha, cnt in zip(contents, scrubbed, shas, counts):
+        exp_s, exp_counts = scrub_text(content)
+        assert s == exp_s
+        assert cnt == exp_counts
+        assert sha == sha256_hex(exp_s)
+
+
+def test_quality_stage_matches_core(sample_table):
+    from hyperpolyglot_ray import config
+    from hyperpolyglot_ray.artifacts import load_char_lm
+    from hyperpolyglot_ray.core.filters import is_documentation, is_vendored
+    from hyperpolyglot_ray.core.quality import quality_row
+    from hyperpolyglot_ray.stages.detector import DetectStage
+    from hyperpolyglot_ray.stages.quality_scrub import QualityScrubStage
+
+    lm = load_char_lm()
+    out = QualityScrubStage()(DetectStage()(sample_table))
+    rows = out.select(
+        ["path", "content", "detected_lang", "keep", "drop_reasons", "quality"]
+    ).to_pylist()
+    for r in rows:
+        ppl = lm.perplexity(r["content"][: config.PPL_MAX_BYTES])
+        keep, reasons, metrics = quality_row(
+            r["content"], ppl, is_vendored(r["path"]), is_documentation(r["path"]),
+            r["detected_lang"],
+        )
+        assert r["keep"] == keep, r["path"]
+        assert r["drop_reasons"] == reasons, r["path"]
+        assert r["quality"]["max_line_len"] == metrics["max_line_len"]
+        assert abs(r["quality"]["alpha_ratio"] - metrics["alpha_ratio"]) < 1e-12
