@@ -36,6 +36,19 @@ _WS_RE = _regex.compile(r"\p{White_Space}")
 _ALPHA_RE = _regex.compile(r"\p{Alphabetic}")
 _ALNUM_RE = _regex.compile(r"[\p{Alphabetic}\p{Nd}\p{Nl}\p{No}]")
 
+# run-scanners: consume whole character runs at C speed when the backlog is
+# empty (semantically identical to the per-char predicates above)
+_WS_RUN = _regex.compile(r"\p{White_Space}*")
+_IDENT_RUN = _regex.compile(r"[\p{Alphabetic}\p{Nd}\p{Nl}\p{No}_]*")
+_NONNL_RUN = _regex.compile(r"[^\r\n]*")
+# single-line string body: backslash escapes any non-newline char; a lone
+# backslash right before newline/EOF is still consumed (escape-state parity
+# with the per-char closure in tokenizer.rs:336-341)
+_STRING_BODY_RUNS = {
+    q: _regex.compile(r"(?:\\[^\n]|[^" + _regex.escape(q) + r"\\\n])*(?:\\(?=\n|\Z))?")
+    for q in ('"', "'", "`")
+}
+
 _ws_memo: dict = {}
 _alpha_memo: dict = {}
 _alnum_memo: dict = {}
@@ -133,14 +146,10 @@ class _Tokens:
             if not _is_ws(ch):
                 return idx
             backlog.popleft()
-        # fast path: scan content directly (no per-char tuples/calls)
-        content = self.content
-        n = self.n
-        pos = self.pos
-        while pos < n and _is_ws(content[pos]):
-            pos += 1
+        # fast path: one C-speed run match
+        pos = _WS_RUN.match(self.content, self.pos).end()
         self.pos = pos
-        return pos if pos < n else self.n
+        return pos
 
     def eat_non_newline_whitespace(self):
         while True:
@@ -175,6 +184,16 @@ class _Tokens:
         end = self.take_if(cond)
         return self.content[self.tok_start : end]
 
+    def take_run_slice(self, run_re, cond):
+        """Consume a character run: C-speed regex when the backlog is empty,
+        else the per-char path (``run_re`` and ``cond`` MUST agree)."""
+        if self.backlog:
+            end = self.take_if(cond)
+        else:
+            end = run_re.match(self.content, self.pos).end()
+            self.pos = end
+        return self.content[self.tok_start : end]
+
     # -- block constructs ------------------------------------------------
     def block_comment(self, start_seq: str, end_seq: str):
         symbol = [start_seq[0]]
@@ -206,6 +225,24 @@ class _Tokens:
         """
         end_list = list(end_seq)
         k = len(end_list)
+        if not self.backlog:
+            # fast path: C-speed substring search is equivalent to consuming
+            # until the trailing window equals end_seq
+            idx = self.content.find(end_seq, self.pos)
+            if idx != -1:
+                end = idx + k
+                self.pos = end
+                return (None, self.content[content_idx:idx], self.content[idx:end])
+            self.pos = self.n
+            end = self.n
+            backlog_start = self.tok_start + 1
+            pairs = [
+                (backlog_start + i, c)
+                for i, c in enumerate(self.content[backlog_start:end])
+            ]
+            self.push_backlog(pairs)
+            return ("err", (SYMBOL, self.content[self.tok_start : backlog_start]))
+
         prev = deque(maxlen=k)
 
         def take(ch, _prev=prev, _end=end_list):
@@ -226,7 +263,11 @@ class _Tokens:
     def line_comment(self, marker_char: str):
         symbol = self.take_if_slice(lambda ch: ch == marker_char)
         comment_start = self.eat_non_newline_whitespace()
-        comment_end = self.take_if(lambda ch: ch != "\r" and ch != "\n")
+        if self.backlog:
+            comment_end = self.take_if(lambda ch: ch != "\r" and ch != "\n")
+        else:
+            comment_end = _NONNL_RUN.match(self.content, self.pos).end()
+            self.pos = comment_end
         return (LINE_COMMENT, symbol, self.content[comment_start:comment_end])
 
     # -- main loop -------------------------------------------------------
@@ -240,7 +281,10 @@ class _Tokens:
             raise StopIteration
 
         if _is_alpha(ch) or ch == "_":
-            return (IDENT, self.take_if_slice(lambda c: _is_alnum(c) or c == "_"))
+            return (
+                IDENT,
+                self.take_run_slice(_IDENT_RUN, lambda c: _is_alnum(c) or c == "_"),
+            )
 
         if ch == "0":
             p = self.peek()
@@ -307,14 +351,18 @@ class _Tokens:
         n_quotes = len(symbol)
         ts = self.tok_start
         if n_quotes == 1:
-            state = {"escaped": False}
+            if not self.backlog:
+                string_end = _STRING_BODY_RUNS[quote].match(self.content, self.pos).end()
+                self.pos = string_end
+            else:
+                state = {"escaped": False}
 
-            def string_closure(c, _s=state, _q=quote):
-                should_take = not ((c == _q and not _s["escaped"]) or c == "\n")
-                _s["escaped"] = c == "\\" and not _s["escaped"]
-                return should_take
+                def string_closure(c, _s=state, _q=quote):
+                    should_take = not ((c == _q and not _s["escaped"]) or c == "\n")
+                    _s["escaped"] = c == "\\" and not _s["escaped"]
+                    return should_take
 
-            string_end = self.take_if(string_closure)
+                string_end = self.take_if(string_closure)
             body = self.content[ts + 1 : string_end]
             p = self.peek()
             if p is not None and p[1] == quote:
