@@ -106,6 +106,28 @@ class CharLM:
         self.total = float(total)
         self._uni = np.maximum(self.uni_counts, 1.0)
 
+        # fused LOG tables so the batch path is a single gather per level.
+        # Values replicate `perplexity`'s float64 arithmetic exactly (same
+        # casts, same np.maximum guards), so batch == scalar bit for bit.
+        b1_all = np.arange(1 << 16, dtype=np.uint32) >> 8
+        b2_all = np.arange(1 << 16, dtype=np.uint32) & 0xFF
+        c2_all = self.bi_dense.astype(np.float64)
+        p_uni_all = np.maximum(self.uni_counts[b2_all], 0.5) / self.total
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p_bi_all = np.where(
+                c2_all > 0, c2_all / self._uni[b1_all], self.ALPHA * p_uni_all
+            )
+            # log of the tri->bi backoff value ALPHA * p_bi, per (b1,b2)
+            self._fb_log = np.log(self.ALPHA * p_bi_all)
+            # log(c3 / max(c2ctx, 1)) where both counts exist, else NaN
+            self._tri_log = np.full(1 << 24, np.nan, dtype=np.float64)
+            parent = self.bi_dense[tri_keys >> 8].astype(np.float64)
+            ok = (parent > 0) & (tri_counts > 0)
+            self._tri_log[tri_keys[ok]] = np.log(
+                tri_counts[ok].astype(np.float32).astype(np.float64)
+                / np.maximum(parent[ok], 1.0)
+            )
+
     def perplexity(self, text: str) -> float:
         b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint32)
         n = len(b)
@@ -128,6 +150,38 @@ class CharLM:
         with np.errstate(divide="ignore", invalid="ignore"):
             p_tri = np.where((c3 > 0) & (c2ctx > 0), c3 / np.maximum(c2ctx, 1.0), self.ALPHA * p_bi)
         return float(np.exp(-np.mean(np.log(p_tri))))
+
+    def perplexity_batch(self, texts: list[str]) -> np.ndarray:
+        """Per-row perplexities, bit-identical to ``perplexity`` row by row.
+
+        All rows' byte prefixes are concatenated so the gather/backoff math
+        runs once per batch; the per-row result is the mean over exactly the
+        same log values a per-row call would produce (trigrams never cross
+        row boundaries), so equality with the scalar path is exact — pinned
+        by tests.
+        """
+        enc = [t.encode("utf-8") for t in texts]
+        lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=len(enc))
+        out = np.ones(len(enc), dtype=np.float64)
+        keep = lens >= 3
+        if not keep.any():
+            return out
+        data = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint32)
+        if len(data) < 3:
+            return out
+        # trigram keys over the whole concatenated buffer via slices (no
+        # gathers); positions whose window crosses a row boundary are simply
+        # never covered by any row's [start, start+len-2) slice below
+        tri_q = (data[:-2] << 16) | (data[1:-1] << 8) | data[2:]
+        logs = self._tri_log[tri_q]
+        nan = np.isnan(logs)
+        if nan.any():
+            logs = np.where(nan, self._fb_log[tri_q & 0xFFFF], logs)
+        starts = np.concatenate([[0], np.cumsum(lens)])
+        for r in np.flatnonzero(keep):
+            s = starts[r]
+            out[r] = float(np.exp(-np.mean(logs[s : s + lens[r] - 2])))
+        return out
 
 
 @lru_cache(maxsize=None)

@@ -185,13 +185,13 @@ class Detector:
 
     # -- tier 5: classifier (classifier.rs:18-49) ------------------------
     def classify(self, content: str, candidates: list[str]) -> str:
-        from .tokenizer import get_key_tokens
+        from .tokenizer import fast_key_tokens
 
         if not candidates:
             candidates = self.languages
         tokens = [
             t
-            for t in get_key_tokens(content)
+            for t in fast_key_tokens(content)
             if len(t) <= 32 and len(t.encode("utf-8")) <= 32
         ]
         ids = self.nb.token_ids_for(tokens)

@@ -415,3 +415,109 @@ def get_key_tokens(content: str):
         kind = tok[0]
         if kind == IDENT or kind == SYMBOL:
             yield tok[1]
+
+
+# ---------------------------------------------------------------------------
+# fast key-token scanner
+#
+# One master-regex alternation drives the whole scan from C (one finditer
+# match per token instead of ~8 Python calls), exploiting that the classifier
+# consumes only Ident/Symbol *texts* — comment/string/number tokens only need
+# their extents. Alternation order mirrors the dispatch order of
+# ``_Tokens.__next__``; unterminated constructs fall through to the
+# single-char symbol catch-all, which reproduces the reference's
+# emit-first-char-then-rescan backlog semantics exactly (the pushed-back
+# pairs are contiguous ``(index, char)`` runs, so a positional restart at
+# ``tok_start+1`` is equivalent). The one non-positional quirk — the
+# off-by-one indices pushed for a partial ``<!--`` opener
+# (tokenizer.rs:192-195) — is reproduced by the ``lt*`` branches below.
+# Rows containing non-ASCII numerals (the only chars whose treatment here
+# could diverge from ``str.isnumeric``) bail to the exact scanner from the
+# current token start. Key-token-stream equality with ``get_key_tokens`` is
+# pinned over the full reference samples corpus + hypothesis fuzzing.
+# ---------------------------------------------------------------------------
+
+_FAST_MASTER = _regex.compile(
+    r"""
+      (?P<ws>\p{White_Space}+)
+    | (?P<id>[\p{Alphabetic}_][\p{Alphabetic}\p{Nd}\p{Nl}\p{No}_]*)
+    | (?P<num>0b[01_]*+|0o[0-7_]*+|0x[0-9a-fA-F_]*+
+              |[+-]?+[0-9][0-9_]*+(?:\.[0-9_]*+)?+)
+    | (?P<lc>(?://++|--++|\#++|%++)[^\r\n]*+)
+    | (?P<bc>/\*(?s:.*?)\*/|\{-(?s:.*?)-\}|\(\*(?s:.*?)\*\)|<!--(?s:.*?)-->)
+    | (?P<lt1><!(?=--))          # "<!--" opener whose "-->" never closes
+    | (?P<lt2><!-)               # partial opener "<!-"
+    | (?P<lt3><!)                # partial opener "<!"
+    | (?P<mq>(?P<q>["'`])(?P=q){2,}+)(?s:.*?)(?P=mq)   # multiline string
+    | (?P<uq>["'`])(?=(?P=uq)(?P=uq))   # quote run >=3 with no closer above
+    | (?P<dq>["'`])(?P=dq)              # exactly two quotes: empty string
+    | (?P<sq>["'`])(?:\\[^\n]|(?!(?P=sq))[^\\\n])*+(?P=sq)  # single-line
+    | (?P<un>(?![0-9])[\p{Nd}\p{Nl}\p{No}])  # non-ASCII numeral: bail
+    | (?P<sym>(?s:.))
+    """,
+    _regex.VERBOSE,
+)
+
+
+def fast_key_tokens(content: str) -> list[str]:
+    """Key-token texts of ``content`` — identical stream to
+    ``list(get_key_tokens(content))``, ~5x faster."""
+    out: list[str] = []
+    append = out.append
+    n = len(content)
+    for m in _FAST_MASTER.finditer(content):
+        g = m.lastgroup
+        if g == "ws" or g == "num" or g == "lc" or g == "bc" or g == "dq" or g == "sq":
+            if g == "num":
+                e = m.end()
+                # closure parity: str.isnumeric continues a decimal run past
+                # non-ASCII numerals — rare; re-scan exactly from this token
+                if e < n and not content[e].isascii() and content[e].isnumeric():
+                    ch = content[m.start()]
+                    if not (ch == "0" and m.group()[:2] in ("0b", "0o", "0x")):
+                        out.extend(_slow_key_tail(content, m.start()))
+                        return out
+            continue
+        if g == "id":
+            append(m.group())
+        elif g == "sym":
+            ch = m.group()
+            if (ch == "+" or ch == "-") and m.end() < n:
+                nxt = content[m.end()]
+                if not nxt.isascii() and nxt.isnumeric():
+                    out.extend(_slow_key_tail(content, m.start()))
+                    return out
+            append(ch)
+        elif g == "uq":
+            append(m.group())
+        elif g == "lt1":
+            append("<")
+            append("!")
+        elif g == "lt2":
+            # partial "<!-": reference pushes backlog pairs with indices
+            # shifted one left, so the '!' re-scans as Symbol "<" and the
+            # '-' peeks the char after the opener fragment
+            e = m.end()
+            nxt = content[e] if e < n else ""
+            if nxt and not nxt.isascii() and nxt.isnumeric():
+                out.extend(_slow_key_tail(content, m.start()))
+                return out
+            append("<")
+            append("<")
+            if not ("0" <= nxt <= "9"):
+                append("!")
+            # else: the '-' absorbs into a Number token (skipped); the
+            # following num alternation consumes the digit run naturally
+        elif g == "lt3":
+            append("<")
+            append("<")
+        elif g == "un":
+            out.extend(_slow_key_tail(content, m.start()))
+            return out
+        # mq: multiline string — skip
+    return out
+
+
+def _slow_key_tail(content: str, start: int):
+    """Exact-scanner fallback for the (rare) suffix from ``start``."""
+    return get_key_tokens(content[start:])

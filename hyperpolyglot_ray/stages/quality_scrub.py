@@ -29,6 +29,15 @@ from ..core.filters import documentation_pattern, vendor_pattern
 from ..core.quality import line_stats  # noqa: F401  (spec reference impl)
 
 
+# char-class byte tables for ``bytes.translate(None, delete=...)`` — a
+# single-pass C scan (~20x faster than regex-replace + length diff, same
+# counts). Both classes are pure ASCII, so byte counts == char counts; a
+# non-ws *char* count falls out of deleting ws + UTF-8 continuation bytes
+# (0b10xxxxxx) in one pass, since every char has exactly one lead byte.
+_ALNUM_BYTES = bytes(b"0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz")
+_WS_AND_CONT_BYTES = bytes(b" \t\r\n\x0b\x0c") + bytes(range(0x80, 0xC0))
+
+
 def _line_shape_stats(content: str) -> tuple[int, float, float]:
     """(max_line_len, mean_line_len, rep_ratio) — the line-level subset of
     core.quality.line_stats; char-class counts are done vectorized."""
@@ -49,6 +58,13 @@ class QualityScrubStage:
         self.lm = load_char_lm(artifact_dir)
         self.vendor_pat = vendor_pattern()
         self.doc_pat = documentation_pattern()
+        # one alternation over all scrub categories: rows it does not match
+        # can match no category (sentinel insertions never create
+        # cross-category matches), so the 6 per-category count/replace
+        # passes only run over the matching row subset
+        self.combined_scrub_pat = "|".join(
+            f"(?:{p})" for _, p, _ in config.SCRUB_PATTERNS
+        )
         self.stats_actor = stats_actor  # lineage counter sink (fire-and-forget)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -59,34 +75,41 @@ class QualityScrubStage:
         vendored = pc.match_substring_regex(path, self.vendor_pat)
         documentation = pc.match_substring_regex(path, self.doc_pat)
 
-        # ---- scrub: vectorized RE2 per category over the whole batch ----
-        # replace pass skipped when the whole batch has zero hits for a
-        # category (the common case for keys/phones/toxicity in clean code)
-        scrubbed = content
-        counts_cols = {}
-        for cat, pattern, repl in config.SCRUB_PATTERNS:
-            cnt = pc.count_substring_regex(scrubbed, pattern)
-            counts_cols[cat] = cnt.cast(pa.int32())
-            if pc.sum(cnt).as_py():
-                scrubbed = pc.replace_substring_regex(scrubbed, pattern, repl)
+        # ---- scrub: combined-alternation prefilter, then per-category
+        # count/replace over the matching row subset only (sequential
+        # category order preserved — counts see earlier replacements)
+        import numpy as np
 
-        # ---- char-class counts: vectorized RE2 over the whole batch.
-        # Counting runs (delete + length diff) beats counting single-char
-        # matches ~3x because match bookkeeping dominates single-char counts.
-        n_chars = pc.utf8_length(content)
-        n_alnum_arr = pc.subtract(
-            n_chars,
-            pc.utf8_length(pc.replace_substring_regex(content, "[0-9A-Za-z]+", "")),
-        ).to_numpy(zero_copy_only=False)
-        n_ws_arr = pc.subtract(
-            n_chars,
-            pc.utf8_length(pc.replace_substring_regex(content, "[ \t\r\n\x0b\x0c]+", "")),
-        ).to_numpy(zero_copy_only=False)
-        n_chars_arr = n_chars.to_numpy(zero_copy_only=False)
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        contents = content.to_pylist()
+        hit_mask = pc.match_substring_regex(content, self.combined_scrub_pat)
+        hit_idx = np.flatnonzero(hit_mask.to_numpy(zero_copy_only=False))
+        counts_cols = {}
+        if len(hit_idx) == 0:
+            scrubbed = content
+            scrubbed_list = contents
+            zero = pa.array(np.zeros(n, dtype=np.int32))
+            for cat in config.SCRUB_CATEGORIES:
+                counts_cols[cat] = zero
+        else:
+            sub = content.take(pa.array(hit_idx))
+            cnt_full = {
+                cat: np.zeros(n, dtype=np.int32) for cat in config.SCRUB_CATEGORIES
+            }
+            for cat, pattern, repl in config.SCRUB_PATTERNS:
+                cnt = pc.count_substring_regex(sub, pattern)
+                cnt_full[cat][hit_idx] = cnt.to_numpy(zero_copy_only=False)
+                if pc.sum(cnt).as_py():
+                    sub = pc.replace_substring_regex(sub, pattern, repl)
+            for cat in config.SCRUB_CATEGORIES:
+                counts_cols[cat] = pa.array(cnt_full[cat])
+            scrubbed_list = list(contents)
+            for j, text in zip(hit_idx, sub.to_pylist()):
+                scrubbed_list[j] = text
+            scrubbed = pa.array(scrubbed_list, type=content.type)
 
         # ---- per-row stats: C-level str ops + numpy LM ------------------
-        contents = content.to_pylist()
-        scrubbed_list = scrubbed.to_pylist()
         detected = (
             batch.column("detected_lang").to_pylist()
             if "detected_lang" in batch.column_names
@@ -104,13 +127,15 @@ class QualityScrubStage:
         reasons_l: list[list[str]] = [[]] * n
         sha_l = [""] * n
 
-        lm = self.lm
         ppl_max_bytes = config.PPL_MAX_BYTES
+        ppl_arr = self.lm.perplexity_batch([t[:ppl_max_bytes] for t in contents])
         for i, text in enumerate(contents):
-            ppl = lm.perplexity(text[:ppl_max_bytes])
+            ppl = ppl_arr[i]
             max_len, mean_len, rep_ratio = _line_shape_stats(text)
-            n_non_ws = int(n_chars_arr[i] - n_ws_arr[i])
-            alpha_ratio = (int(n_alnum_arr[i]) / n_non_ws) if n_non_ws else 0.0
+            bb = text.encode("utf-8")
+            n_alnum = len(bb) - len(bb.translate(None, _ALNUM_BYTES))
+            n_non_ws = len(bb.translate(None, _WS_AND_CONT_BYTES))
+            alpha_ratio = (n_alnum / n_non_ws) if n_non_ws else 0.0
             reasons = []
             if vend_list[i]:
                 reasons.append("vendored")

@@ -36,7 +36,7 @@ import yaml
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-from hyperpolyglot_ray.core.tokenizer import get_key_tokens  # noqa: E402
+from hyperpolyglot_ray.core.tokenizer import fast_key_tokens  # noqa: E402
 
 ARTIFACT_DIR = REPO / "artifacts"
 MAX_TOKEN_BYTES = 32  # classifier.rs:9, codegen.rs:186
@@ -169,7 +169,7 @@ def train_nb(samples_dir: Path) -> dict:
         except UnicodeDecodeError:
             content = ""
         counts = token_counts.setdefault(language, Counter())
-        for token in get_key_tokens(content):
+        for token in fast_key_tokens(content):
             if len(token) <= MAX_TOKEN_BYTES and len(token.encode("utf-8")) <= MAX_TOKEN_BYTES:
                 counts[token] += 1
                 totals[language] += 1

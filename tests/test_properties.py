@@ -73,3 +73,27 @@ def test_quality_scrub_total(content):
     assert all(v >= 0 for v in counts.values())
     if all(v == 0 for v in counts.values()):
         assert scrubbed == content
+
+
+# fuzz alphabet biased toward the scanner's special characters so quote
+# runs, partial "<!--" openers, signs and numerals collide often
+_TRICKY = st.text(
+    alphabet=st.sampled_from(list("\"'`<>!-+*/{}()#%\\\n\r ._0123456789abAB٣½一")),
+    max_size=80,
+)
+
+
+@settings(max_examples=500, deadline=None)
+@given(_TRICKY)
+def test_fast_key_tokens_equals_exact_tricky(content):
+    from hyperpolyglot_ray.core.tokenizer import fast_key_tokens
+
+    assert fast_key_tokens(content) == list(get_key_tokens(content))
+
+
+@settings(max_examples=300, deadline=None)
+@given(TEXT)
+def test_fast_key_tokens_equals_exact_unicode(content):
+    from hyperpolyglot_ray.core.tokenizer import fast_key_tokens
+
+    assert fast_key_tokens(content) == list(get_key_tokens(content))

@@ -130,3 +130,18 @@ def test_sha256_stable():
     assert sha256_hex("") == (
         "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
     )
+
+
+def test_perplexity_batch_bit_identical():
+    """perplexity_batch == scalar perplexity row by row (bit-exact)."""
+    from hyperpolyglot_ray.artifacts import load_char_lm
+
+    lm = load_char_lm()
+    texts = [
+        "", "ab", "def main():\n    return 42\n", "zzqqxx" * 50,
+        "the quick brown fox jumps over the lazy dog. " * 20,
+        "\x00\xff bin\xc3\xa9ry", "a" * 9000, "京都 unicode ÿ text",
+    ]
+    batch = lm.perplexity_batch(texts)
+    for i, t in enumerate(texts):
+        assert batch[i] == lm.perplexity(t), i

@@ -33,3 +33,17 @@ def test_golden_stream(rec):
         for tok in tokenize(rec["content"])
     ]
     assert got == rec["golden"]
+
+
+@pytest.mark.parametrize("rec", _cases(), ids=lambda r: r["case"])
+def test_fast_key_tokens_matches_golden(rec):
+    """The fast master-regex scanner must yield exactly the Ident/Symbol
+    texts of the golden stream (full-corpus identity verified offline)."""
+    from hyperpolyglot_ray.core.tokenizer import fast_key_tokens
+
+    golden_keys = [
+        bytes.fromhex(line.split("\t")[1]).decode("utf-8")
+        for line in rec["golden"]
+        if line.split("\t")[0] in ("ident", "symbol")
+    ]
+    assert fast_key_tokens(rec["content"]) == golden_keys
