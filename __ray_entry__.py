@@ -441,6 +441,24 @@ def _q_emb_knn(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
+def _q_emb_near_dup(sf_dir: str):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.similarity import embedding_near_dup_keep_ids
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_keep_ids(ds)
+
+
+def _q_emb_near_dup_ivf(sf_dir: str):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.similarity import embedding_near_dup_ivf
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_ivf(ds)
+
+
 def _q_emb_knn_ivf(sf_dir: str):
     import ray.data
 
@@ -513,6 +531,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_multimodal": _q_doc_multimodal,
         "emb_knn": _q_emb_knn,
         "emb_knn_ivf": _q_emb_knn_ivf,
+        "emb_near_dup": _q_emb_near_dup,
+        "emb_near_dup_ivf": _q_emb_near_dup_ivf,
         "events_window": _q_events_window,
         "events_sessionize": _q_events_sessionize,
         "repo_stats": _q_repo_stats,
@@ -637,6 +657,13 @@ sims AS (
   FROM sims
 )
 SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""",
+        "emb_near_dup": """
+SELECT vec_id FROM embeddings e
+WHERE NOT EXISTS (
+  SELECT 1 FROM embeddings u
+  WHERE u.vec_id < e.vec_id
+    AND list_cosine_similarity(u.embedding, e.embedding) >= 0.35
+)""",
         "events_window": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events,

@@ -192,7 +192,7 @@ class Detector:
         tokens = [
             t
             for t in fast_key_tokens(content)
-            if len(t) <= 32 and len(t.encode("utf-8")) <= 32
+            if len(t) <= 32 and (t.isascii() or len(t.encode("utf-8")) <= 32)
         ]
         ids = self.nb.token_ids_for(tokens)
         best_lang = candidates[0]

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -40,12 +41,18 @@ _WS_AND_CONT_BYTES = bytes(b" \t\r\n\x0b\x0c") + bytes(range(0x80, 0xC0))
 
 def _line_shape_stats(content: str) -> tuple[int, float, float]:
     """(max_line_len, mean_line_len, rep_ratio) — the line-level subset of
-    core.quality.line_stats; char-class counts are done vectorized."""
+    core.quality.line_stats; char-class counts are done vectorized.
+
+    sum(line lengths) == len(content) - (#lines - 1) exactly (the split
+    seams are the newlines), so the mean needs no per-line length list;
+    ``l and not l.isspace()`` is allocation-free and equivalent to the
+    spec's ``l.strip()`` truthiness (same Unicode whitespace set).
+    """
     lines = content.split("\n")
-    lens = [len(l) for l in lines]
-    max_len = max(lens) if lens else 0
-    mean_len = (sum(lens) / len(lines)) if lines else 0.0
-    non_blank = [l for l in lines if l.strip()]
+    n_lines = len(lines)
+    max_len = max(map(len, lines))
+    mean_len = (len(content) - (n_lines - 1)) / n_lines
+    non_blank = [l for l in lines if l and not l.isspace()]
     if len(non_blank) >= config.REP_MIN_LINES:
         rep_ratio = 1.0 - len(set(non_blank)) / len(non_blank)
     else:
@@ -78,8 +85,6 @@ class QualityScrubStage:
         # ---- scrub: combined-alternation prefilter, then per-category
         # count/replace over the matching row subset only (sequential
         # category order preserved — counts see earlier replacements)
-        import numpy as np
-
         if isinstance(content, pa.ChunkedArray):
             content = content.combine_chunks()
         contents = content.to_pylist()

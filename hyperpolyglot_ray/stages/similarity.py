@@ -184,3 +184,72 @@ def knn_ivf(
     return knn_bruteforce(
         subset, q, query_ids, k=k, id_col=id_col, emb_col=emb_col
     )
+
+
+def embedding_near_dup_keep_ids(
+    ds: ray.data.Dataset,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Embedding-cosine near-duplicate dedup (exact): keep row ``v`` iff no
+    earlier row ``u`` (``u.id < v.id``) has ``cosine(u, v) >= threshold``.
+
+    The (id, vector) matrix — and only it, never the payload columns — is
+    materialized once, normalized, and broadcast via ``ray.put``; every
+    block then resolves its rows with one (block x corpus) matmul masked to
+    earlier ids. Exact all-pairs is O(n^2) compute spread across blocks:
+    fine to ~1M vectors; beyond that use ``embedding_near_dup_ivf``.
+    """
+    import pyarrow.compute as pc  # noqa: F401
+
+    mats = []
+    idss = []
+    for ref in ds.select_columns([id_col, emb_col]).to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows:
+            mats.append(_to_matrix(t, emb_col))
+            idss.append(t.column(id_col).to_numpy(zero_copy_only=False))
+    all_emb = _normalize(np.concatenate(mats))
+    all_ids = np.concatenate(idss).astype(np.int64)
+    order = np.argsort(all_ids, kind="stable")
+    ref = ray.put((all_emb[order], all_ids[order]))
+
+    def block_keep(batch: pa.Table) -> pa.Table:
+        corpus, corpus_ids = ray.get(ref)
+        emb = _normalize(_to_matrix(batch, emb_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = emb @ corpus.T  # (n_block, n_corpus)
+        earlier = corpus_ids[None, :] < ids[:, None]
+        dup = ((sims >= threshold) & earlier).any(axis=1)
+        return pa.table({id_col: pa.array(ids[~dup], type=pa.int64())})
+
+    return ds.map_batches(block_keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def embedding_near_dup_ivf(
+    ds: ray.data.Dataset,
+    threshold: float = 0.35,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Scale path for embedding near-dup: IVF-bucket by deterministic
+    k-means cluster, then exact earlier-id pair checks only *within* each
+    cluster (``groupby(cluster).map_groups``). Near-identical vectors land
+    in the same cell with overwhelming probability, so this approximates
+    the exact variant while shuffling each vector once by cluster key
+    instead of densifying an n^2 pair space."""
+    centroids = deterministic_kmeans(ds, n_clusters=n_clusters, id_col=id_col, emb_col=emb_col)
+    assigned = ivf_assign(ds, centroids, emb_col=emb_col)
+
+    def group_keep(group: pa.Table) -> pa.Table:
+        emb = _normalize(_to_matrix(group, emb_col))
+        ids = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        emb, ids = emb[order], ids[order]
+        sims = emb @ emb.T
+        dup = ((sims >= threshold) & np.tri(len(ids), k=-1, dtype=bool)).any(axis=1)
+        return pa.table({id_col: pa.array(ids[~dup], type=pa.int64())})
+
+    return assigned.groupby("cluster").map_groups(group_keep, batch_format="pyarrow")

@@ -188,3 +188,44 @@ def test_langid_roundtrip(ray_session):
     pred = predict_langid(ds, model, "text").to_pandas()
     acc = (pred["langid_lang"] == pred["lang"]).mean()
     assert acc == 1.0
+
+
+def test_embedding_near_dup(ray_session):
+    """Exact near-dup: keep v iff no earlier u with cosine >= threshold;
+    verified against a numpy all-pairs oracle. IVF variant is a superset
+    (only intra-cluster pairs are checked)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from hyperpolyglot_ray.stages.similarity import (
+        embedding_near_dup_ivf,
+        embedding_near_dup_keep_ids,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16))
+    # rows 20..29 are near-copies of rows 0..9 (ids later -> dropped)
+    vecs = np.concatenate([base, base[:10] + rng.normal(scale=0.01, size=(10, 16))])
+    ids = np.arange(len(vecs))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float32())),
+            }
+        )
+    )
+    thr = 0.9
+    m = vecs.astype(np.float32).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    expect = [
+        int(v) for v in ids
+        if not ((sims[v, :v] >= thr).any())
+    ]
+    keep = sorted(r["vec_id"] for r in embedding_near_dup_keep_ids(ds, threshold=thr).take_all())
+    assert keep == expect
+    assert len(keep) == 40  # the 10 perturbed copies dropped
+    ivf = sorted(r["vec_id"] for r in embedding_near_dup_ivf(ds, threshold=thr, n_clusters=4).take_all())
+    assert set(keep) <= set(ivf)
