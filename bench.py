@@ -101,13 +101,15 @@ def run_bench(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
 
     queries: dict[str, float] = {}
 
-    # best of 2: this sandbox sees noisy-neighbor CPU steal with ~2x wall
-    # swings minutes apart; the faster run is the representative one
+    # best of N (default 2): this sandbox sees noisy-neighbor CPU steal with
+    # ~2x wall swings minutes apart; the fastest run is the representative one
+    reps = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "2")))
     t_flag, rows = _flagship(files_dir, num_cpus, sink=sink)
-    t_flag2, _ = _flagship(files_dir, num_cpus, sink=sink)
     queries["flagship_run1"] = round(t_flag, 3)
-    queries["flagship_run2"] = round(t_flag2, 3)
-    t_flag = min(t_flag, t_flag2)
+    for rep in range(2, reps + 1):
+        t_n, _ = _flagship(files_dir, num_cpus, sink=sink)
+        queries[f"flagship_run{rep}"] = round(t_n, 3)
+        t_flag = min(t_flag, t_n)
     queries["flagship_filter_scrub"] = round(t_flag, 3)
 
     if not flagship_only:
@@ -174,13 +176,19 @@ def run_bench(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
 
 
 def run_scaling(sf_dir: str, n_low: int, n_high: int) -> dict:
-    """Same job, same input, two fresh processes at two parallelism levels."""
+    """Same job, same input, fresh processes at two parallelism levels.
+
+    The levels are run interleaved (low, high, low, high) and each level
+    keeps its fastest run: host CPU-steal phases last minutes here, so
+    back-to-back single samples can land one level in a throttled window
+    and corrupt the ratio; interleaving + best-of cancels that."""
     outs = {}
-    for cpus in (n_low, n_high):
+    for cpus in (n_low, n_high, n_low, n_high):
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(cpus)
         env["GRAFT_SF_DIR"] = sf_dir
         env["GRAFT_BENCH_SINK"] = "consume"  # fixed local disk can't scale
+        env["GRAFT_BENCH_REPS"] = "1"
         proc = subprocess.run(
             [sys.executable, __file__, "--flagship-only"],
             capture_output=True,
@@ -189,7 +197,9 @@ def run_scaling(sf_dir: str, n_low: int, n_high: int) -> dict:
             timeout=3600,
         )
         line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-        outs[cpus] = json.loads(line)
+        res = json.loads(line)
+        if cpus not in outs or res["files_per_sec"] > outs[cpus]["files_per_sec"]:
+            outs[cpus] = res
     tp_low = outs[n_low]["files_per_sec"]
     tp_high = outs[n_high]["files_per_sec"]
     eff = (tp_high / tp_low) / (n_high / n_low)
@@ -209,13 +219,49 @@ def run_scaling(sf_dir: str, n_low: int, n_high: int) -> dict:
     }
 
 
+def run_stats(sf_dir: str, num_cpus: int) -> None:
+    """Run the flagship once and print Ray Data's per-stage stats (wall
+    time, actor utilization, block sizes) for bottleneck attribution."""
+    import ray
+    import ray.data
+    import pyarrow as pa
+
+    from hyperpolyglot_ray.sources.fixtures import build_files_fixture, sf_from_dir
+    from hyperpolyglot_ray.stages.fused import QualityFilterStage
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    fix = build_files_fixture(sf_from_dir(sf_dir), n_rows=int(sf_from_dir(sf_dir) * 3_000_000))
+    ds = ray.data.read_parquet(str(fix / "files"))
+    ds = ds.map_batches(
+        QualityFilterStage,
+        fn_constructor_kwargs={"drop_content": True},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=1024,
+        concurrency=max(2, num_cpus // 2),
+    )
+    reduced = ds.map_batches(
+        lambda b: pa.table({"n": pa.array([len(b)], type=pa.int64())}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    reduced.take_all()
+    print(reduced.stats())
+    ray.shutdown()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--flagship-only", action="store_true")
+    ap.add_argument("--stats", action="store_true")
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     args = ap.parse_args()
+
+    if args.stats:
+        run_stats(args.sf_dir, args.cpus)
+        return
 
     if args.scaling:
         # Default pair 4->16 (not 8->32): at 32 cpus this single box's SHARED

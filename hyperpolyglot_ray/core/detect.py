@@ -189,11 +189,7 @@ class Detector:
 
         if not candidates:
             candidates = self.languages
-        tokens = [
-            t
-            for t in fast_key_tokens(content)
-            if len(t) <= 32 and (t.isascii() or len(t.encode("utf-8")) <= 32)
-        ]
+        tokens = fast_key_tokens(content, max_token_len=32)
         ids = self.nb.token_ids_for(tokens)
         best_lang = candidates[0]
         best_score = float("-inf")

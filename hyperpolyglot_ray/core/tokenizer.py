@@ -459,9 +459,14 @@ _FAST_MASTER = _regex.compile(
 )
 
 
-def fast_key_tokens(content: str) -> list[str]:
+def fast_key_tokens(content: str, max_token_len: int | None = None) -> list[str]:
     """Key-token texts of ``content`` — identical stream to
-    ``list(get_key_tokens(content))``, ~5x faster."""
+    ``list(get_key_tokens(content))``, ~5x faster.
+
+    ``max_token_len`` (chars AND utf-8 bytes) drops longer tokens at
+    emission — only Ident tokens can exceed it (every Symbol is one char),
+    so this equals post-filtering the full stream (classifier.rs:24-26).
+    """
     out: list[str] = []
     append = out.append
     n = len(content)
@@ -475,17 +480,22 @@ def fast_key_tokens(content: str) -> list[str]:
                 if e < n and not content[e].isascii() and content[e].isnumeric():
                     ch = content[m.start()]
                     if not (ch == "0" and m.group()[:2] in ("0b", "0o", "0x")):
-                        out.extend(_slow_key_tail(content, m.start()))
+                        out.extend(_slow_key_tail(content, m.start(), max_token_len))
                         return out
             continue
         if g == "id":
-            append(m.group())
+            t = m.group()
+            if max_token_len is None or (
+                len(t) <= max_token_len
+                and (t.isascii() or len(t.encode("utf-8")) <= max_token_len)
+            ):
+                append(t)
         elif g == "sym":
             ch = m.group()
             if (ch == "+" or ch == "-") and m.end() < n:
                 nxt = content[m.end()]
                 if not nxt.isascii() and nxt.isnumeric():
-                    out.extend(_slow_key_tail(content, m.start()))
+                    out.extend(_slow_key_tail(content, m.start(), max_token_len))
                     return out
             append(ch)
         elif g == "uq":
@@ -500,7 +510,7 @@ def fast_key_tokens(content: str) -> list[str]:
             e = m.end()
             nxt = content[e] if e < n else ""
             if nxt and not nxt.isascii() and nxt.isnumeric():
-                out.extend(_slow_key_tail(content, m.start()))
+                out.extend(_slow_key_tail(content, m.start(), max_token_len))
                 return out
             append("<")
             append("<")
@@ -512,12 +522,19 @@ def fast_key_tokens(content: str) -> list[str]:
             append("<")
             append("<")
         elif g == "un":
-            out.extend(_slow_key_tail(content, m.start()))
+            out.extend(_slow_key_tail(content, m.start(), max_token_len))
             return out
         # mq: multiline string — skip
     return out
 
 
-def _slow_key_tail(content: str, start: int):
+def _slow_key_tail(content: str, start: int, max_token_len: int | None = None):
     """Exact-scanner fallback for the (rare) suffix from ``start``."""
-    return get_key_tokens(content[start:])
+    if max_token_len is None:
+        return get_key_tokens(content[start:])
+    return [
+        t
+        for t in get_key_tokens(content[start:])
+        if len(t) <= max_token_len
+        and (t.isascii() or len(t.encode("utf-8")) <= max_token_len)
+    ]
