@@ -57,6 +57,7 @@ SCRUB_CATEGORIES = [c for c, _, _ in SCRUB_PATTERNS]
 
 # ---- drop reasons (stable vocabulary, emitted in this order) ------------
 DROP_REASONS = [
+    "null_content",
     "vendored",
     "documentation",
     "no_language",

@@ -32,11 +32,18 @@ class DetectStage:
         n = len(paths)
         langs: list[str] = [""] * n
         strategies: list[str] = [""] * n
+        errors: list[str] = [""] * n
         pending: list[tuple[int, str | None, list]] = []  # (row, ext, candidates)
 
         filenames_map = det.filenames
         extensions_map = det.extensions
         for i, p in enumerate(paths):
+            # a 100TB web corpus WILL contain null cells; the reference
+            # silently drops unreadable files (lib.rs:247) — we keep the row
+            # and surface the reason instead (SURVEY.md §7 hard parts)
+            if p is None:
+                errors[i] = "null_path"
+                continue
             filename = p.rsplit("/", 1)[-1]
             if not filename:
                 continue
@@ -57,6 +64,9 @@ class DetectStage:
             idxs = [t[0] for t in pending]
             contents = batch.column("content").take(pa.array(idxs)).to_pylist()
             for (i, ext, candidates), content in zip(pending, contents):
+                if content is None:
+                    errors[i] = "null_content"
+                    continue
                 candidates = filter_candidates(
                     candidates, det.languages_from_shebang(content)
                 )
@@ -79,8 +89,10 @@ class DetectStage:
 
         info = det.language_info
         types = [info[l]["type"] if l else "" for l in langs]
+        # error is always present so the output schema is block-invariant
         return (
             batch.append_column("detected_lang", pa.array(langs, type=pa.string()))
             .append_column("strategy", pa.array(strategies, type=pa.string()))
             .append_column("language_type", pa.array(types, type=pa.string()))
+            .append_column("error", pa.array(errors, type=pa.string()))
         )

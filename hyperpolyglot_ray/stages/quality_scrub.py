@@ -87,6 +87,16 @@ class QualityScrubStage:
         # category order preserved — counts see earlier replacements)
         if isinstance(content, pa.ChunkedArray):
             content = content.combine_chunks()
+        null_rows = None
+        if content.null_count:
+            # null cells happen in real web corpora: score as empty text,
+            # record the "null_content" drop reason (never crash the stage)
+            null_rows = pc.is_null(content).to_numpy(zero_copy_only=False)
+            content = pc.fill_null(content, "")
+        if isinstance(path, pa.ChunkedArray):
+            path = path.combine_chunks()
+        if path.null_count:
+            path = pc.fill_null(path, "")
         contents = content.to_pylist()
         hit_mask = pc.match_substring_regex(content, self.combined_scrub_pat)
         hit_idx = np.flatnonzero(hit_mask.to_numpy(zero_copy_only=False))
@@ -142,6 +152,8 @@ class QualityScrubStage:
             n_non_ws = len(bb.translate(None, _WS_AND_CONT_BYTES))
             alpha_ratio = (n_alnum / n_non_ws) if n_non_ws else 0.0
             reasons = []
+            if null_rows is not None and null_rows[i]:
+                reasons.append("null_content")
             if vend_list[i]:
                 reasons.append("vendored")
             if doc_list[i]:

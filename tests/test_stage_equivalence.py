@@ -80,3 +80,32 @@ def test_quality_stage_matches_core(sample_table):
         assert r["drop_reasons"] == reasons, r["path"]
         assert r["quality"]["max_line_len"] == metrics["max_line_len"]
         assert abs(r["quality"]["alpha_ratio"] - metrics["alpha_ratio"]) < 1e-12
+
+
+def test_stages_null_safe(ray_session):
+    """Null path/content cells (inevitable in a web corpus) are surfaced as
+    error / drop-reason rows, never a crash (contrast lib.rs:247, which
+    silently drops errored files)."""
+    import pyarrow as pa
+
+    from hyperpolyglot_ray.stages.detector import DetectStage
+    from hyperpolyglot_ray.stages.quality_scrub import QualityScrubStage
+
+    batch = pa.table(
+        {
+            "repo": ["r"] * 4,
+            "path": ["a/ok.py", None, "c/nullbody.h", "d/ok2.rs"],
+            "commit": ["0" * 40] * 4,
+            "lang": [""] * 4,
+            "content": ["print(1)\n", "x = 1\n", None, "fn main() {}\n"],
+        }
+    )
+    det = DetectStage()(batch)
+    assert det.column("error").to_pylist() == ["", "null_path", "null_content", ""]
+    assert det.column("detected_lang").to_pylist() == ["Python", "", "", "Rust"]
+
+    out = QualityScrubStage()(det)
+    reasons = out.column("drop_reasons").to_pylist()
+    assert "null_content" in reasons[2]
+    assert out.column("keep").to_pylist()[0] is True
+    assert out.column("scrubbed").to_pylist()[2] == ""
