@@ -60,7 +60,7 @@ def _flagship(files_dir: str, num_cpus: int, sink: str = "write") -> tuple[float
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=1024,
-        concurrency=max(2, num_cpus // 2),
+        concurrency=max(2, num_cpus * 3 // 4),
     )
     if sink == "write":
         shutil.rmtree(BENCH_OUT, ignore_errors=True)
@@ -238,7 +238,7 @@ def run_stats(sf_dir: str, num_cpus: int) -> None:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=1024,
-        concurrency=max(2, num_cpus // 2),
+        concurrency=max(2, num_cpus * 3 // 4),
     )
     reduced = ds.map_batches(
         lambda b: pa.table({"n": pa.array([len(b)], type=pa.int64())}),
