@@ -664,13 +664,16 @@ WHERE NOT EXISTS (
   WHERE u.vec_id < e.vec_id
     AND list_cosine_similarity(u.embedding, e.embedding) >= 0.35
 )""",
+        # sum(BIGINT) is HUGEINT in DuckDB (surfaces as float64 through
+        # Arrow); cast back to BIGINT so the value-hash compares against the
+        # pipeline's int64 columns (VERDICT r1 §wrong 1-2)
         "events_window": """
-SELECT date_trunc('hour', ts) AS window_start, event_type,
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
        count(*) AS n_events,
-       sum(CAST(floor(value * 1000) AS BIGINT)) AS sum_value_millis
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_millis
 FROM events GROUP BY 1, 2""",
         "repo_stats": (
-            f"SELECT repo, count(*) AS n_files, sum(length(content)) AS total_chars "
+            f"SELECT repo, count(*) AS n_files, CAST(sum(length(content)) AS BIGINT) AS total_chars "
             f"FROM read_parquet('{files}') GROUP BY repo"
         ),
         "orders_by_nation": """

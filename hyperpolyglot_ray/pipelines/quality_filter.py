@@ -21,12 +21,16 @@ from ..stages.detector import DetectStage
 from ..stages.quality_scrub import QualityScrubStage
 
 
-def _default_concurrency() -> tuple[int, int]:
+def _default_concurrency() -> int:
+    """Swept optimum (BASELINE.md round-1 sweep): a fixed pool of 3/4 of the
+    cluster CPUs keeps actor init off the critical path while leaving head
+    room for the read/write tasks — the same sizing bench.py and run_job.py
+    use, so library and bench paths are identical."""
     try:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
-    return (1, max(2, cpus))
+    return max(2, cpus * 3 // 4)
 
 
 def detect_dataset(ds: ray.data.Dataset, concurrency=None, batch_size=None) -> ray.data.Dataset:
@@ -56,9 +60,28 @@ def quality_filter_pipeline(
     files_path: str | list[str],
     concurrency=None,
     columns: list[str] | None = None,
+    fused: bool = True,
+    drop_content: bool = False,
 ) -> ray.data.Dataset:
-    """Full streaming pipeline over a ``files`` Parquet table/directory."""
+    """Full streaming pipeline over a ``files`` Parquet table/directory.
+
+    ``fused=True`` (default) runs the single-actor-pool
+    ``QualityFilterStage`` — one pass over the content bytes, the layout the
+    flagship bench uses; ``fused=False`` chains the two composable stages
+    (semantically identical, tested in test_stage_equivalence).
+    """
     ds = ray.data.read_parquet(files_path, columns=columns)
+    if fused:
+        from ..stages.fused import QualityFilterStage
+
+        return ds.map_batches(
+            QualityFilterStage,
+            fn_constructor_kwargs={"drop_content": drop_content},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=config.SCRUB_BATCH_SIZE,
+            concurrency=concurrency or _default_concurrency(),
+        )
     ds = detect_dataset(ds, concurrency=concurrency)
     ds = quality_scrub_dataset(ds, concurrency=concurrency)
     return ds

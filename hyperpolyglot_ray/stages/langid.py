@@ -33,26 +33,67 @@ def _bucket_ids(text: str) -> np.ndarray:
     return (tri % N_BUCKETS).astype(np.int64)
 
 
+WEIGHT_SCALE = 1_000_000  # log-prob quantization: 1e-6 nats of resolution
+
+
 class HashedLangIDModel:
+    """Log-probs quantized to int32 (``round(log_p * WEIGHT_SCALE)``) so
+    scoring is integer arithmetic — bit-exact under ANY summation order,
+    which makes the vectorized batch path, the per-row path and the
+    driver-side oracle reimplementation provably identical."""
+
     def __init__(self, labels: list[str], weights: np.ndarray, priors: np.ndarray):
         self.labels = labels
-        self.weights = weights  # (L, B) log P(bucket | label), float32
-        self.priors = priors  # (L,) log P(label)
+        self.weights = weights  # (L, B) int32 quantized log P(bucket | label)
+        self.priors = priors  # (L,) int64 quantized log P(label)
+
+    def _finish(self, scores: np.ndarray, n_ids: int) -> tuple[str, float]:
+        top = int(scores.argmax())
+        if len(scores) > 1:
+            srt = np.sort(scores)[::-1]
+            conf = float(srt[0] - srt[1]) / WEIGHT_SCALE / max(1, n_ids)
+        else:
+            conf = 1.0
+        return self.labels[top], conf
 
     def predict_one(self, text: str) -> tuple[str, float]:
         ids = _bucket_ids(text)
         if len(ids) == 0:
             return self.labels[0], 0.0
-        buckets, counts = np.unique(ids, return_counts=True)
-        scores = self.priors + self.weights[:, buckets] @ counts.astype(np.float32)
-        top = int(scores.argmax())
-        # stable margin-based confidence
-        if len(scores) > 1:
-            srt = np.sort(scores)[::-1]
-            conf = float(srt[0] - srt[1]) / max(1, len(ids))
-        else:
-            conf = 1.0
-        return self.labels[top], conf
+        scores = self.priors + self.weights[:, ids].astype(np.int64).sum(axis=1)
+        return self._finish(scores, len(ids))
+
+    def predict_batch(self, texts: list[str]) -> tuple[list[str], list[float]]:
+        """Vectorized scoring: one gather + segment-sum per sub-chunk of
+        rows instead of a Python loop per row (VERDICT r1 §wrong 7). The
+        sub-chunk bound caps the (L x nnz) gather at ~32M int64 cells."""
+        n = len(texts)
+        preds = [self.labels[0]] * n
+        confs = [0.0] * n
+        ids_per_row = [_bucket_ids(t) for t in texts]
+        L = len(self.labels)
+        max_cells = 32_000_000
+        row = 0
+        while row < n:
+            # grow the chunk until the gather budget is spent
+            end, nnz = row, 0
+            while end < n and (nnz == 0 or (nnz + len(ids_per_row[end])) * L <= max_cells):
+                nnz += len(ids_per_row[end])
+                end += 1
+            chunk = [
+                (i, ids_per_row[i]) for i in range(row, end) if len(ids_per_row[i]) > 0
+            ]
+            if chunk:
+                all_ids = np.concatenate([ids for _, ids in chunk])
+                lens = np.array([len(ids) for _, ids in chunk])
+                offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+                gathered = self.weights[:, all_ids].astype(np.int64)  # (L, nnz)
+                seg = np.add.reduceat(gathered, offsets, axis=1)  # (L, n_nonempty)
+                scores = seg + self.priors[:, None]
+                for j, (i, ids) in enumerate(chunk):
+                    preds[i], confs[i] = self._finish(scores[:, j], len(ids))
+            row = end
+        return preds, confs
 
 
 def train_langid(
@@ -120,10 +161,12 @@ def train_langid(
     for i, l in enumerate(labels):
         counts[i] = dense_acc[l]
     totals = counts.sum(axis=1, keepdims=True)
-    weights = np.log((counts + ALPHA) / (totals + ALPHA * N_BUCKETS)).astype(np.float32)
-    priors = np.log(np.maximum(totals[:, 0], 1.0) / max(totals.sum(), 1.0)).astype(
-        np.float32
-    )
+    weights = np.round(
+        np.log((counts + ALPHA) / (totals + ALPHA * N_BUCKETS)) * WEIGHT_SCALE
+    ).astype(np.int32)
+    priors = np.round(
+        np.log(np.maximum(totals[:, 0], 1.0) / max(totals.sum(), 1.0)) * WEIGHT_SCALE
+    ).astype(np.int64)
     return HashedLangIDModel(labels, weights, priors)
 
 
@@ -138,11 +181,7 @@ def predict_langid(
 
     def fn(batch: pa.Table) -> pa.Table:
         m = ray.get(model_ref)
-        preds, confs = [], []
-        for text in batch.column(text_col).to_pylist():
-            lang, conf = m.predict_one(text)
-            preds.append(lang)
-            confs.append(conf)
+        preds, confs = m.predict_batch(batch.column(text_col).to_pylist())
         return batch.append_column(out_col, pa.array(preds, type=pa.string())).append_column(
             out_col + "_conf", pa.array(confs, type=pa.float64())
         )

