@@ -363,14 +363,38 @@ def _q_doc_langid(sf_dir: str):
 
 
 def _q_doc_multimodal(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+
     from hyperpolyglot_ray.stages.multimodal import (
         attach_binary_payload,
         multimodal_features,
     )
 
-    ds = attach_binary_payload(_docs(sf_dir).select_columns(["doc_id", "text"]))
+    ds = attach_binary_payload(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), media=True
+    )
     out = multimodal_features(ds)
-    return out.select_columns(["doc_id", "payload_len", "features"])
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        # feature list -> f0..f7 float64 columns so the DuckDB oracle can
+        # hash-compare scalar values (list columns hash unreliably)
+        feats = batch.column("features")
+        if isinstance(feats, pa.ChunkedArray):
+            feats = feats.combine_chunks()
+        mat = feats.values.to_numpy(zero_copy_only=False).reshape(len(batch), -1)
+        cols = {
+            "doc_id": batch.column("doc_id"),
+            "media_kind": batch.column("media_kind"),
+            "width": batch.column("width"),
+            "height": batch.column("height"),
+            "payload_len": batch.column("payload_len"),
+        }
+        for j in range(mat.shape[1]):
+            cols[f"f{j}"] = pa.array(mat[:, j].astype(np.float64))
+        return pa.table(cols)
+
+    return out.map_batches(flatten, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _q_repo_stats(sf_dir: str):
@@ -542,9 +566,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from hyperpolyglot_ray.sources.doc_oracle import build_oracle_sidecars
+
     fix = _fixture_dir(ORACLE_SF)
     files = str(fix / "files" / "*.parquet")
     exp = str(fix / "expected.parquet")
+    # sequential driver-side reimplementations of the non-SQL-expressible
+    # operators, precomputed into parquet sidecars (cached; see doc_oracle.py)
+    side = build_oracle_sidecars(f"/root/testdata/sf{ORACLE_SF:g}", fix)
     ext_map = str(LOOKUPS / "ext_map.parquet")
     fname_map = str(LOOKUPS / "filename_map.parquet")
     lang_info = str(LOOKUPS / "language_info.parquet")
@@ -644,6 +673,15 @@ SELECT doc_id,
             ELSE 0.0 END AS mean_token_len
 FROM documents""",
         "doc_lang_counts": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        "doc_minhash_dedup": f"SELECT doc_id FROM read_parquet('{side}/doc_minhash_dedup.parquet')",
+        "doc_simhash": f"SELECT doc_id, simhash FROM read_parquet('{side}/doc_simhash.parquet')",
+        "doc_fingerprint": f"SELECT doc_id, fp FROM read_parquet('{side}/doc_fingerprint.parquet')",
+        "doc_langid": f"SELECT doc_id, langid_lang FROM read_parquet('{side}/doc_langid.parquet')",
+        "doc_multimodal": f"SELECT * FROM read_parquet('{side}/doc_multimodal.parquet')",
+        "emb_knn_ivf": f"SELECT query_id, neighbor_id, rank FROM read_parquet('{side}/emb_knn_ivf.parquet')",
+        "emb_near_dup_ivf": f"SELECT vec_id FROM read_parquet('{side}/emb_near_dup_ivf.parquet')",
+        "drop_reason_counts": f"SELECT reason, n FROM read_parquet('{side}/drop_reason_counts.parquet')",
+        "files_langid_fused": f"SELECT path, fused_lang FROM read_parquet('{side}/files_langid_fused.parquet')",
         "emb_knn": """
 WITH e AS (SELECT vec_id, embedding FROM embeddings),
 q AS (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id < 10),

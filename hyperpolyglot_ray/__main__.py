@@ -5,17 +5,25 @@
 Prints the Markup+Programming language split by file count (``{:.2}%``
 format, sorted by count desc, main.rs:121-133), plus optional per-file
 (-b) and per-strategy (-s) breakdowns with -c condensed output and -f
-header filters. -n disables color (color output is not implemented; the
-flag is accepted for CLI compatibility).
+header filters. Breakdown headers are colored magenta and per-file
+language tags green (main.rs:210-219 TITLE_COLOR/LANGUAGE_COLOR); -n
+disables color, and like the reference's ``ColorChoice::Auto`` color is
+suppressed when stdout is not a terminal (set ``HYPLY_FORCE_COLOR=1`` to
+override, e.g. in tests).
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import re
 import sys
 
 from .api import get_language_breakdown, language_info
+
+_TITLE = "\x1b[35m"  # magenta (main.rs:210-214)
+_LANG = "\x1b[32m"  # green (main.rs:216-219)
+_RESET = "\x1b[0m"
 
 
 def main(argv=None) -> int:
@@ -25,10 +33,19 @@ def main(argv=None) -> int:
     ap.add_argument("-s", "--strategies", action="store_true", help="per-strategy breakdown")
     ap.add_argument("-c", "--condensed", action="store_true", help="headers only")
     ap.add_argument("-f", "--filter", action="append", help="regex filter on headers")
-    ap.add_argument("-n", "--no-color", action="store_true", help="accepted for compatibility")
+    ap.add_argument("-n", "--no-color", action="store_true", help="don't color code breakdown output")
     args = ap.parse_args(argv)
 
     filters = [re.compile(f) for f in args.filter] if args.filter else None
+    color = not args.no_color and (
+        sys.stdout.isatty() or os.environ.get("HYPLY_FORCE_COLOR") == "1"
+    )
+
+    def title(text: str) -> str:
+        return f"{_TITLE}{text}{_RESET}" if color else text
+
+    def lang_tag(text: str) -> str:
+        return f"{_LANG}{text}{_RESET}" if color else text
 
     def matches(header: str) -> bool:
         return not filters or any(f.search(header) for f in filters)
@@ -52,7 +69,7 @@ def main(argv=None) -> int:
         for lang, files in counted:
             if not matches(lang):
                 continue
-            print(f"{lang} ({len(files)})")
+            print(f"{title(lang)} ({len(files)})")
             if not args.condensed:
                 for _detection, path in files:
                     print(path)
@@ -67,10 +84,10 @@ def main(argv=None) -> int:
         for strategy, entries in sorted(by_strategy.items(), key=lambda kv: -len(kv[1])):
             if not matches(strategy):
                 continue
-            print(f"{strategy} ({len(entries)})")
+            print(f"{title(strategy)} ({len(entries)})")
             if not args.condensed:
                 for language, path in sorted(entries):
-                    print(f"{path} ({language})")
+                    print(f"{path} ({lang_tag(language)})")
                 print()
     return 0
 

@@ -21,16 +21,23 @@ from ..stages.detector import DetectStage
 from ..stages.quality_scrub import QualityScrubStage
 
 
-def _default_concurrency() -> int:
-    """Swept optimum (BASELINE.md round-1 sweep): a fixed pool of 3/4 of the
-    cluster CPUs keeps actor init off the critical path while leaving head
-    room for the read/write tasks — the same sizing bench.py and run_job.py
-    use, so library and bench paths are identical."""
+def _swept_pool_size() -> int:
+    """Swept optimum (BASELINE.md round-1 sweep) for a SINGLE actor-pool
+    pipeline: 3/4 of the cluster CPUs, leaving head room for read/write
+    tasks — the same sizing bench.py and run_job.py use."""
     try:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
     return max(2, cpus * 3 // 4)
+
+
+def _default_concurrency() -> tuple[int, int]:
+    """Autoscaling range for the CHAINED composable stages: two fixed pools
+    of the swept size would demand 1.5x the cluster's CPUs and deadlock the
+    streaming executor (each pool waits for actors the other holds); a
+    (1, swept) range lets concurrent pools share."""
+    return (1, _swept_pool_size())
 
 
 def detect_dataset(ds: ray.data.Dataset, concurrency=None, batch_size=None) -> ray.data.Dataset:
@@ -80,7 +87,7 @@ def quality_filter_pipeline(
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=config.SCRUB_BATCH_SIZE,
-            concurrency=concurrency or _default_concurrency(),
+            concurrency=concurrency or _swept_pool_size(),
         )
     ds = detect_dataset(ds, concurrency=concurrency)
     ds = quality_scrub_dataset(ds, concurrency=concurrency)

@@ -1,0 +1,468 @@
+"""Driver-side oracle sidecars for the non-SQL-expressible queries.
+
+Each builder recomputes a query's expected output with a simple SEQUENTIAL
+single-process implementation — no Ray, no batching, no shuffles, no actor
+state, no broadcast objects — and writes it to a parquet sidecar that
+``oracle_sql()`` then reads back through DuckDB. This is the
+``expected_scrubbed`` fixture pattern (VERDICT r1 §missing 2) generalized:
+the oracle necessarily shares the operator *spec* (minhash / simhash /
+langid are deterministic algorithm definitions), but none of the
+distributed topology, so any bug in block splitting, shuffle routing,
+broadcast plumbing, actor pooling, or the vectorized kernels shows up as a
+value mismatch in CORRECTNESS.
+
+Determinism contract: every spec here is integer-exact (sha-derived hashes,
+int64 rolling hashes, quantized log-probs, integer-accumulated k-means), so
+"same spec, different execution order" implies bitwise-equal results — see
+the matching notes in stages/langid.py and stages/similarity.py.
+
+Sidecars are cached under ``/tmp/hyperpolyglot_ray/doc_oracle/<ver>/sf{sf}``
+and rebuilt only when missing (bump ``ORACLE_VERSION`` on any spec change).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+import struct
+from collections import Counter
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ORACLE_VERSION = "r2b"
+ORACLE_ROOT = Path(
+    os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
+)
+
+_M61 = (1 << 61) - 1
+
+
+def _sha64(data: bytes) -> int:
+    return struct.unpack("<Q", hashlib.sha256(data).digest()[:8])[0]
+
+
+# ---------------------------------------------------------------------------
+# documents-table sidecars
+# ---------------------------------------------------------------------------
+
+
+def _expected_simhash(texts, doc_ids) -> pa.Table:
+    """64-bit count-weighted SimHash (spec: stages/text_ops.py simhash64),
+    recomputed with plain Python ints instead of numpy bit vectors."""
+    out = []
+    for text in texts:
+        acc = [0] * 64
+        for tok, cnt in Counter(text.split()).items():
+            h = _sha64(tok.encode())
+            for i in range(64):
+                acc[i] += cnt if (h >> i) & 1 else -cnt
+        val = 0
+        for i in range(64):
+            if acc[i] > 0:
+                val |= 1 << i
+        out.append(val - (1 << 63))
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, type=pa.int64()),
+         "simhash": pa.array(out, type=pa.int64())}
+    )
+
+
+def _expected_fingerprint(texts, doc_ids) -> pa.Table:
+    """Rolling polynomial hash over whitespace tokens (spec:
+    stages/text_ops.py fingerprint; exact int arithmetic mod 2^61-1)."""
+    B = 1000003
+    out = []
+    for text in texts:
+        h = 0
+        for tok in text.split():
+            h = (h * B + _sha64(tok.encode())) % _M61
+        out.append(h)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, type=pa.int64()),
+         "fp": pa.array(out, type=pa.int64())}
+    )
+
+
+# -- hashed char-trigram langid (spec: stages/langid.py) -------------------
+
+_LANGID_BUCKETS = 1 << 16
+_LANGID_ALPHA = 0.5
+_LANGID_MAX_CHARS = 4096
+_LANGID_SCALE = 1_000_000
+
+
+def _trigram_buckets(text: str) -> np.ndarray:
+    b = np.frombuffer(text[:_LANGID_MAX_CHARS].encode("utf-8"), dtype=np.uint8).astype(
+        np.uint32
+    )
+    if len(b) < 3:
+        return np.zeros(0, dtype=np.int64)
+    tri = (b[:-2] << 16) | (b[1:-1] << 8) | b[2:]
+    return (tri % _LANGID_BUCKETS).astype(np.int64)
+
+
+def _train_langid_seq(train_texts, train_labels):
+    """Sequential trainer: per-label integer trigram counts -> quantized
+    int log-prob weights. Integer counts + a fixed float64 formula ->
+    bit-identical to the distributed trainer regardless of row order."""
+    dense: dict[str, np.ndarray] = {}
+    for text, label in zip(train_texts, train_labels):
+        if not label:
+            continue
+        ids = _trigram_buckets(text)
+        if len(ids) == 0:
+            continue
+        d = dense.get(label)
+        if d is None:
+            d = dense[label] = np.zeros(_LANGID_BUCKETS, dtype=np.int64)
+        np.add.at(d, ids, 1)
+    labels = sorted(dense)
+    counts = np.stack([dense[l] for l in labels]).astype(np.float64)
+    totals = counts.sum(axis=1, keepdims=True)
+    weights = np.round(
+        np.log((counts + _LANGID_ALPHA) / (totals + _LANGID_ALPHA * _LANGID_BUCKETS))
+        * _LANGID_SCALE
+    ).astype(np.int32)
+    priors = np.round(
+        np.log(np.maximum(totals[:, 0], 1.0) / max(totals.sum(), 1.0)) * _LANGID_SCALE
+    ).astype(np.int64)
+    return labels, weights, priors
+
+
+def _predict_langid_seq(labels, weights, priors, text: str) -> str:
+    ids = _trigram_buckets(text)
+    if len(ids) == 0:
+        return labels[0]
+    scores = priors + weights[:, ids].astype(np.int64).sum(axis=1)
+    return labels[int(scores.argmax())]
+
+
+def _expected_doc_langid(texts, langs, doc_ids) -> pa.Table:
+    labels, weights, priors = _train_langid_seq(texts, langs)
+    preds = [_predict_langid_seq(labels, weights, priors, t) for t in texts]
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, type=pa.int64()),
+         "langid_lang": pa.array(preds, type=pa.string())}
+    )
+
+
+def _parse_header_seq(p: bytes):
+    """Independent container-header parser (vs stages/multimodal.py
+    parse_media_header): int.from_bytes instead of struct, different
+    control flow. Returns (kind, width, height)."""
+    be = lambda b: int.from_bytes(b, "big")
+    le = lambda b: int.from_bytes(b, "little")
+    if p.startswith(b"\x89PNG\r\n\x1a\n") and p[12:16] == b"IHDR":
+        return "png", be(p[16:20]), be(p[20:24])
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif", le(p[6:8]), le(p[8:10])
+    if p.startswith(b"BM") and len(p) >= 26:
+        w = int.from_bytes(p[18:22], "little", signed=True)
+        h = int.from_bytes(p[22:26], "little", signed=True)
+        return "bmp", abs(w), abs(h)
+    if p.startswith(b"\xff\xd8"):
+        i = 2
+        while i + 9 <= len(p) and p[i] == 0xFF:
+            m = p[i + 1]
+            if m in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                     0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return "jpeg", be(p[i + 7 : i + 9]), be(p[i + 5 : i + 7])
+            if m == 0xD8 or m == 0x01 or 0xD0 <= m <= 0xD7:
+                i += 2
+            else:
+                i += 2 + be(p[i + 2 : i + 4])
+        return "jpeg", None, None
+    if p[:4] == b"RIFF" and p[8:16] == b"WAVEfmt ":
+        return "wav", le(p[24:28]), le(p[22:24])
+    return "unknown", None, None
+
+
+def _expected_multimodal(texts, doc_ids) -> pa.Table:
+    """Synthetic media payloads (the fixture generator, shared by
+    construction) parsed with the independent header parser above, plus
+    sha256-derived stand-in features flattened to f0..f7 float64."""
+    from ..stages.multimodal import synth_media_payload
+
+    lens, feats, kinds, widths, heights = [], [], [], [], []
+    for i, text in zip(doc_ids, texts):
+        payload, _mt = synth_media_payload(i, text)
+        lens.append(len(payload))
+        kind, w, h = _parse_header_seq(payload)
+        kinds.append(kind)
+        widths.append(w)
+        heights.append(h)
+        digest = hashlib.sha256(payload).digest()
+        ints = struct.unpack("<8I", digest[:32])
+        # stage stores float32 features; flattening casts f32 -> f64 exactly
+        feats.append([float(np.float32(v / 0xFFFFFFFF)) for v in ints])
+    cols = {
+        "doc_id": pa.array(doc_ids, type=pa.int64()),
+        "media_kind": pa.array(kinds, type=pa.string()),
+        "width": pa.array(widths, type=pa.int64()),
+        "height": pa.array(heights, type=pa.int64()),
+        "payload_len": pa.array(lens, type=pa.int64()),
+    }
+    for j in range(8):
+        cols[f"f{j}"] = pa.array([f[j] for f in feats], type=pa.float64())
+    return pa.table(cols)
+
+
+# -- MinHash + LSH near-dup (spec: stages/text_ops.py) ---------------------
+
+
+def _expected_minhash_keep(texts, doc_ids, threshold=0.8, k=64, bands=16) -> pa.Table:
+    r = k // bands
+    rng = np.random.RandomState(42)
+    a = rng.randint(1, _M61, size=k, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _M61, size=k, dtype=np.int64).astype(np.uint64)
+
+    def shingle_hashes(text: str) -> np.ndarray:
+        toks = text.split()
+        if len(toks) < 3:
+            shingles = [" ".join(toks)] if toks else [""]
+        else:
+            shingles = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        return np.asarray([_sha64(s.encode()) for s in set(shingles)], dtype=np.uint64)
+
+    shingles = {i: shingle_hashes(t) for i, t in zip(doc_ids, texts)}
+
+    # bucket membership
+    buckets: dict[int, list[int]] = {}
+    for i in doc_ids:
+        h = shingles[i]
+        vals = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_M61)
+        sig = vals.min(axis=1)
+        for j in range(bands):
+            chunk = sig[j * r : (j + 1) * r]
+            key = _sha64(chunk.tobytes() + bytes([j])) % (1 << 62)
+            buckets.setdefault(key, []).append(int(i))
+
+    # candidate pairs: all pairs for small buckets, canonical+chain beyond
+    cap = 32
+    pair_set: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        ids = sorted(set(members))
+        if len(ids) < 2:
+            continue
+        if len(ids) <= cap:
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    pair_set.add((ids[x], ids[y]))
+        else:
+            canon = ids[0]
+            pair_set.update((canon, x) for x in ids[1:])
+            pair_set.update(
+                (ids[x], ids[x + 1]) for x in range(1, len(ids) - 1)
+            )
+
+    def jaccard(ha: np.ndarray, hb: np.ndarray) -> float:
+        sa, sb = set(map(int, ha)), set(map(int, hb))
+        if not sa and not sb:
+            return 1.0
+        return len(sa & sb) / len(sa | sb)
+
+    # verify + connected components (min id survives per component)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for x, y in sorted(pair_set):
+        if jaccard(shingles[x], shingles[y]) >= threshold:
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                lo, hi = min(rx, ry), max(rx, ry)
+                parent[hi] = lo
+    kept = [int(i) for i in doc_ids if find(int(i)) == int(i)]
+    return pa.table({"doc_id": pa.array(kept, type=pa.int64())})
+
+
+# -- IVF similarity (spec: stages/similarity.py) ---------------------------
+
+_KMEANS_SCALE = float(1 << 24)
+
+
+def _kmeans_seq(emb: np.ndarray, ids: np.ndarray, n_clusters: int, n_iter: int = 3):
+    order = np.argsort(ids, kind="stable")[:n_clusters]
+    centroids = emb[order].astype(np.float64)
+    for _ in range(n_iter):
+        d = ((emb[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        q = np.round(emb * _KMEANS_SCALE).astype(np.int64)
+        sums = np.zeros((n_clusters, emb.shape[1]), dtype=np.int64)
+        counts = np.zeros(n_clusters, dtype=np.int64)
+        np.add.at(sums, assign, q)
+        np.add.at(counts, assign, 1)
+        nonzero = counts > 0
+        centroids[nonzero] = sums[nonzero].astype(np.float64) / (
+            _KMEANS_SCALE * counts[nonzero, None]
+        )
+    d = ((emb[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    return centroids, d.argmin(axis=1)
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def _expected_knn_ivf(
+    emb: np.ndarray, ids: np.ndarray, k=5, n_clusters=8, nprobe=3, nq=10
+) -> pa.Table:
+    centroids, assign = _kmeans_seq(emb, ids, n_clusters)
+    qmask = ids < nq
+    q, qids = emb[qmask], ids[qmask]
+    dq = ((q[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probed = sorted({int(c) for row in np.argsort(dq, axis=1)[:, :nprobe] for c in row})
+    sub = np.isin(assign, probed)
+    sub_emb, sub_ids = _normalize_rows(emb[sub]), ids[sub]
+    qn = _normalize_rows(q)
+    sims = sub_emb @ qn.T
+    out_q, out_n, out_r = [], [], []
+    for j in range(len(qids)):
+        mask = sub_ids != qids[j]
+        cand_ids, cand_sims = sub_ids[mask], sims[mask, j]
+        take = min(k, len(cand_ids))
+        order = np.lexsort((cand_ids, -cand_sims))[:take]
+        out_q.extend([int(qids[j])] * take)
+        out_n.extend(cand_ids[order].tolist())
+        out_r.extend(range(1, take + 1))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor_id": pa.array(out_n, type=pa.int64()),
+            "rank": pa.array(out_r, type=pa.int64()),
+        }
+    )
+
+
+def _expected_near_dup_ivf(
+    emb: np.ndarray, ids: np.ndarray, threshold=0.35, n_clusters=16
+) -> pa.Table:
+    _, assign = _kmeans_seq(emb, ids, n_clusters)
+    kept = []
+    for c in range(n_clusters):
+        m = assign == c
+        if not m.any():
+            continue
+        cids = ids[m]
+        cemb = _normalize_rows(emb[m])
+        order = np.argsort(cids, kind="stable")
+        cemb, cids = cemb[order], cids[order]
+        sims = cemb @ cemb.T
+        dup = ((sims >= threshold) & np.tri(len(cids), k=-1, dtype=bool)).any(axis=1)
+        kept.extend(cids[~dup].tolist())
+    return pa.table({"vec_id": pa.array(sorted(kept), type=pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# files-fixture sidecars (drop reasons, fused langid)
+# ---------------------------------------------------------------------------
+
+
+def _build_files_sidecars(fixture_dir: Path, out_dir: Path) -> None:
+    """Per-row keep/drop reasons (spec: core.quality.quality_row — the
+    declared row-wise reference of the vectorized QualityScrubStage) and
+    fused langid labels, computed sequentially over the whole fixture."""
+    from ..artifacts import load_char_lm
+    from ..core.detect import get_detector
+    from ..core.filters import documentation_pattern, vendor_pattern
+    from ..core.quality import quality_row
+
+    det = get_detector()
+    lm = load_char_lm()
+    vend_re = re.compile(vendor_pattern())
+    doc_re = re.compile(documentation_pattern())
+
+    tbl = pq.read_table(
+        sorted((fixture_dir / "files").glob("*.parquet")),
+        columns=["path", "lang", "content"],
+    )
+    paths = tbl.column("path").to_pylist()
+    gt_langs = tbl.column("lang").to_pylist()
+    contents = tbl.column("content").to_pylist()
+
+    detected = []
+    for p, content in zip(paths, contents):
+        d = det.detect(p.rsplit("/", 1)[-1], content)
+        detected.append(d[1] if d is not None else "")
+
+    reason_counts: Counter = Counter()
+    for p, content, dl in zip(paths, contents, detected):
+        ppl = float(lm.perplexity_batch([content[:8192]])[0])
+        _, reasons, _ = quality_row(
+            content, ppl, bool(vend_re.search(p)), bool(doc_re.search(p)), dl
+        )
+        reason_counts.update(reasons)
+    items = sorted(reason_counts.items())
+    pq.write_table(
+        pa.table(
+            {
+                "reason": pa.array([r for r, _ in items], type=pa.string()),
+                "n": pa.array([n for _, n in items], type=pa.int64()),
+            }
+        ),
+        out_dir / "drop_reason_counts.parquet",
+    )
+
+    labels, weights, priors = _train_langid_seq(
+        [c for c, l in zip(contents, gt_langs) if l],
+        [l for l in gt_langs if l],
+    )
+    fused = [
+        dl if dl else _predict_langid_seq(labels, weights, priors, c)
+        for c, dl in zip(contents, detected)
+    ]
+    pq.write_table(
+        pa.table(
+            {"path": pa.array(paths, type=pa.string()),
+             "fused_lang": pa.array(fused, type=pa.string())}
+        ),
+        out_dir / "files_langid_fused.parquet",
+    )
+
+
+# ---------------------------------------------------------------------------
+# build entry point
+# ---------------------------------------------------------------------------
+
+
+def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
+    """Build (or reuse) all oracle sidecars for one scale factor. Returns
+    the sidecar directory."""
+    sf_name = Path(sf_dir).name
+    out = ORACLE_ROOT / ORACLE_VERSION / sf_name
+    if (out / "_DONE").exists():
+        return out
+    out.mkdir(parents=True, exist_ok=True)
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    doc_ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    langs = docs.column("lang").to_pylist()
+
+    pq.write_table(_expected_simhash(texts, doc_ids), out / "doc_simhash.parquet")
+    pq.write_table(_expected_fingerprint(texts, doc_ids), out / "doc_fingerprint.parquet")
+    pq.write_table(_expected_doc_langid(texts, langs, doc_ids), out / "doc_langid.parquet")
+    pq.write_table(_expected_multimodal(texts, doc_ids), out / "doc_multimodal.parquet")
+    pq.write_table(_expected_minhash_keep(texts, doc_ids), out / "doc_minhash_dedup.parquet")
+
+    et = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = et.column("vec_id").to_numpy().astype(np.int64)
+    arr = et.column("embedding").combine_chunks()
+    emb = arr.values.to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(ids), -1)
+    pq.write_table(_expected_knn_ivf(emb, ids), out / "emb_knn_ivf.parquet")
+    pq.write_table(_expected_near_dup_ivf(emb, ids), out / "emb_near_dup_ivf.parquet")
+
+    _build_files_sidecars(fixture_dir, out)
+
+    (out / "_DONE").write_text("ok\n")
+    return out

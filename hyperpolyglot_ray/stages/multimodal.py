@@ -1,16 +1,24 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Image/audio/video payloads are carried as ``binary`` columns with a
-``media_type`` string column. The Ray-side plumbing — schema, actor-pool
-signature, small batch sizes for large payloads, output layout — is real
-and tested; the actual codec work is STUBBED (the decode libraries are not
-in this container): ``DecodeStage`` raises ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic sha-derived feature vector
-stands in for decoded features.
+Image/audio payloads are carried as ``binary`` columns with a ``media_type``
+string column. Two layers:
+
+* **Container/header decode — REAL.** ``parse_media_header`` reads PNG,
+  GIF, JPEG, BMP and WAV container headers straight from the bytes (the
+  public format specs; no codec library needed): media kind, pixel
+  dimensions, and for WAV sample-rate/channels. This is the metadata
+  extraction layer a 100 TB multimodal pipeline runs on every payload.
+* **Pixel/sample decode — STUBBED.** Decoding actual pixels/samples
+  requires codec libraries absent from this container; ``DecodeStage``
+  raises ``NotImplementedError`` if ``pixels=True``. A deterministic
+  sha-derived 8-float vector stands in for learned features so the full
+  schema/actor plumbing is exercised end-to-end.
 
 At scale: binary batches are kept small (``batch_size=32`` default) so a
 batch x concurrency of multi-MB payloads stays inside the worker heap, and
-the object store streams/spills blocks between stages.
+the object store streams/spills blocks between stages. Header parsing only
+touches the first bytes of each payload — zero-copy slices of the Arrow
+binary column.
 """
 
 from __future__ import annotations
@@ -25,21 +33,122 @@ import ray.data
 FEATURE_DIM = 8
 MULTIMODAL_BATCH_SIZE = 32
 
+_JPEG_SOF_MARKERS = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+)
+
+
+def parse_media_header(payload: bytes) -> tuple[str, int | None, int | None]:
+    """(kind, width, height) from container magic + header fields.
+
+    Kinds: png, gif, jpeg, bmp, wav, unknown. For wav the pair is
+    (sample_rate, channels) — documented schema overload so the output
+    stays a flat (kind, int, int) triple across media types.
+    """
+    n = len(payload)
+    if n >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", payload[16:24])
+        return "png", w, h
+    if n >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return "gif", w, h
+    if n >= 26 and payload[:2] == b"BM":
+        w, h = struct.unpack("<ii", payload[18:26])
+        return "bmp", abs(w), abs(h)
+    if n >= 4 and payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 <= n and payload[i] == 0xFF:
+            marker = payload[i + 1]
+            if marker in _JPEG_SOF_MARKERS:
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return "jpeg", w, h
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                i += 2
+                continue
+            if i + 4 > n:
+                break
+            (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
+            i += 2 + seglen
+        return "jpeg", None, None
+    if n >= 36 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE" and payload[12:16] == b"fmt ":
+        channels, rate = struct.unpack("<HI", payload[22:28])
+        return "wav", rate, channels
+    return "unknown", None, None
+
+
+def synth_media_payload(doc_id: int, text: str) -> tuple[bytes, str]:
+    """Deterministic synthetic media payload for fixtures/tests: a VALID
+    container header (dimensions derived from doc_id) followed by an
+    opaque body derived from the text. Lets header decode be exercised —
+    and oracled — without real media files in the container."""
+    w = 16 + (doc_id * 7) % 1000
+    h = 16 + (doc_id * 13) % 800
+    body = text.encode("utf-8")[:256]
+    kind = ("png", "gif", "jpeg", "bmp", "wav")[doc_id % 5]
+    if kind == "png":
+        hdr = (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + struct.pack(">II", w, h)
+            + bytes([8, 6, 0, 0, 0])
+            + b"\x00\x00\x00\x00"
+        )
+        return hdr + body, "image/png"
+    if kind == "gif":
+        return (
+            b"GIF89a" + struct.pack("<HH", w, h) + bytes([0xF7, 0, 0]) + body,
+            "image/gif",
+        )
+    if kind == "jpeg":
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x01\x01\x11\x00"
+        return b"\xff\xd8" + app0 + sof0 + body + b"\xff\xd9", "image/jpeg"
+    if kind == "bmp":
+        info = struct.pack("<Iii", 40, w, h) + struct.pack("<HH", 1, 24) + b"\x00" * 24
+        hdr = b"BM" + struct.pack("<I", 54 + len(body)) + b"\x00" * 4 + struct.pack("<I", 54)
+        return hdr + info + body, "image/bmp"
+    channels = 1 + doc_id % 2
+    rate = 8000 * (1 + doc_id % 3)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(body))
+        + b"WAVEfmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(body))
+    )
+    return hdr + body, "audio/wav"
+
 
 def attach_binary_payload(
-    ds: ray.data.Dataset, text_col: str = "text", media_type: str = "application/octet-stream"
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    media: bool = False,
 ) -> ray.data.Dataset:
-    """Test harness: derive an opaque binary column from a text column
-    (UTF-8 bytes), standing in for real image/audio payloads."""
+    """Derive an opaque binary column from a text column. ``media=False``:
+    raw UTF-8 bytes (octet-stream). ``media=True``: valid synthetic
+    PNG/GIF/JPEG/BMP/WAV payloads (see ``synth_media_payload``)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        payloads = [t.encode("utf-8") for t in batch.column(text_col).to_pylist()]
-        return (
-            batch.append_column("payload", pa.array(payloads, type=pa.binary()))
-            .append_column(
-                "media_type", pa.array([media_type] * len(batch), type=pa.string())
-            )
-        )
+        if media:
+            out = [
+                synth_media_payload(i, t)
+                for i, t in zip(
+                    batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+                )
+            ]
+            payloads = [p for p, _ in out]
+            types = [m for _, m in out]
+        else:
+            payloads = [t.encode("utf-8") for t in batch.column(text_col).to_pylist()]
+            types = ["application/octet-stream"] * len(batch)
+        return batch.append_column(
+            "payload", pa.array(payloads, type=pa.binary())
+        ).append_column("media_type", pa.array(types, type=pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -47,29 +156,34 @@ def attach_binary_payload(
 class DecodeStage:
     """Actor-pool decode/feature-extract stage over binary payloads.
 
-    Real decoding (``fake=False``) is NOT IMPLEMENTED in this container —
-    it would load codec libraries once per actor here in ``__init__``.
-    With ``fake=True`` a deterministic 8-float feature vector is derived
-    from the payload's sha256, plus payload_len — exercising the exact
-    schema/actor plumbing a real extractor would use.
+    Parses real container headers (kind/width/height) per payload and
+    appends a deterministic sha-derived stand-in feature vector.
+    ``pixels=True`` — full pixel/sample decode — is NOT IMPLEMENTED in
+    this container (it would load codec libraries once per actor in
+    ``__init__``); requesting it raises immediately.
     """
 
-    def __init__(self, fake: bool = True):
-        self.fake = fake
+    def __init__(self, pixels: bool = False):
+        if pixels:
+            raise NotImplementedError(
+                "pixel/sample decode requires codec libraries not present in "
+                "this container; header decode + stand-in features only"
+            )
         # real impl: self.codec = load_codec_library()  (once per actor)
 
     def _features(self, payload: bytes) -> list[float]:
-        if not self.fake:
-            raise NotImplementedError(
-                "media decode requires codec libraries not present in this "
-                "container; run with fake=True for the plumbing path"
-            )
         digest = hashlib.sha256(payload).digest()
         ints = struct.unpack("<8I", digest[:32])
         return [v / 0xFFFFFFFF for v in ints]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
+        kinds, widths, heights = [], [], []
+        for p in payloads:
+            kind, w, h = parse_media_header(p)
+            kinds.append(kind)
+            widths.append(w)
+            heights.append(h)
         feats = np.asarray([self._features(p) for p in payloads], dtype=np.float32)
         lens = pa.array([len(p) for p in payloads], type=pa.int64())
         feat_col = pa.FixedSizeListArray.from_arrays(
@@ -77,6 +191,9 @@ class DecodeStage:
         )
         return (
             batch.drop_columns(["payload"])  # decoded: drop the heavy bytes
+            .append_column("media_kind", pa.array(kinds, type=pa.string()))
+            .append_column("width", pa.array(widths, type=pa.int64()))
+            .append_column("height", pa.array(heights, type=pa.int64()))
             .append_column("payload_len", lens)
             .append_column("features", feat_col)
         )
@@ -87,7 +204,6 @@ def multimodal_features(
 ) -> ray.data.Dataset:
     return ds.map_batches(
         DecodeStage,
-        fn_constructor_kwargs={"fake": True},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,

@@ -17,6 +17,11 @@ import pyarrow as pa
 import ray
 import ray.data
 
+# k-means accumulates integer-quantized coordinates (round(x * SCALE)) so
+# the reduction is exact int64 arithmetic — bit-deterministic under any
+# block partitioning. 2^24 matches float32 mantissa resolution for |x|<1.
+KMEANS_SCALE = float(1 << 24)
+
 
 def _to_matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch.column(col)
@@ -145,26 +150,38 @@ def deterministic_kmeans(
             emb = _to_matrix(batch, emb_col)
             d = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
             assign = d.argmin(axis=1)
-            sums = np.zeros_like(c)
+            # integer-quantized accumulation: int64 sums are exact and
+            # order-independent, so the reduced centroids are bit-identical
+            # no matter how rows are split into blocks (float64 partial sums
+            # would drift with block boundaries and make results depend on
+            # the partitioning — poison for a deterministic oracle)
+            q = np.round(emb * KMEANS_SCALE).astype(np.int64)
+            sums = np.zeros((len(c), emb.shape[1]), dtype=np.int64)
             counts = np.zeros(len(c), dtype=np.int64)
-            np.add.at(sums, assign, emb)
+            np.add.at(sums, assign, q)
             np.add.at(counts, assign, 1)
             return pa.table(
                 {
                     "cluster": pa.array(np.arange(len(c)), type=pa.int64()),
-                    "vsum": pa.array(list(sums), type=pa.list_(pa.float64())),
+                    "vsum": pa.array(list(sums), type=pa.list_(pa.int64())),
                     "cnt": pa.array(counts, type=pa.int64()),
                 }
             )
 
-        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-        sums = np.zeros_like(centroids)
+        sums = np.zeros(centroids.shape, dtype=np.int64)
         counts = np.zeros(len(centroids), dtype=np.int64)
-        for _, row in parts.iterrows():
-            sums[row["cluster"]] += np.asarray(row["vsum"])
-            counts[row["cluster"]] += row["cnt"]
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            cl = b.column("cluster").to_numpy(zero_copy_only=False)
+            cnt = b.column("cnt").to_numpy(zero_copy_only=False)
+            vs = np.asarray(b.column("vsum").to_pylist(), dtype=np.int64)
+            np.add.at(sums, cl, vs)
+            np.add.at(counts, cl, cnt)
         nonzero = counts > 0
-        centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
+        centroids[nonzero] = sums[nonzero].astype(np.float64) / (
+            KMEANS_SCALE * counts[nonzero, None]
+        )
     return centroids
 
 

@@ -63,6 +63,25 @@ def test_cli_split_and_strategies(tmp_path):
     assert "Extension (3)" in out
 
 
+def test_cli_color_output(tmp_path, monkeypatch):
+    (tmp_path / "a.py").write_text("print(1)\n")
+    from hyperpolyglot_ray.__main__ import main
+
+    monkeypatch.setenv("HYPLY_FORCE_COLOR", "1")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main([str(tmp_path), "-s"])
+    out = buf.getvalue()
+    # magenta strategy header, green language tag (main.rs:210-219)
+    assert "\x1b[35mExtension\x1b[0m (1)" in out
+    assert "(\x1b[32mPython\x1b[0m)" in out
+
+    buf = io.StringIO()  # -n suppresses all escapes
+    with redirect_stdout(buf):
+        main([str(tmp_path), "-s", "-n"])
+    assert "\x1b[" not in buf.getvalue()
+
+
 def test_driver_contract_shapes(ray_session):
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as e

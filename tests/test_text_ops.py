@@ -164,14 +164,26 @@ def test_multimodal_stub(docs_ds):
         multimodal_features,
     )
 
-    with_bin = attach_binary_payload(docs_ds.select_columns(["doc_id", "text"]))
+    with_bin = attach_binary_payload(
+        docs_ds.select_columns(["doc_id", "text"]), media=True
+    )
     out = multimodal_features(with_bin).to_pandas()
     assert len(out) == 500
     assert all(len(f) == 8 for f in out["features"])
     assert (out["payload_len"] > 0).all()
-    # real decode is explicitly stubbed
+    # header decode is real: every synthetic payload round-trips its kind
+    # and dimensions
+    assert set(out["media_kind"]) == {"png", "gif", "jpeg", "bmp", "wav"}
+    byid = out.set_index("doc_id")
+    for i in (0, 1, 2, 3, 4, 17):
+        kind = ("png", "gif", "jpeg", "bmp", "wav")[i % 5]
+        assert byid.loc[i, "media_kind"] == kind
+        if kind != "wav":
+            assert byid.loc[i, "width"] == 16 + (i * 7) % 1000
+            assert byid.loc[i, "height"] == 16 + (i * 13) % 800
+    # pixel/sample decode is explicitly stubbed (codec libs not available)
     with pytest.raises(NotImplementedError):
-        DecodeStage(fake=False)._features(b"xxx")
+        DecodeStage(pixels=True)
 
 
 def test_langid_roundtrip(ray_session):
