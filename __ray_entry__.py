@@ -523,7 +523,9 @@ def entry() -> Any:
     from hyperpolyglot_ray.pipelines.quality_filter import quality_filter_pipeline
 
     fix = _fixture_dir(0.001)
-    ds = quality_filter_pipeline(str(fix / "files"))
+    ds = quality_filter_pipeline(
+        str(fix / "files"), columns=["repo", "path", "commit", "content"]
+    )
     return ds.select_columns(
         ["repo", "path", "commit", "detected_lang", "strategy", "keep", "content_sha"]
     )

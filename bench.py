@@ -53,7 +53,9 @@ def _flagship(files_dir: str, num_cpus: int, sink: str = "write") -> tuple[float
     from hyperpolyglot_ray.stages.fused import QualityFilterStage
 
     t0 = time.time()
-    ds = ray.data.read_parquet(files_dir)
+    # prune at the read: the fixture's ground-truth `lang` column is not an
+    # input of the filter+scrub pass — only needed columns leave storage
+    ds = ray.data.read_parquet(files_dir, columns=["repo", "path", "commit", "content"])
     ds = ds.map_batches(
         QualityFilterStage,
         fn_constructor_kwargs={"drop_content": True},

@@ -46,6 +46,15 @@ class HashedLangIDModel:
         self.labels = labels
         self.weights = weights  # (L, B) int32 quantized log P(bucket | label)
         self.priors = priors  # (L,) int64 quantized log P(label)
+        self._wT = None  # (B, L) float64 scoring matrix, built lazily per actor
+
+    def __getstate__(self):
+        # don't ship the float64 copy through ray.put — rebuilt per actor
+        return (self.labels, self.weights, self.priors)
+
+    def __setstate__(self, state):
+        self.labels, self.weights, self.priors = state
+        self._wT = None
 
     def _finish(self, scores: np.ndarray, n_ids: int) -> tuple[str, float]:
         top = int(scores.argmax())
@@ -64,35 +73,43 @@ class HashedLangIDModel:
         return self._finish(scores, len(ids))
 
     def predict_batch(self, texts: list[str]) -> tuple[list[str], list[float]]:
-        """Vectorized scoring: one gather + segment-sum per sub-chunk of
-        rows instead of a Python loop per row (VERDICT r1 §wrong 7). The
-        sub-chunk bound caps the (L x nnz) gather at ~32M int64 cells."""
+        """Vectorized scoring: dense per-row bucket counts x weight matrix
+        as ONE BLAS float64 matmul per sub-chunk (VERDICT r1 §wrong 7).
+
+        Exactness: every product is count (<= 4094) x quantized weight
+        (|w| < 2^35), every row sum has <= 4094 terms, so all intermediate
+        values are integers < 2^53 — float64 arithmetic on them is EXACT
+        and order-independent, hence bit-identical to the integer per-row
+        path (``predict_one``) and the sequential oracle."""
+        if self._wT is None:
+            self._wT = self.weights.T.astype(np.float64)
         n = len(texts)
         preds = [self.labels[0]] * n
         confs = [0.0] * n
         ids_per_row = [_bucket_ids(t) for t in texts]
-        L = len(self.labels)
-        max_cells = 32_000_000
-        row = 0
-        while row < n:
-            # grow the chunk until the gather budget is spent
-            end, nnz = row, 0
-            while end < n and (nnz == 0 or (nnz + len(ids_per_row[end])) * L <= max_cells):
-                nnz += len(ids_per_row[end])
-                end += 1
+        priors = self.priors.astype(np.float64)
+        rows_per_chunk = max(1, 32_000_000 // N_BUCKETS)  # ~32 MB dense counts
+        for start in range(0, n, rows_per_chunk):
             chunk = [
-                (i, ids_per_row[i]) for i in range(row, end) if len(ids_per_row[i]) > 0
+                (i, ids_per_row[i])
+                for i in range(start, min(n, start + rows_per_chunk))
+                if len(ids_per_row[i]) > 0
             ]
-            if chunk:
-                all_ids = np.concatenate([ids for _, ids in chunk])
-                lens = np.array([len(ids) for _, ids in chunk])
-                offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
-                gathered = self.weights[:, all_ids].astype(np.int64)  # (L, nnz)
-                seg = np.add.reduceat(gathered, offsets, axis=1)  # (L, n_nonempty)
-                scores = seg + self.priors[:, None]
-                for j, (i, ids) in enumerate(chunk):
-                    preds[i], confs[i] = self._finish(scores[:, j], len(ids))
-            row = end
+            if not chunk:
+                continue
+            counts = np.zeros((len(chunk), N_BUCKETS), dtype=np.float64)
+            for j, (_, ids) in enumerate(chunk):
+                np.add.at(counts[j], ids, 1.0)
+            scores = counts @ self._wT + priors[None, :]  # (m, L), exact ints
+            top = np.argmax(scores, axis=1)  # ties -> first label, as argmax
+            top2 = np.sort(scores, axis=1)[:, -2:]
+            for j, (i, ids) in enumerate(chunk):
+                preds[i] = self.labels[int(top[j])]
+                confs[i] = (
+                    float(top2[j, 1] - top2[j, 0]) / WEIGHT_SCALE / max(1, len(ids))
+                    if scores.shape[1] > 1
+                    else 1.0
+                )
         return preds, confs
 
 

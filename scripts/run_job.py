@@ -52,7 +52,7 @@ def main():
     cpus = int(ray.cluster_resources().get("CPU", 4))
 
     def pipeline(files, stats):
-        ds = ray.data.read_parquet(files)
+        ds = ray.data.read_parquet(files, columns=["repo", "path", "commit", "content"])
         return ds.map_batches(
             QualityFilterStage,
             fn_constructor_kwargs={"drop_content": True, "stats_actor": stats},
