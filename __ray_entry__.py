@@ -397,6 +397,28 @@ def _q_doc_multimodal(sf_dir: str):
     return out.map_batches(flatten, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_doc_topk_per_lang(sf_dir: str):
+    from hyperpolyglot_ray.stages.aggregates import top_k_per_group
+
+    return top_k_per_group(_docs(sf_dir), "lang", "n_chars", k=3)
+
+
+def _q_events_session_join(sf_dir: str):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.joins import interval_join
+    from hyperpolyglot_ray.stages.windows import sessionize
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    sessions = sessionize(ev.filter(expr="event_type == 'view'"))
+    return interval_join(
+        purchases, sessions, key_col="user_id", ts_col="ts",
+        start_col="session_start", end_col="session_end",
+        left_id="event_id", right_id="session_id", out_col="session_id",
+    )
+
+
 def _q_repo_stats(sf_dir: str):
     from hyperpolyglot_ray.stages.aggregates import salted_repo_stats
 
@@ -561,6 +583,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup_ivf": _q_emb_near_dup_ivf,
         "events_window": _q_events_window,
         "events_sessionize": _q_events_sessionize,
+        "events_session_join": _q_events_session_join,
+        "doc_topk_per_lang": _q_doc_topk_per_lang,
         "repo_stats": _q_repo_stats,
         "orders_by_nation": _q_orders_by_nation,
         "events_asof": _q_events_asof,
@@ -727,6 +751,32 @@ SELECT p.user_id, p.event_id, v.event_id AS view_event_id
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON p.user_id = v.user_id AND p.ts > v.ts""",
+        "doc_topk_per_lang": """
+WITH r AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents
+)
+SELECT lang, doc_id, n_chars, rank FROM r WHERE rank <= 3""",
+        "events_session_join": """
+WITH v AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WHERE event_type = 'view'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+  FROM v
+), sess AS (
+  SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end
+  FROM s GROUP BY user_id, session_id
+)
+SELECT p.user_id, p.event_id, se.session_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN sess se
+  ON p.user_id = se.user_id AND p.ts BETWEEN se.session_start AND se.session_end""",
         "events_sessionize": """
 WITH e AS (
   SELECT user_id, ts,

@@ -62,7 +62,7 @@ def _flagship(files_dir: str, num_cpus: int, sink: str = "write") -> tuple[float
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=1024,
-        concurrency=max(2, num_cpus * 3 // 4),
+        concurrency=max(1, min(num_cpus - 1, num_cpus * 3 // 4)),
     )
     if sink == "write":
         shutil.rmtree(BENCH_OUT, ignore_errors=True)
@@ -103,9 +103,9 @@ def run_bench(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
 
     queries: dict[str, float] = {}
 
-    # best of N (default 2): this sandbox sees noisy-neighbor CPU steal with
+    # best of N (default 3): this sandbox sees noisy-neighbor CPU steal with
     # ~2x wall swings minutes apart; the fastest run is the representative one
-    reps = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "2")))
+    reps = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "3")))
     t_flag, rows = _flagship(files_dir, num_cpus, sink=sink)
     queries["flagship_run1"] = round(t_flag, 3)
     for rep in range(2, reps + 1):
@@ -184,8 +184,9 @@ def run_scaling(sf_dir: str, n_low: int, n_high: int) -> dict:
     keeps its fastest run: host CPU-steal phases last minutes here, so
     back-to-back single samples can land one level in a throttled window
     and corrupt the ratio; interleaving + best-of cancels that."""
+    rounds = max(1, int(os.environ.get("GRAFT_SCALE_ROUNDS", "2")))
     outs = {}
-    for cpus in (n_low, n_high, n_low, n_high):
+    for cpus in (n_low, n_high) * rounds:
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(cpus)
         env["GRAFT_SF_DIR"] = sf_dir
@@ -240,7 +241,7 @@ def run_stats(sf_dir: str, num_cpus: int) -> None:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=1024,
-        concurrency=max(2, num_cpus * 3 // 4),
+        concurrency=max(1, min(num_cpus - 1, num_cpus * 3 // 4)),
     )
     reduced = ds.map_batches(
         lambda b: pa.table({"n": pa.array([len(b)], type=pa.int64())}),

@@ -29,7 +29,9 @@ def _swept_pool_size() -> int:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
-    return max(2, cpus * 3 // 4)
+    # never the whole cluster: a fixed pool equal to total CPUs starves the
+    # read tasks feeding it (observed wedge at num_cpus=2)
+    return max(1, min(cpus - 1, cpus * 3 // 4))
 
 
 def _default_concurrency() -> tuple[int, int]:

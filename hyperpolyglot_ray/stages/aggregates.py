@@ -57,6 +57,52 @@ def salted_repo_stats(
     return phase2
 
 
+def top_k_per_group(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_col: str,
+    k: int = 3,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Top-k rows per group by (order_col desc, id_col asc) — the combiner
+    pattern for per-group top-k: each block keeps at most k rows per key it
+    sees, so the ``groupby`` shuffle carries O(keys x k x blocks) rows, not
+    the corpus; no global sort. Output: (key, id, order value, rank 1..k).
+    """
+    import numpy as np
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch.column(key_col).to_pylist())
+        vals = batch.column(order_col).to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        take: list[int] = []
+        for key in np.unique(keys):
+            idx = np.flatnonzero(keys == key)
+            order = np.lexsort((ids[idx], -vals[idx]))[:k]
+            take.extend(idx[order].tolist())
+        return batch.take(pa.array(sorted(take))).select([key_col, id_col, order_col])
+
+    partial = ds.select_columns([key_col, id_col, order_col]).map_batches(
+        block_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        vals = group.column(order_col).to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        take = min(k, len(ids))
+        order = np.lexsort((ids, -vals))[:take]
+        return pa.table(
+            {
+                key_col: pa.array([group.column(key_col)[0].as_py()] * take),
+                id_col: pa.array(ids[order]),
+                order_col: pa.array(vals[order]),
+                "rank": pa.array(np.arange(1, take + 1), type=pa.int64()),
+            }
+        )
+
+    return partial.groupby(key_col).map_groups(final_topk, batch_format="pyarrow")
+
+
 def hash_salt(path: str, n_salts: int) -> int:
     """Deterministic salt (no Python hash(): PYTHONHASHSEED-dependent)."""
     import zlib

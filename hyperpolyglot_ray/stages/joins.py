@@ -107,3 +107,77 @@ def asof_join(
         )
 
     return both.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
+def interval_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    left_id: str,
+    right_id: str,
+    out_col: str = "matched_id",
+) -> ray.data.Dataset:
+    """Range join: for each left row, the right row (same key) whose
+    ``[start, end]`` interval contains the left ts. Intervals per key must
+    be non-overlapping (e.g. sessions) so at most one matches; no match ->
+    null. Same one-shuffle topology as ``asof_join``: both sides union-tag
+    and a single ``groupby(key)`` co-locates each key, then an in-group
+    ``searchsorted`` over interval starts resolves containment.
+
+    Output: key, {left_id}, {out_col} (nullable int64).
+    """
+    l_tag = left.map_batches(
+        lambda b: pa.table(
+            {
+                key_col: b.column(key_col),
+                "ts": b.column(ts_col).cast(pa.int64()),
+                "end": b.column(ts_col).cast(pa.int64()),
+                "row_id": b.column(left_id).cast(pa.int64()),
+                "side": pa.array(["L"] * len(b)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    r_tag = right.map_batches(
+        lambda b: pa.table(
+            {
+                key_col: b.column(key_col),
+                "ts": b.column(start_col).cast(pa.int64()),
+                "end": b.column(end_col).cast(pa.int64()),
+                "row_id": b.column(right_id).cast(pa.int64()),
+                "side": pa.array(["R"] * len(b)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    both = l_tag.union(r_tag)
+
+    def per_key(group: pa.Table) -> pa.Table:
+        sides = np.asarray(group.column("side").to_pylist())
+        ts = group.column("ts").to_numpy(zero_copy_only=False)
+        ends = group.column("end").to_numpy(zero_copy_only=False)
+        ids = group.column("row_id").to_numpy(zero_copy_only=False)
+        key = group.column(key_col)[0].as_py()
+        lmask = sides == "L"
+        rmask = ~lmask
+        lts, lids = ts[lmask], ids[lmask]
+        starts, rends, rids = ts[rmask], ends[rmask], ids[rmask]
+        order = np.argsort(starts, kind="stable")
+        starts, rends, rids = starts[order], rends[order], rids[order]
+        pos = np.searchsorted(starts, lts, side="right") - 1
+        matched = [
+            int(rids[p]) if p >= 0 and lts[i] <= rends[p] else None
+            for i, p in enumerate(pos)
+        ]
+        return pa.table(
+            {
+                key_col: pa.array([key] * len(lids)),
+                left_id: pa.array(lids, type=pa.int64()),
+                out_col: pa.array(matched, type=pa.int64()),
+            }
+        )
+
+    return both.groupby(key_col).map_groups(per_key, batch_format="pyarrow")

@@ -59,7 +59,7 @@ def main():
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=1024,
-            concurrency=max(2, cpus * 3 // 4),
+            concurrency=max(1, min(cpus - 1, cpus * 3 // 4)),
         )
 
     summary = run_resumable(

@@ -157,6 +157,49 @@ def test_sessionize(ray_session):
     assert (out["session_end"] >= out["session_start"]).all()
 
 
+def test_top_k_per_group(docs_ds):
+    from hyperpolyglot_ray.stages.aggregates import top_k_per_group
+
+    out = top_k_per_group(docs_ds, "lang", "n_chars", k=3).to_pandas()
+    docs = docs_ds.to_pandas()
+    for lang, grp in out.groupby("lang"):
+        grp = grp.sort_values("rank")
+        expect = (
+            docs[docs["lang"] == lang]
+            .sort_values(["n_chars", "doc_id"], ascending=[False, True])
+            .head(3)
+        )
+        assert grp["doc_id"].tolist() == expect["doc_id"].tolist()
+        assert grp["rank"].tolist() == list(range(1, len(grp) + 1))
+
+
+def test_interval_join(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.joins import interval_join
+
+    left = ray.data.from_items(
+        [
+            {"user_id": 1, "ts": 5, "event_id": 100},   # inside [0, 10] -> 7
+            {"user_id": 1, "ts": 15, "event_id": 101},  # gap -> null
+            {"user_id": 1, "ts": 25, "event_id": 102},  # inside [20, 30] -> 8
+            {"user_id": 2, "ts": 5, "event_id": 103},   # no intervals -> null
+        ]
+    )
+    right = ray.data.from_items(
+        [
+            {"user_id": 1, "start": 0, "end": 10, "sid": 7},
+            {"user_id": 1, "start": 20, "end": 30, "sid": 8},
+        ]
+    )
+    out = interval_join(
+        left, right, key_col="user_id", ts_col="ts", start_col="start",
+        end_col="end", left_id="event_id", right_id="sid", out_col="sid",
+    ).to_pandas().set_index("event_id")["sid"]
+    assert out[100] == 7 and out[102] == 8
+    assert out[[101, 103]].isna().all()
+
+
 def test_multimodal_stub(docs_ds):
     from hyperpolyglot_ray.stages.multimodal import (
         DecodeStage,
