@@ -96,6 +96,8 @@ _LANGID_SCALE = 1_000_000
 
 
 def _trigram_buckets(text: str) -> np.ndarray:
+    if not text:
+        return np.zeros(0, dtype=np.int64)
     b = np.frombuffer(text[:_LANGID_MAX_CHARS].encode("utf-8"), dtype=np.uint8).astype(
         np.uint32
     )

@@ -26,6 +26,8 @@ MAX_BYTES = 4096  # char-ngram profile prefix (train AND predict — frozen spec
 
 
 def _bucket_ids(text: str) -> np.ndarray:
+    if not text:  # null/empty cells: no features (never crash the stage)
+        return np.zeros(0, dtype=np.int64)
     b = np.frombuffer(text[:MAX_BYTES].encode("utf-8"), dtype=np.uint8).astype(np.uint32)
     if len(b) < 3:
         return np.zeros(0, dtype=np.int64)

@@ -136,7 +136,7 @@ def attach_binary_payload(
     def fn(batch: pa.Table) -> pa.Table:
         if media:
             out = [
-                synth_media_payload(i, t)
+                synth_media_payload(i, t or "")
                 for i, t in zip(
                     batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
                 )
@@ -144,7 +144,7 @@ def attach_binary_payload(
             payloads = [p for p, _ in out]
             types = [m for _, m in out]
         else:
-            payloads = [t.encode("utf-8") for t in batch.column(text_col).to_pylist()]
+            payloads = [(t or "").encode("utf-8") for t in batch.column(text_col).to_pylist()]
             types = ["application/octet-stream"] * len(batch)
         return batch.append_column(
             "payload", pa.array(payloads, type=pa.binary())

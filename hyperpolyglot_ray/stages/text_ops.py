@@ -43,7 +43,7 @@ def stable_hash64(text: str) -> int:
 def add_text_hash(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     def fn(batch: pa.Table) -> pa.Table:
         hashes = [
-            hashlib.sha256(t.encode("utf-8")).hexdigest()
+            hashlib.sha256((t or "").encode("utf-8")).hexdigest()
             for t in batch.column(text_col).to_pylist()
         ]
         return batch.append_column("text_hash", pa.array(hashes, type=pa.string()))
@@ -64,7 +64,7 @@ def exact_dedup_keep_ids(
 
     def hash_only(batch: pa.Table) -> pa.Table:
         hashes = [
-            hashlib.sha256(t.encode("utf-8")).hexdigest()
+            hashlib.sha256((t or "").encode("utf-8")).hexdigest()
             for t in batch.column(text_col).to_pylist()
         ]
         return pa.table(
@@ -156,7 +156,7 @@ def fingerprint(
         return h
 
     def fn(batch: pa.Table) -> pa.Table:
-        fps = [fp_one(t) for t in batch.column(text_col).to_pylist()]
+        fps = [fp_one(t or "") for t in batch.column(text_col).to_pylist()]
         return pa.table(
             {id_col: batch.column(id_col), "fp": pa.array(fps, type=pa.int64())}
         )
@@ -210,7 +210,7 @@ class MinHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
-        all_keys = [self.band_keys(self.signature(t)) for t in texts]
+        all_keys = [self.band_keys(self.signature(t or "")) for t in texts]
         for j in range(self.bands):
             batch = batch.append_column(
                 f"band_{j}", pa.array([k[j] for k in all_keys], type=pa.int64())
@@ -345,7 +345,7 @@ def minhash_dedup_keep_ids(
             for pidx in member.get(i, ()):
                 out_idx.append(pidx)
                 out_id.append(i)
-                out_text.append(t)
+                out_text.append(t or "")
         return pa.table(
             {
                 "pair_idx": pa.array(out_idx, type=pa.int64()),
@@ -411,7 +411,7 @@ def add_simhash(
     for hamming-LSH candidate generation."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        hs = [simhash64(t) for t in batch.column(text_col).to_pylist()]
+        hs = [simhash64(t or "") for t in batch.column(text_col).to_pylist()]
         out = pa.table(
             {
                 id_col: batch.column(id_col),

@@ -157,6 +157,44 @@ def test_sessionize(ray_session):
     assert (out["session_end"] >= out["session_start"]).all()
 
 
+def test_null_text_never_crashes(ray_session):
+    """A 100 TB corpus WILL contain null cells; every text operator must
+    score them as empty rather than crash the stage."""
+    import ray.data
+
+    from hyperpolyglot_ray.stages.langid import predict_langid, train_langid
+    from hyperpolyglot_ray.stages.multimodal import attach_binary_payload
+    from hyperpolyglot_ray.stages.text_ops import (
+        add_simhash,
+        exact_dedup_keep_ids,
+        fingerprint,
+        minhash_dedup_keep_ids,
+    )
+
+    rows = [
+        {"doc_id": 1, "text": "hello world one two three", "lang": "en"},
+        {"doc_id": 2, "text": None, "lang": "en"},
+        {"doc_id": 3, "text": "", "lang": "en"},
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+                "text": pa.array([r["text"] for r in rows], type=pa.string()),
+                "lang": pa.array([r["lang"] for r in rows], type=pa.string()),
+            }
+        )
+    )
+    # null and "" hash identically -> one survivor of {2, 3}
+    assert sorted(r["doc_id"] for r in exact_dedup_keep_ids(ds).take_all()) == [1, 2]
+    assert fingerprint(ds).count() == 3
+    assert add_simhash(ds).count() == 3
+    assert minhash_dedup_keep_ids(ds).count() < 3  # null/"" near-dup collapse
+    model = train_langid(ds, "text", "lang")
+    assert predict_langid(ds, model, "text").count() == 3
+    assert attach_binary_payload(ds).count() == 3
+
+
 def test_top_k_per_group(docs_ds):
     from hyperpolyglot_ray.stages.aggregates import top_k_per_group
 
