@@ -528,6 +528,15 @@ def _q_events_window(sf_dir: str):
     return tumbling_window_agg(ds)
 
 
+def _q_events_sliding_window(sf_dir: str):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.windows import sliding_window_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    return sliding_window_agg(ds)
+
+
 def _q_events_sessionize(sf_dir: str):
     import ray.data
 
@@ -582,6 +591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup": _q_emb_near_dup,
         "emb_near_dup_ivf": _q_emb_near_dup_ivf,
         "events_window": _q_events_window,
+        "events_sliding_window": _q_events_sliding_window,
         "events_sessionize": _q_events_sessionize,
         "events_session_join": _q_events_session_join,
         "doc_topk_per_lang": _q_doc_topk_per_lang,
@@ -736,6 +746,12 @@ SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
        count(*) AS n_events,
        CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_millis
 FROM events GROUP BY 1, 2""",
+        "events_sliding_window": """
+SELECT (epoch_us(ts) // 1800000000) * 1800000000 - j * 1800000000 AS window_start_us,
+       event_type, count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_millis
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS j)
+GROUP BY 1, 2""",
         "repo_stats": (
             f"SELECT repo, count(*) AS n_files, CAST(sum(length(content)) AS BIGINT) AS total_chars "
             f"FROM read_parquet('{files}') GROUP BY repo"

@@ -127,13 +127,19 @@ def run_bench(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
         from hyperpolyglot_ray.stages.windows import tumbling_window_agg
 
         t0 = time.time()
-        split = language_split(detect_dataset(ray.data.read_parquet(files_dir)))
+        split = language_split(
+            detect_dataset(
+                ray.data.read_parquet(files_dir, columns=["path", "content"])
+            )
+        )
         assert len(split) > 0
         queries["detect_language_split"] = round(time.time() - t0, 3)
 
         t0 = time.time()
         n = exact_dedup_keep_ids(
-            ray.data.read_parquet(files_dir), text_col="content", id_col="commit"
+            ray.data.read_parquet(files_dir, columns=["commit", "content"]),
+            text_col="content",
+            id_col="commit",
         ).count()
         queries["files_exact_dedup"] = round(time.time() - t0, 3)
 

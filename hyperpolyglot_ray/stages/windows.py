@@ -64,6 +64,62 @@ def tumbling_window_agg(
     return final
 
 
+def sliding_window_agg(
+    ds: ray.data.Dataset,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window_minutes: int = 60,
+    slide_minutes: int = 30,
+) -> ray.data.Dataset:
+    """Hopping/sliding window: each event contributes to
+    ``window/slide`` overlapping epoch-grid-aligned windows. Same topology
+    as the tumbling window — a vectorized flat-map to (window_start, key)
+    partials inside each block, then a small groupby over the (windows x
+    keys) key space. Window starts are int64 epoch MICROSECONDS
+    (``window_start_us``) so the aggregate is type-exact against any SQL
+    engine with integer epoch arithmetic.
+
+    Output: window_start_us (int64), {key_col}, n_events, sum_value_millis.
+    """
+    window_us = window_minutes * 60 * 1_000_000
+    slide_us = slide_minutes * 60 * 1_000_000
+    assert window_us % slide_us == 0, "window must be a multiple of slide"
+    n_sub = window_us // slide_us
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+        millis = np.floor(vals * 1000.0).astype(np.int64)
+        n = len(batch)
+        base = (us // slide_us) * slide_us
+        starts = np.concatenate([base - j * slide_us for j in range(n_sub)])
+        tile = pa.array(np.tile(np.arange(n, dtype=np.int64), n_sub))
+        t = pa.table(
+            {
+                "window_start_us": pa.array(starts),
+                key_col: batch.column(key_col).take(tile),
+                "one": pa.array(np.ones(n * n_sub, dtype=np.int64)),
+                "millis": pa.array(np.tile(millis, n_sub)),
+            }
+        )
+        g = t.group_by(["window_start_us", key_col]).aggregate(
+            [("one", "sum"), ("millis", "sum")]
+        )
+        return g.rename_columns(
+            ["window_start_us", key_col, "n_events", "sum_value_millis"]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        partials.groupby(["window_start_us", key_col])
+        .sum(["n_events", "sum_value_millis"])
+        .rename_columns(
+            {"sum(n_events)": "n_events", "sum(sum_value_millis)": "sum_value_millis"}
+        )
+    )
+
+
 def sessionize(
     ds: ray.data.Dataset,
     ts_col: str = "ts",

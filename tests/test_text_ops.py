@@ -146,6 +146,19 @@ def test_tumbling_window(ray_session):
     assert out.duplicated(["window_start", "event_type"]).sum() == 0
 
 
+def test_sliding_window(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.windows import sliding_window_agg
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    out = sliding_window_agg(ds).to_pandas()
+    # hour window / 30 min slide: every event lands in exactly 2 windows
+    assert out["n_events"].sum() == 2000
+    assert (out["window_start_us"] % (30 * 60 * 1_000_000) == 0).all()
+    assert out.duplicated(["window_start_us", "event_type"]).sum() == 0
+
+
 def test_sessionize(ray_session):
     import ray.data
 
