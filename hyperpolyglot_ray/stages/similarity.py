@@ -221,8 +221,15 @@ def knn_ivf(
     d = ((q[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
     probe = np.argsort(d, axis=1)[:, :nprobe]  # (nq, nprobe)
     probed_clusters = sorted({int(c) for row in probe for c in row})
-    subset = assigned.filter(
-        expr=" or ".join(f"cluster == {c}" for c in probed_clusters)
+    probed_arr = pa.array(probed_clusters, type=pa.int32())
+
+    def probe_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch.column("cluster"), value_set=probed_arr))
+
+    subset = assigned.map_batches(
+        probe_filter, batch_format="pyarrow", zero_copy_batch=True
     )
     return knn_bruteforce(
         subset, q, query_ids, k=k, id_col=id_col, emb_col=emb_col
