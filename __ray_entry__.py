@@ -340,6 +340,12 @@ def _q_doc_minhash_dedup(sf_dir: str):
     return minhash_dedup_keep_ids(_docs(sf_dir))
 
 
+def _q_doc_simhash_dedup(sf_dir: str):
+    from hyperpolyglot_ray.stages.text_ops import simhash_dedup_keep_ids
+
+    return simhash_dedup_keep_ids(_docs(sf_dir))
+
+
 def _q_doc_simhash(sf_dir: str):
     from hyperpolyglot_ray.stages.text_ops import add_simhash
 
@@ -583,6 +589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_counts": _q_doc_lang_counts,
         "doc_minhash_dedup": _q_doc_minhash_dedup,
         "doc_simhash": _q_doc_simhash,
+        "doc_simhash_dedup": _q_doc_simhash_dedup,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_langid": _q_doc_langid,
         "doc_multimodal": _q_doc_multimodal,
@@ -711,6 +718,7 @@ FROM documents""",
         "doc_lang_counts": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
         "doc_minhash_dedup": f"SELECT doc_id FROM read_parquet('{side}/doc_minhash_dedup.parquet')",
         "doc_simhash": f"SELECT doc_id, simhash FROM read_parquet('{side}/doc_simhash.parquet')",
+        "doc_simhash_dedup": f"SELECT doc_id FROM read_parquet('{side}/doc_simhash_dedup.parquet')",
         "doc_fingerprint": f"SELECT doc_id, fp FROM read_parquet('{side}/doc_fingerprint.parquet')",
         "doc_langid": f"SELECT doc_id, langid_lang FROM read_parquet('{side}/doc_langid.parquet')",
         "doc_multimodal": f"SELECT * FROM read_parquet('{side}/doc_multimodal.parquet')",

@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r2b"
+ORACLE_VERSION = "r2c"
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -286,6 +286,52 @@ def _expected_minhash_keep(texts, doc_ids, threshold=0.8, k=64, bands=16) -> pa.
     return pa.table({"doc_id": pa.array(kept, type=pa.int64())})
 
 
+def _expected_simhash_dedup(texts, doc_ids, max_hamming=3) -> pa.Table:
+    """Sequential SimHash near-dup dedup (spec: stages/text_ops.py
+    simhash_dedup_keep_ids): quarter-key buckets, popcount verify,
+    connected components, min id survives."""
+    sim_tbl = _expected_simhash(texts, doc_ids)
+    sims = {
+        int(i): int(s) + (1 << 63)  # back to unsigned
+        for i, s in zip(sim_tbl.column("doc_id").to_pylist(), sim_tbl.column("simhash").to_pylist())
+    }
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i, h in sims.items():
+        for q in range(4):
+            buckets.setdefault((q, (h >> (16 * q)) & 0xFFFF), []).append(i)
+
+    cap = 32
+    pair_set: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        ids = sorted(set(members))
+        if len(ids) < 2:
+            continue
+        if len(ids) <= cap:
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    pair_set.add((ids[x], ids[y]))
+        else:
+            pair_set.update((ids[0], x) for x in ids[1:])
+            pair_set.update((ids[x], ids[x + 1]) for x in range(1, len(ids) - 1))
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in sorted(pair_set):
+        if bin(sims[a] ^ sims[b]).count("1") <= max_hamming:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+    kept = [int(i) for i in doc_ids if find(int(i)) == int(i)]
+    return pa.table({"doc_id": pa.array(kept, type=pa.int64())})
+
+
 # -- IVF similarity (spec: stages/similarity.py) ---------------------------
 
 _KMEANS_SCALE = float(1 << 24)
@@ -456,6 +502,7 @@ def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
     pq.write_table(_expected_doc_langid(texts, langs, doc_ids), out / "doc_langid.parquet")
     pq.write_table(_expected_multimodal(texts, doc_ids), out / "doc_multimodal.parquet")
     pq.write_table(_expected_minhash_keep(texts, doc_ids), out / "doc_minhash_dedup.parquet")
+    pq.write_table(_expected_simhash_dedup(texts, doc_ids), out / "doc_simhash_dedup.parquet")
 
     et = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = et.column("vec_id").to_numpy().astype(np.int64)

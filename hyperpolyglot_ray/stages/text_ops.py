@@ -404,6 +404,81 @@ def simhash64(text: str) -> int:
     return out
 
 
+def simhash_dedup_keep_ids(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> ray.data.Dataset:
+    """SimHash near-dup dedup: keep one id (the min) per cluster of docs
+    whose 64-bit SimHashes differ by <= ``max_hamming`` bits.
+
+    Hamming-LSH by pigeonhole: <= 3 differing bits cannot touch all four
+    16-bit quarters, so every near-dup pair shares at least one exact
+    quarter value. Candidates come from a groupby over (quarter index,
+    quarter value) keys; the shuffle carries (id, simhash) — 16 bytes/doc,
+    never text — and verification (popcount of XOR) happens IN-GROUP since
+    the signature is the whole payload. Verified edges (<< rows) reduce via
+    driver union-find, as in ``minhash_dedup_keep_ids``.
+    """
+    slim = ds.select_columns([id_col, text_col])
+    sigs = add_simhash(slim, text_col=text_col, id_col=id_col)
+
+    def to_bucket_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        sims = batch.column("simhash").to_pylist()
+        out_key, out_id, out_sim = [], [], []
+        for q in range(4):
+            quarters = batch.column(f"sim_q{q}").to_pylist()
+            for i, s, qv in zip(ids, sims, quarters):
+                out_key.append((q << 16) | qv)
+                out_id.append(i)
+                out_sim.append(s)
+        return pa.table(
+            {
+                "bucket": pa.array(out_key, type=pa.int32()),
+                id_col: pa.array(out_id, type=pa.int64()),
+                "simhash": pa.array(out_sim, type=pa.int64()),
+            }
+        )
+
+    buckets = sigs.map_batches(to_bucket_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_edges(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_pylist()
+        sims = group.column("simhash").to_pylist()
+        order = np.argsort(ids)
+        ids = [int(ids[i]) for i in order]
+        sims = [int(sims[i]) for i in order]
+        pairs = candidate_pairs_for_bucket(ids)
+        sim_of = dict(zip(ids, sims))
+        a_out, b_out = [], []
+        for a, b in pairs:
+            # mask to unsigned 64-bit: the stored simhash is sign-shifted
+            # int64, and Python XOR of negatives is sign-extended
+            if ((sim_of[a] ^ sim_of[b]) & 0xFFFFFFFFFFFFFFFF).bit_count() <= max_hamming:
+                a_out.append(a)
+                b_out.append(b)
+        return pa.table(
+            {"a": pa.array(a_out, type=pa.int64()), "b": pa.array(b_out, type=pa.int64())}
+        )
+
+    edges_ds = buckets.groupby("bucket").map_groups(bucket_edges, batch_format="pyarrow")
+    edges = []
+    for b in edges_ds.iter_batches(batch_format="pyarrow"):
+        edges.extend(zip(b.column("a").to_pylist(), b.column("b").to_pylist()))
+    dropped = union_find_dropped(edges)
+    dropped_ref = ray.put(dropped)
+
+    def keep_filter(batch: pa.Table) -> pa.Table:
+        dr = ray.get(dropped_ref)
+        ids = batch.column(id_col).to_pylist()
+        mask = pa.array([i not in dr for i in ids], type=pa.bool_())
+        return batch.filter(mask).select([id_col])
+
+    return slim.map_batches(keep_filter, batch_format="pyarrow")
+
+
 def add_simhash(
     ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:

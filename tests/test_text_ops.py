@@ -170,6 +170,26 @@ def test_sessionize(ray_session):
     assert (out["session_end"] >= out["session_start"]).all()
 
 
+def test_simhash_dedup(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.text_ops import simhash_dedup_keep_ids
+
+    base = " ".join(f"tok{i} word{i*13%101}" for i in range(150))
+    near = base.replace("tok70", "tok70x", 1)  # few-bit simhash flip
+    far = " ".join(f"zzz{i} qqq{i*7%89}" for i in range(150))
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": near},
+            {"doc_id": 3, "text": far},
+            {"doc_id": 4, "text": base},  # exact dup -> hamming 0
+        ]
+    )
+    kept = sorted(r["doc_id"] for r in simhash_dedup_keep_ids(ds).take_all())
+    assert 1 in kept and 3 in kept and 4 not in kept
+
+
 def test_null_text_never_crashes(ray_session):
     """A 100 TB corpus WILL contain null cells; every text operator must
     score them as empty rather than crash the stage."""
