@@ -114,6 +114,25 @@ def run_bench(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
         t_flag = min(t_flag, t_n)
     queries["flagship_filter_scrub"] = round(t_flag, 3)
 
+    # noise-immune secondary metric: hot single-core per-row cost of the
+    # fused stage (one process, no Ray, ~2s). The distributed wall numbers
+    # above swing 2-4x with host CPU steal; this probe barely moves, so a
+    # regression in the stage itself is attributable even from a noisy run.
+    import pyarrow.parquet as pq2
+
+    part = sorted(Path(files_dir).glob("*.parquet"))[0]
+    t = pq2.read_table(part, columns=["repo", "path", "commit", "content"])
+    from hyperpolyglot_ray.stages.fused import QualityFilterStage
+
+    stage = QualityFilterStage(drop_content=True)
+    stage(t.slice(0, 1024))  # warm
+    t0 = time.time()
+    n_probe = 0
+    for s in range(0, min(4096, t.num_rows - 1024), 1024):
+        stage(t.slice(s, 1024))
+        n_probe += 1024
+    result_probe = (time.time() - t0) / max(1, n_probe) * 1000
+
     if not flagship_only:
         import ray.data
 
@@ -178,6 +197,7 @@ def run_bench(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
         "num_cpus": num_cpus,
         "rows": rows,
         "files_per_sec": round(rows / t_flag, 1),
+        "per_row_ms_hot_1core": round(result_probe, 3),
     }
     ray.shutdown()
     return result
