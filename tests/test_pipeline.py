@@ -99,3 +99,18 @@ def test_reports(ray_session, files_fixture_small):
     sc = strategy_counts(detected).to_pandas()
     assert set(sc["strategy"]) <= {"", "Filename", "Extension", "Shebang", "Heuristics", "Classifier"}
     assert sc["file_count"].sum() == 1000
+
+
+def test_strategy_breakdown_sorted(ray_session, files_fixture_small):
+    import ray.data
+
+    from hyperpolyglot_ray.pipelines.quality_filter import detect_dataset
+    from hyperpolyglot_ray.pipelines.reports import strategy_breakdown
+
+    ds = ray.data.read_parquet(str(files_fixture_small / "files"))
+    out = strategy_breakdown(detect_dataset(ds, concurrency=(1, 2))).to_pandas()
+    # globally sorted ascending by (strategy, detected_lang, path) —
+    # the distributed analog of the reference's BinaryHeap walk
+    assert len(out) == 1000
+    key = list(zip(out["strategy"], out["detected_lang"], out["path"]))
+    assert key == sorted(key)
