@@ -534,6 +534,24 @@ def _q_events_window(sf_dir: str):
     return tumbling_window_agg(ds)
 
 
+def _q_events_value_quantiles(sf_dir: str):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.aggregates import grouped_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return grouped_quantiles(ds, "event_type", "value")
+
+
+def _q_events_distinct_users(sf_dir: str):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.aggregates import grouped_count_distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return grouped_count_distinct(ds, "event_type", "user_id")
+
+
 def _q_events_sliding_window(sf_dir: str):
     import ray.data
 
@@ -598,6 +616,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup": _q_emb_near_dup,
         "emb_near_dup_ivf": _q_emb_near_dup_ivf,
         "events_window": _q_events_window,
+        "events_value_quantiles": _q_events_value_quantiles,
+        "events_distinct_users": _q_events_distinct_users,
         "events_sliding_window": _q_events_sliding_window,
         "events_sessionize": _q_events_sessionize,
         "events_session_join": _q_events_session_join,
@@ -754,6 +774,16 @@ SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
        count(*) AS n_events,
        CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_millis
 FROM events GROUP BY 1, 2""",
+        "events_value_quantiles": """
+SELECT event_type,
+       quantile_disc(value, 0.5) AS q50,
+       quantile_disc(value, 0.9) AS q90,
+       quantile_disc(value, 0.99) AS q99
+FROM events GROUP BY 1""",
+        "events_distinct_users": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_distinct "
+            "FROM events GROUP BY 1"
+        ),
         "events_sliding_window": """
 SELECT (epoch_us(ts) // 1800000000) * 1800000000 - j * 1800000000 AS window_start_us,
        event_type, count(*) AS n_events,

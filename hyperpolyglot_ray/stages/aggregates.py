@@ -103,6 +103,132 @@ def top_k_per_group(
     return partial.groupby(key_col).map_groups(final_topk, batch_format="pyarrow")
 
 
+def grouped_quantiles(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> ray.data.Dataset:
+    """Exact per-group discrete quantiles (``quantile_disc`` semantics:
+    sorted ascending, element at ``ceil(q*n)-1``). One groupby(key) shuffle
+    carrying (key, value) pairs; assumes one key's values fit in a worker
+    (fine for low-cardinality keys). For high-volume keys at 100 TB use
+    ``histogram_quantile_sketch`` — bounded-size partials, one tiny
+    shuffle, approximate within one bin width.
+
+    Output: key, q{50}, q{90}, ... (float64).
+    """
+    import numpy as np
+
+    def per_key(group: pa.Table) -> pa.Table:
+        v = np.sort(group.column(value_col).to_numpy(zero_copy_only=False))
+        n = len(v)
+        cols = {key_col: pa.array([group.column(key_col)[0].as_py()])}
+        for q in qs:
+            i = min(n - 1, max(0, int(np.ceil(q * n)) - 1))
+            cols[f"q{int(round(q * 100))}"] = pa.array([float(v[i])], type=pa.float64())
+        return pa.table(cols)
+
+    return (
+        ds.select_columns([key_col, value_col])
+        .groupby(key_col)
+        .map_groups(per_key, batch_format="pyarrow")
+    )
+
+
+def histogram_quantile_sketch(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    n_bins: int = 4096,
+) -> ray.data.Dataset:
+    """Approximate per-group quantiles via fixed-range histograms — the
+    100 TB path: each block emits at most (keys x nonzero bins) partial
+    rows, the shuffle carries bin counts (never values), and the answer is
+    correct to within one bin width ((hi-lo)/n_bins). ``lo``/``hi`` come
+    from schema knowledge or a prior cheap min/max pass.
+
+    Output: key, q{..} estimates (bin midpoints, float64).
+    """
+    import numpy as np
+
+    width = (hi - lo) / n_bins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch.column(key_col).to_pylist())
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+        bins = np.clip(((vals - lo) / width).astype(np.int64), 0, n_bins - 1)
+        out_k, out_b, out_c = [], [], []
+        for key in np.unique(keys):
+            m = keys == key
+            bc = np.bincount(bins[m], minlength=n_bins)
+            nz = np.nonzero(bc)[0]
+            out_k.extend([key] * len(nz))
+            out_b.extend(nz.tolist())
+            out_c.extend(bc[nz].tolist())
+        return pa.table(
+            {
+                key_col: pa.array(out_k),
+                "bin": pa.array(out_b, type=pa.int64()),
+                "cnt": pa.array(out_c, type=pa.int64()),
+            }
+        )
+
+    partials = ds.select_columns([key_col, value_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    summed = partials.groupby([key_col, "bin"]).sum("cnt").rename_columns({"sum(cnt)": "cnt"})
+
+    def per_key(group: pa.Table) -> pa.Table:
+        bins = group.column("bin").to_numpy(zero_copy_only=False)
+        cnts = group.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.argsort(bins)
+        bins, cnts = bins[order], cnts[order]
+        cum = np.cumsum(cnts)
+        n = cum[-1]
+        cols = {key_col: pa.array([group.column(key_col)[0].as_py()])}
+        for q in qs:
+            rank = max(1, int(np.ceil(q * n)))
+            b = bins[np.searchsorted(cum, rank)]
+            cols[f"q{int(round(q * 100))}"] = pa.array(
+                [lo + (b + 0.5) * width], type=pa.float64()
+            )
+        return pa.table(cols)
+
+    return summed.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
+def grouped_count_distinct(
+    ds: ray.data.Dataset, key_col: str, val_col: str
+) -> ray.data.Dataset:
+    """Exact count-distinct per key: per-block pair dedup (shrinks the
+    shuffle to distinct pairs per block), one groupby over (key, val) for
+    global dedup, then a partial count + tiny groupby. Output:
+    (key, n_distinct)."""
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        return batch.select([key_col, val_col]).group_by([key_col, val_col]).aggregate([])
+
+    pairs = ds.select_columns([key_col, val_col]).map_batches(
+        local_distinct, batch_format="pyarrow", zero_copy_batch=True
+    )
+    distinct = pairs.groupby([key_col, val_col]).count()
+
+    def partial_count(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([key_col]).aggregate([([], "count_all")])
+        return g.rename_columns([key_col, "cnt"])
+
+    return (
+        distinct.map_batches(partial_count, batch_format="pyarrow")
+        .groupby(key_col)
+        .sum("cnt")
+        .rename_columns({"sum(cnt)": "n_distinct"})
+    )
+
+
 def hash_salt(path: str, n_salts: int) -> int:
     """Deterministic salt (no Python hash(): PYTHONHASHSEED-dependent)."""
     import zlib

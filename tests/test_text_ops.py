@@ -170,6 +170,36 @@ def test_sessionize(ray_session):
     assert (out["session_end"] >= out["session_start"]).all()
 
 
+def test_grouped_quantiles_and_sketch(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.aggregates import (
+        grouped_quantiles,
+        histogram_quantile_sketch,
+    )
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    exact = grouped_quantiles(ds, "event_type", "value").to_pandas().set_index("event_type")
+    lo = float(ds.min("value"))
+    hi = float(ds.max("value")) + 1e-9
+    approx = (
+        histogram_quantile_sketch(ds, "event_type", "value", lo=lo, hi=hi)
+        .to_pandas()
+        .set_index("event_type")
+    )
+    width = (hi - lo) / 4096
+    for key in exact.index:
+        for c in ("q50", "q90", "q99"):
+            assert abs(exact.loc[key, c] - approx.loc[key, c]) <= width
+
+    from hyperpolyglot_ray.stages.aggregates import grouped_count_distinct
+
+    cd = grouped_count_distinct(ds, "event_type", "user_id").to_pandas()
+    df = ds.to_pandas()
+    for _, row in cd.iterrows():
+        assert row["n_distinct"] == df[df["event_type"] == row["event_type"]]["user_id"].nunique()
+
+
 def test_simhash_dedup(ray_session):
     import ray.data
 
