@@ -5,7 +5,10 @@
 ``queries()``  — one callable per implemented operator (SURVEY.md §2 plus
                  the training-data extensions: dedup, similarity, text
                  analysis, windows, multimodal).
-``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query.
+``oracle_sql()`` — a DuckDB oracle for EVERY query: plain SQL where the
+                 semantics are SQL-expressible, otherwise SQL over a
+                 precomputed sidecar holding a sequential driver-side
+                 reimplementation's output (sources/doc_oracle.py).
                  Correctness runs at sf=0.01; fixture paths are pinned
                  accordingly. Tables region..embeddings are pre-registered
                  views; the synthetic files fixture + lookup dims are read
