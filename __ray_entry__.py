@@ -55,12 +55,15 @@ def _expected_map(fix: Path, cols: list[str]):
 
 
 def _semijoin_paths(ds, path_set: set):
-    """Broadcast semijoin on ``path`` (small side stays a python set)."""
+    """Broadcast semijoin on ``path`` (small side ships once as an Arrow
+    value-set; the probe is one vectorized ``pc.is_in`` per batch)."""
     import pyarrow as pa
+    import pyarrow.compute as pc
+
+    value_set = pa.array(sorted(path_set), type=pa.string())
 
     def fn(batch: pa.Table) -> pa.Table:
-        mask = pa.array([p in path_set for p in batch.column("path").to_pylist()])
-        return batch.filter(mask)
+        return batch.filter(pc.is_in(batch.column("path"), value_set=value_set))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -90,6 +90,7 @@ def asof_join(
         ts = group.column("ts").to_numpy(zero_copy_only=False)
         ids = group.column("row_id").to_numpy(zero_copy_only=False)
         key = group.column(key_col)[0].as_py()
+        key_type = group.schema.field(key_col).type
         lmask = sides == "L"
         rmask = ~lmask
         lts, lids = ts[lmask], ids[lmask]
@@ -100,7 +101,7 @@ def asof_join(
         matched = [int(rids[p]) if p >= 0 else None for p in pos]
         return pa.table(
             {
-                key_col: pa.array([key] * len(lids)),
+                key_col: pa.array([key] * len(lids), type=key_type),
                 left_id: pa.array(lids, type=pa.int64()),
                 out_col: pa.array(matched, type=pa.int64()),
             }
@@ -161,6 +162,7 @@ def interval_join(
         ends = group.column("end").to_numpy(zero_copy_only=False)
         ids = group.column("row_id").to_numpy(zero_copy_only=False)
         key = group.column(key_col)[0].as_py()
+        key_type = group.schema.field(key_col).type
         lmask = sides == "L"
         rmask = ~lmask
         lts, lids = ts[lmask], ids[lmask]
@@ -174,7 +176,7 @@ def interval_join(
         ]
         return pa.table(
             {
-                key_col: pa.array([key] * len(lids)),
+                key_col: pa.array([key] * len(lids), type=key_type),
                 left_id: pa.array(lids, type=pa.int64()),
                 out_col: pa.array(matched, type=pa.int64()),
             }

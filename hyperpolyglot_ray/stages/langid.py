@@ -90,7 +90,8 @@ class HashedLangIDModel:
         confs = [0.0] * n
         ids_per_row = [_bucket_ids(t) for t in texts]
         priors = self.priors.astype(np.float64)
-        rows_per_chunk = max(1, 32_000_000 // N_BUCKETS)  # ~32 MB dense counts
+        # ~32 MB dense float64 counts per chunk (bytes / buckets / 8B)
+        rows_per_chunk = max(1, 32_000_000 // N_BUCKETS // 8)
         for start in range(0, n, rows_per_chunk):
             chunk = [
                 (i, ids_per_row[i])

