@@ -33,16 +33,65 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r2c"
+ORACLE_VERSION = "r3a"
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
 
 _M61 = (1 << 61) - 1
+_MASK64 = (1 << 64) - 1
 
 
 def _sha64(data: bytes) -> int:
     return struct.unpack("<Q", hashlib.sha256(data).digest()[:8])[0]
+
+
+# -- scalar reference of the r3 token-hash spec (stages/text_ops.py) --------
+# Pure-Python integer arithmetic, byte-at-a-time — deliberately shares no
+# numpy code with the vectorized production kernels.
+
+
+def _mix64_s(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & _MASK64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _MASK64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _MASK64
+    return x ^ (x >> 31)
+
+
+def _tok_hash_s(tok: str) -> int:
+    h = 0
+    for byte in tok.encode("utf-8"):
+        h = (h * 0x100000001B3 + byte) & _MASK64
+    return _mix64_s(h)
+
+
+def _shingles_s(text: str, width: int = 3) -> set[int]:
+    B = 0xBF58476D1CE4E5B9
+    ths = [_tok_hash_s(t) for t in text.split()]
+    if len(ths) < width:
+        acc = 0
+        for v in ths:
+            acc = (acc * B + v) & _MASK64
+        return {_mix64_s(acc)}
+    out = set()
+    for i in range(len(ths) - width + 1):
+        acc = 0
+        for v in ths[i : i + width]:
+            acc = (acc * B + v) & _MASK64
+        out.add(_mix64_s(acc))
+    return out
+
+
+def _simhash_s(text: str) -> int:
+    acc = [0] * 64
+    for tok, cnt in Counter(_tok_hash_s(t) for t in text.split()).items():
+        for i in range(64):
+            acc[i] += cnt if (tok >> i) & 1 else -cnt
+    val = 0
+    for i in range(64):
+        if acc[i] > 0:
+            val |= 1 << i
+    return val
 
 
 # ---------------------------------------------------------------------------
@@ -51,20 +100,9 @@ def _sha64(data: bytes) -> int:
 
 
 def _expected_simhash(texts, doc_ids) -> pa.Table:
-    """64-bit count-weighted SimHash (spec: stages/text_ops.py simhash64),
-    recomputed with plain Python ints instead of numpy bit vectors."""
-    out = []
-    for text in texts:
-        acc = [0] * 64
-        for tok, cnt in Counter(text.split()).items():
-            h = _sha64(tok.encode())
-            for i in range(64):
-                acc[i] += cnt if (h >> i) & 1 else -cnt
-        val = 0
-        for i in range(64):
-            if acc[i] > 0:
-                val |= 1 << i
-        out.append(val - (1 << 63))
+    """64-bit count-weighted SimHash (spec r3: stages/text_ops.py
+    simhash64), recomputed with plain Python ints instead of numpy."""
+    out = [_simhash_s(text) - (1 << 63) for text in texts]
     return pa.table(
         {"doc_id": pa.array(doc_ids, type=pa.int64()),
          "simhash": pa.array(out, type=pa.int64())}
@@ -72,15 +110,21 @@ def _expected_simhash(texts, doc_ids) -> pa.Table:
 
 
 def _expected_fingerprint(texts, doc_ids) -> pa.Table:
-    """Rolling polynomial hash over whitespace tokens (spec:
-    stages/text_ops.py fingerprint; exact int arithmetic mod 2^61-1)."""
-    B = 1000003
+    """Rolling polynomial hash over whitespace tokens (spec r3:
+    stages/text_ops.py fingerprint; mod-2^64 poly + splitmix64, signed
+    int64 reinterpretation, empty -> 0)."""
+    B = 0x94D049BB133111EB
     out = []
     for text in texts:
+        ths = [_tok_hash_s(t) for t in text.split()]
+        if not ths:
+            out.append(0)
+            continue
         h = 0
-        for tok in text.split():
-            h = (h * B + _sha64(tok.encode())) % _M61
-        out.append(h)
+        for v in ths:
+            h = (h * B + v) & _MASK64
+        h = _mix64_s(h)
+        out.append(h - (1 << 64) if h >= (1 << 63) else h)
     return pa.table(
         {"doc_id": pa.array(doc_ids, type=pa.int64()),
          "fp": pa.array(out, type=pa.int64())}
@@ -216,58 +260,8 @@ def _expected_multimodal(texts, doc_ids) -> pa.Table:
 # -- MinHash + LSH near-dup (spec: stages/text_ops.py) ---------------------
 
 
-def _expected_minhash_keep(texts, doc_ids, threshold=0.8, k=64, bands=16) -> pa.Table:
-    r = k // bands
-    rng = np.random.RandomState(42)
-    a = rng.randint(1, _M61, size=k, dtype=np.int64).astype(np.uint64)
-    b = rng.randint(0, _M61, size=k, dtype=np.int64).astype(np.uint64)
-
-    def shingle_hashes(text: str) -> np.ndarray:
-        toks = text.split()
-        if len(toks) < 3:
-            shingles = [" ".join(toks)] if toks else [""]
-        else:
-            shingles = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
-        return np.asarray([_sha64(s.encode()) for s in set(shingles)], dtype=np.uint64)
-
-    shingles = {i: shingle_hashes(t) for i, t in zip(doc_ids, texts)}
-
-    # bucket membership
-    buckets: dict[int, list[int]] = {}
-    for i in doc_ids:
-        h = shingles[i]
-        vals = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_M61)
-        sig = vals.min(axis=1)
-        for j in range(bands):
-            chunk = sig[j * r : (j + 1) * r]
-            key = _sha64(chunk.tobytes() + bytes([j])) % (1 << 62)
-            buckets.setdefault(key, []).append(int(i))
-
-    # candidate pairs: all pairs for small buckets, canonical+chain beyond
-    cap = 32
-    pair_set: set[tuple[int, int]] = set()
-    for members in buckets.values():
-        ids = sorted(set(members))
-        if len(ids) < 2:
-            continue
-        if len(ids) <= cap:
-            for x in range(len(ids)):
-                for y in range(x + 1, len(ids)):
-                    pair_set.add((ids[x], ids[y]))
-        else:
-            canon = ids[0]
-            pair_set.update((canon, x) for x in ids[1:])
-            pair_set.update(
-                (ids[x], ids[x + 1]) for x in range(1, len(ids) - 1)
-            )
-
-    def jaccard(ha: np.ndarray, hb: np.ndarray) -> float:
-        sa, sb = set(map(int, ha)), set(map(int, hb))
-        if not sa and not sb:
-            return 1.0
-        return len(sa & sb) / len(sa | sb)
-
-    # verify + connected components (min id survives per component)
+def _components_keep(doc_ids, edges) -> pa.Table:
+    """Connected components over edges; min id survives per component."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -276,60 +270,51 @@ def _expected_minhash_keep(texts, doc_ids, threshold=0.8, k=64, bands=16) -> pa.
             x = parent[x]
         return x
 
-    for x, y in sorted(pair_set):
-        if jaccard(shingles[x], shingles[y]) >= threshold:
-            rx, ry = find(x), find(y)
-            if rx != ry:
-                lo, hi = min(rx, ry), max(rx, ry)
-                parent[hi] = lo
+    for x, y in edges:
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            lo, hi = min(rx, ry), max(rx, ry)
+            parent[hi] = lo
     kept = [int(i) for i in doc_ids if find(int(i)) == int(i)]
     return pa.table({"doc_id": pa.array(kept, type=pa.int64())})
+
+
+def _expected_minhash_keep(texts, doc_ids, threshold=0.8) -> pa.Table:
+    """EXACT all-pairs near-dup ground truth (VERDICT r2 next-round #2):
+    no LSH, no bucket caps, no candidate heuristics — every pair's true
+    word-3-gram Jaccard is computed and thresholded, then connected
+    components keep the min id. The distributed MinHash+LSH pipeline must
+    MATCH this (its verify step uses exact Jaccard, so its edges are a
+    subset; matching proves the LSH candidate generation achieved full
+    recall on this corpus)."""
+    ids = [int(i) for i in doc_ids]
+    sh = {i: _shingles_s(t) for i, t in zip(ids, texts)}
+    edges = []
+    for x in range(len(ids)):
+        sa = sh[ids[x]]
+        for y in range(x + 1, len(ids)):
+            sb = sh[ids[y]]
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if union == 0 or inter / union >= threshold:
+                edges.append((ids[x], ids[y]))
+    return _components_keep(ids, edges)
 
 
 def _expected_simhash_dedup(texts, doc_ids, max_hamming=3) -> pa.Table:
-    """Sequential SimHash near-dup dedup (spec: stages/text_ops.py
-    simhash_dedup_keep_ids): quarter-key buckets, popcount verify,
-    connected components, min id survives."""
-    sim_tbl = _expected_simhash(texts, doc_ids)
-    sims = {
-        int(i): int(s) + (1 << 63)  # back to unsigned
-        for i, s in zip(sim_tbl.column("doc_id").to_pylist(), sim_tbl.column("simhash").to_pylist())
-    }
-    buckets: dict[tuple[int, int], list[int]] = {}
-    for i, h in sims.items():
-        for q in range(4):
-            buckets.setdefault((q, (h >> (16 * q)) & 0xFFFF), []).append(i)
-
-    cap = 32
-    pair_set: set[tuple[int, int]] = set()
-    for members in buckets.values():
-        ids = sorted(set(members))
-        if len(ids) < 2:
-            continue
-        if len(ids) <= cap:
-            for x in range(len(ids)):
-                for y in range(x + 1, len(ids)):
-                    pair_set.add((ids[x], ids[y]))
-        else:
-            pair_set.update((ids[0], x) for x in ids[1:])
-            pair_set.update((ids[x], ids[x + 1]) for x in range(1, len(ids) - 1))
-
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in sorted(pair_set):
-        if bin(sims[a] ^ sims[b]).count("1") <= max_hamming:
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                lo, hi = min(ra, rb), max(ra, rb)
-                parent[hi] = lo
-    kept = [int(i) for i in doc_ids if find(int(i)) == int(i)]
-    return pa.table({"doc_id": pa.array(kept, type=pa.int64())})
+    """EXACT all-pairs SimHash dedup ground truth: every pair's hamming
+    distance over the full 64-bit signatures, no quarter-bucket candidate
+    step, no caps. The pipeline's pigeonhole LSH (<= 3 differing bits must
+    leave one 16-bit quarter intact) has full recall, so it must match."""
+    ids = [int(i) for i in doc_ids]
+    sims = {i: _simhash_s(t) for i, t in zip(ids, texts)}
+    edges = []
+    for x in range(len(ids)):
+        hx = sims[ids[x]]
+        for y in range(x + 1, len(ids)):
+            if bin(hx ^ sims[ids[y]]).count("1") <= max_hamming:
+                edges.append((ids[x], ids[y]))
+    return _components_keep(ids, edges)
 
 
 # -- IVF similarity (spec: stages/similarity.py) ---------------------------

