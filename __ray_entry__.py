@@ -386,7 +386,7 @@ def _q_doc_multimodal(sf_dir: str):
     ds = attach_binary_payload(
         _docs(sf_dir).select_columns(["doc_id", "text"]), media=True
     )
-    out = multimodal_features(ds)
+    out = multimodal_features(ds, pixels=True)
 
     def flatten(batch: pa.Table) -> pa.Table:
         # feature list -> f0..f7 float64 columns so the DuckDB oracle can
@@ -401,6 +401,8 @@ def _q_doc_multimodal(sf_dir: str):
             "width": batch.column("width"),
             "height": batch.column("height"),
             "payload_len": batch.column("payload_len"),
+            "pixel_mean": batch.column("pixel_mean"),
+            "sample_rms": batch.column("sample_rms"),
         }
         for j in range(mat.shape[1]):
             cols[f"f{j}"] = pa.array(mat[:, j].astype(np.float64))

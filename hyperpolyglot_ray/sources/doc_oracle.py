@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r3a"
+ORACLE_VERSION = "r3b"
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -227,13 +227,112 @@ def _parse_header_seq(p: bytes):
     return "unknown", None, None
 
 
+def _png_mean_seq(p: bytes):
+    """Independent scalar PNG decode (vs stages/multimodal.py
+    png_pixel_mean): bytearray defilter loops, no numpy."""
+    import zlib
+
+    if p[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    i, w, h, depth, ctype, inter = 8, 0, 0, None, None, None
+    idat = b""
+    while i + 8 <= len(p):
+        ln = int.from_bytes(p[i : i + 4], "big")
+        typ = p[i + 4 : i + 8]
+        if typ == b"IHDR":
+            d = p[i + 8 : i + 8 + ln]
+            w, h = int.from_bytes(d[0:4], "big"), int.from_bytes(d[4:8], "big")
+            depth, ctype, inter = d[8], d[9], d[12]
+        elif typ == b"IDAT":
+            idat += p[i + 8 : i + 8 + ln]
+        elif typ == b"IEND":
+            break
+        i += 12 + ln
+    chmap = {0: 1, 2: 3, 4: 2, 6: 4}
+    if depth != 8 or ctype not in chmap or inter != 0 or not idat:
+        return None
+    ch = chmap[ctype]
+    raw = zlib.decompress(idat)
+    stride = w * ch
+    prev = bytearray(stride)
+    total = 0
+    pos = 0
+    for _y in range(h):
+        f = raw[pos]
+        cur = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        for x in range(stride):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                q = a + b - c
+                qa, qb, qc = abs(q - a), abs(q - b), abs(q - c)
+                pred = a if qa <= qb and qa <= qc else (b if qb <= qc else c)
+            cur[x] = (cur[x] + pred) & 0xFF
+        total += sum(cur)
+        prev = cur
+    return total / (h * stride) if h * stride else None
+
+
+def _bmp_mean_seq(p: bytes):
+    if p[:2] != b"BM" or len(p) < 54:
+        return None
+    off = int.from_bytes(p[10:14], "little")
+    w = int.from_bytes(p[18:22], "little", signed=True)
+    h = int.from_bytes(p[22:26], "little", signed=True)
+    bpp = int.from_bytes(p[28:30], "little")
+    if bpp != 24 or w <= 0 or h == 0:
+        return None
+    rows, stride = abs(h), (w * 3 + 3) & ~3
+    total = 0
+    for y in range(rows):
+        row = p[off + y * stride : off + y * stride + w * 3]
+        total += sum(row)
+    return total / (rows * w * 3)
+
+
+def _wav_rms_seq(p: bytes):
+    """Independent WAV decode via the stdlib ``wave`` module (the stage
+    walks RIFF chunks manually)."""
+    import io
+    import math
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(p)) as wf:
+            if wf.getsampwidth() != 2:
+                return None
+            frames = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError):
+        return None
+    n = len(frames) // 2
+    if n == 0:
+        return None
+    sumsq = 0
+    for k in range(n):
+        (v,) = struct.unpack_from("<h", frames, 2 * k)
+        sumsq += v * v
+    return math.sqrt(sumsq / n)
+
+
 def _expected_multimodal(texts, doc_ids) -> pa.Table:
     """Synthetic media payloads (the fixture generator, shared by
-    construction) parsed with the independent header parser above, plus
-    sha256-derived stand-in features flattened to f0..f7 float64."""
+    construction) parsed with the independent header parser above, decoded
+    with the independent scalar pixel/sample decoders, plus sha256-derived
+    stand-in features flattened to f0..f7 float64."""
     from ..stages.multimodal import synth_media_payload
 
     lens, feats, kinds, widths, heights = [], [], [], [], []
+    pmeans, rmss = [], []
     for i, text in zip(doc_ids, texts):
         payload, _mt = synth_media_payload(i, text)
         lens.append(len(payload))
@@ -241,6 +340,12 @@ def _expected_multimodal(texts, doc_ids) -> pa.Table:
         kinds.append(kind)
         widths.append(w)
         heights.append(h)
+        pmeans.append(
+            _png_mean_seq(payload)
+            if kind == "png"
+            else _bmp_mean_seq(payload) if kind == "bmp" else None
+        )
+        rmss.append(_wav_rms_seq(payload) if kind == "wav" else None)
         digest = hashlib.sha256(payload).digest()
         ints = struct.unpack("<8I", digest[:32])
         # stage stores float32 features; flattening casts f32 -> f64 exactly
@@ -251,6 +356,8 @@ def _expected_multimodal(texts, doc_ids) -> pa.Table:
         "width": pa.array(widths, type=pa.int64()),
         "height": pa.array(heights, type=pa.int64()),
         "payload_len": pa.array(lens, type=pa.int64()),
+        "pixel_mean": pa.array(pmeans, type=pa.float64()),
+        "sample_rms": pa.array(rmss, type=pa.float64()),
     }
     for j in range(8):
         cols[f"f{j}"] = pa.array([f[j] for f in feats], type=pa.float64())

@@ -301,9 +301,12 @@ def test_interval_join(ray_session):
     assert out[[101, 103]].isna().all()
 
 
-def test_multimodal_stub(docs_ds):
+def test_multimodal_decode(docs_ds):
+    import math
+
+    import numpy as np
+
     from hyperpolyglot_ray.stages.multimodal import (
-        DecodeStage,
         attach_binary_payload,
         multimodal_features,
     )
@@ -311,7 +314,7 @@ def test_multimodal_stub(docs_ds):
     with_bin = attach_binary_payload(
         docs_ds.select_columns(["doc_id", "text"]), media=True
     )
-    out = multimodal_features(with_bin).to_pandas()
+    out = multimodal_features(with_bin, pixels=True).to_pandas()
     assert len(out) == 500
     assert all(len(f) == 8 for f in out["features"])
     assert (out["payload_len"] > 0).all()
@@ -323,11 +326,83 @@ def test_multimodal_stub(docs_ds):
         kind = ("png", "gif", "jpeg", "bmp", "wav")[i % 5]
         assert byid.loc[i, "media_kind"] == kind
         if kind != "wav":
-            assert byid.loc[i, "width"] == 16 + (i * 7) % 1000
-            assert byid.loc[i, "height"] == 16 + (i * 13) % 800
-    # pixel/sample decode is explicitly stubbed (codec libs not available)
-    with pytest.raises(NotImplementedError):
-        DecodeStage(pixels=True)
+            assert byid.loc[i, "width"] == 4 + (i * 7) % 60
+            assert byid.loc[i, "height"] == 4 + (i * 13) % 40
+    # pixel/sample decode is real: recompute the generator's pattern mean
+    # directly from its formula (independent of the decoders)
+    for i in (0, 3, 4, 5, 8, 9, 10, 13, 14):
+        kind = ("png", "gif", "jpeg", "bmp", "wav")[i % 5]
+        w, h = 4 + (i * 7) % 60, 4 + (i * 13) % 40
+        if kind in ("png", "bmp"):
+            ch = 4 if kind == "png" else 3
+            ys, xs, cs = np.meshgrid(
+                np.arange(h), np.arange(w), np.arange(ch), indexing="ij"
+            )
+            expect = ((3 * xs + 7 * ys + 11 * cs + i) % 256).sum() / (w * h * ch)
+            assert byid.loc[i, "pixel_mean"] == expect, (i, kind)
+            assert np.isnan(byid.loc[i, "sample_rms"])
+        elif kind == "wav":
+            channels = 1 + i % 2
+            idx = np.arange((64 + i % 128) * channels, dtype=np.int64)
+            s = ((i * 31 + 17 * idx) % 65536) - 32768
+            expect = math.sqrt(int((s * s).sum()) / len(s))
+            assert byid.loc[i, "sample_rms"] == expect, i
+            assert np.isnan(byid.loc[i, "pixel_mean"])
+        else:  # gif/jpeg: entropy decode out of scope -> nulls
+            assert np.isnan(byid.loc[i, "pixel_mean"])
+            assert np.isnan(byid.loc[i, "sample_rms"])
+
+
+def test_png_defilter_all_filters():
+    """Hand-built PNGs exercising every scanline filter type decode to the
+    same pixels (the filters are lossless re-encodings of one image)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from hyperpolyglot_ray.stages.multimodal import _png_chunk, png_pixel_mean
+
+    rng = np.random.RandomState(3)
+    w, h, ch = 9, 6, 4
+    px = rng.randint(0, 256, size=(h, w * ch), dtype=np.uint8)
+
+    def encode(filters):
+        rows, prev = [], np.zeros(w * ch, dtype=np.uint8)
+        for y in range(h):
+            cur = px[y]
+            f = filters[y % len(filters)]
+            line = bytearray(cur.tobytes())
+            for x in range(w * ch - 1, -1, -1):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    qa, qb, qc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if qa <= qb and qa <= qc else (b if qb <= qc else c)
+                line[x] = (line[x] - pred) & 0xFF
+            rows.append(bytes([f]) + bytes(line))
+            prev = cur
+        ihdr = struct.pack(">II", w, h) + bytes([8, 6, 0, 0, 0])
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    expect = int(px.sum()) / px.size
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        assert png_pixel_mean(encode(filters)) == expect, filters
 
 
 def test_langid_roundtrip(ray_session):
