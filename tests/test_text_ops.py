@@ -585,3 +585,59 @@ def test_candidate_shingles_ship_once(ray_session):
         ids, texts, lambda x, y: _jaccard_arrays(sh[x], sh[y]) >= 0.8
     )
     assert kept == expect == [0]
+
+
+def test_sq_dists_bit_identical_at_768():
+    """The per-centroid distance loop must be BIT-identical to the old
+    (n, k, d) broadcast form (VERDICT r2 #9: same assignments -> same
+    int-quantized centroids) at realistic embedding dims."""
+    import numpy as np
+
+    from hyperpolyglot_ray.stages.similarity import _sq_dists
+
+    rng = np.random.RandomState(11)
+    emb = rng.normal(size=(500, 768))
+    c = rng.normal(size=(16, 768))
+    ref = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    got = _sq_dists(emb, c)
+    assert np.array_equal(got, ref)  # bitwise, not allclose
+
+
+def test_near_dup_routes_to_ivf_above_threshold(ray_session):
+    """embedding_near_dup_keep_ids defaults to the IVF scale path above
+    max_exact_rows (VERDICT r2 #7)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from hyperpolyglot_ray.stages.similarity import (
+        embedding_near_dup_ivf,
+        embedding_near_dup_keep_ids,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(60, 16))
+    vecs = np.concatenate([base, base[:15] + rng.normal(scale=0.005, size=(15, 16))])
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(vecs)), type=pa.int64()),
+                "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float32())),
+            }
+        )
+    )
+    routed = sorted(
+        r["vec_id"]
+        for r in embedding_near_dup_keep_ids(
+            ds, threshold=0.9, max_exact_rows=10, ivf_clusters=4
+        ).take_all()
+    )
+    ivf = sorted(
+        r["vec_id"]
+        for r in embedding_near_dup_ivf(ds, threshold=0.9, n_clusters=4).take_all()
+    )
+    assert routed == ivf  # above the cap the result IS the IVF path's
+    exact = sorted(
+        r["vec_id"] for r in embedding_near_dup_keep_ids(ds, threshold=0.9).take_all()
+    )
+    assert set(exact) <= set(ivf)  # IVF keeps a superset (may miss cross-cell dups)
