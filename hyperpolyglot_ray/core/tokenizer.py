@@ -461,6 +461,34 @@ _FAST_MASTER = _regex.compile(
 )
 
 
+# ASCII fast path: all Unicode classes in the master alternation collapse
+# to ASCII ranges, and none of the non-ASCII-numeral bail branches can
+# fire, so the whole scan becomes ONE C-level ``sub`` that blanks every
+# non-key construct and keeps id/uq/sym texts space-separated, followed by
+# one ``split``. The ``<!`` quirk branches (backlog off-by-one emissions
+# that differ from the matched text) can't be expressed as a sub template,
+# so content containing "<!" takes the finditer path instead.
+# Unmatched groups expand to "" in a template (so exactly the one matched
+# keeper group survives); split(" ") rather than split() because \x1c-\x1f
+# are str.split() whitespace but real Symbol tokens here.
+_FAST_SUB = _regex.compile(
+    r"""
+      (?P<id>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<ws>[ \t\n\x0b\x0c\r]+)
+    | (?P<num>0b[01_]*+|0o[0-7_]*+|0x[0-9a-fA-F_]*+
+              |[+-]?+[0-9][0-9_]*+(?:\.[0-9_]*+)?+)
+    | (?P<lc>(?://++|--++|\#++|%++)[^\r\n]*+)
+    | (?P<bc>/\*(?s:.*?)\*/|\{-(?s:.*?)-\}|\(\*(?s:.*?)\*\)|<!--(?s:.*?)-->)
+    | (?P<mq>(?P<q>["'`])(?P=q){2,}+)(?s:.*?)(?P=mq)
+    | (?P<uq>["'`])(?=(?P=uq)(?P=uq))
+    | (?P<dq>["'`])(?P=dq)
+    | (?P<sq>["'`])(?:\\[^\n]|(?!(?P=sq))[^\\\n])*+(?P=sq)
+    | (?P<sym>(?s:.))
+    """,
+    _regex.VERBOSE,
+)
+
+
 def fast_key_tokens(content: str, max_token_len: int | None = None) -> list[str]:
     """Key-token texts of ``content`` — identical stream to
     ``list(get_key_tokens(content))``, ~5x faster.
@@ -469,6 +497,11 @@ def fast_key_tokens(content: str, max_token_len: int | None = None) -> list[str]
     emission — only Ident tokens can exceed it (every Symbol is one char),
     so this equals post-filtering the full stream (classifier.rs:24-26).
     """
+    if content.isascii() and "<!" not in content:
+        masked = _FAST_SUB.sub(" \\g<id>\\g<uq>\\g<sym> ", content)
+        if max_token_len is None:
+            return [t for t in masked.split(" ") if t]
+        return [t for t in masked.split(" ") if t and len(t) <= max_token_len]
     out: list[str] = []
     append = out.append
     n = len(content)
