@@ -91,78 +91,110 @@ def load_nb_model(artifact_dir: str | None = None) -> NBModel:
 
 class CharLM:
     """[EXT] byte-trigram stupid-backoff LM (alpha=0.4) for perplexity
-    scoring. Vectorized: content bytes -> trigram keys -> searchsorted."""
+    scoring.
+
+    Spec r3b: per-trigram log-probs are quantized to int16 at 1e-3-nat
+    resolution and a document's score is ``exp(-sum_q / (LOG_SCALE *
+    n_trigrams))`` with an exact int64 sum, so the score is
+    bit-deterministic under any batching/partitioning order and the hot
+    path is a single int16 gather from a 32 MB table (4x less table +
+    gather traffic than the float64 tables it replaces). Quantization
+    moves ppl by <0.1%, far inside the MAX_PPL decision margin (code
+    p99 ~= 39, threshold 100, junk >= 340)."""
 
     ALPHA = 0.4
+    LOG_SCALE = 1000  # int16 log-prob resolution: 1e-3 nats
+    _MISS = 32767  # sentinel: trigram unseen -> back off to _fb_q
 
     def __init__(self, tri_keys, tri_counts, bi_keys, bi_counts, uni_counts, total):
-        # dense lookup tables: O(1) gather instead of searchsorted.
-        # trigram space = 2^24 (float32, 67 MB) — built once per actor.
-        self.tri_dense = np.zeros(1 << 24, dtype=np.float32)
-        self.tri_dense[tri_keys] = tri_counts.astype(np.float32)
-        self.bi_dense = np.zeros(1 << 16, dtype=np.float32)
-        self.bi_dense[bi_keys] = bi_counts.astype(np.float32)
-        self.uni_counts = uni_counts.astype(np.float64)
-        self.total = float(total)
-        self._uni = np.maximum(self.uni_counts, 1.0)
+        bi_dense = np.zeros(1 << 16, dtype=np.float64)
+        bi_dense[bi_keys] = bi_counts
+        uni = uni_counts.astype(np.float64)
+        uni_guard = np.maximum(uni, 1.0)
+        total = float(total)
 
-        # fused LOG tables so the batch path is a single gather per level.
-        # Values replicate `perplexity`'s float64 arithmetic exactly (same
-        # casts, same np.maximum guards), so batch == scalar bit for bit.
-        b1_all = np.arange(1 << 16, dtype=np.uint32) >> 8
-        b2_all = np.arange(1 << 16, dtype=np.uint32) & 0xFF
-        c2_all = self.bi_dense.astype(np.float64)
-        p_uni_all = np.maximum(self.uni_counts[b2_all], 0.5) / self.total
-        with np.errstate(divide="ignore", invalid="ignore"):
-            p_bi_all = np.where(
-                c2_all > 0, c2_all / self._uni[b1_all], self.ALPHA * p_uni_all
-            )
-            # log of the tri->bi backoff value ALPHA * p_bi, per (b1,b2)
-            self._fb_log = np.log(self.ALPHA * p_bi_all)
-            # log(c3 / max(c2ctx, 1)) where both counts exist, else NaN.
-            # zeros+fill, NOT np.full: np.full(2^24) takes ~8 s on this
-            # host (pathological page-touch path) and runs once per actor,
-            # directly eating into scaling efficiency; zeros+fill is ~90 ms
-            # with identical contents
-            self._tri_log = np.zeros(1 << 24, dtype=np.float64)
-            self._tri_log.fill(np.nan)
-            parent = self.bi_dense[tri_keys >> 8].astype(np.float64)
-            ok = (parent > 0) & (tri_counts > 0)
-            self._tri_log[tri_keys[ok]] = np.log(
-                tri_counts[ok].astype(np.float32).astype(np.float64)
-                / np.maximum(parent[ok], 1.0)
-            )
+        # back-off value log(ALPHA * p_bi) for every (b1, b2), quantized.
+        # p_bi = c2/c1ctx when the bigram was seen, else ALPHA * p_uni
+        # with the 0.5-count unigram floor — all strictly positive, so
+        # every log is finite.
+        b1 = np.arange(1 << 16, dtype=np.uint32) >> 8
+        b2 = np.arange(1 << 16, dtype=np.uint32) & 0xFF
+        p_uni = np.maximum(uni[b2], 0.5) / total
+        p_bi = np.where(bi_dense > 0, bi_dense / uni_guard[b1], self.ALPHA * p_uni)
+        fb = np.log(self.ALPHA * p_bi) * self.LOG_SCALE
+        assert fb.min() > -32000.0 and fb.max() < 32000.0
+        self._fb_q = np.round(fb).astype(np.int16)
+
+        # quantized log(c3 / max(c2ctx, 1)) where both counts exist, else
+        # the miss sentinel (-> _fb_q). zeros+fill, NOT np.full:
+        # np.full(2^24) takes ~8 s on this host (pathological page-touch
+        # path) and runs once per actor, directly eating into scaling
+        # efficiency; zeros+fill is ~90 ms with identical contents.
+        self._tri_q = np.zeros(1 << 24, dtype=np.int16)
+        self._tri_q.fill(self._MISS)
+        parent = bi_dense[tri_keys >> 8]
+        ok = (parent > 0) & (tri_counts > 0)
+        tv = (
+            np.log(tri_counts[ok].astype(np.float64) / np.maximum(parent[ok], 1.0))
+            * self.LOG_SCALE
+        )
+        assert tv.size == 0 or (tv.min() > -32000.0 and tv.max() < 32000.0)
+        self._tri_q[tri_keys[ok]] = np.round(tv).astype(np.int16)
+        self._scr_n = 0  # scratch grown lazily on first batch
+
+    def _scratch(self, n: int) -> None:
+        # persistent per-instance scratch: this host has a pathological
+        # fresh-page-touch cost (~60 ms per 64 MB of newly mmapped pages,
+        # measured), so multi-MB per-batch temporaries must reuse pages.
+        if self._scr_n < n:
+            m = max(n, 1 << 21)
+            self._d32 = np.empty(m, dtype=np.uint32)
+            self._k32 = np.empty(m, dtype=np.uint32)
+            self._q16 = np.empty(m, dtype=np.int16)
+            self._scr_n = m
+
+    def _window_q(self, raw: np.ndarray) -> np.ndarray:
+        """int16 quantized log-prob of every trigram window of the uint8
+        array ``raw`` — a view into reused scratch, valid until the next
+        call on this instance."""
+        n = len(raw)
+        self._scratch(n)
+        d = self._d32[:n]
+        d[:] = raw  # widen u8 -> u32 into reused pages
+        k = self._k32[: n - 2]
+        np.left_shift(d[:-2], 8, out=k)
+        np.bitwise_or(k, d[1:-1], out=k)
+        np.left_shift(k, 8, out=k)
+        np.bitwise_or(k, d[2:], out=k)
+        q = self._q16[: n - 2]
+        # chunked take: the monolithic buffered take-with-out path is
+        # ~60% slower than 256K-element chunks (index-cast temps stay
+        # cache/heap-resident); mode='clip' skips the bounds pre-pass
+        # (keys are 24-bit by construction, so clip == raise here)
+        for s in range(0, n - 2, 262144):
+            e = min(s + 262144, n - 2)
+            np.take(self._tri_q, k[s:e], out=q[s:e], mode="clip")
+        miss = np.flatnonzero(q == self._MISS)
+        if miss.size:
+            q[miss] = self._fb_q[k[miss] & 0xFFFF]
+        return q
 
     def perplexity(self, text: str) -> float:
-        b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint32)
+        b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
         n = len(b)
         if n < 3:
             return 1.0
-        tri_q = (b[:-2] << 16) | (b[1:-1] << 8) | b[2:]
-        bi_ctx = (b[:-2] << 8) | b[1:-1]
-        bi_q = (b[1:-1] << 8) | b[2:]
-        uni_ctx = b[1:-1]
-        last = b[2:]
-
-        c3 = self.tri_dense[tri_q].astype(np.float64)
-        c2ctx = self.bi_dense[bi_ctx].astype(np.float64)
-        c2 = self.bi_dense[bi_q].astype(np.float64)
-        c1ctx = self._uni[uni_ctx]
-        c1 = self.uni_counts[last]
-
-        p_uni = np.maximum(c1, 0.5) / self.total
-        p_bi = np.where(c2 > 0, c2 / c1ctx, self.ALPHA * p_uni)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            p_tri = np.where((c3 > 0) & (c2ctx > 0), c3 / np.maximum(c2ctx, 1.0), self.ALPHA * p_bi)
-        return float(np.exp(-np.mean(np.log(p_tri))))
+        s = self._window_q(b).sum(dtype=np.int64)
+        return float(np.exp(-(np.float64(s) / (self.LOG_SCALE * (n - 2)))))
 
     def perplexity_batch(self, texts: list[str]) -> np.ndarray:
         """Per-row perplexities, bit-identical to ``perplexity`` row by row.
 
-        All rows' byte prefixes are concatenated so the gather/backoff math
-        runs once per batch; the per-row result is the mean over exactly the
-        same log values a per-row call would produce (trigrams never cross
-        row boundaries), so equality with the scalar path is exact — pinned
+        All rows' byte prefixes are concatenated so the gather/backoff runs
+        once per batch; per-row int64 sums come from slices of the shared
+        window array (windows crossing a row boundary are never covered by
+        any row's [start, start+len-2) span). Integer sums + one float64
+        divide per row make equality with the scalar path exact — pinned
         by tests.
         """
         enc = [t.encode("utf-8") for t in texts]
@@ -171,21 +203,18 @@ class CharLM:
         keep = lens >= 3
         if not keep.any():
             return out
-        data = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint32)
+        data = np.frombuffer(b"".join(enc), dtype=np.uint8)
         if len(data) < 3:
             return out
-        # trigram keys over the whole concatenated buffer via slices (no
-        # gathers); positions whose window crosses a row boundary are simply
-        # never covered by any row's [start, start+len-2) slice below
-        tri_q = (data[:-2] << 16) | (data[1:-1] << 8) | data[2:]
-        logs = self._tri_log[tri_q]
-        nan = np.isnan(logs)
-        if nan.any():
-            logs = np.where(nan, self._fb_log[tri_q & 0xFFFF], logs)
+        q = self._window_q(data)
         starts = np.concatenate([[0], np.cumsum(lens)])
-        for r in np.flatnonzero(keep):
+        rows = np.flatnonzero(keep)
+        cnts = lens[rows] - 2
+        sums = np.empty(len(rows), dtype=np.int64)
+        for i, r in enumerate(rows):
             s = starts[r]
-            out[r] = float(np.exp(-np.mean(logs[s : s + lens[r] - 2])))
+            sums[i] = q[s : s + cnts[i]].sum(dtype=np.int64)
+        out[rows] = np.exp(-(sums.astype(np.float64) / (self.LOG_SCALE * cnts)))
         return out
 
 
