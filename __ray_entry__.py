@@ -578,6 +578,45 @@ def _q_events_sessionize(sf_dir: str):
     return sessionize(ds)
 
 
+def _q_events_sessionize_chunked(sf_dir: str):
+    """Hot-key-safe sessionize (time-chunk + session-summary merge);
+    identical semantics to events_sessionize, same SQL oracle."""
+    import ray.data
+
+    from hyperpolyglot_ray.stages.windows import sessionize
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ds, chunk_hours=6.0)
+
+
+def _q_events_asof_chunked(sf_dir: str):
+    """Hot-key-safe as-of join (per-(key,chunk) groups + carry-in fixup);
+    identical semantics to events_asof, same SQL oracle."""
+    import ray.data
+
+    from hyperpolyglot_ray.stages.joins import asof_join
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    views = ev.filter(expr="event_type == 'view'")
+    return asof_join(
+        purchases, views, key_col="user_id", ts_col="ts",
+        left_id="event_id", right_id="event_id", out_col="view_event_id",
+        chunk_us=6 * 3600 * 1_000_000,
+    )
+
+
+def _q_events_value_quantiles_refine(sf_dir: str):
+    """Hot-key-safe EXACT quantiles (iterative bin refinement); identical
+    semantics to events_value_quantiles, same SQL oracle."""
+    import ray.data
+
+    from hyperpolyglot_ray.stages.aggregates import grouped_quantiles_refine
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return grouped_quantiles_refine(ds, "event_type", "value", n_bins=256, gather_cap=512)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -633,6 +672,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repo_stats": _q_repo_stats,
         "orders_by_nation": _q_orders_by_nation,
         "events_asof": _q_events_asof,
+        "events_sessionize_chunked": _q_events_sessionize_chunked,
+        "events_asof_chunked": _q_events_asof_chunked,
+        "events_value_quantiles_refine": _q_events_value_quantiles_refine,
     }
 
 
@@ -670,7 +712,7 @@ WITH f AS (
   SELECT path, arg_min(suffix, j) AS extension FROM hits GROUP BY path
 )"""
 
-    return {
+    sql = {
         "detect_cascade": (
             f"SELECT path, lang AS detected_lang FROM read_parquet('{exp}') WHERE detectable"
         ),
@@ -854,3 +896,9 @@ SELECT user_id, session_id, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
 FROM s GROUP BY user_id, session_id""",
     }
+    # the hot-key-safe execution paths compute the same functions — same
+    # oracle, different distributed topology
+    sql["events_sessionize_chunked"] = sql["events_sessionize"]
+    sql["events_asof_chunked"] = sql["events_asof"]
+    sql["events_value_quantiles_refine"] = sql["events_value_quantiles"]
+    return sql

@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r3b"
+ORACLE_VERSION = "r3c"
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -508,14 +508,76 @@ def _expected_near_dup_ivf(
 # ---------------------------------------------------------------------------
 
 
+_ALNUM = frozenset("0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+_WS = frozenset(" \t\r\n\x0b\x0c")
+
+
+def _quality_reasons_seq(
+    content: str, ppl: float, vendored: bool, documentation: bool, detected_lang: str
+) -> list[str]:
+    """INDEPENDENT reimplementation of the quality_row spec (the
+    core/quality.py module docstring + config thresholds). Shares only the
+    config constants and the CharLM ppl input with production — the line
+    stats and decision logic are coded differently (per-char Counter
+    instead of regex deletion, explicit find() line scan instead of
+    split-and-map), so a bug in the production kernels cannot self-confirm
+    here (ADVICE r2 #5)."""
+    from collections import Counter
+
+    from .. import config
+
+    # line lengths via an explicit newline scan
+    lens: list[int] = []
+    start = 0
+    while True:
+        nl = content.find("\n", start)
+        if nl < 0:
+            lens.append(len(content) - start)
+            break
+        lens.append(nl - start)
+        start = nl + 1
+    max_len = max(lens)
+    mean_len = sum(lens) / len(lens)
+
+    counts = Counter(content)
+    n_alnum = sum(c for ch, c in counts.items() if ch in _ALNUM)
+    n_ws = sum(c for ch, c in counts.items() if ch in _WS)
+    n_non_ws = len(content) - n_ws
+    alpha_ratio = (n_alnum / n_non_ws) if n_non_ws else 0.0
+
+    non_blank = [l for l in content.split("\n") if l.strip()]
+    if len(non_blank) >= config.REP_MIN_LINES:
+        rep_ratio = 1.0 - len(set(non_blank)) / len(non_blank)
+    else:
+        rep_ratio = 0.0
+
+    reasons = []
+    if vendored:
+        reasons.append("vendored")
+    if documentation:
+        reasons.append("documentation")
+    if not detected_lang:
+        reasons.append("no_language")
+    if max_len > config.MAX_LINE_LEN:
+        reasons.append("max_line_len")
+    if mean_len > config.MEAN_LINE_LEN:
+        reasons.append("mean_line_len")
+    if alpha_ratio < config.MIN_ALPHA_RATIO:
+        reasons.append("alpha_ratio")
+    if rep_ratio > config.MAX_REP_RATIO:
+        reasons.append("rep_ratio")
+    if ppl > config.MAX_PPL and len(content) >= config.PPL_MIN_BYTES:
+        reasons.append("perplexity")
+    return reasons
+
+
 def _build_files_sidecars(fixture_dir: Path, out_dir: Path) -> None:
-    """Per-row keep/drop reasons (spec: core.quality.quality_row — the
-    declared row-wise reference of the vectorized QualityScrubStage) and
-    fused langid labels, computed sequentially over the whole fixture."""
+    """Per-row keep/drop reasons (independent reimplementation of the
+    core.quality spec, see :func:`_quality_reasons_seq`) and fused langid
+    labels, computed sequentially over the whole fixture."""
     from ..artifacts import load_char_lm
     from ..core.detect import get_detector
     from ..core.filters import documentation_pattern, vendor_pattern
-    from ..core.quality import quality_row
 
     det = get_detector()
     lm = load_char_lm()
@@ -538,7 +600,7 @@ def _build_files_sidecars(fixture_dir: Path, out_dir: Path) -> None:
     reason_counts: Counter = Counter()
     for p, content, dl in zip(paths, contents, detected):
         ppl = float(lm.perplexity_batch([content[:8192]])[0])
-        _, reasons, _ = quality_row(
+        reasons = _quality_reasons_seq(
             content, ppl, bool(vend_re.search(p)), bool(doc_re.search(p)), dl
         )
         reason_counts.update(reasons)

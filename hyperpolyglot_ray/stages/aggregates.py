@@ -201,6 +201,252 @@ def histogram_quantile_sketch(
     return summed.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
 
 
+def grouped_quantiles_refine(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    n_bins: int = 4096,
+    gather_cap: int = 65536,
+    max_rounds: int = 6,
+) -> ray.data.Dataset:
+    """EXACT per-group discrete quantiles with bounded worker memory — the
+    hot-key-safe exact path (``grouped_quantiles`` ships whole keys to one
+    worker; ``histogram_quantile_sketch`` is approximate). Iterative bin
+    refinement: each round histograms every unresolved (key, q) target's
+    candidate range (shuffle carries bin counts only), the driver walks the
+    cumulative counts to the bin holding the target rank, and recursion
+    narrows that bin ~n_bins-fold until its population fits ``gather_cap``;
+    a final pass gathers the candidate DISTINCT values with counts
+    (per-block dedup bounds the shuffle even when one value dominates a
+    key) and selects the rank exactly.
+
+    Bin membership is always recomputed with the same float arithmetic
+    that built the histogram (a conjunction of per-round bin-index
+    equalities, not boundary comparisons), so float-edge values can never
+    be counted in one round and excluded in the next — rank bookkeeping
+    stays exact. Semantics match ``grouped_quantiles``: sorted ascending,
+    element at ceil(q*n)-1.
+
+    Output: key, q{50}, q{90}, ... (float64), one row per key.
+    """
+    import numpy as np
+    import ray
+
+    base = ds.select_columns([key_col, value_col])
+
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([key_col]).aggregate(
+            [(value_col, "count"), (value_col, "min"), (value_col, "max")]
+        )
+        return g.rename_columns([key_col, "n", "lo", "hi"])
+
+    stats: dict = {}
+    for b in base.map_batches(
+        mm_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for key, n, lo, hi in zip(
+            b.column(key_col).to_pylist(),
+            b.column("n").to_pylist(),
+            b.column("lo").to_pylist(),
+            b.column("hi").to_pylist(),
+        ):
+            if key in stats:
+                pn, plo, phi = stats[key]
+                stats[key] = (pn + n, min(plo, lo), max(phi, hi))
+            else:
+                stats[key] = (n, lo, hi)
+
+    # per-target state: rank is 1-based within the current candidate set;
+    # chain is [(bin_lo, width, bin_idx)] — the membership conjunction
+    targets: dict = {}
+    for key, (n, lo, hi) in stats.items():
+        for q in qs:
+            rank = min(n - 1, max(0, int(np.ceil(q * n)) - 1)) + 1
+            targets[(key, q)] = {
+                "rank": rank,
+                "lo": float(lo),
+                "hi": float(hi),
+                "chain": [],
+                "count": n,
+                "value": float(lo) if lo == hi else None,
+            }
+
+    def _membership_mask(vals: np.ndarray, spec: dict) -> np.ndarray:
+        m = (vals >= spec["lo0"]) & (vals <= spec["hi0"])
+        for c_lo, c_w, c_b in spec["chain"]:
+            idx = np.clip(((vals - c_lo) / c_w).astype(np.int64), 0, n_bins - 1)
+            m &= idx == c_b
+        return m
+
+    rounds = 0
+    while True:
+        pending = {
+            kq: t
+            for kq, t in targets.items()
+            if t["value"] is None and t["count"] > gather_cap and rounds < max_rounds
+        }
+        if not pending:
+            break
+        rounds += 1
+        spec = {}
+        for (key, q), t in pending.items():
+            width = (t["hi"] - t["lo"]) / n_bins
+            if width <= 0 or not np.isfinite(width):
+                # range collapsed to (near) one float — fall through to
+                # the distinct-value gather, which is tiny here
+                t["count"] = 0
+                continue
+            spec.setdefault(key, []).append(
+                {
+                    "q": q,
+                    "lo0": stats[key][1],
+                    "hi0": stats[key][2],
+                    "chain": t["chain"],
+                    "lo": t["lo"],
+                    "width": width,
+                }
+            )
+        if not spec:
+            break
+        spec_ref = ray.put(spec)
+
+        def hist(batch: pa.Table, _ref=spec_ref) -> pa.Table:
+            sp = ray.get(_ref)
+            keys = np.asarray(batch.column(key_col).to_pylist())
+            vals = batch.column(value_col).to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            out_k, out_q, out_b, out_c = [], [], [], []
+            for key in np.unique(keys):
+                if key not in sp:
+                    continue
+                kv = vals[keys == key]
+                for tgt in sp[key]:
+                    m = _membership_mask(kv, tgt)
+                    if not m.any():
+                        continue
+                    bins = np.clip(
+                        ((kv[m] - tgt["lo"]) / tgt["width"]).astype(np.int64),
+                        0,
+                        n_bins - 1,
+                    )
+                    bc = np.bincount(bins, minlength=n_bins)
+                    nz = np.nonzero(bc)[0]
+                    out_k.extend([key] * len(nz))
+                    out_q.extend([tgt["q"]] * len(nz))
+                    out_b.extend(nz.tolist())
+                    out_c.extend(bc[nz].tolist())
+            return pa.table(
+                {
+                    key_col: pa.array(out_k),
+                    "q": pa.array(out_q, type=pa.float64()),
+                    "bin": pa.array(out_b, type=pa.int64()),
+                    "cnt": pa.array(out_c, type=pa.int64()),
+                }
+            )
+
+        acc: dict = {}
+        for b in base.map_batches(
+            hist, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow"):
+            for key, q, bn, c in zip(
+                b.column(key_col).to_pylist(),
+                b.column("q").to_pylist(),
+                b.column("bin").to_pylist(),
+                b.column("cnt").to_pylist(),
+            ):
+                acc.setdefault((key, q), {})
+                acc[(key, q)][bn] = acc[(key, q)].get(bn, 0) + c
+
+        for (key, q), bins in acc.items():
+            t = targets[(key, q)]
+            width = (t["hi"] - t["lo"]) / n_bins
+            cum = 0
+            for bn in sorted(bins):
+                if cum + bins[bn] >= t["rank"]:
+                    t["rank"] -= cum
+                    t["chain"] = t["chain"] + [(t["lo"], width, bn)]
+                    new_lo = t["lo"] + bn * width
+                    new_hi = t["hi"] if bn == n_bins - 1 else t["lo"] + (bn + 1) * width
+                    t["lo"], t["hi"] = new_lo, new_hi
+                    t["count"] = bins[bn]
+                    break
+                cum += bins[bn]
+
+    # final distinct-value gather for every unresolved target
+    gather = {}
+    for (key, q), t in targets.items():
+        if t["value"] is None:
+            gather.setdefault(key, []).append(
+                {
+                    "q": q,
+                    "lo0": stats[key][1],
+                    "hi0": stats[key][2],
+                    "chain": t["chain"],
+                }
+            )
+    if gather:
+        g_ref = ray.put(gather)
+
+        def collect(batch: pa.Table, _ref=g_ref) -> pa.Table:
+            sp = ray.get(_ref)
+            keys = np.asarray(batch.column(key_col).to_pylist())
+            vals = batch.column(value_col).to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            out_k, out_q, out_v, out_c = [], [], [], []
+            for key in np.unique(keys):
+                if key not in sp:
+                    continue
+                kv = vals[keys == key]
+                for tgt in sp[key]:
+                    m = _membership_mask(kv, tgt)
+                    if not m.any():
+                        continue
+                    uv, uc = np.unique(kv[m], return_counts=True)
+                    out_k.extend([key] * len(uv))
+                    out_q.extend([tgt["q"]] * len(uv))
+                    out_v.extend(uv.tolist())
+                    out_c.extend(uc.tolist())
+            return pa.table(
+                {
+                    key_col: pa.array(out_k),
+                    "q": pa.array(out_q, type=pa.float64()),
+                    "v": pa.array(out_v, type=pa.float64()),
+                    "cnt": pa.array(out_c, type=pa.int64()),
+                }
+            )
+
+        vacc: dict = {}
+        for b in base.map_batches(
+            collect, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow"):
+            for key, q, v, c in zip(
+                b.column(key_col).to_pylist(),
+                b.column("q").to_pylist(),
+                b.column("v").to_pylist(),
+                b.column("cnt").to_pylist(),
+            ):
+                vacc.setdefault((key, q), {})
+                vacc[(key, q)][v] = vacc[(key, q)].get(v, 0) + c
+        for (key, q), vc in vacc.items():
+            t = targets[(key, q)]
+            cum = 0
+            for v in sorted(vc):
+                cum += vc[v]
+                if cum >= t["rank"]:
+                    t["value"] = float(v)
+                    break
+
+    cols: dict = {key_col: pa.array(sorted(stats))}
+    for q in qs:
+        cols[f"q{int(round(q * 100))}"] = pa.array(
+            [targets[(key, q)]["value"] for key in sorted(stats)], type=pa.float64()
+        )
+    return ray.data.from_arrow(pa.table(cols))
+
+
 def grouped_count_distinct(
     ds: ray.data.Dataset, key_col: str, val_col: str
 ) -> ray.data.Dataset:

@@ -56,11 +56,23 @@ def asof_join(
     left_id: str,
     right_id: str,
     out_col: str = "matched_id",
+    chunk_us: int | None = None,
 ) -> ray.data.Dataset:
     """For each left row: the right row with the greatest ts strictly
     before the left ts, per key. Output: key, {left_id}, {out_col}
     (nullable). Both sides are unioned with a side tag so ONE groupby
-    shuffle co-locates each key."""
+    shuffle co-locates each key.
+
+    ``chunk_us=C`` is the hot-key-safe path: groups are (key, ts//C)
+    instead of whole keys, so one hot key never lands on one worker. Rows
+    whose match crosses a chunk boundary are fixed up by two small extra
+    shuffles that carry per-chunk summaries and only the unresolved left
+    rows; output is identical to the unchunked path (with unique ts per
+    key, the documented determinism envelope of both paths)."""
+    if chunk_us is not None:
+        return _asof_join_chunked(
+            left, right, key_col, ts_col, left_id, right_id, out_col, chunk_us
+        )
     l_tag = left.map_batches(
         lambda b: pa.table(
             {
@@ -110,6 +122,175 @@ def asof_join(
     return both.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
 
 
+def _asof_join_chunked(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    left_id: str,
+    right_id: str,
+    out_col: str,
+    chunk_us: int,
+) -> ray.data.Dataset:
+    """Hot-key-safe as-of join; see :func:`asof_join`.
+
+    Phase 1 groups by (key, chunk) and resolves every left row whose
+    latest-prior right lives in its own chunk; it also emits one summary
+    row per chunk-with-rights (the chunk's latest right) and one marker
+    row per chunk-with-unresolved-lefts. Phase 2a — a groupby(key) over
+    summaries+markers only, O(chunks) rows per key — computes each marked
+    chunk's carry-in: the latest right of the nearest earlier chunk that
+    has rights (any right in an earlier chunk has strictly smaller ts than
+    any left in chunk c, so "latest right in the latest earlier
+    right-bearing chunk" IS the latest prior right). Phase 2b re-groups by
+    (key, chunk) — bounded by chunk size — to stamp carry-ins onto the
+    unresolved lefts.
+    """
+
+    def tag(side: str, id_col: str, ts_source: str):
+        def fn(b: pa.Table) -> pa.Table:
+            ts = b.column(ts_source).cast(pa.int64())
+            return pa.table(
+                {
+                    key_col: b.column(key_col),
+                    "_chunk": pc.divide(ts, chunk_us),
+                    "ts": ts,
+                    "row_id": b.column(id_col).cast(pa.int64()),
+                    "side": pa.array([side] * len(b)),
+                }
+            )
+
+        return fn
+
+    both = left.map_batches(tag("L", left_id, ts_col), batch_format="pyarrow").union(
+        right.map_batches(tag("R", right_id, ts_col), batch_format="pyarrow")
+    )
+
+    def per_chunk(group: pa.Table) -> pa.Table:
+        sides = np.asarray(group.column("side").to_pylist())
+        ts = group.column("ts").to_numpy(zero_copy_only=False)
+        ids = group.column("row_id").to_numpy(zero_copy_only=False)
+        key = group.column(key_col)[0].as_py()
+        key_type = group.schema.field(key_col).type
+        chunk = int(group.column("_chunk")[0].as_py())
+        lmask = sides == "L"
+        lts, lids = ts[lmask], ids[lmask]
+        rts, rids = ts[~lmask], ids[~lmask]
+        order = np.argsort(rts, kind="stable")
+        rts, rids = rts[order], rids[order]
+        pos = np.searchsorted(rts, lts, side="left") - 1
+        res_mask = pos >= 0
+        matched = (
+            rids[np.clip(pos, 0, None)].astype(np.int64)
+            if len(rids)
+            else np.zeros(len(lids), dtype=np.int64)
+        )
+        n_l = len(lids)
+        extra_kind: list[str] = []
+        extra_a: list[int | None] = []
+        if len(rids):
+            extra_kind.append("S")
+            extra_a.append(int(rids[-1]))
+        if not res_mask.all():
+            extra_kind.append("M")
+            extra_a.append(None)
+        n = n_l + len(extra_kind)
+        a_np = np.concatenate(
+            [
+                lids.astype(np.int64),
+                np.asarray([v if v is not None else 0 for v in extra_a], dtype=np.int64),
+            ]
+        )
+        a_mask = np.concatenate(
+            [np.zeros(n_l, dtype=bool), np.asarray([v is None for v in extra_a], dtype=bool)]
+        )
+        b_np = np.concatenate([matched, np.zeros(len(extra_kind), dtype=np.int64)])
+        b_mask = np.concatenate([~res_mask, np.ones(len(extra_kind), dtype=bool)])
+        return pa.table(
+            {
+                key_col: pa.array([key] * n, type=key_type),
+                "_chunk": pa.array([chunk] * n, type=pa.int64()),
+                "kind": pa.array(np.where(res_mask, "res", "un").tolist() + extra_kind),
+                "a": pa.array(a_np, type=pa.int64(), mask=a_mask),
+                "b": pa.array(b_np, type=pa.int64(), mask=b_mask),
+            }
+        )
+
+    phase1 = both.groupby([key_col, "_chunk"]).map_groups(
+        per_chunk, batch_format="pyarrow"
+    )
+
+    def split(wanted: tuple[str, ...]):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b.column("kind"), value_set=pa.array(wanted)))
+
+        return fn
+
+    resolved = phase1.map_batches(split(("res",)), batch_format="pyarrow").map_batches(
+        lambda b: pa.table(
+            {key_col: b.column(key_col), left_id: b.column("a"), out_col: b.column("b")}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def carry_per_key(group: pa.Table) -> pa.Table:
+        kinds = np.asarray(group.column("kind").to_pylist())
+        chunks = group.column("_chunk").to_numpy(zero_copy_only=False)
+        a = group.column("a").to_numpy(zero_copy_only=False)
+        key = group.column(key_col)[0].as_py()
+        key_type = group.schema.field(key_col).type
+        smask = kinds == "S"
+        s_chunks, s_ids = chunks[smask], a[smask]
+        order = np.argsort(s_chunks)
+        s_chunks, s_ids = s_chunks[order], s_ids[order]
+        out_chunk: list[int] = []
+        out_carry: list[int | None] = []
+        for c in chunks[kinds == "M"]:
+            p = np.searchsorted(s_chunks, c, side="left") - 1
+            out_chunk.append(int(c))
+            out_carry.append(int(s_ids[p]) if p >= 0 else None)
+        n = len(out_chunk)
+        return pa.table(
+            {
+                key_col: pa.array([key] * n, type=key_type),
+                "_chunk": pa.array(out_chunk, type=pa.int64()),
+                "kind": pa.array(["C"] * n),
+                "a": pa.array(out_carry, type=pa.int64()),
+                "b": pa.array([None] * n, type=pa.int64()),
+            }
+        )
+
+    carries = (
+        phase1.map_batches(split(("S", "M")), batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(carry_per_key, batch_format="pyarrow")
+    )
+
+    def fix_per_chunk(group: pa.Table) -> pa.Table:
+        kinds = np.asarray(group.column("kind").to_pylist())
+        a = group.column("a")
+        key = group.column(key_col)[0].as_py()
+        key_type = group.schema.field(key_col).type
+        c_idx = np.flatnonzero(kinds == "C")
+        carry = a[int(c_idx[0])].as_py() if len(c_idx) else None
+        lids = [a[int(i)].as_py() for i in np.flatnonzero(kinds == "un")]
+        return pa.table(
+            {
+                key_col: pa.array([key] * len(lids), type=key_type),
+                left_id: pa.array(lids, type=pa.int64()),
+                out_col: pa.array([carry] * len(lids), type=pa.int64()),
+            }
+        )
+
+    fixed = (
+        phase1.map_batches(split(("un",)), batch_format="pyarrow")
+        .union(carries)
+        .groupby([key_col, "_chunk"])
+        .map_groups(fix_per_chunk, batch_format="pyarrow")
+    )
+    return resolved.union(fixed)
+
+
 def interval_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -120,6 +301,7 @@ def interval_join(
     left_id: str,
     right_id: str,
     out_col: str = "matched_id",
+    chunk_us: int | None = None,
 ) -> ray.data.Dataset:
     """Range join: for each left row, the right row (same key) whose
     ``[start, end]`` interval contains the left ts. Intervals per key must
@@ -128,32 +310,61 @@ def interval_join(
     and a single ``groupby(key)`` co-locates each key, then an in-group
     ``searchsorted`` over interval starts resolves containment.
 
+    ``chunk_us=C`` is the hot-key-safe path: each right interval is
+    replicated into every time chunk it overlaps (replication factor
+    ~ interval_length/C + 1, so pick C >= the typical interval) and the
+    groupby key becomes (key, ts//C) — every left row finds its containing
+    interval inside its own chunk group, no fix-up pass needed, and one
+    hot key spreads over its time range. Identical output.
+
     Output: key, {left_id}, {out_col} (nullable int64).
     """
-    l_tag = left.map_batches(
-        lambda b: pa.table(
+    def l_fn(b: pa.Table) -> pa.Table:
+        ts = b.column(ts_col).cast(pa.int64())
+        t = pa.table(
             {
                 key_col: b.column(key_col),
-                "ts": b.column(ts_col).cast(pa.int64()),
-                "end": b.column(ts_col).cast(pa.int64()),
+                "ts": ts,
+                "end": ts,
                 "row_id": b.column(left_id).cast(pa.int64()),
                 "side": pa.array(["L"] * len(b)),
             }
-        ),
-        batch_format="pyarrow",
-    )
-    r_tag = right.map_batches(
-        lambda b: pa.table(
+        )
+        if chunk_us is not None:
+            t = t.append_column("_chunk", pc.divide(ts, chunk_us))
+        return t
+
+    def r_fn(b: pa.Table) -> pa.Table:
+        starts = b.column(start_col).cast(pa.int64())
+        ends = b.column(end_col).cast(pa.int64())
+        t = pa.table(
             {
                 key_col: b.column(key_col),
-                "ts": b.column(start_col).cast(pa.int64()),
-                "end": b.column(end_col).cast(pa.int64()),
+                "ts": starts,
+                "end": ends,
                 "row_id": b.column(right_id).cast(pa.int64()),
                 "side": pa.array(["R"] * len(b)),
             }
-        ),
-        batch_format="pyarrow",
-    )
+        )
+        if chunk_us is None:
+            return t
+        if len(b) == 0:
+            return t.append_column("_chunk", pa.array([], type=pa.int64()))
+        # replicate each interval into every chunk it overlaps so a left
+        # row's containing interval is always present in its own group
+        s_np = starts.to_numpy(zero_copy_only=False)
+        e_np = ends.to_numpy(zero_copy_only=False)
+        first = s_np // chunk_us
+        reps = (e_np // chunk_us - first + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(b), dtype=np.int64), reps)
+        offs = np.arange(len(idx), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)[:-1]]), reps
+        )
+        t = t.take(pa.array(idx))
+        return t.append_column("_chunk", pa.array(first[idx] + offs, type=pa.int64()))
+
+    l_tag = left.map_batches(l_fn, batch_format="pyarrow")
+    r_tag = right.map_batches(r_fn, batch_format="pyarrow")
     both = l_tag.union(r_tag)
 
     def per_key(group: pa.Table) -> pa.Table:
@@ -182,4 +393,5 @@ def interval_join(
             }
         )
 
-    return both.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+    group_keys = [key_col] if chunk_us is None else [key_col, "_chunk"]
+    return both.groupby(group_keys).map_groups(per_key, batch_format="pyarrow")

@@ -130,15 +130,29 @@ def sessionize(
     ts_col: str = "ts",
     user_col: str = "user_id",
     gap_minutes: float = 30.0,
+    chunk_hours: float | None = None,
 ) -> ray.data.Dataset:
     """Session assignment per user: a new session starts after a gap >
     ``gap_minutes``. Custom operator recipe (a): groupby(user) +
     map_groups with an in-group sort — state never crosses the user key.
 
+    ``chunk_hours=None`` (default) shuffles whole users — one group per
+    user, which assumes a user's events fit one worker. ``chunk_hours=H``
+    is the hot-key-safe path: phase 1 sessionizes within (user, time-chunk)
+    groups, phase 2 merges adjacent per-chunk sessions whose boundary gap
+    is <= the threshold — the phase-2 shuffle carries SESSION SUMMARIES
+    (4 ints each), so a user holding half the corpus costs O(its session
+    count), not O(its event count). Output is identical to the unchunked
+    path (integer merge math, property-tested).
+
     Output: user_id, session_id (int64, 0-based per user), n_events,
     session_start, session_end.
     """
     gap_us = int(gap_minutes * 60 * 1e6)
+    if chunk_hours is not None:
+        chunk_us = int(chunk_hours * 3600 * 1e6)
+        assert chunk_us > gap_us, "chunk must exceed the session gap"
+        return _sessionize_chunked(ds, ts_col, user_col, gap_us, chunk_us)
 
     def per_user(group: pa.Table) -> pa.Table:
         order = pc.sort_indices(group, sort_keys=[(ts_col, "ascending")])
@@ -168,3 +182,89 @@ def sessionize(
         )
 
     return ds.groupby(user_col).map_groups(per_user, batch_format="pyarrow")
+
+
+def _sessionize_chunked(
+    ds: ray.data.Dataset, ts_col: str, user_col: str, gap_us: int, chunk_us: int
+) -> ray.data.Dataset:
+    """Two-phase hot-key-safe sessionize; see :func:`sessionize`.
+
+    Exactness: chunks partition event time, so global sessions are exactly
+    the gap-rule merge of per-chunk sessions — two events straddling a
+    chunk boundary merge their sessions iff their gap <= gap_us, the same
+    rule applied inside a chunk; an empty chunk in between implies a gap
+    > chunk_us > gap_us, i.e. correctly never merges.
+    """
+
+    def add_chunk(batch: pa.Table) -> pa.Table:
+        us = (
+            batch.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                user_col: batch.column(user_col),
+                "_us": pa.array(us),
+                "_chunk": pa.array(us // chunk_us),
+            }
+        )
+
+    def per_chunk(group: pa.Table) -> pa.Table:
+        ts = np.sort(group.column("_us").to_numpy(zero_copy_only=False))
+        uid = group.column(user_col)[0].as_py()
+        new = np.ones(len(ts), dtype=bool)
+        new[1:] = (ts[1:] - ts[:-1]) > gap_us
+        idx = np.flatnonzero(new)
+        user_type = group.schema.field(user_col).type
+        return pa.table(
+            {
+                user_col: pa.array([uid] * len(idx), type=user_type),
+                "_s": pa.array(ts[idx], type=pa.int64()),
+                "_e": pa.array(
+                    ts[np.concatenate([idx[1:] - 1, [len(ts) - 1]])], type=pa.int64()
+                ),
+                "_n": pa.array(
+                    np.diff(np.concatenate([idx, [len(ts)]])), type=pa.int64()
+                ),
+            }
+        )
+
+    def merge_user(group: pa.Table) -> pa.Table:
+        s = group.column("_s").to_numpy(zero_copy_only=False)
+        e = group.column("_e").to_numpy(zero_copy_only=False)
+        n = group.column("_n").to_numpy(zero_copy_only=False)
+        order = np.argsort(s, kind="stable")
+        s, e, n = s[order], e[order], n[order]
+        uid = group.column(user_col)[0].as_py()
+        user_type = group.schema.field(user_col).type
+        new = np.ones(len(s), dtype=bool)
+        # per-chunk sessions are disjoint and start-sorted, so ends are
+        # sorted too; merge a run whenever the boundary gap fits
+        new[1:] = (s[1:] - e[:-1]) > gap_us
+        idx = np.flatnonzero(new)
+        starts = s[idx]
+        ends = e[np.concatenate([idx[1:] - 1, [len(e) - 1]])]
+        counts = np.add.reduceat(n, idx)
+        m = len(idx)
+        return pa.table(
+            {
+                user_col: pa.array([uid] * m, type=user_type),
+                "session_id": pa.array(np.arange(m), type=pa.int64()),
+                "n_events": pa.array(counts, type=pa.int64()),
+                "session_start": pa.array(starts, type=pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "session_end": pa.array(ends, type=pa.int64()).cast(pa.timestamp("us")),
+            }
+        )
+
+    chunk_sessions = (
+        ds.map_batches(add_chunk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([user_col, "_chunk"])
+        .map_groups(per_chunk, batch_format="pyarrow")
+    )
+    return chunk_sessions.groupby(user_col).map_groups(
+        merge_user, batch_format="pyarrow"
+    )
