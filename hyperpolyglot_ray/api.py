@@ -116,10 +116,20 @@ def get_language_breakdown(
                 }
             )
 
+        # HYPLY_THREADS parity (src/lib.rs:228-231): callers cap the
+        # breakdown's parallelism via the same env var the reference walker
+        # honors; unset -> Ray's own autoscaling within (1, 4)
+        threads = os.environ.get("HYPLY_THREADS", "")
+        concurrency = (
+            (1, max(1, int(threads))) if threads.isdigit() and int(threads) > 0 else (1, 4)
+        )
         ds = ray.data.from_items([{"path": r} for r in rels])
         ds = ds.map_batches(load, batch_format="pyarrow")
         ds = ds.map_batches(
-            DetectStage, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+            DetectStage,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=concurrency,
         )
         rows = ds.select_columns(["path", "detected_lang", "strategy"]).take_all()
         results = [

@@ -47,6 +47,23 @@ def test_breakdown_skips_overrides(tmp_path):
     assert bd["Python"] == [(("Extension", "Python"), "main.py")]
 
 
+def test_breakdown_ray_path_honors_hyply_threads(tmp_path, ray_session, monkeypatch):
+    """HYPLY_THREADS (src/lib.rs:228-231) caps the Ray breakdown's actor
+    pool; result must equal the in-process walk either way."""
+    import os
+
+    for i in range(6):
+        (tmp_path / f"f{i}.py").write_text(f"print({i})\n")
+    (tmp_path / "g.go").write_text("package main\n")
+    monkeypatch.setenv("HYPLY_THREADS", "2")
+    bd = hp.get_language_breakdown(tmp_path, use_ray=True)
+    monkeypatch.delenv("HYPLY_THREADS")
+    expected = hp.get_language_breakdown(tmp_path, use_ray=False)
+    assert {k: sorted(v) for k, v in bd.items()} == {
+        k: sorted(v) for k, v in expected.items()
+    }
+
+
 def test_cli_split_and_strategies(tmp_path):
     (tmp_path / "a.py").write_text("print(1)\n")
     (tmp_path / "b.py").write_text("print(2)\n")
