@@ -14,10 +14,31 @@ corpus mixes that skips string conversion for the large majority of rows.
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 import pyarrow as pa
 
 from ..core.detect import Detector, filter_candidates, truncate_to_char_boundary
 from ..artifacts import MAX_CONTENT_SIZE_BYTES
+from .quality_scrub import ContentCache
+
+
+def _content_tiers(det: Detector, ext: str | None, candidates: list, content: str):
+    """Tiers 3-5 (shebang / heuristics / classifier) — a pure function of
+    (ext, content), so memoizable per distinct content."""
+    candidates = filter_candidates(candidates, det.languages_from_shebang(content))
+    if len(candidates) == 1:
+        return candidates[0], "Shebang"
+    body = truncate_to_char_boundary(content, MAX_CONTENT_SIZE_BYTES)
+    if len(candidates) > 1 and ext:
+        heur = det.languages_from_heuristics(ext, candidates, body)
+        candidates = filter_candidates(candidates, heur)
+    if len(candidates) == 0:
+        return "", ""
+    if len(candidates) == 1:
+        return candidates[0], "Heuristics"
+    return det.classify(body, candidates), "Classifier"
 
 
 class DetectStage:
@@ -25,6 +46,10 @@ class DetectStage:
 
     def __init__(self, artifact_dir: str | None = None):
         self.det = Detector(artifact_dir)
+        # exact-dup-aware memo of the content tiers (see ContentCache);
+        # the classifier tier is the most expensive kernel in the cascade
+        cache_cap = int(os.environ.get("HYPLY_CONTENT_CACHE", "65536"))
+        self.cache = ContentCache(cache_cap) if cache_cap > 0 else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         det = self.det
@@ -61,31 +86,28 @@ class DetectStage:
             pending.append((i, ext, list(candidates)))
 
         if pending:
+            cache = self.cache
             idxs = [t[0] for t in pending]
             contents = batch.column("content").take(pa.array(idxs)).to_pylist()
             for (i, ext, candidates), content in zip(pending, contents):
                 if content is None:
                     errors[i] = "null_content"
                     continue
-                candidates = filter_candidates(
-                    candidates, det.languages_from_shebang(content)
-                )
-                if len(candidates) == 1:
-                    langs[i] = candidates[0]
-                    strategies[i] = "Shebang"
-                    continue
-                body = truncate_to_char_boundary(content, MAX_CONTENT_SIZE_BYTES)
-                if len(candidates) > 1 and ext:
-                    heur = det.languages_from_heuristics(ext, candidates, body)
-                    candidates = filter_candidates(candidates, heur)
-                if len(candidates) == 0:
-                    continue
-                if len(candidates) == 1:
-                    langs[i] = candidates[0]
-                    strategies[i] = "Heuristics"
-                else:
-                    langs[i] = det.classify(body, candidates)
-                    strategies[i] = "Classifier"
+                if cache is not None:
+                    key = (
+                        ext,
+                        hashlib.blake2b(
+                            content.encode("utf-8"), digest_size=16
+                        ).digest(),
+                    )
+                    hit = cache.get(key)
+                    if hit is not None:
+                        langs[i], strategies[i] = hit
+                        continue
+                result = _content_tiers(det, ext, candidates, content)
+                langs[i], strategies[i] = result
+                if cache is not None:
+                    cache.put(key, result)
 
         info = det.language_info
         types = [info[l]["type"] if l else "" for l in langs]

@@ -19,6 +19,8 @@ bounded prefix; sha256 is hashlib per row. No per-char Python loops.
 from __future__ import annotations
 
 import hashlib
+import itertools
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -28,6 +30,40 @@ from .. import config
 from ..artifacts import load_char_lm
 from ..core.filters import documentation_pattern, vendor_pattern
 from ..core.quality import line_stats  # noqa: F401  (spec reference impl)
+
+
+class ContentCache:
+    """FIFO-capped content-addressed memo for exact-duplicate-aware
+    execution: web/code corpora are heavily duplicated (vendored files,
+    boilerplate, mirrored repos), so per-actor memoization of the
+    content-pure kernel outputs turns every repeat into a 16-byte dict
+    probe. Keys are blake2b-128 digests (collision-safe); values are small
+    tuples (the scrubbed text is stored only when scrubbing changed it).
+    Eviction drops the oldest half when the cap is hit — O(1) amortized,
+    no per-access bookkeeping."""
+
+    __slots__ = ("cap", "d", "hits", "misses")
+
+    def __init__(self, cap: int):
+        self.cap = cap
+        self.d: dict = {}
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key):
+        v = self.d.get(key)
+        if v is not None:
+            self.hits += 1
+        else:
+            self.misses += 1
+        return v
+
+    def put(self, key, value) -> None:
+        d = self.d
+        if len(d) >= self.cap:
+            for old in list(itertools.islice(d, max(1, self.cap // 2))):
+                del d[old]
+        d[key] = value
 
 
 # char-class byte tables for ``bytes.translate(None, delete=...)`` — a
@@ -73,6 +109,66 @@ class QualityScrubStage:
             f"(?:{p})" for _, p, _ in config.SCRUB_PATTERNS
         )
         self.stats_actor = stats_actor  # lineage counter sink (fire-and-forget)
+        # content-pure outputs (ppl/line stats/scrub/sha) memoized per
+        # distinct content; HYPLY_CONTENT_CACHE=0 disables
+        cache_cap = int(os.environ.get("HYPLY_CONTENT_CACHE", "65536"))
+        self.cache = ContentCache(cache_cap) if cache_cap > 0 else None
+
+    def _compute_rows(self, sub_contents: list[str]) -> list[tuple]:
+        """Content-pure kernel outputs for each text:
+        ``(ppl, max_len, mean_len, alpha, rep, scrubbed_or_None,
+        counts_tuple, sha)`` — ``scrubbed_or_None`` is None when scrubbing
+        changed nothing (the caller reuses the input string)."""
+        m = len(sub_contents)
+        arr = pa.array(sub_contents, type=pa.string())
+
+        # ---- scrub: combined-alternation prefilter, then per-category
+        # count/replace over the matching row subset only (sequential
+        # category order preserved — counts see earlier replacements)
+        hit_mask = pc.match_substring_regex(arr, self.combined_scrub_pat)
+        hit_idx = np.flatnonzero(hit_mask.to_numpy(zero_copy_only=False))
+        cnt_full = {
+            cat: np.zeros(m, dtype=np.int32) for cat in config.SCRUB_CATEGORIES
+        }
+        scrubbed_map: dict[int, str] = {}
+        if len(hit_idx):
+            sub = arr.take(pa.array(hit_idx))
+            for cat, pattern, repl in config.SCRUB_PATTERNS:
+                cnt = pc.count_substring_regex(sub, pattern)
+                cnt_full[cat][hit_idx] = cnt.to_numpy(zero_copy_only=False)
+                if pc.sum(cnt).as_py():
+                    sub = pc.replace_substring_regex(sub, pattern, repl)
+            for j, text in zip(hit_idx, sub.to_pylist()):
+                if text != sub_contents[j]:
+                    scrubbed_map[int(j)] = text
+
+        ppl_arr = self.lm.perplexity_batch(
+            [t[: config.PPL_MAX_BYTES] for t in sub_contents]
+        )
+        out: list[tuple] = []
+        for i, text in enumerate(sub_contents):
+            max_len, mean_len, rep_ratio = _line_shape_stats(text)
+            bb = text.encode("utf-8")
+            n_alnum = len(bb) - len(bb.translate(None, _ALNUM_BYTES))
+            n_non_ws = len(bb.translate(None, _WS_AND_CONT_BYTES))
+            alpha_ratio = (n_alnum / n_non_ws) if n_non_ws else 0.0
+            scr = scrubbed_map.get(i)
+            sha = hashlib.sha256(
+                (scr if scr is not None else text).encode("utf-8")
+            ).hexdigest()
+            out.append(
+                (
+                    float(ppl_arr[i]),
+                    max_len,
+                    float(mean_len),
+                    float(alpha_ratio),
+                    float(rep_ratio),
+                    scr,
+                    tuple(int(cnt_full[cat][i]) for cat in config.SCRUB_CATEGORIES),
+                    sha,
+                )
+            )
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         path = batch.column("path")
@@ -82,9 +178,6 @@ class QualityScrubStage:
         vendored = pc.match_substring_regex(path, self.vendor_pat)
         documentation = pc.match_substring_regex(path, self.doc_pat)
 
-        # ---- scrub: combined-alternation prefilter, then per-category
-        # count/replace over the matching row subset only (sequential
-        # category order preserved — counts see earlier replacements)
         if isinstance(content, pa.ChunkedArray):
             content = content.combine_chunks()
         null_rows = None
@@ -98,33 +191,36 @@ class QualityScrubStage:
         if path.null_count:
             path = pc.fill_null(path, "")
         contents = content.to_pylist()
-        hit_mask = pc.match_substring_regex(content, self.combined_scrub_pat)
-        hit_idx = np.flatnonzero(hit_mask.to_numpy(zero_copy_only=False))
-        counts_cols = {}
-        if len(hit_idx) == 0:
-            scrubbed = content
-            scrubbed_list = contents
-            zero = pa.array(np.zeros(n, dtype=np.int32))
-            for cat in config.SCRUB_CATEGORIES:
-                counts_cols[cat] = zero
-        else:
-            sub = content.take(pa.array(hit_idx))
-            cnt_full = {
-                cat: np.zeros(n, dtype=np.int32) for cat in config.SCRUB_CATEGORIES
-            }
-            for cat, pattern, repl in config.SCRUB_PATTERNS:
-                cnt = pc.count_substring_regex(sub, pattern)
-                cnt_full[cat][hit_idx] = cnt.to_numpy(zero_copy_only=False)
-                if pc.sum(cnt).as_py():
-                    sub = pc.replace_substring_regex(sub, pattern, repl)
-            for cat in config.SCRUB_CATEGORIES:
-                counts_cols[cat] = pa.array(cnt_full[cat])
-            scrubbed_list = list(contents)
-            for j, text in zip(hit_idx, sub.to_pylist()):
-                scrubbed_list[j] = text
-            scrubbed = pa.array(scrubbed_list, type=content.type)
 
-        # ---- per-row stats: C-level str ops + numpy LM ------------------
+        # ---- content-addressed memo: compute each DISTINCT content once
+        # (in-batch dedup + cross-batch per-actor cache) -----------------
+        cache = self.cache
+        vals: list[tuple | None] = [None] * n
+        if cache is not None:
+            digs = [
+                hashlib.blake2b(t.encode("utf-8"), digest_size=16).digest()
+                for t in contents
+            ]
+            miss_pos: dict[bytes, int] = {}
+            miss_rows: list[int] = []
+            for i, dg in enumerate(digs):
+                v = cache.get(dg)
+                if v is not None:
+                    vals[i] = v
+                elif dg not in miss_pos:
+                    miss_pos[dg] = len(miss_rows)
+                    miss_rows.append(i)
+            if miss_rows:
+                computed = self._compute_rows([contents[i] for i in miss_rows])
+                for dg, p in miss_pos.items():
+                    cache.put(dg, computed[p])
+            for i, dg in enumerate(digs):
+                if vals[i] is None:
+                    vals[i] = computed[miss_pos[dg]]
+        else:
+            vals = self._compute_rows(contents)
+
+        # ---- per-row decision: cached content-pure metrics + row flags --
         detected = (
             batch.column("detected_lang").to_pylist()
             if "detected_lang" in batch.column_names
@@ -141,16 +237,19 @@ class QualityScrubStage:
         keep_l = [False] * n
         reasons_l: list[list[str]] = [[]] * n
         sha_l = [""] * n
+        scrubbed_list = list(contents)
+        counts_np = {
+            cat: np.zeros(n, dtype=np.int32) for cat in config.SCRUB_CATEGORIES
+        }
+        cats = list(config.SCRUB_CATEGORIES)
 
-        ppl_max_bytes = config.PPL_MAX_BYTES
-        ppl_arr = self.lm.perplexity_batch([t[:ppl_max_bytes] for t in contents])
         for i, text in enumerate(contents):
-            ppl = ppl_arr[i]
-            max_len, mean_len, rep_ratio = _line_shape_stats(text)
-            bb = text.encode("utf-8")
-            n_alnum = len(bb) - len(bb.translate(None, _ALNUM_BYTES))
-            n_non_ws = len(bb.translate(None, _WS_AND_CONT_BYTES))
-            alpha_ratio = (n_alnum / n_non_ws) if n_non_ws else 0.0
+            ppl, max_len, mean_len, alpha_ratio, rep_ratio, scr, cnts, sha = vals[i]
+            if scr is not None:
+                scrubbed_list[i] = scr
+            for c_i, cat in enumerate(cats):
+                if cnts[c_i]:
+                    counts_np[cat][i] = cnts[c_i]
             reasons = []
             if null_rows is not None and null_rows[i]:
                 reasons.append("null_content")
@@ -170,14 +269,17 @@ class QualityScrubStage:
                 reasons.append("rep_ratio")
             if ppl > config.MAX_PPL and len(text) >= config.PPL_MIN_BYTES:
                 reasons.append("perplexity")
-            ppl_list[i] = float(ppl)
+            ppl_list[i] = ppl
             max_len_l[i] = max_len
-            mean_len_l[i] = float(mean_len)
-            alpha_l[i] = float(alpha_ratio)
-            rep_l[i] = float(rep_ratio)
+            mean_len_l[i] = mean_len
+            alpha_l[i] = alpha_ratio
+            rep_l[i] = rep_ratio
             keep_l[i] = not reasons
             reasons_l[i] = reasons
-            sha_l[i] = hashlib.sha256(scrubbed_list[i].encode("utf-8")).hexdigest()
+            sha_l[i] = sha
+
+        scrubbed = pa.array(scrubbed_list, type=content.type)
+        counts_cols = {cat: pa.array(counts_np[cat]) for cat in cats}
 
         quality = pa.StructArray.from_arrays(
             [

@@ -109,3 +109,41 @@ def test_stages_null_safe(ray_session):
     assert "null_content" in reasons[2]
     assert out.column("keep").to_pylist()[0] is True
     assert out.column("scrubbed").to_pylist()[2] == ""
+
+
+def test_content_cache_equivalence(monkeypatch):
+    """Cached and uncached fused-stage outputs are identical on a batch
+    with heavy content duplication, and repeats actually hit the cache."""
+    import pyarrow as pa
+
+    from hyperpolyglot_ray.stages.fused import QualityFilterStage
+
+    base = [
+        "#!/usr/bin/env python\nimport os\nprint(os.name)\n",
+        "package main\n\nfunc main() {}\n",
+        "email me: a@b.com\n" + "x = 1\n" * 30,
+    ]
+    paths = [f"r/d{i}/f{i}.py" for i in range(60)]
+    contents = [base[i % 3] for i in range(60)]
+    batch = pa.table(
+        {
+            "repo": pa.array(["r"] * 60),
+            "path": pa.array(paths),
+            "commit": pa.array(["c"] * 60),
+            "content": pa.array(contents),
+        }
+    )
+    cached_stage = QualityFilterStage()
+    out1 = cached_stage(batch)
+    out1b = cached_stage(batch)  # second pass: all content-tier hits
+    monkeypatch.setenv("HYPLY_CONTENT_CACHE", "0")
+    uncached = QualityFilterStage()
+    out2 = uncached(batch)
+    monkeypatch.delenv("HYPLY_CONTENT_CACHE")
+    assert uncached.scrub.cache is None
+    assert out1.equals(out2) and out1b.equals(out2)
+    sc = cached_stage.scrub.cache
+    # pass 1: 3 distinct contents computed once (in-batch dedup), pass 2:
+    # every row is a cross-batch cache hit
+    assert sc.hits >= 60
+    assert len(sc.d) == 3
