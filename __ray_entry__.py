@@ -589,6 +589,26 @@ def _q_events_sessionize_chunked(sf_dir: str):
     return sessionize(ds, chunk_hours=6.0)
 
 
+def _q_events_session_join_chunked(sf_dir: str):
+    """Hot-key-safe interval join (right intervals replicated into each
+    overlapped time chunk); identical semantics to events_session_join,
+    same SQL oracle."""
+    import ray.data
+
+    from hyperpolyglot_ray.stages.joins import interval_join
+    from hyperpolyglot_ray.stages.windows import sessionize
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    sessions = sessionize(ev.filter(expr="event_type == 'view'"))
+    return interval_join(
+        purchases, sessions, key_col="user_id", ts_col="ts",
+        start_col="session_start", end_col="session_end",
+        left_id="event_id", right_id="session_id", out_col="session_id",
+        chunk_us=6 * 3600 * 1_000_000,
+    )
+
+
 def _q_events_asof_chunked(sf_dir: str):
     """Hot-key-safe as-of join (per-(key,chunk) groups + carry-in fixup);
     identical semantics to events_asof, same SQL oracle."""
@@ -674,6 +694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": _q_events_asof,
         "events_sessionize_chunked": _q_events_sessionize_chunked,
         "events_asof_chunked": _q_events_asof_chunked,
+        "events_session_join_chunked": _q_events_session_join_chunked,
         "events_value_quantiles_refine": _q_events_value_quantiles_refine,
     }
 
@@ -900,5 +921,6 @@ FROM s GROUP BY user_id, session_id""",
     # oracle, different distributed topology
     sql["events_sessionize_chunked"] = sql["events_sessionize"]
     sql["events_asof_chunked"] = sql["events_asof"]
+    sql["events_session_join_chunked"] = sql["events_session_join"]
     sql["events_value_quantiles_refine"] = sql["events_value_quantiles"]
     return sql
