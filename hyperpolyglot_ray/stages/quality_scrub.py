@@ -237,6 +237,7 @@ class QualityScrubStage:
         keep_l = [False] * n
         reasons_l: list[list[str]] = [[]] * n
         sha_l = [""] * n
+        scrub_hit = False  # no change in any row -> reuse the input array
         scrubbed_list = list(contents)
         counts_np = {
             cat: np.zeros(n, dtype=np.int32) for cat in config.SCRUB_CATEGORIES
@@ -247,6 +248,7 @@ class QualityScrubStage:
             ppl, max_len, mean_len, alpha_ratio, rep_ratio, scr, cnts, sha = vals[i]
             if scr is not None:
                 scrubbed_list[i] = scr
+                scrub_hit = True
             for c_i, cat in enumerate(cats):
                 if cnts[c_i]:
                     counts_np[cat][i] = cnts[c_i]
@@ -278,7 +280,12 @@ class QualityScrubStage:
             reasons_l[i] = reasons
             sha_l[i] = sha
 
-        scrubbed = pa.array(scrubbed_list, type=content.type)
+        # zero-copy fast path: re-encoding ~10 KB/row into a fresh Arrow
+        # array is the single biggest assembly cost; when no row was
+        # scrubbed the output IS the input column
+        scrubbed = (
+            content if not scrub_hit else pa.array(scrubbed_list, type=content.type)
+        )
         counts_cols = {cat: pa.array(counts_np[cat]) for cat in cats}
 
         quality = pa.StructArray.from_arrays(
