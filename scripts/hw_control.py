@@ -67,6 +67,11 @@ def main():
     ap.add_argument("--rounds", type=int, default=2)
     args = ap.parse_args()
 
+    # the control measures the KERNEL's hardware scaling; the content memo
+    # would hand fewer workers a higher hit rate (same reason bench.py
+    # --scaling disables it — see run_scaling)
+    os.environ["HYPLY_CONTENT_CACHE"] = "0"
+
     from hyperpolyglot_ray.sources.fixtures import build_files_fixture, sf_from_dir
 
     sf = sf_from_dir(args.sf_dir)

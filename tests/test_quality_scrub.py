@@ -145,3 +145,17 @@ def test_perplexity_batch_bit_identical():
     batch = lm.perplexity_batch(texts)
     for i, t in enumerate(texts):
         assert batch[i] == lm.perplexity(t), i
+
+
+def test_content_cache_eviction():
+    """FIFO cap: oldest half evicted, newest entries retained."""
+    from hyperpolyglot_ray.stages.quality_scrub import ContentCache
+
+    c = ContentCache(cap=8)
+    for i in range(8):
+        c.put(i, i * 10)
+    assert len(c.d) == 8
+    c.put(99, 990)  # triggers eviction of the oldest 4
+    assert len(c.d) == 5
+    assert c.get(0) is None and c.get(3) is None
+    assert c.get(7) == 70 and c.get(99) == 990
