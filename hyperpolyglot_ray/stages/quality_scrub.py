@@ -117,8 +117,10 @@ class QualityScrubStage:
     def _compute_rows(self, sub_contents: list[str]) -> list[tuple]:
         """Content-pure kernel outputs for each text:
         ``(ppl, max_len, mean_len, alpha, rep, scrubbed_or_None,
-        counts_tuple, sha)`` — ``scrubbed_or_None`` is None when scrubbing
-        changed nothing (the caller reuses the input string)."""
+        counts_tuple, sha, len_ok)`` — ``scrubbed_or_None`` is None when
+        scrubbing changed nothing (the caller reuses the input string);
+        ``len_ok`` pre-evaluates the perplexity length gate so the caller
+        never needs the text itself."""
         m = len(sub_contents)
         arr = pa.array(sub_contents, type=pa.string())
 
@@ -166,6 +168,7 @@ class QualityScrubStage:
                     scr,
                     tuple(int(cnt_full[cat][i]) for cat in config.SCRUB_CATEGORIES),
                     sha,
+                    len(text) >= config.PPL_MIN_BYTES,
                 )
             )
         return out
@@ -190,16 +193,32 @@ class QualityScrubStage:
             path = path.combine_chunks()
         if path.null_count:
             path = pc.fill_null(path, "")
-        contents = content.to_pylist()
 
         # ---- content-addressed memo: compute each DISTINCT content once
-        # (in-batch dedup + cross-batch per-actor cache) -----------------
+        # (in-batch dedup + cross-batch per-actor cache). Digests are read
+        # straight from the Arrow offsets/data buffers, so the common
+        # all-hit path never materializes a Python string.
         cache = self.cache
         vals: list[tuple | None] = [None] * n
+        contents: list[str] | None = None
         if cache is not None:
+            off_dtype = (
+                np.int64 if pa.types.is_large_string(content.type) else np.int32
+            )
+            bufs = content.buffers()
+            offs = np.frombuffer(
+                bufs[1],
+                dtype=off_dtype,
+                count=n + 1,
+                offset=content.offset * off_dtype().itemsize,
+            )
+            data_mv = (
+                memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+            )
+            b2 = hashlib.blake2b
             digs = [
-                hashlib.blake2b(t.encode("utf-8"), digest_size=16).digest()
-                for t in contents
+                b2(data_mv[offs[i] : offs[i + 1]], digest_size=16).digest()
+                for i in range(n)
             ]
             miss_pos: dict[bytes, int] = {}
             miss_rows: list[int] = []
@@ -211,13 +230,16 @@ class QualityScrubStage:
                     miss_pos[dg] = len(miss_rows)
                     miss_rows.append(i)
             if miss_rows:
-                computed = self._compute_rows([contents[i] for i in miss_rows])
+                computed = self._compute_rows(
+                    content.take(pa.array(miss_rows, type=pa.int64())).to_pylist()
+                )
                 for dg, p in miss_pos.items():
                     cache.put(dg, computed[p])
             for i, dg in enumerate(digs):
                 if vals[i] is None:
                     vals[i] = computed[miss_pos[dg]]
         else:
+            contents = content.to_pylist()
             vals = self._compute_rows(contents)
 
         # ---- per-row decision: cached content-pure metrics + row flags --
@@ -237,18 +259,26 @@ class QualityScrubStage:
         keep_l = [False] * n
         reasons_l: list[list[str]] = [[]] * n
         sha_l = [""] * n
-        scrub_hit = False  # no change in any row -> reuse the input array
-        scrubbed_list = list(contents)
+        scr_updates: dict[int, str] = {}  # empty -> reuse the input array
         counts_np = {
             cat: np.zeros(n, dtype=np.int32) for cat in config.SCRUB_CATEGORIES
         }
         cats = list(config.SCRUB_CATEGORIES)
 
-        for i, text in enumerate(contents):
-            ppl, max_len, mean_len, alpha_ratio, rep_ratio, scr, cnts, sha = vals[i]
+        for i in range(n):
+            (
+                ppl,
+                max_len,
+                mean_len,
+                alpha_ratio,
+                rep_ratio,
+                scr,
+                cnts,
+                sha,
+                len_ok,
+            ) = vals[i]
             if scr is not None:
-                scrubbed_list[i] = scr
-                scrub_hit = True
+                scr_updates[i] = scr
             for c_i, cat in enumerate(cats):
                 if cnts[c_i]:
                     counts_np[cat][i] = cnts[c_i]
@@ -269,7 +299,7 @@ class QualityScrubStage:
                 reasons.append("alpha_ratio")
             if rep_ratio > config.MAX_REP_RATIO:
                 reasons.append("rep_ratio")
-            if ppl > config.MAX_PPL and len(text) >= config.PPL_MIN_BYTES:
+            if ppl > config.MAX_PPL and len_ok:
                 reasons.append("perplexity")
             ppl_list[i] = ppl
             max_len_l[i] = max_len
@@ -283,9 +313,15 @@ class QualityScrubStage:
         # zero-copy fast path: re-encoding ~10 KB/row into a fresh Arrow
         # array is the single biggest assembly cost; when no row was
         # scrubbed the output IS the input column
-        scrubbed = (
-            content if not scrub_hit else pa.array(scrubbed_list, type=content.type)
-        )
+        if not scr_updates:
+            scrubbed = content
+        else:
+            if contents is None:
+                contents = content.to_pylist()
+            scrubbed_list = list(contents)
+            for i, scr_text in scr_updates.items():
+                scrubbed_list[i] = scr_text
+            scrubbed = pa.array(scrubbed_list, type=content.type)
         counts_cols = {cat: pa.array(counts_np[cat]) for cat in cats}
 
         quality = pa.StructArray.from_arrays(
