@@ -147,3 +147,43 @@ def test_content_cache_equivalence(monkeypatch):
     # every row is a cross-batch cache hit
     assert sc.hits >= 60
     assert len(sc.d) == 3
+
+
+def test_scrub_stage_sliced_and_large_string(sample_table):
+    """The memo path digests straight from the Arrow offsets/data buffers,
+    which must honor a nonzero array offset (sliced batch) and the int64
+    offsets of large_string. Outputs must equal the zero-offset run."""
+    import pyarrow as pa
+
+    from hyperpolyglot_ray.stages.detector import DetectStage
+    from hyperpolyglot_ray.stages.quality_scrub import QualityScrubStage
+
+    det = DetectStage()(sample_table)
+    ref = QualityScrubStage()(det.slice(37, 101).combine_chunks())
+
+    # nonzero-offset slice: the content chunk keeps offset=37
+    sliced = det.slice(37, 101)
+    content_col = sliced.column("content")
+    chunk = content_col.chunk(0) if content_col.num_chunks else content_col
+    assert chunk.offset > 0 or content_col.num_chunks > 1
+    out_sliced = QualityScrubStage()(sliced)
+    assert out_sliced.equals(ref)
+
+    # large_string content (int64 offsets buffer)
+    big = det.slice(37, 101).combine_chunks()
+    big = big.set_column(
+        big.schema.get_field_index("content"),
+        "content",
+        big.column("content").cast(pa.large_string()),
+    )
+    out_big = QualityScrubStage()(big)
+    # cast the scrubbed column back for comparison; all other columns equal
+    assert (
+        out_big.column("scrubbed").cast(pa.string()).to_pylist()
+        == ref.column("scrubbed").to_pylist()
+    )
+    # content/scrubbed keep the input's large_string type; everything else
+    # (quality metrics, keep, reasons, sha, counts) must be bit-identical
+    assert out_big.drop_columns(["scrubbed", "content"]).equals(
+        ref.drop_columns(["scrubbed", "content"])
+    )
