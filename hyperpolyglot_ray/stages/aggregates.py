@@ -21,12 +21,15 @@ def salted_repo_stats(
     """Per repo: n_files + total content chars. Output:
     (repo, n_files, total_chars)."""
 
+    import numpy as np
+
     def partial(batch: pa.Table) -> pa.Table:
         chars = pc.utf8_length(batch.column("content")).cast(pa.int64())
-        # deterministic salt from the path hash splits the hot repo
+        # round-robin row-index salt splits the hot repo evenly across
+        # reducers; the salt only routes the shuffle (phase 2 collapses it),
+        # so the result is salt-invariant — no per-row Python hash needed
         salts = pa.array(
-            [hash_salt(p, n_salts) for p in batch.column("path").to_pylist()],
-            type=pa.int32(),
+            np.arange(len(batch), dtype=np.int32) % n_salts, type=pa.int32()
         )
         t = pa.table(
             {
@@ -473,10 +476,3 @@ def grouped_count_distinct(
         .sum("cnt")
         .rename_columns({"sum(cnt)": "n_distinct"})
     )
-
-
-def hash_salt(path: str, n_salts: int) -> int:
-    """Deterministic salt (no Python hash(): PYTHONHASHSEED-dependent)."""
-    import zlib
-
-    return zlib.crc32(path.encode("utf-8")) % n_salts
