@@ -364,6 +364,25 @@ def _q_doc_fingerprint(sf_dir: str):
     return fingerprint(_docs(sf_dir))
 
 
+def _q_doc_decontaminate(sf_dir: str):
+    from hyperpolyglot_ray.stages.curation import (
+        decontaminate,
+        derive_benchmark_strings,
+    )
+
+    ds = _docs(sf_dir)
+    bench = derive_benchmark_strings(ds, every=37, n_words=13)
+    return decontaminate(ds, bench)
+
+
+def _q_doc_sample_mix(sf_dir: str):
+    from hyperpolyglot_ray.stages.curation import stratified_sample
+
+    # exercises edge rates 0.0 / 1.0 plus fractional re-weighting
+    rates = {"en": 0.5, "zh": 1.0, "es": 0.75, "de": 0.25, "fr": 0.0}
+    return stratified_sample(_docs(sf_dir), rates)
+
+
 def _q_doc_langid(sf_dir: str):
     from hyperpolyglot_ray.stages.langid import predict_langid, train_langid
 
@@ -676,6 +695,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash": _q_doc_simhash,
         "doc_simhash_dedup": _q_doc_simhash_dedup,
         "doc_fingerprint": _q_doc_fingerprint,
+        "doc_decontaminate": _q_doc_decontaminate,
+        "doc_sample_mix": _q_doc_sample_mix,
         "doc_langid": _q_doc_langid,
         "doc_multimodal": _q_doc_multimodal,
         "emb_knn": _q_emb_knn,
@@ -811,6 +832,22 @@ FROM documents""",
         "doc_simhash": f"SELECT doc_id, simhash FROM read_parquet('{side}/doc_simhash.parquet')",
         "doc_simhash_dedup": f"SELECT doc_id FROM read_parquet('{side}/doc_simhash_dedup.parquet')",
         "doc_fingerprint": f"SELECT doc_id, fp FROM read_parquet('{side}/doc_fingerprint.parquet')",
+        "doc_decontaminate": (
+            r"WITH bench AS (SELECT DISTINCT array_to_string("
+            r"list_slice(regexp_extract_all(text, '\S+'), 1, 13), ' ') AS s"
+            r" FROM documents WHERE doc_id % 37 = 0"
+            r" AND len(regexp_extract_all(text, '\S+')) >= 13)"
+            " SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits"
+            " FROM documents d JOIN bench b ON contains(d.text, b.s)"
+            " GROUP BY d.doc_id"
+        ),
+        "doc_sample_mix": (
+            "SELECT doc_id, lang FROM documents WHERE"
+            " ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 <"
+            " CASE lang WHEN 'en' THEN 1073741824 WHEN 'zh' THEN 2147483648"
+            " WHEN 'es' THEN 1610612736 WHEN 'de' THEN 536870912"
+            " WHEN 'fr' THEN 0 ELSE 2147483648 END"
+        ),
         "doc_langid": f"SELECT doc_id, langid_lang FROM read_parquet('{side}/doc_langid.parquet')",
         "doc_multimodal": f"SELECT * FROM read_parquet('{side}/doc_multimodal.parquet')",
         "emb_knn_ivf": f"SELECT query_id, neighbor_id, rank FROM read_parquet('{side}/emb_knn_ivf.parquet')",

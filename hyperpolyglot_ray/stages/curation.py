@@ -1,0 +1,176 @@
+"""Corpus-curation operators: benchmark decontamination + data-mixing sample.
+
+Training-data-pipeline operators beyond the reference's own surface
+(prompt requirement), same family as ``stages/text_ops.py``:
+
+* ``decontaminate`` — GPT-3-style n-gram-overlap contamination flagging
+  (Brown et al. 2020, appendix C use 13-gram overlap between training
+  documents and benchmark text): a small benchmark set of ``n_words``-word
+  strings is broadcast once via ``ray.put`` and every document is scanned
+  with ONE combined RE2 literal-alternation pass per batch — a linear DFA
+  scan whose cost is independent of the benchmark-set size — then only the
+  (rare) prefilter-matching rows get per-string distinct-hit counting.
+  Map-only: no shuffle at any scale; the benchmark side is a fixed small
+  suite, never the corpus.
+
+* ``stratified_sample`` — deterministic per-language Bernoulli sampling
+  via an integer LCG over ``doc_id`` (no RNG state, no shuffle, map-only,
+  bit-reproducible on any cluster topology / block layout). The standard
+  data-mixing primitive: per-language rates re-weight corpus composition.
+  The LCG runs over ``doc_id mod 2^31`` so the int64 product never
+  overflows for any non-negative int64 id; selector collisions between
+  ids 2^31 apart are harmless (it is a keep/drop hash, not a unique key).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+_LCG_MOD = 1 << 31
+_LCG_A = 1103515245
+_LCG_C = 12345
+
+
+def derive_benchmark_strings(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    every: int = 37,
+    n_words: int = 13,
+) -> list[str]:
+    """Deterministic benchmark-string set derived from the corpus itself
+    (for tests/benchmarks without external data): the first ``n_words``
+    whitespace tokens of every document whose id is divisible by
+    ``every`` and that has at least ``n_words`` tokens. Tiny by
+    construction (|corpus| / every upper bound), collected driver-side."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        keep = ids % every == 0
+        out: list[str] = []
+        for t in pc.filter(batch.column(text_col), pa.array(keep)).to_pylist():
+            toks = (t or "").split()
+            if len(toks) >= n_words:
+                out.append(" ".join(toks[:n_words]))
+        return pa.table({"s": pa.array(out, type=pa.string())})
+
+    strings: set[str] = set()
+    for b in ds.map_batches(project, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        strings.update(b.column("s").to_pylist())
+    return sorted(strings)
+
+
+def decontaminate(
+    ds: ray.data.Dataset,
+    benchmark: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Flag documents containing any benchmark string as a substring.
+
+    Output: ``(doc_id, n_hits)`` for contaminated rows only, where
+    ``n_hits`` counts DISTINCT benchmark strings contained.
+
+    Scan topology: the deduplicated benchmark set ships once per node via
+    ``ray.put``; each batch gets one combined RE2 literal-alternation
+    ``match_substring_regex`` prefilter (linear in bytes scanned,
+    independent of benchmark size), and only prefilter hits — rare on a
+    clean corpus — are checked per-string with plain ``match_substring``
+    to count distinct hits.
+    """
+    bench = sorted(set(benchmark))
+    if not bench:
+        # typed empty result (same reason as the interval-join fix:
+        # schema unification needs concrete types)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "n_hits": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    bench_ref = ray.put(bench)
+    pattern = "|".join(re.escape(s) for s in bench)
+    pattern_ref = ray.put(pattern)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        pat = ray.get(pattern_ref)
+        mask = pc.match_substring_regex(batch.column(text_col), pat)
+        mask = pc.fill_null(mask, False)
+        sub = batch.filter(mask)
+        if sub.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "n_hits": pa.array([], type=pa.int64()),
+                }
+            )
+        texts = sub.column(text_col)
+        hits = np.zeros(sub.num_rows, dtype=np.int64)
+        for s in ray.get(bench_ref):
+            m = pc.fill_null(pc.match_substring(texts, s), False)
+            hits += np.asarray(m.to_numpy(zero_copy_only=False), dtype=np.int64)
+        keep = hits > 0
+        return pa.table(
+            {
+                id_col: pa.array(
+                    sub.column(id_col).to_numpy(zero_copy_only=False)[keep],
+                    type=pa.int64(),
+                ),
+                "n_hits": pa.array(hits[keep], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    key_col: str = "lang",
+    default_rate: float = 1.0,
+) -> ray.data.Dataset:
+    """Deterministic per-key Bernoulli sample: keep a row iff
+    ``lcg(doc_id) < round(rate(key) * 2^31)`` with
+    ``lcg(x) = ((x mod 2^31) * 1103515245 + 12345) mod 2^31``.
+
+    Output: ``(doc_id, lang)`` of kept rows. Rate 0.0 drops every row of
+    a key, 1.0 keeps every row; ids must be non-negative (any int64).
+    """
+    keys = list(rates)
+    thresholds = np.array(
+        [int(round(rates[k] * _LCG_MOD)) for k in keys], dtype=np.int64
+    )
+    default_thr = np.int64(int(round(default_rate * _LCG_MOD)))
+    key_arr = pa.array(keys, type=pa.string())
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        u = ((ids % _LCG_MOD) * np.int64(_LCG_A) + np.int64(_LCG_C)) % np.int64(
+            _LCG_MOD
+        )
+        idx = pc.index_in(batch.column(key_col), value_set=key_arr)
+        idx_np = idx.to_numpy(zero_copy_only=False)  # float64 with nan for misses
+        known = ~np.isnan(idx_np)
+        thr = np.full(len(ids), default_thr, dtype=np.int64)
+        if known.any():
+            thr[known] = thresholds[idx_np[known].astype(np.int64)]
+        keep = u < thr
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], type=pa.int64()),
+                key_col: batch.column(key_col).filter(pa.array(keep)),
+            }
+        )
+
+    return ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,96 @@
+"""Tests for corpus-curation operators (decontaminate, stratified_sample)."""
+
+import pyarrow as pa
+import pytest
+
+
+def _docs(rows):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": pa.array([r[1] for r in rows], type=pa.string()),
+                "lang": pa.array([r[2] for r in rows], type=pa.string()),
+            }
+        )
+    )
+
+
+def test_decontaminate_cross_doc(ray_session):
+    from hyperpolyglot_ray.stages.curation import (
+        decontaminate,
+        derive_benchmark_strings,
+    )
+
+    bench_src = "alpha beta gamma delta"
+    rows = [
+        (0, bench_src + " tail words here", "en"),  # source (0 % 2 == 0)
+        (1, "clean document nothing shared", "en"),
+        (2, "too short", "en"),  # 2 % 2 == 0 but < 4 words -> not a source
+        (3, "prefix then alpha beta gamma delta embedded", "en"),  # cross hit
+        (4, "x y " + bench_src, "en"),  # source AND contains doc-0's prefix
+    ]
+    ds = _docs(rows)
+    bench = derive_benchmark_strings(ds, every=2, n_words=4)
+    # doc 0 and doc 4 qualify as sources; doc 2 is too short
+    assert bench == sorted({"alpha beta gamma delta", "x y alpha beta"})
+    out = {
+        r["doc_id"]: r["n_hits"] for r in decontaminate(ds, bench).take_all()
+    }
+    # doc 4 contains both bench strings; docs 0 and 3 contain one; 1, 2 none
+    assert out == {0: 1, 3: 1, 4: 2}
+
+
+def test_decontaminate_empty_benchmark(ray_session):
+    from hyperpolyglot_ray.stages.curation import decontaminate
+
+    ds = _docs([(1, "anything", "en")])
+    out = decontaminate(ds, []).take_all()
+    assert out == []
+
+
+def test_decontaminate_regex_special_chars(ray_session):
+    """Benchmark strings are matched as literals, not regex patterns."""
+    from hyperpolyglot_ray.stages.curation import decontaminate
+
+    rows = [(1, "price is $4.99 (sale) today", "en"), (2, "price is $4X99", "en")]
+    out = {
+        r["doc_id"]: r["n_hits"]
+        for r in decontaminate(_docs(rows), ["$4.99 (sale)"]).take_all()
+    }
+    assert out == {1: 1}  # the dot must not match 'X'
+
+
+def test_stratified_sample_edge_rates(ray_session):
+    from hyperpolyglot_ray.stages.curation import stratified_sample
+
+    rows = [(i, "t", ["keep_all", "drop_all"][i % 2]) for i in range(100)]
+    out = stratified_sample(
+        _docs(rows), {"keep_all": 1.0, "drop_all": 0.0}
+    ).take_all()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == list(range(0, 100, 2))  # every keep_all row, no drop_all row
+
+
+def test_stratified_sample_deterministic_and_default(ray_session):
+    from hyperpolyglot_ray.stages.curation import stratified_sample
+
+    rows = [(i, "t", "en" if i < 50 else "unknown") for i in range(100)]
+    a = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            _docs(rows), {"en": 0.5}, default_rate=1.0
+        ).take_all()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            _docs(rows), {"en": 0.5}, default_rate=1.0
+        ).take_all()
+    )
+    assert a == b  # bit-reproducible
+    assert set(range(50, 100)) <= set(a)  # default rate 1.0 keeps unknown lang
+    n_en = sum(1 for i in a if i < 50)
+    assert 10 <= n_en <= 40  # ~half of the en rows, LCG-deterministic
