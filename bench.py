@@ -192,6 +192,17 @@ def run_bench(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
             minhash_dedup_keep_ids(ray.data.read_parquet(docs)).count()
             queries["doc_minhash_dedup"] = round(time.time() - t0, 3)
 
+            from hyperpolyglot_ray.stages.curation import (
+                decontaminate,
+                derive_benchmark_strings,
+            )
+
+            t0 = time.time()
+            dds = ray.data.read_parquet(docs, columns=["doc_id", "text"])
+            bench_strings = derive_benchmark_strings(dds)
+            decontaminate(dds, bench_strings).count()
+            queries["doc_decontaminate"] = round(time.time() - t0, 3)
+
         emb = f"{sf_dir}/embeddings.parquet"
         if Path(emb).exists():
             import numpy as np
