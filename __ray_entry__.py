@@ -383,6 +383,30 @@ def _q_doc_sample_mix(sf_dir: str):
     return stratified_sample(_docs(sf_dir), rates)
 
 
+def _q_doc_paragraph_dedup(sf_dir: str):
+    from hyperpolyglot_ray.stages.curation import (
+        derive_paragraph_docs,
+        paragraph_dedup,
+    )
+
+    # derived paragraph corpus (6-token windows -> ~200 true cross-doc
+    # duplicate paragraphs at sf0.01); plain-SQL oracle rebuilds docs via
+    # row_number + ordered string_agg
+    ds = derive_paragraph_docs(_docs(sf_dir).select_columns(["doc_id", "text"]))
+    return paragraph_dedup(ds, min_chars=20)
+
+
+def _q_doc_pack_sequences(sf_dir: str):
+    from hyperpolyglot_ray.stages.curation import pack_sequences
+
+    # small bucket_size so sf0.01 exercises the multi-bucket scan topology
+    return pack_sequences(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        seq_len=512,
+        bucket_size=64,
+    )
+
+
 def _q_doc_langid(sf_dir: str):
     from hyperpolyglot_ray.stages.langid import predict_langid, train_langid
 
@@ -697,6 +721,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_sample_mix": _q_doc_sample_mix,
+        "doc_paragraph_dedup": _q_doc_paragraph_dedup,
+        "doc_pack_sequences": _q_doc_pack_sequences,
         "doc_langid": _q_doc_langid,
         "doc_multimodal": _q_doc_multimodal,
         "emb_knn": _q_emb_knn,
@@ -847,6 +873,40 @@ FROM documents""",
             " CASE lang WHEN 'en' THEN 1073741824 WHEN 'zh' THEN 2147483648"
             " WHEN 'es' THEN 1610612736 WHEN 'de' THEN 536870912"
             " WHEN 'fr' THEN 0 ELSE 2147483648 END"
+        ),
+        # independent reconstruction of the paragraph-dedup semantics:
+        # same 6-token-window derivation, then SQL window row_number for
+        # first-occurrence election and ordered string_agg for rebuild
+        "doc_paragraph_dedup": (
+            r"WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks"
+            r" FROM documents),"
+            r" p AS (SELECT doc_id, list_transform("
+            r"generate_series(1, greatest(len(toks), 1), 6),"
+            r" i -> array_to_string(list_slice(toks, i, i + 5), ' ')) AS parts"
+            r" FROM w),"
+            r" paras AS (SELECT doc_id, unnest(parts) AS para,"
+            r" generate_subscripts(parts, 1) AS pidx FROM p),"
+            r" ranked AS (SELECT doc_id, pidx, para,"
+            r" CASE WHEN length(para) >= 20 THEN row_number() OVER"
+            r" (PARTITION BY para ORDER BY doc_id, pidx) ELSE 1 END AS rn"
+            r" FROM paras)"
+            r" SELECT doc_id,"
+            r" coalesce(string_agg(para, chr(10) || chr(10) ORDER BY pidx)"
+            r" FILTER (WHERE rn = 1), '') AS text,"
+            r" CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed"
+            r" FROM ranked GROUP BY doc_id"
+        ),
+        # independent prefix-sum: SQL window exclusive running sum vs the
+        # pipeline's two-level bucket scan
+        "doc_pack_sequences": (
+            r"WITH n AS (SELECT doc_id,"
+            r" len(regexp_extract_all(text, '\S+')) AS nt FROM documents),"
+            r" c AS (SELECT doc_id, nt, COALESCE(SUM(nt) OVER"
+            r" (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            r" 1 PRECEDING), 0) AS cum FROM n)"
+            r" SELECT doc_id, CAST(nt AS BIGINT) AS n_tok,"
+            r" CAST(cum // 512 AS BIGINT) AS seq_id,"
+            r" CAST(cum % 512 AS BIGINT) AS tok_offset FROM c"
         ),
         "doc_langid": f"SELECT doc_id, langid_lang FROM read_parquet('{side}/doc_langid.parquet')",
         "doc_multimodal": f"SELECT * FROM read_parquet('{side}/doc_multimodal.parquet')",

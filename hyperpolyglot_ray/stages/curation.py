@@ -20,10 +20,35 @@ Training-data-pipeline operators beyond the reference's own surface
   The LCG runs over ``doc_id mod 2^31`` so the int64 product never
   overflows for any non-negative int64 id; selector collisions between
   ids 2^31 apart are harmless (it is a keep/drop hash, not a unique key).
+
+* ``paragraph_dedup`` — C4-style sub-document exact dedup (Raffel et al.
+  2020 §2.2 remove duplicated three-sentence spans corpus-wide; here the
+  span unit is the ``\\n\\n``-separated paragraph): every *substantial*
+  paragraph (>= ``min_chars`` chars) keeps only its globally-first
+  occurrence by ``(doc_id, para_idx)``; later occurrences are cut out of
+  their documents and each document is re-joined from its surviving
+  paragraphs. Shuffle discipline mirrors ``exact_dedup_keep_ids``: the
+  duplicate-detection exchange carries ``(paragraph-sha128, doc_id,
+  para_idx)`` — never paragraph text — and reconstruction either
+  broadcasts the (duplicates-only, usually tiny) drop-pair set via
+  ``ray.put`` or, above ``broadcast_limit`` pairs, falls back to one
+  union-tag ``groupby(doc_id)`` join (the ``stages/joins.py`` primitive).
+
+* ``pack_sequences`` — training-sequence packing: assign every document a
+  ``seq_id``/``tok_offset`` in the token stream formed by concatenating
+  all documents in ``doc_id`` order (the standard pre-tokenization
+  packing layout for LLM training shards). The global exclusive
+  prefix-sum over token counts is computed as a two-level distributed
+  scan: per-bucket token sums via one small ``groupby`` (shuffle carries
+  ``(bucket, n_tok)`` partials only), exclusive bucket offsets on the
+  driver (#buckets rows — pick ``bucket_size`` ~ sqrt(N) so this stays
+  tiny at any scale), then an intra-bucket cumsum under
+  ``groupby(bucket)`` with the offset map broadcast once.
 """
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 import numpy as np
@@ -174,3 +199,283 @@ def stratified_sample(
         )
 
     return ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def derive_paragraph_docs(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 6,
+) -> ray.data.Dataset:
+    """Deterministic paragraph-structured corpus derived from a flat-text
+    table (for tests/benchmarks without external data, same pattern as
+    ``derive_benchmark_strings``): each document's whitespace tokens are
+    chunked into non-overlapping ``width``-token windows and re-joined
+    with ``\\n\\n``. On the small-vocabulary synthetic corpus this yields
+    genuine cross-document duplicate paragraphs, so ``paragraph_dedup``
+    over the derivation exercises the duplicate path. Empty/whitespace
+    text derives to ``''`` (one empty paragraph). Map-only."""
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch.column(text_col).to_pylist():
+            toks = (t or "").split()
+            out.append(
+                "\n\n".join(
+                    " ".join(toks[i : i + width])
+                    for i in range(0, max(len(toks), 1), width)
+                )
+            )
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                text_col: pa.array(out, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _para_occurrences(
+    ds: ray.data.Dataset, id_col: str, text_col: str, min_chars: int, sep: str
+) -> ray.data.Dataset:
+    """(paragraph-sha128-hex, doc_id, para_idx) for substantial paragraphs
+    — the only thing the duplicate-detection shuffle carries (48 B/row,
+    no text). 128-bit keys make cross-paragraph collisions negligible at
+    any corpus size, so hash-grouping is exact on paragraph TEXT."""
+
+    def occ(batch: pa.Table) -> pa.Table:
+        hs: list[str] = []
+        ids: list[int] = []
+        idxs: list[int] = []
+        for did, t in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            for i, p in enumerate((t or "").split(sep)):
+                if len(p) >= min_chars:
+                    hs.append(hashlib.sha256(p.encode("utf-8")).hexdigest()[:32])
+                    ids.append(did)
+                    idxs.append(i)
+        return pa.table(
+            {
+                "phash": pa.array(hs, type=pa.string()),
+                id_col: pa.array(ids, type=pa.int64()),
+                "pidx": pa.array(idxs, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(occ, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def paragraph_dedup(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 20,
+    sep: str = "\n\n",
+    broadcast_limit: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Corpus-wide paragraph-level exact dedup with document rebuild.
+
+    Every paragraph (``sep``-split span) of length >= ``min_chars`` keeps
+    only its globally-first occurrence ordered by ``(doc_id, para_idx)``;
+    later occurrences are removed from their documents. Paragraphs under
+    ``min_chars`` are always kept (structure/boilerplate guard, per the
+    C4 span-length floor). Output: one row per input document —
+    ``(doc_id, text, n_removed)`` with ``text`` re-joined from surviving
+    paragraphs (``''`` if none survive).
+
+    Topology: map (split+hash, no text) -> groupby(phash) loser election
+    -> rebuild. Rebuild routes by duplicate volume: <= ``broadcast_limit``
+    drop pairs ship once driver->``ray.put``->every task (duplicates are
+    rare on a clean corpus, so this is the normal path at any scale);
+    above it, one union-tag ``groupby(doc_id)`` join co-locates each
+    document with its drop list — the only path that ships document text
+    through a shuffle, and only then.
+    """
+    drops = (
+        _para_occurrences(ds, id_col, text_col, min_chars, sep)
+        .groupby("phash")
+        .map_groups(_elect_losers(id_col), batch_format="pyarrow")
+    )
+    n_drop = drops.count()
+
+    if n_drop <= broadcast_limit:
+        drop_by_doc: dict[int, set[int]] = {}
+        for b in drops.iter_batches(batch_format="pyarrow"):
+            for did, pi in zip(
+                b.column(id_col).to_pylist(), b.column("pidx").to_pylist()
+            ):
+                drop_by_doc.setdefault(did, set()).add(pi)
+        dmap_ref = ray.put(drop_by_doc)
+
+        def rebuild(batch: pa.Table) -> pa.Table:
+            dmap = ray.get(dmap_ref)
+            texts: list[str] = []
+            nrem: list[int] = []
+            for did, t in zip(
+                batch.column(id_col).to_pylist(),
+                batch.column(text_col).to_pylist(),
+            ):
+                dset = dmap.get(did)
+                if not dset:
+                    texts.append(t or "")
+                    nrem.append(0)
+                else:
+                    paras = (t or "").split(sep)
+                    texts.append(
+                        sep.join(p for i, p in enumerate(paras) if i not in dset)
+                    )
+                    nrem.append(len(dset))
+            return pa.table(
+                {
+                    id_col: batch.column(id_col).cast(pa.int64()),
+                    text_col: pa.array(texts, type=pa.string()),
+                    "n_removed": pa.array(nrem, type=pa.int64()),
+                }
+            )
+
+        return ds.map_batches(rebuild, batch_format="pyarrow", zero_copy_batch=True)
+
+    # shuffle fallback: union-tag join on doc_id (ships text once)
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "_side": pa.array(np.zeros(n, dtype=np.int8)),
+                text_col: batch.column(text_col).cast(pa.string()),
+                "pidx": pa.nulls(n, type=pa.int64()),
+            }
+        )
+
+    def tag_drops(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "_side": pa.array(np.ones(n, dtype=np.int8)),
+                text_col: pa.nulls(n, type=pa.string()),
+                "pidx": batch.column("pidx"),
+            }
+        )
+
+    both = ds.map_batches(
+        tag_docs, batch_format="pyarrow", zero_copy_batch=True
+    ).union(drops.map_batches(tag_drops, batch_format="pyarrow", zero_copy_batch=True))
+
+    def per_doc(group: pa.Table) -> pa.Table:
+        side = group.column("_side").to_numpy(zero_copy_only=False)
+        doc_rows = np.flatnonzero(side == 0)
+        # exactly one side-0 row per doc_id by construction
+        did = group.column(id_col)[int(doc_rows[0])].as_py()
+        t = group.column(text_col)[int(doc_rows[0])].as_py() or ""
+        dset = {
+            group.column("pidx")[int(i)].as_py()
+            for i in np.flatnonzero(side == 1)
+        }
+        if dset:
+            paras = t.split(sep)
+            t = sep.join(p for i, p in enumerate(paras) if i not in dset)
+        return pa.table(
+            {
+                id_col: pa.array([did], type=pa.int64()),
+                text_col: pa.array([t], type=pa.string()),
+                "n_removed": pa.array([len(dset)], type=pa.int64()),
+            }
+        )
+
+    return both.groupby(id_col).map_groups(per_doc, batch_format="pyarrow")
+
+
+def _elect_losers(id_col: str):
+    """Per-phash-group loser election: every occurrence except the
+    ``(doc_id, pidx)``-minimal one is a drop pair. Typed empty output for
+    singleton groups (ADVICE r2: schema unification needs concrete
+    types)."""
+
+    def losers(group: pa.Table) -> pa.Table:
+        if group.num_rows <= 1:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "pidx": pa.array([], type=pa.int64()),
+                }
+            )
+        d = group.column(id_col).to_numpy(zero_copy_only=False)
+        ix = group.column("pidx").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ix, d))
+        lose = order[1:]
+        return pa.table(
+            {
+                id_col: pa.array(d[lose], type=pa.int64()),
+                "pidx": pa.array(ix[lose], type=pa.int64()),
+            }
+        )
+
+    return losers
+
+
+def pack_sequences(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 2048,
+    bucket_size: int = 1 << 20,
+) -> ray.data.Dataset:
+    """Assign each document its position in fixed-length training
+    sequences: with documents concatenated in ``doc_id`` order,
+    ``seq_id = cum_before // seq_len`` and ``tok_offset = cum_before %
+    seq_len`` where ``cum_before`` is the exclusive prefix sum of
+    whitespace-token counts. A document may span past its sequence's end
+    (document-boundary packing; the trailing tokens spill into subsequent
+    sequences). Output: ``(doc_id, n_tok, seq_id, tok_offset)``.
+
+    Two-level distributed scan (ids must be non-negative): level 1 sums
+    ``n_tok`` per ``doc_id // bucket_size`` bucket (small groupby; the
+    shuffle carries per-block ``(bucket, partial_sum)``), level 2
+    prefix-sums the #buckets-row table on the driver and broadcasts the
+    offset map, level 3 cumsums inside each bucket group. Pick
+    ``bucket_size`` ~ sqrt(N) (default 2^20) so both the driver table and
+    the largest group stay ~sqrt(N) rows."""
+
+    def ntok(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64())
+        n = pc.fill_null(
+            pc.count_substring_regex(
+                batch.column(text_col).cast(pa.string()), r"\S+"
+            ),
+            0,
+        ).cast(pa.int64())
+        bkt = ids.to_numpy(zero_copy_only=False) // bucket_size
+        return pa.table(
+            {id_col: ids, "n_tok": n, "_bkt": pa.array(bkt, type=pa.int64())}
+        )
+
+    narrow = ds.map_batches(ntok, batch_format="pyarrow", zero_copy_batch=True)
+    sums = narrow.groupby("_bkt").sum("n_tok").take_all()
+    sums.sort(key=lambda r: r["_bkt"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sums:
+        offsets[r["_bkt"]] = acc
+        acc += r["sum(n_tok)"]
+    off_ref = ray.put(offsets)
+
+    def scan_bucket(group: pa.Table) -> pa.Table:
+        base = ray.get(off_ref)[group.column("_bkt")[0].as_py()]
+        d = group.column(id_col).to_numpy(zero_copy_only=False)
+        n = group.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(d, kind="stable")
+        cum = np.empty(len(d), dtype=np.int64)
+        cum[order] = base + np.cumsum(n[order]) - n[order]
+        return pa.table(
+            {
+                id_col: group.column(id_col),
+                "n_tok": group.column("n_tok"),
+                "seq_id": pa.array(cum // seq_len, type=pa.int64()),
+                "tok_offset": pa.array(cum % seq_len, type=pa.int64()),
+            }
+        )
+
+    return narrow.groupby("_bkt").map_groups(scan_bucket, batch_format="pyarrow")

@@ -94,3 +94,144 @@ def test_stratified_sample_deterministic_and_default(ray_session):
     assert set(range(50, 100)) <= set(a)  # default rate 1.0 keeps unknown lang
     n_en = sum(1 for i in a if i < 50)
     assert 10 <= n_en <= 40  # ~half of the en rows, LCG-deterministic
+
+
+# -- paragraph_dedup -------------------------------------------------------
+
+P1 = "this paragraph is long enough to dedupe"
+P2 = "another substantial paragraph shared by documents"
+SHORT = "tiny dup"  # < 20 chars: always kept
+
+
+def _pdocs(rows):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": pa.array([r[1] for r in rows], type=pa.string()),
+            }
+        )
+    )
+
+
+def _seq_paragraph_dedup(rows, min_chars=20):
+    """Sequential spec: first occurrence by (doc_id, para_idx) wins."""
+    seen = set()
+    exp = {}
+    for did, txt in sorted(rows):
+        kept, nrem = [], 0
+        for p in (txt or "").split("\n\n"):
+            if len(p) >= min_chars:
+                if p in seen:
+                    nrem += 1
+                    continue
+                seen.add(p)
+            kept.append(p)
+        exp[did] = ("\n\n".join(kept), nrem)
+    return exp
+
+
+@pytest.mark.parametrize("broadcast_limit", [2_000_000, 0])
+def test_paragraph_dedup_paths_match_spec(ray_session, broadcast_limit):
+    """Both rebuild topologies (broadcast and union-tag shuffle join)
+    implement the same first-occurrence-wins semantics."""
+    from hyperpolyglot_ray.stages.curation import paragraph_dedup
+
+    rows = [
+        (0, P1 + "\n\n" + SHORT + "\n\n" + P2),  # owns both paragraphs
+        (1, P2 + "\n\n" + P1),  # both dups -> text becomes ''
+        (2, SHORT + "\n\n" + P1 + "\n\nunique paragraph kept here ok"),
+        (3, ""),  # empty doc: one '' paragraph, kept
+        (4, P2),  # single dup paragraph -> ''
+    ]
+    out = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in paragraph_dedup(
+            _pdocs(rows), broadcast_limit=broadcast_limit
+        ).take_all()
+    }
+    assert out == _seq_paragraph_dedup(rows)
+    assert out[1] == ("", 2)
+    assert out[2] == (SHORT + "\n\nunique paragraph kept here ok", 1)
+    assert out[3] == ("", 0)
+
+
+def test_paragraph_dedup_block_layout_invariant(ray_session):
+    """Winner election must be global, not per-block: repartitioning the
+    input cannot change which occurrence survives."""
+    from hyperpolyglot_ray.stages.curation import paragraph_dedup
+
+    rows = [(i, P1 + f"\n\nfiller unique paragraph number {i:04d} x") for i in range(40)]
+    exp = _seq_paragraph_dedup(rows)
+    for nparts in (1, 7):
+        ds = _pdocs(rows).repartition(nparts)
+        out = {
+            r["doc_id"]: (r["text"], r["n_removed"])
+            for r in paragraph_dedup(ds).take_all()
+        }
+        assert out == exp
+    # exactly one survivor of the shared paragraph: doc 0
+    assert exp[0][1] == 0 and all(exp[i][1] == 1 for i in range(1, 40))
+
+
+def test_paragraph_dedup_intra_doc_repeat(ray_session):
+    """A paragraph repeated inside ONE document keeps only its first copy."""
+    from hyperpolyglot_ray.stages.curation import paragraph_dedup
+
+    rows = [(7, P1 + "\n\nmiddle section long enough here\n\n" + P1)]
+    out = paragraph_dedup(_pdocs(rows)).take_all()
+    assert out[0]["text"] == P1 + "\n\nmiddle section long enough here"
+    assert out[0]["n_removed"] == 1
+
+
+def test_derive_paragraph_docs_chunking(ray_session):
+    from hyperpolyglot_ray.stages.curation import derive_paragraph_docs
+
+    rows = [(0, "a b c d e f g h"), (1, "x y"), (2, "")]
+    out = {
+        r["doc_id"]: r["text"]
+        for r in derive_paragraph_docs(_pdocs(rows), width=3).take_all()
+    }
+    assert out == {0: "a b c\n\nd e f\n\ng h", 1: "x y", 2: ""}
+
+
+# -- pack_sequences --------------------------------------------------------
+
+
+def test_pack_sequences_matches_sequential_scan(ray_session):
+    import re
+
+    from hyperpolyglot_ray.stages.curation import pack_sequences
+
+    rows = [(i, "tok " * ((i * 7) % 23)) for i in range(200)]
+    # shuffled block layout: ids arrive out of order across 9 blocks
+    ds = _pdocs(sorted(rows, key=lambda r: (r[0] * 31) % 200)).repartition(9)
+    out = {
+        r["doc_id"]: (r["n_tok"], r["seq_id"], r["tok_offset"])
+        for r in pack_sequences(ds, seq_len=64, bucket_size=16).take_all()
+    }
+    cum = 0
+    for did, txt in sorted(rows):
+        n = len(re.findall(r"\S+", txt))
+        assert out[did] == (n, cum // 64, cum % 64), did
+        cum += n
+    assert len(out) == 200
+
+
+def test_pack_sequences_doc_spanning_sequences(ray_session):
+    from hyperpolyglot_ray.stages.curation import pack_sequences
+
+    rows = [(0, "w " * 10), (1, "w " * 100), (2, "w " * 5), (3, "")]
+    out = {
+        r["doc_id"]: (r["n_tok"], r["seq_id"], r["tok_offset"])
+        for r in pack_sequences(_pdocs(rows), seq_len=32, bucket_size=2).take_all()
+    }
+    # doc 1 starts in seq 0 at offset 10 and spills across seqs 1-3
+    assert out == {
+        0: (10, 0, 0),
+        1: (100, 0, 10),
+        2: (5, 3, 14),  # cum 110 -> seq 3, offset 14
+        3: (0, 3, 19),  # zero-token doc still gets a position
+    }
