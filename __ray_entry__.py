@@ -396,6 +396,20 @@ def _q_doc_paragraph_dedup(sf_dir: str):
     return paragraph_dedup(ds, min_chars=20)
 
 
+def _q_doc_repetition_stats(sf_dir: str):
+    from hyperpolyglot_ray.stages.curation import (
+        derive_paragraph_docs,
+        repetition_stats,
+    )
+
+    # width-3 windows: the sf0.01 derivation has docs with true intra-doc
+    # duplicate units plus ~350 docs with repeated bigrams
+    ds = derive_paragraph_docs(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), width=3
+    )
+    return repetition_stats(ds)
+
+
 def _q_doc_pack_sequences(sf_dir: str):
     from hyperpolyglot_ray.stages.curation import pack_sequences
 
@@ -723,6 +737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_mix": _q_doc_sample_mix,
         "doc_paragraph_dedup": _q_doc_paragraph_dedup,
         "doc_pack_sequences": _q_doc_pack_sequences,
+        "doc_repetition_stats": _q_doc_repetition_stats,
         "doc_langid": _q_doc_langid,
         "doc_multimodal": _q_doc_multimodal,
         "emb_knn": _q_emb_knn,
@@ -895,6 +910,43 @@ FROM documents""",
             r" FILTER (WHERE rn = 1), '') AS text,"
             r" CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed"
             r" FROM ranked GROUP BY doc_id"
+        ),
+        # independent SQL reconstruction of the Gopher repetition metrics
+        # over the same width-3 window derivation; all divisions are the
+        # identical float64 ops, so values are bitwise comparable
+        "doc_repetition_stats": (
+            r"WITH w0 AS (SELECT doc_id, regexp_extract_all(text, '\S+')"
+            r" AS toks FROM documents),"
+            r" d AS (SELECT doc_id, array_to_string(list_transform("
+            r"generate_series(1, greatest(len(toks), 1), 3),"
+            r" i -> array_to_string(list_slice(toks, i, i + 2), ' ')),"
+            r" chr(10) || chr(10)) AS text FROM w0),"
+            r" u AS (SELECT doc_id, unnest(string_split(text,"
+            r" chr(10) || chr(10))) AS unit FROM d),"
+            r" per AS (SELECT doc_id, unit, count(*) AS c, length(unit) AS L"
+            r" FROM u GROUP BY doc_id, unit),"
+            r" s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_units,"
+            r" count(*) AS n_distinct, sum(c * L) AS total_chars,"
+            r" sum((c - 1) * L) AS dup_chars FROM per GROUP BY doc_id),"
+            r" t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks,"
+            r" length(text) AS tlen FROM d),"
+            r" g AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 1),"
+            r" ' ') AS gram FROM t, LATERAL (SELECT unnest("
+            r"generate_series(1, len(toks) - 1)) AS i) q),"
+            r" gc AS (SELECT doc_id, gram, count(*) AS c FROM g"
+            r" GROUP BY doc_id, gram),"
+            r" tg AS (SELECT doc_id, max(c * length(gram)) AS top_chars"
+            r" FROM gc GROUP BY doc_id)"
+            r" SELECT s.doc_id, s.n_units,"
+            r" CAST(s.n_units - s.n_distinct AS DOUBLE) / s.n_units"
+            r" AS dup_unit_frac,"
+            r" CASE WHEN s.total_chars > 0 THEN CAST(s.dup_chars AS DOUBLE)"
+            r" / s.total_chars ELSE 0.0 END AS dup_unit_char_frac,"
+            r" CASE WHEN tg.top_chars IS NOT NULL AND t.tlen > 0"
+            r" THEN CAST(tg.top_chars AS DOUBLE) / t.tlen ELSE 0.0 END"
+            r" AS top_bigram_char_frac"
+            r" FROM s JOIN t ON s.doc_id = t.doc_id"
+            r" LEFT JOIN tg ON s.doc_id = tg.doc_id"
         ),
         # independent prefix-sum: SQL window exclusive running sum vs the
         # pipeline's two-level bucket scan

@@ -34,6 +34,13 @@ Training-data-pipeline operators beyond the reference's own surface
   ``ray.put`` or, above ``broadcast_limit`` pairs, falls back to one
   union-tag ``groupby(doc_id)`` join (the ``stages/joins.py`` primitive).
 
+* ``repetition_stats`` — Gopher/MassiveText repetition filters (Rae et
+  al. 2021, table A1): per-document duplicate-unit fraction, duplicate-
+  unit character fraction, and most-frequent-bigram character fraction.
+  Map-only (the metrics are intra-document), pure per-batch compute, no
+  shuffle at any scale; downstream thresholds turn them into keep/drop
+  rules exactly like ``doc_quality_stats``.
+
 * ``pack_sequences`` — training-sequence packing: assign every document a
   ``seq_id``/``tok_offset`` in the token stream formed by concatenating
   all documents in ``doc_id`` order (the standard pre-tokenization
@@ -414,6 +421,67 @@ def _elect_losers(id_col: str):
         )
 
     return losers
+
+
+def repetition_stats(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unit_sep: str = "\n\n",
+) -> ray.data.Dataset:
+    """Per-document repetition metrics (Gopher repetition-removal family):
+
+    * ``n_units`` — count of ``unit_sep``-separated units (>= 1; empty
+      text is one empty unit, mirroring ``str.split`` / SQL
+      ``string_split``).
+    * ``dup_unit_frac`` — fraction of unit occurrences that repeat an
+      earlier identical unit: ``(n_units - n_distinct) / n_units``.
+    * ``dup_unit_char_frac`` — fraction of unit characters inside those
+      repeat occurrences (0.0 when units hold no characters).
+    * ``top_bigram_char_frac`` — characters covered by the most frequent
+      whitespace-token bigram (``count * len(gram)``) over total text
+      chars; 0.0 for texts with < 2 tokens.
+
+    All divisions are float64 over exact integer counts, so results are
+    bitwise identical to the plain-SQL oracle. Map-only."""
+
+    from collections import Counter
+
+    def stats(batch: pa.Table) -> pa.Table:
+        n_units: list[int] = []
+        duf: list[float] = []
+        ducf: list[float] = []
+        tbf: list[float] = []
+        for t in batch.column(text_col).to_pylist():
+            t = t or ""
+            units = t.split(unit_sep)
+            cnt = Counter(units)
+            total_chars = 0
+            dup_chars = 0
+            for u, c in cnt.items():
+                total_chars += c * len(u)
+                dup_chars += (c - 1) * len(u)
+            n_units.append(len(units))
+            duf.append((len(units) - len(cnt)) / len(units))
+            ducf.append(dup_chars / total_chars if total_chars > 0 else 0.0)
+            toks = t.split()
+            if len(toks) >= 2 and len(t) > 0:
+                bc = Counter(zip(toks, toks[1:]))
+                top = max(c * (len(a) + 1 + len(b)) for (a, b), c in bc.items())
+                tbf.append(top / len(t))
+            else:
+                tbf.append(0.0)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "n_units": pa.array(n_units, type=pa.int64()),
+                "dup_unit_frac": pa.array(duf, type=pa.float64()),
+                "dup_unit_char_frac": pa.array(ducf, type=pa.float64()),
+                "top_bigram_char_frac": pa.array(tbf, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def pack_sequences(

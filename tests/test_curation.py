@@ -197,6 +197,51 @@ def test_derive_paragraph_docs_chunking(ray_session):
     assert out == {0: "a b c\n\nd e f\n\ng h", 1: "x y", 2: ""}
 
 
+# -- repetition_stats ------------------------------------------------------
+
+
+def test_repetition_stats_known_fractions(ray_session):
+    from hyperpolyglot_ray.stages.curation import repetition_stats
+
+    rows = [
+        # 4 units, "dup" repeated 3x: dup_unit_frac 2/4, dup chars 6/13
+        (0, "dup\n\ndup\n\ndup\n\nabcd"),
+        (1, "unique one\n\nunique two"),  # no repetition
+        (2, ""),  # one empty unit, zero chars
+        (3, "solo"),  # single unit, < 2 tokens
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in repetition_stats(_pdocs(rows)).take_all()
+    }
+    assert out[0]["n_units"] == 4
+    assert out[0]["dup_unit_frac"] == 2 / 4
+    assert out[0]["dup_unit_char_frac"] == 6 / 13
+    assert out[1]["dup_unit_frac"] == 0.0
+    assert out[2] == {
+        "doc_id": 2,
+        "n_units": 1,
+        "dup_unit_frac": 0.0,
+        "dup_unit_char_frac": 0.0,
+        "top_bigram_char_frac": 0.0,
+    }
+    assert out[3]["top_bigram_char_frac"] == 0.0
+
+
+def test_repetition_stats_top_bigram(ray_session):
+    from hyperpolyglot_ray.stages.curation import repetition_stats
+
+    # "a b" occurs 3x (len 3 incl. space) -> 9 chars of len(text)=17
+    text = "a b a b a b c d e"
+    out = repetition_stats(_pdocs([(0, text)])).take_all()[0]
+    assert out["top_bigram_char_frac"] == 9 / 17
+    # bigrams cross unit separators: tokens are taken from the whole text
+    out2 = repetition_stats(_pdocs([(1, "x y\n\nx y\n\nx y")])).take_all()[0]
+    # "x y" 3x (y\n\nx bigram "y x" also 2x); top = 3*3=9 over len 13
+    assert out2["top_bigram_char_frac"] == 9 / 13
+    assert out2["dup_unit_frac"] == 2 / 3
+
+
 # -- pack_sequences --------------------------------------------------------
 
 
