@@ -396,6 +396,22 @@ def _q_doc_paragraph_dedup(sf_dir: str):
     return paragraph_dedup(ds, min_chars=20)
 
 
+def _q_doc_shard_manifest(sf_dir: str):
+    import tempfile
+
+    from hyperpolyglot_ray.stages.curation import write_packed_shards
+
+    # fresh dir per call: manifest rows are data-deterministic; the
+    # fs-dependent `skipped` column is projected away for the oracle
+    out_dir = tempfile.mkdtemp(prefix="hyply_shards_")
+    return write_packed_shards(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        out_dir,
+        seq_len=512,
+        bucket_size=64,
+    ).select_columns(["bucket", "n_docs", "n_tokens", "first_seq", "last_seq"])
+
+
 def _q_doc_repetition_stats(sf_dir: str):
     from hyperpolyglot_ray.stages.curation import (
         derive_paragraph_docs,
@@ -738,6 +754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_paragraph_dedup": _q_doc_paragraph_dedup,
         "doc_pack_sequences": _q_doc_pack_sequences,
         "doc_repetition_stats": _q_doc_repetition_stats,
+        "doc_shard_manifest": _q_doc_shard_manifest,
         "doc_langid": _q_doc_langid,
         "doc_multimodal": _q_doc_multimodal,
         "emb_knn": _q_emb_knn,
@@ -910,6 +927,21 @@ FROM documents""",
             r" FILTER (WHERE rn = 1), '') AS text,"
             r" CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed"
             r" FROM ranked GROUP BY doc_id"
+        ),
+        # shard manifest = per-bucket aggregate of the same window
+        # prefix-sum the packer uses
+        "doc_shard_manifest": (
+            r"WITH n AS (SELECT doc_id,"
+            r" len(regexp_extract_all(text, '\S+')) AS nt FROM documents),"
+            r" c AS (SELECT doc_id, nt, COALESCE(SUM(nt) OVER"
+            r" (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            r" 1 PRECEDING), 0) AS cum FROM n)"
+            r" SELECT CAST(doc_id // 64 AS BIGINT) AS bucket,"
+            r" CAST(count(*) AS BIGINT) AS n_docs,"
+            r" CAST(sum(nt) AS BIGINT) AS n_tokens,"
+            r" CAST(min(cum // 512) AS BIGINT) AS first_seq,"
+            r" CAST(max(cum // 512) AS BIGINT) AS last_seq"
+            r" FROM c GROUP BY bucket"
         ),
         # independent SQL reconstruction of the Gopher repetition metrics
         # over the same width-3 window derivation; all divisions are the

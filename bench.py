@@ -203,6 +203,20 @@ def run_bench(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
             decontaminate(dds, bench_strings).count()
             queries["doc_decontaminate"] = round(time.time() - t0, 3)
 
+            from hyperpolyglot_ray.stages.curation import (
+                derive_paragraph_docs,
+                pack_sequences,
+                paragraph_dedup,
+            )
+
+            t0 = time.time()
+            paragraph_dedup(derive_paragraph_docs(dds)).count()
+            queries["doc_paragraph_dedup"] = round(time.time() - t0, 3)
+
+            t0 = time.time()
+            pack_sequences(dds).count()
+            queries["doc_pack_sequences"] = round(time.time() - t0, 3)
+
         emb = f"{sf_dir}/embeddings.parquet"
         if Path(emb).exists():
             import numpy as np

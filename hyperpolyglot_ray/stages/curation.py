@@ -547,3 +547,109 @@ def pack_sequences(
         )
 
     return narrow.groupby("_bkt").map_groups(scan_bucket, batch_format="pyarrow")
+
+
+def write_packed_shards(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 2048,
+    bucket_size: int = 1 << 20,
+) -> ray.data.Dataset:
+    """Resumable partitioned training-shard writer: ``pack_sequences``
+    layout with the payload written task-side, one Parquet shard per
+    ``doc_id // bucket_size`` range, plus a manifest Dataset.
+
+    Every bucket group writes ``out_dir/bucket=<k>.parquet`` holding its
+    ``(doc_id, text, n_tok, seq_id, tok_offset)`` rows sorted by
+    ``doc_id`` — the exact slice of the concatenated training stream the
+    bucket covers. Writes are atomic (tmp file + rename), and a bucket
+    whose shard file already exists is SKIPPED without recomputing or
+    rewriting — so a killed run resumes from finished shards for free
+    (prompt requirement: partitioned, resumable output; complements
+    ``state/checkpoint.py``'s driver-planned coarse partitions with
+    task-side skip). Returns the manifest: one row per bucket —
+    ``(bucket, n_docs, n_tokens, first_seq, last_seq, skipped)`` —
+    deterministic except ``skipped``, which reflects resume state.
+
+    Scale: token-count partials (no text) feed the small offset groupby;
+    the payload moves through exactly ONE shuffle — the minimum for a
+    write partitioned by key range. Concurrent runs into one ``out_dir``
+    are not coordinated (single-writer per output dir, as with any
+    Parquet sink)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def ntok(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64())
+        n = pc.fill_null(
+            pc.count_substring_regex(
+                batch.column(text_col).cast(pa.string()), r"\S+"
+            ),
+            0,
+        ).cast(pa.int64())
+        bkt = ids.to_numpy(zero_copy_only=False) // bucket_size
+        return pa.table(
+            {
+                id_col: ids,
+                text_col: batch.column(text_col).cast(pa.string()),
+                "n_tok": n,
+                "_bkt": pa.array(bkt, type=pa.int64()),
+            }
+        )
+
+    narrow = ds.map_batches(ntok, batch_format="pyarrow", zero_copy_batch=True)
+    sums = (
+        narrow.select_columns(["_bkt", "n_tok"]).groupby("_bkt").sum("n_tok")
+    ).take_all()
+    sums.sort(key=lambda r: r["_bkt"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sums:
+        offsets[r["_bkt"]] = acc
+        acc += r["sum(n_tok)"]
+    off_ref = ray.put(offsets)
+
+    def write_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        bkt = group.column("_bkt")[0].as_py()
+        shard = os.path.join(out_dir, f"bucket={bkt}.parquet")
+        d = group.column(id_col).to_numpy(zero_copy_only=False)
+        n = group.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(d, kind="stable")
+        base = ray.get(off_ref)[bkt]
+        cum = base + np.cumsum(n[order]) - n[order]
+        seq = cum // seq_len
+
+        skipped = os.path.exists(shard)
+        if not skipped:
+            out = pa.table(
+                {
+                    id_col: pa.array(d[order], type=pa.int64()),
+                    text_col: group.column(text_col).take(
+                        pa.array(order, type=pa.int64())
+                    ),
+                    "n_tok": pa.array(n[order], type=pa.int64()),
+                    "seq_id": pa.array(seq, type=pa.int64()),
+                    "tok_offset": pa.array(cum % seq_len, type=pa.int64()),
+                }
+            )
+            tmp = f"{shard}.tmp.{os.getpid()}"
+            pq.write_table(out, tmp)
+            os.replace(tmp, shard)
+
+        return pa.table(
+            {
+                "bucket": pa.array([bkt], type=pa.int64()),
+                "n_docs": pa.array([len(d)], type=pa.int64()),
+                "n_tokens": pa.array([int(n.sum())], type=pa.int64()),
+                "first_seq": pa.array([int(seq[0])], type=pa.int64()),
+                "last_seq": pa.array([int(seq[-1])], type=pa.int64()),
+                "skipped": pa.array([skipped], type=pa.bool_()),
+            }
+        )
+
+    return narrow.groupby("_bkt").map_groups(write_bucket, batch_format="pyarrow")

@@ -265,6 +265,71 @@ def test_pack_sequences_matches_sequential_scan(ray_session):
     assert len(out) == 200
 
 
+def test_write_packed_shards_resume(ray_session, tmp_path):
+    """Task-side resumable writer: finished shards are skipped on rerun,
+    a deleted shard is rewritten identically, manifest totals hold."""
+    import pyarrow.parquet as pq
+
+    from hyperpolyglot_ray.stages.curation import (
+        pack_sequences,
+        write_packed_shards,
+    )
+
+    rows = [(i, "tok " * ((i * 5) % 17)) for i in range(60)]
+    ds = _pdocs(rows)
+    out = str(tmp_path / "shards")
+
+    man1 = {
+        r["bucket"]: r
+        for r in write_packed_shards(
+            ds, out, seq_len=32, bucket_size=16
+        ).take_all()
+    }
+    assert sorted(man1) == [0, 1, 2, 3]
+    assert all(not r["skipped"] for r in man1.values())
+    assert sum(r["n_docs"] for r in man1.values()) == 60
+
+    # shard contents match the pure pack_sequences layout
+    packed = {
+        r["doc_id"]: (r["n_tok"], r["seq_id"], r["tok_offset"])
+        for r in pack_sequences(ds, seq_len=32, bucket_size=16).take_all()
+    }
+    t = pq.read_table(f"{out}/bucket=1.parquet")
+    assert t.column("doc_id").to_pylist() == list(range(16, 32))  # sorted
+    for i in range(t.num_rows):
+        did = t.column("doc_id")[i].as_py()
+        assert packed[did] == (
+            t.column("n_tok")[i].as_py(),
+            t.column("seq_id")[i].as_py(),
+            t.column("tok_offset")[i].as_py(),
+        )
+
+    # rerun: every bucket skipped, files untouched
+    before = {p.name: p.stat().st_mtime_ns for p in (tmp_path / "shards").iterdir()}
+    man2 = write_packed_shards(ds, out, seq_len=32, bucket_size=16).take_all()
+    assert all(r["skipped"] for r in man2)
+    after = {p.name: p.stat().st_mtime_ns for p in (tmp_path / "shards").iterdir()}
+    assert before == after
+
+    # delete one shard: only it is rewritten, bit-identical rows
+    (tmp_path / "shards" / "bucket=2.parquet").unlink()
+    man3 = {
+        r["bucket"]: r["skipped"]
+        for r in write_packed_shards(
+            ds, out, seq_len=32, bucket_size=16
+        ).take_all()
+    }
+    assert man3 == {0: True, 1: True, 2: False, 3: True}
+    t2 = pq.read_table(f"{out}/bucket=2.parquet")
+    for i in range(t2.num_rows):
+        did = t2.column("doc_id")[i].as_py()
+        assert packed[did] == (
+            t2.column("n_tok")[i].as_py(),
+            t2.column("seq_id")[i].as_py(),
+            t2.column("tok_offset")[i].as_py(),
+        )
+
+
 def test_pack_sequences_doc_spanning_sequences(ray_session):
     from hyperpolyglot_ray.stages.curation import pack_sequences
 
