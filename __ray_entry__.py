@@ -396,6 +396,21 @@ def _q_doc_paragraph_dedup(sf_dir: str):
     return paragraph_dedup(ds, min_chars=20)
 
 
+def _q_doc_curate(sf_dir: str):
+    from hyperpolyglot_ray.stages.curation import (
+        curate_documents,
+        derive_paragraph_docs,
+    )
+
+    # the full composed curation pipeline over the derived paragraph
+    # corpus: decontaminate -> paragraph dedup -> repetition/length gates
+    # -> stratified mix; one status per input document
+    ds = derive_paragraph_docs(
+        _docs(sf_dir).select_columns(["doc_id", "text", "lang"])
+    )
+    return curate_documents(ds, rates={"en": 0.75, "fr": 0.5})
+
+
 def _q_doc_shard_manifest(sf_dir: str):
     import tempfile
 
@@ -755,6 +770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_sequences": _q_doc_pack_sequences,
         "doc_repetition_stats": _q_doc_repetition_stats,
         "doc_shard_manifest": _q_doc_shard_manifest,
+        "doc_curate": _q_doc_curate,
         "doc_langid": _q_doc_langid,
         "doc_multimodal": _q_doc_multimodal,
         "emb_knn": _q_emb_knn,
@@ -927,6 +943,61 @@ FROM documents""",
             r" FILTER (WHERE rn = 1), '') AS text,"
             r" CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed"
             r" FROM ranked GROUP BY doc_id"
+        ),
+        # full curation pipeline, independently composed in SQL: the same
+        # derivation + decontamination + window-function dedup + Gopher
+        # gate + LCG mix, first-match-wins status per document
+        "doc_curate": (
+            r"WITH docs AS (SELECT doc_id, lang, text FROM documents),"
+            r" w0 AS (SELECT doc_id, lang, regexp_extract_all(text, '\S+')"
+            r" AS toks FROM docs),"
+            r" d AS (SELECT doc_id, lang, array_to_string(list_transform("
+            r"generate_series(1, greatest(len(toks), 1), 6),"
+            r" i -> array_to_string(list_slice(toks, i, i + 5), ' ')),"
+            r" chr(10) || chr(10)) AS text FROM w0),"
+            r" b AS (SELECT DISTINCT string_split(text, chr(10) || chr(10))[1]"
+            r" AS s FROM d WHERE doc_id % 37 = 0 AND"
+            r" length(string_split(text, chr(10) || chr(10))[1]) >= 20),"
+            r" cont AS (SELECT doc_id FROM d WHERE EXISTS"
+            r" (SELECT 1 FROM b WHERE contains(d.text, b.s))),"
+            r" surv AS (SELECT * FROM d WHERE doc_id NOT IN"
+            r" (SELECT doc_id FROM cont)),"
+            r" p AS (SELECT doc_id, string_split(text, chr(10) || chr(10))"
+            r" AS parts FROM surv),"
+            r" paras AS (SELECT doc_id, unnest(parts) AS para,"
+            r" generate_subscripts(parts, 1) AS pidx FROM p),"
+            r" ranked AS (SELECT doc_id, pidx, para,"
+            r" CASE WHEN length(para) >= 20 THEN row_number() OVER"
+            r" (PARTITION BY para ORDER BY doc_id, pidx) ELSE 1 END AS rn"
+            r" FROM paras),"
+            r" rebuilt AS (SELECT doc_id, coalesce(string_agg(para,"
+            r" chr(10) || chr(10) ORDER BY pidx) FILTER (WHERE rn = 1), '')"
+            r" AS t2 FROM ranked GROUP BY doc_id),"
+            r" t AS (SELECT doc_id, regexp_extract_all(t2, '\S+') AS toks,"
+            r" length(t2) AS tlen, t2 FROM rebuilt),"
+            r" g AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 1),"
+            r" ' ') AS gram FROM t, LATERAL (SELECT unnest("
+            r"generate_series(1, len(toks) - 1)) AS i) q),"
+            r" gc AS (SELECT doc_id, gram, count(*) AS c FROM g"
+            r" GROUP BY doc_id, gram),"
+            r" tg AS (SELECT doc_id, max(c * length(gram)) AS top_chars"
+            r" FROM gc GROUP BY doc_id),"
+            r" feat AS (SELECT t.doc_id, len(t.toks) AS ntok,"
+            r" CASE WHEN tg.top_chars IS NOT NULL AND t.tlen > 0"
+            r" THEN CAST(tg.top_chars AS DOUBLE) / t.tlen ELSE 0.0 END AS tbf,"
+            r" t.t2 FROM t LEFT JOIN tg ON t.doc_id = tg.doc_id)"
+            r" SELECT d0.doc_id, d0.lang, 'contaminated' AS status"
+            r" FROM docs d0 WHERE d0.doc_id IN (SELECT doc_id FROM cont)"
+            r" UNION ALL"
+            r" SELECT f.doc_id, d0.lang,"
+            r" CASE WHEN f.t2 = '' THEN 'empty_after_dedup'"
+            r" WHEN f.ntok < 12 THEN 'too_short'"
+            r" WHEN f.tbf > 0.15 THEN 'too_repetitive'"
+            r" WHEN ((f.doc_id % 2147483648) * 1103515245 + 12345)"
+            r" % 2147483648 >= CASE d0.lang WHEN 'en' THEN 1610612736"
+            r" WHEN 'fr' THEN 1073741824 ELSE 2147483648 END"
+            r" THEN 'sampled_out' ELSE 'kept' END AS status"
+            r" FROM feat f JOIN docs d0 ON f.doc_id = d0.doc_id"
         ),
         # shard manifest = per-bucket aggregate of the same window
         # prefix-sum the packer uses

@@ -233,11 +233,10 @@ def derive_paragraph_docs(
                     for i in range(0, max(len(toks), 1), width)
                 )
             )
-        return pa.table(
-            {
-                id_col: batch.column(id_col).cast(pa.int64()),
-                text_col: pa.array(out, type=pa.string()),
-            }
+        return batch.set_column(
+            batch.schema.get_field_index(text_col),
+            text_col,
+            pa.array(out, type=pa.string()),
         )
 
     return ds.map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True)
@@ -281,6 +280,7 @@ def paragraph_dedup(
     min_chars: int = 20,
     sep: str = "\n\n",
     broadcast_limit: int = 2_000_000,
+    extra_cols: tuple[str, ...] = (),
 ) -> ray.data.Dataset:
     """Corpus-wide paragraph-level exact dedup with document rebuild.
 
@@ -334,38 +334,44 @@ def paragraph_dedup(
                         sep.join(p for i, p in enumerate(paras) if i not in dset)
                     )
                     nrem.append(len(dset))
-            return pa.table(
-                {
-                    id_col: batch.column(id_col).cast(pa.int64()),
-                    text_col: pa.array(texts, type=pa.string()),
-                    "n_removed": pa.array(nrem, type=pa.int64()),
-                }
-            )
+            cols = {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                text_col: pa.array(texts, type=pa.string()),
+                "n_removed": pa.array(nrem, type=pa.int64()),
+            }
+            for c in extra_cols:
+                cols[c] = batch.column(c)
+            return pa.table(cols)
 
         return ds.map_batches(rebuild, batch_format="pyarrow", zero_copy_batch=True)
 
     # shuffle fallback: union-tag join on doc_id (ships text once)
+    schema = ds.schema()
+    extra_types = {c: schema.base_schema.field(c).type for c in extra_cols}
+
     def tag_docs(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        return pa.table(
-            {
-                id_col: batch.column(id_col).cast(pa.int64()),
-                "_side": pa.array(np.zeros(n, dtype=np.int8)),
-                text_col: batch.column(text_col).cast(pa.string()),
-                "pidx": pa.nulls(n, type=pa.int64()),
-            }
-        )
+        cols = {
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "_side": pa.array(np.zeros(n, dtype=np.int8)),
+            text_col: batch.column(text_col).cast(pa.string()),
+            "pidx": pa.nulls(n, type=pa.int64()),
+        }
+        for c in extra_cols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
 
     def tag_drops(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        return pa.table(
-            {
-                id_col: batch.column(id_col),
-                "_side": pa.array(np.ones(n, dtype=np.int8)),
-                text_col: pa.nulls(n, type=pa.string()),
-                "pidx": batch.column("pidx"),
-            }
-        )
+        cols = {
+            id_col: batch.column(id_col),
+            "_side": pa.array(np.ones(n, dtype=np.int8)),
+            text_col: pa.nulls(n, type=pa.string()),
+            "pidx": batch.column("pidx"),
+        }
+        for c in extra_cols:
+            cols[c] = pa.nulls(n, type=extra_types[c])
+        return pa.table(cols)
 
     both = ds.map_batches(
         tag_docs, batch_format="pyarrow", zero_copy_batch=True
@@ -384,13 +390,16 @@ def paragraph_dedup(
         if dset:
             paras = t.split(sep)
             t = sep.join(p for i, p in enumerate(paras) if i not in dset)
-        return pa.table(
-            {
-                id_col: pa.array([did], type=pa.int64()),
-                text_col: pa.array([t], type=pa.string()),
-                "n_removed": pa.array([len(dset)], type=pa.int64()),
-            }
-        )
+        cols = {
+            id_col: pa.array([did], type=pa.int64()),
+            text_col: pa.array([t], type=pa.string()),
+            "n_removed": pa.array([len(dset)], type=pa.int64()),
+        }
+        for c in extra_cols:
+            cols[c] = pa.array(
+                [group.column(c)[int(doc_rows[0])].as_py()], type=extra_types[c]
+            )
+        return pa.table(cols)
 
     return both.groupby(id_col).map_groups(per_doc, batch_format="pyarrow")
 
@@ -547,6 +556,153 @@ def pack_sequences(
         )
 
     return narrow.groupby("_bkt").map_groups(scan_bucket, batch_format="pyarrow")
+
+
+def curate_documents(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    bench_every: int = 37,
+    min_bench_chars: int = 20,
+    min_paragraph_chars: int = 20,
+    top_bigram_max: float = 0.15,
+    min_tokens: int = 12,
+    sep: str = "\n\n",
+) -> ray.data.Dataset:
+    """End-to-end document curation: the composed training-data pipeline a
+    reference user would run, one status per input document.
+
+    Stage order (first match wins), mirroring common corpus practice —
+    decontaminate first, then dedup among survivors, then quality gates,
+    then mixing:
+
+    1. ``contaminated`` — text contains any benchmark paragraph (the
+       first ``sep`` unit, >= ``min_bench_chars`` chars, of every
+       ``bench_every``-th document — the self-derived suite, same
+       pattern as ``derive_benchmark_strings``).
+    2. ``empty_after_dedup`` — corpus-wide ``paragraph_dedup`` over the
+       survivors left no text.
+    3. ``too_short`` — fewer than ``min_tokens`` whitespace tokens
+       remain (the length gate runs first: a very short text's top
+       bigram always covers a large char fraction, so the repetition
+       gate is only meaningful on adequately long documents).
+    4. ``too_repetitive`` — top-bigram char fraction of the deduped text
+       exceeds ``top_bigram_max`` (Gopher repetition gate).
+    5. ``sampled_out`` — the ``stratified_sample`` LCG drops the row at
+       its language's rate.
+    6. ``kept``.
+
+    Output: ``(doc_id, lang, status)`` for EVERY input document.
+
+    Scale shape: one streaming scan flags contamination (broadcast bench
+    set, RE2 alternation); the flagged-id set — bench hits only, small by
+    the same assumption GPT-3-style decontamination makes — is collected
+    and re-broadcast to split the corpus without a shuffle; dedup runs
+    its own narrow-shuffle election; every later gate is map-only over
+    the rebuilt text. No stage shuffles document payload."""
+    rates = dict(rates or {})
+
+    def first_units(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        out: list[str] = []
+        for t in pc.filter(
+            batch.column(text_col), pa.array(ids % bench_every == 0)
+        ).to_pylist():
+            u = (t or "").split(sep)[0]
+            if len(u) >= min_bench_chars:
+                out.append(u)
+        return pa.table({"s": pa.array(out, type=pa.string())})
+
+    bench: set[str] = set()
+    for b in ds.map_batches(first_units, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        bench.update(b.column("s").to_pylist())
+
+    flagged = decontaminate(ds, sorted(bench), id_col=id_col, text_col=text_col)
+    flag_ids: list[int] = []
+    for b in flagged.iter_batches(batch_format="pyarrow"):
+        flag_ids.extend(b.column(id_col).to_pylist())
+    flag_arr = pa.array(sorted(flag_ids), type=pa.int64())
+
+    def cont_frag(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.is_in(batch.column(id_col), value_set=flag_arr))
+        return pa.table(
+            {
+                id_col: sub.column(id_col).cast(pa.int64()),
+                lang_col: sub.column(lang_col).cast(pa.string()),
+                "status": pa.array(
+                    ["contaminated"] * sub.num_rows, type=pa.string()
+                ),
+            }
+        )
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.is_in(batch.column(id_col), value_set=flag_arr))
+        return batch.filter(keep)
+
+    contaminated = ds.map_batches(
+        cont_frag, batch_format="pyarrow", zero_copy_batch=True
+    )
+    rebuilt = paragraph_dedup(
+        ds.map_batches(survivors, batch_format="pyarrow", zero_copy_batch=True),
+        id_col=id_col,
+        text_col=text_col,
+        min_chars=min_paragraph_chars,
+        sep=sep,
+        extra_cols=(lang_col,),
+    )
+
+    from collections import Counter
+
+    keys = sorted(rates)
+    thresholds = {k: int(round(rates[k] * _LCG_MOD)) for k in keys}
+    default_thr = int(round(default_rate * _LCG_MOD))
+
+    def gate(batch: pa.Table) -> pa.Table:
+        status: list[str] = []
+        for did, t, lang in zip(
+            batch.column(id_col).to_pylist(),
+            batch.column(text_col).to_pylist(),
+            batch.column(lang_col).to_pylist(),
+        ):
+            t = t or ""
+            if t == "":
+                status.append("empty_after_dedup")
+                continue
+            toks = t.split()
+            if len(toks) < min_tokens:
+                status.append("too_short")
+                continue
+            bc = Counter(zip(toks, toks[1:]))
+            tbf = (
+                max(c * (len(a) + 1 + len(b)) for (a, b), c in bc.items())
+                / len(t)
+                if len(toks) >= 2
+                else 0.0
+            )
+            if tbf > top_bigram_max:
+                status.append("too_repetitive")
+            elif ((did % _LCG_MOD) * _LCG_A + _LCG_C) % _LCG_MOD >= thresholds.get(
+                lang, default_thr
+            ):
+                status.append("sampled_out")
+            else:
+                status.append("kept")
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                lang_col: batch.column(lang_col).cast(pa.string()),
+                "status": pa.array(status, type=pa.string()),
+            }
+        )
+
+    return contaminated.union(
+        rebuilt.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+    )
 
 
 def write_packed_shards(

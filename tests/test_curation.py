@@ -242,6 +242,75 @@ def test_repetition_stats_top_bigram(ray_session):
     assert out2["dup_unit_frac"] == 2 / 3
 
 
+# -- curate_documents ------------------------------------------------------
+
+
+def test_curate_documents_every_status(ray_session):
+    """One handcrafted doc per terminal status, first-match-wins order."""
+    import ray.data
+
+    from hyperpolyglot_ray.stages.curation import curate_documents
+
+    bench_para = "benchmark paragraph content here"  # doc 0 -> bench source
+    rows = [
+        (0, bench_para + "\n\nmore original content follows", "en"),
+        (5, "prefix stuff\n\n" + bench_para + "\n\nsuffix", "en"),  # contaminated
+        (1, P1, "en"),  # owns P1
+        (2, P1, "en"),  # P1 already seen -> empty_after_dedup
+        (3, "spam spam spam spam spam spam spam spam spam spam spam spam", "en"),
+        (4, "eleven tokens now a b c d e f g h", "en"),  # too_short (11 < 12)
+        (6, "w" + " unique%d" * 0 + " ".join(f"u{i}" for i in range(20)), "drop"),
+        (7, " ".join(f"v{i}" for i in range(20)), "en"),  # kept
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": pa.array([r[1] for r in rows], type=pa.string()),
+                "lang": pa.array([r[2] for r in rows], type=pa.string()),
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: r["status"]
+        for r in curate_documents(
+            ds, rates={"drop": 0.0}, bench_every=10, min_tokens=12
+        ).take_all()
+    }
+    assert out[0] == "contaminated"  # the source contains its own para
+    assert out[5] == "contaminated"
+    assert out[1] != "empty_after_dedup" and out[2] == "empty_after_dedup"
+    assert out[3] == "too_repetitive"  # "spam spam" bigram dominates
+    assert out[4] == "too_short"
+    assert out[6] == "sampled_out"  # rate 0.0 for its lang
+    assert out[7] == "kept"
+    assert len(out) == 8  # every input doc got exactly one status
+
+
+def test_paragraph_dedup_extra_cols_shuffle_path(ray_session):
+    """Passthrough columns survive the union-tag groupby rebuild."""
+    import ray.data
+
+    from hyperpolyglot_ray.stages.curation import paragraph_dedup
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": pa.array([P1, P1], type=pa.string()),
+                "lang": pa.array(["en", "fr"], type=pa.string()),
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_removed"], r["lang"])
+        for r in paragraph_dedup(
+            ds, broadcast_limit=0, extra_cols=("lang",)
+        ).take_all()
+    }
+    assert out == {1: (P1, 0, "en"), 2: ("", 1, "fr")}
+
+
 # -- pack_sequences --------------------------------------------------------
 
 
