@@ -607,6 +607,39 @@ def _q_emb_near_dup_ivf(sf_dir: str):
     return embedding_near_dup_ivf(ds)
 
 
+def _q_emb_quantize(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from hyperpolyglot_ray.stages.similarity import quantize_embeddings
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = quantize_embeddings(ds)
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        # list<int64> codes -> long (vec_id, dim, code) so the DuckDB
+        # oracle can hash-compare scalar values
+        codes = batch.column("codes")
+        if isinstance(codes, pa.ChunkedArray):
+            codes = codes.combine_chunks()
+        flat = codes.values.to_numpy(zero_copy_only=False)
+        n = len(batch)
+        ndim = len(flat) // max(n, 1)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, ndim), type=pa.int64()),
+                "dim": pa.array(np.tile(np.arange(ndim), n), type=pa.int64()),
+                "code": pa.array(flat, type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(flatten, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_emb_knn_ivf(sf_dir: str):
     import ray.data
 
@@ -777,6 +810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivf": _q_emb_knn_ivf,
         "emb_near_dup": _q_emb_near_dup,
         "emb_near_dup_ivf": _q_emb_near_dup_ivf,
+        "emb_quantize": _q_emb_quantize,
         "events_window": _q_events_window,
         "events_value_quantiles": _q_events_value_quantiles,
         "events_distinct_users": _q_events_distinct_users,
@@ -943,6 +977,21 @@ FROM documents""",
             r" FILTER (WHERE rn = 1), '') AS text,"
             r" CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed"
             r" FROM ranked GROUP BY doc_id"
+        ),
+        # independent SQL min-max quantization: same float64 op order
+        # ((v - lo) * 255 / (hi - lo), floor, clip), so codes are bitwise
+        # comparable; SQL dims are 1-based, hence dim - 1
+        "emb_quantize": (
+            r"WITH e AS (SELECT vec_id,"
+            r" CAST(unnest(embedding) AS DOUBLE) AS v,"
+            r" generate_subscripts(embedding, 1) AS dim FROM embeddings),"
+            r" mm AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM e"
+            r" GROUP BY dim)"
+            r" SELECT e.vec_id, CAST(e.dim - 1 AS BIGINT) AS dim,"
+            r" CAST(CASE WHEN mm.hi - mm.lo > 0 THEN"
+            r" least(greatest(floor((e.v - mm.lo) * 255 / (mm.hi - mm.lo)),"
+            r" 0), 255) ELSE 0 END AS BIGINT) AS code"
+            r" FROM e JOIN mm USING (dim)"
         ),
         # full curation pipeline, independently composed in SQL: the same
         # derivation + decontamination + window-function dedup + Gopher

@@ -336,3 +336,74 @@ def embedding_near_dup_ivf(
         return pa.table({id_col: pa.array(ids[~dup], type=pa.int64())})
 
     return assigned.groupby("cluster").map_groups(group_keep, batch_format="pyarrow")
+
+
+def quantize_embeddings(
+    ds: ray.data.Dataset,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    levels: int = 256,
+) -> ray.data.Dataset:
+    """Scalar (per-dimension min-max) int8-style quantization — the
+    standard embedding-store compression step before ANN serving.
+
+    Pass 1 computes global per-dimension ``[lo, hi]`` as per-block
+    partials reduced driver-side (2 float64 vectors per block — O(d x
+    num_blocks) driver data, negligible at any corpus size). Pass 2 maps
+    every vector to ``floor((v - lo) * (levels-1) / (hi - lo))`` clipped
+    to ``[0, levels-1]`` (constant dimensions code to 0), with the
+    ``(lo, hi)`` arrays broadcast once via ``ray.put``.
+
+    All arithmetic is float64 with a fixed operation order, so codes are
+    bitwise identical to a sequential/SQL reimplementation. Output:
+    ``(vec_id, codes: list<int64>)``; one streaming pass per stage, no
+    shuffle."""
+
+    def minmax_partial(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch, emb_col)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(m.shape[1]), type=pa.int64()),
+                "lo": pa.array(m.min(axis=0), type=pa.float64()),
+                "hi": pa.array(m.max(axis=0), type=pa.float64()),
+            }
+        )
+
+    lo = hi = None
+    for b in (
+        ds.map_batches(minmax_partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        blo = b.column("lo").to_numpy(zero_copy_only=False)
+        bhi = b.column("hi").to_numpy(zero_copy_only=False)
+        d = b.column("dim").to_numpy(zero_copy_only=False)
+        # batches may concatenate several block partials; reduce per dim
+        ndim = int(d.max()) + 1
+        blo2 = np.full(ndim, np.inf)
+        bhi2 = np.full(ndim, -np.inf)
+        np.minimum.at(blo2, d, blo)
+        np.maximum.at(bhi2, d, bhi)
+        lo = blo2 if lo is None else np.minimum(lo, blo2)
+        hi = bhi2 if hi is None else np.maximum(hi, bhi2)
+    bounds_ref = ray.put((lo, hi))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        glo, ghi = ray.get(bounds_ref)
+        m = _to_matrix(batch, emb_col)
+        span = ghi - glo
+        safe = np.where(span > 0, span, 1.0)
+        codes = np.floor((m - glo) * float(levels - 1) / safe)
+        codes = np.clip(codes, 0, levels - 1).astype(np.int64)
+        codes[:, span <= 0] = 0
+        n, ndim = codes.shape
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "codes": pa.ListArray.from_arrays(
+                    pa.array(np.arange(0, (n + 1) * ndim, ndim), type=pa.int32()),
+                    pa.array(codes.reshape(-1), type=pa.int64()),
+                ),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)

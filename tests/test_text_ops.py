@@ -641,3 +641,52 @@ def test_near_dup_routes_to_ivf_above_threshold(ray_session):
         r["vec_id"] for r in embedding_near_dup_keep_ids(ds, threshold=0.9).take_all()
     )
     assert set(exact) <= set(ivf)  # IVF keeps a superset (may miss cross-cell dups)
+
+
+def test_quantize_embeddings_matches_sequential(ray_session):
+    """Distributed min-max int8 quantization is block-layout invariant and
+    bitwise equal to a sequential numpy reimplementation; constant dims
+    code to 0 and extremes hit the clip rails exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from hyperpolyglot_ray.stages.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(7)
+    m = rng.normal(size=(50, 8)).astype(np.float32)
+    m[:, 3] = 2.5  # constant dimension
+    ids = np.arange(50, dtype=np.int64)
+
+    def seq_codes():
+        md = m.astype(np.float64)
+        lo, hi = md.min(axis=0), md.max(axis=0)
+        span = hi - lo
+        safe = np.where(span > 0, span, 1.0)
+        c = np.clip(np.floor((md - lo) * 255.0 / safe), 0, 255).astype(np.int64)
+        c[:, span <= 0] = 0
+        return c
+
+    exp = seq_codes()
+    for nparts in (1, 7):
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids),
+                    "embedding": pa.array(
+                        [row.tolist() for row in m],
+                        type=pa.list_(pa.float32()),
+                    ),
+                }
+            )
+        ).repartition(nparts)
+        out = {
+            r["vec_id"]: list(r["codes"])
+            for r in quantize_embeddings(ds).take_all()
+        }
+        got = np.array([out[i] for i in ids])
+        assert (got == exp).all(), nparts
+    assert (exp[:, 3] == 0).all()  # constant dim
+    # each non-constant dim's min codes to 0 and max to 255 exactly
+    for j in (0, 1, 2, 4, 5, 6, 7):
+        assert exp[:, j].min() == 0 and exp[:, j].max() == 255
