@@ -287,6 +287,35 @@ def test_curate_documents_every_status(ray_session):
     assert len(out) == 8  # every input doc got exactly one status
 
 
+def test_curate_documents_block_layout_invariant(ray_session):
+    """The composed pipeline's statuses cannot depend on how blocks split:
+    dedup election, contamination flags and gates are all global."""
+    import ray.data
+
+    from hyperpolyglot_ray.stages.curation import (
+        curate_documents,
+        derive_paragraph_docs,
+    )
+
+    ds0 = ray.data.read_parquet(
+        "/root/testdata/sf0.01/documents.parquet",
+        columns=["doc_id", "text", "lang"],
+    )
+    results = []
+    for nparts in (2, 13):
+        ds = derive_paragraph_docs(ds0.repartition(nparts))
+        out = sorted(
+            (r["doc_id"], r["lang"], r["status"])
+            for r in curate_documents(ds, rates={"en": 0.75, "fr": 0.5}).take_all()
+        )
+        results.append(out)
+    assert results[0] == results[1]
+    statuses = {s for _, _, s in results[0]}
+    # the sf0.01 corpus exercises at least these terminal statuses
+    assert {"contaminated", "kept", "sampled_out", "empty_after_dedup"} <= statuses
+    assert len(results[0]) == 500
+
+
 def test_paragraph_dedup_extra_cols_shuffle_path(ray_session):
     """Passthrough columns survive the union-tag groupby rebuild."""
     import ray.data
