@@ -640,6 +640,38 @@ def _q_emb_quantize(sf_dir: str):
     return out.map_batches(flatten, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_emb_pq(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from hyperpolyglot_ray.stages.similarity import pq_encode, pq_train_codebooks
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    codebooks = pq_train_codebooks(ds)
+    out = pq_encode(ds, codebooks)
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        codes = batch.column("pq_codes")
+        if isinstance(codes, pa.ChunkedArray):
+            codes = codes.combine_chunks()
+        flat = codes.values.to_numpy(zero_copy_only=False)
+        n = len(batch)
+        m = len(flat) // max(n, 1)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, m), type=pa.int64()),
+                "sub": pa.array(np.tile(np.arange(m), n), type=pa.int64()),
+                "code": pa.array(flat, type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(flatten, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_emb_knn_ivf(sf_dir: str):
     import ray.data
 
@@ -811,6 +843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup": _q_emb_near_dup,
         "emb_near_dup_ivf": _q_emb_near_dup_ivf,
         "emb_quantize": _q_emb_quantize,
+        "emb_pq": _q_emb_pq,
         "events_window": _q_events_window,
         "events_value_quantiles": _q_events_value_quantiles,
         "events_distinct_users": _q_events_distinct_users,
@@ -1116,6 +1149,7 @@ FROM documents""",
         "doc_multimodal": f"SELECT * FROM read_parquet('{side}/doc_multimodal.parquet')",
         "emb_knn_ivf": f"SELECT query_id, neighbor_id, rank FROM read_parquet('{side}/emb_knn_ivf.parquet')",
         "emb_near_dup_ivf": f"SELECT vec_id FROM read_parquet('{side}/emb_near_dup_ivf.parquet')",
+        "emb_pq": f"SELECT vec_id, sub, code FROM read_parquet('{side}/emb_pq.parquet')",
         "drop_reason_counts": f"SELECT reason, n FROM read_parquet('{side}/drop_reason_counts.parquet')",
         "files_langid_fused": f"SELECT path, fused_lang FROM read_parquet('{side}/files_langid_fused.parquet')",
         "emb_knn": """

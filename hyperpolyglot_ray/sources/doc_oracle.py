@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r3c"
+ORACLE_VERSION = "r3d"
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -448,6 +448,56 @@ def _kmeans_seq(emb: np.ndarray, ids: np.ndarray, n_clusters: int, n_iter: int =
     return centroids, d.argmin(axis=1)
 
 
+def _expected_pq(
+    emb: np.ndarray,
+    ids: np.ndarray,
+    n_subspaces: int = 8,
+    n_clusters: int = 16,
+    n_iter: int = 3,
+) -> pa.Table:
+    """Sequential product quantization (spec: stages/similarity.py
+    pq_train_codebooks/pq_encode): per-subspace k-means with the same
+    smallest-ids init and integer-quantized centroid updates, full-matrix
+    numpy (broadcast distance form) — independent of the distributed
+    per-centroid-loop implementation."""
+    d = emb.shape[1]
+    subd = d // n_subspaces
+    order = np.argsort(ids, kind="stable")[:n_clusters]
+    init_full = emb[order].astype(np.float64)
+    rows = []
+    for s in range(n_subspaces):
+        sub = emb[:, s * subd : (s + 1) * subd].astype(np.float64)
+        cb = init_full[:, s * subd : (s + 1) * subd].copy()
+        q = np.round(sub * _KMEANS_SCALE).astype(np.int64)
+        for _ in range(n_iter):
+            dist = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = dist.argmin(axis=1)
+            sums = np.zeros((n_clusters, subd), dtype=np.int64)
+            counts = np.zeros(n_clusters, dtype=np.int64)
+            np.add.at(sums, assign, q)
+            np.add.at(counts, assign, 1)
+            nonzero = counts > 0
+            cb[nonzero] = sums[nonzero].astype(np.float64) / (
+                _KMEANS_SCALE * counts[nonzero, None]
+            )
+        dist = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+        code = dist.argmin(axis=1)
+        rows.append((s, code))
+    n = len(ids)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.repeat(ids, n_subspaces), type=pa.int64()),
+            "sub": pa.array(
+                np.tile(np.arange(n_subspaces), n), type=pa.int64()
+            ),
+            "code": pa.array(
+                np.stack([c for _, c in rows], axis=1).reshape(-1),
+                type=pa.int64(),
+            ),
+        }
+    )
+
+
 def _normalize_rows(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -664,6 +714,7 @@ def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
     emb = arr.values.to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(ids), -1)
     pq.write_table(_expected_knn_ivf(emb, ids), out / "emb_knn_ivf.parquet")
     pq.write_table(_expected_near_dup_ivf(emb, ids), out / "emb_near_dup_ivf.parquet")
+    pq.write_table(_expected_pq(emb, ids), out / "emb_pq.parquet")
 
     _build_files_sidecars(fixture_dir, out)
 

@@ -407,3 +407,140 @@ def quantize_embeddings(
         )
 
     return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pq_train_codebooks(
+    ds: ray.data.Dataset,
+    n_subspaces: int = 8,
+    n_clusters: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks (Jegou et al. 2011): the embedding
+    is split into ``n_subspaces`` contiguous subvectors and each subspace
+    gets its own ``n_clusters``-centroid k-means codebook — memory per
+    vector drops from d x 4 bytes to ``n_subspaces`` bytes at 256
+    clusters.
+
+    Same exactness discipline as ``deterministic_kmeans``: init = the
+    subvectors of the ``n_clusters`` smallest-id vectors (one block-local
+    min-k gather, no sort); every iteration is ONE ``map_batches`` pass
+    emitting integer-quantized per-(subspace, cluster) partial sums —
+    m x k tiny rows per block, reduced driver-side — so codebooks are
+    bit-identical under any block layout. Returns ``(m, k, subd)``."""
+
+    def block_min_k(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        take = np.argsort(ids, kind="stable")[:n_clusters]
+        return pa.table(
+            {
+                id_col: pa.array(ids[take], type=pa.int64()),
+                emb_col: batch.column(emb_col).take(pa.array(take)),
+            }
+        )
+
+    cand_ids: list[np.ndarray] = []
+    cand_vecs: list[np.ndarray] = []
+    for b in (
+        ds.select_columns([id_col, emb_col])
+        .map_batches(block_min_k, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+    ):
+        if len(b):
+            cand_ids.append(b.column(id_col).to_numpy(zero_copy_only=False))
+            cand_vecs.append(_to_matrix(b, emb_col))
+    order = np.argsort(np.concatenate(cand_ids), kind="stable")[:n_clusters]
+    init_full = np.concatenate(cand_vecs)[order].astype(np.float64)
+    d = init_full.shape[1]
+    assert d % n_subspaces == 0, (d, n_subspaces)
+    subd = d // n_subspaces
+    # (m, k, subd): subspace s's init = columns [s*subd, (s+1)*subd)
+    codebooks = (
+        init_full.reshape(n_clusters, n_subspaces, subd)
+        .transpose(1, 0, 2)
+        .copy()
+    )
+
+    for _ in range(n_iter):
+        cb_ref = ray.put(codebooks)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cb = ray.get(cb_ref)
+            emb = _to_matrix(batch, emb_col)
+            q = np.round(emb * KMEANS_SCALE).astype(np.int64)
+            subs: list[int] = []
+            clusters: list[int] = []
+            vsums: list[list[int]] = []
+            cnts: list[int] = []
+            for s in range(n_subspaces):
+                sub = emb[:, s * subd : (s + 1) * subd]
+                assign = _sq_dists(sub, cb[s]).argmin(axis=1)
+                sums = np.zeros((n_clusters, subd), dtype=np.int64)
+                counts = np.zeros(n_clusters, dtype=np.int64)
+                np.add.at(sums, assign, q[:, s * subd : (s + 1) * subd])
+                np.add.at(counts, assign, 1)
+                subs.extend([s] * n_clusters)
+                clusters.extend(range(n_clusters))
+                vsums.extend(row.tolist() for row in sums)
+                cnts.extend(counts.tolist())
+            return pa.table(
+                {
+                    "sub": pa.array(subs, type=pa.int64()),
+                    "cluster": pa.array(clusters, type=pa.int64()),
+                    "vsum": pa.array(vsums, type=pa.list_(pa.int64())),
+                    "cnt": pa.array(cnts, type=pa.int64()),
+                }
+            )
+
+        sums = np.zeros((n_subspaces, n_clusters, subd), dtype=np.int64)
+        counts = np.zeros((n_subspaces, n_clusters), dtype=np.int64)
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            su = b.column("sub").to_numpy(zero_copy_only=False)
+            cl = b.column("cluster").to_numpy(zero_copy_only=False)
+            cnt = b.column("cnt").to_numpy(zero_copy_only=False)
+            vs = np.asarray(b.column("vsum").to_pylist(), dtype=np.int64)
+            np.add.at(sums, (su, cl), vs)
+            np.add.at(counts, (su, cl), cnt)
+        nonzero = counts > 0
+        codebooks[nonzero] = sums[nonzero].astype(np.float64) / (
+            KMEANS_SCALE * counts[nonzero, None]
+        )
+    return codebooks
+
+
+def pq_encode(
+    ds: ray.data.Dataset,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Assign every vector its PQ code word per subspace (nearest codebook
+    centroid, ties -> lowest cluster id via argmin). Map-only; the
+    ``(m, k, subd)`` codebooks broadcast once. Output:
+    ``(vec_id, pq_codes: list<int64> of length m)``."""
+    m, _, subd = codebooks.shape
+    cb_ref = ray.put(codebooks)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        cb = ray.get(cb_ref)
+        emb = _to_matrix(batch, emb_col)
+        n = emb.shape[0]
+        codes = np.empty((n, m), dtype=np.int64)
+        for s in range(m):
+            codes[:, s] = _sq_dists(
+                emb[:, s * subd : (s + 1) * subd], cb[s]
+            ).argmin(axis=1)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "pq_codes": pa.ListArray.from_arrays(
+                    pa.array(np.arange(0, (n + 1) * m, m), type=pa.int32()),
+                    pa.array(codes.reshape(-1), type=pa.int64()),
+                ),
+            }
+        )
+
+    return ds.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True)

@@ -690,3 +690,47 @@ def test_quantize_embeddings_matches_sequential(ray_session):
     # each non-constant dim's min codes to 0 and max to 255 exactly
     for j in (0, 1, 2, 4, 5, 6, 7):
         assert exp[:, j].min() == 0 and exp[:, j].max() == 255
+
+
+def test_pq_codebooks_block_layout_invariant(ray_session):
+    """PQ training's integer-quantized reduce makes codebooks (and hence
+    codes) bit-identical under any block layout, and each subspace's
+    codebook differs (they really train independently)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from hyperpolyglot_ray.stages.similarity import pq_encode, pq_train_codebooks
+
+    rng = np.random.default_rng(11)
+    m = rng.normal(size=(120, 16)).astype(np.float32)
+    ids = np.arange(120, dtype=np.int64)
+
+    def mk(nparts):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids),
+                    "embedding": pa.array(
+                        [r.tolist() for r in m], type=pa.list_(pa.float32())
+                    ),
+                }
+            )
+        ).repartition(nparts)
+
+    results = []
+    for nparts in (1, 9):
+        cb = pq_train_codebooks(mk(nparts), n_subspaces=4, n_clusters=8)
+        codes = {
+            r["vec_id"]: list(r["pq_codes"])
+            for r in pq_encode(mk(nparts), cb).take_all()
+        }
+        results.append((cb, codes))
+    assert (results[0][0] == results[1][0]).all()
+    assert results[0][1] == results[1][1]
+    cb = results[0][0]
+    assert cb.shape == (4, 8, 4)
+    assert not (cb[0] == cb[1]).all()  # subspaces trained independently
+    # codes cover multiple clusters in every subspace
+    codes = np.array([results[0][1][i] for i in ids])
+    assert all(len(np.unique(codes[:, s])) > 1 for s in range(4))
