@@ -411,6 +411,14 @@ def _q_doc_curate(sf_dir: str):
     return curate_documents(ds, rates={"en": 0.75, "fr": 0.5})
 
 
+def _q_doc_vocab(sf_dir: str):
+    from hyperpolyglot_ray.stages.text_ops import vocab_stats
+
+    # top_k below the distinct-vocab size so the limit + tie-break path
+    # is exercised; min_count=2 exercises the distributed prune
+    return vocab_stats(_docs(sf_dir), top_k=20, min_count=2)
+
+
 def _q_doc_shard_manifest(sf_dir: str):
     import tempfile
 
@@ -836,6 +844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition_stats": _q_doc_repetition_stats,
         "doc_shard_manifest": _q_doc_shard_manifest,
         "doc_curate": _q_doc_curate,
+        "doc_vocab": _q_doc_vocab,
         "doc_langid": _q_doc_langid,
         "doc_multimodal": _q_doc_multimodal,
         "emb_knn": _q_emb_knn,
@@ -1080,6 +1089,18 @@ FROM documents""",
             r" WHEN 'fr' THEN 1073741824 ELSE 2147483648 END"
             r" THEN 'sampled_out' ELSE 'kept' END AS status"
             r" FROM feat f JOIN docs d0 ON f.doc_id = d0.doc_id"
+        ),
+        # independent SQL vocabulary head: same min-count floor, same
+        # (count desc, token asc) tie-break
+        "doc_vocab": (
+            r"WITH tok AS (SELECT doc_id,"
+            r" unnest(regexp_extract_all(text, '\S+')) AS token"
+            r" FROM documents),"
+            r" agg AS (SELECT token, CAST(count(*) AS BIGINT) AS n_total,"
+            r" CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs"
+            r" FROM tok GROUP BY token HAVING count(*) >= 2)"
+            r" SELECT token, n_total, n_docs FROM agg"
+            r" ORDER BY n_total DESC, token ASC LIMIT 20"
         ),
         # shard manifest = per-bucket aggregate of the same window
         # prefix-sum the packer uses

@@ -654,3 +654,81 @@ def add_simhash(
         return out
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def vocab_stats(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 100,
+    min_count: int = 1,
+) -> ray.data.Dataset:
+    """Corpus vocabulary statistics (tokenizer-training prep): for the
+    ``top_k`` whitespace tokens by total count — ties broken by token
+    ascending — emit ``(token, n_total, n_docs)`` where ``n_docs`` is the
+    document frequency. On a noisy web-scale corpus the distinct-token
+    tail is huge: set ``min_count`` so the post-groupby filter prunes
+    singletons distributively and only the head vocabulary reaches the
+    driver (any ``min_count`` <= the true top-k cutoff is lossless for
+    the top-k result).
+
+    Topology: each block emits one pre-aggregated ``(token, n, nd)``
+    partial (token counted once per occurrence, ``nd`` = docs in the
+    block containing it — exact within a block via ``pyarrow``'s
+    vectorized split + value_counts per doc row). ``n`` partials sum
+    across blocks; ``nd`` does NOT (a doc never spans blocks, so
+    per-block doc frequencies are disjoint and DO sum exactly). One
+    small ``groupby(token)`` over vocabulary-sized partials — the
+    shuffle carries distinct-tokens-per-block rows, never the corpus —
+    then the tiny distinct-vocab table reduces driver-side to top-k."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        n_tot: Counter = Counter()
+        n_doc: Counter = Counter()
+        # vectorized split: one list<string> column, then per-row sets
+        toks_col = pc.split_pattern_regex(
+            pc.cast(batch.column(text_col), pa.string()), r"\s+"
+        )
+        for row in toks_col.to_pylist():
+            seen = set()
+            for t in row or []:
+                if t:
+                    n_tot[t] += 1
+                    seen.add(t)
+            n_doc.update(seen)
+        toks = sorted(n_tot)
+        return pa.table(
+            {
+                "token": pa.array(toks, type=pa.string()),
+                "n": pa.array([n_tot[t] for t in toks], type=pa.int64()),
+                "nd": pa.array([n_doc[t] for t in toks], type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .sum(["n", "nd"])
+    )
+    if min_count > 1:
+
+        def prune(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.greater_equal(batch.column("sum(n)"), min_count)
+            )
+
+        agg = agg.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+    rows = agg.take_all()  # head vocabulary only
+    rows.sort(key=lambda r: (-r["sum(n)"], r["token"]))
+    top = rows[:top_k]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "token": pa.array([r["token"] for r in top], type=pa.string()),
+                "n_total": pa.array([r["sum(n)"] for r in top], type=pa.int64()),
+                "n_docs": pa.array([r["sum(nd)"] for r in top], type=pa.int64()),
+            }
+        )
+    )

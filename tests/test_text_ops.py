@@ -734,3 +734,33 @@ def test_pq_codebooks_block_layout_invariant(ray_session):
     # codes cover multiple clusters in every subspace
     codes = np.array([results[0][1][i] for i in ids])
     assert all(len(np.unique(codes[:, s])) > 1 for s in range(4))
+
+
+def test_vocab_stats_counts_and_tiebreak(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from hyperpolyglot_ray.stages.text_ops import vocab_stats
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                "text": pa.array(
+                    ["a a b  c", "b a\tz", "c b rare"], type=pa.string()
+                ),
+            }
+        )
+    ).repartition(3)
+    out = [
+        (r["token"], r["n_total"], r["n_docs"])
+        for r in vocab_stats(ds, top_k=3, min_count=2).take_all()
+    ]
+    # a:3 in 2 docs, b:3 in 3 docs (tie -> 'a' first), c:2 in 2 docs;
+    # z/rare pruned (count 1)
+    assert out == [("a", 3, 2), ("b", 3, 3), ("c", 2, 2)]
+    out2 = [
+        r["token"]
+        for r in vocab_stats(ds, top_k=5, min_count=1).take_all()
+    ]
+    assert out2 == ["a", "b", "c", "rare", "z"]  # count-1 tie -> ascending
