@@ -411,6 +411,16 @@ def _q_doc_curate(sf_dir: str):
     return curate_documents(ds, rates={"en": 0.75, "fr": 0.5})
 
 
+def _q_doc_pack_texts(sf_dir: str):
+    from hyperpolyglot_ray.stages.curation import pack_texts
+
+    return pack_texts(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        seq_len=512,
+        bucket_size=64,
+    )
+
+
 def _q_doc_vocab(sf_dir: str):
     from hyperpolyglot_ray.stages.text_ops import vocab_stats
 
@@ -845,6 +855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shard_manifest": _q_doc_shard_manifest,
         "doc_curate": _q_doc_curate,
         "doc_vocab": _q_doc_vocab,
+        "doc_pack_texts": _q_doc_pack_texts,
         "doc_langid": _q_doc_langid,
         "doc_multimodal": _q_doc_multimodal,
         "emb_knn": _q_emb_knn,
@@ -1089,6 +1100,22 @@ FROM documents""",
             r" WHEN 'fr' THEN 1073741824 ELSE 2147483648 END"
             r" THEN 'sampled_out' ELSE 'kept' END AS status"
             r" FROM feat f JOIN docs d0 ON f.doc_id = d0.doc_id"
+        ),
+        # per-token SQL realization of the packed sequences: global token
+        # index from the doc-level window prefix sum, string_agg per seq
+        "doc_pack_texts": (
+            r"WITH n AS (SELECT doc_id, regexp_extract_all(text, '\S+')"
+            r" AS toks FROM documents),"
+            r" c AS (SELECT doc_id, toks, COALESCE(SUM(len(toks)) OVER"
+            r" (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            r" 1 PRECEDING), 0) AS cum FROM n),"
+            r" tok AS (SELECT doc_id, cum + i - 1 AS g, toks[i] AS token"
+            r" FROM c, LATERAL (SELECT unnest(generate_series(1, len(toks)))"
+            r" AS i) q)"
+            r" SELECT CAST(g // 512 AS BIGINT) AS seq_id,"
+            r" CAST(count(*) AS BIGINT) AS n_tokens,"
+            r" string_agg(token, ' ' ORDER BY g) AS text"
+            r" FROM tok GROUP BY seq_id"
         ),
         # independent SQL vocabulary head: same min-count floor, same
         # (count desc, token asc) tie-break

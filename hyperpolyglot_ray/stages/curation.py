@@ -809,3 +809,107 @@ def write_packed_shards(
         )
 
     return narrow.groupby("_bkt").map_groups(write_bucket, batch_format="pyarrow")
+
+
+def pack_texts(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 2048,
+    bucket_size: int = 1 << 20,
+) -> ray.data.Dataset:
+    """Materialize the fixed-length training sequences that
+    ``pack_sequences`` only indexes: concatenate all documents' whitespace
+    tokens in ``doc_id`` order and emit one row per ``seq_len``-token
+    sequence — ``(seq_id, n_tokens, text)`` with tokens joined by single
+    spaces (the token-stream realization; the final sequence may be
+    short).
+
+    Topology: the same two-level offset scan as ``write_packed_shards``
+    (token-count partials without text feed the bucket-offset reduce),
+    then one ``groupby(bucket)`` pass slices each document's token list
+    at global ``seq_len`` boundaries into per-sequence FRAGMENTS, and one
+    ``groupby(seq_id)`` re-keys fragments into sequences (ordered by
+    global token offset). The payload crosses exactly two shuffles — the
+    minimum to re-key an unsorted doc-partitioned corpus into
+    sequence-partitioned output."""
+
+    def ntok(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64())
+        n = pc.fill_null(
+            pc.count_substring_regex(
+                batch.column(text_col).cast(pa.string()), r"\S+"
+            ),
+            0,
+        ).cast(pa.int64())
+        bkt = ids.to_numpy(zero_copy_only=False) // bucket_size
+        return pa.table(
+            {
+                id_col: ids,
+                text_col: batch.column(text_col).cast(pa.string()),
+                "n_tok": n,
+                "_bkt": pa.array(bkt, type=pa.int64()),
+            }
+        )
+
+    narrow = ds.map_batches(ntok, batch_format="pyarrow", zero_copy_batch=True)
+    sums = (
+        narrow.select_columns(["_bkt", "n_tok"]).groupby("_bkt").sum("n_tok")
+    ).take_all()
+    sums.sort(key=lambda r: r["_bkt"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sums:
+        offsets[r["_bkt"]] = acc
+        acc += r["sum(n_tok)"]
+    off_ref = ray.put(offsets)
+
+    def fragments(group: pa.Table) -> pa.Table:
+        base = ray.get(off_ref)[group.column("_bkt")[0].as_py()]
+        d = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(d, kind="stable")
+        seq_ids: list[int] = []
+        offs: list[int] = []
+        frags: list[str] = []
+        g = base
+        texts = group.column(text_col).to_pylist()
+        for i in order:
+            toks = (texts[i] or "").split()
+            j = 0
+            while j < len(toks):
+                take = min(seq_len - (g % seq_len), len(toks) - j)
+                seq_ids.append(g // seq_len)
+                offs.append(g)
+                frags.append(" ".join(toks[j : j + take]))
+                j += take
+                g += take
+        return pa.table(
+            {
+                "seq_id": pa.array(seq_ids, type=pa.int64()),
+                "off": pa.array(offs, type=pa.int64()),
+                "frag": pa.array(frags, type=pa.string()),
+            }
+        )
+
+    def assemble(group: pa.Table) -> pa.Table:
+        offs = group.column("off").to_numpy(zero_copy_only=False)
+        order = np.argsort(offs, kind="stable")
+        frags = group.column("frag").to_pylist()
+        parts = [frags[i] for i in order]
+        n_tokens = sum(len(p.split()) for p in parts)
+        return pa.table(
+            {
+                "seq_id": pa.array(
+                    [group.column("seq_id")[0].as_py()], type=pa.int64()
+                ),
+                "n_tokens": pa.array([n_tokens], type=pa.int64()),
+                "text": pa.array([" ".join(parts)], type=pa.string()),
+            }
+        )
+
+    return (
+        narrow.groupby("_bkt")
+        .map_groups(fragments, batch_format="pyarrow")
+        .groupby("seq_id")
+        .map_groups(assemble, batch_format="pyarrow")
+    )

@@ -443,3 +443,29 @@ def test_pack_sequences_doc_spanning_sequences(ray_session):
         2: (5, 3, 14),  # cum 110 -> seq 3, offset 14
         3: (0, 3, 19),  # zero-token doc still gets a position
     }
+
+
+def test_pack_texts_realizes_exact_sequences(ray_session):
+    """Sequences are exactly seq_len tokens (except the last), agree with
+    the sequential token-stream concatenation, and are invariant to
+    block layout."""
+    from hyperpolyglot_ray.stages.curation import pack_texts
+
+    rows = [(i, " ".join(f"d{i}t{j}" for j in range((i * 7) % 23))) for i in range(80)]
+    all_tokens = []
+    for did, txt in sorted(rows):
+        all_tokens.extend(txt.split())
+    exp = {}
+    for s in range(0, (len(all_tokens) + 31) // 32):
+        chunk = all_tokens[s * 32 : (s + 1) * 32]
+        exp[s] = (len(chunk), " ".join(chunk))
+
+    for nparts in (1, 11):
+        ds = _pdocs(sorted(rows, key=lambda r: (r[0] * 13) % 80)).repartition(nparts)
+        out = {
+            r["seq_id"]: (r["n_tokens"], r["text"])
+            for r in pack_texts(ds, seq_len=32, bucket_size=8).take_all()
+        }
+        assert out == exp, nparts
+    full = [n for n, _ in list(exp.values())[:-1]]
+    assert all(n == 32 for n in full) and exp[max(exp)][0] <= 32
