@@ -300,10 +300,14 @@ def paragraph_dedup(
     document with its drop list — the only path that ships document text
     through a shuffle, and only then.
     """
+    # materialize: the drop-pair set (duplicates only, small) is consumed
+    # twice (count + rebuild); without this the split+hash+groupby chain
+    # would re-execute
     drops = (
         _para_occurrences(ds, id_col, text_col, min_chars, sep)
         .groupby("phash")
         .map_groups(_elect_losers(id_col), batch_format="pyarrow")
+        .materialize()
     )
     n_drop = drops.count()
 

@@ -1,0 +1,134 @@
+"""Property-based tests (hypothesis) for the curation/packing family.
+
+Each property pits the distributed operator against a direct sequential
+model over randomized corpora and block layouts — the same
+distributed == sequential discipline as the oracle sidecars, but with
+generated inputs instead of fixtures.
+"""
+
+import re
+
+import pyarrow as pa
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# small token alphabet -> high collision rates (duplicate paragraphs,
+# repeated bigrams) exactly where the operators' interesting paths live
+_TOKENS = st.sampled_from(["a", "bb", "ccc", "dddd", "ee", "f"])
+_DOC = st.lists(_TOKENS, min_size=0, max_size=24).map(" ".join)
+_CORPUS = st.lists(_DOC, min_size=1, max_size=20)
+
+
+def _mk(rows, nparts):
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), type=pa.int64()),
+                "text": pa.array(rows, type=pa.string()),
+            }
+        )
+    )
+    return ds.repartition(nparts) if nparts > 1 else ds
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_CORPUS, nparts=st.integers(1, 5), width=st.integers(2, 4))
+def test_paragraph_dedup_property(ray_session, corpus, nparts, width):
+    """derive(width) + paragraph_dedup == the sequential first-wins model
+    for any corpus and block layout (min_chars=4 so dup paths trigger)."""
+    from hyperpolyglot_ray.stages.curation import (
+        derive_paragraph_docs,
+        paragraph_dedup,
+    )
+
+    def seq_model():
+        seen = set()
+        exp = {}
+        for did, txt in enumerate(corpus):
+            toks = txt.split()
+            derived = "\n\n".join(
+                " ".join(toks[i : i + width])
+                for i in range(0, max(len(toks), 1), width)
+            )
+            kept, nrem = [], 0
+            for p in derived.split("\n\n"):
+                if len(p) >= 4:
+                    if p in seen:
+                        nrem += 1
+                        continue
+                    seen.add(p)
+                kept.append(p)
+            exp[did] = ("\n\n".join(kept), nrem)
+        return exp
+
+    ds = derive_paragraph_docs(_mk(corpus, nparts), width=width)
+    out = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in paragraph_dedup(ds, min_chars=4).take_all()
+    }
+    assert out == seq_model()
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_CORPUS, nparts=st.integers(1, 5), seq_len=st.integers(2, 9))
+def test_pack_texts_roundtrip_property(ray_session, corpus, nparts, seq_len):
+    """Concatenating the materialized sequences in seq_id order always
+    reproduces the corpus token stream exactly; every sequence except the
+    last holds exactly seq_len tokens."""
+    from hyperpolyglot_ray.stages.curation import pack_texts
+
+    out = sorted(
+        (r["seq_id"], r["n_tokens"], r["text"])
+        for r in pack_texts(
+            _mk(corpus, nparts), seq_len=seq_len, bucket_size=3
+        ).take_all()
+    )
+    stream = [t for txt in corpus for t in txt.split()]
+    got = [t for _, _, text in out for t in text.split()]
+    assert got == stream
+    if out:
+        assert [s for s, _, _ in out] == list(range(len(out)))
+        assert all(n == seq_len for _, n, _ in out[:-1])
+        assert 1 <= out[-1][1] <= seq_len
+    else:
+        assert stream == []
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_CORPUS, nparts=st.integers(1, 5))
+def test_vocab_stats_property(ray_session, corpus, nparts):
+    """vocab_stats == a Counter over the whole corpus, with document
+    frequency and the (count desc, token asc) order."""
+    from collections import Counter
+
+    from hyperpolyglot_ray.stages.text_ops import vocab_stats
+
+    n_tot: Counter = Counter()
+    n_doc: Counter = Counter()
+    for txt in corpus:
+        toks = re.findall(r"\S+", txt)
+        n_tot.update(toks)
+        n_doc.update(set(toks))
+    exp = sorted(
+        ((t, n, n_doc[t]) for t, n in n_tot.items()),
+        key=lambda r: (-r[1], r[0]),
+    )[:10]
+    out = [
+        (r["token"], r["n_total"], r["n_docs"])
+        for r in vocab_stats(_mk(corpus, nparts), top_k=10).take_all()
+    ]
+    assert out == exp
