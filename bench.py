@@ -237,6 +237,21 @@ def run_bench(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
             tumbling_window_agg(ray.data.read_parquet(evt)).count()
             queries["events_window"] = round(time.time() - t0, 3)
 
+        from hyperpolyglot_ray.stages.text_ops import vocab_stats
+
+        # vocabulary over the 300k-file CODE corpus — the one bench query
+        # whose distinct-key cardinality grows with corpus size; min_count
+        # prunes the singleton tail before the driver top-k
+        t0 = time.time()
+        vocab_stats(
+            ray.data.read_parquet(files_dir, columns=["path", "content"]),
+            text_col="content",
+            id_col="path",
+            top_k=100,
+            min_count=5,
+        ).count()
+        queries["files_vocab"] = round(time.time() - t0, 3)
+
     result = {
         "metric": "files/sec end-to-end filter+scrub throughput (flagship)",
         "value": round(t_flag, 3),
