@@ -683,27 +683,34 @@ def vocab_stats(
     then the tiny distinct-vocab table reduces driver-side to top-k."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        n_tot: Counter = Counter()
-        n_doc: Counter = Counter()
-        # vectorized split: one list<string> column, then per-row sets
+        # fully vectorized: regex split (RE2), flatten, then ONE Arrow
+        # hash-aggregate per block computes total count + distinct-doc
+        # count per token — no Python loop over tokens (an earlier
+        # Counter-based version cost 440 s on the 300k-file corpus)
         toks_col = pc.split_pattern_regex(
-            pc.cast(batch.column(text_col), pa.string()), r"\s+"
+            pc.fill_null(pc.cast(batch.column(text_col), pa.string()), ""),
+            r"\s+",
         )
-        for row in toks_col.to_pylist():
-            seen = set()
-            for t in row or []:
-                if t:
-                    n_tot[t] += 1
-                    seen.add(t)
-            n_doc.update(seen)
-        toks = sorted(n_tot)
+        if isinstance(toks_col, pa.ChunkedArray):
+            toks_col = toks_col.combine_chunks()
+        flat = pc.list_flatten(toks_col)
+        lens = pc.list_value_length(toks_col).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        mask = pc.not_equal(flat, "")  # split() edge empties
+        pairs = pa.table(
+            {
+                "token": pc.filter(flat, mask),
+                "doc": pc.filter(pa.array(doc_idx), mask),
+            }
+        )
+        agg = pairs.group_by("token").aggregate(
+            [("doc", "count"), ("doc", "count_distinct")]
+        )
         return pa.table(
             {
-                "token": pa.array(toks, type=pa.string()),
-                "n": pa.array([n_tot[t] for t in toks], type=pa.int64()),
-                "nd": pa.array([n_doc[t] for t in toks], type=pa.int64()),
+                "token": agg.column("token"),
+                "n": agg.column("doc_count").cast(pa.int64()),
+                "nd": agg.column("doc_count_distinct").cast(pa.int64()),
             }
         )
 
