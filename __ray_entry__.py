@@ -731,6 +731,15 @@ def _q_events_distinct_users(sf_dir: str):
     return grouped_count_distinct(ds, "event_type", "user_id")
 
 
+def _q_events_distinct_users_hll(sf_dir: str):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.aggregates import hll_count_distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return hll_count_distinct(ds, "event_type", "user_id")
+
+
 def _q_events_sliding_window(sf_dir: str):
     import ray.data
 
@@ -867,6 +876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "events_value_quantiles": _q_events_value_quantiles,
         "events_distinct_users": _q_events_distinct_users,
+        "events_distinct_users_hll": _q_events_distinct_users_hll,
         "events_sliding_window": _q_events_sliding_window,
         "events_sessionize": _q_events_sessionize,
         "events_session_join": _q_events_session_join,
@@ -1237,6 +1247,10 @@ FROM events GROUP BY 1""",
         "events_distinct_users": (
             "SELECT event_type, count(DISTINCT user_id) AS n_distinct "
             "FROM events GROUP BY 1"
+        ),
+        "events_distinct_users_hll": (
+            f"SELECT event_type, n_distinct_est "
+            f"FROM read_parquet('{side}/events_distinct_users_hll.parquet')"
         ),
         "events_sliding_window": """
 SELECT (epoch_us(ts) // 1800000000) * 1800000000 - j * 1800000000 AS window_start_us,

@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r3d"
+ORACLE_VERSION = "r3e"
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -92,6 +92,50 @@ def _simhash_s(text: str) -> int:
         if acc[i] > 0:
             val |= 1 << i
     return val
+
+
+def _expected_hll_distinct(keys, vals, p: int = 12) -> pa.Table:
+    """Sequential HyperLogLog count-distinct per key (spec:
+    stages/aggregates.py hll_count_distinct). Pure-Python ints, bit-at-a-
+    time rho scan, dict-of-registers — shares no numpy code with the
+    vectorized stage; the estimate formula (exact integer register sum,
+    one float division, small-range correction) is the shared spec."""
+    import math
+
+    m = 1 << p
+    regs: dict = {}
+    for k, v in zip(keys, vals):
+        if isinstance(v, str):
+            h = _tok_hash_s(v)
+        else:
+            h = _mix64_s(int(v or 0) & _MASK64)
+        reg = h >> (64 - p)
+        w = (h << p) & _MASK64
+        if w == 0:
+            rho = 64 - p + 1
+        else:
+            rho = 1
+            bit = 1 << 63
+            while not (w & bit):
+                rho += 1
+                bit >>= 1
+        d = regs.setdefault(k, {})
+        if rho > d.get(reg, 0):
+            d[reg] = rho
+    out_k, out_n = [], []
+    for k in sorted(regs):
+        rhos = list(regs[k].values())
+        s_int = ((m - len(rhos)) << 64) + sum(1 << (64 - r) for r in rhos)
+        v_zero = m - len(rhos)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = (alpha * m * m * 2.0**64) / float(s_int)
+        if est <= 2.5 * m and v_zero > 0:
+            est = m * math.log(m / v_zero)
+        out_k.append(k)
+        out_n.append(int(est + 0.5))
+    return pa.table(
+        {"event_type": pa.array(out_k), "n_distinct_est": pa.array(out_n, type=pa.int64())}
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -707,6 +751,14 @@ def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
     pq.write_table(_expected_multimodal(texts, doc_ids), out / "doc_multimodal.parquet")
     pq.write_table(_expected_minhash_keep(texts, doc_ids), out / "doc_minhash_dedup.parquet")
     pq.write_table(_expected_simhash_dedup(texts, doc_ids), out / "doc_simhash_dedup.parquet")
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    pq.write_table(
+        _expected_hll_distinct(
+            ev.column("event_type").to_pylist(), ev.column("user_id").to_pylist()
+        ),
+        out / "events_distinct_users_hll.parquet",
+    )
 
     et = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = et.column("vec_id").to_numpy().astype(np.int64)

@@ -1,7 +1,9 @@
 """Tests for dedup / text-analysis / similarity / window operators."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 import pytest
 
 
@@ -198,6 +200,62 @@ def test_grouped_quantiles_and_sketch(ray_session):
     df = ds.to_pandas()
     for _, row in cd.iterrows():
         assert row["n_distinct"] == df[df["event_type"] == row["event_type"]]["user_id"].nunique()
+
+
+def test_hll_count_distinct(ray_session):
+    """HLL sketch: (a) block-layout invariant (register merge = max is
+    order-free and the estimate uses exact integer sums), (b) bitwise equal
+    to the sequential pure-Python sidecar, (c) within 5% of exact counts,
+    (d) string values hash through the byte-polynomial path."""
+    import ray.data
+
+    from hyperpolyglot_ray.sources.doc_oracle import _expected_hll_distinct
+    from hyperpolyglot_ray.stages.aggregates import hll_count_distinct
+
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet", columns=["event_type", "user_id"])
+    outs = []
+    for nparts in (2, 16):
+        ds = ray.data.from_arrow(t).repartition(nparts)
+        outs.append(
+            hll_count_distinct(ds, "event_type", "user_id")
+            .to_pandas()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    seq = (
+        _expected_hll_distinct(
+            t.column("event_type").to_pylist(), t.column("user_id").to_pylist()
+        )
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(outs[0], seq)
+
+    df = t.to_pandas()
+    for _, row in outs[0].iterrows():
+        exact = df[df["event_type"] == row["event_type"]]["user_id"].nunique()
+        assert abs(row["n_distinct_est"] - exact) <= max(3, 0.05 * exact)
+
+    # string-valued path: distinct strings with shared prefixes/suffixes
+    st = pa.table(
+        {
+            "k": pa.array(["a"] * 600 + ["b"] * 300),
+            "v": pa.array([f"user-{i % 200}" for i in range(600)] + [f"u{i}" for i in range(300)]),
+        }
+    )
+    est = (
+        hll_count_distinct(ray.data.from_arrow(st).repartition(4), "k", "v")
+        .to_pandas()
+        .set_index("k")["n_distinct_est"]
+    )
+    seq_s = _expected_hll_distinct(
+        st.column("k").to_pylist(), st.column("v").to_pylist()
+    ).to_pandas()
+    assert abs(est["a"] - 200) <= 10 and abs(est["b"] - 300) <= 15
+    assert sorted(est.values) == sorted(seq_s["n_distinct_est"].values)
 
 
 def test_simhash_dedup(ray_session):
