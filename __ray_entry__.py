@@ -375,6 +375,18 @@ def _q_doc_decontaminate(sf_dir: str):
     return decontaminate(ds, bench)
 
 
+def _q_doc_incremental_dedup(sf_dir: str):
+    from hyperpolyglot_ray.stages.incremental import (
+        derive_incremental_shard,
+        incremental_dedup_keep_ids,
+    )
+
+    # new 'crawl shard' derived from the corpus (1/7 exact dups); bloom
+    # prefilter + exact verify against the untouched reference corpus
+    ref = _docs(sf_dir)
+    return incremental_dedup_keep_ids(derive_incremental_shard(ref), ref)
+
+
 def _q_doc_sample_mix(sf_dir: str):
     from hyperpolyglot_ray.stages.curation import stratified_sample
 
@@ -857,6 +869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_dedup": _q_doc_simhash_dedup,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_decontaminate": _q_doc_decontaminate,
+        "doc_incremental_dedup": _q_doc_incremental_dedup,
         "doc_sample_mix": _q_doc_sample_mix,
         "doc_paragraph_dedup": _q_doc_paragraph_dedup,
         "doc_pack_sequences": _q_doc_pack_sequences,
@@ -1011,6 +1024,14 @@ FROM documents""",
             " SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits"
             " FROM documents d JOIN bench b ON contains(d.text, b.s)"
             " GROUP BY d.doc_id"
+        ),
+        "doc_incremental_dedup": (
+            "WITH newdocs AS (SELECT doc_id + 1000000 AS doc_id,"
+            " CASE WHEN doc_id % 7 = 0 THEN text"
+            " ELSE text || ' x' || CAST(doc_id AS VARCHAR) END AS text"
+            " FROM documents)"
+            " SELECT doc_id FROM newdocs"
+            " WHERE text NOT IN (SELECT text FROM documents)"
         ),
         "doc_sample_mix": (
             "SELECT doc_id, lang FROM documents WHERE"

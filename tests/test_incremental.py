@@ -1,0 +1,126 @@
+"""Tests for the incremental (cross-corpus) exact-dedup operator."""
+
+import numpy as np
+import pytest
+
+
+def _ds(items):
+    import ray.data
+
+    return ray.data.from_items(items)
+
+
+def _brute_keep(new_items, ref_items):
+    ref_texts = {(r["text"] or "") for r in ref_items}
+    return sorted(
+        r["doc_id"] for r in new_items if (r["text"] or "") not in ref_texts
+    )
+
+
+def test_incremental_dedup_basic(ray_session):
+    from hyperpolyglot_ray.stages.incremental import incremental_dedup_keep_ids
+
+    ref = [{"doc_id": i, "text": f"ref doc {i}"} for i in range(50)]
+    new = [
+        {"doc_id": 100, "text": "ref doc 7"},  # dup of ref
+        {"doc_id": 101, "text": "brand new"},
+        {"doc_id": 102, "text": "ref doc 49"},  # dup of ref
+        {"doc_id": 103, "text": "ref doc 50"},  # NOT in ref (ref stops at 49)
+        {"doc_id": 104, "text": "brand new"},  # intra-shard dup: both kept
+    ]
+    kept = sorted(
+        r["doc_id"]
+        for r in incremental_dedup_keep_ids(_ds(new), _ds(ref)).take_all()
+    )
+    assert kept == [101, 103, 104]
+
+
+def test_incremental_dedup_partition_matches_bloom(ray_session):
+    from hyperpolyglot_ray.stages.incremental import incremental_dedup_keep_ids
+
+    rng = np.random.RandomState(7)
+    ref = [{"doc_id": i, "text": f"doc {rng.randint(0, 80)}"} for i in range(60)]
+    new = [
+        {"doc_id": 1000 + i, "text": f"doc {rng.randint(0, 120)}"} for i in range(60)
+    ]
+    expect = _brute_keep(new, ref)
+    bloom = sorted(
+        r["doc_id"]
+        for r in incremental_dedup_keep_ids(_ds(new), _ds(ref)).take_all()
+    )
+    part = sorted(
+        r["doc_id"]
+        for r in incremental_dedup_keep_ids(
+            _ds(new), _ds(ref), method="partition"
+        ).take_all()
+    )
+    assert bloom == expect
+    assert part == expect
+
+
+def test_incremental_dedup_exact_under_heavy_bloom_fp(ray_session):
+    """A deliberately undersized bloom (1 bit/key -> most probes collide)
+    must still produce the exact answer: false positives only widen the
+    verify set, never the result."""
+    from hyperpolyglot_ray.stages.incremental import incremental_dedup_keep_ids
+
+    ref = [{"doc_id": i, "text": f"reference {i}"} for i in range(200)]
+    new = [{"doc_id": 500 + i, "text": f"reference {100 + i}"} for i in range(200)]
+    # ids 500..599 duplicate ref 100..199; 600..699 are new (200..299)
+    kept = sorted(
+        r["doc_id"]
+        for r in incremental_dedup_keep_ids(
+            _ds(new), _ds(ref), bits_per_key=1
+        ).take_all()
+    )
+    assert kept == list(range(600, 700))
+
+
+def test_incremental_dedup_no_dups_and_null_text(ray_session):
+    from hyperpolyglot_ray.stages.incremental import incremental_dedup_keep_ids
+
+    ref = [{"doc_id": 0, "text": "only ref"}, {"doc_id": 1, "text": None}]
+    new = [
+        {"doc_id": 10, "text": "fresh"},
+        {"doc_id": 11, "text": None},  # null == null-as-empty in ref -> dup
+        {"doc_id": 12, "text": ""},  # empty text also matches null ref
+    ]
+    kept = sorted(
+        r["doc_id"]
+        for r in incremental_dedup_keep_ids(_ds(new), _ds(ref)).take_all()
+    )
+    assert kept == [10]
+
+
+def test_derived_shard_matches_sql_semantics(ray_session):
+    """doc_incremental_dedup's derivation vs an independent DuckDB run."""
+    import duckdb
+
+    from hyperpolyglot_ray.stages.incremental import (
+        derive_incremental_shard,
+        incremental_dedup_keep_ids,
+    )
+    import ray.data
+
+    p = "/root/testdata/sf0.001/documents.parquet"
+    ref = ray.data.read_parquet(p)
+    kept = sorted(
+        r["doc_id"]
+        for r in incremental_dedup_keep_ids(
+            derive_incremental_shard(ref), ref
+        ).take_all()
+    )
+    exp = [
+        r[0]
+        for r in duckdb.sql(
+            f"""
+        WITH newdocs AS (
+          SELECT doc_id + 1000000 AS doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN text
+                      ELSE text || ' x' || CAST(doc_id AS VARCHAR) END AS text
+          FROM '{p}')
+        SELECT doc_id FROM newdocs
+        WHERE text NOT IN (SELECT text FROM '{p}') ORDER BY doc_id"""
+        ).fetchall()
+    ]
+    assert kept == exp
