@@ -346,6 +346,15 @@ def _q_doc_minhash_dedup(sf_dir: str):
     return minhash_dedup_keep_ids(_docs(sf_dir))
 
 
+def _q_doc_minhash_clusters(sf_dir: str):
+    from hyperpolyglot_ray.stages.text_ops import minhash_clusters
+
+    # fully-distributed component labeling (stages/graph.py) — the
+    # beyond-driver-envelope path; oracle is exact all-pairs + sequential
+    # union-find (independent algorithms on both sides)
+    return minhash_clusters(_docs(sf_dir))
+
+
 def _q_doc_simhash_dedup(sf_dir: str):
     from hyperpolyglot_ray.stages.text_ops import simhash_dedup_keep_ids
 
@@ -865,6 +874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_stats": _q_doc_quality_stats,
         "doc_lang_counts": _q_doc_lang_counts,
         "doc_minhash_dedup": _q_doc_minhash_dedup,
+        "doc_minhash_clusters": _q_doc_minhash_clusters,
         "doc_simhash": _q_doc_simhash,
         "doc_simhash_dedup": _q_doc_simhash_dedup,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -1013,6 +1023,9 @@ SELECT doc_id,
 FROM documents""",
         "doc_lang_counts": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
         "doc_minhash_dedup": f"SELECT doc_id FROM read_parquet('{side}/doc_minhash_dedup.parquet')",
+        "doc_minhash_clusters": (
+            f"SELECT doc_id, cluster_id FROM read_parquet('{side}/doc_minhash_clusters.parquet')"
+        ),
         "doc_simhash": f"SELECT doc_id, simhash FROM read_parquet('{side}/doc_simhash.parquet')",
         "doc_simhash_dedup": f"SELECT doc_id FROM read_parquet('{side}/doc_simhash_dedup.parquet')",
         "doc_fingerprint": f"SELECT doc_id, fp FROM read_parquet('{side}/doc_fingerprint.parquet')",

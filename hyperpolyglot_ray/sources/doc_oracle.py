@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r3e"
+ORACLE_VERSION = "r3f"
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -430,14 +430,9 @@ def _components_keep(doc_ids, edges) -> pa.Table:
     return pa.table({"doc_id": pa.array(kept, type=pa.int64())})
 
 
-def _expected_minhash_keep(texts, doc_ids, threshold=0.8) -> pa.Table:
-    """EXACT all-pairs near-dup ground truth (VERDICT r2 next-round #2):
-    no LSH, no bucket caps, no candidate heuristics — every pair's true
-    word-3-gram Jaccard is computed and thresholded, then connected
-    components keep the min id. The distributed MinHash+LSH pipeline must
-    MATCH this (its verify step uses exact Jaccard, so its edges are a
-    subset; matching proves the LSH candidate generation achieved full
-    recall on this corpus)."""
+def _exact_minhash_edges(texts, doc_ids, threshold=0.8):
+    """EXACT all-pairs near-dup edges: no LSH, no bucket caps, no
+    candidate heuristics — every pair's true word-3-gram Jaccard."""
     ids = [int(i) for i in doc_ids]
     sh = {i: _shingles_s(t) for i, t in zip(ids, texts)}
     edges = []
@@ -449,7 +444,45 @@ def _expected_minhash_keep(texts, doc_ids, threshold=0.8) -> pa.Table:
             union = len(sa) + len(sb) - inter
             if union == 0 or inter / union >= threshold:
                 edges.append((ids[x], ids[y]))
+    return ids, edges
+
+
+def _expected_minhash_keep(texts, doc_ids, threshold=0.8) -> pa.Table:
+    """EXACT all-pairs near-dup ground truth (VERDICT r2 next-round #2):
+    exact edges, then connected components keep the min id. The
+    distributed MinHash+LSH pipeline must MATCH this (its verify step
+    uses exact Jaccard, so its edges are a subset; matching proves the
+    LSH candidate generation achieved full recall on this corpus)."""
+    ids, edges = _exact_minhash_edges(texts, doc_ids, threshold)
     return _components_keep(ids, edges)
+
+
+def _expected_minhash_clusters(texts, doc_ids, threshold=0.8) -> pa.Table:
+    """(doc_id, cluster_id = min id of its exact-all-pairs component) —
+    the ground truth for the distributed label-propagation path
+    (stages/graph.py). Sequential union-find here vs hash-min + pointer
+    jumping there: two independent component algorithms over
+    independently-derived edge sets."""
+    ids, edges = _exact_minhash_edges(texts, doc_ids, threshold)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for x, y in edges:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            lo, hi = min(rx, ry), max(rx, ry)
+            parent[hi] = lo
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "cluster_id": pa.array([find(i) for i in ids], type=pa.int64()),
+        }
+    )
 
 
 def _expected_simhash_dedup(texts, doc_ids, max_hamming=3) -> pa.Table:
@@ -750,6 +783,9 @@ def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
     pq.write_table(_expected_doc_langid(texts, langs, doc_ids), out / "doc_langid.parquet")
     pq.write_table(_expected_multimodal(texts, doc_ids), out / "doc_multimodal.parquet")
     pq.write_table(_expected_minhash_keep(texts, doc_ids), out / "doc_minhash_dedup.parquet")
+    pq.write_table(
+        _expected_minhash_clusters(texts, doc_ids), out / "doc_minhash_clusters.parquet"
+    )
     pq.write_table(_expected_simhash_dedup(texts, doc_ids), out / "doc_simhash_dedup.parquet")
 
     ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])

@@ -1,0 +1,257 @@
+"""Distributed connected components (hash-min + pointer jumping).
+
+The dedup family reduces verified near-dup edges with a driver-side
+union-find — correct while edges ≪ rows (the documented envelope). This
+module is the beyond-envelope path: connected components computed ENTIRELY
+as Ray Data shuffles, so cluster assignment scales to edge sets that never
+fit one machine.
+
+Algorithm: every node starts labeled with its own id. Each round has two
+phases, both built on the same bucketed message primitive:
+
+1. **neighbor-min** — every node takes the min label over itself and its
+   graph neighbors (labels propagate one hop);
+2. **pointer jump** — every node then takes its label's label
+   (``lbl(lbl(v))``), doubling the distance a min label has travelled.
+
+Phase 2 is what makes long paths cheap: a chain of length d converges in
+O(log d) rounds instead of O(d) (the standard pointer-jumping argument;
+cf. the MapReduce Hash-to-Min / star-contraction family, Rastogi et al.
+2012, Kiveris et al. 2014 — public literature). Convergence is detected
+with one driver-side scalar per round: labels only ever decrease, so the
+global label sum is monotone and unchanged iff the round was a fixed
+point.
+
+Topology per phase — two shuffles keyed by ``hash(node) % n_buckets``:
+message emit co-partitions label rows with adjacency (or pointer) rows
+and resolves each edge's source label with one vectorized searchsorted;
+min-reduce lexsorts per bucket. Group granularity is the BUCKET
+(~n_nodes / n_buckets rows), never a single node, so one mega-cluster
+cannot pin a worker — the same hot-key discipline as
+``stages/aggregates.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+_U64 = np.uint64
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    z = x.astype(np.uint64) + _U64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+    return z ^ (z >> _U64(31))
+
+
+def _bucket_of(ids: np.ndarray, n_buckets: int) -> np.ndarray:
+    return (_mix64(ids.astype(np.uint64)) % _U64(n_buckets)).astype(np.int64)
+
+
+def _emit_messages_fn(n_buckets: int):
+    """Per-bucket message emit: label rows carry (node, lbl); edge rows
+    carry (node=src, nbr=dst). Every edge row sends its SOURCE's label to
+    its destination; every label row re-sends itself (so coverage never
+    shrinks)."""
+
+    def emit(group: pa.Table) -> pa.Table:
+        node = group.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        is_label = np.asarray(pc.is_valid(group.column("lbl")), dtype=bool)
+        nbr = (
+            pc.fill_null(group.column("nbr"), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        lbl = (
+            pc.fill_null(group.column("lbl"), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        l_nodes = node[is_label]
+        l_vals = lbl[is_label]
+        order = np.argsort(l_nodes, kind="stable")
+        l_nodes, l_vals = l_nodes[order], l_vals[order]
+        a_nodes = node[~is_label]
+        a_nbrs = nbr[~is_label]
+        pos = np.searchsorted(l_nodes, a_nodes)
+        src_lbl = l_vals[pos]
+        dst = np.concatenate([l_nodes, a_nbrs])
+        msg = np.concatenate([l_vals, src_lbl])
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket_of(dst, n_buckets), type=pa.int64()),
+                "node": pa.array(dst, type=pa.int64()),
+                "lbl": pa.array(msg, type=pa.int64()),
+            }
+        )
+
+    return emit
+
+
+def _min_reduce(group: pa.Table) -> pa.Table:
+    node = group.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+    lbl = group.column("lbl").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((lbl, node))
+    node, lbl = node[order], lbl[order]
+    first = np.concatenate([[True], node[1:] != node[:-1]])
+    return pa.table(
+        {
+            "bucket": group.column("bucket").slice(0, int(first.sum())),
+            "node": pa.array(node[first], type=pa.int64()),
+            "lbl": pa.array(lbl[first], type=pa.int64()),
+        }
+    )
+
+
+def _phase(
+    labels: ray.data.Dataset, edges_tagged: ray.data.Dataset, n_buckets: int
+) -> ray.data.Dataset:
+    """One message round: labels' = per-node min over self + incoming."""
+
+    def lab_tagged(batch: pa.Table) -> pa.Table:
+        return batch.append_column("nbr", pa.nulls(batch.num_rows, pa.int64()))
+
+    tagged_lab = labels.map_batches(
+        lab_tagged, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["bucket", "node", "nbr", "lbl"])
+    return (
+        tagged_lab.union(edges_tagged)
+        .groupby("bucket")
+        .map_groups(_emit_messages_fn(n_buckets), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_min_reduce, batch_format="pyarrow")
+        .repartition(n_buckets)
+        .materialize()
+    )
+
+
+def hash_min_components(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    *,
+    edge_cols: tuple[str, str] = ("a", "b"),
+    node_col: str = "node",
+    n_buckets: int = 16,
+    max_iters: int = 50,
+) -> ray.data.Dataset:
+    """(node, component) for every node; component = min node id reachable.
+
+    ``edges``: dataset with two int64 endpoint columns (undirected; both
+    endpoints must appear in ``nodes``).
+    ``nodes``: dataset with one int64 column naming every node (isolated
+    nodes allowed — they come back as their own component).
+    """
+    ea, eb = edge_cols
+
+    def to_adj(batch: pa.Table) -> pa.Table:
+        # BLOCK-LOCAL CONTRACTION: union-find over this block's edges,
+        # then emit only the spanning star forest (node -> local root).
+        # Preserves global connectivity with <= 1 edge per distinct node
+        # in the block — most of a real dedup graph collapses here, so
+        # the iterative phase only stitches across blocks.
+        a = batch.column(ea).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column(eb).to_numpy(zero_copy_only=False).astype(np.int64)
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for x, y in zip(a.tolist(), b.tolist()):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        members = np.fromiter(
+            set(a.tolist()) | set(b.tolist()), dtype=np.int64
+        )
+        roots = np.fromiter((find(int(v)) for v in members), dtype=np.int64)
+        keep = members != roots
+        src = np.concatenate([members[keep], roots[keep]])
+        dst = np.concatenate([roots[keep], members[keep]])
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket_of(src, n_buckets), type=pa.int64()),
+                "node": pa.array(src, type=pa.int64()),
+                "nbr": pa.array(dst, type=pa.int64()),
+                "lbl": pa.nulls(len(src), pa.int64()),
+            }
+        )
+
+    adj = (
+        edges.map_batches(to_adj, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(n_buckets)
+        .materialize()
+    )
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        n = batch.column(node_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket_of(n, n_buckets), type=pa.int64()),
+                "node": pa.array(n, type=pa.int64()),
+                "lbl": pa.array(n, type=pa.int64()),
+            }
+        )
+
+    labels = (
+        nodes.map_batches(init_labels, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(n_buckets)
+        .materialize()
+    )
+
+    def ptr_edges(batch: pa.Table) -> pa.Table:
+        # directed pointer edge lbl(v) -> v: v receives lbl(lbl(v))
+        node = batch.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        lbl = batch.column("lbl").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket_of(lbl, n_buckets), type=pa.int64()),
+                "node": pa.array(lbl, type=pa.int64()),
+                "nbr": pa.array(node, type=pa.int64()),
+                "lbl": pa.nulls(len(node), pa.int64()),
+            }
+        )
+
+    import os
+    import time
+
+    verbose = os.environ.get("HYPLY_CC_DEBUG") == "1"
+
+    def snapshot(ds: ray.data.Dataset) -> ray.data.Dataset:
+        # sever the logical plan completely: keep only the executed block
+        # refs (blocks stay in the object store — no driver gather).
+        # materialize() alone leaves per-round plan/stats state behind
+        # that makes successive rounds progressively slower.
+        return ray.data.from_arrow_refs(ds.to_arrow_refs())
+
+    prev_sum = None
+    for it in range(max_iters):
+        t0 = time.time()
+        labels = snapshot(_phase(labels, adj, n_buckets))  # neighbor-min
+        ptr = labels.map_batches(
+            ptr_edges, batch_format="pyarrow", zero_copy_batch=True
+        )
+        labels = snapshot(_phase(labels, ptr, n_buckets))  # pointer jump
+        cur = labels.sum("lbl")
+        if verbose:
+            print(
+                f"[cc] round {it}: sum={cur} rows={labels.count()} "
+                f"blocks={labels.num_blocks()} dt={time.time() - t0:.2f}s",
+                flush=True,
+            )
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {node_col: batch.column("node"), "component": batch.column("lbl")}
+        )
+
+    return labels.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)

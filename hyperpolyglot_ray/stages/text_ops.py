@@ -411,6 +411,65 @@ def _collect_candidate_shingles(
     return out
 
 
+def minhash_verified_edges(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    k: int = 64,
+    bands: int = 16,
+) -> tuple[ray.data.Dataset, ray.data.Dataset | None]:
+    """(slim (id, text) dataset, verified near-dup edge dataset (a, b)) —
+    the shared front half of ``minhash_dedup_keep_ids`` (which reduces the
+    edges with a driver union-find) and ``minhash_clusters`` (which labels
+    components with the fully-distributed ``stages/graph.py`` path).
+    ``None`` edges when no candidate pair survived LSH."""
+    return _minhash_edges_impl(ds, text_col, id_col, threshold, k, bands)
+
+
+def minhash_clusters(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    k: int = 64,
+    bands: int = 16,
+    n_buckets: int = 16,
+) -> ray.data.Dataset:
+    """(id, cluster_id) for every document: cluster_id = min doc id of its
+    near-dup connected component (singletons label themselves). Same edge
+    generation as ``minhash_dedup_keep_ids``; the component reduction runs
+    entirely as Ray Data shuffles (``stages/graph.py:hash_min_components``
+    — block-local union-find contraction + hash-min with pointer jumping),
+    so it scales past the driver-union-find edge envelope."""
+    from .graph import hash_min_components
+
+    slim, edges = minhash_verified_edges(ds, text_col, id_col, threshold, k, bands)
+    ids_only = slim.select_columns([id_col])
+    if edges is None:
+        def self_label(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {id_col: batch.column(id_col), "cluster_id": batch.column(id_col)}
+            )
+
+        return ids_only.map_batches(
+            self_label, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def as_node(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column(id_col).cast(pa.int64())})
+
+    nodes = ids_only.map_batches(as_node, batch_format="pyarrow", zero_copy_batch=True)
+    labels = hash_min_components(edges, nodes, n_buckets=n_buckets)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {id_col: batch.column("node"), "cluster_id": batch.column("component")}
+        )
+
+    return labels.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def minhash_dedup_keep_ids(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -436,6 +495,24 @@ def minhash_dedup_keep_ids(
     5. verified edges -> driver union-find -> broadcast dropped-id set ->
        keep filter (min id per near-dup cluster survives)
     """
+    slim, verified = _minhash_edges_impl(ds, text_col, id_col, threshold, k, bands)
+    if verified is None:
+        return slim.select_columns([id_col])
+    edges = []
+    for b in verified.iter_batches(batch_format="pyarrow"):
+        edges.extend(zip(b.column("a").to_pylist(), b.column("b").to_pylist()))
+    dropped = union_find_dropped(edges)
+    return _filter_dropped(slim, id_col, dropped)
+
+
+def _minhash_edges_impl(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    k: int,
+    bands: int,
+) -> tuple[ray.data.Dataset, ray.data.Dataset | None]:
     stage = MinHashStage(k=k, bands=bands)
     stage.text_col = text_col
 
@@ -473,7 +550,7 @@ def minhash_dedup_keep_ids(
     pairs = sorted(pair_set)
 
     if not pairs:
-        return slim.select_columns([id_col])
+        return slim, None
 
     cand_ids = sorted({x for p in pairs for x in p})
     sh_map = _collect_candidate_shingles(slim, id_col, text_col, cand_ids)
@@ -502,11 +579,7 @@ def minhash_dedup_keep_ids(
         .repartition(max(1, min(64, len(pairs) // 512)))
         .map_batches(verify, batch_format="pyarrow")
     )
-    edges = []
-    for b in verified.iter_batches(batch_format="pyarrow"):
-        edges.extend(zip(b.column("a").to_pylist(), b.column("b").to_pylist()))
-    dropped = union_find_dropped(edges)
-    return _filter_dropped(slim, id_col, dropped)
+    return slim, verified
 
 
 # -- SimHash --------------------------------------------------------------

@@ -1,0 +1,88 @@
+"""Tests for distributed connected components (stages/graph.py)."""
+
+import numpy as np
+
+
+def _truth(n, edges):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n)}
+
+
+def test_components_random_graph(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.graph import hash_min_components
+
+    rng = np.random.RandomState(11)
+    n = 300
+    edges = [(int(rng.randint(0, n)), int(rng.randint(0, n))) for _ in range(240)]
+    e_ds = ray.data.from_items([{"a": a, "b": b} for a, b in edges]).repartition(4)
+    n_ds = ray.data.from_items([{"node": i} for i in range(n)]).repartition(4)
+    out = {
+        r["node"]: r["component"]
+        for r in hash_min_components(e_ds, n_ds, n_buckets=8).take_all()
+    }
+    assert out == _truth(n, edges)
+
+
+def test_components_cross_block_chain(ray_session):
+    """A chain sliced across blocks: block-local contraction collapses
+    each segment; pointer jumping stitches the segments in O(log) rounds.
+    Isolated nodes must come back as their own singleton component."""
+    import ray.data
+
+    from hyperpolyglot_ray.stages.graph import hash_min_components
+
+    chain = [(i, i + 1) for i in range(120)]
+    e_ds = ray.data.from_items([{"a": a, "b": b} for a, b in chain]).repartition(5)
+    n_ds = ray.data.from_items([{"node": i} for i in range(125)]).repartition(3)
+    out = {
+        r["node"]: r["component"]
+        for r in hash_min_components(e_ds, n_ds, n_buckets=8).take_all()
+    }
+    assert len(out) == 125
+    assert all(out[i] == 0 for i in range(121))
+    assert all(out[i] == i for i in range(121, 125))  # isolated singletons
+
+
+def test_minhash_clusters_consistent_with_keep_ids(ray_session):
+    """cluster_id labels and keep-ids are two reductions of the same edge
+    set: the kept ids must be exactly the distinct cluster labels, and
+    every doc's label must be the min doc_id of its cluster."""
+    import ray.data
+
+    from hyperpolyglot_ray.stages.text_ops import (
+        minhash_clusters,
+        minhash_dedup_keep_ids,
+    )
+
+    base = " ".join(f"word{i} token{i * 7 % 97}" for i in range(120))
+    near = base.replace("word60", "edited60", 1)
+    far = " ".join(f"other{i} thing{i * 11 % 89}" for i in range(120))
+    far_near = far.replace("other3", "changed3", 1)
+    items = [
+        {"doc_id": 10, "text": base},
+        {"doc_id": 11, "text": near},
+        {"doc_id": 12, "text": far},
+        {"doc_id": 13, "text": base},
+        {"doc_id": 14, "text": far_near},
+        {"doc_id": 15, "text": "a singleton document entirely its own"},
+    ]
+    ds = ray.data.from_items(items)
+    labels = {
+        r["doc_id"]: r["cluster_id"] for r in minhash_clusters(ds).take_all()
+    }
+    kept = sorted(r["doc_id"] for r in minhash_dedup_keep_ids(ds).take_all())
+    assert labels == {10: 10, 11: 10, 12: 12, 13: 10, 14: 12, 15: 15}
+    assert kept == sorted(set(labels.values()))
