@@ -1,0 +1,70 @@
+"""Fault-injection tests: every stage function is pure per-batch (or
+per-actor-state deterministic), so Ray's task/actor retry after a worker
+death must reproduce bit-identical results. This is the single-node proxy
+for the node-loss story on a real cluster: the streaming executor
+re-schedules the lost block's task; nothing else reruns.
+"""
+
+import os
+import uuid
+
+import pytest
+
+
+def test_task_retry_after_worker_death_is_deterministic(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.text_ops import token_count
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    clean = {r["doc_id"]: r["n_tokens"] for r in token_count(ds).take_all()}
+
+    sentinel = f"/tmp/hyply_fault_{uuid.uuid4().hex}"
+
+    def die_once(batch):
+        # first task to run this fn kills its WORKER PROCESS (a system
+        # failure, not a user exception) -> Ray re-schedules the task
+        if not os.path.exists(sentinel):
+            open(sentinel, "w").close()
+            os._exit(1)
+        return batch
+
+    faulty = ds.map_batches(die_once, batch_format="pyarrow")
+    out = {r["doc_id"]: r["n_tokens"] for r in token_count(faulty).take_all()}
+    assert os.path.exists(sentinel), "fault was never injected"
+    os.unlink(sentinel)
+    assert out == clean
+
+
+def test_actor_stage_survives_actor_death(ray_session, files_fixture_small):
+    """The fused detect stage runs as an actor pool; killing one actor
+    process mid-run must not change the pipeline's result (the actor is
+    restarted and the in-flight batch re-submitted)."""
+    import ray.data
+
+    from hyperpolyglot_ray.pipelines.quality_filter import detect_dataset
+
+    ds = ray.data.read_parquet(str(files_fixture_small / "files"))
+    clean = sorted(
+        (r["path"], r["detected_lang"])
+        for r in detect_dataset(ds).select_columns(["path", "detected_lang"]).take_all()
+    )
+
+    sentinel = f"/tmp/hyply_fault_{uuid.uuid4().hex}"
+
+    def die_once(batch):
+        if not os.path.exists(sentinel):
+            open(sentinel, "w").close()
+            os._exit(1)
+        return batch
+
+    faulty = ds.map_batches(die_once, batch_format="pyarrow")
+    out = sorted(
+        (r["path"], r["detected_lang"])
+        for r in detect_dataset(faulty)
+        .select_columns(["path", "detected_lang"])
+        .take_all()
+    )
+    assert os.path.exists(sentinel)
+    os.unlink(sentinel)
+    assert out == clean
