@@ -384,6 +384,20 @@ def _q_doc_decontaminate(sf_dir: str):
     return decontaminate(ds, bench)
 
 
+def _q_doc_corpus_ppl(sf_dir: str):
+    from hyperpolyglot_ray.stages.corpus_lm import (
+        perplexity_score,
+        train_bigram_lm,
+    )
+
+    # CCNet-style corpus-LM perplexity: train the hashed-bigram LM on the
+    # corpus (one distributed counting pass), then score every document
+    # map-only with integer-exact quantized log-probs
+    docs = _docs(sf_dir)
+    model = train_bigram_lm(docs)
+    return perplexity_score(docs, model)
+
+
 def _q_doc_incremental_dedup(sf_dir: str):
     from hyperpolyglot_ray.stages.incremental import (
         derive_incremental_shard,
@@ -879,6 +893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_dedup": _q_doc_simhash_dedup,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_decontaminate": _q_doc_decontaminate,
+        "doc_corpus_ppl": _q_doc_corpus_ppl,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
         "doc_sample_mix": _q_doc_sample_mix,
         "doc_paragraph_dedup": _q_doc_paragraph_dedup,
@@ -1037,6 +1052,9 @@ FROM documents""",
             " SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits"
             " FROM documents d JOIN bench b ON contains(d.text, b.s)"
             " GROUP BY d.doc_id"
+        ),
+        "doc_corpus_ppl": (
+            f"SELECT doc_id, nll_q, n_terms FROM read_parquet('{side}/doc_corpus_ppl.parquet')"
         ),
         "doc_incremental_dedup": (
             "WITH newdocs AS (SELECT doc_id + 1000000 AS doc_id,"

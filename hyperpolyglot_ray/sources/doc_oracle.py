@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r3f"
+ORACLE_VERSION = "r3g"
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -430,6 +430,64 @@ def _components_keep(doc_ids, edges) -> pa.Table:
     return pa.table({"doc_id": pa.array(kept, type=pa.int64())})
 
 
+def _expected_corpus_ppl(texts, doc_ids, min_count: int = 2) -> pa.Table:
+    """Sequential corpus-bigram-LM perplexity (spec: stages/corpus_lm.py).
+
+    Whole-corpus unigram/bigram counting with plain dicts, token hashes
+    via the byte-at-a-time scalar spec, quantized log-probs per scalar,
+    integer NLL accumulation — no Ray, no batching, no numpy vector
+    kernels (np.log is applied per scalar, the quantization spec)."""
+    import numpy as np
+
+    nb = 1 << 16
+    scale = 1 << 20
+    backoff_pen = 8 << 20
+    docs_h = [[_tok_hash_s(t) % nb for t in (txt or "").split()] for txt in texts]
+    uni: dict[int, int] = {}
+    bi: dict[int, int] = {}
+    for h in docs_h:
+        for x in h:
+            uni[x] = uni.get(x, 0) + 1
+        for p, c in zip(h, h[1:]):
+            k = (p << 16) | c
+            bi[k] = bi.get(k, 0) + 1
+    bi = {k: v for k, v in bi.items() if v >= min_count}
+    total = max(sum(uni.values()), 1)
+    uni_lp = {
+        x: int(round(float(np.log(np.float64(max(c, 1)) / total)) * scale))
+        for x, c in uni.items()
+    }
+    zero_lp = int(round(float(np.log(np.float64(1) / total)) * scale))
+    bi_lp = {
+        k: int(
+            round(float(np.log(np.float64(v) / max(uni.get((k >> 16) & 0xFFFF, 0), 1))) * scale)
+        )
+        for k, v in bi.items()
+    }
+    rows_nll, rows_n = [], []
+    for h in docs_h:
+        if len(h) < 2:
+            rows_nll.append(0)
+            rows_n.append(0)
+            continue
+        tot = 0
+        for p, c in zip(h, h[1:]):
+            k = (p << 16) | c
+            if k in bi_lp:
+                tot -= bi_lp[k]
+            else:
+                tot -= uni_lp.get(c, zero_lp) - backoff_pen
+        rows_nll.append(tot)
+        rows_n.append(len(h) - 1)
+    return pa.table(
+        {
+            "doc_id": pa.array([int(i) for i in doc_ids], type=pa.int64()),
+            "nll_q": pa.array(rows_nll, type=pa.int64()),
+            "n_terms": pa.array(rows_n, type=pa.int64()),
+        }
+    )
+
+
 def _exact_minhash_edges(texts, doc_ids, threshold=0.8):
     """EXACT all-pairs near-dup edges: no LSH, no bucket caps, no
     candidate heuristics — every pair's true word-3-gram Jaccard."""
@@ -786,6 +844,7 @@ def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
     pq.write_table(
         _expected_minhash_clusters(texts, doc_ids), out / "doc_minhash_clusters.parquet"
     )
+    pq.write_table(_expected_corpus_ppl(texts, doc_ids), out / "doc_corpus_ppl.parquet")
     pq.write_table(_expected_simhash_dedup(texts, doc_ids), out / "doc_simhash_dedup.parquet")
 
     ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])

@@ -1,0 +1,242 @@
+"""Corpus-trained hashed-bigram LM + per-document perplexity scoring.
+
+CCNet-style perplexity filtering (Wenzek et al. 2020 score web documents
+with a corpus LM and keep the low-perplexity head) is a standard
+training-data curation stage. This is the distributed version:
+
+* ``train_bigram_lm`` — ONE pass over the corpus emits per-block sparse
+  (key, count) partials for hashed-token unigrams and bigrams (key space
+  tagged in the high bits), one ``groupby(key).sum`` reduces them, low-
+  count bigrams are pruned DISTRIBUTED-side (``pc.greater_equal`` filter
+  before collection), and the driver assembles the model: a dense 2^16
+  unigram count vector + a sorted sparse bigram (key, count) table. The
+  reduce is O(distinct bigrams), independent of corpus size; the model is
+  bounded by the prune threshold and broadcasts via ``ray.put``.
+
+* ``perplexity_score`` — map-only scoring: token stream -> hashed bucket
+  ids -> bigram keys -> one vectorized ``searchsorted`` against the
+  broadcast bigram table; seen bigrams score the quantized conditional
+  log-prob ``log(c(p,c)/c(p))``, unseen bigrams back off to the unigram
+  ``log(c(c)/total)`` plus a fixed penalty. All log-probs are quantized
+  to integers at build time (``SCALE_BITS`` fixed point) and accumulated
+  with integer sums, so distributed == sequential bitwise at any block
+  layout — the same exactness discipline as ``stages/langid.py`` and the
+  int16 CharLM.
+
+Token identity shares the r3 vectorized hash spec (``_token_hashes``,
+``stages/text_ops.py``); the sequential oracle recomputes it with plain
+Python ints (``sources/doc_oracle.py``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from .text_ops import _token_hashes
+
+N_BUCKETS_LM = 1 << 16
+SCALE_BITS = 20
+_SCALE = 1 << SCALE_BITS
+# fixed extra penalty for backing off to the unigram (quantized units)
+BACKOFF_PENALTY_Q = 8 << SCALE_BITS
+
+_KIND_UNI = 0
+_KIND_BI = 1 << 48
+
+
+class BigramLM:
+    """Quantized hashed-bigram LM (immutable; broadcast via ``ray.put``)."""
+
+    def __init__(
+        self,
+        uni_counts: np.ndarray,
+        bi_keys: np.ndarray,
+        bi_counts: np.ndarray,
+    ):
+        self.uni_counts = uni_counts.astype(np.int64)
+        self.total = int(uni_counts.sum())
+        self.bi_keys = bi_keys.astype(np.int64)  # sorted
+        # quantized log-probs, computed SCALAR-wise (np.log on a float64
+        # scalar) so the one-time driver-side build is bit-identical to
+        # the sequential oracle's per-scalar spec — vectorized np.log may
+        # differ by 1 ulp from the scalar path, which could flip a
+        # rounding at the quantization boundary
+        tot = max(self.total, 1)
+        self.uni_lp_q = np.fromiter(
+            (
+                int(round(float(np.log(np.float64(max(int(c), 1)) / tot)) * _SCALE))
+                for c in self.uni_counts
+            ),
+            dtype=np.int64,
+            count=len(self.uni_counts),
+        )
+        self.bi_lp_q = np.fromiter(
+            (
+                int(
+                    round(
+                        float(
+                            np.log(
+                                np.float64(int(c))
+                                / max(int(self.uni_counts[(int(k) >> 16) & 0xFFFF]), 1)
+                            )
+                        )
+                        * _SCALE
+                    )
+                )
+                for k, c in zip(self.bi_keys, bi_counts)
+            ),
+            dtype=np.int64,
+            count=len(self.bi_keys),
+        )
+
+
+def _bucket_ids(text: str) -> np.ndarray:
+    return (_token_hashes(text) % np.uint64(N_BUCKETS_LM)).astype(np.int64)
+
+
+def train_bigram_lm(
+    ds: ray.data.Dataset, text_col: str = "text", min_count: int = 2
+) -> BigramLM:
+    def partial(batch: pa.Table) -> pa.Table:
+        uni = np.zeros(N_BUCKETS_LM, dtype=np.int64)
+        bi_acc: dict[int, int] = {}
+        for t in batch.column(text_col).to_pylist():
+            h = _bucket_ids(t or "")
+            if len(h) == 0:
+                continue
+            uni += np.bincount(h, minlength=N_BUCKETS_LM)
+            if len(h) > 1:
+                keys = (h[:-1] << 16) | h[1:]
+                k, c = np.unique(keys, return_counts=True)
+                for kk, cc in zip(k.tolist(), c.tolist()):
+                    bi_acc[kk] = bi_acc.get(kk, 0) + cc
+        uni_nz = np.flatnonzero(uni)
+        keys = np.concatenate(
+            [
+                uni_nz + _KIND_UNI,
+                np.fromiter(bi_acc.keys(), dtype=np.int64, count=len(bi_acc))
+                + _KIND_BI,
+            ]
+        )
+        cnts = np.concatenate(
+            [
+                uni[uni_nz],
+                np.fromiter(bi_acc.values(), dtype=np.int64, count=len(bi_acc)),
+            ]
+        )
+        return pa.table(
+            {
+                "key": pa.array(keys, type=pa.int64()),
+                "cnt": pa.array(cnts, type=pa.int64()),
+            }
+        )
+
+    reduced = (
+        ds.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key")
+        .sum("cnt")
+    )
+
+    def prune(batch: pa.Table) -> pa.Table:
+        key = batch.column("key")
+        cnt = batch.column("sum(cnt)")
+        keep = pc.or_(
+            pc.less(key, _KIND_BI),  # unigrams always kept
+            pc.greater_equal(cnt, min_count),
+        )
+        return pa.table({"key": key.filter(keep), "cnt": cnt.filter(keep)})
+
+    uni = np.zeros(N_BUCKETS_LM, dtype=np.int64)
+    bi_k, bi_c = [], []
+    for b in reduced.map_batches(
+        prune, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        k = b.column("key").to_numpy(zero_copy_only=False)
+        c = b.column("cnt").to_numpy(zero_copy_only=False)
+        is_uni = k < _KIND_BI
+        uni[k[is_uni]] += c[is_uni]
+        bi_k.append(k[~is_uni] - _KIND_BI)
+        bi_c.append(c[~is_uni])
+    bi_keys = np.concatenate(bi_k) if bi_k else np.zeros(0, dtype=np.int64)
+    bi_counts = np.concatenate(bi_c) if bi_c else np.zeros(0, dtype=np.int64)
+    order = np.argsort(bi_keys, kind="stable")
+    return BigramLM(uni, bi_keys[order], bi_counts[order])
+
+
+def perplexity_score(
+    ds: ray.data.Dataset,
+    model: BigramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """(id, nll_q, n_terms): integer total negative log-likelihood
+    (quantized units, exact) over the document's bigram terms. Documents
+    with < 2 tokens score (0, 0). Downstream filters threshold
+    ``nll_q / n_terms`` (mean NLL per term ~ log-perplexity)."""
+    model_ref = ray.put(model)
+
+    def score(batch: pa.Table) -> pa.Table:
+        m: BigramLM = ray.get(model_ref)
+        nll_out, n_out = [], []
+        for t in batch.column(text_col).to_pylist():
+            h = _bucket_ids(t or "")
+            if len(h) < 2:
+                nll_out.append(0)
+                n_out.append(0)
+                continue
+            keys = (h[:-1] << 16) | h[1:]
+            pos = np.searchsorted(m.bi_keys, keys)
+            pos_c = np.minimum(pos, max(len(m.bi_keys) - 1, 0))
+            hit = (
+                (m.bi_keys[pos_c] == keys)
+                if len(m.bi_keys)
+                else np.zeros(len(keys), dtype=bool)
+            )
+            lp = np.where(
+                hit,
+                m.bi_lp_q[pos_c] if len(m.bi_keys) else 0,
+                m.uni_lp_q[h[1:]] - BACKOFF_PENALTY_Q,
+            )
+            nll_out.append(int(-lp.sum()))
+            n_out.append(len(keys))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "nll_q": pa.array(nll_out, type=pa.int64()),
+                "n_terms": pa.array(n_out, type=pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def perplexity_filter(
+    ds: ray.data.Dataset,
+    model: BigramLM,
+    max_mean_nll: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Keep ids whose mean NLL per bigram term is <= ``max_mean_nll``
+    (natural-log units). Empty/1-token docs are kept (score 0). The
+    comparison is done in integer space: nll_q <= max_mean_nll * SCALE *
+    n_terms, so the filter is as deterministic as the scores."""
+    thresh_q = int(round(max_mean_nll * _SCALE))
+    scored = perplexity_score(ds, model, text_col, id_col)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        nll = batch.column("nll_q").to_numpy(zero_copy_only=False)
+        n = batch.column("n_terms").to_numpy(zero_copy_only=False)
+        mask = nll <= thresh_q * n
+        return pa.table(
+            {id_col: batch.column(id_col).filter(pa.array(mask))}
+        )
+
+    return scored.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

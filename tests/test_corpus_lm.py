@@ -1,0 +1,84 @@
+"""Tests for the corpus-trained bigram-LM perplexity operators."""
+
+import numpy as np
+
+
+def _ds(items):
+    import ray.data
+
+    return ray.data.from_items(items)
+
+
+def test_scores_block_layout_invariant(ray_session):
+    """Training partials and scoring must be bitwise independent of the
+    block layout (the integer-exactness discipline)."""
+    import ray.data
+
+    from hyperpolyglot_ray.stages.corpus_lm import perplexity_score, train_bigram_lm
+
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    one = docs.repartition(1)
+    many = docs.repartition(7)
+    m1 = train_bigram_lm(one)
+    m2 = train_bigram_lm(many)
+    assert np.array_equal(m1.uni_lp_q, m2.uni_lp_q)
+    assert np.array_equal(m1.bi_keys, m2.bi_keys)
+    assert np.array_equal(m1.bi_lp_q, m2.bi_lp_q)
+    s1 = {r["doc_id"]: (r["nll_q"], r["n_terms"]) for r in perplexity_score(one, m1).take_all()}
+    s2 = {r["doc_id"]: (r["nll_q"], r["n_terms"]) for r in perplexity_score(many, m2).take_all()}
+    assert s1 == s2
+
+
+def test_in_domain_scores_below_out_of_domain(ray_session):
+    """A document made of corpus-frequent bigrams must score lower mean
+    NLL than one of never-seen tokens (which all back off)."""
+    from hyperpolyglot_ray.stages.corpus_lm import (
+        perplexity_filter,
+        perplexity_score,
+        train_bigram_lm,
+    )
+
+    corpus = [
+        {"doc_id": i, "text": "the quick brown fox jumps over the lazy dog"}
+        for i in range(20)
+    ]
+    probe = [
+        {"doc_id": 100, "text": "the quick brown fox"},  # in-domain
+        {"doc_id": 101, "text": "zxq wvv qqj kkz pplm"},  # out-of-domain
+        {"doc_id": 102, "text": "one"},  # single token -> (0, 0)
+        {"doc_id": 103, "text": ""},  # empty -> (0, 0)
+    ]
+    model = train_bigram_lm(_ds(corpus))
+    s = {r["doc_id"]: (r["nll_q"], r["n_terms"]) for r in perplexity_score(_ds(probe), model).take_all()}
+    assert s[102] == (0, 0) and s[103] == (0, 0)
+    mean_in = s[100][0] / s[100][1]
+    mean_out = s[101][0] / s[101][1]
+    assert mean_in < mean_out
+    # a threshold between the two means keeps exactly the in-domain doc
+    # (plus the scoreless short docs, kept by definition)
+    scale = 1 << 20
+    thresh = (mean_in + mean_out) / 2 / scale
+    kept = sorted(
+        r["doc_id"] for r in perplexity_filter(_ds(probe), model, thresh).take_all()
+    )
+    assert kept == [100, 102, 103]
+
+
+def test_min_count_prunes_rare_bigrams(ray_session):
+    """A bigram seen once must be pruned at min_count=2 and score via
+    backoff, identically to a never-seen bigram with the same unigrams."""
+    from hyperpolyglot_ray.stages.corpus_lm import perplexity_score, train_bigram_lm
+
+    corpus = [
+        {"doc_id": 0, "text": "alpha beta alpha beta alpha beta"},
+        {"doc_id": 1, "text": "gamma delta"},  # 'gamma delta' seen once
+    ]
+    model = train_bigram_lm(_ds(corpus), min_count=2)
+    probe = [
+        {"doc_id": 10, "text": "gamma delta"},
+        {"doc_id": 11, "text": "delta gamma"},  # never seen, same unigrams
+    ]
+    s = {r["doc_id"]: r["nll_q"] for r in perplexity_score(_ds(probe), model).take_all()}
+    # both back off to the unigram of their SECOND token; gamma and delta
+    # have equal counts, so the scores must be identical
+    assert s[10] == s[11]
