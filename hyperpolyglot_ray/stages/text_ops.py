@@ -92,6 +92,35 @@ def _token_hashes(text: str) -> np.ndarray:
     return _mix64(np.add.reduceat(term, seg_starts))
 
 
+def _hash_string_array(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """uint64 token hash per element of an Arrow string array, straight
+    from the array buffers — bitwise identical to ``_token_hashes`` on the
+    same strings (same byte polynomial + splitmix64), but with no
+    join/re-split round-trip, so elements may contain ANY bytes
+    (including Unicode whitespace that a ``\\s+`` regex split preserves
+    but ``str.split()`` would break on). Empty strings hash to
+    ``mix64(0)``; nulls are not supported (callers filter them)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    la = arr.cast(pa.large_string())
+    off = np.frombuffer(la.buffers()[1], dtype=np.int64)[la.offset : la.offset + n + 1]
+    data = np.frombuffer(la.buffers()[2], dtype=np.uint8)[off[0] : off[-1]]
+    off = off - off[0]
+    lens = np.diff(off)
+    acc = np.zeros(n, dtype=np.uint64)
+    nonempty = lens > 0
+    if nonempty.any():
+        ends_rep = np.repeat(off[1:], lens)
+        pos = np.arange(len(data), dtype=np.int64)
+        exp = ends_rep - 1 - pos
+        term = data.astype(np.uint64) * _pows(_B_BYTE, int(lens.max()))[exp]
+        acc[nonempty] = np.add.reduceat(term, off[:-1][nonempty])
+    return _mix64(acc)
+
+
 def _shingle_values(th: np.ndarray, width: int = 3) -> np.ndarray:
     """Sorted unique uint64 shingle hashes over the token-hash stream:
     mix64 of a width-window polynomial; documents with < width tokens get
@@ -155,10 +184,15 @@ def exact_dedup_keep_ids(
             {"text_hash": pa.array(hashes, type=pa.string()), id_col: batch.column(id_col)}
         )
 
+    from .shuffle import bucketed_group_reduce
+
     hashed = ds.select_columns([id_col, text_col]).map_batches(
         hash_only, batch_format="pyarrow", zero_copy_batch=True
     )
-    kept = hashed.groupby("text_hash").min(id_col)
+    # high-cardinality reduce (one key per distinct document): the
+    # bucketed per-group Arrow aggregate is ~15x the built-in groupby
+    # at this cardinality (see stages/shuffle.py)
+    kept = bucketed_group_reduce(hashed, "text_hash", [(id_col, "min")])
     return kept.select_columns([f"min({id_col})"]).rename_columns({f"min({id_col})": id_col})
 
 
@@ -745,15 +779,20 @@ def vocab_stats(
     driver (any ``min_count`` <= the true top-k cutoff is lossless for
     the top-k result).
 
-    Topology: each block emits one pre-aggregated ``(token, n, nd)``
-    partial (token counted once per occurrence, ``nd`` = docs in the
-    block containing it — exact within a block via ``pyarrow``'s
-    vectorized split + value_counts per doc row). ``n`` partials sum
-    across blocks; ``nd`` does NOT (a doc never spans blocks, so
-    per-block doc frequencies are disjoint and DO sum exactly). One
-    small ``groupby(token)`` over vocabulary-sized partials — the
-    shuffle carries distinct-tokens-per-block rows, never the corpus —
-    then the tiny distinct-vocab table reduces driver-side to top-k."""
+    Topology (r3, hash-keyed shuffle): each block emits one
+    pre-aggregated ``(token, n, nd)`` partial (``n`` = occurrences,
+    ``nd`` = docs in the block containing it — exact within a block via
+    one Arrow hash-aggregate; ``nd`` sums across blocks because a doc
+    never spans blocks). Token STRINGS never enter the global exchange:
+    the reduce groups fixed-width ``(token_hash64, n, nd)`` rows — on
+    the 300k-file code corpus this cut the reduce from 119 s (string
+    sort-shuffle of 17.9M rows) to seconds — and the winners' strings
+    are recovered afterwards with ONE broadcast-filtered re-scan of the
+    per-block partials (the winner set is ~top_k hashes, so each block
+    contributes at most that many (hash, token) rows). Hash collisions:
+    64-bit polynomial spec; a collision among the winners is detected
+    and raised; an undetected tail collision perturbs one tail count
+    with probability ~V²/2⁶⁵ (negligible at any realistic vocab)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         # fully vectorized: regex split (RE2), flatten, then ONE Arrow
@@ -787,10 +826,25 @@ def vocab_stats(
             }
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("token")
-        .sum(["n", "nd"])
+    def hashed_partial(batch: pa.Table) -> pa.Table:
+        p = partial(batch)
+        return pa.table(
+            {
+                "h": pa.array(
+                    _hash_string_array(p.column("token")).astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "n": p.column("n"),
+                "nd": p.column("nd"),
+            }
+        )
+
+    from .shuffle import bucketed_group_reduce
+
+    agg = bucketed_group_reduce(
+        ds.map_batches(hashed_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "h",
+        [("n", "sum"), ("nd", "sum")],
     )
     if min_count > 1:
 
@@ -800,9 +854,49 @@ def vocab_stats(
             )
 
         agg = agg.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
-    rows = agg.take_all()  # head vocabulary only
-    rows.sort(key=lambda r: (-r["sum(n)"], r["token"]))
-    top = rows[:top_k]
+    rows = agg.take_all()  # pruned head vocabulary, fixed-width rows only
+    if not rows:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "token": pa.array([], type=pa.string()),
+                    "n_total": pa.array([], type=pa.int64()),
+                    "n_docs": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    rows.sort(key=lambda r: -r["sum(n)"])
+    # every hash that can still make top-k after the string tie-break:
+    # all of the strictly-above-cutoff set plus all ties at the cutoff
+    cutoff = rows[min(top_k, len(rows)) - 1]["sum(n)"]
+    winners = [r for r in rows if r["sum(n)"] >= cutoff]
+    winner_set = pa.array(sorted(r["h"] for r in winners), type=pa.int64())
+
+    def recover(batch: pa.Table) -> pa.Table:
+        p = partial(batch)
+        h = pa.array(
+            _hash_string_array(p.column("token")).astype(np.int64), type=pa.int64()
+        )
+        keep = pc.is_in(h, value_set=winner_set)
+        return pa.table(
+            {"h": h.filter(keep), "token": p.column("token").filter(keep)}
+        )
+
+    h2tok: dict[int, str] = {}
+    for b in (
+        ds.map_batches(recover, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for h, tok in zip(b.column("h").to_pylist(), b.column("token").to_pylist()):
+            prev = h2tok.setdefault(h, tok)
+            if prev != tok:
+                raise RuntimeError(
+                    f"64-bit token-hash collision in top-k: {prev!r} vs {tok!r}"
+                )
+    top = sorted(
+        ({**r, "token": h2tok[r["h"]]} for r in winners),
+        key=lambda r: (-r["sum(n)"], r["token"]),
+    )[:top_k]
     return ray.data.from_arrow(
         pa.table(
             {

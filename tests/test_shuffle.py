@@ -1,0 +1,58 @@
+"""Tests for the bucketed high-cardinality group-reduce primitive."""
+
+import numpy as np
+
+
+def test_bucketed_reduce_matches_builtin_groupby(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.shuffle import bucketed_group_reduce
+
+    rng = np.random.RandomState(5)
+    items = [
+        {"k": int(rng.randint(0, 500)), "v": int(rng.randint(0, 1000))}
+        for _ in range(5000)
+    ]
+    ds = ray.data.from_items(items).repartition(7)
+    got = {
+        r["k"]: (r["sum(v)"], r["min(v)"], r["count(v)"])
+        for r in bucketed_group_reduce(
+            ds, "k", [("v", "sum"), ("v", "min"), ("v", "count")], n_buckets=16
+        ).take_all()
+    }
+    expect: dict = {}
+    for it in items:
+        s, m, c = expect.get(it["k"], (0, 10**9, 0))
+        expect[it["k"]] = (s + it["v"], min(m, it["v"]), c + 1)
+    assert got == expect
+
+
+def test_bucketed_reduce_string_keys(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.shuffle import bucketed_group_reduce
+
+    rng = np.random.RandomState(6)
+    items = [
+        {"k": f"key_{int(rng.randint(0, 200))}", "id": i} for i in range(3000)
+    ]
+    ds = ray.data.from_items(items).repartition(5)
+    got = {
+        r["k"]: r["min(id)"]
+        for r in bucketed_group_reduce(ds, "k", [("id", "min")], n_buckets=8).take_all()
+    }
+    expect: dict = {}
+    for it in items:
+        expect[it["k"]] = min(expect.get(it["k"], 10**9), it["id"])
+    assert got == expect
+
+
+def test_bucketed_reduce_rejects_unknown_fn(ray_session):
+    import pytest
+    import ray.data
+
+    from hyperpolyglot_ray.stages.shuffle import bucketed_group_reduce
+
+    ds = ray.data.from_items([{"k": 1, "v": 2}])
+    with pytest.raises(ValueError):
+        bucketed_group_reduce(ds, "k", [("v", "median")])
