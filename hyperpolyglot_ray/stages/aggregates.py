@@ -589,10 +589,14 @@ def grouped_count_distinct(
     def local_distinct(batch: pa.Table) -> pa.Table:
         return batch.select([key_col, val_col]).group_by([key_col, val_col]).aggregate([])
 
+    from .shuffle import bucketed_group_reduce
+
     pairs = ds.select_columns([key_col, val_col]).map_batches(
         local_distinct, batch_format="pyarrow", zero_copy_batch=True
     )
-    distinct = pairs.groupby([key_col, val_col]).count()
+    # distinct-pair cardinality grows with the corpus -> bucketed reduce
+    # (empty agg list = global pair dedup)
+    distinct = bucketed_group_reduce(pairs, [key_col, val_col], [])
 
     def partial_count(batch: pa.Table) -> pa.Table:
         g = batch.group_by([key_col]).aggregate([([], "count_all")])

@@ -135,11 +135,15 @@ def train_bigram_lm(
             }
         )
 
-    reduced = (
-        ds.select_columns([text_col])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("key")
-        .sum("cnt")
+    from .shuffle import bucketed_group_reduce
+
+    # distinct-bigram cardinality grows with the corpus -> bucketed reduce
+    reduced = bucketed_group_reduce(
+        ds.select_columns([text_col]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "key",
+        [("cnt", "sum")],
     )
 
     def prune(batch: pa.Table) -> pa.Table:

@@ -302,11 +302,27 @@ def paragraph_dedup(
     """
     # materialize: the drop-pair set (duplicates only, small) is consumed
     # twice (count + rebuild); without this the split+hash+groupby chain
-    # would re-execute
+    # would re-execute. The election groups by a 64-bucket hash of the
+    # paragraph key, not the key itself: distinct-paragraph cardinality
+    # grows with the corpus, and per-key map_groups through the built-in
+    # sort path is the slow shape (see stages/shuffle.py); per-bucket
+    # election is one vectorized lexsort + first-occurrence mask.
+    from .text_ops import _hash_string_array
+
+    n_buckets = 64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _hash_string_array(batch.column("phash"))
+        return batch.append_column(
+            "__bucket",
+            pa.array((h % np.uint64(n_buckets)).astype(np.int64), type=pa.int64()),
+        )
+
     drops = (
         _para_occurrences(ds, id_col, text_col, min_chars, sep)
-        .groupby("phash")
-        .map_groups(_elect_losers(id_col), batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(_elect_losers_bucketed(id_col), batch_format="pyarrow")
         .materialize()
     )
     n_drop = drops.count()
@@ -408,24 +424,27 @@ def paragraph_dedup(
     return both.groupby(id_col).map_groups(per_doc, batch_format="pyarrow")
 
 
-def _elect_losers(id_col: str):
-    """Per-phash-group loser election: every occurrence except the
-    ``(doc_id, pidx)``-minimal one is a drop pair. Typed empty output for
-    singleton groups (ADVICE r2: schema unification needs concrete
-    types)."""
+def _elect_losers_bucketed(id_col: str):
+    """Per-bucket loser election over MANY paragraph keys at once: one
+    lexsort by (phash, doc_id, pidx), keep each phash's first occurrence,
+    every later one is a drop pair. Typed empty output for all-singleton
+    buckets (ADVICE r2: schema unification needs concrete types)."""
 
     def losers(group: pa.Table) -> pa.Table:
-        if group.num_rows <= 1:
+        if group.num_rows == 0:
             return pa.table(
                 {
                     id_col: pa.array([], type=pa.int64()),
                     "pidx": pa.array([], type=pa.int64()),
                 }
             )
+        ph = np.asarray(group.column("phash").to_pylist(), dtype="S32")
         d = group.column(id_col).to_numpy(zero_copy_only=False)
         ix = group.column("pidx").to_numpy(zero_copy_only=False)
-        order = np.lexsort((ix, d))
-        lose = order[1:]
+        order = np.lexsort((ix, d, ph))
+        ph_s = ph[order]
+        first = np.concatenate([[True], ph_s[1:] != ph_s[:-1]])
+        lose = order[~first]
         return pa.table(
             {
                 id_col: pa.array(d[lose], type=pa.int64()),

@@ -240,16 +240,37 @@ def _incremental_dedup_partition(
         hash_side(1), batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def per_group(group: pa.Table) -> pa.Table:
-        side = group.column("side").to_numpy(zero_copy_only=False)
-        if (side == 1).any():
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from .text_ops import _hash_string_array
+
+        h = _hash_string_array(batch.column("h16"))
+        return batch.append_column(
+            "__bucket",
+            pa.array((h % np.uint64(64)).astype(np.int64), type=pa.int64()),
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        # distinct-hash cardinality grows with the corpus: group by a
+        # coarse hash bucket and resolve all of its keys with ONE sort +
+        # segment max (no per-key Ray group — see stages/shuffle.py)
+        if group.num_rows == 0:
             return pa.table({id_col: pa.array([], type=pa.int64())})
-        return pa.table({id_col: group.column(id_col)})
+        h = np.asarray(group.column("h16").to_pylist(), dtype="S32")
+        side = group.column("side").to_numpy(zero_copy_only=False).astype(np.int8)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        hs, ss, idss = h[order], side[order], ids[order]
+        seg = np.concatenate([[0], np.cumsum(hs[1:] != hs[:-1])])
+        starts = np.concatenate([[0], np.flatnonzero(hs[1:] != hs[:-1]) + 1])
+        has_ref = np.maximum.reduceat(ss, starts) == 1
+        keep = (~has_ref[seg]) & (ss == 0)
+        return pa.table({id_col: pa.array(idss[keep], type=pa.int64())})
 
     return (
         new_h.union(ref_h)
-        .groupby("h16")
-        .map_groups(per_group, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 

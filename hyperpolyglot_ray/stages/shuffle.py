@@ -10,9 +10,9 @@ takes ~8.6 s: the sort is over a tiny-cardinality int column and every
 per-row operation happens inside an Arrow kernel.
 
 Use this for reduces whose distinct-key count is large (vocabulary
-counts, per-document hashes); the built-in groupby remains the right
-call for tiny aggregates (language split: 553 keys) where its simplicity
-wins and the sort is trivially cheap.
+counts, per-document hashes, window×key partials); the built-in groupby
+remains the right call for tiny aggregates (language split: 553 keys)
+where its simplicity wins and the sort is trivially cheap.
 
 Scale notes: bucket count bounds reduce-task granularity, not memory
 correctness — a bucket's DISTINCT keys must fit a worker (keys are
@@ -33,47 +33,58 @@ from .text_ops import _hash_string_array, _mix64
 _ALLOWED = {"sum", "min", "max", "count", "count_distinct", "mean"}
 
 
+def _column_hash(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """uint64 hash per element: identity-mix for integers, byte
+    polynomial for strings (the shared r3 spec)."""
+    if (
+        pa.types.is_integer(col.type)
+        or pa.types.is_temporal(col.type)
+        or pa.types.is_boolean(col.type)
+    ):
+        return _mix64(
+            col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+    return _hash_string_array(col)
+
+
+def bucket_column(batch: pa.Table, key_cols: list[str], n_buckets: int) -> pa.Array:
+    """int64 bucket per row from the combined hash of ``key_cols``."""
+    h = _column_hash(batch.column(key_cols[0]))
+    for kc in key_cols[1:]:
+        h = _mix64(h * np.uint64(0x9E3779B97F4A7C15) + _column_hash(batch.column(kc)))
+    return pa.array((h % np.uint64(n_buckets)).astype(np.int64), type=pa.int64())
+
+
 def bucketed_group_reduce(
     ds: ray.data.Dataset,
-    key_col: str,
+    key_cols: str | list[str],
     aggs: list[tuple[str, str]],
     n_buckets: int = 64,
 ) -> ray.data.Dataset:
-    """Group ``ds`` by ``key_col`` and apply ``aggs`` = [(col, fn), ...]
-    (fn in sum/min/max/count/count_distinct/mean). Output columns follow
-    Ray's naming: ``key_col`` + ``f"{fn}({col})"``. Exact for the
-    decomposable fns because each key lands wholly in one bucket."""
+    """Group ``ds`` by ``key_cols`` (one or more columns, int or string)
+    and apply ``aggs`` = [(col, fn), ...] (fn in
+    sum/min/max/count/count_distinct/mean; an EMPTY list distinct-s the
+    keys). Output columns follow Ray's naming: key columns +
+    ``f"{fn}({col})"``. Exact for every supported fn because each key
+    lands wholly in one bucket, so the per-bucket Arrow aggregate sees
+    all of a key's rows."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     for _, fn in aggs:
         if fn not in _ALLOWED:
             raise ValueError(f"unsupported aggregate {fn!r}")
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        col = batch.column(key_col)
-        if pa.types.is_integer(col.type):
-            h = _mix64(
-                col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
-            )
-        else:
-            h = _hash_string_array(col)
-        return batch.append_column(
-            "__bucket",
-            pa.array((h % np.uint64(n_buckets)).astype(np.int64), type=pa.int64()),
-        )
+        return batch.append_column("__bucket", bucket_column(batch, keys, n_buckets))
 
     arrow_names = [f"{c}_{fn}" for c, fn in aggs]
-    out_names = [key_col] + [f"{fn}({c})" for c, fn in aggs]
+    out_names = [f"{fn}({c})" for c, fn in aggs]
 
     def reduce_group(group: pa.Table) -> pa.Table:
-        agg = group.drop(["__bucket"]).group_by(key_col).aggregate(aggs)
-        return pa.table(
-            {
-                out_names[0]: agg.column(key_col),
-                **{
-                    out: agg.column(an)
-                    for out, an in zip(out_names[1:], arrow_names)
-                },
-            }
-        )
+        agg = group.drop(["__bucket"]).group_by(keys).aggregate(aggs)
+        cols = {k: agg.column(k) for k in keys}
+        for out, an in zip(out_names, arrow_names):
+            cols[out] = agg.column(an)
+        return pa.table(cols)
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)

@@ -568,16 +568,49 @@ def _minhash_edges_impl(
 
     band_rows = slim.map_batches(to_band_rows, batch_format="pyarrow", zero_copy_batch=True)
 
+    # band-key cardinality ~ docs x bands: group by a coarse hash bucket
+    # of the band key (not the key itself) and walk contiguous key
+    # segments after ONE in-group sort — the built-in per-key map_groups
+    # sort path is the slow shape at scale (see stages/shuffle.py)
+    n_pair_buckets = 64
+
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        h = _mix64(
+            batch.column("band_key").to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        return batch.append_column(
+            "__bucket",
+            pa.array((h % np.uint64(n_pair_buckets)).astype(np.int64), type=pa.int64()),
+        )
+
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        pairs = candidate_pairs_for_bucket(group.column(id_col).to_pylist())
+        bk = group.column("band_key").to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(bk, kind="stable")
+        bks, idss = bk[order], ids[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(bks[1:] != bks[:-1]) + 1, [len(bks)]]
+        )
+        a_out: list[int] = []
+        b_out: list[int] = []
+        for s, e in zip(starts[:-1], starts[1:]):
+            for p in candidate_pairs_for_bucket(idss[s:e].tolist()):
+                a_out.append(p[0])
+                b_out.append(p[1])
         return pa.table(
             {
-                "a": pa.array([p[0] for p in pairs], type=pa.int64()),
-                "b": pa.array([p[1] for p in pairs], type=pa.int64()),
+                "a": pa.array(a_out, type=pa.int64()),
+                "b": pa.array(b_out, type=pa.int64()),
             }
         )
 
-    pairs_ds = band_rows.groupby("band_key").map_groups(bucket_pairs, batch_format="pyarrow")
+    pairs_ds = (
+        band_rows.map_batches(
+            add_pair_bucket, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("__bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
     pair_set = set()
     for b in pairs_ds.iter_batches(batch_format="pyarrow"):
         pair_set.update(zip(b.column("a").to_pylist(), b.column("b").to_pylist()))

@@ -53,15 +53,17 @@ def tumbling_window_agg(
         )
         return g.rename_columns(["window_start", key_col, "n_events", "sum_value_millis"])
 
+    from .shuffle import bucketed_group_reduce
+
+    # (window, key) cardinality grows with the corpus -> bucketed reduce
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    final = (
-        partials.groupby(["window_start", key_col])
-        .sum(["n_events", "sum_value_millis"])
-        .rename_columns(
-            {"sum(n_events)": "n_events", "sum(sum_value_millis)": "sum_value_millis"}
-        )
+    return bucketed_group_reduce(
+        partials,
+        ["window_start", key_col],
+        [("n_events", "sum"), ("sum_value_millis", "sum")],
+    ).rename_columns(
+        {"sum(n_events)": "n_events", "sum(sum_value_millis)": "sum_value_millis"}
     )
-    return final
 
 
 def sliding_window_agg(
@@ -115,13 +117,15 @@ def sliding_window_agg(
             ["window_start_us", key_col, "n_events", "sum_value_millis"]
         )
 
+    from .shuffle import bucketed_group_reduce
+
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return (
-        partials.groupby(["window_start_us", key_col])
-        .sum(["n_events", "sum_value_millis"])
-        .rename_columns(
-            {"sum(n_events)": "n_events", "sum(sum_value_millis)": "sum_value_millis"}
-        )
+    return bucketed_group_reduce(
+        partials,
+        ["window_start_us", key_col],
+        [("n_events", "sum"), ("sum_value_millis", "sum")],
+    ).rename_columns(
+        {"sum(n_events)": "n_events", "sum(sum_value_millis)": "sum_value_millis"}
     )
 
 
