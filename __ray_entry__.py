@@ -384,6 +384,19 @@ def _q_doc_decontaminate(sf_dir: str):
     return decontaminate(ds, bench)
 
 
+def _q_doc_source_cap(sf_dir: str):
+    from hyperpolyglot_ray.stages.curation import cap_per_group
+
+    # per-source quota (RefinedWeb-style domain caps): lowest 10 ids/source
+    return cap_per_group(_docs(sf_dir), key_col="source", id_col="doc_id", cap=10)
+
+
+def _q_doc_bm25(sf_dir: str):
+    from hyperpolyglot_ray.stages.search import bm25_search
+
+    return bm25_search(_docs(sf_dir), ["table", "merge", "window"])
+
+
 def _q_doc_corpus_ppl(sf_dir: str):
     from hyperpolyglot_ray.stages.corpus_lm import (
         perplexity_score,
@@ -893,6 +906,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_dedup": _q_doc_simhash_dedup,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_decontaminate": _q_doc_decontaminate,
+        "doc_source_cap": _q_doc_source_cap,
+        "doc_bm25": _q_doc_bm25,
         "doc_corpus_ppl": _q_doc_corpus_ppl,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
         "doc_sample_mix": _q_doc_sample_mix,
@@ -1053,6 +1068,29 @@ FROM documents""",
             " FROM documents d JOIN bench b ON contains(d.text, b.s)"
             " GROUP BY d.doc_id"
         ),
+        "doc_source_cap": (
+            "SELECT source, doc_id FROM (SELECT source, doc_id,"
+            " row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn"
+            " FROM documents) WHERE rn <= 10"
+        ),
+        # BM25 (Lucene idf), terms table/merge/window, k1=1.2 b=0.75;
+        # arithmetic mirrors stages/search.py op-for-op (same grouping)
+        "doc_bm25": r"""
+WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+stats AS (SELECT count(*) AS n_docs, sum(len(toks)) AS n_toks FROM tok),
+tf AS (SELECT doc_id, len(toks) AS dl,
+       len(list_filter(toks, x -> x = 'table')) AS tf0,
+       len(list_filter(toks, x -> x = 'merge')) AS tf1,
+       len(list_filter(toks, x -> x = 'window')) AS tf2 FROM tok),
+df AS (SELECT count(*) FILTER (WHERE tf0 > 0) AS df0,
+       count(*) FILTER (WHERE tf1 > 0) AS df1,
+       count(*) FILTER (WHERE tf2 > 0) AS df2 FROM tf)
+SELECT t.doc_id,
+  ln((s.n_docs - d.df0 + 0.5) / (d.df0 + 0.5) + 1) * (t.tf0 * (1.2 + 1)) / (t.tf0 + 1.2 * (1 - 0.75 + 0.75 * (t.dl / (CAST(s.n_toks AS DOUBLE) / s.n_docs))))
++ ln((s.n_docs - d.df1 + 0.5) / (d.df1 + 0.5) + 1) * (t.tf1 * (1.2 + 1)) / (t.tf1 + 1.2 * (1 - 0.75 + 0.75 * (t.dl / (CAST(s.n_toks AS DOUBLE) / s.n_docs))))
++ ln((s.n_docs - d.df2 + 0.5) / (d.df2 + 0.5) + 1) * (t.tf2 * (1.2 + 1)) / (t.tf2 + 1.2 * (1 - 0.75 + 0.75 * (t.dl / (CAST(s.n_toks AS DOUBLE) / s.n_docs))))
+  AS score
+FROM tf t, stats s, df d WHERE t.tf0 + t.tf1 + t.tf2 > 0""",
         "doc_corpus_ppl": (
             f"SELECT doc_id, nll_q, n_terms FROM read_parquet('{side}/doc_corpus_ppl.parquet')"
         ),

@@ -455,6 +455,75 @@ def _elect_losers_bucketed(id_col: str):
     return losers
 
 
+def cap_per_group(
+    ds: ray.data.Dataset,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 10,
+) -> ray.data.Dataset:
+    """Per-key quota sampling (RefinedWeb-style per-domain caps): keep at
+    most ``cap`` rows per ``key_col``, the lowest ``id_col`` values —
+    deterministic, so the same corpus always keeps the same rows. Output:
+    ``(key, id)``.
+
+    Combiner topology: each block keeps <= cap rows per key it sees (one
+    vectorized lexsort + segment rank), so the shuffle carries
+    O(keys x cap x blocks) rows — never the corpus; the merge groups by a
+    64-way key hash bucket (key count grows with the corpus, see
+    stages/shuffle.py) and re-runs the same segment-rank election.
+    """
+    n_buckets = 64
+
+    def _rank_keep(keys: np.ndarray, ids: np.ndarray) -> np.ndarray:
+        codes = np.unique(keys, return_inverse=True)[1]
+        order = np.lexsort((ids, codes))
+        c = codes[order]
+        starts = np.concatenate([[0], np.flatnonzero(c[1:] != c[:-1]) + 1])
+        lens = np.diff(np.concatenate([starts, [len(c)]]))
+        rank = np.arange(len(c)) - np.repeat(starts, lens)
+        return order[rank < cap]
+
+    def block_cap(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], type=pa.string()),
+                    id_col: pa.array([], type=pa.int64()),
+                }
+            )
+        keys = np.asarray(batch.column(key_col).to_pylist())
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        keep = _rank_keep(keys, ids)
+        from .text_ops import _hash_string_array
+
+        kept = batch.select([key_col, id_col]).take(pa.array(np.sort(keep)))
+        h = _hash_string_array(kept.column(key_col))
+        return kept.append_column(
+            "__bucket",
+            pa.array((h % np.uint64(n_buckets)).astype(np.int64), type=pa.int64()),
+        )
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], type=pa.string()),
+                    id_col: pa.array([], type=pa.int64()),
+                }
+            )
+        keys = np.asarray(group.column(key_col).to_pylist())
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        keep = _rank_keep(keys, ids)
+        return group.select([key_col, id_col]).take(pa.array(np.sort(keep)))
+
+    return (
+        ds.select_columns([key_col, id_col])
+        .map_batches(block_cap, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(merge_bucket, batch_format="pyarrow")
+    )
+
+
 def repetition_stats(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",

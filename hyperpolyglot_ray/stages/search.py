@@ -1,0 +1,137 @@
+"""BM25 keyword search over a text corpus.
+
+The standard retrieval primitive for corpus curation (e.g. pulling
+benchmark-adjacent or topic-specific documents out of a 100 TB crawl).
+Okapi BM25 with the Lucene-style idf (Robertson & Sparck Jones; public
+literature):
+
+    score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1-b+b·dl/avgdl))
+    idf(t)   = ln( (N - df(t) + 0.5) / (df(t) + 0.5) + 1 )
+
+Two passes, both map-only (the query term set is tiny and broadcasts):
+
+1. STATS — per-block partials of (n_docs, n_tokens, df per term); df
+   sums exactly across blocks because a document never spans blocks.
+   Driver reduces #blocks rows of fixed width.
+2. SCORE — per-block: tokenize once (vectorized split + flatten), keep
+   only tokens in the term set (``pc.is_in``), per-doc tf via bincount,
+   vectorized score; emits only matching docs (rare on a big corpus).
+
+Token identity is the whitespace token (``\\S+``), matching the
+``doc_vocab`` / ``doc_token_count`` spec, so the operator is
+SQL-oracle-checkable with DuckDB ``regexp_extract_all`` + ``list_filter``.
+No shuffle at any scale; the corpus is scanned twice with pruned columns.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+def _block_term_stats(
+    batch: pa.Table, text_col: str, id_col: str, terms: list[str]
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(dl per doc, tf matrix (docs x terms), doc ids) for one block."""
+    text = pc.fill_null(pc.cast(batch.column(text_col), pa.string()), "")
+    dl = pc.count_substring_regex(text, r"\S+").cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    toks_col = pc.split_pattern_regex(text, r"\s+")
+    if isinstance(toks_col, pa.ChunkedArray):
+        toks_col = toks_col.combine_chunks()
+    flat = pc.list_flatten(toks_col)
+    lens = pc.list_value_length(toks_col).to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    term_set = pa.array(sorted(set(terms)), type=pa.string())
+    hit = pc.is_in(flat, value_set=term_set)
+    hit_np = np.asarray(hit.to_numpy(zero_copy_only=False), dtype=bool)
+    sub_docs = doc_idx[hit_np]
+    sub_toks = np.asarray(flat.filter(hit).to_pylist())
+    n = batch.num_rows
+    tf = np.zeros((n, len(terms)), dtype=np.int64)
+    for j, t in enumerate(terms):
+        sel = sub_docs[sub_toks == t]
+        if len(sel):
+            tf[:, j] = np.bincount(sel, minlength=n)
+    return dl, tf, batch.column(id_col).to_numpy(zero_copy_only=False)
+
+
+def bm25_search(
+    ds: ray.data.Dataset,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> ray.data.Dataset:
+    """(id, score) for every document matching at least one query term.
+    Deterministic: per-document arithmetic only, fixed term order."""
+    terms = list(terms)
+    if not terms:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    terms_ref = ray.put(terms)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        tl = ray.get(terms_ref)
+        dl, tf, _ = _block_term_stats(batch, text_col, id_col, tl)
+        row = {
+            "n_docs": pa.array([batch.num_rows], type=pa.int64()),
+            "n_toks": pa.array([int(dl.sum())], type=pa.int64()),
+        }
+        for j in range(len(tl)):
+            row[f"df_{j}"] = pa.array([int((tf[:, j] > 0).sum())], type=pa.int64())
+        return pa.table(row)
+
+    stats_rows = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(stats_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    n_docs = sum(r["n_docs"] for r in stats_rows)
+    n_toks = sum(r["n_toks"] for r in stats_rows)
+    df = [sum(r[f"df_{j}"] for r in stats_rows) for j in range(len(terms))]
+    if n_docs == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    avgdl = n_toks / n_docs
+    idf = [math.log((n_docs - d + 0.5) / (d + 0.5) + 1.0) for d in df]
+    model_ref = ray.put({"idf": idf, "avgdl": avgdl, "terms": terms})
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = ray.get(model_ref)
+        dl, tf, ids = _block_term_stats(batch, text_col, id_col, m["terms"])
+        norm = k1 * (1.0 - b + b * (dl / m["avgdl"]))  # (docs,)
+        s = np.zeros(len(ids), dtype=np.float64)
+        for j, w in enumerate(m["idf"]):
+            tj = tf[:, j].astype(np.float64)
+            s += w * (tj * (k1 + 1.0)) / (tj + norm)
+        matched = tf.sum(axis=1) > 0
+        return pa.table(
+            {
+                id_col: pa.array(ids[matched], type=pa.int64()),
+                "score": pa.array(s[matched], type=pa.float64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )

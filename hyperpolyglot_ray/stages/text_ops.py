@@ -860,22 +860,30 @@ def vocab_stats(
         )
 
     def hashed_partial(batch: pa.Table) -> pa.Table:
-        p = partial(batch)
         return pa.table(
             {
                 "h": pa.array(
-                    _hash_string_array(p.column("token")).astype(np.int64),
+                    _hash_string_array(batch.column("token")).astype(np.int64),
                     type=pa.int64(),
                 ),
-                "n": p.column("n"),
-                "nd": p.column("nd"),
+                "n": batch.column("n"),
+                "nd": batch.column("nd"),
             }
         )
 
     from .shuffle import bucketed_group_reduce
 
+    # the tokenize+local-aggregate pass runs ONCE and materializes its
+    # (token, n, nd) partials (distinct-tokens-per-block rows, a few % of
+    # corpus bytes); both the hash-keyed reduce and the winner-string
+    # recovery below derive from it, so the corpus itself is scanned once
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
     agg = bucketed_group_reduce(
-        ds.map_batches(hashed_partial, batch_format="pyarrow", zero_copy_batch=True),
+        partials.map_batches(
+            hashed_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
         "h",
         [("n", "sum"), ("nd", "sum")],
     )
@@ -906,18 +914,18 @@ def vocab_stats(
     winner_set = pa.array(sorted(r["h"] for r in winners), type=pa.int64())
 
     def recover(batch: pa.Table) -> pa.Table:
-        p = partial(batch)
         h = pa.array(
-            _hash_string_array(p.column("token")).astype(np.int64), type=pa.int64()
+            _hash_string_array(batch.column("token")).astype(np.int64),
+            type=pa.int64(),
         )
         keep = pc.is_in(h, value_set=winner_set)
         return pa.table(
-            {"h": h.filter(keep), "token": p.column("token").filter(keep)}
+            {"h": h.filter(keep), "token": batch.column("token").filter(keep)}
         )
 
     h2tok: dict[int, str] = {}
     for b in (
-        ds.map_batches(recover, batch_format="pyarrow", zero_copy_batch=True)
+        partials.map_batches(recover, batch_format="pyarrow", zero_copy_batch=True)
         .iter_batches(batch_format="pyarrow")
     ):
         for h, tok in zip(b.column("h").to_pylist(), b.column("token").to_pylist()):

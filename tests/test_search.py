@@ -1,0 +1,72 @@
+"""Tests for BM25 search and per-source quota capping."""
+
+import math
+
+import numpy as np
+
+
+def _ds(items):
+    import ray.data
+
+    return ray.data.from_items(items)
+
+
+def test_bm25_matches_hand_computation(ray_session):
+    from hyperpolyglot_ray.stages.search import bm25_search
+
+    docs = [
+        {"doc_id": 0, "text": "apple banana apple"},
+        {"doc_id": 1, "text": "banana cherry"},
+        {"doc_id": 2, "text": "cherry cherry cherry durian"},
+        {"doc_id": 3, "text": ""},
+    ]
+    k1, b = 1.2, 0.75
+    out = {
+        r["doc_id"]: r["score"]
+        for r in bm25_search(_ds(docs), ["apple", "cherry"]).take_all()
+    }
+    assert set(out) == {0, 1, 2}  # doc 3 matches nothing
+    n_docs, n_toks = 4, 3 + 2 + 4 + 0
+    avgdl = n_toks / n_docs
+    df = {"apple": 1, "cherry": 2}
+    tf = {0: {"apple": 2, "cherry": 0}, 1: {"apple": 0, "cherry": 1}, 2: {"apple": 0, "cherry": 3}}
+    dl = {0: 3, 1: 2, 2: 4}
+    for did, sc in out.items():
+        expect = 0.0
+        for t in ["apple", "cherry"]:
+            idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            tj = tf[did][t]
+            norm = k1 * (1.0 - b + b * (dl[did] / avgdl))
+            expect += idf * (tj * (k1 + 1.0)) / (tj + norm)
+        assert abs(sc - expect) < 1e-12
+
+
+def test_bm25_block_layout_invariant(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.search import bm25_search
+
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    terms = ["table", "merge", "window"]
+    a = {r["doc_id"]: r["score"] for r in bm25_search(docs.repartition(1), terms).take_all()}
+    c = {r["doc_id"]: r["score"] for r in bm25_search(docs.repartition(9), terms).take_all()}
+    assert a == c  # bitwise: per-doc arithmetic is layout-independent
+    assert len(a) > 0
+
+
+def test_cap_per_group(ray_session):
+    from hyperpolyglot_ray.stages.curation import cap_per_group
+
+    rng = np.random.RandomState(2)
+    items = [
+        {"source": f"s{int(rng.randint(0, 7))}", "doc_id": i} for i in range(200)
+    ]
+    got = sorted(
+        (r["source"], r["doc_id"])
+        for r in cap_per_group(_ds(items).repartition(6), cap=5).take_all()
+    )
+    expect: dict[str, list[int]] = {}
+    for it in sorted(items, key=lambda x: x["doc_id"]):
+        expect.setdefault(it["source"], []).append(it["doc_id"])
+    want = sorted((s, i) for s, ids in expect.items() for i in ids[:5])
+    assert got == want
