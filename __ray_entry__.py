@@ -384,6 +384,25 @@ def _q_doc_decontaminate(sf_dir: str):
     return decontaminate(ds, bench)
 
 
+def _q_lineitem_orders_join(sf_dir: str):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.joins import hash_join
+
+    # generic large x large equi-join: both sides co-partition by key
+    # hash bucket, per-bucket vectorized Arrow join — neither side is
+    # broadcast, neither enters a high-cardinality sort
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity", "l_extendedprice"],
+    )
+    od = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    return hash_join(li, od, "l_orderkey", "o_orderkey")
+
+
 def _q_doc_source_cap(sf_dir: str):
     from hyperpolyglot_ray.stages.curation import cap_per_group
 
@@ -906,6 +925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_dedup": _q_doc_simhash_dedup,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_decontaminate": _q_doc_decontaminate,
+        "lineitem_orders_join": _q_lineitem_orders_join,
         "doc_source_cap": _q_doc_source_cap,
         "doc_bm25": _q_doc_bm25,
         "doc_corpus_ppl": _q_doc_corpus_ppl,
@@ -1067,6 +1087,11 @@ FROM documents""",
             " SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits"
             " FROM documents d JOIN bench b ON contains(d.text, b.s)"
             " GROUP BY d.doc_id"
+        ),
+        "lineitem_orders_join": (
+            "SELECT l.l_orderkey, l.l_quantity, l.l_extendedprice,"
+            " o.o_orderstatus, o.o_totalprice"
+            " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
         ),
         "doc_source_cap": (
             "SELECT source, doc_id FROM (SELECT source, doc_id,"

@@ -10,6 +10,15 @@ SURVEY.md §2.4); these are the engine-level primitives that pattern:
   primitive): ``groupby(key).map_groups`` with an in-group sort +
   ``searchsorted``; partitioning assumption: one key's rows fit in one
   group (salt or window the key first if a key is pathologically hot).
+* ``hash_join`` — generic large×large distributed equi-join for when
+  NEITHER side fits in memory: both sides co-partition by a coarse hash
+  bucket of the key (one union-tag shuffle; the bucket key has tiny
+  cardinality, so the exchange avoids the high-cardinality sort path —
+  see stages/shuffle.py) and each bucket joins with pyarrow's vectorized
+  ``Table.join``. A bucket must fit a worker: buckets ≈ uniform
+  1/n_buckets slices of both sides, so raise ``n_buckets`` with data
+  size; per-KEY skew inside a bucket only matters for the join's output
+  size, as in any hash join.
 """
 
 from __future__ import annotations
@@ -395,3 +404,82 @@ def interval_join(
 
     group_keys = [key_col] if chunk_us is None else [key_col, "_chunk"]
     return both.groupby(group_keys).map_groups(per_key, batch_format="pyarrow")
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_on: str,
+    right_on: str,
+    n_buckets: int = 64,
+    join_type: str = "inner",
+) -> ray.data.Dataset:
+    """Generic large×large distributed equi-join (see module docstring).
+
+    Output columns: all left columns + all right columns except
+    ``right_on`` (the key appears once, named ``left_on``). Column-name
+    collisions other than the key are rejected. ``join_type``:
+    ``inner`` or ``left outer`` (pyarrow join types).
+    """
+    from .shuffle import _column_hash
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_cols = list(l_schema.names)
+    r_cols = [c for c in r_schema.names if c != right_on]
+    clash = set(l_cols) & set(r_cols)
+    if clash:
+        raise ValueError(f"column collision between sides: {sorted(clash)}")
+
+    l_types = {c: l_schema.base_schema.field(c).type for c in l_cols}
+    r_types = {c: r_schema.base_schema.field(c).type for c in r_cols}
+
+    def tag(side: int, key_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            h = _column_hash(batch.column(key_col))
+            cols: dict = {
+                "__bucket": pa.array(
+                    (h % np.uint64(n_buckets)).astype(np.int64), type=pa.int64()
+                ),
+                "__side": pa.array(
+                    np.full(batch.num_rows, side, dtype=np.int8)
+                ),
+            }
+            for c in l_cols:
+                cols[c] = (
+                    batch.column(c)
+                    if side == 0
+                    else (
+                        batch.column(right_on).cast(l_types[left_on])
+                        if c == left_on
+                        else pa.nulls(batch.num_rows, l_types[c])
+                    )
+                )
+            for c in r_cols:
+                cols[c] = (
+                    batch.column(c) if side == 1 else pa.nulls(batch.num_rows, r_types[c])
+                )
+            return pa.table(cols)
+
+        return fn
+
+    tagged = left.map_batches(
+        tag(0, left_on), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.map_batches(tag(1, right_on), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        lt = group.filter(pa.array(side == 0)).select(l_cols)
+        rt = group.filter(pa.array(side == 1)).select([left_on] + r_cols)
+        joined = lt.join(
+            rt, keys=[left_on], join_type=join_type, coalesce_keys=True
+        )
+        # pyarrow may reorder; emit a stable column order
+        return joined.select(l_cols + r_cols)
+
+    return (
+        tagged.groupby("__bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+    )

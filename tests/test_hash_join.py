@@ -1,0 +1,67 @@
+"""Tests for the generic large-by-large distributed hash join."""
+
+import numpy as np
+import pytest
+
+
+def _ds(items):
+    import ray.data
+
+    return ray.data.from_items(items)
+
+
+def test_hash_join_inner_matches_brute_force(ray_session):
+    from hyperpolyglot_ray.stages.joins import hash_join
+
+    rng = np.random.RandomState(9)
+    left = [
+        {"k": int(rng.randint(0, 40)), "lv": i} for i in range(300)
+    ]
+    right = [
+        {"rk": int(rng.randint(0, 50)), "rv": 1000 + i} for i in range(120)
+    ]
+    out = hash_join(
+        _ds(left).repartition(5), _ds(right).repartition(3), "k", "rk", n_buckets=8
+    ).take_all()
+    got = sorted((r["k"], r["lv"], r["rv"]) for r in out)
+    expect = sorted(
+        (l["k"], l["lv"], r["rv"])
+        for l in left
+        for r in right
+        if l["k"] == r["rk"]
+    )
+    assert got == expect
+
+
+def test_hash_join_left_outer_keeps_unmatched(ray_session):
+    from hyperpolyglot_ray.stages.joins import hash_join
+
+    left = [{"k": 1, "lv": 10}, {"k": 2, "lv": 20}, {"k": 3, "lv": 30}]
+    right = [{"rk": 2, "rv": 200}]
+    out = hash_join(_ds(left), _ds(right), "k", "rk", join_type="left outer").take_all()
+    got = sorted((r["k"], r["lv"], r["rv"]) for r in out)
+    assert got == [(1, 10, None), (2, 20, 200), (3, 30, None)]
+
+
+def test_hash_join_rejects_column_collision(ray_session):
+    from hyperpolyglot_ray.stages.joins import hash_join
+
+    left = _ds([{"k": 1, "v": 1}])
+    right = _ds([{"rk": 1, "v": 2}])
+    with pytest.raises(ValueError):
+        hash_join(left, right, "k", "rk")
+
+
+def test_hash_join_hot_key(ray_session):
+    """One key holding half of both sides must still join correctly (its
+    output lands in one bucket — bounded by output size, like any hash
+    join)."""
+    from hyperpolyglot_ray.stages.joins import hash_join
+
+    left = [{"k": 7 if i % 2 == 0 else i, "lv": i} for i in range(100)]
+    right = [{"rk": 7 if i % 3 == 0 else i, "rv": i} for i in range(60)]
+    out = hash_join(_ds(left).repartition(4), _ds(right).repartition(4), "k", "rk").take_all()
+    expect = sorted(
+        (l["k"], l["lv"], r["rv"]) for l in left for r in right if l["k"] == r["rk"]
+    )
+    assert sorted((r["k"], r["lv"], r["rv"]) for r in out) == expect
