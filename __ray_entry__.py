@@ -384,6 +384,19 @@ def _q_doc_decontaminate(sf_dir: str):
     return decontaminate(ds, bench)
 
 
+def _q_events_profile(sf_dir: str):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.profile import profile_columns
+
+    # one-pass per-column profiling (null rates, HLL distinct, min/max/
+    # sum, length stats) — the first query anyone runs on a new corpus
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "props"]
+    )
+    return profile_columns(ds, ["user_id", "event_type", "props"])
+
+
 def _q_lineitem_orders_join(sf_dir: str):
     import ray.data
 
@@ -925,6 +938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_dedup": _q_doc_simhash_dedup,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_decontaminate": _q_doc_decontaminate,
+        "events_profile": _q_events_profile,
         "lineitem_orders_join": _q_lineitem_orders_join,
         "doc_source_cap": _q_doc_source_cap,
         "doc_bm25": _q_doc_bm25,
@@ -1087,6 +1101,9 @@ FROM documents""",
             " SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits"
             " FROM documents d JOIN bench b ON contains(d.text, b.s)"
             " GROUP BY d.doc_id"
+        ),
+        "events_profile": (
+            f"SELECT * FROM read_parquet('{side}/events_profile.parquet')"
         ),
         "lineitem_orders_join": (
             "SELECT l.l_orderkey, l.l_quantity, l.l_extendedprice,"

@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r3g"
+ORACLE_VERSION = "r3h"
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -428,6 +428,78 @@ def _components_keep(doc_ids, edges) -> pa.Table:
             parent[hi] = lo
     kept = [int(i) for i in doc_ids if find(int(i)) == int(i)]
     return pa.table({"doc_id": pa.array(kept, type=pa.int64())})
+
+
+def _expected_profile(tbl: pa.Table, cols: list[str]) -> pa.Table:
+    """Sequential column profiling (spec: stages/profile.py): plain-Python
+    loops for counts/min/max/sum/lengths; HLL registers via the scalar
+    hash spec (ints: two's-complement + splitmix; strings: byte
+    polynomial, i.e. ``_tok_hash_s``) and the exact-integer estimate."""
+    import math
+
+    p, m = 12, 1 << 12
+    out = {k: [] for k in (
+        "column", "n_rows", "n_nulls", "n_distinct_hll", "min_val",
+        "max_val", "sum_val", "min_len", "max_len", "sum_len",
+    )}
+    for c in cols:
+        vals = tbl.column(c).to_pylist()
+        typ = tbl.schema.field(c).type
+        non_null = [v for v in vals if v is not None]
+        is_num = pa.types.is_integer(typ) or pa.types.is_floating(typ)
+        is_str = pa.types.is_string(typ) or pa.types.is_large_string(typ)
+        regs: dict[int, int] = {}
+        for v in non_null:
+            if is_num:
+                h = _mix64_s(int(v) & _MASK64)
+            else:
+                h = _tok_hash_s(v)
+            idx = h >> (64 - p)
+            w = (h << p) & _MASK64
+            rho = (64 - p + 1) if w == 0 else (64 - w.bit_length()) + 1
+            if rho > regs.get(idx, 0):
+                regs[idx] = rho
+        s_int = ((m - len(regs)) << 64) + sum(1 << (64 - r) for r in regs.values())
+        v_zero = m - len(regs)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = (alpha * m * m * 2.0**64) / float(s_int)
+        if est <= 2.5 * m and v_zero > 0:
+            est = m * math.log(m / v_zero)
+        out["column"].append(c)
+        out["n_rows"].append(len(vals))
+        out["n_nulls"].append(len(vals) - len(non_null))
+        out["n_distinct_hll"].append(int(est + 0.5))
+        if is_num and non_null:
+            out["min_val"].append(float(min(non_null)))
+            out["max_val"].append(float(max(non_null)))
+            out["sum_val"].append(float(sum(non_null)))
+        else:
+            out["min_val"].append(None)
+            out["max_val"].append(None)
+            out["sum_val"].append(None)
+        if is_str and non_null:
+            lens = [len(s) for s in non_null]
+            out["min_len"].append(min(lens))
+            out["max_len"].append(max(lens))
+            out["sum_len"].append(sum(lens))
+        else:
+            out["min_len"].append(None)
+            out["max_len"].append(None)
+            out["sum_len"].append(None)
+    return pa.table(
+        {
+            "column": pa.array(out["column"], type=pa.string()),
+            "n_rows": pa.array(out["n_rows"], type=pa.int64()),
+            "n_nulls": pa.array(out["n_nulls"], type=pa.int64()),
+            "n_distinct_hll": pa.array(out["n_distinct_hll"], type=pa.int64()),
+            "min_val": pa.array(out["min_val"], type=pa.float64()),
+            "max_val": pa.array(out["max_val"], type=pa.float64()),
+            "sum_val": pa.array(out["sum_val"], type=pa.float64()),
+            "min_len": pa.array(out["min_len"], type=pa.int64()),
+            "max_len": pa.array(out["max_len"], type=pa.int64()),
+            "sum_len": pa.array(out["sum_len"], type=pa.int64()),
+        }
+    )
 
 
 def _expected_corpus_ppl(texts, doc_ids, min_count: int = 2) -> pa.Table:
@@ -846,6 +918,14 @@ def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
     )
     pq.write_table(_expected_corpus_ppl(texts, doc_ids), out / "doc_corpus_ppl.parquet")
     pq.write_table(_expected_simhash_dedup(texts, doc_ids), out / "doc_simhash_dedup.parquet")
+
+    evp = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "props"]
+    )
+    pq.write_table(
+        _expected_profile(evp, ["user_id", "event_type", "props"]),
+        out / "events_profile.parquet",
+    )
 
     ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
     pq.write_table(

@@ -1,0 +1,219 @@
+"""Dataset profiling: per-column statistics in one pass.
+
+The standard first step on any new 100 TB drop: null rates, distinct
+estimates, numeric min/max/sum, string length stats — one column-pruned
+scan, per-block fixed-width partials, driver merge of #blocks rows. No
+shuffle. Distinct counts reuse the deterministic HyperLogLog spec of
+``stages/aggregates.py`` (``_hll_hash_u64`` + exact-integer register
+estimate; sequential reference ``doc_oracle._expected_hll_distinct``),
+so the estimate is bit-identical at any block layout; float columns hash
+through their IEEE-754 bit pattern via the integer path.
+
+Output: one row per profiled column —
+``(column, n_rows, n_nulls, n_distinct_hll, min_val, max_val, sum_val,
+min_len, max_len, sum_len)`` with the numeric trio null for string
+columns and the length trio null for numeric columns. min/max are exact;
+numeric sums are exact for integers (int64 accumulation) and
+block-order-stable for floats (summed per block ascending by column,
+then in driver arrival order — documented, not bit-pinned; the oracled
+query profiles exact-summable columns).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from .aggregates import _clz64, _hll_hash_u64
+
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P
+_MAX_RHO = 64 - _HLL_P + 1
+
+
+def _col_hashes(col: pa.ChunkedArray | pa.Array, t: pa.DataType) -> np.ndarray:
+    if pa.types.is_floating(t):
+        v = pc.fill_null(col.cast(pa.float64()), 0.0).to_numpy(zero_copy_only=False)
+        bits = np.frombuffer(v.astype(np.float64).tobytes(), dtype=np.int64)
+        return _hll_hash_u64(pa.array(bits, type=pa.int64()))
+    return _hll_hash_u64(col)
+
+
+def _hll_regs(hashes: np.ndarray) -> np.ndarray:
+    regs = np.zeros(_HLL_M, dtype=np.uint8)
+    if len(hashes) == 0:
+        return regs
+    idx = (hashes >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    w = hashes << np.uint64(_HLL_P)
+    rho = np.where(w == np.uint64(0), _MAX_RHO, _clz64(w).astype(np.int64) + 1)
+    np.maximum.at(regs, idx, rho.astype(np.uint8))
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> int:
+    """Exact-integer register sum -> one float division (the
+    stages/aggregates.py estimate spec, register-array form)."""
+    m = _HLL_M
+    nz = regs[regs > 0].astype(np.int64)
+    s_int = ((m - len(nz)) << 64) + int(
+        sum(1 << (64 - int(r)) for r in nz)
+    )
+    v_zero = m - len(nz)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = (alpha * m * m * 2.0**64) / float(s_int)
+    if est <= 2.5 * m and v_zero > 0:
+        est = m * math.log(m / v_zero)
+    return int(est + 0.5)
+
+
+def profile_columns(
+    ds: ray.data.Dataset, columns: list[str] | None = None
+) -> ray.data.Dataset:
+    """Profile ``columns`` (default: every column) in one pass."""
+    schema = ds.schema()
+    cols = columns if columns is not None else list(schema.names)
+    types = {c: schema.base_schema.field(c).type for c in cols}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows: dict[str, list] = {
+            k: []
+            for k in (
+                "column",
+                "n_rows",
+                "n_nulls",
+                "regs",
+                "min_val",
+                "max_val",
+                "sum_val",
+                "min_len",
+                "max_len",
+                "sum_len",
+            )
+        }
+        for c in cols:
+            col = batch.column(c)
+            t = types[c]
+            valid = col.drop_null().combine_chunks() if isinstance(
+                col, pa.ChunkedArray
+            ) else col.drop_null()
+            mn = mx = sm = None
+            mnl = mxl = sml = None
+            h = np.zeros(0, dtype=np.uint64)
+            if pa.types.is_integer(t) or pa.types.is_floating(t):
+                if len(valid):
+                    v = valid.to_numpy(zero_copy_only=False)
+                    if pa.types.is_integer(t):
+                        mn, mx, sm = float(v.min()), float(v.max()), float(int(v.sum()))
+                    else:
+                        mn, mx, sm = float(v.min()), float(v.max()), float(v.sum())
+                h = _col_hashes(valid, t)
+            elif pa.types.is_string(t) or pa.types.is_large_string(t):
+                if len(valid):
+                    lens = pc.utf8_length(valid).to_numpy(zero_copy_only=False)
+                    mnl, mxl, sml = int(lens.min()), int(lens.max()), int(lens.sum())
+                h = _col_hashes(valid, t)
+            rows["column"].append(c)
+            rows["n_rows"].append(len(col))
+            rows["n_nulls"].append(col.null_count)
+            rows["regs"].append(_hll_regs(h).tobytes())
+            rows["min_val"].append(mn)
+            rows["max_val"].append(mx)
+            rows["sum_val"].append(sm)
+            rows["min_len"].append(mnl)
+            rows["max_len"].append(mxl)
+            rows["sum_len"].append(sml)
+        return pa.table(
+            {
+                "column": pa.array(rows["column"], type=pa.string()),
+                "n_rows": pa.array(rows["n_rows"], type=pa.int64()),
+                "n_nulls": pa.array(rows["n_nulls"], type=pa.int64()),
+                "regs": pa.array(rows["regs"], type=pa.binary()),
+                "min_val": pa.array(rows["min_val"], type=pa.float64()),
+                "max_val": pa.array(rows["max_val"], type=pa.float64()),
+                "sum_val": pa.array(rows["sum_val"], type=pa.float64()),
+                "min_len": pa.array(rows["min_len"], type=pa.int64()),
+                "max_len": pa.array(rows["max_len"], type=pa.int64()),
+                "sum_len": pa.array(rows["sum_len"], type=pa.int64()),
+            }
+        )
+
+    acc: dict[str, dict] = {}
+    for b in (
+        ds.select_columns(cols)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for i in range(b.num_rows):
+            c = b.column("column")[i].as_py()
+            a = acc.setdefault(
+                c,
+                {
+                    "n_rows": 0,
+                    "n_nulls": 0,
+                    "regs": np.zeros(_HLL_M, dtype=np.uint8),
+                    "min_val": None,
+                    "max_val": None,
+                    "sum_val": None,
+                    "min_len": None,
+                    "max_len": None,
+                    "sum_len": None,
+                },
+            )
+            a["n_rows"] += b.column("n_rows")[i].as_py()
+            a["n_nulls"] += b.column("n_nulls")[i].as_py()
+            a["regs"] = np.maximum(
+                a["regs"], np.frombuffer(b.column("regs")[i].as_py(), dtype=np.uint8)
+            )
+            for k, red in (
+                ("min_val", min),
+                ("max_val", max),
+                ("min_len", min),
+                ("max_len", max),
+            ):
+                v = b.column(k)[i].as_py()
+                if v is not None:
+                    a[k] = v if a[k] is None else red(a[k], v)
+            for k in ("sum_val", "sum_len"):
+                v = b.column(k)[i].as_py()
+                if v is not None:
+                    a[k] = v if a[k] is None else a[k] + v
+    out = {
+        "column": [],
+        "n_rows": [],
+        "n_nulls": [],
+        "n_distinct_hll": [],
+        "min_val": [],
+        "max_val": [],
+        "sum_val": [],
+        "min_len": [],
+        "max_len": [],
+        "sum_len": [],
+    }
+    for c in cols:
+        a = acc.get(c)
+        out["column"].append(c)
+        out["n_rows"].append(a["n_rows"] if a else 0)
+        out["n_nulls"].append(a["n_nulls"] if a else 0)
+        out["n_distinct_hll"].append(_hll_estimate(a["regs"]) if a else 0)
+        for k in ("min_val", "max_val", "sum_val", "min_len", "max_len", "sum_len"):
+            out[k].append(a[k] if a else None)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "column": pa.array(out["column"], type=pa.string()),
+                "n_rows": pa.array(out["n_rows"], type=pa.int64()),
+                "n_nulls": pa.array(out["n_nulls"], type=pa.int64()),
+                "n_distinct_hll": pa.array(out["n_distinct_hll"], type=pa.int64()),
+                "min_val": pa.array(out["min_val"], type=pa.float64()),
+                "max_val": pa.array(out["max_val"], type=pa.float64()),
+                "sum_val": pa.array(out["sum_val"], type=pa.float64()),
+                "min_len": pa.array(out["min_len"], type=pa.int64()),
+                "max_len": pa.array(out["max_len"], type=pa.int64()),
+                "sum_len": pa.array(out["sum_len"], type=pa.int64()),
+            }
+        )
+    )

@@ -1,0 +1,50 @@
+"""Tests for one-pass column profiling."""
+
+import numpy as np
+
+
+def test_profile_basic_stats(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.profile import profile_columns
+
+    items = [
+        {"k": 1, "s": "ab", "f": 1.5},
+        {"k": 5, "s": None, "f": -2.0},
+        {"k": None, "s": "xyz", "f": 0.25},
+        {"k": 5, "s": "ab", "f": None},
+    ]
+    ds = ray.data.from_items(items).repartition(3)
+    rows = {r["column"]: r for r in profile_columns(ds).take_all()}
+    k = rows["k"]
+    assert (k["n_rows"], k["n_nulls"]) == (4, 1)
+    assert (k["min_val"], k["max_val"], k["sum_val"]) == (1.0, 5.0, 11.0)
+    assert k["n_distinct_hll"] == 2
+    assert k["min_len"] is None
+    s = rows["s"]
+    assert (s["n_rows"], s["n_nulls"]) == (4, 1)
+    assert (s["min_len"], s["max_len"], s["sum_len"]) == (2, 3, 7)
+    assert s["n_distinct_hll"] == 2
+    assert s["min_val"] is None
+    f = rows["f"]
+    assert (f["min_val"], f["max_val"], f["sum_val"]) == (-2.0, 1.5, -0.25)
+    assert f["n_distinct_hll"] == 3
+
+
+def test_profile_layout_invariant_and_accurate(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.profile import profile_columns
+
+    rng = np.random.RandomState(4)
+    items = [
+        {"v": int(rng.randint(0, 3000)), "s": f"u{int(rng.randint(0, 800))}"}
+        for _ in range(20000)
+    ]
+    ds = ray.data.from_items(items)
+    a = sorted(profile_columns(ds.repartition(1)).take_all(), key=lambda r: r["column"])
+    c = sorted(profile_columns(ds.repartition(11)).take_all(), key=lambda r: r["column"])
+    assert a == c  # bitwise layout invariance (register max-merge + int sums)
+    true_v = len({it["v"] for it in items})
+    est_v = next(r for r in a if r["column"] == "v")["n_distinct_hll"]
+    assert abs(est_v - true_v) / true_v < 0.05
