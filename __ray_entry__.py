@@ -429,6 +429,14 @@ def _q_doc_bm25(sf_dir: str):
     return bm25_search(_docs(sf_dir), ["table", "merge", "window"])
 
 
+def _q_doc_keywords(sf_dir: str):
+    from hyperpolyglot_ray.stages.search import doc_keywords
+
+    # per-doc tf-idf keyword extraction; df pass shuffles (hash64, df)
+    # fixed-width rows only, df map broadcast once
+    return doc_keywords(_docs(sf_dir), top_j=5)
+
+
 def _q_doc_corpus_ppl(sf_dir: str):
     from hyperpolyglot_ray.stages.corpus_lm import (
         perplexity_score,
@@ -942,6 +950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_orders_join": _q_lineitem_orders_join,
         "doc_source_cap": _q_doc_source_cap,
         "doc_bm25": _q_doc_bm25,
+        "doc_keywords": _q_doc_keywords,
         "doc_corpus_ppl": _q_doc_corpus_ppl,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
         "doc_sample_mix": _q_doc_sample_mix,
@@ -1133,6 +1142,17 @@ SELECT t.doc_id,
 + ln((s.n_docs - d.df2 + 0.5) / (d.df2 + 0.5) + 1) * (t.tf2 * (1.2 + 1)) / (t.tf2 + 1.2 * (1 - 0.75 + 0.75 * (t.dl / (CAST(s.n_toks AS DOUBLE) / s.n_docs))))
   AS score
 FROM tf t, stats s, df d WHERE t.tf0 + t.tf1 + t.tf2 > 0""",
+        "doc_keywords": r"""
+WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (SELECT tf.doc_id, tf.token, tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+           FROM tf, df, n WHERE tf.token = df.token),
+ranked AS (SELECT doc_id, token, score,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+           FROM scored)
+SELECT doc_id, token AS keyword, score, rank FROM ranked WHERE rank <= 5""",
         "doc_corpus_ppl": (
             f"SELECT doc_id, nll_q, n_terms FROM read_parquet('{side}/doc_corpus_ppl.parquet')"
         ),

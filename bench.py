@@ -252,6 +252,72 @@ def run_bench(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
         ).count()
         queries["files_vocab"] = round(time.time() - t0, 3)
 
+        # late-round r3 operator family, one representative timing each
+        docs2 = f"{sf_dir}/documents.parquet"
+        if Path(docs2).exists():
+            from hyperpolyglot_ray.stages.corpus_lm import (
+                perplexity_score,
+                train_bigram_lm,
+            )
+            from hyperpolyglot_ray.stages.incremental import (
+                derive_incremental_shard,
+                incremental_dedup_keep_ids,
+            )
+            from hyperpolyglot_ray.stages.search import bm25_search
+            from hyperpolyglot_ray.stages.text_ops import minhash_clusters
+
+            t0 = time.time()
+            ref = ray.data.read_parquet(docs2, columns=["doc_id", "text"])
+            incremental_dedup_keep_ids(derive_incremental_shard(ref), ref).count()
+            queries["doc_incremental_dedup"] = round(time.time() - t0, 3)
+
+            t0 = time.time()
+            dref = ray.data.read_parquet(docs2, columns=["doc_id", "text"])
+            bm25_search(dref, ["table", "merge", "window"]).count()
+            queries["doc_bm25"] = round(time.time() - t0, 3)
+
+            t0 = time.time()
+            dref = ray.data.read_parquet(docs2, columns=["doc_id", "text"])
+            model = train_bigram_lm(dref)
+            perplexity_score(dref, model).count()
+            queries["doc_corpus_ppl"] = round(time.time() - t0, 3)
+
+            t0 = time.time()
+            minhash_clusters(
+                ray.data.read_parquet(docs2, columns=["doc_id", "text"])
+            ).count()
+            queries["doc_minhash_clusters"] = round(time.time() - t0, 3)
+
+        evt2 = f"{sf_dir}/events.parquet"
+        if Path(evt2).exists():
+            from hyperpolyglot_ray.stages.profile import profile_columns
+
+            t0 = time.time()
+            profile_columns(
+                ray.data.read_parquet(
+                    evt2, columns=["user_id", "event_type", "props"]
+                ),
+                ["user_id", "event_type", "props"],
+            ).count()
+            queries["events_profile"] = round(time.time() - t0, 3)
+
+        li2, od2 = f"{sf_dir}/lineitem.parquet", f"{sf_dir}/orders.parquet"
+        if Path(li2).exists() and Path(od2).exists():
+            from hyperpolyglot_ray.stages.joins import hash_join
+
+            t0 = time.time()
+            hash_join(
+                ray.data.read_parquet(
+                    li2, columns=["l_orderkey", "l_quantity", "l_extendedprice"]
+                ),
+                ray.data.read_parquet(
+                    od2, columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
+                ),
+                "l_orderkey",
+                "o_orderkey",
+            ).count()
+            queries["lineitem_orders_join"] = round(time.time() - t0, 3)
+
     result = {
         "metric": "files/sec end-to-end filter+scrub throughput (flagship)",
         "value": round(t_flag, 3),

@@ -135,3 +135,119 @@ def bm25_search(
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def doc_keywords(
+    ds: ray.data.Dataset,
+    top_j: int = 5,
+    min_df: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-document tf-idf keyword extraction: the ``top_j`` whitespace
+    tokens per document by ``tf · ln(N/df)``, ties broken by token
+    ascending. Output: ``(id, keyword, score, rank)``.
+
+    Topology: one hashed df pass (the ``vocab_stats`` shape — fixed-width
+    ``(hash64, df)`` rows through the bucketed reduce, token strings never
+    shuffled), the df map broadcast once via ``ray.put`` (``min_df``
+    prunes the broadcast at web scale: absent hashes score with
+    ``df = min_df``, the most-idf-favorable value — exact when
+    ``min_df=1``), then one map-only scoring pass: per-doc token counts
+    via ``np.unique``, df lookup via ``searchsorted``, top-j selection by
+    ``(-score, token)``.
+    """
+    from .shuffle import bucketed_group_reduce
+    from .text_ops import _token_hashes
+
+    n_docs = ds.count()
+    if not n_docs:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "keyword": pa.array([], type=pa.string()),
+                    "score": pa.array([], type=pa.float64()),
+                    "rank": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        hs: list[np.ndarray] = []
+        for t in batch.column(text_col).to_pylist():
+            th = _token_hashes(t or "")
+            if len(th):
+                hs.append(np.unique(th))
+        allh = np.concatenate(hs) if hs else np.zeros(0, dtype=np.uint64)
+        uh, cnt = np.unique(allh, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(uh.astype(np.int64), type=pa.int64()),
+                "nd": pa.array(cnt, type=pa.int64()),
+            }
+        )
+
+    part = ds.select_columns([id_col, text_col]).map_batches(
+        df_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = bucketed_group_reduce(part, "h", [("nd", "sum")])
+    if min_df > 1:
+        agg = agg.map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("sum(nd)"), min_df)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    df_h: list[np.ndarray] = []
+    df_v: list[np.ndarray] = []
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        df_h.append(b.column("h").to_numpy(zero_copy_only=False))
+        df_v.append(b.column("sum(nd)").to_numpy(zero_copy_only=False))
+    hkeys = np.concatenate(df_h) if df_h else np.zeros(0, dtype=np.int64)
+    vals = np.concatenate(df_v) if df_v else np.zeros(0, dtype=np.int64)
+    order = np.argsort(hkeys, kind="stable")
+    df_ref = ray.put((hkeys[order], vals[order], n_docs))
+
+    def score(batch: pa.Table) -> pa.Table:
+        hk, dv, nd_total = ray.get(df_ref)
+        out_id, out_tok, out_score, out_rank = [], [], [], []
+        for did, t in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            toks = (t or "").split()
+            if not toks:
+                continue
+            arr = np.asarray(toks)
+            th = _token_hashes(t or "").astype(np.int64)
+            # unique tokens with counts (tf), keyed by the token STRING so
+            # tie-breaks are lexicographic like the SQL oracle
+            uniq, inv_first, tf = np.unique(arr, return_index=True, return_counts=True)
+            uh = th[inv_first]
+            pos = np.searchsorted(hk, uh)
+            pos_c = np.minimum(pos, max(len(hk) - 1, 0))
+            hit = (hk[pos_c] == uh) if len(hk) else np.zeros(len(uh), dtype=bool)
+            df = np.where(hit, dv[pos_c] if len(hk) else min_df, min_df)
+            import math
+
+            idf = np.asarray(
+                [math.log(nd_total / int(d)) for d in df], dtype=np.float64
+            )
+            sc = tf.astype(np.float64) * idf
+            take = np.lexsort((uniq, -sc))[:top_j]
+            for r, ix in enumerate(take, start=1):
+                out_id.append(did)
+                out_tok.append(str(uniq[ix]))
+                out_score.append(float(sc[ix]))
+                out_rank.append(r)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, type=pa.int64()),
+                "keyword": pa.array(out_tok, type=pa.string()),
+                "score": pa.array(out_score, type=pa.float64()),
+                "rank": pa.array(out_rank, type=pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -70,3 +70,40 @@ def test_cap_per_group(ray_session):
         expect.setdefault(it["source"], []).append(it["doc_id"])
     want = sorted((s, i) for s, ids in expect.items() for i in ids[:5])
     assert got == want
+
+
+def test_doc_keywords_tiny_corpus(ray_session):
+    from hyperpolyglot_ray.stages.search import doc_keywords
+
+    docs = [
+        {"doc_id": 0, "text": "apple apple banana common"},
+        {"doc_id": 1, "text": "banana cherry common"},
+        {"doc_id": 2, "text": "common"},
+    ]
+    out = {}
+    for r in doc_keywords(_ds(docs), top_j=2).take_all():
+        out.setdefault(r["doc_id"], []).append((r["rank"], r["keyword"]))
+    for v in out.values():
+        v.sort()
+    # 'common' appears in every doc -> idf 0 -> ranked last; distinctive
+    # tokens win
+    assert out[0] == [(1, "apple"), (2, "banana")]
+    assert out[1] == [(1, "cherry"), (2, "banana")]
+    assert out[2] == [(1, "common")]
+
+
+def test_doc_keywords_layout_invariant(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.search import doc_keywords
+
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(
+        (r["doc_id"], r["rank"], r["keyword"], r["score"])
+        for r in doc_keywords(docs.repartition(1)).take_all()
+    )
+    c = sorted(
+        (r["doc_id"], r["rank"], r["keyword"], r["score"])
+        for r in doc_keywords(docs.repartition(9)).take_all()
+    )
+    assert a == c and len(a) > 0
