@@ -429,6 +429,19 @@ def _q_doc_bm25(sf_dir: str):
     return bm25_search(_docs(sf_dir), ["table", "merge", "window"])
 
 
+def _q_shard_ingest(sf_dir: str):
+    from hyperpolyglot_ray.pipelines.ingest import ingest_shard
+    from hyperpolyglot_ray.stages.incremental import derive_incremental_shard
+
+    # the composed continuous-ingest pipeline: derived crawl shard ->
+    # incremental dedup vs the existing corpus -> token-count gate ->
+    # fixed-length sequence packing
+    ref = _docs(sf_dir)
+    return ingest_shard(
+        derive_incremental_shard(ref), ref, min_tokens=30, seq_len=512, bucket_size=64
+    )
+
+
 def _q_doc_keywords(sf_dir: str):
     from hyperpolyglot_ray.stages.search import doc_keywords
 
@@ -951,6 +964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_cap": _q_doc_source_cap,
         "doc_bm25": _q_doc_bm25,
         "doc_keywords": _q_doc_keywords,
+        "shard_ingest": _q_shard_ingest,
         "doc_corpus_ppl": _q_doc_corpus_ppl,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
         "doc_sample_mix": _q_doc_sample_mix,
@@ -1142,6 +1156,29 @@ SELECT t.doc_id,
 + ln((s.n_docs - d.df2 + 0.5) / (d.df2 + 0.5) + 1) * (t.tf2 * (1.2 + 1)) / (t.tf2 + 1.2 * (1 - 0.75 + 0.75 * (t.dl / (CAST(s.n_toks AS DOUBLE) / s.n_docs))))
   AS score
 FROM tf t, stats s, df d WHERE t.tf0 + t.tf1 + t.tf2 > 0""",
+        # composed ingest: derived shard -> NOT IN dedup -> >=30-token
+        # gate -> the doc_pack_texts packing SQL over the survivors
+        "shard_ingest": (
+            r"WITH newdocs AS (SELECT doc_id + 1000000 AS doc_id,"
+            r" CASE WHEN doc_id % 7 = 0 THEN text"
+            r" ELSE text || ' x' || CAST(doc_id AS VARCHAR) END AS text"
+            r" FROM documents),"
+            r" kept AS (SELECT doc_id, text FROM newdocs"
+            r" WHERE text NOT IN (SELECT text FROM documents)"
+            r" AND len(regexp_extract_all(text, '\S+')) >= 30),"
+            r" n AS (SELECT doc_id, regexp_extract_all(text, '\S+')"
+            r" AS toks FROM kept),"
+            r" c AS (SELECT doc_id, toks, COALESCE(SUM(len(toks)) OVER"
+            r" (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            r" 1 PRECEDING), 0) AS cum FROM n),"
+            r" tok AS (SELECT doc_id, cum + i - 1 AS g, toks[i] AS token"
+            r" FROM c, LATERAL (SELECT unnest(generate_series(1, len(toks)))"
+            r" AS i) q)"
+            r" SELECT CAST(g // 512 AS BIGINT) AS seq_id,"
+            r" CAST(count(*) AS BIGINT) AS n_tokens,"
+            r" string_agg(token, ' ' ORDER BY g) AS text"
+            r" FROM tok GROUP BY seq_id"
+        ),
         "doc_keywords": r"""
 WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token FROM documents),
 tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),

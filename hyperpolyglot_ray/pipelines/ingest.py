@@ -1,0 +1,53 @@
+"""Composed shard-ingest pipeline: the continuous-ingestion story.
+
+A production training-data corpus grows shard by shard: each new crawl
+drop must be (1) deduplicated against the already-curated corpus,
+(2) quality-gated, and (3) re-keyed into fixed-length training
+sequences. This module chains the engine's primitives into that
+pipeline — each stage is the scale topology documented at its source:
+
+1. ``incremental_dedup_filter`` (stages/incremental.py) — Bloom
+   prefilter + exact verify; the reference corpus is scanned (hash-only)
+   but never shuffled.
+2. token-count gate — map-only vectorized RE2 count.
+3. ``pack_texts`` (stages/curation.py) — two-level distributed offset
+   scan; payload crosses exactly the two re-keying shuffles.
+
+Output: ``(seq_id, n_tokens, text)`` fixed-length training sequences
+over the surviving documents in ``doc_id`` order.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..stages.curation import pack_texts
+from ..stages.incremental import incremental_dedup_filter
+
+
+def ingest_shard(
+    new_ds: ray.data.Dataset,
+    ref_ds: ray.data.Dataset,
+    *,
+    min_tokens: int = 30,
+    seq_len: int = 512,
+    bucket_size: int = 1 << 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    survivors = incremental_dedup_filter(
+        new_ds, ref_ds, text_col=text_col, id_col=id_col
+    )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            pc.fill_null(pc.cast(batch.column(text_col), pa.string()), ""), r"\S+"
+        )
+        return batch.filter(pc.greater_equal(n, min_tokens))
+
+    gated = survivors.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+    return pack_texts(
+        gated, id_col=id_col, text_col=text_col, seq_len=seq_len, bucket_size=bucket_size
+    )

@@ -152,7 +152,33 @@ def incremental_dedup_keep_ids(
         return _incremental_dedup_partition(new_ds, ref_ds, text_col, id_col)
     if method != "bloom":
         raise ValueError(f"unknown method {method!r}")
+    return _bloom_dedup(new_ds, ref_ds, text_col, id_col, bits_per_key, [id_col])
 
+
+def incremental_dedup_filter(
+    new_ds: ray.data.Dataset,
+    ref_ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    bits_per_key: int = 16,
+) -> ray.data.Dataset:
+    """The surviving new-shard ROWS (``id_col`` + ``text_col``) — same
+    bloom + exact-verify topology as :func:`incremental_dedup_keep_ids`,
+    for composing into ingest pipelines without a second id join."""
+    return _bloom_dedup(
+        new_ds, ref_ds, text_col, id_col, bits_per_key, [id_col, text_col]
+    )
+
+
+def _bloom_dedup(
+    new_ds: ray.data.Dataset,
+    ref_ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    bits_per_key: int,
+    out_cols: list[str],
+) -> ray.data.Dataset:
     bloom = build_bloom(ref_ds, text_col, bits_per_key=bits_per_key)
     m_bits = len(bloom) << 3
     bloom_ref = ray.put(bloom)
@@ -175,7 +201,7 @@ def incremental_dedup_keep_ids(
     )
     cand_hash_set = {r["h16"] for r in cand.take_all()}
     if not cand_hash_set:
-        return new_ds.select_columns([id_col])
+        return new_ds.select_columns(out_cols)
     cand_hashes = pa.array(sorted(cand_hash_set), type=pa.binary(16))
     cand_ref = ray.put(cand_hashes)
 
@@ -199,9 +225,10 @@ def incremental_dedup_keep_ids(
         _, digests = _hash_texts(batch.column(text_col).to_pylist())
         h = pa.array(digests, type=pa.binary(16))
         keep = pc.invert(pc.is_in(h, value_set=ray.get(dup_ref)))
-        return pa.table({id_col: batch.column(id_col).filter(keep)})
+        return pa.table({c: batch.column(c).filter(keep) for c in out_cols})
 
-    return new_ds.select_columns([id_col, text_col]).map_batches(
+    need = list(dict.fromkeys([*out_cols, text_col]))
+    return new_ds.select_columns(need).map_batches(
         keep_filter, batch_format="pyarrow", zero_copy_batch=True
     )
 

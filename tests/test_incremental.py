@@ -124,3 +124,42 @@ def test_derived_shard_matches_sql_semantics(ray_session):
         ).fetchall()
     ]
     assert kept == exp
+
+
+def test_incremental_filter_rows_match_keep_ids(ray_session):
+    from hyperpolyglot_ray.stages.incremental import (
+        incremental_dedup_filter,
+        incremental_dedup_keep_ids,
+    )
+
+    ref = [{"doc_id": i, "text": f"ref doc {i}"} for i in range(30)]
+    new = [
+        {"doc_id": 100 + i, "text": f"ref doc {i * 2}"} for i in range(30)
+    ]  # half dup
+    ids = sorted(
+        r["doc_id"] for r in incremental_dedup_keep_ids(_ds(new), _ds(ref)).take_all()
+    )
+    rows = {
+        r["doc_id"]: r["text"]
+        for r in incremental_dedup_filter(_ds(new), _ds(ref)).take_all()
+    }
+    assert sorted(rows) == ids
+    for i, t in rows.items():
+        assert t == f"ref doc {(i - 100) * 2}"
+
+
+def test_ingest_shard_layout_invariant(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.pipelines.ingest import ingest_shard
+    from hyperpolyglot_ray.stages.incremental import derive_incremental_shard
+
+    ref = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    out = {}
+    for parts in (1, 7):
+        new = derive_incremental_shard(ref.repartition(parts))
+        seqs = ingest_shard(
+            new, ref, min_tokens=30, seq_len=256, bucket_size=16
+        ).take_all()
+        out[parts] = sorted((r["seq_id"], r["n_tokens"], r["text"]) for r in seqs)
+    assert out[1] == out[7] and len(out[1]) > 0
