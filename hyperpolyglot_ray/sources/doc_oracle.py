@@ -450,7 +450,12 @@ def _expected_profile(tbl: pa.Table, cols: list[str]) -> pa.Table:
         is_str = pa.types.is_string(typ) or pa.types.is_large_string(typ)
         regs: dict[int, int] = {}
         for v in non_null:
-            if is_num:
+            if pa.types.is_floating(typ):
+                # float values hash by IEEE-754 bit pattern (the
+                # stages/profile.py spec), not by integer truncation
+                bits = struct.unpack("<q", struct.pack("<d", float(v)))[0]
+                h = _mix64_s(bits & _MASK64)
+            elif is_num:
                 h = _mix64_s(int(v) & _MASK64)
             else:
                 h = _tok_hash_s(v)

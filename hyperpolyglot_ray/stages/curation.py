@@ -487,7 +487,7 @@ def cap_per_group(
         if batch.num_rows == 0:
             return pa.table(
                 {
-                    key_col: pa.array([], type=pa.string()),
+                    key_col: pa.array([], type=batch.schema.field(key_col).type),
                     id_col: pa.array([], type=pa.int64()),
                 }
             )
@@ -507,7 +507,7 @@ def cap_per_group(
         if group.num_rows == 0:
             return pa.table(
                 {
-                    key_col: pa.array([], type=pa.string()),
+                    key_col: pa.array([], type=group.schema.field(key_col).type),
                     id_col: pa.array([], type=pa.int64()),
                 }
             )

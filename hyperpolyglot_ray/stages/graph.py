@@ -231,6 +231,7 @@ def hash_min_components(
         return ray.data.from_arrow_refs(ds.to_arrow_refs())
 
     prev_sum = None
+    converged = False
     for it in range(max_iters):
         t0 = time.time()
         labels = snapshot(_phase(labels, adj, n_buckets))  # neighbor-min
@@ -246,8 +247,16 @@ def hash_min_components(
                 flush=True,
             )
         if cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        # an unconverged label set is NOT components — refuse to return a
+        # silently-wrong answer (rounds needed ~ log2(diameter); 50 covers
+        # any graph the candidate generators can emit)
+        raise RuntimeError(
+            f"hash_min_components did not converge in {max_iters} rounds"
+        )
 
     def strip(batch: pa.Table) -> pa.Table:
         return pa.table(

@@ -48,3 +48,23 @@ def test_profile_layout_invariant_and_accurate(ray_session):
     true_v = len({it["v"] for it in items})
     est_v = next(r for r in a if r["column"] == "v")["n_distinct_hll"]
     assert abs(est_v - true_v) / true_v < 0.05
+
+
+def test_profile_float_hll_matches_sequential_sidecar(ray_session):
+    """Float columns hash by IEEE bit pattern on both sides — the
+    distributed profile and the sequential sidecar must agree bitwise."""
+    import pyarrow as pa
+    import ray.data
+
+    from hyperpolyglot_ray.sources.doc_oracle import _expected_profile
+    from hyperpolyglot_ray.stages.profile import profile_columns
+
+    rng = np.random.RandomState(8)
+    vals = np.round(rng.randn(5000), 2)  # collisions on purpose
+    tbl = pa.table({"f": pa.array(vals, type=pa.float64())})
+    got = profile_columns(ray.data.from_arrow(tbl).repartition(7)).take_all()[0]
+    exp = _expected_profile(tbl, ["f"]).to_pylist()[0]
+    # float sums are block-order-dependent (documented); everything else
+    # — including the HLL distinct estimate — must match bitwise
+    assert abs(got.pop("sum_val") - exp.pop("sum_val")) < 1e-9
+    assert got == exp
