@@ -429,6 +429,14 @@ def _q_doc_bm25(sf_dir: str):
     return bm25_search(_docs(sf_dir), ["table", "merge", "window"])
 
 
+def _q_doc_token_budget_mix(sf_dir: str):
+    from hyperpolyglot_ray.stages.curation import token_budget_mix
+
+    # realize a 40/30/30 en/fr/de token mixture at the largest budget the
+    # corpus supports; es/zh absent from the target -> dropped
+    return token_budget_mix(_docs(sf_dir), {"en": 0.4, "fr": 0.3, "de": 0.3})
+
+
 def _q_shard_ingest(sf_dir: str):
     from hyperpolyglot_ray.pipelines.ingest import ingest_shard
     from hyperpolyglot_ray.stages.incremental import derive_incremental_shard
@@ -965,6 +973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25": _q_doc_bm25,
         "doc_keywords": _q_doc_keywords,
         "shard_ingest": _q_shard_ingest,
+        "doc_token_budget_mix": _q_doc_token_budget_mix,
         "doc_corpus_ppl": _q_doc_corpus_ppl,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
         "doc_sample_mix": _q_doc_sample_mix,
@@ -1156,6 +1165,19 @@ SELECT t.doc_id,
 + ln((s.n_docs - d.df2 + 0.5) / (d.df2 + 0.5) + 1) * (t.tf2 * (1.2 + 1)) / (t.tf2 + 1.2 * (1 - 0.75 + 0.75 * (t.dl / (CAST(s.n_toks AS DOUBLE) / s.n_docs))))
   AS score
 FROM tf t, stats s, df d WHERE t.tf0 + t.tf1 + t.tf2 > 0""",
+        # same LCG keep rule as doc_sample_mix, but rates DERIVED from the
+        # corpus token sums (binding language kept whole); arithmetic
+        # mirrors stages/curation.py token_budget_mix op-for-op
+        "doc_token_budget_mix": r"""
+WITH tgt(lang, share) AS (VALUES ('en', 0.4), ('fr', 0.3), ('de', 0.3)),
+lt AS (SELECT lang, CAST(sum(len(regexp_extract_all(text, '\S+'))) AS DOUBLE) AS toks
+       FROM documents GROUP BY lang),
+b AS (SELECT min(lt.toks / tgt.share) AS budget FROM lt JOIN tgt USING (lang)),
+r AS (SELECT lt.lang, LEAST(1.0, tgt.share * (SELECT budget FROM b) / lt.toks) AS rate
+      FROM lt JOIN tgt USING (lang))
+SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
+WHERE ((d.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648
+      < CAST(round(r.rate * 2147483648) AS BIGINT)""",
         # composed ingest: derived shard -> NOT IN dedup -> >=30-token
         # gate -> the doc_pack_texts packing SQL over the survivors
         "shard_ingest": (

@@ -208,6 +208,60 @@ def stratified_sample(
     return ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def token_budget_mix(
+    ds: ray.data.Dataset,
+    target_shares: dict[str, float],
+    id_col: str = "doc_id",
+    key_col: str = "lang",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Data-mixing to a TOKEN budget (DoReMi-style mixture realization):
+    sample each key down so realized token mass approximates
+    ``target_shares``, using the largest budget the corpus supports —
+    ``B = min_l tokens(l) / share(l)`` (the binding language is kept
+    whole, every other language downsampled to ``share·B`` expected
+    tokens). Keys absent from ``target_shares`` drop entirely.
+
+    One tiny per-key token-sum aggregate (keys = languages, bounded)
+    computes exact rates driver-side; the sample itself is the
+    deterministic integer-LCG Bernoulli of :func:`stratified_sample` —
+    map-only, bit-reproducible on any topology. Output: (id, key)."""
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        n = pc.fill_null(
+            pc.count_substring_regex(
+                pc.cast(batch.column(text_col), pa.string()), r"\S+"
+            ),
+            0,
+        ).cast(pa.int64())
+        t = pa.table({key_col: batch.column(key_col), "n": n})
+        g = t.group_by([key_col]).aggregate([("n", "sum")])
+        return g.rename_columns([key_col, "n"])
+
+    sums = (
+        ds.select_columns([key_col, text_col])
+        .map_batches(tok_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .sum("n")
+    )
+    lang_toks = {r[key_col]: float(r["sum(n)"]) for r in sums.take_all()}
+    shares = {k: v for k, v in target_shares.items() if k in lang_toks and v > 0}
+    if not shares:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    key_col: pa.array([], type=pa.string()),
+                }
+            )
+        )
+    budget = min(lang_toks[k] / shares[k] for k in shares)
+    rates = {k: min(1.0, shares[k] * budget / lang_toks[k]) for k in shares}
+    return stratified_sample(
+        ds, rates, id_col=id_col, key_col=key_col, default_rate=0.0
+    )
+
+
 def derive_paragraph_docs(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",

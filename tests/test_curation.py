@@ -469,3 +469,27 @@ def test_pack_texts_realizes_exact_sequences(ray_session):
         assert out == exp, nparts
     full = [n for n, _ in list(exp.values())[:-1]]
     assert all(n == 32 for n in full) and exp[max(exp)][0] <= 32
+
+
+def test_token_budget_mix_binding_language_kept_whole(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.curation import token_budget_mix
+
+    # 'a' has 100 tokens, 'b' has 400; target 50/50 -> budget = 200,
+    # rate(a)=1.0 (binding), rate(b)=0.25; 'c' absent from target -> dropped
+    docs = []
+    for i in range(20):
+        docs.append({"doc_id": i, "lang": "a", "text": " ".join(["t"] * 5)})
+    for i in range(20, 60):
+        docs.append({"doc_id": i, "lang": "b", "text": " ".join(["t"] * 10)})
+    docs.append({"doc_id": 99, "lang": "c", "text": "x y z"})
+    out = token_budget_mix(
+        ray.data.from_items(docs).repartition(4), {"a": 0.5, "b": 0.5}
+    ).take_all()
+    by_lang: dict[str, list[int]] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert sorted(by_lang["a"]) == list(range(20))  # binding lang whole
+    assert 0 < len(by_lang.get("b", [])) < 40  # downsampled
+    assert "c" not in by_lang
