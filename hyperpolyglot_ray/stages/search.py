@@ -206,10 +206,17 @@ def doc_keywords(
     hkeys = np.concatenate(df_h) if df_h else np.zeros(0, dtype=np.int64)
     vals = np.concatenate(df_v) if df_v else np.zeros(0, dtype=np.int64)
     order = np.argsort(hkeys, kind="stable")
-    df_ref = ray.put((hkeys[order], vals[order], n_docs))
+    # idf precomputed once driver-side, scalar math.log per distinct hash
+    # (the oracle's per-scalar ln spec); the scoring pass only gathers
+    idf_vals = np.fromiter(
+        (math.log(n_docs / int(d)) for d in vals[order]),
+        dtype=np.float64,
+        count=len(vals),
+    )
+    df_ref = ray.put((hkeys[order], idf_vals, math.log(n_docs / min_df)))
 
     def score(batch: pa.Table) -> pa.Table:
-        hk, dv, nd_total = ray.get(df_ref)
+        hk, idf_tab, idf_missing = ray.get(df_ref)
         out_id, out_tok, out_score, out_rank = [], [], [], []
         for did, t in zip(
             batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
@@ -226,12 +233,7 @@ def doc_keywords(
             pos = np.searchsorted(hk, uh)
             pos_c = np.minimum(pos, max(len(hk) - 1, 0))
             hit = (hk[pos_c] == uh) if len(hk) else np.zeros(len(uh), dtype=bool)
-            df = np.where(hit, dv[pos_c] if len(hk) else min_df, min_df)
-            import math
-
-            idf = np.asarray(
-                [math.log(nd_total / int(d)) for d in df], dtype=np.float64
-            )
+            idf = np.where(hit, idf_tab[pos_c] if len(hk) else 0.0, idf_missing)
             sc = tf.astype(np.float64) * idf
             take = np.lexsort((uniq, -sc))[:top_j]
             for r, ix in enumerate(take, start=1):
