@@ -429,6 +429,17 @@ def _q_doc_bm25(sf_dir: str):
     return bm25_search(_docs(sf_dir), ["table", "merge", "window"])
 
 
+def _q_doc_decontaminate_snip(sf_dir: str):
+    from hyperpolyglot_ray.stages.curation import (
+        decontaminate_snip,
+        derive_benchmark_strings,
+    )
+
+    ds = _docs(sf_dir)
+    bench = derive_benchmark_strings(ds, every=37, n_words=13)
+    return decontaminate_snip(ds, bench)
+
+
 def _q_doc_token_budget_mix(sf_dir: str):
     from hyperpolyglot_ray.stages.curation import token_budget_mix
 
@@ -974,6 +985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords": _q_doc_keywords,
         "shard_ingest": _q_shard_ingest,
         "doc_token_budget_mix": _q_doc_token_budget_mix,
+        "doc_decontaminate_snip": _q_doc_decontaminate_snip,
         "doc_corpus_ppl": _q_doc_corpus_ppl,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
         "doc_sample_mix": _q_doc_sample_mix,
@@ -1165,6 +1177,9 @@ SELECT t.doc_id,
 + ln((s.n_docs - d.df2 + 0.5) / (d.df2 + 0.5) + 1) * (t.tf2 * (1.2 + 1)) / (t.tf2 + 1.2 * (1 - 0.75 + 0.75 * (t.dl / (CAST(s.n_toks AS DOUBLE) / s.n_docs))))
   AS score
 FROM tf t, stats s, df d WHERE t.tf0 + t.tf1 + t.tf2 > 0""",
+        "doc_decontaminate_snip": (
+            f"SELECT doc_id, text, n_snips FROM read_parquet('{side}/doc_decontaminate_snip.parquet')"
+        ),
         # same LCG keep rule as doc_sample_mix, but rates DERIVED from the
         # corpus token sums (binding language kept whole); arithmetic
         # mirrors stages/curation.py token_budget_mix op-for-op

@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r3h"
+ORACLE_VERSION = "r3i"
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -428,6 +428,38 @@ def _components_keep(doc_ids, edges) -> pa.Table:
             parent[hi] = lo
     kept = [int(i) for i in doc_ids if find(int(i)) == int(i)]
     return pa.table({"doc_id": pa.array(kept, type=pa.int64())})
+
+
+def _expected_decontaminate_snip(texts, doc_ids) -> pa.Table:
+    """Sequential span-removal decontamination (spec:
+    stages/curation.py:decontaminate_snip): same derived benchmark set
+    (13-token prefixes of every 37th doc), strings applied in sorted
+    order — but via ``re`` single-pass substitution instead of the
+    production str.count/str.replace loop."""
+    bench = sorted(
+        {
+            " ".join((t or "").split()[:13])
+            for i, t in zip(doc_ids, texts)
+            if int(i) % 37 == 0 and len((t or "").split()) >= 13
+        }
+    )
+    pats = [re.compile(re.escape(s)) for s in bench]
+    out_t, out_n = [], []
+    for t in texts:
+        t = t or ""
+        total = 0
+        for p in pats:
+            t, c = p.subn("", t)
+            total += c
+        out_t.append(t)
+        out_n.append(total)
+    return pa.table(
+        {
+            "doc_id": pa.array([int(i) for i in doc_ids], type=pa.int64()),
+            "text": pa.array(out_t, type=pa.string()),
+            "n_snips": pa.array(out_n, type=pa.int64()),
+        }
+    )
 
 
 def _expected_profile(tbl: pa.Table, cols: list[str]) -> pa.Table:
@@ -922,6 +954,9 @@ def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
         _expected_minhash_clusters(texts, doc_ids), out / "doc_minhash_clusters.parquet"
     )
     pq.write_table(_expected_corpus_ppl(texts, doc_ids), out / "doc_corpus_ppl.parquet")
+    pq.write_table(
+        _expected_decontaminate_snip(texts, doc_ids), out / "doc_decontaminate_snip.parquet"
+    )
     pq.write_table(_expected_simhash_dedup(texts, doc_ids), out / "doc_simhash_dedup.parquet")
 
     evp = pq.read_table(

@@ -165,6 +165,79 @@ def decontaminate(
     return ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def decontaminate_snip(
+    ds: ray.data.Dataset,
+    benchmark: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Span-level decontamination: REMOVE every occurrence of every
+    benchmark string instead of dropping whole documents (the
+    span-removal flavor of contamination handling; `decontaminate` is
+    the flag/drop flavor). Deterministic spec: strings applied in sorted
+    order, each replacing ALL its (non-overlapping, left-to-right)
+    occurrences. Output: ``(id, text, n_snips)`` for EVERY document.
+
+    Same scan topology as ``decontaminate``: one combined RE2
+    literal-alternation prefilter per batch (cost independent of
+    benchmark size); only prefilter-hit rows — rare on a clean corpus —
+    enter the per-string replacement loop.
+    """
+    bench = sorted(set(benchmark))
+    if not bench:
+
+        def passthrough(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    text_col: pc.fill_null(
+                        pc.cast(batch.column(text_col), pa.string()), ""
+                    ),
+                    "n_snips": pa.array(
+                        np.zeros(batch.num_rows, dtype=np.int64), type=pa.int64()
+                    ),
+                }
+            )
+
+        return ds.map_batches(
+            passthrough, batch_format="pyarrow", zero_copy_batch=True
+        )
+    bench_ref = ray.put(bench)
+    pattern = "|".join(re.escape(s) for s in bench)
+    pattern_ref = ray.put(pattern)
+
+    def snip(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(pc.cast(batch.column(text_col), pa.string()), "")
+        mask = pc.fill_null(
+            pc.match_substring_regex(texts, ray.get(pattern_ref)), False
+        )
+        out_texts = texts.to_pylist()
+        n_snips = np.zeros(batch.num_rows, dtype=np.int64)
+        hit_rows = np.flatnonzero(
+            np.asarray(mask.to_numpy(zero_copy_only=False), dtype=bool)
+        )
+        bset = ray.get(bench_ref)
+        for i in hit_rows:
+            t = out_texts[i]
+            total = 0
+            for s in bset:
+                c = t.count(s)
+                if c:
+                    t = t.replace(s, "")
+                    total += c
+            out_texts[i] = t
+            n_snips[i] = total
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                text_col: pa.array(out_texts, type=pa.string()),
+                "n_snips": pa.array(n_snips, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(snip, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def stratified_sample(
     ds: ray.data.Dataset,
     rates: dict[str, float],

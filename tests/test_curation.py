@@ -493,3 +493,26 @@ def test_token_budget_mix_binding_language_kept_whole(ray_session):
     assert sorted(by_lang["a"]) == list(range(20))  # binding lang whole
     assert 0 < len(by_lang.get("b", [])) < 40  # downsampled
     assert "c" not in by_lang
+
+
+def test_decontaminate_snip_removes_spans(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.curation import decontaminate_snip
+
+    docs = [
+        {"doc_id": 0, "text": "keep BAD SPAN keep BAD SPAN end"},
+        {"doc_id": 1, "text": "totally clean"},
+        {"doc_id": 2, "text": "OTHER BAD here"},
+        {"doc_id": 3, "text": None},
+    ]
+    out = {
+        r["doc_id"]: (r["text"], r["n_snips"])
+        for r in decontaminate_snip(
+            ray.data.from_items(docs), ["BAD SPAN", "OTHER BAD"]
+        ).take_all()
+    }
+    assert out[0] == ("keep  keep  end", 2)
+    assert out[1] == ("totally clean", 0)
+    assert out[2] == (" here", 1)
+    assert out[3] == ("", 0)
