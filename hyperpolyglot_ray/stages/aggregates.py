@@ -19,45 +19,42 @@ def salted_repo_stats(
     ds: ray.data.Dataset, n_salts: int = 16
 ) -> ray.data.Dataset:
     """Per repo: n_files + total content chars. Output:
-    (repo, n_files, total_chars)."""
+    (repo, n_files, total_chars).
 
-    import numpy as np
+    Skew handling (r3 late): the per-BLOCK Arrow pre-aggregate already
+    collapses a hot repo to one row per block, so the exchange carries
+    O(repos-per-block x blocks) rows regardless of row skew, and the
+    global reduce rides the bucketed high-cardinality path
+    (stages/shuffle.py — repo count grows with the corpus). That makes
+    the earlier explicit (repo, salt) two-phase split redundant: salting
+    countered reducer skew in ROW counts, but after pre-aggregation no
+    reducer ever sees more than one row per (repo, block). ``n_salts``
+    is kept for API compatibility and ignored.
+    """
 
     def partial(batch: pa.Table) -> pa.Table:
         chars = pc.utf8_length(batch.column("content")).cast(pa.int64())
-        # round-robin row-index salt splits the hot repo evenly across
-        # reducers; the salt only routes the shuffle (phase 2 collapses it),
-        # so the result is salt-invariant — no per-row Python hash needed
-        salts = pa.array(
-            np.arange(len(batch), dtype=np.int32) % n_salts, type=pa.int32()
-        )
         t = pa.table(
             {
                 "repo": batch.column("repo"),
-                "salt": salts,
                 "n_files": pa.array([1] * len(batch), type=pa.int64()),
                 "total_chars": chars,
             }
         )
-        g = t.group_by(["repo", "salt"]).aggregate(
+        g = t.group_by(["repo"]).aggregate(
             [("n_files", "sum"), ("total_chars", "sum")]
         )
-        return g.rename_columns(["repo", "salt", "n_files", "total_chars"])
+        return g.rename_columns(["repo", "n_files", "total_chars"])
 
-    phase1 = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["repo", "salt"])
-        .sum(["n_files", "total_chars"])
+    from .shuffle import bucketed_group_reduce
+
+    return bucketed_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "repo",
+        [("n_files", "sum"), ("total_chars", "sum")],
+    ).rename_columns(
+        {"sum(n_files)": "n_files", "sum(total_chars)": "total_chars"}
     )
-    phase2 = (
-        phase1.rename_columns(
-            {"sum(n_files)": "n_files", "sum(total_chars)": "total_chars"}
-        )
-        .groupby("repo")
-        .sum(["n_files", "total_chars"])
-        .rename_columns({"sum(n_files)": "n_files", "sum(total_chars)": "total_chars"})
-    )
-    return phase2
 
 
 def top_k_per_group(
