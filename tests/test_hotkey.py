@@ -236,3 +236,28 @@ def test_grouped_quantiles_refine_exact():
     for q, col in [(0.5, "q50"), (0.9, "q90"), (0.99, "q99")]:
         i = min(len(hv) - 1, max(0, int(np.ceil(q * len(hv))) - 1))
         assert refined.loc[refined.k == "0", col].iloc[0] == hv[i]
+
+
+def test_repo_stats_hot_repo(ray_session):
+    """One repo holding 50% of all rows: the per-block pre-aggregate
+    bounds every reducer's input regardless of row skew."""
+    import ray.data
+
+    from hyperpolyglot_ray.stages.aggregates import salted_repo_stats
+
+    items = []
+    for i in range(400):
+        repo = "mega/repo" if i % 2 == 0 else f"r{i % 37}"
+        items.append({"repo": repo, "content": "x" * (i % 50 + 1)})
+    got = {
+        r["repo"]: (r["n_files"], r["total_chars"])
+        for r in salted_repo_stats(
+            ray.data.from_items(items).repartition(8)
+        ).take_all()
+    }
+    expect: dict = {}
+    for it in items:
+        n, c = expect.get(it["repo"], (0, 0))
+        expect[it["repo"]] = (n + 1, c + len(it["content"]))
+    assert got == expect
+    assert got["mega/repo"][0] == 200
