@@ -483,6 +483,18 @@ def _q_doc_corpus_ppl(sf_dir: str):
     return perplexity_score(docs, model)
 
 
+def _q_doc_corpus_intersect(sf_dir: str):
+    from hyperpolyglot_ray.stages.incremental import (
+        corpus_intersect_ids,
+        derive_incremental_shard,
+    )
+
+    # set intersection by text (overlap audit): complement of
+    # doc_incremental_dedup over the same derived shard
+    ref = _docs(sf_dir)
+    return corpus_intersect_ids(derive_incremental_shard(ref), ref)
+
+
 def _q_doc_incremental_dedup(sf_dir: str):
     from hyperpolyglot_ray.stages.incremental import (
         derive_incremental_shard,
@@ -988,6 +1000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontaminate_snip": _q_doc_decontaminate_snip,
         "doc_corpus_ppl": _q_doc_corpus_ppl,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
+        "doc_corpus_intersect": _q_doc_corpus_intersect,
         "doc_sample_mix": _q_doc_sample_mix,
         "doc_paragraph_dedup": _q_doc_paragraph_dedup,
         "doc_pack_sequences": _q_doc_pack_sequences,
@@ -1229,6 +1242,14 @@ ranked AS (SELECT doc_id, token, score,
 SELECT doc_id, token AS keyword, score, rank FROM ranked WHERE rank <= 5""",
         "doc_corpus_ppl": (
             f"SELECT doc_id, nll_q, n_terms FROM read_parquet('{side}/doc_corpus_ppl.parquet')"
+        ),
+        "doc_corpus_intersect": (
+            "WITH newdocs AS (SELECT doc_id + 1000000 AS doc_id,"
+            " CASE WHEN doc_id % 7 = 0 THEN text"
+            " ELSE text || ' x' || CAST(doc_id AS VARCHAR) END AS text"
+            " FROM documents)"
+            " SELECT doc_id FROM newdocs"
+            " WHERE text IN (SELECT text FROM documents)"
         ),
         "doc_incremental_dedup": (
             "WITH newdocs AS (SELECT doc_id + 1000000 AS doc_id,"

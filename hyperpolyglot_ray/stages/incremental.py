@@ -171,6 +171,23 @@ def incremental_dedup_filter(
     )
 
 
+def corpus_intersect_ids(
+    new_ds: ray.data.Dataset,
+    ref_ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    bits_per_key: int = 16,
+) -> ray.data.Dataset:
+    """Set-intersection by text: ids of ``new_ds`` rows whose text DOES
+    occur in ``ref_ds`` — the complement of
+    :func:`incremental_dedup_keep_ids`, same bloom + exact-verify
+    topology (contamination/overlap audits between corpora)."""
+    return _bloom_dedup(
+        new_ds, ref_ds, text_col, id_col, bits_per_key, [id_col], keep_dups=True
+    )
+
+
 def _bloom_dedup(
     new_ds: ray.data.Dataset,
     ref_ds: ray.data.Dataset,
@@ -178,6 +195,7 @@ def _bloom_dedup(
     id_col: str,
     bits_per_key: int,
     out_cols: list[str],
+    keep_dups: bool = False,
 ) -> ray.data.Dataset:
     bloom = build_bloom(ref_ds, text_col, bits_per_key=bits_per_key)
     m_bits = len(bloom) << 3
@@ -201,6 +219,16 @@ def _bloom_dedup(
     )
     cand_hash_set = {r["h16"] for r in cand.take_all()}
     if not cand_hash_set:
+        if keep_dups:  # nothing even bloom-positive -> empty intersection
+            schema = new_ds.schema()
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        c: pa.array([], type=schema.base_schema.field(c).type)
+                        for c in out_cols
+                    }
+                )
+            )
         return new_ds.select_columns(out_cols)
     cand_hashes = pa.array(sorted(cand_hash_set), type=pa.binary(16))
     cand_ref = ray.put(cand_hashes)
@@ -224,7 +252,8 @@ def _bloom_dedup(
     def keep_filter(batch: pa.Table) -> pa.Table:
         _, digests = _hash_texts(batch.column(text_col).to_pylist())
         h = pa.array(digests, type=pa.binary(16))
-        keep = pc.invert(pc.is_in(h, value_set=ray.get(dup_ref)))
+        in_ref = pc.is_in(h, value_set=ray.get(dup_ref))
+        keep = in_ref if keep_dups else pc.invert(in_ref)
         return pa.table({c: batch.column(c).filter(keep) for c in out_cols})
 
     need = list(dict.fromkeys([*out_cols, text_col]))

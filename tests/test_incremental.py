@@ -163,3 +163,31 @@ def test_ingest_shard_layout_invariant(ray_session):
         ).take_all()
         out[parts] = sorted((r["seq_id"], r["n_tokens"], r["text"]) for r in seqs)
     assert out[1] == out[7] and len(out[1]) > 0
+
+
+def test_corpus_intersect_is_complement_of_dedup(ray_session):
+    from hyperpolyglot_ray.stages.incremental import (
+        corpus_intersect_ids,
+        incremental_dedup_keep_ids,
+    )
+
+    ref = [{"doc_id": i, "text": f"ref doc {i}"} for i in range(40)]
+    new = [{"doc_id": 100 + i, "text": f"ref doc {i * 3}"} for i in range(40)]
+    all_ids = {100 + i for i in range(40)}
+    kept = {
+        r["doc_id"] for r in incremental_dedup_keep_ids(_ds(new), _ds(ref)).take_all()
+    }
+    inter = {
+        r["doc_id"] for r in corpus_intersect_ids(_ds(new), _ds(ref)).take_all()
+    }
+    assert kept | inter == all_ids and not (kept & inter)
+    # i*3 < 40 -> dup -> intersection
+    assert inter == {100 + i for i in range(40) if i * 3 < 40}
+
+
+def test_corpus_intersect_empty(ray_session):
+    from hyperpolyglot_ray.stages.incremental import corpus_intersect_ids
+
+    ref = [{"doc_id": 0, "text": "a"}]
+    new = [{"doc_id": 1, "text": "b"}, {"doc_id": 2, "text": "c"}]
+    assert corpus_intersect_ids(_ds(new), _ds(ref)).take_all() == []
