@@ -483,6 +483,18 @@ def _q_doc_corpus_ppl(sf_dir: str):
     return perplexity_score(docs, model)
 
 
+def _q_doc_video_frames(sf_dir: str):
+    from hyperpolyglot_ray.stages.multimodal import (
+        attach_video_payload,
+        video_frame_sample,
+    )
+
+    # multi-frame binary payloads through the actor-pool frame sampler;
+    # payload bytes dropped in-task, batch_size bounds actor heap
+    ds = attach_video_payload(_docs(sf_dir).select_columns(["doc_id"]))
+    return video_frame_sample(ds, every=4)
+
+
 def _q_doc_corpus_intersect(sf_dir: str):
     from hyperpolyglot_ray.stages.incremental import (
         corpus_intersect_ids,
@@ -1001,6 +1013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_corpus_ppl": _q_doc_corpus_ppl,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
         "doc_corpus_intersect": _q_doc_corpus_intersect,
+        "doc_video_frames": _q_doc_video_frames,
         "doc_sample_mix": _q_doc_sample_mix,
         "doc_paragraph_dedup": _q_doc_paragraph_dedup,
         "doc_pack_sequences": _q_doc_pack_sequences,
@@ -1242,6 +1255,9 @@ ranked AS (SELECT doc_id, token, score,
 SELECT doc_id, token AS keyword, score, rank FROM ranked WHERE rank <= 5""",
         "doc_corpus_ppl": (
             f"SELECT doc_id, nll_q, n_terms FROM read_parquet('{side}/doc_corpus_ppl.parquet')"
+        ),
+        "doc_video_frames": (
+            f"SELECT doc_id, n_frames, n_sampled, frame_mean FROM read_parquet('{side}/doc_video_frames.parquet')"
         ),
         "doc_corpus_intersect": (
             "WITH newdocs AS (SELECT doc_id + 1000000 AS doc_id,"

@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r3i"
+ORACLE_VERSION = "r3j"
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -428,6 +428,39 @@ def _components_keep(doc_ids, edges) -> pa.Table:
             parent[hi] = lo
     kept = [int(i) for i in doc_ids if find(int(i)) == int(i)]
     return pa.table({"doc_id": pa.array(kept, type=pa.int64())})
+
+
+def _expected_video_frames(doc_ids, every: int = 4) -> pa.Table:
+    """Sequential frame-sampling reference: regenerates each synthetic
+    video payload via the shared generator spec, then parses and samples
+    it with pure-Python byte arithmetic (int.from_bytes + sum over bytes
+    slices — no numpy reshape path)."""
+    from ..stages.multimodal import synth_video_payload
+
+    ids, nf, ns, mean = [], [], [], []
+    for i in doc_ids:
+        p = synth_video_payload(int(i))
+        w = int.from_bytes(p[4:6], "little")
+        h = int.from_bytes(p[6:8], "little")
+        n = int.from_bytes(p[8:10], "little")
+        fsz = w * h
+        picks = list(range(0, n, every))
+        total = 0
+        for f in picks:
+            start = 10 + f * fsz
+            total += sum(p[start : start + fsz])
+        ids.append(int(i))
+        nf.append(n)
+        ns.append(len(picks))
+        mean.append(total / (len(picks) * fsz))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_frames": pa.array(nf, type=pa.int64()),
+            "n_sampled": pa.array(ns, type=pa.int64()),
+            "frame_mean": pa.array(mean, type=pa.float64()),
+        }
+    )
 
 
 def _expected_decontaminate_snip(texts, doc_ids) -> pa.Table:
@@ -957,6 +990,7 @@ def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
     pq.write_table(
         _expected_decontaminate_snip(texts, doc_ids), out / "doc_decontaminate_snip.parquet"
     )
+    pq.write_table(_expected_video_frames(doc_ids), out / "doc_video_frames.parquet")
     pq.write_table(_expected_simhash_dedup(texts, doc_ids), out / "doc_simhash_dedup.parquet")
 
     evp = pq.read_table(

@@ -399,3 +399,89 @@ def multimodal_features(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# -- synthetic multi-frame video + frame sampling --------------------------
+
+VIDEO_MAGIC = b"HVID"
+
+
+def synth_video_payload(doc_id: int) -> bytes:
+    """Deterministic synthetic multi-frame 'video' container (the video
+    codec libraries are absent in this environment, so the FORMAT is a
+    documented fake — the Ray-side plumbing, byte layout, and sampling
+    semantics are real): ``b'HVID' + u16le w + u16le h + u16le n_frames``
+    followed by ``n_frames`` raw grayscale frames of ``w*h`` bytes."""
+    w = 8 + doc_id % 8
+    h = 6 + doc_id % 5
+    n_frames = 12 + doc_id % 20
+    header = VIDEO_MAGIC + struct.pack("<HHH", w, h, n_frames)
+    idx = np.arange(n_frames * w * h, dtype=np.int64)
+    frames = ((doc_id * 31 + (idx // (w * h)) * 17 + idx * 7) % 251).astype(np.uint8)
+    return header + frames.tobytes()
+
+
+def attach_video_payload(
+    ds: ray.data.Dataset, id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        payloads = [
+            synth_video_payload(int(i)) for i in batch.column(id_col).to_pylist()
+        ]
+        return batch.append_column("payload", pa.array(payloads, type=pa.binary()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class FrameSampleStage:
+    """Actor-pool frame-sampling stage: decode the container header, take
+    every ``every``-th frame (0, every, 2·every, …), and emit per-payload
+    ``(n_frames, n_sampled, frame_mean)`` where ``frame_mean`` is the mean
+    pixel value over the sampled frames (one int sum per payload, one
+    float division — deterministic at any batching). Heavy payload bytes
+    are dropped in-task; ``batch_size`` bounds per-actor heap exactly like
+    ``DecodeStage``."""
+
+    def __init__(self, every: int = 4):
+        self.every = max(1, int(every))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_frames_out, n_sampled_out, mean_out = [], [], []
+        for p in batch.column("payload").to_pylist():
+            if p is None or len(p) < 10 or p[:4] != VIDEO_MAGIC:
+                n_frames_out.append(None)
+                n_sampled_out.append(None)
+                mean_out.append(None)
+                continue
+            w, h, n = struct.unpack("<HHH", p[4:10])
+            fsz = w * h
+            data = np.frombuffer(p, dtype=np.uint8, count=n * fsz, offset=10)
+            grid = data.reshape(n, fsz)
+            sampled = grid[:: self.every]
+            n_frames_out.append(n)
+            n_sampled_out.append(sampled.shape[0])
+            mean_out.append(
+                float(int(sampled.sum(dtype=np.int64)) / (sampled.shape[0] * fsz))
+            )
+        return (
+            batch.drop_columns(["payload"])
+            .append_column("n_frames", pa.array(n_frames_out, type=pa.int64()))
+            .append_column("n_sampled", pa.array(n_sampled_out, type=pa.int64()))
+            .append_column("frame_mean", pa.array(mean_out, type=pa.float64()))
+        )
+
+
+def video_frame_sample(
+    ds: ray.data.Dataset,
+    every: int = 4,
+    concurrency=(1, 4),
+    batch_size: int = MULTIMODAL_BATCH_SIZE,
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"every": every},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -822,3 +822,46 @@ def test_vocab_stats_counts_and_tiebreak(ray_session):
         for r in vocab_stats(ds, top_k=5, min_count=1).take_all()
     ]
     assert out2 == ["a", "b", "c", "rare", "z"]  # count-1 tie -> ascending
+
+
+def test_video_frame_sample(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.multimodal import (
+        attach_video_payload,
+        synth_video_payload,
+        video_frame_sample,
+    )
+
+    ds = ray.data.from_items([{"doc_id": i} for i in range(10)])
+    out = {
+        r["doc_id"]: (r["n_frames"], r["n_sampled"], r["frame_mean"])
+        for r in video_frame_sample(attach_video_payload(ds), every=3).take_all()
+    }
+    # brute-force one payload by hand
+    p = synth_video_payload(5)
+    w = int.from_bytes(p[4:6], "little")
+    h = int.from_bytes(p[6:8], "little")
+    n = int.from_bytes(p[8:10], "little")
+    fsz = w * h
+    picks = list(range(0, n, 3))
+    total = sum(sum(p[10 + f * fsz : 10 + (f + 1) * fsz]) for f in picks)
+    assert out[5] == (n, len(picks), total / (len(picks) * fsz))
+    assert len(out) == 10
+
+
+def test_video_frame_sample_garbage_payload(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from hyperpolyglot_ray.stages.multimodal import FrameSampleStage
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "payload": pa.array([b"nope", None], type=pa.binary()),
+        }
+    )
+    out = FrameSampleStage(every=2)(t)
+    assert out.column("n_frames").to_pylist() == [None, None]
+    assert out.column("frame_mean").to_pylist() == [None, None]
