@@ -483,6 +483,18 @@ def _q_doc_corpus_ppl(sf_dir: str):
     return perplexity_score(docs, model)
 
 
+def _q_doc_multimodal_resize(sf_dir: str):
+    from hyperpolyglot_ray.stages.multimodal import (
+        attach_binary_payload,
+        multimodal_resize,
+    )
+
+    ds = attach_binary_payload(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), media=True
+    )
+    return multimodal_resize(ds, factor=2).select_columns(["doc_id", "resized_mean"])
+
+
 def _q_doc_video_frames(sf_dir: str):
     from hyperpolyglot_ray.stages.multimodal import (
         attach_video_payload,
@@ -1014,6 +1026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_incremental_dedup": _q_doc_incremental_dedup,
         "doc_corpus_intersect": _q_doc_corpus_intersect,
         "doc_video_frames": _q_doc_video_frames,
+        "doc_multimodal_resize": _q_doc_multimodal_resize,
         "doc_sample_mix": _q_doc_sample_mix,
         "doc_paragraph_dedup": _q_doc_paragraph_dedup,
         "doc_pack_sequences": _q_doc_pack_sequences,
@@ -1258,6 +1271,9 @@ SELECT doc_id, token AS keyword, score, rank FROM ranked WHERE rank <= 5""",
         ),
         "doc_video_frames": (
             f"SELECT doc_id, n_frames, n_sampled, frame_mean FROM read_parquet('{side}/doc_video_frames.parquet')"
+        ),
+        "doc_multimodal_resize": (
+            f"SELECT doc_id, resized_mean FROM read_parquet('{side}/doc_multimodal_resize.parquet')"
         ),
         "doc_corpus_intersect": (
             "WITH newdocs AS (SELECT doc_id + 1000000 AS doc_id,"

@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r3j"
+ORACLE_VERSION = "r3k"
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -428,6 +428,49 @@ def _components_keep(doc_ids, edges) -> pa.Table:
             parent[hi] = lo
     kept = [int(i) for i in doc_ids if find(int(i)) == int(i)]
     return pa.table({"doc_id": pa.array(kept, type=pa.int64())})
+
+
+def _expected_resize(texts, doc_ids, factor: int = 2) -> pa.Table:
+    """Sequential resize reference: regenerates the shared synthetic media
+    payloads, then decimates BMPs with pure-Python byte indexing (no
+    numpy reshape path). Non-BMP payloads -> null."""
+    from ..stages.multimodal import synth_media_payload
+
+    ids, vals = [], []
+    for i, t in zip(doc_ids, texts):
+        p, _ = synth_media_payload(int(i), t or "")
+        ids.append(int(i))
+        if len(p) < 54 or p[:2] != b"BM":
+            vals.append(None)
+            continue
+        off = int.from_bytes(p[10:14], "little")
+        w = int.from_bytes(p[18:22], "little", signed=True)
+        h = int.from_bytes(p[22:26], "little", signed=True)
+        bpp = int.from_bytes(p[28:30], "little")
+        comp = int.from_bytes(p[30:34], "little")
+        if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            vals.append(None)
+            continue
+        rows = abs(h)
+        stride = (w * 3 + 3) & ~3
+        if len(p) < off + stride * rows:
+            vals.append(None)
+            continue
+        total = 0
+        cnt = 0
+        for y in range(0, rows, factor):
+            base = off + y * stride
+            for x in range(0, w, factor):
+                for c in range(3):
+                    total += p[base + x * 3 + c]
+                    cnt += 1
+        vals.append(total / cnt)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "resized_mean": pa.array(vals, type=pa.float64()),
+        }
+    )
 
 
 def _expected_video_frames(doc_ids, every: int = 4) -> pa.Table:
@@ -991,6 +1034,7 @@ def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
         _expected_decontaminate_snip(texts, doc_ids), out / "doc_decontaminate_snip.parquet"
     )
     pq.write_table(_expected_video_frames(doc_ids), out / "doc_video_frames.parquet")
+    pq.write_table(_expected_resize(texts, doc_ids), out / "doc_multimodal_resize.parquet")
     pq.write_table(_expected_simhash_dedup(texts, doc_ids), out / "doc_simhash_dedup.parquet")
 
     evp = pq.read_table(

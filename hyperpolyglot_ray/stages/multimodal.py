@@ -485,3 +485,64 @@ def video_frame_sample(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def bmp_resize_mean(payload: bytes, factor: int = 2) -> float | None:
+    """Nearest-neighbor downsample (take every ``factor``-th row and
+    pixel) of an uncompressed 24-bit BMP and return the mean over the
+    decimated RGB bytes — the resize member of the decode family,
+    implemented on the one raw-pixel format stdlib can reach. None for
+    non-BMP / unsupported layouts."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    rows = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if len(payload) < off + stride * rows:
+        return None
+    data = np.frombuffer(payload, np.uint8, count=stride * rows, offset=off).reshape(
+        rows, stride
+    )
+    px = data[:, : w * 3].reshape(rows, w, 3)
+    dec = px[:: max(1, factor), :: max(1, factor), :]
+    return float(int(dec.astype(np.int64).sum()) / dec.size)
+
+
+class ResizeStage:
+    """Actor-pool resize stage: appends ``resized_mean`` (float64; null
+    for payloads the resize can't reach) and drops the payload bytes
+    in-task. Same heap discipline as DecodeStage."""
+
+    def __init__(self, factor: int = 2):
+        self.factor = factor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = [
+            bmp_resize_mean(p, self.factor) if p is not None else None
+            for p in batch.column("payload").to_pylist()
+        ]
+        return batch.drop_columns(["payload"]).append_column(
+            "resized_mean", pa.array(vals, type=pa.float64())
+        )
+
+
+def multimodal_resize(
+    ds: ray.data.Dataset,
+    factor: int = 2,
+    concurrency=(1, 4),
+    batch_size: int = MULTIMODAL_BATCH_SIZE,
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        ResizeStage,
+        fn_constructor_kwargs={"factor": factor},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -865,3 +865,22 @@ def test_video_frame_sample_garbage_payload(ray_session):
     out = FrameSampleStage(every=2)(t)
     assert out.column("n_frames").to_pylist() == [None, None]
     assert out.column("frame_mean").to_pylist() == [None, None]
+
+
+def test_bmp_resize_mean_hand_grid(ray_session):
+    from hyperpolyglot_ray.stages.multimodal import bmp_resize_mean, synth_media_payload
+
+    # find a bmp payload among the synthetic media kinds
+    for i in range(16):
+        p, kind = synth_media_payload(i, "x")
+        if kind == "image/bmp":
+            break
+    assert kind == "image/bmp"
+    full = bmp_resize_mean(p, factor=1)
+    dec = bmp_resize_mean(p, factor=2)
+    assert full is not None and dec is not None
+    # factor-1 'resize' equals the exact decoder's mean
+    from hyperpolyglot_ray.stages.multimodal import bmp_pixel_mean
+
+    assert full == bmp_pixel_mean(p)
+    assert bmp_resize_mean(b"not a bmp", 2) is None
