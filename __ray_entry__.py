@@ -384,6 +384,58 @@ def _q_doc_decontaminate(sf_dir: str):
     return decontaminate(ds, bench)
 
 
+def _q_lineitem_pricing(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    # TPC-H Q1-style pricing summary: per-block Arrow partials -> tiny
+    # groupby; money sums accumulate as integer CENTS so the distributed
+    # result is bitwise independent of block layout / addition order
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        cents = pa.array(
+            np.round(
+                batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64),
+            type=pa.int64(),
+        )
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "sum_qty": batch.column("l_quantity").cast(pa.int64()),
+                "sum_price_cents": cents,
+                "n_rows": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("sum_qty", "sum"), ("sum_price_cents", "sum"), ("n_rows", "sum")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_price_cents", "n_rows"]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .sum(["sum_qty", "sum_price_cents", "n_rows"])
+        .rename_columns(
+            {
+                "sum(sum_qty)": "sum_qty",
+                "sum(sum_price_cents)": "sum_price_cents",
+                "sum(n_rows)": "n_rows",
+            }
+        )
+    )
+
+
 def _q_events_profile(sf_dir: str):
     import ray.data
 
@@ -1015,6 +1067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_decontaminate": _q_doc_decontaminate,
         "events_profile": _q_events_profile,
+        "lineitem_pricing": _q_lineitem_pricing,
         "lineitem_orders_join": _q_lineitem_orders_join,
         "doc_source_cap": _q_doc_source_cap,
         "doc_bm25": _q_doc_bm25,
@@ -1187,6 +1240,14 @@ FROM documents""",
         ),
         "events_profile": (
             f"SELECT * FROM read_parquet('{side}/events_profile.parquet')"
+        ),
+        "lineitem_pricing": (
+            "SELECT l_returnflag, l_linestatus,"
+            " CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,"
+            " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)"
+            " AS sum_price_cents,"
+            " CAST(count(*) AS BIGINT) AS n_rows"
+            " FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "lineitem_orders_join": (
             "SELECT l.l_orderkey, l.l_quantity, l.l_extendedprice,"
