@@ -1042,7 +1042,31 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Ordered so queries lacking a recent driver CORRECTNESS row come first
+    # (the driver checks a finite prefix): 7 never-driver-checked, then the
+    # 11 last checked in round 2, then the 50 green in round 3.
     return {
+        # --- never driver-checked before round 4 ---
+        "emb_quantize": _q_emb_quantize,
+        "emb_pq": _q_emb_pq,
+        "events_distinct_users_hll": _q_events_distinct_users_hll,
+        "events_sessionize_chunked": _q_events_sessionize_chunked,
+        "events_asof_chunked": _q_events_asof_chunked,
+        "events_session_join_chunked": _q_events_session_join_chunked,
+        "events_value_quantiles_refine": _q_events_value_quantiles_refine,
+        # --- last driver-checked in round 2 ---
+        "events_window": _q_events_window,
+        "events_value_quantiles": _q_events_value_quantiles,
+        "events_distinct_users": _q_events_distinct_users,
+        "events_sliding_window": _q_events_sliding_window,
+        "events_sessionize": _q_events_sessionize,
+        "events_session_join": _q_events_session_join,
+        "events_asof": _q_events_asof,
+        "doc_topk_per_lang": _q_doc_topk_per_lang,
+        "repo_stats": _q_repo_stats,
+        "orders_by_nation": _q_orders_by_nation,
+        "emb_near_dup_ivf": _q_emb_near_dup_ivf,
+        # --- driver-green in round 3 ---
         "detect_cascade": _q_detect_cascade,
         "strategy_counts": _q_strategy_counts,
         "language_split": _q_language_split,
@@ -1093,24 +1117,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn": _q_emb_knn,
         "emb_knn_ivf": _q_emb_knn_ivf,
         "emb_near_dup": _q_emb_near_dup,
-        "emb_near_dup_ivf": _q_emb_near_dup_ivf,
-        "emb_quantize": _q_emb_quantize,
-        "emb_pq": _q_emb_pq,
-        "events_window": _q_events_window,
-        "events_value_quantiles": _q_events_value_quantiles,
-        "events_distinct_users": _q_events_distinct_users,
-        "events_distinct_users_hll": _q_events_distinct_users_hll,
-        "events_sliding_window": _q_events_sliding_window,
-        "events_sessionize": _q_events_sessionize,
-        "events_session_join": _q_events_session_join,
-        "doc_topk_per_lang": _q_doc_topk_per_lang,
-        "repo_stats": _q_repo_stats,
-        "orders_by_nation": _q_orders_by_nation,
-        "events_asof": _q_events_asof,
-        "events_sessionize_chunked": _q_events_sessionize_chunked,
-        "events_asof_chunked": _q_events_asof_chunked,
-        "events_session_join_chunked": _q_events_session_join_chunked,
-        "events_value_quantiles_refine": _q_events_value_quantiles_refine,
     }
 
 

@@ -8,7 +8,13 @@ operators and checkpointed resumable runs. See SURVEY.md for the full
 operator inventory and README.md for architecture.
 """
 
-from .api import (  # noqa: F401
+from ._raylog import install_empty_schema_warning_filter
+
+# scoped to ONE known-cosmetic Ray-internal message (empty-schema blocks
+# Ray itself emits for empty sort partitions); see _raylog.py
+install_empty_schema_warning_filter()
+
+from .api import (  # noqa: F401,E402
     classify,
     detect,
     detect_content,

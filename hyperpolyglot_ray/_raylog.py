@@ -1,0 +1,50 @@
+"""Scoped suppression of one known-cosmetic Ray Data warning.
+
+Ray 2.49's streaming executor logs ``Operator produced a RefBundle with a
+different schema than the previous one ... new schema: .`` whenever a
+ZERO-COLUMN empty block follows a typed one. Ray itself emits those
+blocks: the sort shuffle materializes empty range partitions as
+schema-less blocks (``ArrowBlockBuilder().build()`` with no data), and a
+``map_groups`` task whose input block is empty yields nothing, which the
+map operator also buffers into a zero-column block. The divergence check
+(``streaming_executor_state.py`` ``unify_schemas_with_validation`` call
+site) skips the comparison when the OLD schema is empty but not when the
+NEW one is, so the typed->empty transition warns while empty->typed does
+not.
+
+Every UDF in this repo returns a TYPED (possibly zero-row) table — see
+``joins.hash_join.join_bucket`` — so any empty-schema bundle in our
+pipelines is Ray-internal and benign. This filter suppresses exactly that
+message shape and nothing else: a genuine typed-vs-typed schema
+divergence still warns.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+
+# empty pyarrow schema str() is "" -> the message reads "new schema: ."
+_EMPTY_NEW_SCHEMA = re.compile(r"new schema: \. This may lead")
+
+
+class _EmptySchemaDivergenceFilter(logging.Filter):
+    def filter(self, record: logging.LogRecord) -> bool:  # True = keep
+        msg = record.getMessage()
+        if "different schema than the previous one" not in msg:
+            return True
+        return not _EMPTY_NEW_SCHEMA.search(msg)
+
+
+_INSTALLED = False
+
+
+def install_empty_schema_warning_filter() -> None:
+    """Idempotently attach the filter to the emitting Ray logger."""
+    global _INSTALLED
+    if _INSTALLED:
+        return
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptySchemaDivergenceFilter())
+    _INSTALLED = True

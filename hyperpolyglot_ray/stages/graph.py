@@ -78,6 +78,22 @@ def _emit_messages_fn(n_buckets: int):
         a_nodes = node[~is_label]
         a_nbrs = nbr[~is_label]
         pos = np.searchsorted(l_nodes, a_nodes)
+        if len(a_nodes):
+            # membership check (ADVICE r3 #2): an edge endpoint absent from
+            # ``nodes`` would otherwise read a DIFFERENT node's label (or
+            # index past the end) -> silently wrong components
+            safe = np.minimum(pos, max(len(l_nodes) - 1, 0))
+            bad = (
+                np.ones(len(a_nodes), dtype=bool)
+                if len(l_nodes) == 0
+                else (pos >= len(l_nodes)) | (l_nodes[safe] != a_nodes)
+            )
+            if bad.any():
+                raise ValueError(
+                    "hash_min_components: edge endpoint(s) missing from "
+                    f"`nodes` (first few: {np.unique(a_nodes[bad])[:5].tolist()}); "
+                    "every edge endpoint must appear in the nodes dataset"
+                )
         src_lbl = l_vals[pos]
         dst = np.concatenate([l_nodes, a_nbrs])
         msg = np.concatenate([l_vals, src_lbl])

@@ -77,6 +77,23 @@ def profile_columns(
     schema = ds.schema()
     cols = columns if columns is not None else list(schema.names)
     types = {c: schema.base_schema.field(c).type for c in cols}
+    for c, t in types.items():
+        # fail on the driver, before any task launches (ADVICE r3 #5):
+        # an unsupported column silently profiled as n_distinct_hll=0 +
+        # all-null stats would be mistaken for data
+        if not (
+            pa.types.is_integer(t)
+            or pa.types.is_floating(t)
+            or pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or pa.types.is_boolean(t)
+            or pa.types.is_temporal(t)
+        ):
+            raise ValueError(
+                f"profile_columns: unsupported column type {t} for column "
+                f"{c!r} (supported: integer, float, string, bool, "
+                "temporal); drop or cast it first"
+            )
 
     def partial(batch: pa.Table) -> pa.Table:
         rows: dict[str, list] = {
@@ -103,6 +120,17 @@ def profile_columns(
             mn = mx = sm = None
             mnl = mxl = sml = None
             h = np.zeros(0, dtype=np.uint64)
+            skip_sum = False
+            if pa.types.is_boolean(t) or pa.types.is_temporal(t):
+                # integer path (ADVICE r3 #5): bool as 0/1, temporal as
+                # its epoch integer — min/max are the cast int64 values
+                # (epoch µs fits float64 exactly up to 2^53 ≈ year 2255);
+                # a SUM of timestamps is meaningless and would overflow
+                # int64 partials, so it stays null; distinct via the
+                # integer HLL hash (the shuffle._column_hash route)
+                skip_sum = pa.types.is_temporal(t)
+                valid = valid.cast(pa.int64())
+                t = pa.int64()
             if pa.types.is_integer(t) or pa.types.is_floating(t):
                 if len(valid):
                     v = valid.to_numpy(zero_copy_only=False)
@@ -110,6 +138,8 @@ def profile_columns(
                         mn, mx, sm = float(v.min()), float(v.max()), float(int(v.sum()))
                     else:
                         mn, mx, sm = float(v.min()), float(v.max()), float(v.sum())
+                    if skip_sum:
+                        sm = None
                 h = _col_hashes(valid, t)
             elif pa.types.is_string(t) or pa.types.is_large_string(t):
                 if len(valid):

@@ -72,7 +72,10 @@ def bm25_search(
 ) -> ray.data.Dataset:
     """(id, score) for every document matching at least one query term.
     Deterministic: per-document arithmetic only, fixed term order."""
-    terms = list(terms)
+    # dedupe preserving order (ADVICE r3 #4): a repeated query term would
+    # otherwise get multiple identical tf columns and double-count its
+    # score contribution relative to the BM25 formula
+    terms = list(dict.fromkeys(terms))
     if not terms:
         return ray.data.from_arrow(
             pa.table(

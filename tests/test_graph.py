@@ -86,3 +86,20 @@ def test_minhash_clusters_consistent_with_keep_ids(ray_session):
     kept = sorted(r["doc_id"] for r in minhash_dedup_keep_ids(ds).take_all())
     assert labels == {10: 10, 11: 10, 12: 12, 13: 10, 14: 12, 15: 15}
     assert kept == sorted(set(labels.values()))
+
+
+def test_components_missing_endpoint_raises(ray_session):
+    """ADVICE r3 #2: an edge endpoint absent from `nodes` must raise, not
+    silently mislabel a different node."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from hyperpolyglot_ray.stages.graph import hash_min_components
+
+    edges = ray.data.from_arrow(
+        pa.table({"a": pa.array([1], type=pa.int64()), "b": pa.array([99], type=pa.int64())})
+    )
+    nodes = ray.data.from_arrow(pa.table({"node": pa.array([1, 2], type=pa.int64())}))
+    with pytest.raises(Exception, match="missing from"):
+        hash_min_components(edges, nodes).take_all()

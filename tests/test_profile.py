@@ -68,3 +68,41 @@ def test_profile_float_hll_matches_sequential_sidecar(ray_session):
     # — including the HLL distinct estimate — must match bitwise
     assert abs(got.pop("sum_val") - exp.pop("sum_val")) < 1e-9
     assert got == exp
+
+
+def test_profile_bool_temporal_and_unsupported(ray_session):
+    """ADVICE r3 #5: bool/temporal route through the integer path (real
+    distinct estimates, exact min/max; temporal sum stays null), and an
+    unsupported column type raises on the driver instead of emitting a
+    misleading all-null row."""
+    import datetime
+
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from hyperpolyglot_ray.stages.profile import profile_columns
+
+    ts = [datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i) for i in range(500)]
+    tbl = pa.table(
+        {
+            "flag": pa.array([i % 2 == 0 for i in range(500)], type=pa.bool_()),
+            "when": pa.array(ts, type=pa.timestamp("us")),
+        }
+    )
+    rows = {
+        r["column"]: r
+        for r in profile_columns(ray.data.from_arrow(tbl).repartition(5)).take_all()
+    }
+    assert rows["flag"]["n_distinct_hll"] == 2
+    assert rows["flag"]["min_val"] == 0.0 and rows["flag"]["max_val"] == 1.0
+    assert rows["flag"]["sum_val"] == 250.0
+    epoch_us = lambda d: (d - datetime.datetime(1970, 1, 1)).total_seconds() * 1e6
+    assert rows["when"]["min_val"] == epoch_us(ts[0])
+    assert rows["when"]["max_val"] == epoch_us(ts[-1])
+    assert rows["when"]["sum_val"] is None  # meaningless + would overflow
+    assert abs(rows["when"]["n_distinct_hll"] - 500) / 500 < 0.1
+
+    bad = pa.table({"blob": pa.array([b"x", b"y"], type=pa.binary())})
+    with pytest.raises(ValueError, match="unsupported column type"):
+        profile_columns(ray.data.from_arrow(bad))

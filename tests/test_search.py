@@ -107,3 +107,27 @@ def test_doc_keywords_layout_invariant(ray_session):
         for r in doc_keywords(docs.repartition(9)).take_all()
     )
     assert a == c and len(a) > 0
+
+
+def test_bm25_duplicate_terms_deduped(ray_session):
+    """ADVICE r3 #4: a repeated query term must not double-count its
+    score contribution."""
+    import pyarrow as pa
+    import ray.data
+
+    from hyperpolyglot_ray.stages.search import bm25_search
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": ["apple banana apple", "banana cherry"],
+            }
+        )
+    )
+    once = {r["doc_id"]: r["score"] for r in bm25_search(ds, ["apple"]).take_all()}
+    twice = {
+        r["doc_id"]: r["score"]
+        for r in bm25_search(ds, ["apple", "apple"]).take_all()
+    }
+    assert once == twice
