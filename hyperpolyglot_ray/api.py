@@ -46,18 +46,28 @@ def language_info(name: str) -> dict:
 
 def iter_detectable_files(root: str | Path):
     """Walk ``root`` like the reference's override-filtered walker: skips
-    hidden files/dirs and paths matching the documentation/vendor globs."""
+    hidden files/dirs, paths matching the documentation/vendor globs, and
+    paths excluded by ``.gitignore`` files in the tree (the reference's
+    ``ignore::WalkBuilder`` defaults honor gitignore, lib.rs:234-238;
+    subset semantics documented in ``core/gitignore.py``)."""
+    from .core.gitignore import GitignoreStack
+
     root = Path(root)
+    gitignore = GitignoreStack()
     for dirpath, dirnames, filenames in os.walk(root):
         rel_dir = os.path.relpath(dirpath, root)
         rel_dir = "" if rel_dir == "." else rel_dir.replace(os.sep, "/")
-        # prune hidden + filtered directories before descending
+        gitignore.prune(rel_dir)
+        gitignore.load_dir(Path(dirpath), rel_dir)
+        # prune hidden + filtered + gitignored directories before descending
         kept_dirs = []
-        for d in dirnames:
+        for d in sorted(dirnames):
             rel = f"{rel_dir}/{d}" if rel_dir else d
             if d.startswith("."):
                 continue
             if is_documentation(rel) or is_vendored(rel):
+                continue
+            if gitignore.is_ignored(rel, is_dir=True):
                 continue
             kept_dirs.append(d)
         dirnames[:] = kept_dirs
@@ -66,6 +76,8 @@ def iter_detectable_files(root: str | Path):
                 continue
             rel = f"{rel_dir}/{f}" if rel_dir else f
             if is_documentation(rel) or is_vendored(rel):
+                continue
+            if gitignore.is_ignored(rel, is_dir=False):
                 continue
             yield rel
 

@@ -1,0 +1,150 @@
+"""Minimal `.gitignore` semantics for the library directory walker.
+
+The reference's ``get_language_breakdown`` walks with ``ignore``'s
+``WalkBuilder`` defaults (``/root/reference/src/lib.rs:234-238``), which
+honor per-directory ``.gitignore`` files in addition to the hidden-file
+skip and the doc/vendor overrides. This module implements the commonly
+exercised subset of the gitignore pattern language (gitignore(5)):
+
+- blank lines and ``#`` comments ignored; trailing spaces stripped
+- ``!`` re-includes (negation); within a file, LATER lines win
+- a pattern containing a non-trailing ``/`` is anchored to the directory
+  of its ``.gitignore``; otherwise it matches the basename at any depth
+- trailing ``/`` restricts the pattern to directories
+- ``*`` matches within a path component, ``?`` one character,
+  ``**`` across components (leading ``**/``, trailing ``/**``, middle
+  ``/**/`` per the spec)
+- deeper ``.gitignore`` files take precedence over shallower ones
+
+Not implemented (rare in the wild, documented): ``\\#`` escapes,
+character-class negation subtleties, ``.git/info/exclude`` and global
+core.excludesFile (both outside the tree being walked).
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+
+def _glob_to_regex(pat: str) -> str:
+    """Translate one gitignore glob (already anchored/normalized) to a
+    regex over a '/'-separated relative path."""
+    out: list[str] = []
+    i, n = 0, len(pat)
+    while i < n:
+        c = pat[i]
+        if c == "*":
+            if pat[i : i + 2] == "**":
+                # '**/' at a boundary spans zero or more components
+                if pat[i : i + 3] == "**/":
+                    out.append("(?:[^/]+/)*")
+                    i += 3
+                    continue
+                out.append(".*")
+                i += 2
+                continue
+            out.append("[^/]*")
+            i += 1
+        elif c == "?":
+            out.append("[^/]")
+            i += 1
+        elif c == "[":
+            j = pat.find("]", i + 1)
+            if j == -1:
+                out.append(re.escape(c))
+                i += 1
+            else:
+                cls = pat[i : j + 1]
+                out.append(cls.replace("[!", "[^", 1))
+                i = j + 1
+        else:
+            out.append(re.escape(c))
+            i += 1
+    return "".join(out)
+
+
+class _Rule:
+    __slots__ = ("regex", "negated", "dir_only")
+
+    def __init__(self, regex: re.Pattern, negated: bool, dir_only: bool):
+        self.regex = regex
+        self.negated = negated
+        self.dir_only = dir_only
+
+
+def _parse_lines(lines: list[str]) -> list[_Rule]:
+    rules: list[_Rule] = []
+    for raw in lines:
+        line = raw.rstrip("\n").rstrip()
+        if not line or line.startswith("#"):
+            continue
+        negated = line.startswith("!")
+        if negated:
+            line = line[1:]
+        dir_only = line.endswith("/")
+        if dir_only:
+            line = line[:-1]
+        if not line:
+            continue
+        anchored = "/" in line
+        if line.startswith("/"):
+            line = line[1:]
+        body = _glob_to_regex(line)
+        if anchored:
+            rx = re.compile(rf"^{body}$")
+        else:
+            # basename (or trailing components via '**') at any depth
+            rx = re.compile(rf"^(?:[^/]+/)*{body}$")
+        rules.append(_Rule(rx, negated, dir_only))
+    return rules
+
+
+class GitignoreStack:
+    """Accumulates `.gitignore` files down a top-down walk; deeper files
+    take precedence, later lines within a file win."""
+
+    def __init__(self) -> None:
+        # ordered shallow -> deep: (base_rel ('' for root), rules)
+        self._layers: list[tuple[str, list[_Rule]]] = []
+
+    def load_dir(self, dir_abs: Path, dir_rel: str) -> None:
+        """Call once per visited directory (top-down); reads
+        ``dir_abs/.gitignore`` if present. ``dir_rel`` is ''-rooted with
+        '/' separators ('' for the walk root)."""
+        gi = dir_abs / ".gitignore"
+        try:
+            if gi.is_file():
+                lines = gi.read_text(encoding="utf-8", errors="replace").splitlines()
+                rules = _parse_lines(lines)
+                if rules:
+                    self._layers.append((dir_rel, rules))
+        except OSError:
+            pass
+
+    def prune(self, upto_rel: str) -> None:
+        """Drop layers that no longer apply once the walk leaves their
+        subtree (``upto_rel`` = directory now being visited)."""
+        prefix = upto_rel + "/" if upto_rel else ""
+        self._layers = [
+            (b, r)
+            for b, r in self._layers
+            if b == "" or b == upto_rel or prefix.startswith(b + "/")
+        ]
+
+    def is_ignored(self, rel: str, is_dir: bool) -> bool:
+        """``rel``: path relative to the walk root ('/'-separated)."""
+        decision = False
+        for base, rules in self._layers:
+            if base:
+                if not rel.startswith(base + "/"):
+                    continue
+                sub = rel[len(base) + 1 :]
+            else:
+                sub = rel
+            for rule in rules:
+                if rule.dir_only and not is_dir:
+                    continue
+                if rule.regex.match(sub):
+                    decision = not rule.negated
+        return decision

@@ -940,8 +940,12 @@ def write_packed_shards(
     ``(doc_id, text, n_tok, seq_id, tok_offset)`` rows sorted by
     ``doc_id`` — the exact slice of the concatenated training stream the
     bucket covers. Writes are atomic (tmp file + rename), and a bucket
-    whose shard file already exists is SKIPPED without recomputing or
-    rewriting — so a killed run resumes from finished shards for free
+    whose shard file already exists WITH a matching ``.fp`` sidecar
+    (sha256 over seq_len/bucket_size/global offset + the bucket's ids,
+    token counts and text hashes) is SKIPPED without rewriting — a run
+    whose inputs or parameters changed rewrites stale shards instead of
+    silently keeping them (ADVICE r3 #3); a killed run still resumes
+    from finished shards for free
     (prompt requirement: partitioned, resumable output; complements
     ``state/checkpoint.py``'s driver-planned coarse partitions with
     task-side skip). Returns the manifest: one row per bucket —
@@ -988,7 +992,11 @@ def write_packed_shards(
     off_ref = ray.put(offsets)
 
     def write_bucket(group: pa.Table) -> pa.Table:
+        import hashlib
+
         import pyarrow.parquet as pq
+
+        from .text_ops import _hash_string_array
 
         bkt = group.column("_bkt")[0].as_py()
         shard = os.path.join(out_dir, f"bucket={bkt}.parquet")
@@ -999,7 +1007,27 @@ def write_packed_shards(
         cum = base + np.cumsum(n[order]) - n[order]
         seq = cum // seq_len
 
-        skipped = os.path.exists(shard)
+        # parameters + content fingerprint (ADVICE r3 #3): a shard is
+        # skipped on resume ONLY when its sidecar matches — if the input
+        # rows, seq_len, bucket_size or global offset changed since the
+        # prior run, the stale shard is rewritten instead of silently kept
+        th = _hash_string_array(
+            pc.fill_null(group.column(text_col), "").combine_chunks()
+        )
+        fp = hashlib.sha256()
+        fp.update(np.array([seq_len, bucket_size, base], dtype=np.int64).tobytes())
+        fp.update(d[order].tobytes())
+        fp.update(n[order].tobytes())
+        fp.update(th[order].tobytes())
+        fp_hex = fp.hexdigest()
+        fp_path = shard + ".fp"
+        skipped = False
+        if os.path.exists(shard) and os.path.exists(fp_path):
+            try:
+                with open(fp_path, encoding="ascii") as fh:
+                    skipped = fh.read().strip() == fp_hex
+            except OSError:
+                skipped = False
         if not skipped:
             out = pa.table(
                 {
@@ -1015,6 +1043,10 @@ def write_packed_shards(
             tmp = f"{shard}.tmp.{os.getpid()}"
             pq.write_table(out, tmp)
             os.replace(tmp, shard)
+            fp_tmp = f"{fp_path}.tmp.{os.getpid()}"
+            with open(fp_tmp, "w", encoding="ascii") as fh:
+                fh.write(fp_hex + "\n")
+            os.replace(fp_tmp, fp_path)
 
         return pa.table(
             {

@@ -112,3 +112,49 @@ def test_driver_contract_shapes(ray_session):
     assert list(df.columns) == [
         "repo", "path", "commit", "detected_lang", "strategy", "keep", "content_sha",
     ]
+
+
+def test_breakdown_honors_gitignore(tmp_path):
+    """Reference WalkBuilder honors .gitignore by default (lib.rs:234-238,
+    VERDICT r3 next #7): ignored files and directories are excluded from
+    the breakdown; negation re-includes."""
+    import hyperpolyglot_ray as hp
+
+    (tmp_path / "keep.py").write_text("print('hi')\n")
+    (tmp_path / "drop.py").write_text("print('drop')\n")
+    (tmp_path / "back.py").write_text("print('back')\n")
+    sub = tmp_path / "build"
+    sub.mkdir()
+    (sub / "gen.py").write_text("print('gen')\n")
+    nested = tmp_path / "src"
+    nested.mkdir()
+    (nested / "local.py").write_text("print('x')\n")
+    (nested / "ok.py").write_text("print('y')\n")
+    (tmp_path / ".gitignore").write_text("drop.py\nbuild/\n*.pyc\nback.py\n!back.py\n")
+    (nested / ".gitignore").write_text("local.py\n")
+
+    bd = hp.get_language_breakdown(tmp_path, use_ray=False)
+    got = sorted(str(p) for _, p in bd.get("Python", []))
+    assert got == ["back.py", "keep.py", "src/ok.py"]
+
+
+def test_gitignore_pattern_subset():
+    """Unit-level gitignore matcher checks: anchoring, **, dir-only,
+    negation order, deeper-file precedence."""
+    from pathlib import Path
+
+    from hyperpolyglot_ray.core.gitignore import GitignoreStack, _parse_lines
+
+    st = GitignoreStack()
+    st._layers.append(("", _parse_lines([
+        "*.log", "!important.log", "/rooted.txt", "docs/**", "a/**/b",
+    ])))
+    assert st.is_ignored("x/deep/run.log", False)
+    assert not st.is_ignored("x/important.log", False)
+    assert st.is_ignored("rooted.txt", False)
+    assert not st.is_ignored("sub/rooted.txt", False)
+    assert st.is_ignored("docs/any/where.md", False)
+    assert st.is_ignored("a/b", False) and st.is_ignored("a/x/y/b", False)
+    # deeper layer wins over shallower
+    st._layers.append(("x", _parse_lines(["!*.log"])))
+    assert not st.is_ignored("x/deep/run.log", False)

@@ -516,3 +516,33 @@ def test_decontaminate_snip_removes_spans(ray_session):
     assert out[1] == ("totally clean", 0)
     assert out[2] == (" here", 1)
     assert out[3] == ("", 0)
+
+
+def test_write_packed_shards_rewrites_stale_on_param_change(ray_session, tmp_path):
+    """ADVICE r3 #3: existing shards written with DIFFERENT parameters or
+    input data are rewritten (fingerprint sidecar mismatch), not silently
+    kept against a fresh manifest."""
+    import pyarrow.parquet as pq
+
+    from hyperpolyglot_ray.stages.curation import write_packed_shards
+
+    rows = [(i, "tok " * ((i * 5) % 17)) for i in range(40)]
+    ds = _pdocs(rows)
+    out = str(tmp_path / "shards")
+
+    man1 = write_packed_shards(ds, out, seq_len=32, bucket_size=16).take_all()
+    assert all(not r["skipped"] for r in man1)
+
+    # same data, different seq_len -> every shard must be rewritten
+    man2 = write_packed_shards(ds, out, seq_len=16, bucket_size=16).take_all()
+    assert all(not r["skipped"] for r in man2)
+    t = pq.read_table(f"{out}/bucket=0.parquet")
+    assert max(t.column("tok_offset").to_pylist()) < 16  # new layout on disk
+
+    # changed input text -> rewritten too
+    rows[3] = (3, "completely different body of tokens here")
+    man3 = {
+        r["bucket"]: r["skipped"]
+        for r in write_packed_shards(_pdocs(rows), out, seq_len=16, bucket_size=16).take_all()
+    }
+    assert man3[0] is False  # bucket containing doc 3

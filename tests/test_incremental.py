@@ -191,3 +191,46 @@ def test_corpus_intersect_empty(ray_session):
     ref = [{"doc_id": 0, "text": "a"}]
     new = [{"doc_id": 1, "text": "b"}, {"doc_id": 2, "text": "c"}]
     assert corpus_intersect_ids(_ds(new), _ds(ref)).take_all() == []
+
+
+def test_incremental_dedup_auto_routes_on_budget(ray_session):
+    """VERDICT r3 next #8: a bloom-positive count above candidate_budget
+    auto-switches to the partitioned topology; keep_ids, filter-rows and
+    intersect results are bitwise-equal on both routes."""
+    import pyarrow as pa
+    import ray.data
+
+    from hyperpolyglot_ray.stages.incremental import (
+        corpus_intersect_ids,
+        derive_incremental_shard,
+        incremental_dedup_filter,
+        incremental_dedup_keep_ids,
+    )
+
+    texts = [f"doc number {i} body " + "w" * (i % 11) for i in range(400)]
+    ref = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(400), type=pa.int64()), "text": texts})
+    )
+    new = derive_incremental_shard(ref)
+
+    def ids(ds):
+        return sorted(r["doc_id"] for r in ds.take_all())
+
+    # budget=0 forces the partition route for every shape
+    assert ids(incremental_dedup_keep_ids(new, ref, candidate_budget=0)) == ids(
+        incremental_dedup_keep_ids(new, ref)
+    )
+    assert ids(incremental_dedup_filter(new, ref, candidate_budget=0)) == ids(
+        incremental_dedup_filter(new, ref)
+    )
+    rows_a = sorted(
+        (r["doc_id"], r["text"])
+        for r in incremental_dedup_filter(new, ref, candidate_budget=0).take_all()
+    )
+    rows_b = sorted(
+        (r["doc_id"], r["text"]) for r in incremental_dedup_filter(new, ref).take_all()
+    )
+    assert rows_a == rows_b
+    assert ids(corpus_intersect_ids(new, ref, candidate_budget=0)) == ids(
+        corpus_intersect_ids(new, ref)
+    )
