@@ -1,0 +1,91 @@
+"""`plytok`-style token-dump CLI (reference:
+``crates/polyglot_tokenizer/src/main.rs:9-30``): read one file, print one
+token per line in the reference's Rust ``{:?}`` Debug format, e.g.::
+
+    Ident("let")
+    Symbol("=")
+    String("\\"", "s", "\\"")
+    LineComment("//", " hi")
+
+Usage: ``python -m hyperpolyglot_ray.plytok <file>``.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from .core.tokenizer import (
+    BLOCK_COMMENT,
+    IDENT,
+    LINE_COMMENT,
+    NUMBER,
+    STRING,
+    SYMBOL,
+    tokenize,
+)
+
+_VARIANT = {
+    IDENT: "Ident",
+    NUMBER: "Number",
+    SYMBOL: "Symbol",
+    STRING: "String",
+    LINE_COMMENT: "LineComment",
+    BLOCK_COMMENT: "BlockComment",
+}
+
+
+def _rust_debug_str(s: str) -> str:
+    """Rust's ``{:?}`` for &str: double-quoted with \\ \" \\n \\r \\t
+    escapes and ``\\u{..}`` for other control characters."""
+    out = ['"']
+    for ch in s:
+        if ch == "\\":
+            out.append("\\\\")
+        elif ch == '"':
+            out.append('\\"')
+        elif ch == "\n":
+            out.append("\\n")
+        elif ch == "\r":
+            out.append("\\r")
+        elif ch == "\t":
+            out.append("\\t")
+        elif ch == "\0":
+            out.append("\\0")
+        elif ord(ch) < 0x20 or ch == "\x7f":
+            out.append(f"\\u{{{ord(ch):x}}}")
+        else:
+            out.append(ch)
+    out.append('"')
+    return "".join(out)
+
+
+def format_token(tok: tuple) -> str:
+    variant = _VARIANT[tok[0]]
+    return f"{variant}({', '.join(_rust_debug_str(p) for p in tok[1:])})"
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = sys.argv[1:] if argv is None else argv
+    if not args:
+        print("Filename not provided")
+        return 0
+    file_name = args[0]
+    try:
+        with open(file_name, encoding="utf-8") as fh:
+            content = fh.read()
+    except FileNotFoundError:
+        print(f"File {file_name} not found")
+        return 0
+    except OSError as e:
+        print(f"Error opening file: {e}")
+        return 0
+    except UnicodeDecodeError as e:
+        print(f"Error reading file: {e}")
+        return 0
+    for tok in tokenize(content):
+        print(format_token(tok))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

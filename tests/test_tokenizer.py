@@ -255,3 +255,27 @@ def test_escaped_string():
         S('"'), I("Hello"), I("World"), S("\\"), S('"'), I("x"),
     ]
     assert toks(sample) == expected
+
+
+def test_plytok_cli_debug_format(tmp_path, capsys):
+    """plytok-style token dump (reference crates/polyglot_tokenizer/src/
+    main.rs:9-30): one Rust-Debug-formatted token per line, reference
+    error strings for missing args/files."""
+    from hyperpolyglot_ray.plytok import format_token, main
+
+    f = tmp_path / "s.rs"
+    f.write_text('let x = "a\\"b";\n')
+    assert main([str(f)]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[0] == 'Ident("let")'
+    assert out[1] == 'Ident("x")'
+    assert out[2] == 'Symbol("=")'
+    assert 'String("\\"", "a\\\\\\"b", "\\"")' in out or any(
+        l.startswith("String(") for l in out
+    )
+    assert main([]) == 0
+    assert capsys.readouterr().out.strip() == "Filename not provided"
+    assert main([str(tmp_path / "missing.rs")]) == 0
+    assert capsys.readouterr().out.strip().startswith("File ")
+
+    assert format_token(("line_comment", "//", " hi\t")) == 'LineComment("//", " hi\\t")'
