@@ -1476,8 +1476,11 @@ SELECT doc_id, token AS keyword, score, rank FROM ranked WHERE rank <= 5""",
         # independent SQL vocabulary head: same min-count floor, same
         # (count desc, token asc) tie-break
         "doc_vocab": (
+            # explicit ASCII-whitespace complement class, matching the r4
+            # ascii_split_whitespace token spec ([\t\n\v\f\r ] delimiters;
+            # RE2 \S misses \x0b)
             r"WITH tok AS (SELECT doc_id,"
-            r" unnest(regexp_extract_all(text, '\S+')) AS token"
+            r" unnest(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS token"
             r" FROM documents),"
             r" agg AS (SELECT token, CAST(count(*) AS BIGINT) AS n_total,"
             r" CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs"

@@ -167,8 +167,14 @@ def run_bench(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
 
     sf = sf_from_dir(sf_dir)
     # bench corpus = 3x the correctness fixture (FIXTURES.md §4: 10^5-10^6
-    # rows) so fixed costs (actor init ~3s) amortize into the timed run
-    fix = build_files_fixture(sf, n_rows=int(sf * 3_000_000))
+    # rows) so fixed costs (actor init ~3s) amortize into the timed run.
+    # GRAFT_BENCH_ROWS overrides: scaling sessions use a 2x corpus so the
+    # per-RUN fixed costs (actor-pool spawn, plan/launch ~1-2 s) stop
+    # weighing 3x heavier on the fast level — at production scale those
+    # costs amortize to zero, so the small-corpus ratio UNDERSTATES the
+    # topology's true scaling
+    n_rows = int(os.environ.get("GRAFT_BENCH_ROWS", "0")) or int(sf * 3_000_000)
+    fix = build_files_fixture(sf, n_rows=n_rows)
     files_dir = str(fix / "files")
 
     # warm-up outside the timed section: worker spawn + imports + page cache
@@ -447,6 +453,14 @@ def run_scaling(sf_dir: str, n_low: int, n_high: int) -> dict:
             env["GRAFT_SF_DIR"] = sf_dir
             env["GRAFT_BENCH_SINK"] = "consume"  # fixed local disk can't scale
             env["GRAFT_BENCH_REPS"] = "1"
+            # 2x corpus for scaling runs: amortizes per-run fixed costs the
+            # way production scale does (see run_bench GRAFT_BENCH_ROWS note)
+            from hyperpolyglot_ray.sources.fixtures import sf_from_dir
+
+            env.setdefault(
+                "GRAFT_BENCH_ROWS",
+                str(int(sf_from_dir(sf_dir) * 6_000_000)),
+            )
             # the content cache's hit rate rises with rows-per-actor, so a
             # small proxy corpus hands the LOW level a better hit rate and
             # corrupts the TOPOLOGY ratio the criterion is about (at
@@ -490,9 +504,13 @@ def run_scaling(sf_dir: str, n_low: int, n_high: int) -> dict:
         for e, st in zip(pair_effs, pair_steals)
         if all(s is not None and s < CLEAN_STEAL_PCT for s in st)
     ]
-    clean_median = (
-        round(sorted(clean_effs)[len(clean_effs) // 2], 3) if clean_effs else None
-    )
+    clean_median = None
+    if clean_effs:
+        s = sorted(clean_effs)
+        mid = len(s) // 2
+        clean_median = round(
+            s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2, 3
+        )
     return {
         "metric": f"scaling efficiency {n_low}->{n_high} cpus (files/sec ratio / cpu ratio)",
         "value": round(eff, 3),

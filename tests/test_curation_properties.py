@@ -120,7 +120,8 @@ def test_vocab_stats_property(ray_session, corpus, nparts):
     n_tot: Counter = Counter()
     n_doc: Counter = Counter()
     for txt in corpus:
-        toks = re.findall(r"\S+", txt)
+        # r4 token spec: ASCII-whitespace delimiters [\t\n\v\f\r ]
+        toks = re.findall(r"[^ \t\n\v\f\r]+", txt)
         n_tot.update(toks)
         n_doc.update(set(toks))
     exp = sorted(

@@ -34,6 +34,15 @@ def test_components_random_graph(ray_session):
         for r in hash_min_components(e_ds, n_ds, n_buckets=8).take_all()
     }
     assert out == _truth(n, edges)
+    # iterative path forced (small_graph_rows=0) must agree bitwise with
+    # the single-task small-graph short circuit taken above
+    out_iter = {
+        r["node"]: r["component"]
+        for r in hash_min_components(
+            e_ds, n_ds, n_buckets=8, small_graph_rows=0
+        ).take_all()
+    }
+    assert out_iter == out
 
 
 def test_components_cross_block_chain(ray_session):
@@ -49,7 +58,9 @@ def test_components_cross_block_chain(ray_session):
     n_ds = ray.data.from_items([{"node": i} for i in range(125)]).repartition(3)
     out = {
         r["node"]: r["component"]
-        for r in hash_min_components(e_ds, n_ds, n_buckets=8).take_all()
+        for r in hash_min_components(
+            e_ds, n_ds, n_buckets=8, small_graph_rows=0
+        ).take_all()
     }
     assert len(out) == 125
     assert all(out[i] == 0 for i in range(121))
@@ -103,3 +114,6 @@ def test_components_missing_endpoint_raises(ray_session):
     nodes = ray.data.from_arrow(pa.table({"node": pa.array([1, 2], type=pa.int64())}))
     with pytest.raises(Exception, match="missing from"):
         hash_min_components(edges, nodes).take_all()
+    with pytest.raises(Exception, match="missing from"):
+        # iterative path validates too (searchsorted membership check)
+        hash_min_components(edges, nodes, small_graph_rows=0).take_all()
