@@ -122,11 +122,14 @@ def run_vocab_only(sf_dir: str, num_cpus: int) -> dict:
     sf = sf_from_dir(sf_dir)
     fix = build_files_fixture(sf, n_rows=int(sf * 3_000_000))
     files_dir = str(fix / "files")
-    # one tiny warm-up so worker spawn/imports stay out of the timed run,
-    # same as the main bench
+    # warm-up must SPAWN EVERY WORKER SLOT, not just a few: the tiny
+    # fixture alone yields ~4 tasks, leaving ~28 worker processes to
+    # spawn (and import pyarrow/numpy) inside the timed run — that skew
+    # made the "fresh" number read 1.5-3x the true pipeline time
     small = build_files_fixture(0.001)
     vocab_stats(
-        ray.data.read_parquet(str(small / "files"), columns=["path", "content"]),
+        ray.data.read_parquet(str(small / "files"), columns=["path", "content"])
+        .repartition(num_cpus * 2),
         text_col="content", id_col="path", top_k=100, min_count=5,
     ).count()
     t0 = time.time()
