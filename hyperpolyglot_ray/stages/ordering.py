@@ -1,0 +1,84 @@
+"""Deterministic global shuffle — training-order randomization at scale.
+
+A training run wants every epoch's document order to be (a) statistically
+random, (b) reproducible bit-for-bit from a seed, and (c) computable
+without materializing the corpus anywhere. Ray Data's built-in
+``random_shuffle()`` gives (a) only: it is seed-less by default and fully
+materializes all blocks. This operator instead SORTS by a per-row
+cryptographic key — ``sha256(f"{seed}:{id}")`` — which is a uniform
+pseudo-random permutation of the rows, reproducible from ``seed``, and
+expressible in plain SQL (DuckDB's ``sha256``), so the driver oracle
+checks it end to end.
+
+Topology (the payload crosses exactly one shuffle — the re-key minimum):
+
+1. map: append the hex key and its range bucket (first 16 key bits ->
+   ``n_buckets`` contiguous ranges; keys are uniform, so buckets are
+   balanced regardless of input skew).
+2. per-bucket row counts (tiny aggregate: ``n_buckets`` rows), exclusive
+   prefix sum on the driver, broadcast — the same two-level scan as
+   ``curation.pack_sequences``.
+3. groupby(bucket): sort the group by (key, id) and assign
+   ``pos = bucket_offset + rank``. Bucket ranges tile the key space in
+   order, so ``pos`` is the global 0-based rank in key order — a dense
+   permutation index.
+
+``pos`` IS the shuffled order: a downstream writer emits shard
+``pos // shard_size`` at offset ``pos % shard_size``, streaming, no
+global sort materialization. Requires unique ``id_col`` values (ties in
+the full (key, id) sort key would make ranks ambiguous).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def deterministic_shuffle(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Append ``pos`` — the row's 0-based position in the seeded global
+    shuffle order (module docstring). Output: input columns + ``pos``."""
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        keys = [
+            hashlib.sha256(f"{seed}:{i}".encode("utf-8")).hexdigest() for i in ids
+        ]
+        pref = np.array([int(k[:4], 16) for k in keys], dtype=np.int64)
+        bkt = pref * n_buckets // 65536
+        return batch.append_column(
+            "__skey", pa.array(keys, type=pa.string())
+        ).append_column("__bucket", pa.array(bkt, type=pa.int64()))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+
+    counts = keyed.groupby("__bucket").count().take_all()
+    counts.sort(key=lambda r: r["__bucket"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in counts:
+        offsets[r["__bucket"]] = acc
+        acc += r["count()"]
+    off_ref = ray.put(offsets)
+
+    def assign(group: pa.Table) -> pa.Table:
+        base = ray.get(off_ref)[group.column("__bucket")[0].as_py()]
+        order = pa.compute.sort_indices(
+            group, sort_keys=[("__skey", "ascending"), (id_col, "ascending")]
+        )
+        ranked = group.take(order)
+        pos = pa.array(
+            base + np.arange(ranked.num_rows, dtype=np.int64), type=pa.int64()
+        )
+        return ranked.drop(["__skey", "__bucket"]).append_column("pos", pos)
+
+    return keyed.groupby("__bucket").map_groups(assign, batch_format="pyarrow")

@@ -1,0 +1,332 @@
+"""Duplicated-span removal — the substring level of the dedup ladder.
+
+Hashed-window variant of the ExactSubstr dedup in Lee et al. 2022
+("Deduplicating Training Data Makes Language Models Better"): instead of
+a corpus-global suffix array (which needs the whole corpus resident), a
+repeated region is detected through its fixed-width token windows — a
+window value occurring >= 2 times corpus-wide marks every occurrence
+except the first as removable. A region of R >= width repeated tokens
+yields R - width + 1 matching windows whose union covers the region, so
+whole repeated spans vanish from every copy but the winning one.
+
+Spec (the sequential oracle in ``sources/doc_oracle.py`` reimplements it
+independently, pure Python):
+
+- tokens = ``text.split()`` (null text counts as empty).
+- window value ``W(i) = mix64(poly_B_SHINGLE(tok_hash[i..i+width)))`` for
+  every start ``i`` — positionally, NOT uniqued (the same formula as the
+  minhash shingles; a doc with < width tokens emits no windows and passes
+  through unchanged).
+- an occurrence is (doc_id, start); the FIRST occurrence of a duplicated
+  window value — min (doc_id, start) lexicographic — keeps its tokens,
+  every other occurrence's ``width`` tokens are removed.
+- a doc with no removed tokens returns its ORIGINAL text (original
+  whitespace preserved); a doc that lost tokens returns
+  ``" ".join(kept_tokens)``. Output: (doc_id, text, n_removed).
+
+Occurrences pack into one int64 — ``doc_id * 2^21 + start`` — so the
+first-occurrence election is a plain ``min``; requires
+``0 <= doc_id < 2^42`` and ``start < 2^21`` (docs under 2M tokens),
+asserted. 64-bit window collisions can merge two distinct windows
+(removing a non-duplicated span); at ~1e12 windows the expected collision
+count is ~0.03 per corpus — the standard trade of the hashed variant.
+
+Scale topology (nothing corpus-sized ever lands on the driver):
+
+1. map: each doc emits fixed-width (whash, pack) occurrence rows —
+   ~n_tokens rows/doc of 16 B, comparable to the minhash signature pass.
+2. ``bucketed_group_reduce`` on whash -> (min(pack), count) — the same
+   growing-cardinality reduce primitive as vocab/dedup; duplicated =
+   count >= 2.
+3. route the duplicated set back:
+   - **broadcast** (<= ``dup_budget`` duplicated windows): driver dict +
+     ``ray.put``, one map pass recomputes windows and rebuilds.
+   - **join** (above budget): re-emitted occurrences ``hash_join`` the
+     duplicated set on whash, losers project to (doc_id, start), a
+     bucketed groupby packs per-doc removal lists into binary blobs, and
+     one left ``hash_join`` against the docs re-keys the payload exactly
+     once for the rebuild.
+   Both paths are bitwise-identical (tested with a forced budget).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from .text_ops import _B_SHINGLE, _mix64, _token_hashes
+
+_U64 = np.uint64
+_PACK_SHIFT = 21
+_START_MASK = (1 << _PACK_SHIFT) - 1
+
+
+def _window_values(th: np.ndarray, width: int) -> np.ndarray:
+    """Positional window hashes over a token-hash stream: one uint64 per
+    start offset (len(th) - width + 1 values; empty when len(th) < width).
+    Same polynomial + finalizer as the minhash shingles, positions kept."""
+    n = len(th)
+    if n < width:
+        return np.zeros(0, dtype=np.uint64)
+    acc = np.zeros(n - width + 1, dtype=np.uint64)
+    for j in range(width):
+        acc = acc * _B_SHINGLE + th[j : n - width + 1 + j]
+    return _mix64(acc)
+
+
+def _occurrence_rows(
+    batch: pa.Table, id_col: str, text_col: str, width: int
+) -> pa.Table:
+    """(whash, pack) occurrence rows for every window of every doc in the
+    batch. whash is the uint64 window value viewed as int64 (bit-cast);
+    pack = doc_id << 21 | start."""
+    ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    texts = pc.fill_null(batch.column(text_col).cast(pa.string()), "").to_pylist()
+    wh_parts: list[np.ndarray] = []
+    pk_parts: list[np.ndarray] = []
+    for did, text in zip(ids, texts):
+        wv = _window_values(_token_hashes(text), width)
+        if not len(wv):
+            continue
+        if not (0 <= did < (1 << 42)):
+            raise ValueError(f"span_dedup: doc id {did} outside [0, 2^42)")
+        if len(wv) > _START_MASK:
+            raise ValueError(
+                f"span_dedup: doc {did} has >{_START_MASK} windows; "
+                "raise _PACK_SHIFT for multi-million-token documents"
+            )
+        wh_parts.append(wv)
+        pk_parts.append(
+            (int(did) << _PACK_SHIFT) + np.arange(len(wv), dtype=np.int64)
+        )
+    if not wh_parts:
+        return pa.table(
+            {
+                "whash": pa.array([], type=pa.int64()),
+                "pack": pa.array([], type=pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "whash": pa.array(
+                np.concatenate(wh_parts).view(np.int64), type=pa.int64()
+            ),
+            "pack": pa.array(np.concatenate(pk_parts), type=pa.int64()),
+        }
+    )
+
+
+def _removal_starts(
+    th: np.ndarray, width: int, doc_id: int, lookup
+) -> np.ndarray:
+    """Start offsets (sorted int64) of this doc's losing occurrences.
+    ``lookup(wvals) -> min_pack int64 array`` (-1 = not duplicated)."""
+    wv = _window_values(th, width)
+    if not len(wv):
+        return np.zeros(0, dtype=np.int64)
+    min_pack = lookup(wv)
+    packs = (int(doc_id) << _PACK_SHIFT) + np.arange(len(wv), dtype=np.int64)
+    lose = (min_pack >= 0) & (min_pack != packs)
+    return np.flatnonzero(lose).astype(np.int64)
+
+
+def _rebuild_text(text: str, starts: np.ndarray, width: int) -> tuple[str, int]:
+    """Drop every token covered by [start, start+width) for each removal
+    start; returns (new_text, n_removed). No removals -> original text."""
+    if not len(starts):
+        return text, 0
+    toks = text.split()
+    n = len(toks)
+    diff = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(diff, starts, 1)
+    np.add.at(diff, np.minimum(starts + width, n), -1)
+    covered = np.cumsum(diff[:-1]) > 0
+    n_removed = int(covered.sum())
+    if n_removed == 0:
+        return text, 0
+    kept = [t for t, c in zip(toks, covered) if not c]
+    return " ".join(kept), n_removed
+
+
+def span_dedup(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 16,
+    dup_budget: int = 2_000_000,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Remove every non-first occurrence of a duplicated ``width``-token
+    window from the corpus (module docstring has the full spec).
+
+    Output: one row per input doc — (id_col, text_col, n_removed)."""
+    from .shuffle import bucketed_group_reduce
+
+    narrow = ds.select_columns([id_col, text_col])
+    occ = narrow.map_batches(
+        lambda b: _occurrence_rows(b, id_col, text_col, width),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    reduced = bucketed_group_reduce(
+        occ, "whash", [("pack", "min"), ("pack", "count")], n_buckets=n_buckets
+    )
+    dup = reduced.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("count(pack)"), 2)).select(
+            ["whash", "min(pack)"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    n_dup = dup.count()
+
+    if n_dup <= dup_budget:
+        # broadcast route: the duplicated set is small — ship it once
+        rows = dup.take_all()
+        dup_wh = np.fromiter(
+            (r["whash"] for r in rows), dtype=np.int64, count=len(rows)
+        ).view(np.uint64)
+        dup_mp = np.fromiter(
+            (r["min(pack)"] for r in rows), dtype=np.int64, count=len(rows)
+        )
+        order = np.argsort(dup_wh)
+        ref = ray.put((dup_wh[order], dup_mp[order]))
+
+        def rebuild_bcast(batch: pa.Table) -> pa.Table:
+            wh_sorted, mp_sorted = ray.get(ref)
+
+            def lookup(wv: np.ndarray) -> np.ndarray:
+                if not len(wh_sorted):
+                    return np.full(len(wv), -1, dtype=np.int64)
+                pos = np.searchsorted(wh_sorted, wv)
+                pos_c = np.minimum(pos, len(wh_sorted) - 1)
+                hit = wh_sorted[pos_c] == wv
+                out = np.full(len(wv), -1, dtype=np.int64)
+                out[hit] = mp_sorted[pos_c[hit]]
+                return out
+
+            ids = batch.column(id_col).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            texts = pc.fill_null(
+                batch.column(text_col).cast(pa.string()), ""
+            ).to_pylist()
+            new_texts: list[str] = []
+            n_rem: list[int] = []
+            for did, text in zip(ids, texts):
+                starts = _removal_starts(
+                    _token_hashes(text), width, int(did), lookup
+                )
+                t2, nr = _rebuild_text(text, starts, width)
+                new_texts.append(t2)
+                n_rem.append(nr)
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    text_col: pa.array(new_texts, type=pa.string()),
+                    "n_removed": pa.array(n_rem, type=pa.int64()),
+                }
+            )
+
+        return narrow.map_batches(
+            rebuild_bcast, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    # join route: duplicated set is corpus-scale — never collect it.
+    from .joins import hash_join
+    from .shuffle import bucket_column
+
+    occ2 = narrow.map_batches(
+        lambda b: _occurrence_rows(b, id_col, text_col, width),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    matched = hash_join(occ2, dup, left_on="whash", right_on="whash")
+    losers = matched.map_batches(
+        lambda b: (
+            lambda pk: pa.table(
+                {
+                    id_col: pa.array(pk >> _PACK_SHIFT, type=pa.int64()),
+                    "start": pa.array(pk & _START_MASK, type=pa.int64()),
+                }
+            )
+        )(
+            b.filter(
+                pc.not_equal(b.column("pack"), b.column("min(pack)"))
+            )
+            .column("pack")
+            .to_numpy(zero_copy_only=False)
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def pack_starts(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        starts = group.column("start").to_numpy(zero_copy_only=False)
+        order = np.lexsort((starts, ids))
+        ids, starts = ids[order], starts[order]
+        bounds = np.flatnonzero(np.diff(ids)) + 1
+        seg_starts = np.concatenate([[0], bounds])
+        seg_ends = np.concatenate([bounds, [len(ids)]])
+        out_ids = ids[seg_starts]
+        blobs = [
+            starts[s:e].astype(np.int64).tobytes()
+            for s, e in zip(seg_starts, seg_ends)
+        ]
+        return pa.table(
+            {
+                id_col: pa.array(out_ids, type=pa.int64()),
+                "starts_blob": pa.array(blobs, type=pa.binary()),
+            }
+        )
+
+    per_doc = (
+        losers.map_batches(
+            lambda b: b.append_column(
+                "__bucket", bucket_column(b, [id_col], n_buckets)
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: pack_starts(g.drop(["__bucket"])),
+            batch_format="pyarrow",
+        )
+    )
+
+    joined = hash_join(
+        narrow, per_doc, left_on=id_col, right_on=id_col, join_type="left outer"
+    )
+
+    def rebuild_joined(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(
+            batch.column(text_col).cast(pa.string()), ""
+        ).to_pylist()
+        blobs = batch.column("starts_blob").to_pylist()
+        new_texts: list[str] = []
+        n_rem: list[int] = []
+        for text, blob in zip(texts, blobs):
+            starts = (
+                np.frombuffer(blob, dtype=np.int64)
+                if blob
+                else np.zeros(0, dtype=np.int64)
+            )
+            t2, nr = _rebuild_text(text, starts, width)
+            new_texts.append(t2)
+            n_rem.append(nr)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                text_col: pa.array(new_texts, type=pa.string()),
+                "n_removed": pa.array(n_rem, type=pa.int64()),
+            }
+        )
+
+    return joined.map_batches(
+        rebuild_joined, batch_format="pyarrow", zero_copy_batch=True
+    )

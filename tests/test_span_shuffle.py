@@ -1,0 +1,123 @@
+"""span_dedup (duplicated-window removal) + deterministic_shuffle."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from hyperpolyglot_ray.stages.ordering import deterministic_shuffle
+from hyperpolyglot_ray.stages.span_dedup import span_dedup
+
+
+def _ds(rows, parallelism=2):
+    return ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(parallelism)
+
+
+def _collect(ds):
+    rows = ds.take_all()
+    return sorted(rows, key=lambda r: r["doc_id"])
+
+
+SPAN = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSpanDedup:
+    def test_cross_doc_span_removed_first_kept(self):
+        rows = [
+            {"doc_id": 1, "text": f"intro one {SPAN} tail one"},
+            {"doc_id": 2, "text": f"other words here {SPAN} closing remark"},
+            {"doc_id": 3, "text": "completely unrelated text with enough tokens here"},
+        ]
+        out = _collect(span_dedup(_ds(rows), width=8))
+        by_id = {r["doc_id"]: r for r in out}
+        # doc 1 is the first occurrence: untouched, original whitespace
+        assert by_id[1]["text"] == rows[0]["text"]
+        assert by_id[1]["n_removed"] == 0
+        # doc 2 loses the 8 span tokens
+        assert by_id[2]["text"] == "other words here closing remark"
+        assert by_id[2]["n_removed"] == 8
+        assert by_id[3]["text"] == rows[2]["text"]
+        assert by_id[3]["n_removed"] == 0
+
+    def test_longer_repeat_removes_whole_region(self):
+        # a 10-token repeated region yields 3 overlapping width-8 windows
+        # whose union covers all 10 tokens in the losing doc
+        region = SPAN + " india juliett"
+        rows = [
+            {"doc_id": 1, "text": f"{region} trailing bits"},
+            {"doc_id": 2, "text": f"prefix stuff {region} suffix stuff"},
+        ]
+        out = _collect(span_dedup(_ds(rows), width=8))
+        by_id = {r["doc_id"]: r for r in out}
+        assert by_id[1]["n_removed"] == 0
+        assert by_id[2]["text"] == "prefix stuff suffix stuff"
+        assert by_id[2]["n_removed"] == 10
+
+    def test_within_doc_repeat(self):
+        rows = [{"doc_id": 5, "text": f"{SPAN} middle filler words {SPAN}"}]
+        out = _collect(span_dedup(_ds(rows, parallelism=1), width=8))
+        assert out[0]["text"] == f"{SPAN} middle filler words"
+        assert out[0]["n_removed"] == 8
+
+    def test_short_docs_pass_through(self):
+        rows = [
+            {"doc_id": 1, "text": "only three tokens"},
+            {"doc_id": 2, "text": "only three tokens"},
+            {"doc_id": 3, "text": None},
+        ]
+        out = _collect(span_dedup(_ds(rows), width=8))
+        assert [r["text"] for r in out] == ["only three tokens", "only three tokens", ""]
+        assert all(r["n_removed"] == 0 for r in out)
+
+    def test_join_path_bitwise_equals_broadcast(self):
+        rows = []
+        for i in range(40):
+            if i % 3 == 0:
+                rows.append({"doc_id": i, "text": f"head {i} {SPAN} tail {i} words"})
+            else:
+                rows.append(
+                    {"doc_id": i, "text": f"unique doc {i} " + " ".join(
+                        f"tok{i}_{j}" for j in range(10)
+                    )}
+                )
+        a = _collect(span_dedup(_ds(rows, 4), width=8))
+        b = _collect(span_dedup(_ds(rows, 4), width=8, dup_budget=0))
+        assert a == b
+
+    def test_block_layout_invariance(self):
+        rows = [
+            {"doc_id": i, "text": (f"{SPAN} doc {i}" if i % 2 else f"body {i} {SPAN}")}
+            for i in range(20)
+        ]
+        a = _collect(span_dedup(_ds(rows, 1), width=8))
+        b = _collect(span_dedup(_ds(rows, 7), width=8))
+        assert a == b
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDeterministicShuffle:
+    def test_matches_sequential_sha_order(self):
+        rows = [{"doc_id": i, "text": f"doc {i}"} for i in range(57)]
+        out = deterministic_shuffle(_ds(rows, 5), seed=7).take_all()
+        got = {r["doc_id"]: r["pos"] for r in out}
+        expected_order = sorted(
+            range(57), key=lambda i: (hashlib.sha256(f"7:{i}".encode()).hexdigest(), i)
+        )
+        for pos, did in enumerate(expected_order):
+            assert got[did] == pos
+        # pos is a dense permutation and payload rode along
+        assert sorted(got.values()) == list(range(57))
+        assert {r["text"] for r in out} == {f"doc {i}" for i in range(57)}
+
+    def test_seed_changes_order_layout_does_not(self):
+        rows = [{"doc_id": i} for i in range(64)]
+        a = {r["doc_id"]: r["pos"] for r in deterministic_shuffle(_ds(rows, 1), seed=1).take_all()}
+        b = {r["doc_id"]: r["pos"] for r in deterministic_shuffle(_ds(rows, 9), seed=1).take_all()}
+        c = {r["doc_id"]: r["pos"] for r in deterministic_shuffle(_ds(rows, 3), seed=2).take_all()}
+        assert a == b
+        assert a != c
+        assert sorted(c.values()) == list(range(64))
