@@ -303,6 +303,23 @@ def _docs(sf_dir: str):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
 
 
+def _q_doc_span_dedup(sf_dir: str):
+    from hyperpolyglot_ray.stages.span_dedup import span_dedup
+
+    # width=8 so the synthetic corpus's shared sentences actually produce
+    # duplicated windows; oracle = independent sequential sidecar
+    return span_dedup(_docs(sf_dir), width=8)
+
+
+def _q_doc_shuffle(sf_dir: str):
+    from hyperpolyglot_ray.stages.ordering import deterministic_shuffle
+
+    # plain-SQL oracle: DuckDB computes the same sha256(seed:id) sort key
+    return deterministic_shuffle(
+        _docs(sf_dir).select_columns(["doc_id", "lang"]), seed=0
+    )
+
+
 def _q_doc_exact_dedup(sf_dir: str):
     from hyperpolyglot_ray.stages.text_ops import exact_dedup_keep_ids
 
@@ -1047,6 +1064,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # 11 last checked in round 2, then the 50 green in round 3.
     return {
         # --- never driver-checked before round 4 ---
+        "doc_span_dedup": _q_doc_span_dedup,
+        "doc_shuffle": _q_doc_shuffle,
         "emb_quantize": _q_emb_quantize,
         "emb_pq": _q_emb_pq,
         "events_distinct_users_hll": _q_events_distinct_users_hll,
@@ -1234,6 +1253,14 @@ FROM documents""",
         ),
         "doc_simhash": f"SELECT doc_id, simhash FROM read_parquet('{side}/doc_simhash.parquet')",
         "doc_simhash_dedup": f"SELECT doc_id FROM read_parquet('{side}/doc_simhash_dedup.parquet')",
+        "doc_span_dedup": (
+            f"SELECT doc_id, text, n_removed FROM read_parquet('{side}/doc_span_dedup.parquet')"
+        ),
+        "doc_shuffle": (
+            "SELECT doc_id, lang, row_number() OVER ("
+            "ORDER BY sha256('0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos "
+            "FROM documents"
+        ),
         "doc_fingerprint": f"SELECT doc_id, fp FROM read_parquet('{side}/doc_fingerprint.parquet')",
         "doc_decontaminate": (
             r"WITH bench AS (SELECT DISTINCT array_to_string("

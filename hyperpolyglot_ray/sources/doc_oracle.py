@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r3k"
+ORACLE_VERSION = "r4a"
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -744,6 +744,56 @@ def _expected_simhash_dedup(texts, doc_ids, max_hamming=3) -> pa.Table:
     return _components_keep(ids, edges)
 
 
+def _expected_span_dedup(texts, doc_ids, width=8) -> pa.Table:
+    """Sequential ground truth for ``stages/span_dedup.span_dedup``: the
+    hashed-window duplicated-span removal, pure Python (dict of window
+    occurrences; first (doc_id, start) lexicographic wins)."""
+    B = 0xBF58476D1CE4E5B9
+    occ: dict[int, tuple[int, tuple[int, int]]] = {}
+    all_wv: list[list[int]] = []
+    ids = [int(i) for i in doc_ids]
+    for did, text in zip(ids, texts):
+        ths = [_tok_hash_s(t) for t in (text or "").split()]
+        wv: list[int] = []
+        for i in range(len(ths) - width + 1):
+            acc = 0
+            for v in ths[i : i + width]:
+                acc = (acc * B + v) & _MASK64
+            wv.append(_mix64_s(acc))
+        all_wv.append(wv)
+        for i, h in enumerate(wv):
+            key = (did, i)
+            if h in occ:
+                c, mk = occ[h]
+                occ[h] = (c + 1, min(mk, key))
+            else:
+                occ[h] = (1, key)
+    out_texts: list[str] = []
+    out_rem: list[int] = []
+    for did, text, wv in zip(ids, texts, all_wv):
+        text = text or ""
+        toks = text.split()
+        covered = [False] * len(toks)
+        for i, h in enumerate(wv):
+            c, mk = occ[h]
+            if c >= 2 and mk != (did, i):
+                for j in range(i, min(i + width, len(toks))):
+                    covered[j] = True
+        n_rem = sum(covered)
+        if n_rem == 0:
+            out_texts.append(text)
+        else:
+            out_texts.append(" ".join(t for t, cv in zip(toks, covered) if not cv))
+        out_rem.append(n_rem)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array(out_texts, type=pa.string()),
+            "n_removed": pa.array(out_rem, type=pa.int64()),
+        }
+    )
+
+
 # -- IVF similarity (spec: stages/similarity.py) ---------------------------
 
 _KMEANS_SCALE = float(1 << 24)
@@ -1036,6 +1086,7 @@ def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
     pq.write_table(_expected_video_frames(doc_ids), out / "doc_video_frames.parquet")
     pq.write_table(_expected_resize(texts, doc_ids), out / "doc_multimodal_resize.parquet")
     pq.write_table(_expected_simhash_dedup(texts, doc_ids), out / "doc_simhash_dedup.parquet")
+    pq.write_table(_expected_span_dedup(texts, doc_ids), out / "doc_span_dedup.parquet")
 
     evp = pq.read_table(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "props"]
