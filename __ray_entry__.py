@@ -320,6 +320,14 @@ def _q_doc_shuffle(sf_dir: str):
     )
 
 
+def _q_doc_ngram_dedup(sf_dir: str):
+    from hyperpolyglot_ray.stages.text_ops import ngram_jaccard_dedup_keep_ids
+
+    # exact (no-false-negative) tier of the dedup ladder; oracle = O(n^2)
+    # brute-force sidecar — prefix filtering must reproduce it bitwise
+    return ngram_jaccard_dedup_keep_ids(_docs(sf_dir))
+
+
 def _q_doc_exact_dedup(sf_dir: str):
     from hyperpolyglot_ray.stages.text_ops import exact_dedup_keep_ids
 
@@ -1064,6 +1072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # 11 last checked in round 2, then the 50 green in round 3.
     return {
         # --- never driver-checked before round 4 ---
+        "doc_ngram_dedup": _q_doc_ngram_dedup,
         "doc_span_dedup": _q_doc_span_dedup,
         "doc_shuffle": _q_doc_shuffle,
         "emb_quantize": _q_emb_quantize,
@@ -1255,6 +1264,9 @@ FROM documents""",
         "doc_simhash_dedup": f"SELECT doc_id FROM read_parquet('{side}/doc_simhash_dedup.parquet')",
         "doc_span_dedup": (
             f"SELECT doc_id, text, n_removed FROM read_parquet('{side}/doc_span_dedup.parquet')"
+        ),
+        "doc_ngram_dedup": (
+            f"SELECT doc_id FROM read_parquet('{side}/doc_ngram_dedup.parquet')"
         ),
         "doc_shuffle": (
             "SELECT doc_id, lang, row_number() OVER ("

@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r4a"
+ORACLE_VERSION = "r4b"
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -794,6 +794,25 @@ def _expected_span_dedup(texts, doc_ids, width=8) -> pa.Table:
     )
 
 
+def _expected_ngram_jaccard_dedup(texts, doc_ids, threshold=0.8, width=3) -> pa.Table:
+    """Brute-force ground truth for
+    ``stages/text_ops.ngram_jaccard_dedup_keep_ids``: ALL O(n^2) pairs,
+    exact Jaccard over the shared shingle spec, connected components, min
+    id survives. Brute force IS the spec here — the engine's prefix
+    filtering is lossless, so it must reproduce this bitwise."""
+    ids = [int(i) for i in doc_ids]
+    sets = [_shingles_s(t or "", width) for t in texts]
+    edges = []
+    for i in range(len(ids)):
+        si = sets[i]
+        for j in range(i + 1, len(ids)):
+            sj = sets[j]
+            inter = len(si & sj)
+            if inter / (len(si) + len(sj) - inter) >= threshold:
+                edges.append((ids[i], ids[j]))
+    return _components_keep(ids, edges)
+
+
 # -- IVF similarity (spec: stages/similarity.py) ---------------------------
 
 _KMEANS_SCALE = float(1 << 24)
@@ -1087,6 +1106,9 @@ def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
     pq.write_table(_expected_resize(texts, doc_ids), out / "doc_multimodal_resize.parquet")
     pq.write_table(_expected_simhash_dedup(texts, doc_ids), out / "doc_simhash_dedup.parquet")
     pq.write_table(_expected_span_dedup(texts, doc_ids), out / "doc_span_dedup.parquet")
+    pq.write_table(
+        _expected_ngram_jaccard_dedup(texts, doc_ids), out / "doc_ngram_dedup.parquet"
+    )
 
     evp = pq.read_table(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "props"]

@@ -493,6 +493,29 @@ def minhash_clusters(
     return labels.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _reduce_edges_keep_ids(
+    slim: ray.data.Dataset,
+    id_col: str,
+    verified: ray.data.Dataset | None,
+    cap: int,
+) -> ray.data.Dataset:
+    """Edges -> surviving ids (min id per component). Below ``cap`` edges:
+    driver union-find + one broadcast ``pc.is_in`` keep filter (fast path,
+    edges << rows). Above: fully-distributed ``hash_min_components`` +
+    hash anti-join — no edge, node or dropped-id set on the driver.
+    Shared tail of the MinHash and exact-Jaccard keep-ids operators."""
+    if verified is None:
+        return slim.select_columns([id_col])
+    edges_ds = verified.materialize()
+    if edges_ds.count() <= cap:
+        edges = []
+        for b in edges_ds.iter_batches(batch_format="pyarrow"):
+            edges.extend(zip(b.column("a").to_pylist(), b.column("b").to_pylist()))
+        dropped = union_find_dropped(edges)
+        return _filter_dropped(slim, id_col, dropped)
+    return _filter_dropped_distributed(slim, id_col, edges_ds)
+
+
 def minhash_dedup_keep_ids(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -527,16 +550,7 @@ def minhash_dedup_keep_ids(
     """
     cap = MINHASH_DRIVER_UF_MAX_EDGES if driver_uf_max_edges is None else driver_uf_max_edges
     slim, verified = _minhash_edges_impl(ds, text_col, id_col, threshold, k, bands)
-    if verified is None:
-        return slim.select_columns([id_col])
-    edges_ds = verified.materialize()
-    if edges_ds.count() <= cap:
-        edges = []
-        for b in edges_ds.iter_batches(batch_format="pyarrow"):
-            edges.extend(zip(b.column("a").to_pylist(), b.column("b").to_pylist()))
-        dropped = union_find_dropped(edges)
-        return _filter_dropped(slim, id_col, dropped)
-    return _filter_dropped_distributed(slim, id_col, edges_ds)
+    return _reduce_edges_keep_ids(slim, id_col, verified, cap)
 
 
 def _filter_dropped_distributed(
@@ -632,12 +646,26 @@ def _minhash_edges_impl(
         )
 
     band_rows = slim.map_batches(to_band_rows, batch_format="pyarrow", zero_copy_batch=True)
+    pairs_mat = _pairs_from_key_rows(band_rows, id_col)
+    if pairs_mat.count() == 0:
+        return slim, None
+    return slim, _distributed_verify(
+        slim, pairs_mat, text_col, id_col, threshold, shingle_width=stage.width
+    )
 
-    # band-key cardinality ~ docs x bands: group by a coarse hash bucket
-    # of the band key (not the key itself) and walk contiguous key
-    # segments after ONE in-group sort — the built-in per-key map_groups
-    # sort path is the slow shape at scale (see stages/shuffle.py)
-    n_pair_buckets = 1024
+
+def _pairs_from_key_rows(
+    key_rows: ray.data.Dataset, id_col: str, n_pair_buckets: int = 1024
+) -> ray.data.Dataset:
+    """Candidate (a < b) id pairs from (band_key, id) rows: every set of
+    ids sharing a band_key becomes its ``candidate_pairs_for_bucket``
+    pairs. Returns a MATERIALIZED dataset (candidate-pair scale — << the
+    corpus — object store only), so callers can ``count()`` it for free.
+
+    Key cardinality grows with the corpus: group by a coarse hash bucket
+    of the key (not the key itself) and walk contiguous key segments
+    after ONE in-group sort — the built-in per-key map_groups sort path
+    is the slow shape at scale (see stages/shuffle.py)."""
 
     def add_pair_bucket(batch: pa.Table) -> pa.Table:
         h = _mix64(
@@ -669,21 +697,37 @@ def _minhash_edges_impl(
             }
         )
 
-    pairs_mat = (
-        band_rows.map_batches(
+    return (
+        key_rows.map_batches(
             add_pair_bucket, batch_format="pyarrow", zero_copy_batch=True
         )
         .groupby("__bucket")
         .map_groups(bucket_pairs, batch_format="pyarrow")
-        .materialize()  # candidate-pair scale (<< corpus), object store only
+        .materialize()
     )
+
+
+def _distributed_verify(
+    slim: ray.data.Dataset,
+    pairs_mat: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shingle_width: int = 3,
+) -> ray.data.Dataset | None:
+    """Exact-Jaccard verification of materialized candidate pairs ->
+    verified (a, b) edge dataset (``None`` when there are no pairs).
+    Fully distributed (VERDICT r3 §wrong 1): pairs never leave the
+    cluster; shingle SETS (not texts) are routed to each verify bucket
+    with the distributed ``hash_join`` and co-grouped with the bucket's
+    globally-deduped pairs — a hub document in P pairs ships at most
+    min(P, bucket count) times, never P times. Shared back half of the
+    MinHash and exact-Jaccard (prefix-filter) near-dup operators."""
+    from .joins import hash_join
+
     n_pairs_raw = pairs_mat.count()
     if n_pairs_raw == 0:
-        return slim, None
-
-    # ---- distributed verify (VERDICT r3 §wrong 1): pairs never leave ----
-    # ---- the cluster; shingles are routed per verify bucket          ----
-    from .joins import hash_join
+        return None
 
     # ~256 raw pairs per verify bucket keeps every bucket nonempty (see
     # MINHASH_VERIFY_BUCKETS). Block count is bounded separately and LOW:
@@ -767,7 +811,7 @@ def _minhash_edges_impl(
 
     def to_sh_rows(batch: pa.Table) -> pa.Table:
         blobs = [
-            _shingle_values(_token_hashes(t or ""), 3).tobytes()
+            _shingle_values(_token_hashes(t or ""), shingle_width).tobytes()
             for t in batch.column(text_col).to_pylist()
         ]
         n = batch.num_rows
@@ -817,7 +861,7 @@ def _minhash_edges_impl(
             {"a": pa.array(a_out, type=pa.int64()), "b": pa.array(b_out, type=pa.int64())}
         )
 
-    verified = (
+    return (
         pair_rows.union(sh_rows)
         # coalesce below the nonempty-bucket count so the verify groupby's
         # sort produces no empty (schema-less) range partitions
@@ -825,7 +869,142 @@ def _minhash_edges_impl(
         .groupby("__vb")
         .map_groups(verify_group, batch_format="pyarrow")
     )
-    return slim, verified
+
+
+# -- Exact n-gram Jaccard dedup (prefix filtering) --------------------------
+
+def ngram_jaccard_verified_edges(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    width: int = 3,
+    n_buckets: int = 64,
+) -> tuple[ray.data.Dataset, ray.data.Dataset | None]:
+    """(slim (id, text) dataset, verified edge dataset) for EXACT word
+    n-gram Jaccard near-duplicate pairs, via AllPairs/PPJoin-style prefix
+    filtering (Bayardo et al. 2007 "Scaling Up All Pairs Similarity
+    Search"; Xiao et al. 2008 PPJoin) — no LSH approximation: by the
+    prefix-filter lemma, every pair with Jaccard >= threshold shares a
+    shingle in both documents' prefixes, so (unlike MinHash banding)
+    there are no probabilistic false negatives.
+
+    Global shingle order = (document frequency asc, hash asc): a prefix
+    holds each document's RAREST shingles, so frequent boilerplate
+    shingles never reach the pair stage — that's where the skew lives.
+    Topology (every corpus-scale step is a bucketed shuffle):
+
+      1. (sh, id, n) shingle rows                 [map; n = |shingle set|]
+      2. exact df per shingle                     [bucketed_group_reduce]
+      3. df routed back to the rows               [hash_join]
+      4. per-doc prefix selection                 [bucketed groupby]
+         prefix length p = n - max(1, floor(threshold*n)) + 1. floor, not
+         the lemma's ceil: under float rounding a LONGER prefix only adds
+         candidates the verify stage rejects — exactness is preserved.
+      5. pairs from shared prefix shingles        [_pairs_from_key_rows]
+      6. exact-Jaccard verify                     [_distributed_verify]
+
+    A prefix shingle shared by > MINHASH_ALLPAIRS_BUCKET_CAP documents
+    falls back to canonical+chain pairs (connectivity, not pairwise
+    completeness) — the same documented mega-bucket trade as the MinHash
+    path; with df-ordered prefixes such floods need a near-identical
+    boilerplate cluster, where the chain links verify anyway."""
+    from .joins import hash_join
+    from .shuffle import bucket_column, bucketed_group_reduce
+
+    slim = ds.select_columns([id_col, text_col])
+
+    def sh_rows_fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        texts = pc.fill_null(batch.column(text_col).cast(pa.string()), "").to_pylist()
+        sh_p: list[np.ndarray] = []
+        id_p: list[np.ndarray] = []
+        n_p: list[np.ndarray] = []
+        for did, t in zip(ids, texts):
+            s = _shingle_values(_token_hashes(t), width)
+            sh_p.append(s.view(np.int64))
+            id_p.append(np.full(len(s), did, dtype=np.int64))
+            n_p.append(np.full(len(s), len(s), dtype=np.int64))
+        empty = np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {
+                "sh": pa.array(np.concatenate(sh_p) if sh_p else empty, type=pa.int64()),
+                id_col: pa.array(np.concatenate(id_p) if id_p else empty, type=pa.int64()),
+                "n": pa.array(np.concatenate(n_p) if n_p else empty, type=pa.int64()),
+            }
+        )
+
+    sh_rows = slim.map_batches(sh_rows_fn, batch_format="pyarrow", zero_copy_batch=True)
+    # shingles are unique per doc, so count(id) IS the document frequency
+    df = bucketed_group_reduce(
+        sh_rows.select_columns(["sh", id_col]),
+        "sh",
+        [(id_col, "count")],
+        n_buckets=n_buckets,
+    )
+    routed = hash_join(sh_rows, df, left_on="sh", right_on="sh")
+    dfcol = f"count({id_col})"
+
+    def add_doc_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", bucket_column(batch, [id_col], n_buckets)
+        )
+
+    def prefix_rows(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        sh = group.column("sh").to_numpy(zero_copy_only=False)
+        dfv = group.column(dfcol).to_numpy(zero_copy_only=False)
+        nn = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((sh, dfv, ids))
+        ids, sh, dfv, nn = ids[order], sh[order], dfv[order], nn[order]
+        bounds = np.flatnonzero(np.diff(ids)) + 1
+        seg_starts = np.concatenate([[0], bounds])
+        seg_of = np.zeros(len(ids), dtype=np.int64)
+        seg_of[bounds] = 1
+        seg_of = np.cumsum(seg_of)
+        rank = np.arange(len(ids), dtype=np.int64) - seg_starts[seg_of]
+        o_lb = np.maximum(1, (threshold * nn).astype(np.int64))
+        keep = rank < (nn - o_lb + 1)
+        return pa.table(
+            {
+                "band_key": pa.array(sh[keep], type=pa.int64()),
+                id_col: pa.array(ids[keep], type=pa.int64()),
+            }
+        )
+
+    prefixes = (
+        routed.map_batches(add_doc_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(prefix_rows, batch_format="pyarrow")
+    )
+    pairs_mat = _pairs_from_key_rows(prefixes, id_col)
+    return slim, _distributed_verify(
+        slim, pairs_mat, text_col, id_col, threshold, shingle_width=width
+    )
+
+
+def ngram_jaccard_dedup_keep_ids(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    width: int = 3,
+    driver_uf_max_edges: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT n-gram Jaccard near-dup dedup: the surviving ids (min id of
+    each Jaccard->=threshold connected component). Candidates come from
+    the lossless prefix filter (``ngram_jaccard_verified_edges``), so
+    this is the no-false-negative tier of the dedup ladder — MinHash is
+    the cheaper approximate tier above it."""
+    cap = (
+        MINHASH_DRIVER_UF_MAX_EDGES
+        if driver_uf_max_edges is None
+        else driver_uf_max_edges
+    )
+    slim, verified = ngram_jaccard_verified_edges(
+        ds, text_col, id_col, threshold, width
+    )
+    return _reduce_edges_keep_ids(slim, id_col, verified, cap)
 
 
 # -- SimHash --------------------------------------------------------------

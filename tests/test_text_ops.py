@@ -929,3 +929,92 @@ def test_bmp_resize_mean_hand_grid(ray_session):
 
     assert full == bmp_pixel_mean(p)
     assert bmp_resize_mean(b"not a bmp", 2) is None
+
+
+def test_ngram_jaccard_dedup_matches_bruteforce(ray_session):
+    """Exact-Jaccard dedup (prefix filtering) must equal brute-force
+    all-pairs — no false negatives OR positives — on a random corpus with
+    planted near-dups, on BOTH edge-reduction routes."""
+    import pyarrow as pa
+    import ray.data
+
+    from hyperpolyglot_ray.stages.text_ops import (
+        _jaccard_arrays,
+        _shingle_hashes,
+        ngram_jaccard_dedup_keep_ids,
+        union_find_dropped,
+    )
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(200)]
+    texts, ids = [], []
+    for i in range(120):
+        texts.append(" ".join(rng.choice(vocab, rng.randint(3, 40))))
+        ids.append(i)
+    for j in range(40):  # planted near-dups: copies with <=1 token edit
+        toks = texts[rng.randint(0, 120)].split()
+        if len(toks) > 5 and rng.rand() < 0.7:
+            toks[rng.randint(len(toks))] = rng.choice(vocab)
+        texts.append(" ".join(toks))
+        ids.append(120 + j)
+
+    sets = [_shingle_hashes(t) for t in texts]
+    edges = [
+        (ids[i], ids[j])
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if _jaccard_arrays(sets[i], sets[j]) >= 0.8
+    ]
+    expect = sorted(set(ids) - union_find_dropped(edges))
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": texts})
+    )
+    got = sorted(r["doc_id"] for r in ngram_jaccard_dedup_keep_ids(ds).take_all())
+    assert got == expect
+    got_cc = sorted(
+        r["doc_id"]
+        for r in ngram_jaccard_dedup_keep_ids(ds, driver_uf_max_edges=0).take_all()
+    )
+    assert got_cc == expect
+
+
+def test_ngram_jaccard_exact_catches_boundary_pair(ray_session):
+    """A pair at Jaccard exactly ~0.8 must be caught (the prefix lemma is
+    lossless), and a pair just below must survive; fillers keep df-order
+    from degenerating to a single group."""
+    import pyarrow as pa
+    import ray.data
+
+    from hyperpolyglot_ray.stages.text_ops import (
+        _jaccard_arrays,
+        _shingle_hashes,
+        ngram_jaccard_dedup_keep_ids,
+    )
+
+    # below-threshold pair: 18-token docs, 16-token shared prefix -> J 0.778
+    a = " ".join(f"t{i}" for i in range(18))
+    b = " ".join(f"t{i}" for i in range(16)) + " x1 x2"
+    # boundary pair: 20-token docs, 18-token shared prefix -> J exactly 0.8
+    a2 = " ".join(f"s{i}" for i in range(20))
+    b2 = " ".join(f"s{i}" for i in range(18)) + " y1 y2"
+    ja = _jaccard_arrays(_shingle_hashes(a), _shingle_hashes(b))
+    jb = _jaccard_arrays(_shingle_hashes(a2), _shingle_hashes(b2))
+    assert (ja >= 0.8) != (jb >= 0.8)  # one on each side of the threshold
+
+    rows = [(1, a), (2, b), (3, a2), (4, b2)]
+    rows += [(100 + k, " ".join(f"f{k}g{t}" for t in range(30))) for k in range(30)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+            }
+        )
+    )
+    kept = set(r["doc_id"] for r in ngram_jaccard_dedup_keep_ids(ds).take_all())
+    for x, y, j in ((1, 2, ja), (3, 4, jb)):
+        if j >= 0.8:
+            assert x in kept and y not in kept, (x, y, j)
+        else:
+            assert x in kept and y in kept, (x, y, j)
