@@ -320,6 +320,16 @@ def _q_doc_shuffle(sf_dir: str):
     )
 
 
+def _q_doc_dsir(sf_dir: str):
+    from hyperpolyglot_ray.stages.dsir import dsir_select
+
+    # DSIR importance resampling (Xie et al. 2023): select the 50 most
+    # src0-like docs; oracle = bitwise-identical sequential sidecar
+    docs = _docs(sf_dir)
+    target = docs.filter(expr="source == 'src0'")
+    return dsir_select(docs, target)
+
+
 def _q_doc_ngram_dedup(sf_dir: str):
     from hyperpolyglot_ray.stages.text_ops import ngram_jaccard_dedup_keep_ids
 
@@ -1073,6 +1083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- never driver-checked before round 4 ---
         "doc_ngram_dedup": _q_doc_ngram_dedup,
+        "doc_dsir": _q_doc_dsir,
         "doc_span_dedup": _q_doc_span_dedup,
         "doc_shuffle": _q_doc_shuffle,
         "emb_quantize": _q_emb_quantize,
@@ -1267,6 +1278,9 @@ FROM documents""",
         ),
         "doc_ngram_dedup": (
             f"SELECT doc_id FROM read_parquet('{side}/doc_ngram_dedup.parquet')"
+        ),
+        "doc_dsir": (
+            f"SELECT doc_id, weight FROM read_parquet('{side}/doc_dsir.parquet')"
         ),
         "doc_shuffle": (
             "SELECT doc_id, lang, row_number() OVER ("

@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r4b"
+ORACLE_VERSION = "r4c"
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -794,6 +794,55 @@ def _expected_span_dedup(texts, doc_ids, width=8) -> pa.Table:
     )
 
 
+def _expected_dsir(texts, doc_ids, sources, target_source="src0", n_select=50,
+                   n_buckets=8192) -> pa.Table:
+    """Sequential ground truth for ``stages/dsir.dsir_select``: hashed
+    unigram+bigram counts, add-one-smoothed log-ratio toward the
+    ``target_source`` slice, top n_select by (weight desc, id asc).
+    Recomputed with the same numpy float64 dot over the same fixed
+    B-length arrays, so it is bitwise identical to the engine."""
+    ids = [int(i) for i in doc_ids]
+    B = 0xBF58476D1CE4E5B9
+
+    def buckets(text: str) -> np.ndarray:
+        ths = [_tok_hash_s(t) for t in (text or "").split()]
+        feats = list(ths)
+        for a, b in zip(ths[:-1], ths[1:]):
+            feats.append(_mix64_s((a * B + b) & _MASK64))
+        return np.array([f % n_buckets for f in feats], dtype=np.int64)
+
+    per_doc = [buckets(t) for t in texts]
+    rcnt = np.zeros(n_buckets, dtype=np.int64)
+    tcnt = np.zeros(n_buckets, dtype=np.int64)
+    for bk, src in zip(per_doc, sources):
+        if len(bk):
+            c = np.bincount(bk, minlength=n_buckets)
+            rcnt += c
+            if src == target_source:
+                tcnt += c
+    logp = np.log((tcnt + 1).astype(np.float64)) - np.log(float(tcnt.sum() + n_buckets))
+    logq = np.log((rcnt + 1).astype(np.float64)) - np.log(float(rcnt.sum() + n_buckets))
+    lr = logp - logq
+    w = np.array(
+        [
+            np.dot(
+                (np.bincount(bk, minlength=n_buckets) if len(bk) else
+                 np.zeros(n_buckets, dtype=np.int64)).astype(np.float64),
+                lr,
+            )
+            for bk in per_doc
+        ]
+    )
+    ids_arr = np.array(ids, dtype=np.int64)
+    order = np.lexsort((ids_arr, -w))[:n_select]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids_arr[order], type=pa.int64()),
+            "weight": pa.array(w[order], type=pa.float64()),
+        }
+    )
+
+
 def _expected_ngram_jaccard_dedup(texts, doc_ids, threshold=0.8, width=3) -> pa.Table:
     """Brute-force ground truth for
     ``stages/text_ops.ngram_jaccard_dedup_keep_ids``: ALL O(n^2) pairs,
@@ -1085,9 +1134,12 @@ def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
         return out
     out.mkdir(parents=True, exist_ok=True)
 
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
     doc_ids = docs.column("doc_id").to_pylist()
     texts = docs.column("text").to_pylist()
+    doc_sources = docs.column("source").to_pylist()
     langs = docs.column("lang").to_pylist()
 
     pq.write_table(_expected_simhash(texts, doc_ids), out / "doc_simhash.parquet")
@@ -1108,6 +1160,9 @@ def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
     pq.write_table(_expected_span_dedup(texts, doc_ids), out / "doc_span_dedup.parquet")
     pq.write_table(
         _expected_ngram_jaccard_dedup(texts, doc_ids), out / "doc_ngram_dedup.parquet"
+    )
+    pq.write_table(
+        _expected_dsir(texts, doc_ids, doc_sources), out / "doc_dsir.parquet"
     )
 
     evp = pq.read_table(

@@ -1,0 +1,161 @@
+"""DSIR-style data selection — importance resampling over hashed n-grams.
+
+Implements the selection core of Xie et al. 2023, "Data Selection for
+Language Models via Importance Resampling" (DSIR): documents from a raw
+corpus are scored by how target-like their hashed n-gram distribution
+is, and the top-weighted subset is selected for training.
+
+Spec (the sequential oracle in ``sources/doc_oracle.py`` recomputes it
+independently):
+
+- features of a doc = word unigrams AND bigrams over ``text.split()``,
+  each hashed with the shared token/shingle polynomial (``_token_hashes``
+  / width-2 shingle values, positional — not uniqued) into
+  ``n_buckets`` buckets: ``bucket = hash % n_buckets``.
+- target distribution p from the target corpus, raw distribution q from
+  the full corpus, both add-one smoothed:
+  ``p_b = (tcnt_b + 1) / (sum(tcnt) + B)`` (same for q).
+- per-doc importance weight ``w = dot(cnt, log p - log q)`` in float64
+  (cnt = the doc's bucket-count vector). Deterministic: counts are exact
+  integers regardless of block order, and every dot runs over the same
+  fixed B-length arrays, so the result is bitwise reproducible.
+- selection = top ``n_select`` docs by (weight desc, id asc).
+
+Scale topology — there is NO shuffle anywhere in this operator; the
+fixed feature width is what makes DSIR the cheap selection pass:
+
+1. count pass (x2, target + raw): each block emits ONE int64[B] partial
+   vector (B = n_buckets, ~64 KiB at B=8192); partials tree-reduce
+   through a ``repartition(fan_in)`` sum stage so the driver receives at
+   most ``fan_in`` blobs, never one per block (100 TB ~ millions of
+   blocks).
+2. the two global vectors produce the log-ratio vector on the driver
+   (B floats), broadcast once with ``ray.put``.
+3. score pass: vectorized bincount + dot per doc; each block emits its
+   own top-``n_select`` rows only.
+4. final merge: the per-block partials (blocks x n_select tiny rows)
+   coalesce to one task for the global top-k — the same partial-top-k
+   shape as ``stages/similarity.knn_bruteforce``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from .text_ops import _B_SHINGLE, _mix64, _token_hashes
+
+_U64 = np.uint64
+
+
+def _doc_feature_buckets(text: str, n_buckets: int) -> np.ndarray:
+    """int64 feature-bucket stream for one document: every unigram token
+    hash and every width-2 shingle value (positional), mod n_buckets."""
+    th = _token_hashes(text)
+    feats = [th]
+    if len(th) >= 2:
+        feats.append(_mix64(th[:-1] * _B_SHINGLE + th[1:]))
+    all_f = np.concatenate(feats) if feats else np.zeros(0, dtype=np.uint64)
+    return (all_f % _U64(n_buckets)).astype(np.int64)
+
+
+def _count_partials(
+    ds: ray.data.Dataset, text_col: str, n_buckets: int, fan_in: int = 64
+) -> np.ndarray:
+    """Global int64[n_buckets] feature counts: per-block partial vectors,
+    tree-reduced so the driver collects <= fan_in blobs."""
+
+    def block_counts(batch: pa.Table) -> pa.Table:
+        cnt = np.zeros(n_buckets, dtype=np.int64)
+        for t in pc.fill_null(batch.column(text_col).cast(pa.string()), "").to_pylist():
+            b = _doc_feature_buckets(t, n_buckets)
+            if len(b):
+                cnt += np.bincount(b, minlength=n_buckets)
+        return pa.table({"vec": pa.array([cnt.tobytes()], type=pa.large_binary())})
+
+    def sum_blobs(batch: pa.Table) -> pa.Table:
+        cnt = np.zeros(n_buckets, dtype=np.int64)
+        for blob in batch.column("vec").to_pylist():
+            cnt += np.frombuffer(blob, dtype=np.int64)
+        return pa.table({"vec": pa.array([cnt.tobytes()], type=pa.large_binary())})
+
+    partials = (
+        ds.map_batches(block_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(fan_in)
+        .map_batches(sum_blobs, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    total = np.zeros(n_buckets, dtype=np.int64)
+    for row in partials.take_all():
+        total += np.frombuffer(row["vec"], dtype=np.int64)
+    return total
+
+
+def _log_ratio(tcnt: np.ndarray, rcnt: np.ndarray) -> np.ndarray:
+    """Add-one-smoothed log(p_target) - log(p_raw), float64[B]."""
+    B = len(tcnt)
+    logp = np.log((tcnt + 1).astype(np.float64)) - np.log(float(tcnt.sum() + B))
+    logq = np.log((rcnt + 1).astype(np.float64)) - np.log(float(rcnt.sum() + B))
+    return logp - logq
+
+
+def dsir_select(
+    ds: ray.data.Dataset,
+    target: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_select: int = 50,
+    n_buckets: int = 8192,
+) -> ray.data.Dataset:
+    """Top ``n_select`` docs of ``ds`` by DSIR importance weight toward
+    ``target`` (module docstring has the full spec). Output: one row per
+    selected doc — (id_col, weight), the global top-k by (weight desc,
+    id asc)."""
+    slim = ds.select_columns([id_col, text_col])
+    tcnt = _count_partials(target.select_columns([text_col]), text_col, n_buckets)
+    rcnt = _count_partials(slim, text_col, n_buckets)
+    lr_ref = ray.put(_log_ratio(tcnt, rcnt))
+
+    def topk(ids: np.ndarray, w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        order = np.lexsort((ids, -w))[:n_select]
+        return ids[order], w[order]
+
+    def score_block(batch: pa.Table) -> pa.Table:
+        lr = ray.get(lr_ref)
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        texts = pc.fill_null(batch.column(text_col).cast(pa.string()), "").to_pylist()
+        w = np.empty(len(texts), dtype=np.float64)
+        for i, t in enumerate(texts):
+            b = _doc_feature_buckets(t, n_buckets)
+            cnt = (
+                np.bincount(b, minlength=n_buckets)
+                if len(b)
+                else np.zeros(n_buckets, dtype=np.int64)
+            )
+            w[i] = np.dot(cnt.astype(np.float64), lr)
+        kids, kw = topk(ids, w)
+        return pa.table(
+            {
+                id_col: pa.array(kids, type=pa.int64()),
+                "weight": pa.array(kw, type=pa.float64()),
+            }
+        )
+
+    def merge_block(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        w = batch.column("weight").to_numpy(zero_copy_only=False)
+        kids, kw = topk(ids, w)
+        return pa.table(
+            {
+                id_col: pa.array(kids, type=pa.int64()),
+                "weight": pa.array(kw, type=pa.float64()),
+            }
+        )
+
+    return (
+        slim.map_batches(score_block, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)  # blocks x n_select tiny partial rows -> one merge task
+        .map_batches(merge_block, batch_format="pyarrow", zero_copy_batch=True)
+    )

@@ -1018,3 +1018,64 @@ def test_ngram_jaccard_exact_catches_boundary_pair(ray_session):
             assert x in kept and y not in kept, (x, y, j)
         else:
             assert x in kept and y in kept, (x, y, j)
+
+
+def test_dsir_select_matches_sequential(ray_session):
+    """DSIR selection must equal an independent sequential computation
+    (same spec as the oracle sidecar) and rank target-like docs first."""
+    import pyarrow as pa
+    import ray.data
+
+    from hyperpolyglot_ray.stages.dsir import (
+        _doc_feature_buckets,
+        _log_ratio,
+        dsir_select,
+    )
+
+    rng = np.random.RandomState(3)
+    voc_a = [f"a{i}" for i in range(50)]  # target-ish vocabulary
+    voc_b = [f"b{i}" for i in range(50)]
+    texts, ids, srcs = [], [], []
+    for i in range(60):
+        if i < 20:  # the target slice
+            texts.append(" ".join(rng.choice(voc_a, 30)))
+            srcs.append("tgt")
+        elif i < 40:  # raw docs drawn from the target vocab
+            texts.append(" ".join(rng.choice(voc_a, 30)))
+            srcs.append("raw")
+        else:  # raw docs from a disjoint vocab
+            texts.append(" ".join(rng.choice(voc_b, 30)))
+            srcs.append("raw")
+        ids.append(i)
+
+    B = 512
+    per_doc = [_doc_feature_buckets(t, B) for t in texts]
+    rcnt = np.zeros(B, dtype=np.int64)
+    tcnt = np.zeros(B, dtype=np.int64)
+    for bk, s in zip(per_doc, srcs):
+        c = np.bincount(bk, minlength=B)
+        rcnt += c
+        if s == "tgt":
+            tcnt += c
+    lr = _log_ratio(tcnt, rcnt)
+    w = np.array(
+        [np.dot(np.bincount(bk, minlength=B).astype(np.float64), lr) for bk in per_doc]
+    )
+    order = np.lexsort((np.array(ids), -w))[:25]
+    expect = list(zip(np.array(ids)[order].tolist(), w[order].tolist()))
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array(texts),
+                "source": pa.array(srcs),
+            }
+        )
+    )
+    got = dsir_select(
+        ds, ds.filter(expr="source == 'tgt'"), n_select=25, n_buckets=B
+    ).take_all()
+    assert [(r["doc_id"], r["weight"]) for r in got] == expect
+    # every selected doc comes from the target-vocab pools (ids < 40)
+    assert all(r["doc_id"] < 40 for r in got)
