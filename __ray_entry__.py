@@ -320,6 +320,20 @@ def _q_doc_shuffle(sf_dir: str):
     )
 
 
+def _q_doc_ngram_clusters(sf_dir: str):
+    from hyperpolyglot_ray.stages.text_ops import ngram_jaccard_clusters
+
+    # exact-tier cluster labels; oracle = brute-force components sidecar
+    return ngram_jaccard_clusters(_docs(sf_dir))
+
+
+def _q_doc_sample_per_lang(sf_dir: str):
+    from hyperpolyglot_ray.stages.ordering import sample_k_per_key
+
+    # plain-SQL oracle: DuckDB ranks by the same sha256(seed:id) row key
+    return sample_k_per_key(_docs(sf_dir), "lang", k=5)
+
+
 def _q_doc_dsir(sf_dir: str):
     from hyperpolyglot_ray.stages.dsir import dsir_select
 
@@ -1084,6 +1098,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked before round 4 ---
         "doc_ngram_dedup": _q_doc_ngram_dedup,
         "doc_dsir": _q_doc_dsir,
+        "doc_sample_per_lang": _q_doc_sample_per_lang,
+        "doc_ngram_clusters": _q_doc_ngram_clusters,
         "doc_span_dedup": _q_doc_span_dedup,
         "doc_shuffle": _q_doc_shuffle,
         "emb_quantize": _q_emb_quantize,
@@ -1281,6 +1297,15 @@ FROM documents""",
         ),
         "doc_dsir": (
             f"SELECT doc_id, weight FROM read_parquet('{side}/doc_dsir.parquet')"
+        ),
+        "doc_sample_per_lang": (
+            "SELECT lang, doc_id FROM ("
+            "SELECT lang, doc_id, row_number() OVER (PARTITION BY lang "
+            "ORDER BY sha256('0:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+            "FROM documents) WHERE rn <= 5"
+        ),
+        "doc_ngram_clusters": (
+            f"SELECT doc_id, cluster_id FROM read_parquet('{side}/doc_ngram_clusters.parquet')"
         ),
         "doc_shuffle": (
             "SELECT doc_id, lang, row_number() OVER ("

@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r4c"
+ORACLE_VERSION = "r4d"
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -843,12 +843,10 @@ def _expected_dsir(texts, doc_ids, sources, target_source="src0", n_select=50,
     )
 
 
-def _expected_ngram_jaccard_dedup(texts, doc_ids, threshold=0.8, width=3) -> pa.Table:
-    """Brute-force ground truth for
-    ``stages/text_ops.ngram_jaccard_dedup_keep_ids``: ALL O(n^2) pairs,
-    exact Jaccard over the shared shingle spec, connected components, min
-    id survives. Brute force IS the spec here — the engine's prefix
-    filtering is lossless, so it must reproduce this bitwise."""
+def _ngram_jaccard_edges(texts, doc_ids, threshold=0.8, width=3):
+    """Brute-force exact-Jaccard near-dup edges: ALL O(n^2) pairs over
+    the shared shingle spec. Brute force IS the spec — the engine's
+    prefix filtering is lossless, so it must reproduce this bitwise."""
     ids = [int(i) for i in doc_ids]
     sets = [_shingles_s(t or "", width) for t in texts]
     edges = []
@@ -859,7 +857,39 @@ def _expected_ngram_jaccard_dedup(texts, doc_ids, threshold=0.8, width=3) -> pa.
             inter = len(si & sj)
             if inter / (len(si) + len(sj) - inter) >= threshold:
                 edges.append((ids[i], ids[j]))
+    return ids, edges
+
+
+def _expected_ngram_jaccard_dedup(texts, doc_ids, threshold=0.8, width=3) -> pa.Table:
+    """Ground truth for ``stages/text_ops.ngram_jaccard_dedup_keep_ids``:
+    brute-force edges, connected components, min id survives."""
+    ids, edges = _ngram_jaccard_edges(texts, doc_ids, threshold, width)
     return _components_keep(ids, edges)
+
+
+def _expected_ngram_jaccard_clusters(texts, doc_ids, threshold=0.8, width=3) -> pa.Table:
+    """Ground truth for ``stages/text_ops.ngram_jaccard_clusters``:
+    (doc_id, cluster_id = min id of its brute-force component)."""
+    ids, edges = _ngram_jaccard_edges(texts, doc_ids, threshold, width)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for x, y in edges:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            lo, hi = min(rx, ry), max(rx, ry)
+            parent[hi] = lo
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "cluster_id": pa.array([find(i) for i in ids], type=pa.int64()),
+        }
+    )
 
 
 # -- IVF similarity (spec: stages/similarity.py) ---------------------------
@@ -1163,6 +1193,10 @@ def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
     )
     pq.write_table(
         _expected_dsir(texts, doc_ids, doc_sources), out / "doc_dsir.parquet"
+    )
+    pq.write_table(
+        _expected_ngram_jaccard_clusters(texts, doc_ids),
+        out / "doc_ngram_clusters.parquet",
     )
 
     evp = pq.read_table(

@@ -39,6 +39,67 @@ import ray
 import ray.data
 
 
+def sample_k_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    id_col: str = "doc_id",
+    k: int = 10,
+    seed: int = 0,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Seeded deterministic per-key sample: for every distinct ``key_col``
+    value, keep the ``k`` rows ranking first by
+    ``(sha256(f"{seed}:{id}"), id)`` — the same cryptographic row key as
+    ``deterministic_shuffle``, so the sample is (a) uniform over the
+    key's rows, (b) reproducible bit-for-bit from ``seed``, and (c)
+    expressible as plain SQL (``row_number() OVER (PARTITION BY key
+    ORDER BY sha256(...), id) <= k``), which the driver oracle checks
+    end to end. The distributed-reservoir-sample shape for inspection /
+    eval-split pipelines.
+
+    Topology: one bucketed shuffle of (key, id) rows — keys co-locate by
+    hash bucket, each group ranks its contiguous key segments after ONE
+    in-group lexsort. Output: (key_col, id_col) of the sampled rows.
+    Requires unique ``id_col`` values (rank ties would be ambiguous)."""
+    from .shuffle import bucket_column
+
+    slim = ds.select_columns([key_col, id_col])
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        keys = [
+            hashlib.sha256(f"{seed}:{i}".encode("utf-8")).hexdigest()
+            for i in batch.column(id_col).to_pylist()
+        ]
+        return batch.append_column(
+            "__skey", pa.array(keys, type=pa.string())
+        ).append_column("__bucket", bucket_column(batch, [key_col], n_buckets))
+
+    def rank_groups(group: pa.Table) -> pa.Table:
+        order = pa.compute.sort_indices(
+            group,
+            sort_keys=[
+                (key_col, "ascending"),
+                ("__skey", "ascending"),
+                (id_col, "ascending"),
+            ],
+        )
+        g = group.take(order)
+        kv = g.column(key_col).to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(kv[1:] != kv[:-1]) + 1
+        seg_starts = np.concatenate([[0], bounds])
+        seg_of = np.zeros(len(kv), dtype=np.int64)
+        seg_of[bounds] = 1
+        seg_of = np.cumsum(seg_of)
+        rank = np.arange(len(kv), dtype=np.int64) - seg_starts[seg_of]
+        return g.filter(pa.array(rank < k)).select([key_col, id_col])
+
+    return (
+        slim.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(rank_groups, batch_format="pyarrow")
+    )
+
+
 def deterministic_shuffle(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",

@@ -465,9 +465,41 @@ def minhash_clusters(
     entirely as Ray Data shuffles (``stages/graph.py:hash_min_components``
     — block-local union-find contraction + hash-min with pointer jumping),
     so it scales past the driver-union-find edge envelope."""
+    slim, edges = minhash_verified_edges(ds, text_col, id_col, threshold, k, bands)
+    return _cluster_labels_from_edges(slim, id_col, edges, n_buckets)
+
+
+def ngram_jaccard_clusters(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    width: int = 3,
+    n_buckets: int = 16,
+) -> ray.data.Dataset:
+    """(id, cluster_id) labels over the EXACT Jaccard near-dup graph
+    (``ngram_jaccard_verified_edges``; lossless prefix-filter candidates)
+    — the exact-tier counterpart of ``minhash_clusters``, same distributed
+    component reduction."""
+    slim, edges = ngram_jaccard_verified_edges(ds, text_col, id_col, threshold, width)
+    return _cluster_labels_from_edges(slim, id_col, edges, n_buckets)
+
+
+def _cluster_labels_from_edges(
+    slim: ray.data.Dataset,
+    id_col: str,
+    edges: ray.data.Dataset | None,
+    n_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Edge dataset -> (id, cluster_id) labels: cluster_id = min doc id
+    of the connected component (singletons label themselves). The
+    component reduction runs entirely as Ray Data shuffles
+    (``stages/graph.py:hash_min_components`` — block-local union-find
+    contraction + hash-min with pointer jumping), so it scales past the
+    driver-union-find edge envelope. Shared tail of the MinHash and
+    exact-Jaccard cluster operators."""
     from .graph import hash_min_components
 
-    slim, edges = minhash_verified_edges(ds, text_col, id_col, threshold, k, bands)
     ids_only = slim.select_columns([id_col])
     if edges is None:
         def self_label(batch: pa.Table) -> pa.Table:

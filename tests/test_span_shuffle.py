@@ -121,3 +121,61 @@ class TestDeterministicShuffle:
         assert a == b
         assert a != c
         assert sorted(c.values()) == list(range(64))
+
+
+class TestSampleKPerKey:
+    def test_matches_sequential_rank(self, ray_session):
+        import hashlib
+
+        import pyarrow as pa
+        import ray.data
+
+        from hyperpolyglot_ray.stages.ordering import sample_k_per_key
+
+        rng = np.random.RandomState(11)
+        ids = list(range(300))
+        keys = [f"k{rng.randint(0, 7)}" for _ in ids]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "lang": pa.array(keys),
+                    "junk": pa.array([i * 2 for i in ids], type=pa.int64()),
+                }
+            )
+        )
+        got = sorted(
+            (r["lang"], r["doc_id"])
+            for r in sample_k_per_key(ds, "lang", k=4, seed=9).take_all()
+        )
+        # sequential: rank rows per key by (sha256('9:'+id), id)
+        expect = []
+        for kv in set(keys):
+            rows = [
+                (hashlib.sha256(f"9:{i}".encode()).hexdigest(), i)
+                for i, kk in zip(ids, keys)
+                if kk == kv
+            ]
+            rows.sort()
+            expect.extend((kv, i) for _, i in rows[:4])
+        assert got == sorted(expect)
+
+    def test_seed_changes_sample(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from hyperpolyglot_ray.stages.ordering import sample_k_per_key
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(100)), type=pa.int64()),
+                    "lang": pa.array(["x"] * 100),
+                }
+            )
+        )
+        s0 = sorted(r["doc_id"] for r in sample_k_per_key(ds, "lang", k=10, seed=0).take_all())
+        s0b = sorted(r["doc_id"] for r in sample_k_per_key(ds, "lang", k=10, seed=0).take_all())
+        s1 = sorted(r["doc_id"] for r in sample_k_per_key(ds, "lang", k=10, seed=1).take_all())
+        assert s0 == s0b and len(s0) == 10
+        assert s0 != s1

@@ -1079,3 +1079,32 @@ def test_dsir_select_matches_sequential(ray_session):
     assert [(r["doc_id"], r["weight"]) for r in got] == expect
     # every selected doc comes from the target-vocab pools (ids < 40)
     assert all(r["doc_id"] < 40 for r in got)
+
+
+def test_ngram_jaccard_clusters_match_bruteforce(ray_session):
+    """Exact-tier cluster labels must equal brute-force components."""
+    import pyarrow as pa
+    import ray.data
+
+    from hyperpolyglot_ray.stages.text_ops import ngram_jaccard_clusters
+
+    texts, ids = [], []
+    for c in range(6):
+        base = " ".join(f"c{c}w{i}" for i in range(40))
+        for r in range(4):
+            w = base.split()
+            if r:
+                w[r] = f"c{c}var{r}"
+            texts.append(" ".join(w))
+            ids.append(c * 10 + r)
+    for j in range(20):
+        texts.append(" ".join(f"u{j}t{t}" for t in range(30)))
+        ids.append(1_000 + j)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": texts})
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in ngram_jaccard_clusters(ds).take_all()}
+    assert len(got) == len(ids)
+    for i in ids:
+        expect = (i // 10) * 10 if i < 1_000 else i  # cluster min / singleton
+        assert got[i] == expect, (i, got[i])
