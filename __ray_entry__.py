@@ -334,6 +334,37 @@ def _q_doc_sample_per_lang(sf_dir: str):
     return sample_k_per_key(_docs(sf_dir), "lang", k=5)
 
 
+def _q_doc_normalize(sf_dir: str):
+    from hyperpolyglot_ray.stages.text_ops import normalize_text
+
+    # plain-SQL oracle: nfc_normalize + RE2 collapse/trim + lower
+    return normalize_text(_docs(sf_dir))
+
+
+def _q_doc_quality_gate(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hyperpolyglot_ray.stages.aggregates import quantile_gate
+
+    # per-lang median token-count gate; oracle = plain SQL quantile_disc join
+    def score(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "n_tokens": pc.count_substring_regex(
+                    batch.column("text"), r"\S+"
+                ).cast(pa.int64()),
+            }
+        )
+
+    scored = _docs(sf_dir).select_columns(["doc_id", "lang", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return quantile_gate(scored, "lang", "n_tokens", q=0.5)
+
+
 def _q_doc_dsir(sf_dir: str):
     from hyperpolyglot_ray.stages.dsir import dsir_select
 
@@ -1100,6 +1131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dsir": _q_doc_dsir,
         "doc_sample_per_lang": _q_doc_sample_per_lang,
         "doc_ngram_clusters": _q_doc_ngram_clusters,
+        "doc_quality_gate": _q_doc_quality_gate,
+        "doc_normalize": _q_doc_normalize,
         "doc_span_dedup": _q_doc_span_dedup,
         "doc_shuffle": _q_doc_shuffle,
         "emb_quantize": _q_emb_quantize,
@@ -1307,6 +1340,17 @@ FROM documents""",
         "doc_ngram_clusters": (
             f"SELECT doc_id, cluster_id FROM read_parquet('{side}/doc_ngram_clusters.parquet')"
         ),
+        "doc_quality_gate": r"""
+WITH s AS (SELECT doc_id, lang, len(regexp_extract_all(text, '\S+')) AS n_tokens
+           FROM documents),
+th AS (SELECT lang, quantile_disc(n_tokens, 0.5) AS t FROM s GROUP BY lang)
+SELECT s.doc_id, s.lang, s.n_tokens FROM s JOIN th USING (lang)
+WHERE CAST(s.n_tokens AS DOUBLE) >= CAST(th.t AS DOUBLE)""",
+        "doc_normalize": r"""
+SELECT doc_id,
+       lower(regexp_replace(regexp_replace(nfc_normalize(coalesce(text, '')),
+             '\s+', ' ', 'g'), '^ +| +$', '', 'g')) AS text_norm
+FROM documents""",
         "doc_shuffle": (
             "SELECT doc_id, lang, row_number() OVER ("
             "ORDER BY sha256('0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos "

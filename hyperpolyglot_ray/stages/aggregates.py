@@ -136,6 +136,57 @@ def grouped_quantiles(
     )
 
 
+def quantile_gate(
+    ds: ray.data.Dataset,
+    key_col: str,
+    score_col: str,
+    q: float = 0.5,
+    mode: str = "ge",
+    refine: bool = False,
+) -> ray.data.Dataset:
+    """Keep rows whose ``score_col`` clears their key's q-th discrete
+    quantile — the relative-threshold quality filter ("drop the bottom
+    half of each language" rather than a fixed cutoff). Semantics match
+    DuckDB's ``quantile_disc`` (sorted ascending, element at
+    ``ceil(q*n)-1``), so the driver oracle is plain SQL.
+
+    Topology: pass 1 computes one threshold row per key
+    (``grouped_quantiles``, a slim (key, score) shuffle; set
+    ``refine=True`` to route hot keys through the bounded-memory
+    ``grouped_quantiles_refine`` instead), the key->threshold dict
+    (#keys entries, tiny) broadcasts once via ``ray.put``, and pass 2 is
+    a map-only filter. Scores must be non-null.
+
+    ``mode``: "ge" keeps score >= threshold, "le" keeps score <=
+    threshold. Output: the input rows that pass, all columns.
+    """
+    import numpy as np
+    import ray
+
+    if mode not in ("ge", "le"):
+        raise ValueError(f"quantile_gate: unknown mode {mode!r}")
+    qfn = grouped_quantiles_refine if refine else grouped_quantiles
+    tname = f"q{int(round(q * 100))}"
+    th = {
+        r[key_col]: float(r[tname])
+        for r in qfn(ds, key_col, score_col, qs=(q,)).take_all()
+    }
+    th_ref = ray.put(th)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        t = ray.get(th_ref)
+        thv = np.array(
+            [t[k] for k in batch.column(key_col).to_pylist()], dtype=np.float64
+        )
+        scores = batch.column(score_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        mask = scores >= thv if mode == "ge" else scores <= thv
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def histogram_quantile_sketch(
     ds: ray.data.Dataset,
     key_col: str,

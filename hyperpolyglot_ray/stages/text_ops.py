@@ -266,6 +266,54 @@ def doc_quality_stats(
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def normalize_text(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "text_norm",
+    lower: bool = True,
+) -> ray.data.Dataset:
+    """Canonical text normalization: Unicode NFC, ``\\s+`` collapse to one
+    space, ASCII-space edge trim, optional Unicode lowercase — the
+    pre-dedup/pre-hash canonicalizer (two byte-identical documents that
+    differ only in whitespace/composition hash equal afterwards).
+
+    Map-only and vectorized except NFC itself: pyarrow 16's
+    ``utf8_normalize`` ignores its ``form`` argument (verified — all four
+    forms return the same bytes), so NFC runs through
+    ``unicodedata.normalize`` on the minority of rows that
+    ``string_is_ascii`` proves need it (NFC is the identity on ASCII).
+    Collapse/trim/lower are RE2/utf8proc kernels chosen for bitwise
+    DuckDB parity: ``lower(regexp_replace(regexp_replace(nfc_normalize(t),
+    '\\s+', ' ', 'g'), '^ +| +$', '', 'g'))``.
+
+    Output: (id_col, out_col)."""
+    import unicodedata
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column(text_col).cast(pa.string()), "")
+        ascii_mask = pc.string_is_ascii(text).to_numpy(zero_copy_only=False)
+        if not ascii_mask.all():
+            vals = text.to_pylist()
+            text = pa.array(
+                [
+                    v if isa else unicodedata.normalize("NFC", v)
+                    for v, isa in zip(vals, ascii_mask)
+                ],
+                type=pa.string(),
+            )
+        out = pc.replace_substring_regex(
+            pc.replace_substring_regex(text, r"\s+", " "), r"^ +| +$", ""
+        )
+        if lower:
+            out = pc.utf8_lower(out)
+        return pa.table({id_col: batch.column(id_col), out_col: out})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def fingerprint(
     ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:

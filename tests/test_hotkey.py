@@ -261,3 +261,43 @@ def test_repo_stats_hot_repo(ray_session):
         expect[it["repo"]] = (n + 1, c + len(it["content"]))
     assert got == expect
     assert got["mega/repo"][0] == 200
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quantile_gate_matches_sequential():
+    import ray.data
+
+    from hyperpolyglot_ray.stages.aggregates import quantile_gate
+
+    rng = np.random.default_rng(23)
+    n = 5_000
+    keys = rng.integers(0, 5, size=n).astype(str)
+    scores = rng.integers(0, 1_000, size=n)
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table(
+        {"doc_id": pa.array(ids), "k": pa.array(keys), "s": pa.array(scores)}
+    )
+
+    for mode in ("ge", "le"):
+        got = sorted(
+            r["doc_id"]
+            for r in quantile_gate(
+                ray.data.from_arrow(t), "k", "s", q=0.5, mode=mode
+            ).take_all()
+        )
+        expect = []
+        for kv in np.unique(keys):
+            sv = np.sort(scores[keys == kv])
+            th = sv[min(len(sv) - 1, max(0, int(np.ceil(0.5 * len(sv))) - 1))]
+            m = keys == kv
+            ok = scores >= th if mode == "ge" else scores <= th
+            expect.extend(ids[m & ok].tolist())
+        assert got == sorted(expect)
+        # both routes agree
+        ref = sorted(
+            r["doc_id"]
+            for r in quantile_gate(
+                ray.data.from_arrow(t), "k", "s", q=0.5, mode=mode, refine=True
+            ).take_all()
+        )
+        assert got == ref

@@ -1108,3 +1108,37 @@ def test_ngram_jaccard_clusters_match_bruteforce(ray_session):
     for i in ids:
         expect = (i // 10) * 10 if i < 1_000 else i  # cluster min / singleton
         assert got[i] == expect, (i, got[i])
+
+
+def test_normalize_text_canonicalizes(ray_session):
+    """NFC + whitespace collapse + trim + lower, sequential parity."""
+    import unicodedata
+
+    import pyarrow as pa
+    import ray.data
+
+    from hyperpolyglot_ray.stages.text_ops import normalize_text
+
+    texts = [
+        "  Héllo\t\nWORLD  ",   # decomposed accent + mixed ws
+        "café́  x",         # double combining mark
+        "plain ascii  TEXT",
+        "",
+        "\xa0 edge nbsp \xa0",         # \xa0 is NOT RE2 \s: survives
+        "a  b\r\nc",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts}
+        )
+    )
+    got = {r["doc_id"]: r["text_norm"] for r in normalize_text(ds).take_all()}
+    import re
+
+    for i, t in enumerate(texts):
+        exp = unicodedata.normalize("NFC", t)
+        exp = re.sub(r"\s+", " ", exp, flags=re.ASCII)
+        exp = re.sub(r"^ +| +$", "", exp)
+        assert got[i] == exp.lower(), (i, got[i], exp.lower())
+    assert got[0] == "h\xe9llo world"
+    assert got[4] == "\xa0 edge nbsp \xa0"
