@@ -334,6 +334,18 @@ def _q_doc_sample_per_lang(sf_dir: str):
     return sample_k_per_key(_docs(sf_dir), "lang", k=5)
 
 
+def _q_doc_pct_rank(sf_dir: str):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.ordering import percentile_rank
+
+    # pruned read: n_chars is a table column, no text scan needed
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return percentile_rank(docs, "lang", "n_chars")
+
+
 def _q_doc_normalize(sf_dir: str):
     from hyperpolyglot_ray.stages.text_ops import normalize_text
 
@@ -1133,6 +1145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_clusters": _q_doc_ngram_clusters,
         "doc_quality_gate": _q_doc_quality_gate,
         "doc_normalize": _q_doc_normalize,
+        "doc_pct_rank": _q_doc_pct_rank,
         "doc_span_dedup": _q_doc_span_dedup,
         "doc_shuffle": _q_doc_shuffle,
         "emb_quantize": _q_emb_quantize,
@@ -1346,6 +1359,10 @@ WITH s AS (SELECT doc_id, lang, len(regexp_extract_all(text, '\S+')) AS n_tokens
 th AS (SELECT lang, quantile_disc(n_tokens, 0.5) AS t FROM s GROUP BY lang)
 SELECT s.doc_id, s.lang, s.n_tokens FROM s JOIN th USING (lang)
 WHERE CAST(s.n_tokens AS DOUBLE) >= CAST(th.t AS DOUBLE)""",
+        "doc_pct_rank": (
+            "SELECT doc_id, lang, n_chars, percent_rank() OVER ("
+            "PARTITION BY lang ORDER BY n_chars) AS pct_rank FROM documents"
+        ),
         "doc_normalize": r"""
 SELECT doc_id,
        lower(regexp_replace(regexp_replace(nfc_normalize(coalesce(text, '')),

@@ -39,6 +39,80 @@ import ray
 import ray.data
 
 
+def percentile_rank(
+    ds: ray.data.Dataset,
+    key_col: str,
+    score_col: str,
+    id_col: str = "doc_id",
+    out_col: str = "pct_rank",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-key percentile-rank transform: ``out_col = (rank-1)/(n-1)``
+    with SQL ``percent_rank() OVER (PARTITION BY key ORDER BY score)``
+    semantics (ties share the tie-group's minimum rank; a single-row key
+    ranks 0.0). Normalizes heterogeneous per-key score scales onto [0,1]
+    so downstream mixing/gating can compare across keys — the transform
+    counterpart of ``aggregates.quantile_gate``'s single threshold.
+
+    Topology: one bucketed shuffle of (key, score, id) rows — keys
+    co-locate by hash bucket, each group computes tie-aware ranks for its
+    contiguous key segments after ONE in-group lexsort; no driver state.
+    Output: (id_col, key_col, score_col, out_col float64)."""
+    from .shuffle import bucket_column
+
+    slim = ds.select_columns([key_col, score_col, id_col])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", bucket_column(batch, [key_col], n_buckets)
+        )
+
+    def rank_groups(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            # typed empty block: keep the declared output schema so the
+            # streaming executor never sees a schema-less RefBundle
+            return pa.table(
+                {
+                    id_col: pa.array([], type=group.schema.field(id_col).type),
+                    key_col: pa.array([], type=group.schema.field(key_col).type),
+                    score_col: pa.array([], type=group.schema.field(score_col).type),
+                    out_col: pa.array([], type=pa.float64()),
+                }
+            )
+        order = pa.compute.sort_indices(
+            group,
+            sort_keys=[(key_col, "ascending"), (score_col, "ascending")],
+        )
+        g = group.take(order)
+        n = g.num_rows
+        kv = g.column(key_col).to_numpy(zero_copy_only=False)
+        sv = g.column(score_col).to_numpy(zero_copy_only=False)
+        seg_new = np.empty(n, dtype=bool)
+        seg_new[0] = True
+        seg_new[1:] = kv[1:] != kv[:-1]
+        seg_starts_all = np.flatnonzero(seg_new)
+        seg_of = np.cumsum(seg_new) - 1
+        seg_start = seg_starts_all[seg_of]
+        seg_len = np.diff(np.append(seg_starts_all, n))[seg_of]
+        # tie-group anchors: a new rank starts where the segment or the
+        # score changes; every row's rank is its latest anchor position
+        tie_new = seg_new.copy()
+        tie_new[1:] |= sv[1:] != sv[:-1]
+        anchor = np.maximum.accumulate(np.where(tie_new, np.arange(n), 0))
+        rank0 = anchor - seg_start
+        denom = np.maximum(seg_len - 1, 1)
+        pct = np.where(seg_len > 1, rank0 / denom, 0.0)
+        return g.select([id_col, key_col, score_col]).append_column(
+            out_col, pa.array(pct, type=pa.float64())
+        )
+
+    return (
+        slim.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(rank_groups, batch_format="pyarrow")
+    )
+
+
 def sample_k_per_key(
     ds: ray.data.Dataset,
     key_col: str,

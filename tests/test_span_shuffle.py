@@ -179,3 +179,46 @@ class TestSampleKPerKey:
         s1 = sorted(r["doc_id"] for r in sample_k_per_key(ds, "lang", k=10, seed=1).take_all())
         assert s0 == s0b and len(s0) == 10
         assert s0 != s1
+
+
+class TestPercentileRank:
+    def test_matches_sql_percent_rank(self, ray_session):
+        import duckdb
+        import pyarrow as pa
+        import ray.data
+
+        from hyperpolyglot_ray.stages.ordering import percentile_rank
+
+        rng = np.random.RandomState(3)
+        n = 400
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "lang": pa.array([f"l{v}" for v in rng.randint(0, 6, n)]),
+                # heavy ties + a singleton key
+                "n_chars": pa.array(
+                    rng.randint(0, 12, n).astype(np.int64)
+                ),
+            }
+        )
+        t = pa.concat_tables(
+            [t, pa.table({"doc_id": [9_999], "lang": ["solo"], "n_chars": [5]})]
+        )
+        got = {
+            r["doc_id"]: r["pct_rank"]
+            for r in percentile_rank(
+                ray.data.from_arrow(t), "lang", "n_chars"
+            ).take_all()
+        }
+        exp = dict(
+            duckdb.connect()
+            .execute(
+                "SELECT doc_id, percent_rank() OVER (PARTITION BY lang "
+                "ORDER BY n_chars) FROM t",
+            )
+            .fetchall()
+        )
+        assert len(got) == len(exp)
+        for k, v in exp.items():
+            assert got[k] == v, (k, got[k], v)
+        assert got[9_999] == 0.0
