@@ -560,6 +560,94 @@ def _q_lineitem_orders_join(sf_dir: str):
     return hash_join(li, od, "l_orderkey", "o_orderkey")
 
 
+def _q_customer_semi_join(sf_dir: str):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.joins import semi_join
+
+    # existence-only join: the right side ships ONLY its (deduped) key
+    # column across the shuffle — WHERE c_custkey IN (SELECT ...)
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet")
+    big_orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).filter(expr="o_totalprice > 400000.0")
+    return semi_join(cust, big_orders, "c_custkey", "o_custkey", n_buckets=64)
+
+
+def _q_customer_anti_join(sf_dir: str):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.joins import semi_join
+
+    # WHERE c_custkey NOT IN (SELECT ...) — same topology, inverted mask
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet")
+    big_orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).filter(expr="o_totalprice > 400000.0")
+    return semi_join(
+        cust, big_orders, "c_custkey", "o_custkey", n_buckets=64, anti=True
+    )
+
+
+def _q_custkey_full_outer(sf_dir: str):
+    import pyarrow as pa
+    import ray.data
+
+    from hyperpolyglot_ray.stages.joins import hash_join
+
+    # full outer: even-custkey customers vs per-custkey order counts —
+    # odd custkeys with orders surface as right-only rows, even custkeys
+    # without orders as left-only; the key coalesces across sides
+    import pyarrow.compute as pc
+
+    def even_only(batch: pa.Table) -> pa.Table:
+        k = batch.column("c_custkey")
+        return batch.filter(
+            pc.equal(pc.bit_wise_and(k, pa.scalar(1, type=k.type)), 0)
+        )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).map_batches(even_only, batch_format="pyarrow", zero_copy_batch=True)
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["o_custkey"]).aggregate([([], "count_all")])
+        return g.rename_columns(["o_custkey", "n_orders"])
+
+    ocnt = (
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        .map_batches(order_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .sum("n_orders")
+        .rename_columns({"sum(n_orders)": "n_orders"})
+    )
+    return hash_join(
+        cust, ocnt, "c_custkey", "o_custkey", n_buckets=64, join_type="full outer"
+    )
+
+
+def _q_events_heavy_hitters(sf_dir: str):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.aggregates import heavy_hitters
+
+    # Misra-Gries sketch + exact verify: users with >= 1/130 of all events
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return heavy_hitters(ev, "user_id", k=130)
+
+
+def _q_doc_zscore(sf_dir: str):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.ordering import zscore_per_key
+
+    # pruned read: n_chars is a table column, no text scan needed
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return zscore_per_key(docs, "lang", "n_chars")
+
+
 def _q_doc_source_cap(sf_dir: str):
     from hyperpolyglot_ray.stages.curation import cap_per_group
 
@@ -1138,6 +1226,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (the driver checks a finite prefix): 7 never-driver-checked, then the
     # 11 last checked in round 2, then the 50 green in round 3.
     return {
+        # --- new in round 4 (never driver-checked) ---
+        "customer_semi_join": _q_customer_semi_join,
+        "customer_anti_join": _q_customer_anti_join,
+        "custkey_full_outer": _q_custkey_full_outer,
+        "events_heavy_hitters": _q_events_heavy_hitters,
+        "doc_zscore": _q_doc_zscore,
         # --- never driver-checked before round 4 ---
         "doc_ngram_dedup": _q_doc_ngram_dedup,
         "doc_dsir": _q_doc_dsir,
@@ -1399,6 +1493,38 @@ FROM documents""",
             " o.o_orderstatus, o.o_totalprice"
             " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
         ),
+        "customer_semi_join": (
+            "SELECT * FROM customer WHERE c_custkey IN"
+            " (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)"
+        ),
+        "customer_anti_join": (
+            "SELECT * FROM customer WHERE c_custkey NOT IN"
+            " (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)"
+        ),
+        "custkey_full_outer": (
+            "SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,"
+            " c.c_acctbal, o.n_orders"
+            " FROM (SELECT c_custkey, c_acctbal FROM customer"
+            "       WHERE c_custkey % 2 = 0) c"
+            " FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders"
+            "                  FROM orders GROUP BY o_custkey) o"
+            " ON c.c_custkey = o.o_custkey"
+        ),
+        "events_heavy_hitters": (
+            "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id"
+            " HAVING count(*) * 130 >= (SELECT count(*) FROM events)"
+        ),
+        "doc_zscore": r"""
+WITH s AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(SUM(n_chars) OVER w AS DOUBLE) / COUNT(*) OVER w AS mu,
+         CAST(SUM(n_chars * n_chars) OVER w AS DOUBLE) / COUNT(*) OVER w AS m2
+  FROM documents WINDOW w AS (PARTITION BY lang)
+)
+SELECT doc_id, lang, n_chars,
+       CASE WHEN m2 - mu * mu <= 0 THEN NULL
+            ELSE (CAST(n_chars AS DOUBLE) - mu) / sqrt(m2 - mu * mu) END AS zscore
+FROM s""",
         "doc_source_cap": (
             "SELECT source, doc_id FROM (SELECT source, doc_id,"
             " row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn"

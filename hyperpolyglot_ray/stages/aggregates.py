@@ -656,3 +656,115 @@ def grouped_count_distinct(
         .sum("cnt")
         .rename_columns({"sum(cnt)": "n_distinct"})
     )
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    col: str,
+    k: int = 100,
+    capacity: int | None = None,
+) -> ray.data.Dataset:
+    """Exact phi-heavy hitters (phi = 1/k): every distinct ``col`` value
+    occurring in at least ``ceil(n/k)`` of the ``n`` rows, with its EXACT
+    count — SQL ``GROUP BY col HAVING count(*) * k >= n``.
+
+    A full groupby is wasteful when only the tail-free head matters: at
+    100 TB the distinct-value count can be corpus-scale while the heavy
+    hitters are a handful. Topology (Misra-Gries sketch + exact verify):
+
+      1. per-block Misra-Gries summary, ``capacity`` counters (default
+         ``4k``): ``pc.value_counts`` then batch-decrement by the
+         (capacity+1)-th largest count. Each block emits <= capacity
+         (value, weight) rows; per-block undercount <= block_n/(capacity+1).
+      2. tiny groupby sums the partial weights per value. Summed MG
+         weight >= true_count - n/(capacity+1), so every true heavy
+         hitter clears ``n/k - n/(capacity+1)`` — the candidate gate.
+         (Mergeability: Agarwal et al., "Mergeable Summaries", PODS'12.)
+      3. exact verify: candidates broadcast via ``ray.put``; a second
+         pass counts ONLY candidate values per block (``pc.index_in`` +
+         bincount), a tiny groupby sums, and the exact integer gate
+         ``cnt * k >= n`` filters.
+
+    No corpus-scale shuffle: stages 2 and 3 exchange O(capacity x blocks)
+    and O(|candidates| x blocks) rows. Output: (``col``, cnt int64),
+    exact and deterministic. Requires non-null ``col``.
+    """
+    import numpy as np
+
+    if capacity is None:
+        capacity = 4 * k
+    n_total = ds.count()
+    slim = ds.select_columns([col])
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        if batch.column(col).null_count:
+            raise ValueError(f"heavy_hitters: null values in {col!r}")
+        vc = pc.value_counts(batch.column(col).combine_chunks())
+        vals, counts = vc.field("values"), vc.field("counts")
+        cnp = counts.to_numpy(zero_copy_only=False)
+        if len(cnp) > capacity:
+            # batch Misra-Gries decrement: subtracting the (capacity+1)-th
+            # largest count leaves <= capacity positive weights
+            d = np.partition(cnp, len(cnp) - (capacity + 1))[
+                len(cnp) - (capacity + 1)
+            ]
+            keep = cnp > d
+            vals = vals.filter(pa.array(keep))
+            cnp = cnp[keep] - d
+        return pa.table(
+            {col: vals, "w": pa.array(cnp.astype(np.int64), type=pa.int64())}
+        )
+
+    merged = (
+        slim.map_batches(mg_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(col)
+        .sum("w")
+    )
+    # candidate gate: true_count >= mg_sum >= true_count - n/(capacity+1),
+    # so every true heavy hitter's mg_sum clears `gate`. Filter BEFORE
+    # collecting: post-gate cardinality is <= n/gate = k/(1 - k/(cap+1))
+    # (~4k/3 at the default capacity) regardless of corpus size, while the
+    # unfiltered merged sketch is O(capacity x blocks).
+    gate = n_total / k - n_total / (capacity + 1)
+
+    def gate_fn(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column("sum(w)"), gate))
+
+    cand = (
+        merged.map_batches(gate_fn, batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns([col])
+        .take_all()
+    )
+    cand = [r[col] for r in cand]
+    if not cand:
+        return ray.data.from_arrow(
+            pa.table({col: pa.array([], type=ds.schema().base_schema.field(col).type),
+                      "cnt": pa.array([], type=pa.int64())})
+        )
+    cand_arr = pa.array(sorted(cand))
+    cand_ref = ray.put(cand_arr)
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        cv = ray.get(cand_ref)
+        idx = pc.index_in(batch.column(col), value_set=cv)
+        hits = idx.drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.bincount(hits, minlength=len(cv))
+        return pa.table(
+            {col: cv, "cnt": pa.array(counts.astype(np.int64), type=pa.int64())}
+        )
+
+    exact = (
+        slim.map_batches(exact_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(col)
+        .sum("cnt")
+        .rename_columns({"sum(cnt)": "cnt"})
+    )
+
+    def final_gate(batch: pa.Table) -> pa.Table:
+        # exact integer gate, no float threshold: cnt * k >= n
+        cnt = batch.column("cnt").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(cnt * k >= n_total))
+
+    return exact.map_batches(
+        final_gate, batch_format="pyarrow", zero_copy_batch=True
+    )

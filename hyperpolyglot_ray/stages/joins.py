@@ -427,7 +427,12 @@ def hash_join(
     Output columns: all left columns + all right columns except
     ``right_on`` (the key appears once, named ``left_on``). Column-name
     collisions other than the key are rejected. ``join_type``:
-    ``inner`` or ``left outer`` (pyarrow join types).
+    ``inner``, ``left outer``, ``right outer`` or ``full outer``
+    (pyarrow join types; per-bucket outer joins are globally correct
+    because the bucket hash partitions the KEY space — a key's rows from
+    both sides land in exactly one bucket, so unmatched rows are
+    unmatched globally). The key column is coalesced across sides, so it
+    is non-null in every output row even for ``full outer``.
 
     Null join keys are REJECTED (ValueError) on either side: the bucket
     hash (``shuffle._column_hash``) is undefined over nulls — a nullable
@@ -436,6 +441,9 @@ def hash_join(
     before joining; SQL semantics would never match a null key anyway.
     """
     from .shuffle import _column_hash
+
+    if join_type not in ("inner", "left outer", "right outer", "full outer"):
+        raise ValueError(f"unsupported join_type: {join_type!r}")
 
     l_schema = left.schema()
     r_schema = right.schema()
@@ -511,4 +519,95 @@ def hash_join(
     return (
         tagged.groupby("__bucket")
         .map_groups(join_bucket, batch_format="pyarrow")
+    )
+
+
+def semi_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_on: str,
+    right_on: str,
+    n_buckets: int = 1024,
+    anti: bool = False,
+) -> ray.data.Dataset:
+    """Distributed semi-join (``anti=False``: keep left rows whose key
+    appears in ``right``) / anti-join (``anti=True``: keep left rows whose
+    key does NOT appear) — SQL ``WHERE key [NOT] IN (SELECT ...)``.
+
+    Cheaper than ``hash_join`` + dedup when only existence matters: the
+    right side ships ONLY its key column, deduplicated per block before
+    the exchange (``pc.unique``), so a 100 TB right side with a
+    low-cardinality key crosses the shuffle as a few thousand rows per
+    block. Both sides co-partition by key-hash bucket; each bucket does a
+    vectorized ``pc.is_in`` membership filter. Per-bucket [not-]in is
+    globally correct because the bucket hash partitions the key space.
+
+    Output: the left columns, unchanged (row subset of ``left``). Null
+    join keys are rejected on either side, like ``hash_join`` (a null key
+    never matches in SQL semantics either).
+    """
+    from .shuffle import _column_hash
+
+    l_schema = left.schema()
+    l_cols = list(l_schema.names)
+    l_types = {c: l_schema.base_schema.field(c).type for c in l_cols}
+    out_schema = pa.schema([pa.field(c, l_types[c]) for c in l_cols])
+    key_type = l_types[left_on]
+
+    def check_nulls(col: pa.ChunkedArray | pa.Array, name: str) -> None:
+        if col.null_count:
+            raise ValueError(
+                f"semi_join: null values in join key {name!r} are not "
+                "supported; fill_null or filter them before joining"
+            )
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        check_nulls(batch.column(left_on), left_on)
+        h = _column_hash(batch.column(left_on))
+        cols: dict = {
+            "__bucket": pa.array(
+                (h % np.uint64(n_buckets)).astype(np.int64), type=pa.int64()
+            ),
+            "__side": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+        }
+        for c in l_cols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        check_nulls(batch.column(right_on), right_on)
+        keys = pc.unique(batch.column(right_on).combine_chunks()).cast(key_type)
+        h = _column_hash(keys)
+        cols = {
+            "__bucket": pa.array(
+                (h % np.uint64(n_buckets)).astype(np.int64), type=pa.int64()
+            ),
+            "__side": pa.array(np.ones(len(keys), dtype=np.int8)),
+        }
+        for c in l_cols:
+            cols[c] = keys if c == left_on else pa.nulls(len(keys), l_types[c])
+        return pa.table(cols)
+
+    tagged = left.map_batches(
+        tag_left, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.select_columns([right_on]).map_batches(
+            tag_right, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def filter_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        lt = group.filter(pa.array(side == 0))
+        rkeys = pc.unique(
+            group.filter(pa.array(side == 1)).column(left_on).combine_chunks()
+        )
+        member = pc.is_in(lt.column(left_on), value_set=rkeys)
+        keep = pc.invert(member) if anti else member
+        return lt.filter(keep).select(l_cols).cast(out_schema)
+
+    return tagged.groupby("__bucket").map_groups(
+        filter_bucket, batch_format="pyarrow"
     )

@@ -217,3 +217,83 @@ def deterministic_shuffle(
         return ranked.drop(["__skey", "__bucket"]).append_column("pos", pos)
 
     return keyed.groupby("__bucket").map_groups(assign, batch_format="pyarrow")
+
+
+def zscore_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    id_col: str = "doc_id",
+    out_col: str = "zscore",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-key z-score normalization: ``out_col = (x - mu) / sigma`` with
+    population moments per ``key_col`` group (SQL ``(x - AVG(x) OVER w) /
+    STDDEV_POP(x) OVER w``); NULL when the key's variance is 0 (single
+    row or constant values). Puts heterogeneous per-key value scales on a
+    common standard scale — the moment-based counterpart of
+    ``percentile_rank``.
+
+    Oracle exactness: ``val_col`` must be integer-typed. Per-key sum and
+    sum-of-squares accumulate in int64 (exact, order-independent); the
+    float expression tree then matches the SQL one op for op —
+    ``mu = double(sum)/n``, ``var = double(sumsq)/n - mu*mu``,
+    ``z = (double(x) - mu)/sqrt(var)`` — so every IEEE step is identical
+    and the driver hash matches bit-for-bit. int64 bounds the scale:
+    ``sum(x^2)`` per key must stay below 2^63 (~9.2e18; e.g. 1e9 rows of
+    values up to 3e4).
+
+    Topology: one bucketed shuffle of (key, val, id) rows — keys
+    co-locate by hash bucket; each group computes segment moments with
+    ONE in-group sort + ``np.add.reduceat``; no driver state. Output:
+    (id_col, key_col, val_col, out_col float64).
+    """
+    from .shuffle import bucket_column
+
+    slim = ds.select_columns([key_col, val_col, id_col])
+    val_type = ds.schema().base_schema.field(val_col).type
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", bucket_column(batch, [key_col], n_buckets)
+        )
+
+    def z_groups(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=group.schema.field(id_col).type),
+                    key_col: pa.array([], type=group.schema.field(key_col).type),
+                    val_col: pa.array([], type=val_type),
+                    out_col: pa.array([], type=pa.float64()),
+                }
+            )
+        order = pa.compute.sort_indices(group, sort_keys=[(key_col, "ascending")])
+        g = group.take(order)
+        n = g.num_rows
+        kv = g.column(key_col).to_numpy(zero_copy_only=False)
+        xv = g.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        seg_new = np.empty(n, dtype=bool)
+        seg_new[0] = True
+        seg_new[1:] = kv[1:] != kv[:-1]
+        starts = np.flatnonzero(seg_new)
+        seg_of = np.cumsum(seg_new) - 1
+        cnt = np.diff(np.append(starts, n)).astype(np.float64)
+        s1 = np.add.reduceat(xv, starts).astype(np.float64)
+        s2 = np.add.reduceat(xv * xv, starts).astype(np.float64)
+        mu = s1 / cnt
+        var = s2 / cnt - mu * mu
+        sd = np.sqrt(np.maximum(var, 0.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (xv.astype(np.float64) - mu[seg_of]) / sd[seg_of]
+        valid = var[seg_of] > 0.0
+        zcol = pa.array(
+            np.where(valid, z, 0.0), type=pa.float64(), mask=~valid
+        )
+        return g.select([id_col, key_col, val_col]).append_column(out_col, zcol)
+
+    return (
+        slim.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(z_groups, batch_format="pyarrow")
+    )

@@ -65,3 +65,60 @@ def test_hash_join_hot_key(ray_session):
         (l["k"], l["lv"], r["rv"]) for l in left for r in right if l["k"] == r["rk"]
     )
     assert sorted((r["k"], r["lv"], r["rv"]) for r in out) == expect
+
+
+def test_hash_join_full_outer(ray_session):
+    from hyperpolyglot_ray.stages.joins import hash_join
+
+    left = [{"k": 1, "lv": 10}, {"k": 2, "lv": 20}]
+    right = [{"rk": 2, "rv": 200}, {"rk": 3, "rv": 300}]
+    out = hash_join(
+        _ds(left), _ds(right), "k", "rk", join_type="full outer"
+    ).take_all()
+    got = sorted((r["k"], r["lv"], r["rv"]) for r in out)
+    assert got == [(1, 10, None), (2, 20, 200), (3, None, 300)]
+
+
+def test_hash_join_rejects_unknown_join_type(ray_session):
+    from hyperpolyglot_ray.stages.joins import hash_join
+
+    with pytest.raises(ValueError):
+        hash_join(_ds([{"k": 1}]), _ds([{"rk": 1}]), "k", "rk", join_type="cross")
+
+
+def test_semi_and_anti_join_match_brute_force(ray_session):
+    from hyperpolyglot_ray.stages.joins import semi_join
+
+    rng = np.random.RandomState(11)
+    left = [{"k": int(rng.randint(0, 30)), "lv": i} for i in range(200)]
+    # duplicates on the right exercise the per-block dedup path
+    right = [{"rk": int(rng.randint(0, 18)), "junk": "x"} for _ in range(400)]
+    rkeys = {r["rk"] for r in right}
+    semi = semi_join(
+        _ds(left).repartition(4), _ds(right).repartition(3), "k", "rk", n_buckets=8
+    ).take_all()
+    anti = semi_join(
+        _ds(left).repartition(4),
+        _ds(right).repartition(3),
+        "k",
+        "rk",
+        n_buckets=8,
+        anti=True,
+    ).take_all()
+    assert sorted((r["k"], r["lv"]) for r in semi) == sorted(
+        (l["k"], l["lv"]) for l in left if l["k"] in rkeys
+    )
+    assert sorted((r["k"], r["lv"]) for r in anti) == sorted(
+        (l["k"], l["lv"]) for l in left if l["k"] not in rkeys
+    )
+    # semi/anti partition the left side
+    assert len(semi) + len(anti) == len(left)
+
+
+def test_semi_join_rejects_null_keys(ray_session):
+    from hyperpolyglot_ray.stages.joins import semi_join
+
+    left = _ds([{"k": 1, "lv": 1}, {"k": None, "lv": 2}])
+    right = _ds([{"rk": 1}])
+    with pytest.raises(Exception):
+        semi_join(left, right, "k", "rk").take_all()

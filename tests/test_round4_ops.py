@@ -1,0 +1,69 @@
+"""Heavy hitters (Misra-Gries + exact verify) and per-key z-score."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _ds(items):
+    import ray.data
+
+    return ray.data.from_items(items)
+
+
+def test_heavy_hitters_exact_counts(ray_session):
+    from hyperpolyglot_ray.stages.aggregates import heavy_hitters
+
+    # skewed corpus: value v occurs ~ proportional to zipf; small capacity
+    # forces real Misra-Gries decrements in every block
+    rng = np.random.RandomState(5)
+    vals = rng.zipf(1.5, size=5000)
+    vals = vals[vals < 1000]
+    items = [{"v": int(v)} for v in vals]
+    n = len(items)
+    k = 50
+    out = heavy_hitters(
+        _ds(items).repartition(8), "v", k=k, capacity=8
+    ).take_all()
+    import collections
+
+    exact = collections.Counter(v["v"] for v in items)
+    expect = sorted((v, c) for v, c in exact.items() if c * k >= n)
+    got = sorted((r["v"], r["cnt"]) for r in out)
+    assert got == expect
+    assert len(expect) > 0  # the fixture must actually have heavy hitters
+
+
+def test_heavy_hitters_string_column_and_no_hitters(ray_session):
+    from hyperpolyglot_ray.stages.aggregates import heavy_hitters
+
+    items = [{"v": f"u{i}"} for i in range(100)]  # all unique: no hitters
+    out = heavy_hitters(_ds(items).repartition(4), "v", k=10, capacity=4).take_all()
+    assert out == []
+
+
+def test_zscore_per_key_matches_numpy(ray_session):
+    from hyperpolyglot_ray.stages.ordering import zscore_per_key
+
+    rng = np.random.RandomState(7)
+    items = [
+        {"doc_id": i, "lang": f"l{int(rng.randint(0, 5))}", "x": int(rng.randint(0, 100))}
+        for i in range(400)
+    ]
+    # one single-row key and one constant key -> NULL zscore
+    items.append({"doc_id": 400, "lang": "solo", "x": 42})
+    items += [{"doc_id": 401 + j, "lang": "const", "x": 7} for j in range(3)]
+    out = zscore_per_key(
+        _ds(items).repartition(5), "lang", "x", id_col="doc_id", n_buckets=8
+    ).take_all()
+    assert len(out) == len(items)
+    by_lang = {}
+    for it in items:
+        by_lang.setdefault(it["lang"], []).append(it["x"])
+    for r in out:
+        xs = np.array(by_lang[r["lang"]], dtype=np.float64)
+        var = (xs * xs).mean() - xs.mean() ** 2
+        if var <= 0:
+            assert r["zscore"] is None
+        else:
+            expect = (r["x"] - xs.mean()) / np.sqrt(var)
+            assert abs(r["zscore"] - expect) < 1e-9
