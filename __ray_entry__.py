@@ -648,6 +648,43 @@ def _q_doc_zscore(sf_dir: str):
     return zscore_per_key(docs, "lang", "n_chars")
 
 
+def _q_events_lag_delta(sf_dir: str):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.ordering import lag_delta_per_key
+
+    # per-user previous value + delta; event_id breaks ts ties so the
+    # window order is total and the hash oracle is well-defined
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    return lag_delta_per_key(ev, "user_id", "ts", "value", "event_id")
+
+
+def _q_lineitem_running_qty(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from hyperpolyglot_ray.stages.ordering import cumsum_per_key
+
+    # per-supplier running shipped quantity; l_orderkey*8 + l_linenumber
+    # (linenumber <= 7) is a globally unique line id for the tie-break
+    def add_lineid(batch: pa.Table) -> pa.Table:
+        lid = pc.add(
+            pc.multiply(batch.column("l_orderkey"), pa.scalar(8, type=pa.int64())),
+            batch.column("l_linenumber").cast(pa.int64()),
+        )
+        return batch.append_column("l_lineid", lid)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"],
+    ).map_batches(add_lineid, batch_format="pyarrow", zero_copy_batch=True)
+    return cumsum_per_key(li, "l_suppkey", "l_shipdate", "l_quantity", "l_lineid")
+
+
 def _q_doc_source_cap(sf_dir: str):
     from hyperpolyglot_ray.stages.curation import cap_per_group
 
@@ -1232,6 +1269,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custkey_full_outer": _q_custkey_full_outer,
         "events_heavy_hitters": _q_events_heavy_hitters,
         "doc_zscore": _q_doc_zscore,
+        "events_lag_delta": _q_events_lag_delta,
+        "lineitem_running_qty": _q_lineitem_running_qty,
         # --- never driver-checked before round 4 ---
         "doc_ngram_dedup": _q_doc_ngram_dedup,
         "doc_dsir": _q_doc_dsir,
@@ -1525,6 +1564,21 @@ SELECT doc_id, lang, n_chars,
        CASE WHEN m2 - mu * mu <= 0 THEN NULL
             ELSE (CAST(n_chars AS DOUBLE) - mu) / sqrt(m2 - mu * mu) END AS zscore
 FROM s""",
+        "events_lag_delta": (
+            "SELECT user_id, ts, event_id, value,"
+            " LAG(value) OVER w AS prev_value,"
+            " value - LAG(value) OVER w AS delta"
+            " FROM events WINDOW w AS"
+            " (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "lineitem_running_qty": (
+            "SELECT l_suppkey, l_shipdate, l_lineid, l_quantity,"
+            " CAST(SUM(CAST(l_quantity AS BIGINT)) OVER"
+            " (PARTITION BY l_suppkey ORDER BY l_shipdate, l_lineid"
+            "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_total"
+            " FROM (SELECT *, l_orderkey * 8 + l_linenumber AS l_lineid"
+            "       FROM lineitem)"
+        ),
         "doc_source_cap": (
             "SELECT source, doc_id FROM (SELECT source, doc_id,"
             " row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn"

@@ -297,3 +297,179 @@ def zscore_per_key(
         .groupby("__bucket")
         .map_groups(z_groups, batch_format="pyarrow")
     )
+
+def lag_delta_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_col: str,
+    val_col: str,
+    tiebreak_col: str,
+    out_prev: str = "prev_value",
+    out_delta: str = "delta",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-key LAG + delta: for each row, the previous row's ``val_col``
+    within its ``key_col`` partition ordered by ``(order_col,
+    tiebreak_col)``, and the difference to it — SQL ``LAG(val) OVER
+    (PARTITION BY key ORDER BY ord, tie)`` and ``val - LAG(val) OVER w``.
+    Each partition's first row gets NULL for both. The navigation
+    primitive behind inter-event gaps, rate-of-change features and
+    change-point screens over an event log.
+
+    ``tiebreak_col`` must make ``(key, order, tiebreak)`` a total order
+    (e.g. a unique event id) — LAG under ties is otherwise ambiguous and
+    a hash oracle can't pass. Delta is a single IEEE subtraction of
+    as-stored values (no accumulation), so float columns hash-match the
+    SQL expression exactly. Nulls in any input column are rejected.
+
+    Topology: one bucketed shuffle of (key, order, tie, val) rows — keys
+    co-locate by hash bucket; each group does ONE in-group sort, finds
+    key-segment starts vectorized, and shifts ``val`` by one inside
+    segments. No driver state, no corpus-scale sort. Output: the four
+    input columns + (out_prev, out_delta) in ``val_col``'s arithmetic
+    type.
+    """
+    from .shuffle import bucket_column
+
+    cols = [key_col, order_col, tiebreak_col, val_col]
+    slim = ds.select_columns(cols)
+    schema = ds.schema().base_schema
+    val_type = schema.field(val_col).type
+    out_schema = pa.schema(
+        [pa.field(c, schema.field(c).type) for c in cols]
+        + [pa.field(out_prev, val_type), pa.field(out_delta, val_type)]
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            if batch.column(c).null_count:
+                raise ValueError(f"lag_delta_per_key: null values in {c!r}")
+        return batch.append_column(
+            "__bucket", bucket_column(batch, [key_col], n_buckets)
+        )
+
+    def lag_groups(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        order = pa.compute.sort_indices(
+            group,
+            sort_keys=[
+                (key_col, "ascending"),
+                (order_col, "ascending"),
+                (tiebreak_col, "ascending"),
+            ],
+        )
+        g = group.take(order)
+        n = g.num_rows
+        kv = g.column(key_col).to_numpy(zero_copy_only=False)
+        xv = g.column(val_col).combine_chunks()
+        # previous row's value, masked NULL at each key-segment start
+        seg_start = np.empty(n, dtype=bool)
+        seg_start[0] = True
+        seg_start[1:] = kv[1:] != kv[:-1]
+        xnp = xv.to_numpy(zero_copy_only=False)
+        prev_np = np.empty_like(xnp)
+        prev_np[1:] = xnp[:-1]
+        prev_np[0] = xnp[0]  # masked anyway
+        prev = pa.array(prev_np, type=val_type, mask=seg_start)
+        delta = pa.compute.subtract(xv, prev)  # null propagates from prev
+        return (
+            g.select(cols)
+            .append_column(out_prev, prev)
+            .append_column(out_delta, delta)
+        )
+
+    return (
+        slim.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(lag_groups, batch_format="pyarrow")
+    )
+
+
+def cumsum_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_col: str,
+    val_col: str,
+    tiebreak_col: str,
+    out_col: str = "running_total",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-key running total: cumulative sum of ``val_col`` within each
+    ``key_col`` partition ordered by ``(order_col, tiebreak_col)`` — SQL
+    ``SUM(val) OVER (PARTITION BY key ORDER BY ord, tie ROWS UNBOUNDED
+    PRECEDING)``. The prefix-scan primitive behind cumulative token
+    budgets, per-source running byte counts and sequenced quota checks.
+
+    Oracle exactness: ``val_col`` must be integer-typed or
+    integer-valued (a float column is verified exactly representable and
+    cast); the running total accumulates in int64, which is exact and
+    independent of DuckDB's segment-tree evaluation order — a float
+    cumsum could not guarantee a hash match. Caller contract mirrors
+    ``zscore_per_key``: per-key totals must stay below 2^63.
+
+    Same topology as ``lag_delta_per_key``: one bucketed (key, order,
+    tie, val) shuffle, ONE in-group sort, then a vectorized
+    segment-reset cumsum (global cumsum minus each segment's preceding
+    prefix). Output: the four input columns + (out_col int64).
+    """
+    from .shuffle import bucket_column
+
+    cols = [key_col, order_col, tiebreak_col, val_col]
+    slim = ds.select_columns(cols)
+    schema = ds.schema().base_schema
+    out_schema = pa.schema(
+        [pa.field(c, schema.field(c).type) for c in cols]
+        + [pa.field(out_col, pa.int64())]
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            if batch.column(c).null_count:
+                raise ValueError(f"cumsum_per_key: null values in {c!r}")
+        return batch.append_column(
+            "__bucket", bucket_column(batch, [key_col], n_buckets)
+        )
+
+    def cumsum_groups(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        order = pa.compute.sort_indices(
+            group,
+            sort_keys=[
+                (key_col, "ascending"),
+                (order_col, "ascending"),
+                (tiebreak_col, "ascending"),
+            ],
+        )
+        g = group.take(order)
+        n = g.num_rows
+        kv = g.column(key_col).to_numpy(zero_copy_only=False)
+        xnp = g.column(val_col).to_numpy(zero_copy_only=False)
+        xi = xnp.astype(np.int64)
+        if xnp.dtype.kind == "f" and not np.array_equal(
+            xi.astype(xnp.dtype), xnp
+        ):
+            raise ValueError(
+                f"cumsum_per_key: {val_col!r} has non-integer values; "
+                "an int64-exact running total is required for "
+                "deterministic results"
+            )
+        seg_start = np.empty(n, dtype=bool)
+        seg_start[0] = True
+        seg_start[1:] = kv[1:] != kv[:-1]
+        starts = np.flatnonzero(seg_start)
+        total = np.cumsum(xi)
+        # subtract the prefix BEFORE each segment so each key restarts at 0
+        base = np.zeros(len(starts), dtype=np.int64)
+        base[1:] = total[starts[1:] - 1]
+        run = total - base[np.cumsum(seg_start) - 1]
+        return g.select(cols).append_column(
+            out_col, pa.array(run, type=pa.int64())
+        )
+
+    return (
+        slim.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(cumsum_groups, batch_format="pyarrow")
+    )

@@ -67,3 +67,71 @@ def test_zscore_per_key_matches_numpy(ray_session):
         else:
             expect = (r["x"] - xs.mean()) / np.sqrt(var)
             assert abs(r["zscore"] - expect) < 1e-9
+
+def test_lag_delta_per_key_matches_pandas(ray_session):
+    from hyperpolyglot_ray.stages.ordering import lag_delta_per_key
+
+    rng = np.random.RandomState(11)
+    items = [
+        {
+            "k": int(rng.randint(0, 7)),
+            "ts": int(rng.randint(0, 50)),
+            "eid": i,
+            "x": float(rng.randn()),
+        }
+        for i in range(300)
+    ]
+    out = lag_delta_per_key(
+        _ds(items).repartition(5), "k", "ts", "x", "eid", n_buckets=8
+    ).take_all()
+    assert len(out) == len(items)
+    import pandas as pd
+
+    df = pd.DataFrame(items).sort_values(["k", "ts", "eid"]).reset_index(drop=True)
+    df["prev"] = df.groupby("k")["x"].shift(1)
+    expect = {
+        (r.k, r.ts, r.eid): (r.prev, r.x - r.prev) for r in df.itertuples()
+    }
+    for r in out:
+        ep, ed = expect[(r["k"], r["ts"], r["eid"])]
+        if ep != ep:  # NaN: first row of its key
+            assert r["prev_value"] is None and r["delta"] is None
+        else:
+            assert r["prev_value"] == ep and r["delta"] == r["x"] - ep
+
+
+def test_cumsum_per_key_segment_reset(ray_session):
+    from hyperpolyglot_ray.stages.ordering import cumsum_per_key
+
+    rng = np.random.RandomState(13)
+    items = [
+        {
+            "k": int(rng.randint(0, 6)),
+            "ts": int(rng.randint(0, 40)),
+            "eid": i,
+            "x": int(rng.randint(-5, 20)),
+        }
+        for i in range(300)
+    ]
+    out = cumsum_per_key(
+        _ds(items).repartition(6), "k", "ts", "x", "eid", n_buckets=8
+    )
+    rows = out.take_all()
+    assert len(rows) == len(items)
+    import pandas as pd
+
+    df = pd.DataFrame(items).sort_values(["k", "ts", "eid"]).reset_index(drop=True)
+    df["run"] = df.groupby("k")["x"].cumsum()
+    expect = {(r.k, r.ts, r.eid): r.run for r in df.itertuples()}
+    for r in rows:
+        assert r["running_total"] == expect[(r["k"], r["ts"], r["eid"])]
+
+
+def test_cumsum_per_key_rejects_fractional_floats(ray_session):
+    import pytest
+
+    from hyperpolyglot_ray.stages.ordering import cumsum_per_key
+
+    items = [{"k": 1, "ts": i, "eid": i, "x": 0.5} for i in range(4)]
+    with pytest.raises(Exception, match="non-integer"):
+        cumsum_per_key(_ds(items), "k", "ts", "x", "eid").take_all()
