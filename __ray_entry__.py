@@ -685,6 +685,33 @@ def _q_lineitem_running_qty(sf_dir: str):
     return cumsum_per_key(li, "l_suppkey", "l_shipdate", "l_quantity", "l_lineid")
 
 
+def _q_lineitem_qty_discount_corr(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from hyperpolyglot_ray.stages.aggregates import grouped_corr
+
+    # integer rescale upstream (quantity is integral; discount is exact
+    # hundredths) so the five sufficient statistics accumulate exactly
+    def to_int(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "qty": batch.column("l_quantity").cast(pa.int64()),
+                "disc": pc.round(
+                    pc.multiply(batch.column("l_discount"), pa.scalar(100.0))
+                ).cast(pa.int64()),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    ).map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_corr(li, "l_returnflag", "qty", "disc")
+
+
 def _q_doc_source_cap(sf_dir: str):
     from hyperpolyglot_ray.stages.curation import cap_per_group
 
@@ -1271,6 +1298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_zscore": _q_doc_zscore,
         "events_lag_delta": _q_events_lag_delta,
         "lineitem_running_qty": _q_lineitem_running_qty,
+        "lineitem_qty_discount_corr": _q_lineitem_qty_discount_corr,
         # --- never driver-checked before round 4 ---
         "doc_ngram_dedup": _q_doc_ngram_dedup,
         "doc_dsir": _q_doc_dsir,
@@ -1579,6 +1607,33 @@ FROM s""",
             " FROM (SELECT *, l_orderkey * 8 + l_linenumber AS l_lineid"
             "       FROM lineitem)"
         ),
+        # mirrors stages/aggregates.py:grouped_corr op-for-op: int64-exact
+        # sufficient statistics, then the same double expression tree
+        "lineitem_qty_discount_corr": r"""
+WITH p AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_discount * 100) AS BIGINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag, count(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM p GROUP BY l_returnflag
+), f AS (
+  SELECT l_returnflag, n,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mux,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS muy,
+         CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) AS exx,
+         CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) AS eyy,
+         CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) AS exy
+  FROM s
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       CASE WHEN exx - mux * mux <= 0 OR eyy - muy * muy <= 0 THEN NULL
+            ELSE (exy - mux * muy)
+                 / sqrt((exx - mux * mux) * (eyy - muy * muy)) END AS corr
+FROM f""",
         "doc_source_cap": (
             "SELECT source, doc_id FROM (SELECT source, doc_id,"
             " row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn"

@@ -768,3 +768,97 @@ def heavy_hitters(
     return exact.map_batches(
         final_gate, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def grouped_corr(
+    ds: ray.data.Dataset,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    out_col: str = "corr",
+) -> ray.data.Dataset:
+    """Per-key Pearson correlation between two integer-valued columns —
+    the screening statistic behind feature/leakage checks ("is doc length
+    correlated with quality score inside each language?"). Output:
+    (``key_col``, n int64, ``out_col`` float64), NULL when either
+    column's variance is 0 within the key.
+
+    Oracle exactness: both columns must be integer-typed. The five
+    sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) accumulate in int64
+    — exact and order-independent, so block layout cannot change the
+    result — and the final float expression is fixed:
+    ``mu = double(Σ)/n``, ``cov = double(Σxy)/n - mux*muy``,
+    ``var = double(Σ²)/n - mu²``, ``corr = cov/sqrt(varx*vary)``.
+    A SQL oracle mirrors those ops one for one, giving a bitwise hash
+    match. int64 bounds the scale: per-key ``Σ|x·y|`` must stay below
+    2^63 (~9.2e18) — rescale or shift inputs that would exceed it.
+
+    Topology: per-block Arrow group_by collapses each block to one
+    partial row per key; a tiny global groupby sums the partials; a
+    map-only kernel evaluates the expression. No corpus-scale shuffle —
+    the exchange carries O(keys-per-block x blocks) fixed-width rows.
+    """
+    import numpy as np
+
+    for c in (x_col, y_col):
+        t = ds.schema().base_schema.field(c).type
+        if not pa.types.is_integer(t):
+            raise ValueError(
+                f"grouped_corr: {c!r} must be integer-typed for exact "
+                f"partials (got {t}); cast or rescale upstream"
+            )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).cast(pa.int64())
+        y = batch.column(y_col).cast(pa.int64())
+        if x.null_count or y.null_count:
+            raise ValueError("grouped_corr: null values are not supported")
+        t = pa.table(
+            {
+                key_col: batch.column(key_col),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "sx": x,
+                "sy": y,
+                "sxx": pc.multiply_checked(x, x),
+                "syy": pc.multiply_checked(y, y),
+                "sxy": pc.multiply_checked(x, y),
+            }
+        )
+        g = t.group_by([key_col]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")]
+        )
+        return g.rename_columns([key_col, "n", "sx", "sy", "sxx", "syy", "sxy"])
+
+    merged = (
+        ds.select_columns([key_col, x_col, y_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .sum(["n", "sx", "sy", "sxx", "syy", "sxy"])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = batch.column("sum(sx)").to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = batch.column("sum(sy)").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = batch.column("sum(sxx)").to_numpy(zero_copy_only=False).astype(np.float64)
+        syy = batch.column("sum(syy)").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = batch.column("sum(sxy)").to_numpy(zero_copy_only=False).astype(np.float64)
+        mux, muy = sx / n, sy / n
+        cov = sxy / n - mux * muy
+        varx = sxx / n - mux * mux
+        vary = syy / n - muy * muy
+        valid = (varx > 0.0) & (vary > 0.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = cov / np.sqrt(varx * vary)
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                "n": batch.column("sum(n)"),
+                out_col: pa.array(
+                    np.where(valid, r, 0.0), type=pa.float64(), mask=~valid
+                ),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -135,3 +135,46 @@ def test_cumsum_per_key_rejects_fractional_floats(ray_session):
     items = [{"k": 1, "ts": i, "eid": i, "x": 0.5} for i in range(4)]
     with pytest.raises(Exception, match="non-integer"):
         cumsum_per_key(_ds(items), "k", "ts", "x", "eid").take_all()
+
+
+def test_grouped_corr_matches_numpy(ray_session):
+    from hyperpolyglot_ray.stages.aggregates import grouped_corr
+
+    rng = np.random.RandomState(17)
+    items = []
+    for i in range(500):
+        k = f"g{int(rng.randint(0, 4))}"
+        x = int(rng.randint(0, 50))
+        # y correlated with x in g0/g1, independent in g2, constant in g3
+        if k in ("g0", "g1"):
+            y = x * 2 + int(rng.randint(0, 10))
+        elif k == "g2":
+            y = int(rng.randint(0, 50))
+        else:
+            y = 7
+        items.append({"k": k, "x": x, "y": y})
+    out = grouped_corr(_ds(items).repartition(6), "k", "x", "y").take_all()
+    assert len(out) == 4
+    by_k = {}
+    for it in items:
+        by_k.setdefault(it["k"], []).append((it["x"], it["y"]))
+    for r in out:
+        xs, ys = zip(*by_k[r["k"]])
+        assert r["n"] == len(xs)
+        xs, ys = np.array(xs, float), np.array(ys, float)
+        if xs.var() == 0 or ys.var() == 0:
+            assert r["corr"] is None
+        else:
+            assert abs(r["corr"] - np.corrcoef(xs, ys)[0, 1]) < 1e-9
+    strong = {r["k"]: r["corr"] for r in out}
+    assert strong["g0"] > 0.9 and abs(strong["g2"]) < 0.3
+
+
+def test_grouped_corr_rejects_float_columns(ray_session):
+    import pytest
+
+    from hyperpolyglot_ray.stages.aggregates import grouped_corr
+
+    items = [{"k": 1, "x": 1.5, "y": 2}, {"k": 1, "x": 2.5, "y": 3}]
+    with pytest.raises(ValueError, match="integer-typed"):
+        grouped_corr(_ds(items), "k", "x", "y")
