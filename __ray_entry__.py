@@ -712,6 +712,18 @@ def _q_lineitem_qty_discount_corr(sf_dir: str):
     return grouped_corr(li, "l_returnflag", "qty", "disc")
 
 
+def _q_events_mode_type(sf_dir: str):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.aggregates import grouped_mode
+
+    # dominant event type per user; ties break to the smallest type name
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return grouped_mode(ev, "user_id", "event_type")
+
+
 def _q_doc_source_cap(sf_dir: str):
     from hyperpolyglot_ray.stages.curation import cap_per_group
 
@@ -1299,6 +1311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_delta": _q_events_lag_delta,
         "lineitem_running_qty": _q_lineitem_running_qty,
         "lineitem_qty_discount_corr": _q_lineitem_qty_discount_corr,
+        "events_mode_type": _q_events_mode_type,
         # --- never driver-checked before round 4 ---
         "doc_ngram_dedup": _q_doc_ngram_dedup,
         "doc_dsir": _q_doc_dsir,
@@ -1634,6 +1647,15 @@ SELECT l_returnflag, CAST(n AS BIGINT) AS n,
             ELSE (exy - mux * muy)
                  / sqrt((exx - mux * mux) * (eyy - muy * muy)) END AS corr
 FROM f""",
+        "events_mode_type": (
+            "SELECT user_id, event_type AS mode_value,"
+            " CAST(cnt AS BIGINT) AS mode_count FROM"
+            " (SELECT user_id, event_type, count(*) AS cnt,"
+            "  row_number() OVER (PARTITION BY user_id"
+            "   ORDER BY count(*) DESC, event_type ASC) AS rn"
+            "  FROM events GROUP BY user_id, event_type)"
+            " WHERE rn = 1"
+        ),
         "doc_source_cap": (
             "SELECT source, doc_id FROM (SELECT source, doc_id,"
             " row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn"

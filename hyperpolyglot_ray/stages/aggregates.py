@@ -862,3 +862,108 @@ def grouped_corr(
         )
 
     return merged.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_mode(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    out_val: str = "mode_value",
+    out_cnt: str = "mode_count",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-key mode: the most frequent ``val_col`` per ``key_col``, with
+    its exact count — SQL ``row_number() OVER (PARTITION BY key ORDER BY
+    cnt DESC, val ASC) = 1`` over a grouped count. Ties break to the
+    SMALLEST value so the result is deterministic and hash-oracleable.
+    The categorical summary behind "dominant event type per user" /
+    "majority language per repo" rollups.
+
+    Topology: per-block Arrow ``group_by`` collapses each block to one
+    (key, val, cnt) partial row per pair — the exchange carries
+    O(pairs-per-block x blocks) rows, never raw rows; keys co-locate by
+    hash bucket (NOT one group per key: a bucket group handles many keys
+    with one in-group sort + stable lexsort argmax, all vectorized).
+    Nulls in either column are rejected.
+
+    Output: (``key_col``, ``out_val`` in val's type, ``out_cnt`` int64),
+    one row per distinct key.
+    """
+    import numpy as np
+
+    schema = ds.schema().base_schema
+    out_schema = pa.schema(
+        [
+            pa.field(key_col, schema.field(key_col).type),
+            pa.field(out_val, schema.field(val_col).type),
+            pa.field(out_cnt, pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        for c in (key_col, val_col):
+            if batch.column(c).null_count:
+                raise ValueError(f"grouped_mode: null values in {c!r}")
+        g = (
+            batch.select([key_col, val_col])
+            .group_by([key_col, val_col])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns([key_col, val_col, "cnt"])
+
+    def pick_mode(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        # sum partial counts per (key, val) segment, then take each key's
+        # (max cnt, min val) row — one sort, all-vectorized
+        order = pa.compute.sort_indices(
+            group,
+            sort_keys=[(key_col, "ascending"), (val_col, "ascending")],
+        )
+        g = group.take(order)
+        n = g.num_rows
+        kv = g.column(key_col).to_numpy(zero_copy_only=False)
+        vv_arrow = g.column(val_col).combine_chunks()
+        vv = np.asarray(vv_arrow)
+        cnt = g.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        pair_new = np.empty(n, dtype=bool)
+        pair_new[0] = True
+        pair_new[1:] = (kv[1:] != kv[:-1]) | (vv[1:] != vv[:-1])
+        p_starts = np.flatnonzero(pair_new)
+        p_cnt = np.add.reduceat(cnt, p_starts)
+        p_key = kv[p_starts]
+        key_new = np.empty(len(p_starts), dtype=bool)
+        key_new[0] = True
+        key_new[1:] = p_key[1:] != p_key[:-1]
+        key_code = np.cumsum(key_new) - 1
+        # stable lexsort by (key, cnt desc); ties keep val-ascending pair
+        # order, so the first pair of each key run is (max cnt, min val)
+        ord2 = np.lexsort((-p_cnt, key_code))
+        kc2 = key_code[ord2]
+        first = np.empty(len(ord2), dtype=bool)
+        first[0] = True
+        first[1:] = kc2[1:] != kc2[:-1]
+        best = ord2[first]
+        rows = p_starts[best]
+        return pa.table(
+            {
+                key_col: pa.array(kv[rows], type=out_schema.field(key_col).type),
+                out_val: vv_arrow.take(pa.array(rows)),
+                out_cnt: pa.array(p_cnt[best], type=pa.int64()),
+            }
+        )
+
+    from .shuffle import bucket_column
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", bucket_column(batch, [key_col], n_buckets)
+        )
+
+    return (
+        ds.select_columns([key_col, val_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(pick_mode, batch_format="pyarrow")
+    )

@@ -178,3 +178,40 @@ def test_grouped_corr_rejects_float_columns(ray_session):
     items = [{"k": 1, "x": 1.5, "y": 2}, {"k": 1, "x": 2.5, "y": 3}]
     with pytest.raises(ValueError, match="integer-typed"):
         grouped_corr(_ds(items), "k", "x", "y")
+
+
+def test_grouped_mode_matches_counter(ray_session):
+    from hyperpolyglot_ray.stages.aggregates import grouped_mode
+
+    rng = np.random.RandomState(23)
+    types = ["click", "view", "buy", "share"]
+    items = [
+        {"u": int(rng.randint(0, 40)), "t": types[int(rng.randint(0, 4))]}
+        for _ in range(2000)
+    ]
+    out = grouped_mode(
+        _ds(items).repartition(7), "u", "t", n_buckets=8
+    ).take_all()
+    import collections
+
+    by_u = collections.defaultdict(collections.Counter)
+    for it in items:
+        by_u[it["u"]][it["t"]] += 1
+    assert len(out) == len(by_u)
+    for r in out:
+        c = by_u[r["u"]]
+        best = max(c.values())
+        # deterministic tie-break: smallest value among max-count ties
+        expect_val = min(v for v, n in c.items() if n == best)
+        assert (r["mode_value"], r["mode_count"]) == (expect_val, best)
+
+
+def test_grouped_mode_all_ties(ray_session):
+    from hyperpolyglot_ray.stages.aggregates import grouped_mode
+
+    # every value occurs exactly once per key: mode = smallest value
+    items = [{"k": k, "v": v} for k in range(5) for v in ["z", "a", "m"]]
+    out = grouped_mode(_ds(items).repartition(3), "k", "v").take_all()
+    assert sorted((r["k"], r["mode_value"], r["mode_count"]) for r in out) == [
+        (k, "a", 1) for k in range(5)
+    ]
