@@ -724,6 +724,19 @@ def _q_events_mode_type(sf_dir: str):
     return grouped_mode(ev, "user_id", "event_type")
 
 
+def _q_events_type_pivot(sf_dir: str):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.aggregates import pivot_counts
+
+    # categories discovered by the tiny distinct aggregate (5 types);
+    # the SQL oracle hardcodes the same sorted set
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return pivot_counts(ev, "user_id", "event_type")
+
+
 def _q_doc_source_cap(sf_dir: str):
     from hyperpolyglot_ray.stages.curation import cap_per_group
 
@@ -1312,6 +1325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_running_qty": _q_lineitem_running_qty,
         "lineitem_qty_discount_corr": _q_lineitem_qty_discount_corr,
         "events_mode_type": _q_events_mode_type,
+        "events_type_pivot": _q_events_type_pivot,
         # --- never driver-checked before round 4 ---
         "doc_ngram_dedup": _q_doc_ngram_dedup,
         "doc_dsir": _q_doc_dsir,
@@ -1655,6 +1669,16 @@ FROM f""",
             "   ORDER BY count(*) DESC, event_type ASC) AS rn"
             "  FROM events GROUP BY user_id, event_type)"
             " WHERE rn = 1"
+        ),
+        "events_type_pivot": (
+            "SELECT user_id,"
+            " SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,"
+            " SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,"
+            " SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+            "   AS purchase,"
+            " SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,"
+            " SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view"
+            " FROM events GROUP BY user_id"
         ),
         "doc_source_cap": (
             "SELECT source, doc_id FROM (SELECT source, doc_id,"

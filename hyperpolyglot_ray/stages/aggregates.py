@@ -967,3 +967,101 @@ def grouped_mode(
         .groupby("__bucket")
         .map_groups(pick_mode, batch_format="pyarrow")
     )
+
+
+def pivot_counts(
+    ds: ray.data.Dataset,
+    key_col: str,
+    cat_col: str,
+    categories: list[str] | None = None,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Crosstab: one row per ``key_col``, one int64 column per category
+    with the count of rows having that ``cat_col`` value — SQL
+    ``SUM(CASE WHEN cat = 'x' THEN 1 ELSE 0 END)`` conditional
+    aggregation. The wide-report primitive behind per-user event-type
+    profiles and per-repo language histograms.
+
+    ``categories`` fixes the output schema; when omitted it is
+    discovered with a tiny distinct aggregate (the category column must
+    be LOW-cardinality — every distinct value becomes a column; the
+    discovery pass is a fixed-width per-block unique + small union, not
+    a corpus shuffle). Category column order is sorted for determinism.
+    Rows whose category is not in ``categories`` are counted in none of
+    the columns (SQL CASE semantics).
+
+    Topology: per-block Arrow ``group_by([key, cat])`` partials — the
+    exchange carries O(pairs-per-block x blocks) fixed-width rows; keys
+    co-locate by hash bucket and each bucket group scatters its summed
+    pair counts into the wide layout with one vectorized pass.
+
+    Output: (``key_col``, one int64 column per category, sorted).
+    """
+    import numpy as np
+
+    key_type = ds.schema().base_schema.field(key_col).type
+    slim = ds.select_columns([key_col, cat_col])
+
+    if categories is None:
+        def block_unique(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {cat_col: pc.unique(batch.column(cat_col).combine_chunks())}
+            )
+
+        categories = sorted(
+            slim.select_columns([cat_col])
+            .map_batches(block_unique, batch_format="pyarrow", zero_copy_batch=True)
+            .unique(cat_col)
+        )
+    else:
+        categories = sorted(categories)
+    if not categories:
+        raise ValueError("pivot_counts: no categories")
+    cat_index = {c: i for i, c in enumerate(categories)}
+    out_schema = pa.schema(
+        [pa.field(key_col, key_type)]
+        + [pa.field(str(c), pa.int64()) for c in categories]
+    )
+
+    from .shuffle import bucket_column
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.column(key_col).null_count or batch.column(cat_col).null_count:
+            raise ValueError("pivot_counts: null values are not supported")
+        g = (
+            batch.group_by([key_col, cat_col])
+            .aggregate([([], "count_all")])
+            .rename_columns([key_col, cat_col, "cnt"])
+        )
+        return g.append_column("__bucket", bucket_column(g, [key_col], n_buckets))
+
+    def widen(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        order = pa.compute.sort_indices(
+            group, sort_keys=[(key_col, "ascending")]
+        )
+        g = group.take(order)
+        kv = g.column(key_col).to_numpy(zero_copy_only=False)
+        cv = g.column(cat_col).to_pylist()
+        cnt = g.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        key_new = np.empty(len(kv), dtype=bool)
+        key_new[0] = True
+        key_new[1:] = kv[1:] != kv[:-1]
+        row_of = np.cumsum(key_new) - 1
+        n_keys = int(row_of[-1]) + 1
+        wide = np.zeros((n_keys, len(categories)), dtype=np.int64)
+        col_of = np.array([cat_index.get(c, -1) for c in cv], dtype=np.int64)
+        ok = col_of >= 0
+        # += not =: a key's partials for one category arrive once per block
+        np.add.at(wide, (row_of[ok], col_of[ok]), cnt[ok])
+        cols = {key_col: pa.array(kv[np.flatnonzero(key_new)], type=key_type)}
+        for j, c in enumerate(categories):
+            cols[str(c)] = pa.array(wide[:, j], type=pa.int64())
+        return pa.table(cols)
+
+    return (
+        slim.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(widen, batch_format="pyarrow")
+    )

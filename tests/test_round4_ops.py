@@ -215,3 +215,42 @@ def test_grouped_mode_all_ties(ray_session):
     assert sorted((r["k"], r["mode_value"], r["mode_count"]) for r in out) == [
         (k, "a", 1) for k in range(5)
     ]
+
+
+def test_pivot_counts_matches_pandas(ray_session):
+    from hyperpolyglot_ray.stages.aggregates import pivot_counts
+
+    rng = np.random.RandomState(29)
+    types = ["click", "view", "buy"]
+    items = [
+        {"u": int(rng.randint(0, 30)), "t": types[int(rng.randint(0, 3))]}
+        for _ in range(1500)
+    ]
+    out = pivot_counts(
+        _ds(items).repartition(6), "u", "t", n_buckets=8
+    ).take_all()
+    import pandas as pd
+
+    expect = (
+        pd.DataFrame(items)
+        .pivot_table(index="u", columns="t", aggfunc=len, fill_value=0)
+        .to_dict("index")
+    )
+    assert len(out) == len(expect)
+    for r in out:
+        for t in types:
+            assert r[t] == expect[r["u"]].get(t, 0), (r, expect[r["u"]])
+
+
+def test_pivot_counts_explicit_categories_ignores_others(ray_session):
+    from hyperpolyglot_ray.stages.aggregates import pivot_counts
+
+    items = [
+        {"k": 1, "c": "a"}, {"k": 1, "c": "a"}, {"k": 1, "c": "b"},
+        {"k": 2, "c": "zzz"},  # not in categories: counted nowhere
+    ]
+    out = pivot_counts(_ds(items), "k", "c", categories=["b", "a"]).take_all()
+    got = {r["k"]: (r["a"], r["b"]) for r in out}
+    assert got == {1: (2, 1), 2: (0, 0)}
+    # sorted column order regardless of the list order passed in
+    assert list(out[0].keys()) == ["k", "a", "b"]
