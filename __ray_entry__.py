@@ -737,6 +737,17 @@ def _q_events_type_pivot(sf_dir: str):
     return pivot_counts(ev, "user_id", "event_type")
 
 
+def _q_doc_split(sf_dir: str):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.curation import hash_split
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
 def _q_doc_source_cap(sf_dir: str):
     from hyperpolyglot_ray.stages.curation import cap_per_group
 
@@ -1326,6 +1337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_qty_discount_corr": _q_lineitem_qty_discount_corr,
         "events_mode_type": _q_events_mode_type,
         "events_type_pivot": _q_events_type_pivot,
+        "doc_split": _q_doc_split,
         # --- never driver-checked before round 4 ---
         "doc_ngram_dedup": _q_doc_ngram_dedup,
         "doc_dsir": _q_doc_dsir,
@@ -1679,6 +1691,17 @@ FROM f""",
             " SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,"
             " SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view"
             " FROM events GROUP BY user_id"
+        ),
+        # thresholds = int(cumfrac * 2^32) for 0.8 / 0.9, matching
+        # stages/curation.py:hash_split's integer comparison exactly
+        "doc_split": (
+            "SELECT doc_id, lang,"
+            " CASE WHEN u < 3435973836 THEN 'train'"
+            "      WHEN u < 3865470566 THEN 'val'"
+            "      ELSE 'test' END AS split"
+            " FROM (SELECT doc_id, lang,"
+            "  CAST(('0x' || substr(sha256('0:' || CAST(doc_id AS VARCHAR)),"
+            "   1, 8)) AS UINTEGER) AS u FROM documents)"
         ),
         "doc_source_cap": (
             "SELECT source, doc_id FROM (SELECT source, doc_id,"

@@ -1164,3 +1164,61 @@ def pack_texts(
         .groupby("seq_id")
         .map_groups(assemble, batch_format="pyarrow")
     )
+
+
+def hash_split(
+    ds: ray.data.Dataset,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 0,
+    out_col: str = "split",
+) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment: append ``out_col`` with
+    the split label chosen by hashing ``f"{seed}:{id}"`` — every run,
+    every engine, every shard layout assigns the same document to the
+    same split, and membership can be re-derived from the id alone (no
+    stored assignment table to drift out of sync at 100 TB).
+
+    ``fractions`` maps label -> target fraction in iteration order; the
+    LAST label absorbs the remainder (so {"train": .8, "val": .1,
+    "test": .1} puts u in [0, .8) -> train, [.8, .9) -> val, rest ->
+    test). u is the first 8 hex chars of sha256 as a uint32, compared
+    against floor(cumfrac * 2^32) integer thresholds — exact, no float
+    boundary ambiguity, and expressible in plain SQL (DuckDB:
+    ``CAST(('0x' || substr(sha256(...), 1, 8)) AS UINTEGER)``), so the
+    driver oracle checks assignments end to end. Same keying as
+    ``deterministic_shuffle`` (ordering.py): sha256 of ``"{seed}:{id}"``.
+
+    Map-only — no shuffle, no driver state. Output: input columns +
+    ``out_col`` (string).
+    """
+    if not fractions:
+        raise ValueError("hash_split: fractions must be non-empty")
+    labels = list(fractions)
+    cum = 0.0
+    thresholds: list[int] = []
+    for lbl in labels[:-1]:
+        cum += float(fractions[lbl])
+        thresholds.append(int(cum * 4294967296.0))
+    if thresholds and thresholds[-1] > 4294967296:
+        raise ValueError("hash_split: fractions sum above 1")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        u = np.array(
+            [
+                int(
+                    hashlib.sha256(f"{seed}:{i}".encode("utf-8")).hexdigest()[:8],
+                    16,
+                )
+                for i in ids
+            ],
+            dtype=np.int64,
+        )
+        out = np.full(len(ids), labels[-1], dtype=object)
+        # reverse order: earlier labels overwrite later ones on overlap
+        for lbl, t in zip(reversed(labels[:-1]), reversed(thresholds)):
+            out[u < t] = lbl
+        return batch.append_column(out_col, pa.array(out, type=pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

@@ -254,3 +254,31 @@ def test_pivot_counts_explicit_categories_ignores_others(ray_session):
     assert got == {1: (2, 1), 2: (0, 0)}
     # sorted column order regardless of the list order passed in
     assert list(out[0].keys()) == ["k", "a", "b"]
+
+
+def test_hash_split_deterministic_and_proportional(ray_session):
+    import hashlib
+
+    from hyperpolyglot_ray.stages.curation import hash_split
+
+    items = [{"doc_id": i} for i in range(3000)]
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = hash_split(_ds(items).repartition(5), fr, seed=7).take_all()
+    assert len(out) == 3000
+    got = {r["doc_id"]: r["split"] for r in out}
+    # exact re-derivation from the id alone
+    t1, t2 = int(0.8 * 2**32), int((0.8 + 0.1) * 2**32)
+    import collections
+
+    counts = collections.Counter()
+    for i in range(3000):
+        u = int(hashlib.sha256(f"7:{i}".encode()).hexdigest()[:8], 16)
+        expect = "train" if u < t1 else ("val" if u < t2 else "test")
+        assert got[i] == expect
+        counts[expect] += 1
+    # proportions roughly honored (binomial tolerance)
+    assert abs(counts["train"] / 3000 - 0.8) < 0.03
+    assert abs(counts["val"] / 3000 - 0.1) < 0.03
+    # layout invariance: different partitioning, same assignment
+    out2 = hash_split(_ds(items).repartition(11), fr, seed=7).take_all()
+    assert {r["doc_id"]: r["split"] for r in out2} == got
