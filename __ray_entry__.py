@@ -748,6 +748,20 @@ def _q_doc_split(sf_dir: str):
     return hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
 
 
+def _q_lineitem_unpivot(sf_dir: str):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.aggregates import unpivot
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"],
+    )
+    return unpivot(
+        li, ["l_orderkey", "l_linenumber"], ["l_quantity", "l_discount", "l_tax"]
+    )
+
+
 def _q_doc_source_cap(sf_dir: str):
     from hyperpolyglot_ray.stages.curation import cap_per_group
 
@@ -1338,6 +1352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mode_type": _q_events_mode_type,
         "events_type_pivot": _q_events_type_pivot,
         "doc_split": _q_doc_split,
+        "lineitem_unpivot": _q_lineitem_unpivot,
         # --- never driver-checked before round 4 ---
         "doc_ngram_dedup": _q_doc_ngram_dedup,
         "doc_dsir": _q_doc_dsir,
@@ -1702,6 +1717,14 @@ FROM f""",
             " FROM (SELECT doc_id, lang,"
             "  CAST(('0x' || substr(sha256('0:' || CAST(doc_id AS VARCHAR)),"
             "   1, 8)) AS UINTEGER) AS u FROM documents)"
+        ),
+        "lineitem_unpivot": (
+            "SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,"
+            " CAST(l_quantity AS DOUBLE) AS value FROM lineitem"
+            " UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',"
+            " CAST(l_discount AS DOUBLE) FROM lineitem"
+            " UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',"
+            " CAST(l_tax AS DOUBLE) FROM lineitem"
         ),
         "doc_source_cap": (
             "SELECT source, doc_id FROM (SELECT source, doc_id,"

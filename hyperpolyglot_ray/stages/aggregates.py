@@ -1065,3 +1065,42 @@ def pivot_counts(
         .groupby("__bucket")
         .map_groups(widen, batch_format="pyarrow")
     )
+
+
+def unpivot(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    value_cols: list[str],
+    var_col: str = "variable",
+    val_col: str = "value",
+) -> ray.data.Dataset:
+    """Wide -> long reshape (the inverse of ``pivot_counts``): each input
+    row becomes one output row per entry in ``value_cols``, carrying the
+    key columns, the source column's name in ``var_col`` and its value
+    in ``val_col`` — SQL ``UNPIVOT`` / stacked ``UNION ALL``. The long
+    layout feeds per-metric groupbys and plotting/stats stages without a
+    schema change per metric.
+
+    All ``value_cols`` must share one arithmetic type family; values are
+    cast to float64 (the common long-format currency). Map-only: each
+    block independently emits its stacked copy — no shuffle, output rows
+    = input rows x len(value_cols), streamed block by block (the
+    expansion never materializes beyond a block).
+
+    Output: key_cols + (``var_col`` string, ``val_col`` float64).
+    """
+    if not value_cols:
+        raise ValueError("unpivot: value_cols must be non-empty")
+
+    def stack(batch: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            cols = {k: batch.column(k) for k in key_cols}
+            cols[var_col] = pa.array([c] * batch.num_rows, type=pa.string())
+            cols[val_col] = batch.column(c).cast(pa.float64())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.select_columns(key_cols + value_cols).map_batches(
+        stack, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -282,3 +282,17 @@ def test_hash_split_deterministic_and_proportional(ray_session):
     # layout invariance: different partitioning, same assignment
     out2 = hash_split(_ds(items).repartition(11), fr, seed=7).take_all()
     assert {r["doc_id"]: r["split"] for r in out2} == got
+
+
+def test_unpivot_long_format(ray_session):
+    from hyperpolyglot_ray.stages.aggregates import unpivot
+
+    items = [{"id": i, "a": i * 2, "b": i * 3.0} for i in range(50)]
+    out = unpivot(
+        _ds(items).repartition(4), ["id"], ["a", "b"]
+    ).take_all()
+    assert len(out) == 100
+    got = {(r["id"], r["variable"]): r["value"] for r in out}
+    for i in range(50):
+        assert got[(i, "a")] == float(i * 2)
+        assert got[(i, "b")] == float(i * 3)
