@@ -663,6 +663,7 @@ def heavy_hitters(
     col: str,
     k: int = 100,
     capacity: int | None = None,
+    cand_budget: int | None = None,
 ) -> ray.data.Dataset:
     """Exact phi-heavy hitters (phi = 1/k): every distinct ``col`` value
     occurring in at least ``ceil(n/k)`` of the ``n`` rows, with its EXACT
@@ -730,11 +731,25 @@ def heavy_hitters(
     def gate_fn(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.greater_equal(batch.column("sum(w)"), gate))
 
+    # bounded collect: post-gate cardinality is <= k/(1 - k/(cap+1)) when
+    # capacity > k, but a caller-chosen capacity <= k makes the gate
+    # non-positive and EVERY sketch survivor a candidate — fail loudly
+    # instead of silently pulling O(capacity x blocks) rows to the driver
+    if cand_budget is None:
+        cand_budget = max(16 * k, 65536)
     cand = (
         merged.map_batches(gate_fn, batch_format="pyarrow", zero_copy_batch=True)
         .select_columns([col])
+        .limit(cand_budget + 1)
         .take_all()
     )
+    if len(cand) > cand_budget:
+        raise ValueError(
+            f"heavy_hitters: candidate set exceeds {cand_budget} rows; "
+            f"capacity ({capacity}) is too small relative to k ({k}) for "
+            "this cardinality — raise capacity (gate stays positive for "
+            "capacity >= 2*k)"
+        )
     cand = [r[col] for r in cand]
     if not cand:
         return ray.data.from_arrow(

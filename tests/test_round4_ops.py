@@ -296,3 +296,26 @@ def test_unpivot_long_format(ray_session):
     for i in range(50):
         assert got[(i, "a")] == float(i * 2)
         assert got[(i, "b")] == float(i * 3)
+
+
+def test_heavy_hitters_candidate_budget_guard(ray_session):
+    import pytest
+
+    from hyperpolyglot_ray.stages.aggregates import heavy_hitters
+
+    # capacity <= k makes the candidate gate non-positive: every distinct
+    # value becomes a candidate. With the default budget that still
+    # returns the exact (empty) answer; with a tiny budget it must fail
+    # loudly instead of collecting unbounded candidates to the driver.
+    items = [{"v": i} for i in range(500)]
+    ds = _ds(items).repartition(4)
+    out = heavy_hitters(ds, "v", k=2, capacity=4).take_all()
+    assert out == []  # uniform: nothing reaches n/2
+    # k = n makes EVERY distinct value a candidate (and a true hitter):
+    # 500 candidates exceed a 100-row budget -> loud failure, no silent
+    # driver-side blowup
+    with pytest.raises(ValueError, match="candidate set exceeds"):
+        heavy_hitters(ds, "v", k=500, capacity=2000, cand_budget=100).take_all()
+    # and with an adequate budget the same call is exact
+    ok = heavy_hitters(ds, "v", k=500, capacity=2000).take_all()
+    assert len(ok) == 500 and all(r["cnt"] == 1 for r in ok)
