@@ -307,12 +307,15 @@ def lag_delta_per_key(
     out_prev: str = "prev_value",
     out_delta: str = "delta",
     n_buckets: int = 64,
+    direction: str = "lag",
 ) -> ray.data.Dataset:
     """Per-key LAG + delta: for each row, the previous row's ``val_col``
     within its ``key_col`` partition ordered by ``(order_col,
     tiebreak_col)``, and the difference to it — SQL ``LAG(val) OVER
     (PARTITION BY key ORDER BY ord, tie)`` and ``val - LAG(val) OVER w``.
-    Each partition's first row gets NULL for both. The navigation
+    Each partition's first row gets NULL for both. ``direction="lead"``
+    mirrors it: the NEXT row's value (SQL ``LEAD``), delta = next - cur,
+    NULL on each partition's last row. The navigation
     primitive behind inter-event gaps, rate-of-change features and
     change-point screens over an event log.
 
@@ -331,6 +334,8 @@ def lag_delta_per_key(
     """
     from .shuffle import bucket_column
 
+    if direction not in ("lag", "lead"):
+        raise ValueError(f"lag_delta_per_key: unknown direction {direction!r}")
     cols = [key_col, order_col, tiebreak_col, val_col]
     slim = ds.select_columns(cols)
     schema = ds.schema().base_schema
@@ -369,10 +374,21 @@ def lag_delta_per_key(
         seg_start[1:] = kv[1:] != kv[:-1]
         xnp = xv.to_numpy(zero_copy_only=False)
         prev_np = np.empty_like(xnp)
-        prev_np[1:] = xnp[:-1]
-        prev_np[0] = xnp[0]  # masked anyway
-        prev = pa.array(prev_np, type=val_type, mask=seg_start)
-        delta = pa.compute.subtract(xv, prev)  # null propagates from prev
+        if direction == "lag":
+            prev_np[1:] = xnp[:-1]
+            prev_np[0] = xnp[0]  # masked anyway
+            prev = pa.array(prev_np, type=val_type, mask=seg_start)
+            delta = pa.compute.subtract(xv, prev)  # null from prev
+        else:
+            # next row's value; NULL where the NEXT row starts a new key
+            # (i.e. this row ends its segment) or at the group's last row
+            seg_end = np.empty(n, dtype=bool)
+            seg_end[-1] = True
+            seg_end[:-1] = seg_start[1:]
+            prev_np[:-1] = xnp[1:]
+            prev_np[-1] = xnp[-1]  # masked anyway
+            prev = pa.array(prev_np, type=val_type, mask=seg_end)
+            delta = pa.compute.subtract(prev, xv)  # next - cur
         return (
             g.select(cols)
             .append_column(out_prev, prev)
@@ -415,6 +431,8 @@ def cumsum_per_key(
     """
     from .shuffle import bucket_column
 
+    if direction not in ("lag", "lead"):
+        raise ValueError(f"lag_delta_per_key: unknown direction {direction!r}")
     cols = [key_col, order_col, tiebreak_col, val_col]
     slim = ds.select_columns(cols)
     schema = ds.schema().base_schema

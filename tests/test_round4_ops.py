@@ -319,3 +319,30 @@ def test_heavy_hitters_candidate_budget_guard(ray_session):
     # and with an adequate budget the same call is exact
     ok = heavy_hitters(ds, "v", k=500, capacity=2000).take_all()
     assert len(ok) == 500 and all(r["cnt"] == 1 for r in ok)
+
+
+def test_lead_delta_per_key_matches_pandas(ray_session):
+    from hyperpolyglot_ray.stages.ordering import lag_delta_per_key
+
+    rng = np.random.RandomState(31)
+    items = [
+        {"k": int(rng.randint(0, 5)), "ts": int(rng.randint(0, 30)),
+         "eid": i, "x": float(rng.randn())}
+        for i in range(200)
+    ]
+    out = lag_delta_per_key(
+        _ds(items).repartition(4), "k", "ts", "x", "eid",
+        out_prev="next_value", n_buckets=8, direction="lead",
+    ).take_all()
+    import pandas as pd
+
+    df = pd.DataFrame(items).sort_values(["k", "ts", "eid"]).reset_index(drop=True)
+    df["nxt"] = df.groupby("k")["x"].shift(-1)
+    expect = {(r.k, r.ts, r.eid): r.nxt for r in df.itertuples()}
+    assert len(out) == len(items)
+    for r in out:
+        en = expect[(r["k"], r["ts"], r["eid"])]
+        if en != en:  # NaN: last row of its key
+            assert r["next_value"] is None and r["delta"] is None
+        else:
+            assert r["next_value"] == en and r["delta"] == en - r["x"]
