@@ -431,8 +431,6 @@ def cumsum_per_key(
     """
     from .shuffle import bucket_column
 
-    if direction not in ("lag", "lead"):
-        raise ValueError(f"lag_delta_per_key: unknown direction {direction!r}")
     cols = [key_col, order_col, tiebreak_col, val_col]
     slim = ds.select_columns(cols)
     schema = ds.schema().base_schema

@@ -346,3 +346,30 @@ def test_lead_delta_per_key_matches_pandas(ray_session):
             assert r["next_value"] is None and r["delta"] is None
         else:
             assert r["next_value"] == en and r["delta"] == en - r["x"]
+
+
+def test_round4_ops_layout_invariance(ray_session):
+    """Block layout must never change results: run each new operator on
+    the same rows under different partitionings and compare bitwise."""
+    from hyperpolyglot_ray.stages.aggregates import grouped_corr, grouped_mode
+    from hyperpolyglot_ray.stages.ordering import cumsum_per_key, zscore_per_key
+
+    rng = np.random.RandomState(37)
+    items = [
+        {"k": int(rng.randint(0, 9)), "ts": int(rng.randint(0, 60)),
+         "eid": i, "x": int(rng.randint(0, 40)), "y": int(rng.randint(0, 40))}
+        for i in range(600)
+    ]
+
+    def norm(rows):
+        return sorted(tuple(sorted(r.items())) for r in rows)
+
+    for build in (
+        lambda ds: cumsum_per_key(ds, "k", "ts", "x", "eid", n_buckets=8),
+        lambda ds: zscore_per_key(ds, "k", "x", id_col="eid", n_buckets=8),
+        lambda ds: grouped_corr(ds, "k", "x", "y"),
+        lambda ds: grouped_mode(ds, "k", "x", n_buckets=8),
+    ):
+        a = norm(build(_ds(items).repartition(3)).take_all())
+        b = norm(build(_ds(items).repartition(17)).take_all())
+        assert a == b
