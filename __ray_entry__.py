@@ -27,6 +27,14 @@ REPO = Path(__file__).resolve().parent
 LOOKUPS = REPO / "artifacts" / "lookups"
 ORACLE_SF = 0.01  # driver runs correctness at sf=0.01
 
+def _read_parquet_clean(path, columns=None, **kwargs):
+    """read_parquet with a metadata-stripped (hashable) schema — see
+    hyperpolyglot_ray/sources/io.py; quiets Ray's per-stage
+    'Failed to hash the schemas' warning over pandas-written parquet."""
+    from hyperpolyglot_ray.sources.io import read_parquet_clean
+
+    return read_parquet_clean(path, columns=columns, **kwargs)
+
 
 def _fixture_dir(sf: float) -> Path:
     from hyperpolyglot_ray.sources.fixtures import build_files_fixture
@@ -44,7 +52,7 @@ def _files_ds(sf_dir: str):
     import ray.data
 
     fix = _fixture_dir(_sf(sf_dir))
-    return ray.data.read_parquet(str(fix / "files")), fix
+    return _read_parquet_clean(str(fix / "files")), fix
 
 
 def _expected_map(fix: Path, cols: list[str]):
@@ -300,7 +308,7 @@ def _q_files_langid_fused(sf_dir: str):
 def _docs(sf_dir: str):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return _read_parquet_clean(f"{sf_dir}/documents.parquet")
 
 
 def _q_doc_span_dedup(sf_dir: str):
@@ -340,7 +348,7 @@ def _q_doc_pct_rank(sf_dir: str):
     from hyperpolyglot_ray.stages.ordering import percentile_rank
 
     # pruned read: n_chars is a table column, no text scan needed
-    docs = ray.data.read_parquet(
+    docs = _read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
     )
     return percentile_rank(docs, "lang", "n_chars")
@@ -484,7 +492,7 @@ def _q_lineitem_pricing(sf_dir: str):
     # TPC-H Q1-style pricing summary: per-block Arrow partials -> tiny
     # groupby; money sums accumulate as integer CENTS so the distributed
     # result is bitwise independent of block layout / addition order
-    ds = ray.data.read_parquet(
+    ds = _read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
     )
@@ -535,7 +543,7 @@ def _q_events_profile(sf_dir: str):
 
     # one-pass per-column profiling (null rates, HLL distinct, min/max/
     # sum, length stats) — the first query anyone runs on a new corpus
-    ds = ray.data.read_parquet(
+    ds = _read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "props"]
     )
     return profile_columns(ds, ["user_id", "event_type", "props"])
@@ -549,11 +557,11 @@ def _q_lineitem_orders_join(sf_dir: str):
     # generic large x large equi-join: both sides co-partition by key
     # hash bucket, per-bucket vectorized Arrow join — neither side is
     # broadcast, neither enters a high-cardinality sort
-    li = ray.data.read_parquet(
+    li = _read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_quantity", "l_extendedprice"],
     )
-    od = ray.data.read_parquet(
+    od = _read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
     )
@@ -567,8 +575,8 @@ def _q_customer_semi_join(sf_dir: str):
 
     # existence-only join: the right side ships ONLY its (deduped) key
     # column across the shuffle — WHERE c_custkey IN (SELECT ...)
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet")
-    big_orders = ray.data.read_parquet(
+    cust = _read_parquet_clean(f"{sf_dir}/customer.parquet")
+    big_orders = _read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     ).filter(expr="o_totalprice > 400000.0")
     return semi_join(cust, big_orders, "c_custkey", "o_custkey", n_buckets=64)
@@ -580,8 +588,8 @@ def _q_customer_anti_join(sf_dir: str):
     from hyperpolyglot_ray.stages.joins import semi_join
 
     # WHERE c_custkey NOT IN (SELECT ...) — same topology, inverted mask
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet")
-    big_orders = ray.data.read_parquet(
+    cust = _read_parquet_clean(f"{sf_dir}/customer.parquet")
+    big_orders = _read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     ).filter(expr="o_totalprice > 400000.0")
     return semi_join(
@@ -606,7 +614,7 @@ def _q_custkey_full_outer(sf_dir: str):
             pc.equal(pc.bit_wise_and(k, pa.scalar(1, type=k.type)), 0)
         )
 
-    cust = ray.data.read_parquet(
+    cust = _read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
     ).map_batches(even_only, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -615,7 +623,7 @@ def _q_custkey_full_outer(sf_dir: str):
         return g.rename_columns(["o_custkey", "n_orders"])
 
     ocnt = (
-        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        _read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
         .map_batches(order_partial, batch_format="pyarrow")
         .groupby("o_custkey")
         .sum("n_orders")
@@ -632,7 +640,7 @@ def _q_events_heavy_hitters(sf_dir: str):
     from hyperpolyglot_ray.stages.aggregates import heavy_hitters
 
     # Misra-Gries sketch + exact verify: users with >= 1/130 of all events
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    ev = _read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id"])
     return heavy_hitters(ev, "user_id", k=130)
 
 
@@ -642,7 +650,7 @@ def _q_doc_zscore(sf_dir: str):
     from hyperpolyglot_ray.stages.ordering import zscore_per_key
 
     # pruned read: n_chars is a table column, no text scan needed
-    docs = ray.data.read_parquet(
+    docs = _read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
     )
     return zscore_per_key(docs, "lang", "n_chars")
@@ -655,7 +663,7 @@ def _q_events_lag_delta(sf_dir: str):
 
     # per-user previous value + delta; event_id breaks ts ties so the
     # window order is total and the hash oracle is well-defined
-    ev = ray.data.read_parquet(
+    ev = _read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["user_id", "ts", "event_id", "value"],
     )
@@ -678,7 +686,7 @@ def _q_lineitem_running_qty(sf_dir: str):
         )
         return batch.append_column("l_lineid", lid)
 
-    li = ray.data.read_parquet(
+    li = _read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"],
     ).map_batches(add_lineid, batch_format="pyarrow", zero_copy_batch=True)
@@ -705,7 +713,7 @@ def _q_lineitem_qty_discount_corr(sf_dir: str):
             }
         )
 
-    li = ray.data.read_parquet(
+    li = _read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_quantity", "l_discount"],
     ).map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True)
@@ -718,7 +726,7 @@ def _q_events_mode_type(sf_dir: str):
     from hyperpolyglot_ray.stages.aggregates import grouped_mode
 
     # dominant event type per user; ties break to the smallest type name
-    ev = ray.data.read_parquet(
+    ev = _read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
     )
     return grouped_mode(ev, "user_id", "event_type")
@@ -731,7 +739,7 @@ def _q_events_type_pivot(sf_dir: str):
 
     # categories discovered by the tiny distinct aggregate (5 types);
     # the SQL oracle hardcodes the same sorted set
-    ev = ray.data.read_parquet(
+    ev = _read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
     )
     return pivot_counts(ev, "user_id", "event_type")
@@ -742,7 +750,7 @@ def _q_doc_split(sf_dir: str):
 
     from hyperpolyglot_ray.stages.curation import hash_split
 
-    docs = ray.data.read_parquet(
+    docs = _read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
     )
     return hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
@@ -753,7 +761,7 @@ def _q_lineitem_unpivot(sf_dir: str):
 
     from hyperpolyglot_ray.stages.aggregates import unpivot
 
-    li = ray.data.read_parquet(
+    li = _read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"],
     )
@@ -1031,7 +1039,7 @@ def _q_events_session_join(sf_dir: str):
     from hyperpolyglot_ray.stages.joins import interval_join
     from hyperpolyglot_ray.stages.windows import sessionize
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    ev = _read_parquet_clean(f"{sf_dir}/events.parquet")
     purchases = ev.filter(expr="event_type == 'purchase'")
     sessions = sessionize(ev.filter(expr="event_type == 'view'"))
     return interval_join(
@@ -1055,7 +1063,7 @@ def _q_orders_by_nation(sf_dir: str):
 
     from hyperpolyglot_ray.stages.joins import broadcast_join
 
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    orders = _read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
     customer = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
 
@@ -1075,7 +1083,7 @@ def _q_events_asof(sf_dir: str):
 
     from hyperpolyglot_ray.stages.joins import asof_join
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    ev = _read_parquet_clean(f"{sf_dir}/events.parquet")
     purchases = ev.filter(expr="event_type == 'purchase'")
     views = ev.filter(expr="event_type == 'view'")
     return asof_join(
@@ -1103,7 +1111,7 @@ def _q_emb_knn(sf_dir: str):
 
     from hyperpolyglot_ray.stages.similarity import knn_bruteforce
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet")
     q, qids = _emb_queries(sf_dir)
     out = knn_bruteforce(ds, q, qids, k=5)
     return out.select_columns(["query_id", "neighbor_id", "rank"])
@@ -1114,7 +1122,7 @@ def _q_emb_near_dup(sf_dir: str):
 
     from hyperpolyglot_ray.stages.similarity import embedding_near_dup_keep_ids
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet")
     return embedding_near_dup_keep_ids(ds)
 
 
@@ -1123,7 +1131,7 @@ def _q_emb_near_dup_ivf(sf_dir: str):
 
     from hyperpolyglot_ray.stages.similarity import embedding_near_dup_ivf
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet")
     return embedding_near_dup_ivf(ds)
 
 
@@ -1134,7 +1142,7 @@ def _q_emb_quantize(sf_dir: str):
 
     from hyperpolyglot_ray.stages.similarity import quantize_embeddings
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     out = quantize_embeddings(ds)
@@ -1167,7 +1175,7 @@ def _q_emb_pq(sf_dir: str):
 
     from hyperpolyglot_ray.stages.similarity import pq_encode, pq_train_codebooks
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     codebooks = pq_train_codebooks(ds)
@@ -1197,7 +1205,7 @@ def _q_emb_knn_ivf(sf_dir: str):
 
     from hyperpolyglot_ray.stages.similarity import knn_ivf
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet")
     q, qids = _emb_queries(sf_dir)
     out = knn_ivf(ds, q, qids, k=5, n_clusters=8, nprobe=3)
     return out.select_columns(["query_id", "neighbor_id", "rank"])
@@ -1211,7 +1219,7 @@ def _q_events_window(sf_dir: str):
 
     from hyperpolyglot_ray.stages.windows import tumbling_window_agg
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet")
     return tumbling_window_agg(ds)
 
 
@@ -1220,7 +1228,7 @@ def _q_events_value_quantiles(sf_dir: str):
 
     from hyperpolyglot_ray.stages.aggregates import grouped_quantiles
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
     return grouped_quantiles(ds, "event_type", "value")
 
 
@@ -1229,7 +1237,7 @@ def _q_events_distinct_users(sf_dir: str):
 
     from hyperpolyglot_ray.stages.aggregates import grouped_count_distinct
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
     return grouped_count_distinct(ds, "event_type", "user_id")
 
 
@@ -1238,7 +1246,7 @@ def _q_events_distinct_users_hll(sf_dir: str):
 
     from hyperpolyglot_ray.stages.aggregates import hll_count_distinct
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
     return hll_count_distinct(ds, "event_type", "user_id")
 
 
@@ -1247,7 +1255,7 @@ def _q_events_sliding_window(sf_dir: str):
 
     from hyperpolyglot_ray.stages.windows import sliding_window_agg
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet")
     return sliding_window_agg(ds)
 
 
@@ -1256,7 +1264,7 @@ def _q_events_sessionize(sf_dir: str):
 
     from hyperpolyglot_ray.stages.windows import sessionize
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet")
     return sessionize(ds)
 
 
@@ -1267,7 +1275,7 @@ def _q_events_sessionize_chunked(sf_dir: str):
 
     from hyperpolyglot_ray.stages.windows import sessionize
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet")
     return sessionize(ds, chunk_hours=6.0)
 
 
@@ -1280,7 +1288,7 @@ def _q_events_session_join_chunked(sf_dir: str):
     from hyperpolyglot_ray.stages.joins import interval_join
     from hyperpolyglot_ray.stages.windows import sessionize
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    ev = _read_parquet_clean(f"{sf_dir}/events.parquet")
     purchases = ev.filter(expr="event_type == 'purchase'")
     sessions = sessionize(ev.filter(expr="event_type == 'view'"))
     return interval_join(
@@ -1298,7 +1306,7 @@ def _q_events_asof_chunked(sf_dir: str):
 
     from hyperpolyglot_ray.stages.joins import asof_join
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    ev = _read_parquet_clean(f"{sf_dir}/events.parquet")
     purchases = ev.filter(expr="event_type == 'purchase'")
     views = ev.filter(expr="event_type == 'view'")
     return asof_join(
@@ -1315,7 +1323,7 @@ def _q_events_value_quantiles_refine(sf_dir: str):
 
     from hyperpolyglot_ray.stages.aggregates import grouped_quantiles_refine
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
     return grouped_quantiles_refine(ds, "event_type", "value", n_bins=256, gather_cap=512)
 
 

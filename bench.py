@@ -30,6 +30,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from hyperpolyglot_ray.sources.io import read_parquet_clean as _read_parquet  # noqa: E402
+
 DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_OUT = "/tmp/hyperpolyglot_ray/bench_out"
@@ -76,12 +78,13 @@ def _flagship(files_dir: str, num_cpus: int, sink: str = "write") -> tuple[float
     import pyarrow.parquet as pq
     import ray.data
 
+
     from hyperpolyglot_ray.stages.fused import QualityFilterStage
 
     t0 = time.time()
     # prune at the read: the fixture's ground-truth `lang` column is not an
     # input of the filter+scrub pass — only needed columns leave storage
-    ds = ray.data.read_parquet(files_dir, columns=["repo", "path", "commit", "content"])
+    ds = _read_parquet(files_dir, columns=["repo", "path", "commit", "content"])
     ds = ds.map_batches(
         QualityFilterStage,
         fn_constructor_kwargs={"drop_content": True},
@@ -128,13 +131,13 @@ def run_vocab_only(sf_dir: str, num_cpus: int) -> dict:
     # made the "fresh" number read 1.5-3x the true pipeline time
     small = build_files_fixture(0.001)
     vocab_stats(
-        ray.data.read_parquet(str(small / "files"), columns=["path", "content"])
+        _read_parquet(str(small / "files"), columns=["path", "content"])
         .repartition(num_cpus * 2),
         text_col="content", id_col="path", top_k=100, min_count=5,
     ).count()
     t0 = time.time()
     vocab_stats(
-        ray.data.read_parquet(files_dir, columns=["path", "content"]),
+        _read_parquet(files_dir, columns=["path", "content"]),
         text_col="content", id_col="path", top_k=100, min_count=5,
     ).count()
     out = {"files_vocab_fresh": round(time.time() - t0, 3), "num_cpus": num_cpus}
@@ -262,7 +265,7 @@ def run_bench(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
         t0 = time.time()
         split = language_split(
             detect_dataset(
-                ray.data.read_parquet(files_dir, columns=["path", "content"])
+                _read_parquet(files_dir, columns=["path", "content"])
             )
         )
         assert len(split) > 0
@@ -270,7 +273,7 @@ def run_bench(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
 
         t0 = time.time()
         n = exact_dedup_keep_ids(
-            ray.data.read_parquet(files_dir, columns=["commit", "content"]),
+            _read_parquet(files_dir, columns=["commit", "content"]),
             text_col="content",
             id_col="commit",
         ).count()
@@ -279,7 +282,7 @@ def run_bench(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
         docs = f"{sf_dir}/documents.parquet"
         if Path(docs).exists():
             t0 = time.time()
-            minhash_dedup_keep_ids(ray.data.read_parquet(docs)).count()
+            minhash_dedup_keep_ids(_read_parquet(docs)).count()
             queries["doc_minhash_dedup"] = round(time.time() - t0, 3)
 
             from hyperpolyglot_ray.stages.curation import (
@@ -288,7 +291,7 @@ def run_bench(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
             )
 
             t0 = time.time()
-            dds = ray.data.read_parquet(docs, columns=["doc_id", "text"])
+            dds = _read_parquet(docs, columns=["doc_id", "text"])
             bench_strings = derive_benchmark_strings(dds)
             decontaminate(dds, bench_strings).count()
             queries["doc_decontaminate"] = round(time.time() - t0, 3)
@@ -317,14 +320,14 @@ def run_bench(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
             q = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)[ids < 10]
             t0 = time.time()
             knn_bruteforce(
-                ray.data.read_parquet(emb), q, ids[ids < 10].tolist(), k=5
+                _read_parquet(emb), q, ids[ids < 10].tolist(), k=5
             ).count()
             queries["emb_knn"] = round(time.time() - t0, 3)
 
         evt = f"{sf_dir}/events.parquet"
         if Path(evt).exists():
             t0 = time.time()
-            tumbling_window_agg(ray.data.read_parquet(evt)).count()
+            tumbling_window_agg(_read_parquet(evt)).count()
             queries["events_window"] = round(time.time() - t0, 3)
 
         from hyperpolyglot_ray.stages.text_ops import vocab_stats
@@ -334,7 +337,7 @@ def run_bench(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
         # prunes the singleton tail before the driver top-k
         t0 = time.time()
         vocab_stats(
-            ray.data.read_parquet(files_dir, columns=["path", "content"]),
+            _read_parquet(files_dir, columns=["path", "content"]),
             text_col="content",
             id_col="path",
             top_k=100,
@@ -357,24 +360,24 @@ def run_bench(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
             from hyperpolyglot_ray.stages.text_ops import minhash_clusters
 
             t0 = time.time()
-            ref = ray.data.read_parquet(docs2, columns=["doc_id", "text"])
+            ref = _read_parquet(docs2, columns=["doc_id", "text"])
             incremental_dedup_keep_ids(derive_incremental_shard(ref), ref).count()
             queries["doc_incremental_dedup"] = round(time.time() - t0, 3)
 
             t0 = time.time()
-            dref = ray.data.read_parquet(docs2, columns=["doc_id", "text"])
+            dref = _read_parquet(docs2, columns=["doc_id", "text"])
             bm25_search(dref, ["table", "merge", "window"]).count()
             queries["doc_bm25"] = round(time.time() - t0, 3)
 
             t0 = time.time()
-            dref = ray.data.read_parquet(docs2, columns=["doc_id", "text"])
+            dref = _read_parquet(docs2, columns=["doc_id", "text"])
             model = train_bigram_lm(dref)
             perplexity_score(dref, model).count()
             queries["doc_corpus_ppl"] = round(time.time() - t0, 3)
 
             t0 = time.time()
             minhash_clusters(
-                ray.data.read_parquet(docs2, columns=["doc_id", "text"])
+                _read_parquet(docs2, columns=["doc_id", "text"])
             ).count()
             queries["doc_minhash_clusters"] = round(time.time() - t0, 3)
 
@@ -384,7 +387,7 @@ def run_bench(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
 
             t0 = time.time()
             profile_columns(
-                ray.data.read_parquet(
+                _read_parquet(
                     evt2, columns=["user_id", "event_type", "props"]
                 ),
                 ["user_id", "event_type", "props"],
@@ -397,10 +400,10 @@ def run_bench(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
 
             t0 = time.time()
             hash_join(
-                ray.data.read_parquet(
+                _read_parquet(
                     li2, columns=["l_orderkey", "l_quantity", "l_extendedprice"]
                 ),
-                ray.data.read_parquet(
+                _read_parquet(
                     od2, columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
                 ),
                 "l_orderkey",
@@ -556,7 +559,7 @@ def run_stats(sf_dir: str, num_cpus: int) -> None:
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     fix = build_files_fixture(sf_from_dir(sf_dir), n_rows=int(sf_from_dir(sf_dir) * 3_000_000))
-    ds = ray.data.read_parquet(str(fix / "files"))
+    ds = _read_parquet(str(fix / "files"))
     ds = ds.map_batches(
         QualityFilterStage,
         fn_constructor_kwargs={"drop_content": True},

@@ -79,7 +79,9 @@ def quality_filter_pipeline(
     flagship bench uses; ``fused=False`` chains the two composable stages
     (semantically identical, tested in test_stage_equivalence).
     """
-    ds = ray.data.read_parquet(files_path, columns=columns)
+    from ..sources.io import read_parquet_clean
+
+    ds = read_parquet_clean(files_path, columns=columns)
     if fused:
         from ..stages.fused import QualityFilterStage
 

@@ -1,0 +1,46 @@
+"""Parquet read helper: metadata-stripped schemas.
+
+Parquet files written by pandas carry a ``b"pandas"`` schema-metadata
+blob that makes the pyarrow ``Schema`` UNHASHABLE in this pyarrow
+version (``hash(schema)`` raises ``unhashable type: 'dict'``). Ray
+Data's block unifier deduplicates schemas by hashing them first
+(``transform_pyarrow.unify_schemas``), so every read stage over such a
+file logs ``Failed to hash the schemas (for deduplication)`` and falls
+back to the expensive unify path on every block merge.
+
+``read_parquet_clean`` reads the footer schema once, strips the
+metadata, sub-selects the requested columns (preserving the caller's
+column order, exactly like ``read_parquet(columns=...)``), and passes
+the clean schema to ``ray.data.read_parquet`` — hashable schemas, quiet
+logs, fast-path dedup. Data values are identical; only schema METADATA
+is dropped.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+
+def read_parquet_clean(
+    path: str, columns: list[str] | None = None, **kwargs
+) -> ray.data.Dataset:
+    """``ray.data.read_parquet`` with a metadata-stripped schema (module
+    docstring). ``columns`` prunes at the read exactly as upstream."""
+    import os
+
+    probe = path
+    if os.path.isdir(path):
+        # directory of shards: all shards share one schema (our writers
+        # and the driver's generator both guarantee it)
+        names = sorted(
+            n for n in os.listdir(path) if n.endswith(".parquet")
+        )
+        if not names:
+            raise FileNotFoundError(f"no .parquet files under {path}")
+        probe = os.path.join(path, names[0])
+    schema = pq.read_schema(probe).remove_metadata()
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return ray.data.read_parquet(path, schema=schema, columns=columns, **kwargs)
