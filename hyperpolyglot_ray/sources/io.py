@@ -27,7 +27,9 @@ def read_parquet_clean(
     path: str, columns: list[str] | None = None, **kwargs
 ) -> ray.data.Dataset:
     """``ray.data.read_parquet`` with a metadata-stripped schema (module
-    docstring). ``columns`` prunes at the read exactly as upstream."""
+    docstring). ``columns`` prunes at the read exactly as upstream.
+    Local paths only (file or directory of shards); for remote URIs pass
+    a pre-stripped ``schema=`` to ``ray.data.read_parquet`` directly."""
     import os
 
     probe = path
