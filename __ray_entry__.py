@@ -770,6 +770,20 @@ def _q_lineitem_unpivot(sf_dir: str):
     )
 
 
+def _q_files_secrets(sf_dir: str):
+    from hyperpolyglot_ray.stages.secrets import scan_secrets
+
+    ds, _ = _files_ds(sf_dir)
+    return scan_secrets(ds, text_col="content", id_col="path")
+
+
+def _q_files_mask_secrets(sf_dir: str):
+    from hyperpolyglot_ray.stages.secrets import mask_secrets
+
+    ds, _ = _files_ds(sf_dir)
+    return mask_secrets(ds.select_columns(["path", "content"]))
+
+
 def _q_doc_source_cap(sf_dir: str):
     from hyperpolyglot_ray.stages.curation import cap_per_group
 
@@ -1361,6 +1375,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_pivot": _q_events_type_pivot,
         "doc_split": _q_doc_split,
         "lineitem_unpivot": _q_lineitem_unpivot,
+        "files_secrets": _q_files_secrets,
+        "files_mask_secrets": _q_files_mask_secrets,
         # --- never driver-checked before round 4 ---
         "doc_ngram_dedup": _q_doc_ngram_dedup,
         "doc_dsir": _q_doc_dsir,
@@ -1458,6 +1474,19 @@ def oracle_sql() -> dict[str, str]:
     lang_info = str(LOOKUPS / "language_info.parquet")
 
     from hyperpolyglot_ray.core.filters import documentation_pattern, vendor_pattern
+    from hyperpolyglot_ray.stages.secrets import SECRET_PATTERNS as _secpats
+
+    # patterns are single-quote-free by contract (stages/secrets.py), so
+    # they embed verbatim — DuckDB shares the RE2 engine with pyarrow
+    _sec_counts = ", ".join(
+        f"CAST(len(regexp_extract_all(content, '{p}')) AS BIGINT) AS n_{k}"
+        for k, p in _secpats
+    )
+    _sec_names = ", ".join(f"n_{k}" for k, _ in _secpats)
+    _sec_total = " + ".join(f"n_{k}" for k, _ in _secpats)
+    _sec_mask = "content"
+    for _, _p in _secpats:
+        _sec_mask = f"regexp_replace({_sec_mask}, '{_p}', '[SECRET]', 'g')"
 
     ext_cte = f"""
 WITH f AS (
@@ -1733,6 +1762,15 @@ FROM f""",
             " CAST(l_discount AS DOUBLE) FROM lineitem"
             " UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',"
             " CAST(l_tax AS DOUBLE) FROM lineitem"
+        ),
+        "files_secrets": (
+            f"SELECT path, {_sec_names},"
+            f" CAST(({_sec_total}) AS BIGINT) AS n_secrets"
+            f" FROM (SELECT path, {_sec_counts}"
+            f"       FROM read_parquet('{files}'))"
+        ),
+        "files_mask_secrets": (
+            f"SELECT path, {_sec_mask} AS content FROM read_parquet('{files}')"
         ),
         "doc_source_cap": (
             "SELECT source, doc_id FROM (SELECT source, doc_id,"

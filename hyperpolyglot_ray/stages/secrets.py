@@ -1,0 +1,78 @@
+"""Credential / secret detection over a code corpus — the code-specific
+quality gate a training pipeline runs before shipping files into a
+dataset (leaked AWS keys, private key blocks, CI tokens, hardcoded
+passwords). Both stages are map-only RE2 kernels over whole Arrow
+batches (``pc.count_substring_regex`` / ``pc.replace_substring_regex``)
+— no shuffle, no Python row loops, and DuckDB shares the RE2 engine so
+the driver oracle mirrors each pattern verbatim
+(``len(regexp_extract_all(...))`` / ``regexp_replace(..., 'g')``).
+
+Patterns are the classic public signatures (quote-free formulations so
+the same literal string is valid in both Python and SQL):
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+# (kind, RE2 pattern) — ORDER IS THE OUTPUT COLUMN ORDER. Patterns must
+# stay single-quote-free so oracle SQL can embed them verbatim.
+SECRET_PATTERNS: list[tuple[str, str]] = [
+    ("aws_key", r"AKIA[0-9A-Z]{16}"),
+    ("private_key", r"-----BEGIN [A-Z ]*PRIVATE KEY-----"),
+    ("slack_token", r"xox[baprs]-[0-9A-Za-z\-]{10,}"),
+    ("github_token", r"gh[pousr]_[A-Za-z0-9]{36}"),
+    (
+        "assigned_secret",
+        r"(?i)(?:api_key|apikey|secret|token|password)\s*[:=]\s*[A-Za-z0-9_\-]{16,}",
+    ),
+]
+
+MASK = "[SECRET]"
+
+
+def scan_secrets(
+    ds: ray.data.Dataset,
+    text_col: str = "content",
+    id_col: str = "path",
+) -> ray.data.Dataset:
+    """Per-row secret-signature counts: one int64 column ``n_<kind>`` per
+    pattern plus ``n_secrets`` (their sum). Map-only; the text column is
+    dropped from the output so only fixed-width counters flow downstream
+    (gate on ``n_secrets > 0``, aggregate per repo, etc.)."""
+
+    def count(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        cols: dict = {id_col: batch.column(id_col)}
+        total = None
+        for kind, pat in SECRET_PATTERNS:
+            c = pc.count_substring_regex(text, pat).cast(pa.int64())
+            cols[f"n_{kind}"] = c
+            total = c if total is None else pc.add(total, c)
+        cols["n_secrets"] = total
+        return pa.table(cols)
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        count, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def mask_secrets(
+    ds: ray.data.Dataset,
+    text_col: str = "content",
+) -> ray.data.Dataset:
+    """Replace every secret-signature match with ``[SECRET]`` (all
+    patterns, all occurrences — SQL ``regexp_replace(..., 'g')`` chained
+    in ``SECRET_PATTERNS`` order). Map-only; all other columns pass
+    through unchanged."""
+
+    def mask(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        for _, pat in SECRET_PATTERNS:
+            text = pc.replace_substring_regex(text, pat, MASK)
+        i = batch.schema.get_field_index(text_col)
+        return batch.set_column(i, text_col, text)
+
+    return ds.map_batches(mask, batch_format="pyarrow", zero_copy_batch=True)
