@@ -770,6 +770,71 @@ def _q_lineitem_unpivot(sf_dir: str):
     )
 
 
+def _q_events_funnel(sf_dir: str):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.windows import funnel_per_key
+
+    # per-user ordered conversion: earliest view, earliest click strictly
+    # after it, earliest purchase strictly after that; min-based so ties
+    # in ts cannot make it ambiguous (no tiebreak column needed)
+    ev = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return funnel_per_key(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+def _q_doc_snapshot_diff(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from hyperpolyglot_ray.stages.incremental import snapshot_diff
+
+    # two deterministic snapshots derived from the documents table:
+    # old drops doc_id%10==0, new drops doc_id%10==1 and appends '!' to
+    # every doc_id%7==0 text — so the diff exercises all four statuses
+    def keep_old(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 10 != 0))
+
+    def make_new(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ids % 10 != 1))
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        changed = pa.array(ids % 7 == 0)
+        newtext = pc.if_else(
+            changed,
+            pc.binary_join_element_wise(b.column("text"), "!", ""),
+            b.column("text"),
+        )
+        return pa.table({"doc_id": b.column("doc_id"), "text": newtext})
+
+    def side():
+        return _read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+    old_ds = side().map_batches(keep_old, batch_format="pyarrow", zero_copy_batch=True)
+    new_ds = side().map_batches(make_new, batch_format="pyarrow", zero_copy_batch=True)
+    return snapshot_diff(old_ds, new_ds, "doc_id")
+
+
+def _q_doc_rollup(sf_dir: str):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.aggregates import grouping_sets_agg
+
+    # one-scan GROUPING SETS: (lang,source), (lang), (source), ()
+    docs = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+    )
+    return grouping_sets_agg(
+        docs, ["lang", "source"], "n_chars", out_count="n_docs", out_sum="total_chars"
+    )
+
+
 def _q_files_secrets(sf_dir: str):
     from hyperpolyglot_ray.stages.secrets import scan_secrets
 
@@ -1363,6 +1428,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # 11 last checked in round 2, then the 50 green in round 3.
     return {
         # --- new in round 4 (never driver-checked) ---
+        "events_funnel": _q_events_funnel,
+        "doc_snapshot_diff": _q_doc_snapshot_diff,
+        "doc_rollup": _q_doc_rollup,
         "customer_semi_join": _q_customer_semi_join,
         "customer_anti_join": _q_customer_anti_join,
         "custkey_full_outer": _q_custkey_full_outer,
@@ -1650,6 +1718,43 @@ FROM documents""",
             "SELECT l.l_orderkey, l.l_quantity, l.l_extendedprice,"
             " o.o_orderstatus, o.o_totalprice"
             " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        ),
+        # mirrors stages/windows.py:funnel_per_key — chained conditional
+        # mins, each stage strictly after the previous stage's time
+        "events_funnel": r"""
+WITH f AS (SELECT user_id, ts, event_type FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')),
+s1 AS (SELECT user_id, min(ts) AS t_view FROM f
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT f.user_id, min(f.ts) AS t_click FROM f
+       JOIN s1 ON f.user_id = s1.user_id
+       WHERE f.event_type = 'click' AND f.ts > s1.t_view GROUP BY f.user_id),
+s3 AS (SELECT f.user_id, min(f.ts) AS t_purchase FROM f
+       JOIN s2 ON f.user_id = s2.user_id
+       WHERE f.event_type = 'purchase' AND f.ts > s2.t_click GROUP BY f.user_id)
+SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+       CAST(CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+                 WHEN s2.t_click IS NOT NULL THEN 2
+                 ELSE 1 END AS BIGINT) AS depth
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s2.user_id = s3.user_id""",
+        # same derived snapshots as _q_doc_snapshot_diff; digest equality
+        # on the Ray side == text equality here
+        "doc_snapshot_diff": r"""
+WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0),
+new AS (SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || '!' ELSE text END AS text
+        FROM documents WHERE doc_id % 10 != 1)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text = n.text THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id""",
+        "doc_rollup": (
+            "SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,"
+            " CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents"
+            " GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())"
         ),
         "customer_semi_join": (
             "SELECT * FROM customer WHERE c_custkey IN"

@@ -1119,3 +1119,102 @@ def unpivot(
     return ds.select_columns(key_cols + value_cols).map_batches(
         stack, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+_GS_ALL = "\x00__ALL__\x00"  # sentinel for a rolled-up dimension
+
+
+def grouping_sets_agg(
+    ds: ray.data.Dataset,
+    dims: list[str],
+    val_col: str,
+    sets: list[tuple[str, ...]] | None = None,
+    out_count: str = "n_rows",
+    out_sum: str = "sum_val",
+) -> ray.data.Dataset:
+    """Single-pass multi-level aggregation — SQL ``GROUP BY GROUPING SETS
+    ((a,b),(a),(b),())`` — count + sum per grouping set, with rolled-up
+    dimensions NULL in the output (the warehouse rollup/cube primitive:
+    per-(lang,source), per-lang, per-source and corpus totals from ONE
+    scan instead of len(sets) scans).
+
+    Each batch emits one partial row per (set, group) — the input is
+    scanned once and only pre-aggregated partials (a few hundred rows per
+    batch) reach the single small ``groupby``. Rolled-up dims carry a
+    non-null sentinel through the shuffle (Ray's groupby key hashing and
+    this repo's bucket hash are null-free by contract) and are restored
+    to NULL map-only at the end.
+
+    Restrictions: ``dims`` must be non-null string columns (a real NULL
+    group value would collide with the rollup rows, exactly the SQL
+    GROUPING-SETS ambiguity); ``val_col`` must be integer-typed so the
+    re-aggregated sums are exact under any reduction order.
+    """
+    if sets is None:
+        # the full cube, most-specific first
+        sets = [tuple(dims)] + [
+            tuple(d for d in dims if d != drop) for drop in dims
+        ] + [()]
+        if len(dims) > 2:
+            raise ValueError("default cube only generated for <= 2 dims; pass sets=")
+    for s in sets:
+        unknown = set(s) - set(dims)
+        if unknown:
+            raise ValueError(f"grouping set {s} references unknown dims {unknown}")
+
+    schema = ds.schema().base_schema
+    for d in dims:
+        if not pa.types.is_string(schema.field(d).type):
+            raise ValueError(f"grouping_sets_agg: dim {d!r} must be string-typed")
+    if not pa.types.is_integer(schema.field(val_col).type):
+        raise ValueError(f"grouping_sets_agg: {val_col!r} must be integer-typed")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        for d in dims:
+            if batch.column(d).null_count:
+                raise ValueError(f"grouping_sets_agg: null values in dim {d!r}")
+        parts = []
+        n = batch.num_rows
+        sentinel_col = pa.array([_GS_ALL] * n, type=pa.string())
+        for s in sets:
+            cols = {
+                d: (batch.column(d) if d in s else sentinel_col) for d in dims
+            }
+            cols[val_col] = batch.column(val_col)
+            g = (
+                pa.table(cols)
+                .group_by(dims)
+                .aggregate([(val_col, "sum"), ([], "count_all")])
+            )
+            parts.append(
+                g.rename_columns(dims + ["__psum", "__pcnt"]).cast(
+                    pa.schema(
+                        [pa.field(d, pa.string()) for d in dims]
+                        + [
+                            pa.field("__psum", pa.int64()),
+                            pa.field("__pcnt", pa.int64()),
+                        ]
+                    )
+                )
+            )
+        return pa.concat_tables(parts)
+
+    reduced = (
+        ds.select_columns(dims + [val_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(dims)
+        .sum(["__psum", "__pcnt"])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        out: dict = {}
+        for d in dims:
+            col = batch.column(d)
+            out[d] = pc.if_else(
+                pc.equal(col, _GS_ALL), pa.scalar(None, type=pa.string()), col
+            )
+        out[out_count] = batch.column("sum(__pcnt)")
+        out[out_sum] = batch.column("sum(__psum)")
+        return pa.table(out)
+
+    return reduced.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -272,3 +272,113 @@ def _sessionize_chunked(
     return chunk_sessions.groupby(user_col).map_groups(
         merge_user, batch_format="pyarrow"
     )
+
+
+def funnel_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_col: str,
+    type_col: str,
+    stages: list[str],
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Ordered sequence match (funnel analysis): for each key, the
+    earliest time it reached each funnel stage IN ORDER — ``t[0]`` is the
+    minimum ``order_col`` of a ``stages[0]`` event, ``t[i]`` the minimum
+    ``order_col`` of a ``stages[i]`` event STRICTLY AFTER ``t[i-1]``.
+    ``depth`` is the number of stages completed. Only keys that entered
+    the funnel (have a ``stages[0]`` event) are emitted. This is the
+    product-analytics conversion query (view -> click -> purchase) and,
+    over a training corpus's ingest log, the "reached stage N of the
+    curation ladder" audit.
+
+    The naive per-stage ``min()`` is wrong: a click BEFORE the first view
+    must not count, but a later click must. The strictly-after chaining
+    makes the result order-dependent yet still min-based, so ties in
+    ``order_col`` cannot make it ambiguous — no tiebreak column needed,
+    and the SQL oracle is a chain of conditional-min subqueries.
+
+    Topology: one map-only filter to the funnel's event types (usually a
+    large reduction), then one bucketed shuffle of (key, order, type)
+    rows — no text, no payload. Each bucket resolves its keys with
+    ``np.unique`` + per-stage ``np.minimum.at`` passes (vectorized; no
+    per-row Python, no sort). Stage count is the only sequential factor.
+
+    Output: ``key_col``, one ``t_{stage}`` column per stage (type of
+    ``order_col``, NULL where unreached), ``depth`` (int64 in
+    ``[1, len(stages)]``). Nulls in any input column are rejected.
+    """
+    from .shuffle import bucket_column
+
+    if not stages or len(set(stages)) != len(stages):
+        raise ValueError("funnel_per_key: stages must be non-empty and distinct")
+    cols = [key_col, order_col, type_col]
+    schema = ds.schema().base_schema
+    key_type = schema.field(key_col).type
+    order_type = schema.field(order_col).type
+    is_ts = pa.types.is_timestamp(order_type)
+    if not (is_ts or pa.types.is_integer(order_type)):
+        raise ValueError(
+            f"funnel_per_key: order column must be timestamp or integer, "
+            f"got {order_type}"
+        )
+    out_schema = pa.schema(
+        [pa.field(key_col, key_type)]
+        + [pa.field(f"t_{s}", order_type) for s in stages]
+        + [pa.field("depth", pa.int64())]
+    )
+    stage_set = pa.array(stages, type=pa.string())
+
+    def keep_and_bucket(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            if batch.column(c).null_count:
+                raise ValueError(f"funnel_per_key: null values in {c!r}")
+        batch = batch.select(cols).filter(
+            pc.is_in(batch.column(type_col), value_set=stage_set)
+        )
+        return batch.append_column(
+            "__bucket", bucket_column(batch, [key_col], n_buckets)
+        )
+
+    _I64_MAX = np.iinfo(np.int64).max
+    _I64_MIN = np.iinfo(np.int64).min
+
+    def funnel_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        keys = group.column(key_col).to_numpy(zero_copy_only=False)
+        ts = group.column(order_col).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        ts = ts.astype("datetime64[us]").view(np.int64) if is_ts else ts.astype(
+            np.int64
+        )
+        types = group.column(type_col).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        n_seg = len(uniq)
+        prev = np.full(n_seg, _I64_MIN, dtype=np.int64)  # stage-0 gate: always open
+        t_cols: list[np.ndarray] = []
+        for s in stages:
+            mask = (types == s) & (ts > prev[inv])
+            t_s = np.full(n_seg, _I64_MAX, dtype=np.int64)
+            np.minimum.at(t_s, inv[mask], ts[mask])
+            t_cols.append(t_s)
+            prev = t_s  # unreached segments stay at I64_MAX -> gate closed
+        entered = t_cols[0] != _I64_MAX
+        depth = np.zeros(n_seg, dtype=np.int64)
+        for t_s in t_cols:
+            depth += (t_s != _I64_MAX).astype(np.int64)
+        out: dict = {key_col: pa.array(uniq[entered], type=key_type)}
+        for s, t_s in zip(stages, t_cols):
+            arr = pa.array(
+                t_s[entered], type=pa.int64(), mask=(t_s[entered] == _I64_MAX)
+            )
+            out[f"t_{s}"] = arr.cast(order_type)
+        out["depth"] = pa.array(depth[entered], type=pa.int64())
+        return pa.table(out, schema=out_schema)
+
+    return (
+        ds.map_batches(keep_and_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(funnel_bucket, batch_format="pyarrow")
+    )

@@ -398,3 +398,193 @@ def test_scan_and_mask_secrets(ray_session):
     assert "BEGIN RSA" not in masked["b.pem"]
     assert masked["c.txt"] == "nothing to see"
     assert "xoxb" not in masked["d.sh"] and "ghp_" not in masked["d.sh"]
+
+
+def test_funnel_per_key_ordering_semantics(ray_session):
+    from hyperpolyglot_ray.stages.windows import funnel_per_key
+
+    # u1: click BEFORE first view must not count; the later click does,
+    #     and the purchase after that completes the funnel (depth 3)
+    # u2: view only (depth 1); a purchase with no prior click is blocked
+    # u3: never viewed -> not emitted at all
+    # u4: view and click at the SAME ts -> strictly-after gate blocks it
+    items = [
+        {"u": 1, "t": 5, "e": "click"},
+        {"u": 1, "t": 10, "e": "view"},
+        {"u": 1, "t": 20, "e": "click"},
+        {"u": 1, "t": 30, "e": "purchase"},
+        {"u": 2, "t": 1, "e": "view"},
+        {"u": 2, "t": 2, "e": "purchase"},
+        {"u": 3, "t": 1, "e": "click"},
+        {"u": 3, "t": 2, "e": "purchase"},
+        {"u": 4, "t": 7, "e": "view"},
+        {"u": 4, "t": 7, "e": "click"},
+        {"u": 4, "t": 9, "e": "other"},  # non-funnel type is ignored
+    ]
+    out = funnel_per_key(
+        _ds(items).repartition(4), "u", "t", "e", ["view", "click", "purchase"],
+        n_buckets=4,
+    ).take_all()
+    by_u = {r["u"]: r for r in sorted(out, key=lambda r: r["u"])}
+    assert set(by_u) == {1, 2, 4}
+    assert by_u[1] == {
+        "u": 1, "t_view": 10, "t_click": 20, "t_purchase": 30, "depth": 3
+    }
+    assert by_u[2] == {
+        "u": 2, "t_view": 1, "t_click": None, "t_purchase": None, "depth": 1
+    }
+    assert by_u[4] == {
+        "u": 4, "t_view": 7, "t_click": None, "t_purchase": None, "depth": 1
+    }
+
+
+def test_funnel_per_key_timestamp_order_col(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.windows import funnel_per_key
+
+    ts = pa.array([100, 200, 300, 150], type=pa.int64()).cast(pa.timestamp("us"))
+    t = pa.table(
+        {
+            "u": pa.array([1, 1, 1, 2], type=pa.int64()),
+            "ts": ts,
+            "e": pa.array(["view", "click", "purchase", "view"]),
+        }
+    )
+    out = funnel_per_key(
+        ray.data.from_arrow(t), "u", "ts", "e", ["view", "click"], n_buckets=2
+    ).take_all()
+    by_u = {r["u"]: r for r in out}
+    assert by_u[1]["depth"] == 2
+    assert by_u[1]["t_click"].timestamp() * 1e6 == 200
+    assert by_u[2]["depth"] == 1 and by_u[2]["t_click"] is None
+
+
+def test_funnel_per_key_matches_sequential_reference(ray_session):
+    from hyperpolyglot_ray.stages.windows import funnel_per_key
+
+    rng = np.random.RandomState(11)
+    stages = ["a", "b", "c"]
+    types = stages + ["x"]
+    items = [
+        {
+            "u": int(rng.randint(0, 40)),
+            "t": int(rng.randint(0, 1000)),
+            "e": types[int(rng.randint(0, 4))],
+        }
+        for _ in range(2000)
+    ]
+
+    def ref():
+        per_u: dict = {}
+        for it in items:
+            per_u.setdefault(it["u"], []).append((it["t"], it["e"]))
+        res = {}
+        for u, evs in per_u.items():
+            prev = -(10**18)
+            ts_out = []
+            for s in stages:
+                cand = [t for t, e in evs if e == s and t > prev]
+                cur = min(cand) if cand else None
+                ts_out.append(cur)
+                prev = cur if cur is not None else 10**18
+            if ts_out[0] is not None:
+                res[u] = (ts_out, sum(1 for t in ts_out if t is not None))
+        return res
+
+    out = funnel_per_key(
+        _ds(items).repartition(7), "u", "t", "e", stages, n_buckets=8
+    ).take_all()
+    expect = ref()
+    assert {r["u"] for r in out} == set(expect)
+    for r in out:
+        ts_out, depth = expect[r["u"]]
+        assert [r["t_a"], r["t_b"], r["t_c"]] == ts_out
+        assert r["depth"] == depth
+
+
+def test_snapshot_diff_all_statuses(ray_session):
+    from hyperpolyglot_ray.stages.incremental import snapshot_diff
+
+    old = _ds(
+        [
+            {"k": 1, "text": "same"},
+            {"k": 2, "text": "old version"},
+            {"k": 3, "text": "gone"},
+            {"k": 4, "text": "ünïcode ✓"},
+        ]
+    ).repartition(2)
+    new = _ds(
+        [
+            {"k": 1, "text": "same"},
+            {"k": 2, "text": "new version"},
+            {"k": 4, "text": "ünïcode ✓"},
+            {"k": 5, "text": "brand new"},
+        ]
+    ).repartition(2)
+    out = snapshot_diff(old, new, "k", n_buckets=4).take_all()
+    got = {r["k"]: r["status"] for r in out}
+    assert got == {
+        1: "unchanged", 2: "changed", 3: "removed", 4: "unchanged", 5: "added"
+    }
+
+    delta = snapshot_diff(
+        old, new, "k", n_buckets=4, include_unchanged=False
+    ).take_all()
+    assert {r["k"]: r["status"] for r in delta} == {
+        2: "changed", 3: "removed", 5: "added"
+    }
+
+
+def test_grouping_sets_agg_matches_pandas(ray_session):
+    import pandas as pd
+
+    from hyperpolyglot_ray.stages.aggregates import grouping_sets_agg
+
+    rng = np.random.RandomState(3)
+    items = [
+        {
+            "a": f"a{int(rng.randint(0, 4))}",
+            "b": f"b{int(rng.randint(0, 3))}",
+            "v": int(rng.randint(0, 50)),
+        }
+        for _ in range(500)
+    ]
+    out = grouping_sets_agg(
+        _ds(items).repartition(6), ["a", "b"], "v"
+    ).take_all()
+    df = pd.DataFrame(items)
+
+    def expect_rows():
+        rows = {}
+        for keys in [("a", "b"), ("a",), ("b",), ()]:
+            if keys:
+                g = df.groupby(list(keys))["v"].agg(["count", "sum"])
+                for idx, r in g.iterrows():
+                    idx = idx if isinstance(idx, tuple) else (idx,)
+                    full = dict(zip(keys, idx))
+                    rows[(full.get("a"), full.get("b"))] = (
+                        int(r["count"]), int(r["sum"])
+                    )
+            else:
+                rows[(None, None)] = (len(df), int(df["v"].sum()))
+        return rows
+
+    expect = expect_rows()
+    got = {(r["a"], r["b"]): (r["n_rows"], r["sum_val"]) for r in out}
+    assert got == expect
+    # sanity: the cube has 4*3 + 4 + 3 + 1 rows when all combos occur
+    assert len(got) == 4 * 3 + 4 + 3 + 1
+
+
+def test_grouping_sets_agg_rejects_bad_inputs(ray_session):
+    import pytest
+
+    from hyperpolyglot_ray.stages.aggregates import grouping_sets_agg
+
+    ds = _ds([{"a": "x", "v": 1.5}])
+    with pytest.raises(ValueError, match="integer-typed"):
+        grouping_sets_agg(ds, ["a"], "v")
+    ds2 = _ds([{"a": 3, "v": 1}])
+    with pytest.raises(ValueError, match="string-typed"):
+        grouping_sets_agg(ds2, ["a"], "v")
