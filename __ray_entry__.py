@@ -835,6 +835,33 @@ def _q_doc_rollup(sf_dir: str):
     )
 
 
+def _q_events_rolling_sum(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from hyperpolyglot_ray.stages.ordering import rolling_sum_per_key
+
+    # 4-row rolling sum of value per user; value -> integer millis
+    # upstream so the windowed sum is int64-exact on both sides
+    def to_milli(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "event_id": batch.column("event_id"),
+                "value_milli": pc.floor(
+                    pc.multiply(batch.column("value"), pa.scalar(1000.0))
+                ).cast(pa.int64()),
+            }
+        )
+
+    ev = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    ).map_batches(to_milli, batch_format="pyarrow", zero_copy_batch=True)
+    return rolling_sum_per_key(ev, "user_id", "ts", "value_milli", "event_id", window=4)
+
+
 def _q_files_secrets(sf_dir: str):
     from hyperpolyglot_ray.stages.secrets import scan_secrets
 
@@ -1429,6 +1456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- new in round 4 (never driver-checked) ---
         "events_funnel": _q_events_funnel,
+        "events_rolling_sum": _q_events_rolling_sum,
         "doc_snapshot_diff": _q_doc_snapshot_diff,
         "doc_rollup": _q_doc_rollup,
         "customer_semi_join": _q_customer_semi_join,
@@ -1738,6 +1766,18 @@ SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
                  ELSE 1 END AS BIGINT) AS depth
 FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
         LEFT JOIN s3 ON s2.user_id = s3.user_id""",
+        # mirrors stages/ordering.py:rolling_sum_per_key — int64-exact
+        # windowed sum over integer-millis values (DuckDB windowed
+        # SUM(BIGINT) returns HUGEINT, hence the CAST back)
+        "events_rolling_sum": (
+            "SELECT user_id, ts, event_id, value_milli,"
+            " CAST(SUM(value_milli) OVER w AS BIGINT) AS rolling_sum,"
+            " CAST(COUNT(*) OVER w AS BIGINT) AS n_window"
+            " FROM (SELECT user_id, ts, event_id,"
+            "  CAST(floor(value * 1000) AS BIGINT) AS value_milli FROM events)"
+            " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id"
+            "  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+        ),
         # same derived snapshots as _q_doc_snapshot_diff; digest equality
         # on the Ray side == text equality here
         "doc_snapshot_diff": r"""

@@ -489,3 +489,98 @@ def cumsum_per_key(
         .groupby("__bucket")
         .map_groups(cumsum_groups, batch_format="pyarrow")
     )
+
+
+def rolling_sum_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_col: str,
+    val_col: str,
+    tiebreak_col: str,
+    window: int,
+    out_sum: str = "rolling_sum",
+    out_n: str = "n_window",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-key ROW-window rolling sum: for each row, the sum of
+    ``val_col`` over the last ``window`` rows (this row and the
+    ``window - 1`` before it) within its ``key_col`` partition ordered by
+    ``(order_col, tiebreak_col)`` — SQL ``SUM(val) OVER (PARTITION BY key
+    ORDER BY ord, tie ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``.
+    ``out_n`` is the actual row count in the window (< ``window`` near
+    each partition's start), so a rolling MEAN is one exact division
+    away on either side of the oracle. The smoothing primitive behind
+    moving averages, rate limiting and burst detection over event logs.
+
+    Oracle exactness matches ``cumsum_per_key``: values must be
+    integer-valued, sums accumulate in int64 (a difference of two prefix
+    sums), independent of any segment-tree evaluation order.
+
+    Same topology as the other per-key transforms: one bucketed (key,
+    order, tie, val) shuffle, ONE in-group sort, then the rolling sum is
+    computed as cumsum[i] - cumsum[window-start - 1] with the window
+    start clamped to each key segment's first row — fully vectorized.
+    """
+    from .shuffle import bucket_column
+
+    if window < 1:
+        raise ValueError("rolling_sum_per_key: window must be >= 1")
+    cols = [key_col, order_col, tiebreak_col, val_col]
+    slim = ds.select_columns(cols)
+    schema = ds.schema().base_schema
+    out_schema = pa.schema(
+        [pa.field(c, schema.field(c).type) for c in cols]
+        + [pa.field(out_sum, pa.int64()), pa.field(out_n, pa.int64())]
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            if batch.column(c).null_count:
+                raise ValueError(f"rolling_sum_per_key: null values in {c!r}")
+        return batch.append_column(
+            "__bucket", bucket_column(batch, [key_col], n_buckets)
+        )
+
+    def rolling_groups(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        order = pa.compute.sort_indices(
+            group,
+            sort_keys=[
+                (key_col, "ascending"),
+                (order_col, "ascending"),
+                (tiebreak_col, "ascending"),
+            ],
+        )
+        g = group.take(order)
+        n = g.num_rows
+        kv = g.column(key_col).to_numpy(zero_copy_only=False)
+        xnp = g.column(val_col).to_numpy(zero_copy_only=False)
+        xi = xnp.astype(np.int64)
+        if xnp.dtype.kind == "f" and not np.array_equal(xi.astype(xnp.dtype), xnp):
+            raise ValueError(
+                f"rolling_sum_per_key: {val_col!r} has non-integer values; "
+                "an int64-exact rolling sum is required for deterministic "
+                "results (rescale upstream, e.g. to millis)"
+            )
+        seg_start = np.empty(n, dtype=bool)
+        seg_start[0] = True
+        seg_start[1:] = kv[1:] != kv[:-1]
+        seg_id = np.cumsum(seg_start) - 1
+        seg_first = np.flatnonzero(seg_start)[seg_id]  # first row of my segment
+        idx = np.arange(n, dtype=np.int64)
+        w_start = np.maximum(seg_first, idx - (window - 1))
+        cs = np.cumsum(xi)
+        roll = cs - np.where(w_start > 0, cs[w_start - 1], 0)
+        n_win = idx - w_start + 1
+        return (
+            g.select(cols)
+            .append_column(out_sum, pa.array(roll, type=pa.int64()))
+            .append_column(out_n, pa.array(n_win, type=pa.int64()))
+        )
+
+    return (
+        slim.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(rolling_groups, batch_format="pyarrow")
+    )

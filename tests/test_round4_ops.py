@@ -588,3 +588,52 @@ def test_grouping_sets_agg_rejects_bad_inputs(ray_session):
     ds2 = _ds([{"a": 3, "v": 1}])
     with pytest.raises(ValueError, match="string-typed"):
         grouping_sets_agg(ds2, ["a"], "v")
+
+
+def test_rolling_sum_per_key_matches_pandas(ray_session):
+    import pandas as pd
+
+    from hyperpolyglot_ray.stages.ordering import rolling_sum_per_key
+
+    rng = np.random.RandomState(13)
+    items = [
+        {
+            "k": int(rng.randint(0, 12)),
+            "t": int(rng.randint(0, 500)),
+            "i": i,  # unique tiebreak
+            "v": int(rng.randint(-20, 50)),
+        }
+        for i in range(1500)
+    ]
+    W = 4
+    out = rolling_sum_per_key(
+        _ds(items).repartition(6), "k", "t", "v", "i", window=W, n_buckets=8
+    ).take_all()
+    df = pd.DataFrame(items).sort_values(["k", "t", "i"]).reset_index(drop=True)
+    df["rolling_sum"] = (
+        df.groupby("k")["v"].rolling(W, min_periods=1).sum().reset_index(drop=True)
+    ).astype(int)
+    df["n_window"] = (
+        df.groupby("k")["v"].rolling(W, min_periods=1).count().reset_index(drop=True)
+    ).astype(int)
+    expect = {
+        (r.k, r.t, r.i): (r.rolling_sum, r.n_window) for r in df.itertuples()
+    }
+    assert len(out) == len(items)
+    for r in out:
+        assert (r["rolling_sum"], r["n_window"]) == expect[(r["k"], r["t"], r["i"])]
+
+
+def test_rolling_sum_per_key_window_one_and_guards(ray_session):
+    import pytest
+
+    from hyperpolyglot_ray.stages.ordering import rolling_sum_per_key
+
+    items = [{"k": 1, "t": j, "i": j, "v": j} for j in range(5)]
+    out = rolling_sum_per_key(_ds(items), "k", "t", "v", "i", window=1).take_all()
+    # window=1: rolling sum is the value itself
+    assert sorted((r["t"], r["rolling_sum"], r["n_window"]) for r in out) == [
+        (j, j, 1) for j in range(5)
+    ]
+    with pytest.raises(ValueError, match="window"):
+        rolling_sum_per_key(_ds(items), "k", "t", "v", "i", window=0)
