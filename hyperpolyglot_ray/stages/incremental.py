@@ -456,6 +456,33 @@ def snapshot_diff(
     new_digests = new_ds.map_batches(
         digest_side("__new_digest"), batch_format="pyarrow", zero_copy_batch=True
     )
+
+    # Ray cannot infer a schema for a fully-empty mapped dataset (its
+    # limit-1 probe sees no rows), which would break the join's schema
+    # derivation — substitute a typed empty side so the first-ingest
+    # diff (empty old snapshot -> everything 'added') still works.
+    key_type = None
+    for src in (old_ds, new_ds):
+        s = src.schema()
+        if s is not None:
+            key_type = s.base_schema.field(key_col).type
+            break
+    if key_type is None:
+        raise ValueError(
+            "snapshot_diff: neither snapshot has an inferable schema "
+            "(both empty) — nothing to diff"
+        )
+
+    def _typed_or_empty(digests: ray.data.Dataset, name: str) -> ray.data.Dataset:
+        if digests.schema() is None:
+            empty = pa.schema(
+                [pa.field(key_col, key_type), pa.field(name, pa.binary(16))]
+            ).empty_table()
+            return ray.data.from_arrow(empty)
+        return digests
+
+    old_digests = _typed_or_empty(old_digests, "__old_digest")
+    new_digests = _typed_or_empty(new_digests, "__new_digest")
     joined = hash_join(
         old_digests,
         new_digests,

@@ -637,3 +637,23 @@ def test_rolling_sum_per_key_window_one_and_guards(ray_session):
     ]
     with pytest.raises(ValueError, match="window"):
         rolling_sum_per_key(_ds(items), "k", "t", "v", "i", window=0)
+
+
+def test_snapshot_diff_empty_side(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.incremental import snapshot_diff
+
+    # first-ingest: empty old snapshot -> everything 'added' (Ray cannot
+    # infer a schema for an empty mapped dataset; the stage substitutes
+    # a typed empty side)
+    empty = ray.data.from_arrow(
+        pa.table(
+            {"k": pa.array([], type=pa.int64()), "text": pa.array([], type=pa.string())}
+        )
+    )
+    new = _ds([{"k": 1, "text": "a"}, {"k": 2, "text": "b"}])
+    out = snapshot_diff(empty, new, "k", n_buckets=4).take_all()
+    assert {r["k"]: r["status"] for r in out} == {1: "added", 2: "added"}
+    gone = snapshot_diff(new, empty, "k", n_buckets=4).take_all()
+    assert {r["k"]: r["status"] for r in gone} == {1: "removed", 2: "removed"}
