@@ -862,6 +862,44 @@ def _q_events_rolling_sum(sf_dir: str):
     return rolling_sum_per_key(ev, "user_id", "ts", "value_milli", "event_id", window=4)
 
 
+def _q_events_props_sum(sf_dir: str):
+    import pyarrow as pa
+    import ray.data
+
+    from hyperpolyglot_ray.stages.semistructured import json_extract_col
+
+    # JSON property-bag extraction (vectorized polars kernel), then a
+    # per-type count+sum with per-batch partials before the tiny groupby
+    ev = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+    ex = json_extract_col(ev, "props", "$.k", "k", pa.int64())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["event_type", "k"])
+            .group_by(["event_type"])
+            .aggregate([("k", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(["event_type", "__s", "__c"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n_events": batch.column("sum(__c)"),
+                "sum_k": batch.column("sum(__s)"),
+            }
+        )
+
+    return (
+        ex.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .sum(["__s", "__c"])
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
 def _q_files_secrets(sf_dir: str):
     from hyperpolyglot_ray.stages.secrets import scan_secrets
 
@@ -1457,6 +1495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 4 (never driver-checked) ---
         "events_funnel": _q_events_funnel,
         "events_rolling_sum": _q_events_rolling_sum,
+        "events_props_sum": _q_events_props_sum,
         "doc_snapshot_diff": _q_doc_snapshot_diff,
         "doc_rollup": _q_doc_rollup,
         "customer_semi_join": _q_customer_semi_join,
@@ -1777,6 +1816,13 @@ FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
             "  CAST(floor(value * 1000) AS BIGINT) AS value_milli FROM events)"
             " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id"
             "  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+        ),
+        # mirrors stages/semistructured.py:json_extract_col — DuckDB's
+        # ->> is json_extract_string; nulls/misses on both sides are NULL
+        "events_props_sum": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,"
+            " CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k"
+            " FROM events GROUP BY event_type"
         ),
         # same derived snapshots as _q_doc_snapshot_diff; digest equality
         # on the Ray side == text equality here

@@ -1,0 +1,79 @@
+"""Semi-structured (JSON) column extraction — SURVEY.md §2.8's json
+scalar-function family over an event log's property-bag column.
+
+Web-scale event tables almost always carry a JSON string column
+(`events.props` here); the first thing every pipeline does with it is
+extract one typed field. The kernel must be vectorized — a `json.loads`
+per row is a Python-loop hot stage, exactly what this repo bans — so
+extraction goes through polars' Rust `str.json_path_match` kernel
+(zero-copy in/out via Arrow). A pure-Python fallback exists only for
+environments without polars and is clearly second-class.
+
+Map-only: no shuffle, no state; compose with any downstream aggregate.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+try:  # polars is baked into this environment; guard per repo policy
+    import polars as _pl
+except ImportError:  # pragma: no cover - exercised only without polars
+    _pl = None
+
+
+def _extract_strings(col: pa.ChunkedArray | pa.Array, path: str) -> pa.Array:
+    """JSONPath match per value -> string array (null on miss/null)."""
+    if _pl is not None:
+        s = _pl.from_arrow(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        )
+        out = s.str.json_path_match(path).to_arrow()
+        return out.cast(pa.string())
+    # fallback: per-row json.loads (slow; only without polars)
+    import json
+
+    if not path.startswith("$."):
+        raise ValueError(f"unsupported JSONPath {path!r}")
+    keys = path[2:].split(".")
+    vals = []
+    for v in col.to_pylist():
+        if v is None:
+            vals.append(None)
+            continue
+        try:
+            cur = json.loads(v)
+            for k in keys:
+                cur = cur[k]
+            vals.append(None if cur is None else str(cur))
+        except (ValueError, KeyError, TypeError):
+            vals.append(None)
+    return pa.array(vals, type=pa.string())
+
+
+def json_extract_col(
+    ds: ray.data.Dataset,
+    json_col: str,
+    path: str,
+    out_col: str,
+    out_type: pa.DataType | None = None,
+) -> ray.data.Dataset:
+    """Append ``out_col`` = the JSONPath ``path`` match extracted from
+    the JSON-string column ``json_col`` — SQL
+    ``json_extract_string(col, path)`` (DuckDB ``col ->> path``), with
+    an optional cast (``CAST(... AS type)``). Missing paths, JSON nulls
+    and null inputs all yield NULL, matching the SQL function.
+
+    Map-only and vectorized (polars Rust kernel over Arrow buffers —
+    the JSON string column never round-trips through Python objects).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        extracted = _extract_strings(batch.column(json_col), path)
+        if out_type is not None:
+            extracted = extracted.cast(out_type)
+        return batch.append_column(out_col, extracted)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

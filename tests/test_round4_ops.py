@@ -657,3 +657,48 @@ def test_snapshot_diff_empty_side(ray_session):
     assert {r["k"]: r["status"] for r in out} == {1: "added", 2: "added"}
     gone = snapshot_diff(new, empty, "k", n_buckets=4).take_all()
     assert {r["k"]: r["status"] for r in gone} == {1: "removed", 2: "removed"}
+
+
+def test_json_extract_col_paths_and_nulls(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.semistructured import json_extract_col
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "j": pa.array(
+                [
+                    '{"k": 7, "s": "hi"}',
+                    '{"k": null}',
+                    '{"other": 1}',
+                    None,
+                    '{"nested": {"k": 9}}',
+                ]
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = json_extract_col(ds, "j", "$.k", "k", pa.int64()).take_all()
+    got = {r["id"]: r["k"] for r in out}
+    assert got == {1: 7, 2: None, 3: None, 4: None, 5: None}
+    nested = json_extract_col(ds, "j", "$.nested.k", "nk", pa.int64()).take_all()
+    assert {r["id"]: r["nk"] for r in nested} == {
+        1: None, 2: None, 3: None, 4: None, 5: 9
+    }
+    s = json_extract_col(ds, "j", "$.s", "s_out").take_all()
+    assert {r["id"]: r["s_out"] for r in s}[1] == "hi"
+
+
+def test_json_extract_fallback_matches_polars(ray_session):
+    from hyperpolyglot_ray.stages import semistructured as ss
+
+    col = pa.array(['{"k": 3}', '{"k": null}', None, '{"x": 1}', '{"k": -12}'])
+    fast = ss._extract_strings(col, "$.k").to_pylist()
+    saved = ss._pl
+    try:
+        ss._pl = None
+        slow = ss._extract_strings(col, "$.k").to_pylist()
+    finally:
+        ss._pl = saved
+    assert fast == slow == ["3", None, None, None, "-12"]
