@@ -900,6 +900,20 @@ def _q_events_props_sum(sf_dir: str):
     )
 
 
+def _q_files_todo_extract(sf_dir: str):
+    from hyperpolyglot_ray.stages.semistructured import regexp_extract_rows
+
+    # flat-map explosion: one row per TODO/FIXME marker in the corpus
+    ds, _ = _files_ds(sf_dir)
+    return regexp_extract_rows(
+        ds.select_columns(["path", "content"]),
+        "content",
+        r"(?:TODO|FIXME)[^\n]*",
+        "todo",
+        ["path"],
+    )
+
+
 def _q_files_secrets(sf_dir: str):
     from hyperpolyglot_ray.stages.secrets import scan_secrets
 
@@ -1496,6 +1510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": _q_events_funnel,
         "events_rolling_sum": _q_events_rolling_sum,
         "events_props_sum": _q_events_props_sum,
+        "files_todo_extract": _q_files_todo_extract,
         "doc_snapshot_diff": _q_doc_snapshot_diff,
         "doc_rollup": _q_doc_rollup,
         "customer_semi_join": _q_customer_semi_join,
@@ -1953,6 +1968,13 @@ FROM f""",
             " CAST(l_discount AS DOUBLE) FROM lineitem"
             " UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',"
             " CAST(l_tax AS DOUBLE) FROM lineitem"
+        ),
+        # mirrors stages/semistructured.py:regexp_extract_rows — RE2 and
+        # the Rust regex crate agree on this pattern subset
+        "files_todo_extract": (
+            "SELECT path, unnest(regexp_extract_all(content,"
+            r" '(?:TODO|FIXME)[^\n]*')) AS todo"
+            f" FROM read_parquet('{files}')"
         ),
         "files_secrets": (
             f"SELECT path, {_sec_names},"

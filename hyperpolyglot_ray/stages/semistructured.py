@@ -77,3 +77,51 @@ def json_extract_col(
         return batch.append_column(out_col, extracted)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def regexp_extract_rows(
+    ds: ray.data.Dataset,
+    text_col: str,
+    pattern: str,
+    out_col: str,
+    keep_cols: list[str],
+) -> ray.data.Dataset:
+    """Row explosion by regex: one output row per MATCH of ``pattern``
+    in ``text_col``, carrying ``keep_cols`` — SQL
+    ``SELECT keep, unnest(regexp_extract_all(text, pattern)) FROM t``.
+    The flat-map/unnest primitive behind comment mining (TODO/FIXME
+    audits), link extraction and marker harvesting over a code corpus.
+
+    Vectorized end to end: polars' Rust ``str.extract_all`` produces an
+    Arrow list column in one kernel call; ``pc.list_parent_indices`` +
+    ``take`` replicate the kept columns; no Python loop over rows or
+    matches. Null text and zero-match rows contribute no output rows
+    (SQL unnest semantics). Map-only — the explosion never exceeds a
+    block, so blocks stay bounded regardless of corpus size.
+
+    ``pattern`` must be valid for BOTH the Rust regex crate (this side)
+    and RE2 (a DuckDB oracle) — stick to the common subset (no
+    backreferences or lookaround; both engines reject them anyway).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if _pl is not None:
+            s = _pl.from_arrow(
+                col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            )
+            lists = s.str.extract_all(pattern).to_arrow()
+        else:  # pragma: no cover - exercised only without polars
+            import re
+
+            rx = re.compile(pattern)
+            lists = pa.array(
+                [None if v is None else rx.findall(v) for v in col.to_pylist()],
+                type=pa.large_list(pa.large_string()),
+            )
+        parents = pc.list_parent_indices(lists)
+        flat = pc.list_flatten(lists)
+        kept = batch.select(keep_cols).take(parents)
+        return kept.append_column(out_col, flat.cast(pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

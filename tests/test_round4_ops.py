@@ -702,3 +702,76 @@ def test_json_extract_fallback_matches_polars(ray_session):
     finally:
         ss._pl = saved
     assert fast == slow == ["3", None, None, None, "-12"]
+
+
+def test_regexp_extract_rows_explosion(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.semistructured import regexp_extract_rows
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "txt": pa.array(
+                [
+                    "# TODO: one\ncode\n# FIXME: two",
+                    "no markers here",
+                    None,
+                    "TODO a TODO b",  # two matches on ONE line: first eats to EOL
+                ]
+            ),
+        }
+    )
+    out = regexp_extract_rows(
+        ray.data.from_arrow(t).repartition(2),
+        "txt",
+        r"(?:TODO|FIXME)[^\n]*",
+        "m",
+        ["id"],
+    ).take_all()
+    got = sorted((r["id"], r["m"]) for r in out)
+    assert got == [
+        (1, "FIXME: two"),
+        (1, "TODO: one"),
+        (4, "TODO a TODO b"),
+    ]
+
+
+def test_regexp_extract_rows_fallback_parity(ray_session):
+    import re
+
+    import ray.data
+
+    from hyperpolyglot_ray.stages import semistructured as ss
+
+    texts = ["x TODO p\nFIXME q", "none", None, "FIXME\nTODO"]
+    t = pa.table({"i": pa.array(range(4), type=pa.int64()), "txt": pa.array(texts)})
+    pat = r"(?:TODO|FIXME)[^\n]*"
+    fast = sorted(
+        (r["i"], r["m"])
+        for r in regexp_extract_rows_take(ss, t, pat)
+    )
+    saved = ss._pl
+    try:
+        ss._pl = None
+        slow = sorted(
+            (r["i"], r["m"])
+            for r in regexp_extract_rows_take(ss, t, pat)
+        )
+    finally:
+        ss._pl = saved
+    expect = sorted(
+        (i, m)
+        for i, txt in enumerate(texts)
+        if txt is not None
+        for m in re.findall(pat, txt)
+    )
+    assert fast == slow == expect
+
+
+def regexp_extract_rows_take(ss, t, pat):
+    import ray.data
+
+    return ss.regexp_extract_rows(
+        ray.data.from_arrow(t), "txt", pat, "m", ["i"]
+    ).take_all()
