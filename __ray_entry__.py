@@ -914,6 +914,19 @@ def _q_files_todo_extract(sf_dir: str):
     )
 
 
+def _q_events_value_histogram(sf_dir: str):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.profile import grouped_histogram
+
+    # 20 equal-width bins over [0, 500) per event type; step=25.0 is
+    # exactly representable so the bin arithmetic hashes identically
+    ev = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return grouped_histogram(ev, "value", 0.0, 500.0, 20, key_col="event_type")
+
+
 def _q_files_secrets(sf_dir: str):
     from hyperpolyglot_ray.stages.secrets import scan_secrets
 
@@ -1511,6 +1524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_sum": _q_events_rolling_sum,
         "events_props_sum": _q_events_props_sum,
         "files_todo_extract": _q_files_todo_extract,
+        "events_value_histogram": _q_events_value_histogram,
         "doc_snapshot_diff": _q_doc_snapshot_diff,
         "doc_rollup": _q_doc_rollup,
         "customer_semi_join": _q_customer_semi_join,
@@ -1832,6 +1846,20 @@ FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
             " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id"
             "  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
         ),
+        # mirrors stages/profile.py:grouped_histogram op-for-op: same
+        # single-op float64 bin expression, clamp via LEAST/GREATEST
+        "events_value_histogram": r"""
+WITH b AS (
+  SELECT event_type,
+         CAST(LEAST(GREATEST(floor((value - 0.0) / 25.0), 0), 19) AS BIGINT)
+           AS bin
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, bin,
+       0.0 + CAST(bin AS DOUBLE) * 25.0 AS bin_lo,
+       0.0 + (CAST(bin AS DOUBLE) + 1.0) * 25.0 AS bin_hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY event_type, bin""",
         # mirrors stages/semistructured.py:json_extract_col — DuckDB's
         # ->> is json_extract_string; nulls/misses on both sides are NULL
         "events_props_sum": (

@@ -247,3 +247,76 @@ def profile_columns(
             }
         )
     )
+
+
+def grouped_histogram(
+    ds: "ray.data.Dataset",
+    val_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    key_col: str | None = None,
+) -> "ray.data.Dataset":
+    """Fixed-bin histogram of ``val_col`` (optionally per ``key_col``):
+    equal-width bins over ``[lo, hi)``, out-of-range values clamped into
+    the edge bins, nulls skipped. The distribution-profiling primitive
+    behind data-drift checks and quality-score dashboards.
+
+    Bin assignment is ``clamp(floor((v - lo) / step), 0, n_bins - 1)``
+    in float64 — a single subtraction, division and floor, so a SQL
+    oracle computing the same expression bins identically (IEEE ops,
+    no accumulation). Empty bins are not emitted (GROUP BY semantics).
+
+    Topology: per-batch vectorized binning + Arrow hash-aggregate
+    partials (at most keys x n_bins rows per batch), one tiny groupby
+    sum, then a map-only finish that attaches bin bounds
+    (``bin_lo = lo + bin * step``, same single-op arithmetic both
+    sides). Output: [key_col,] bin, bin_lo, bin_hi, n.
+    """
+    if n_bins < 1 or not (hi > lo):
+        raise ValueError("grouped_histogram: need n_bins >= 1 and hi > lo")
+    step = (hi - lo) / n_bins
+    keys = [key_col] if key_col else []
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = keys + [val_col]
+        t = batch.select(cols)
+        v = t.column(val_col)
+        if v.null_count:
+            mask = pc.is_valid(v)
+            t = t.filter(mask)
+            v = t.column(val_col)
+        vn = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.clip(
+            np.floor((vn - lo) / step), 0, n_bins - 1
+        ).astype(np.int64)
+        g = (
+            t.drop_columns([val_col])
+            .append_column("bin", pa.array(b, type=pa.int64()))
+            .group_by(keys + ["bin"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(keys + ["bin", "__n"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        b = batch.column("bin")
+        bf = b.cast(pa.float64())
+        bin_lo = pc.add(pa.scalar(lo), pc.multiply(bf, pa.scalar(step)))
+        bin_hi = pc.add(
+            pa.scalar(lo),
+            pc.multiply(pc.add(bf, pa.scalar(1.0)), pa.scalar(step)),
+        )
+        out = {k: batch.column(k) for k in keys}
+        out["bin"] = b
+        out["bin_lo"] = bin_lo
+        out["bin_hi"] = bin_hi
+        out["n"] = batch.column("sum(__n)")
+        return pa.table(out)
+
+    return (
+        ds.select_columns(keys + [val_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(keys + ["bin"] if keys else "bin")
+        .sum("__n")
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )

@@ -775,3 +775,44 @@ def regexp_extract_rows_take(ss, t, pat):
     return ss.regexp_extract_rows(
         ray.data.from_arrow(t), "txt", pat, "m", ["i"]
     ).take_all()
+
+
+def test_grouped_histogram_binning_and_clamp(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.profile import grouped_histogram
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "a", "b", "b", "b", "b"]),
+            "v": pa.array([-5.0, 0.0, 9.999, 10.0, 25.0, 99.0, None]),
+        }
+    )
+    # 10 bins over [0, 100): -5 clamps into bin 0, 99 lands in bin 9,
+    # null skipped
+    out = grouped_histogram(
+        ray.data.from_arrow(t).repartition(3), "v", 0.0, 100.0, 10, key_col="k"
+    ).take_all()
+    got = {(r["k"], r["bin"]): (r["n"], r["bin_lo"], r["bin_hi"]) for r in out}
+    assert got == {
+        ("a", 0): (3, 0.0, 10.0),
+        ("b", 1): (1, 10.0, 20.0),
+        ("b", 2): (1, 20.0, 30.0),
+        ("b", 9): (1, 90.0, 100.0),
+    }
+
+
+def test_grouped_histogram_global_and_guards(ray_session):
+    import pytest
+
+    from hyperpolyglot_ray.stages.profile import grouped_histogram
+
+    items = [{"v": float(i)} for i in range(100)]
+    out = grouped_histogram(_ds(items).repartition(4), "v", 0.0, 100.0, 4).take_all()
+    assert sorted((r["bin"], r["n"]) for r in out) == [
+        (0, 25), (1, 25), (2, 25), (3, 25)
+    ]
+    with pytest.raises(ValueError, match="n_bins"):
+        grouped_histogram(_ds(items), "v", 0.0, 100.0, 0)
+    with pytest.raises(ValueError):
+        grouped_histogram(_ds(items), "v", 5.0, 5.0, 4)
