@@ -287,6 +287,13 @@ def grouped_histogram(
             t = t.filter(mask)
             v = t.column(val_col)
         vn = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        if np.isnan(vn).any():
+            # NaN is not NULL: floor(NaN)->NaN has no defined bin (and a
+            # SQL CAST would error) — surface it instead of binning garbage
+            raise ValueError(
+                f"grouped_histogram: NaN values in {val_col!r}; "
+                "filter or impute them upstream"
+            )
         b = np.clip(
             np.floor((vn - lo) / step), 0, n_bins - 1
         ).astype(np.int64)

@@ -816,3 +816,13 @@ def test_grouped_histogram_global_and_guards(ray_session):
         grouped_histogram(_ds(items), "v", 0.0, 100.0, 0)
     with pytest.raises(ValueError):
         grouped_histogram(_ds(items), "v", 5.0, 5.0, 4)
+
+
+def test_grouped_histogram_rejects_nan(ray_session):
+    import pytest
+
+    from hyperpolyglot_ray.stages.profile import grouped_histogram
+
+    items = [{"v": 1.0}, {"v": float("nan")}]
+    with pytest.raises(Exception, match="NaN"):
+        grouped_histogram(_ds(items), "v", 0.0, 10.0, 5).take_all()
