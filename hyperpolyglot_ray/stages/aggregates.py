@@ -1151,16 +1151,26 @@ def grouping_sets_agg(
     re-aggregated sums are exact under any reduction order.
     """
     if sets is None:
-        # the full cube, most-specific first
-        sets = [tuple(dims)] + [
-            tuple(d for d in dims if d != drop) for drop in dims
-        ] + [()]
+        # the full cube, most-specific first (for 1 dim the drop-one set
+        # IS the empty set — emitting it from both rules would silently
+        # double-count the global row, which the duplicate guard rejects)
+        sets = [tuple(dims)]
+        if len(dims) > 1:
+            sets += [tuple(d for d in dims if d != drop) for drop in dims]
+        sets += [()]
         if len(dims) > 2:
             raise ValueError("default cube only generated for <= 2 dims; pass sets=")
+    seen_sets = set()
     for s in sets:
         unknown = set(s) - set(dims)
         if unknown:
             raise ValueError(f"grouping set {s} references unknown dims {unknown}")
+        canon = frozenset(s)
+        if len(canon) != len(s) or canon in seen_sets:
+            # a duplicate set's partials would MERGE in the final sum and
+            # silently double-count — SQL allows duplicates, this op doesn't
+            raise ValueError(f"duplicate grouping set {s}")
+        seen_sets.add(canon)
 
     schema = ds.schema().base_schema
     for d in dims:

@@ -826,3 +826,28 @@ def test_grouped_histogram_rejects_nan(ray_session):
     items = [{"v": 1.0}, {"v": float("nan")}]
     with pytest.raises(Exception, match="NaN"):
         grouped_histogram(_ds(items), "v", 0.0, 10.0, 5).take_all()
+
+
+def test_grouping_sets_agg_rejects_duplicate_sets(ray_session):
+    import pytest
+
+    from hyperpolyglot_ray.stages.aggregates import grouping_sets_agg
+
+    ds = _ds([{"a": "x", "b": "y", "v": 1}])
+    with pytest.raises(ValueError, match="duplicate grouping set"):
+        grouping_sets_agg(ds, ["a", "b"], "v", sets=[("a",), ("a",)])
+    with pytest.raises(ValueError, match="duplicate grouping set"):
+        grouping_sets_agg(ds, ["a", "b"], "v", sets=[("a", "b"), ("b", "a")])
+    with pytest.raises(ValueError, match="duplicate grouping set"):
+        grouping_sets_agg(ds, ["a", "b"], "v", sets=[("a", "a")])
+
+
+def test_grouping_sets_agg_single_dim_default_cube(ray_session):
+    from hyperpolyglot_ray.stages.aggregates import grouping_sets_agg
+
+    items = [{"a": "x", "v": 2}, {"a": "x", "v": 3}, {"a": "y", "v": 5}]
+    out = grouping_sets_agg(_ds(items).repartition(2), ["a"], "v").take_all()
+    got = {r["a"]: (r["n_rows"], r["sum_val"]) for r in out}
+    # the global row must appear ONCE with the true totals (a duplicate
+    # empty set in the default cube would have doubled it)
+    assert got == {"x": (2, 5), "y": (1, 5), None: (3, 10)}
