@@ -851,3 +851,67 @@ def test_grouping_sets_agg_single_dim_default_cube(ray_session):
     # the global row must appear ONCE with the true totals (a duplicate
     # empty set in the default cube would have doubled it)
     assert got == {"x": (2, 5), "y": (1, 5), None: (3, 10)}
+
+
+def test_session2_ops_layout_invariance(ray_session):
+    """Block layout must never change results for the late-round-4 ops:
+    funnel, rolling sum, grouping sets, histogram, snapshot diff, json
+    extraction and regex explosion, each run under two partitionings."""
+    from hyperpolyglot_ray.stages.aggregates import grouping_sets_agg
+    from hyperpolyglot_ray.stages.incremental import snapshot_diff
+    from hyperpolyglot_ray.stages.ordering import rolling_sum_per_key
+    from hyperpolyglot_ray.stages.profile import grouped_histogram
+    from hyperpolyglot_ray.stages.semistructured import (
+        json_extract_col,
+        regexp_extract_rows,
+    )
+    from hyperpolyglot_ray.stages.windows import funnel_per_key
+
+    rng = np.random.RandomState(41)
+    types = ["view", "click", "purchase", "other"]
+    items = [
+        {
+            "k": int(rng.randint(0, 15)),
+            "ts": int(rng.randint(0, 300)),
+            "eid": i,
+            "x": int(rng.randint(0, 100)),
+            "e": types[int(rng.randint(0, 4))],
+            "s": f"a{int(rng.randint(0, 3))}",
+            "j": '{"k": %d}' % int(rng.randint(0, 50)),
+            "txt": ("TODO t%d\nbody" % i) if i % 3 == 0 else "clean",
+        }
+        for i in range(800)
+    ]
+
+    def norm(rows):
+        # repr sort key: nullable outputs (funnel t_*, rollup dims) make
+        # raw tuples unorderable; equality still compares raw values
+        return sorted(
+            (tuple(sorted(r.items())) for r in rows), key=repr
+        )
+
+    for build in (
+        lambda ds: funnel_per_key(
+            ds, "k", "ts", "e", ["view", "click", "purchase"], n_buckets=8
+        ),
+        lambda ds: rolling_sum_per_key(
+            ds, "k", "ts", "x", "eid", window=5, n_buckets=8
+        ),
+        lambda ds: grouping_sets_agg(ds, ["s", "e"], "x"),
+        lambda ds: grouped_histogram(ds, "x", 0.0, 100.0, 8, key_col="s"),
+        lambda ds: json_extract_col(ds, "j", "$.k", "jk", pa.int64()).select_columns(
+            ["eid", "jk"]
+        ),
+        lambda ds: regexp_extract_rows(ds, "txt", r"TODO[^\n]*", "m", ["eid"]),
+    ):
+        a = norm(build(_ds(items).repartition(3)).take_all())
+        b = norm(build(_ds(items).repartition(19)).take_all())
+        assert a == b and len(a) > 0
+
+    old = _ds([{"kk": i, "text": f"t{i}"} for i in range(60)])
+    new = _ds(
+        [{"kk": i, "text": (f"t{i}" if i % 4 else "mut")} for i in range(5, 70)]
+    )
+    a = norm(snapshot_diff(old.repartition(2), new.repartition(3), "kk").take_all())
+    b = norm(snapshot_diff(old.repartition(11), new.repartition(7), "kk").take_all())
+    assert a == b and len(a) > 0
