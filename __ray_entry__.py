@@ -927,6 +927,14 @@ def _q_events_value_histogram(sf_dir: str):
     return grouped_histogram(ev, "value", 0.0, 500.0, 20, key_col="event_type")
 
 
+def _q_doc_collocations(sf_dir: str):
+    from hyperpolyglot_ray.stages.text_ops import bigram_collocations
+
+    # top-50 PMI-ranked adjacent bigrams; exact-division score, no ln()
+    docs = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
+    return bigram_collocations(docs, top_k=50, min_count=2)
+
+
 def _q_files_secrets(sf_dir: str):
     from hyperpolyglot_ray.stages.secrets import scan_secrets
 
@@ -1525,6 +1533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_sum": _q_events_props_sum,
         "files_todo_extract": _q_files_todo_extract,
         "events_value_histogram": _q_events_value_histogram,
+        "doc_collocations": _q_doc_collocations,
         "doc_snapshot_diff": _q_doc_snapshot_diff,
         "doc_rollup": _q_doc_rollup,
         "customer_semi_join": _q_customer_semi_join,
@@ -1846,6 +1855,23 @@ FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
             " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id"
             "  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
         ),
+        # mirrors stages/text_ops.py:bigram_collocations — same token
+        # spec as doc_vocab; PMI ranking realized as the exact
+        # n_ab/(n_a*n_b) division (the ln() is monotone and dropped)
+        "doc_collocations": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(tl) AS tok, unnest(range(1, len(tl) + 1)) AS pos
+  FROM (SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0b\f\r]+') AS tl
+        FROM documents)
+),
+uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+big AS (SELECT a.tok AS w1, b.tok AS w2, CAST(count(*) AS BIGINT) AS n_ab
+        FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY a.tok, b.tok HAVING count(*) >= 2)
+SELECT w1, w2, n_ab, u1.n AS n_w1, u2.n AS n_w2,
+       CAST(n_ab AS DOUBLE) / CAST(u1.n * u2.n AS DOUBLE) AS score
+FROM big JOIN uni u1 ON big.w1 = u1.tok JOIN uni u2 ON big.w2 = u2.tok
+ORDER BY score DESC, w1 ASC, w2 ASC LIMIT 50""",
         # mirrors stages/profile.py:grouped_histogram op-for-op: same
         # single-op float64 bin expression, clamp via LEAST/GREATEST
         "events_value_histogram": r"""

@@ -1394,3 +1394,249 @@ def vocab_stats(
             }
         )
     )
+
+
+def bigram_collocations(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    top_k: int = 50,
+    min_count: int = 2,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Corpus collocations: the ``top_k`` adjacent token bigrams ranked
+    by PMI — pointwise mutual information, ln(p(ab) / (p(a)·p(b))).
+    Phrase mining / multi-word-expression detection for tokenizer and
+    vocabulary construction.
+
+    Ranking detail that makes the result hash-exact: PMI's corpus-size
+    factors N²/N_bigrams are constant across bigrams, so ranking by PMI
+    equals ranking by the exact ``score = n_ab / (n_a · n_b)`` — ONE
+    float64 division of int64-exact counts (no logarithm; ln() is only
+    libm-reproducible to the last ulp, a single division is bitwise
+    portable). Ties break on (w1, w2) ascending. ``min_count`` prunes
+    the singleton tail distributively (any value <= the true top-k
+    cutoff count is lossless for the ranking).
+
+    Topology: ONE corpus scan emits per-block partials with a unified
+    schema (kind 1 = unigram, kind 2 = bigram; token strings + their
+    64-bit hashes, counts) — bigrams pair up vectorized by shifting the
+    flattened token array one position inside document segments. The
+    global bigram reduce moves only fixed-width (hash, n) rows through
+    ``bucketed_group_reduce``; candidate strings are recovered with one
+    broadcast-``is_in`` re-scan of the materialized partials, and the
+    candidates' unigram counts with a second filtered re-scan + tiny
+    reduce — the same growing-cardinality discipline as ``vocab_stats``
+    (token/bigram strings never enter a shuffle). The driver holds only
+    the min_count-pruned candidate head. Hash collisions among
+    candidates are detected and raised (same spec as vocab_stats).
+
+    Output: (w1, w2, n_ab, n_w1, n_w2, score), score descending.
+    """
+    from .shuffle import bucketed_group_reduce
+
+    sep = "\x00"  # cannot occur inside a whitespace-split token... except
+    # via crafted content; the collision CHECK below still catches any
+    # (w1,w2) pair whose joined bytes collide
+
+    partial_schema = pa.schema(
+        [
+            pa.field("kind", pa.int8()),
+            pa.field("h", pa.int64()),
+            pa.field("w1", pa.string()),
+            pa.field("w2", pa.string()),
+            pa.field("n", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks_col = pc.ascii_split_whitespace(
+            pc.fill_null(pc.cast(batch.column(text_col), pa.string()), "")
+        )
+        if isinstance(toks_col, pa.ChunkedArray):
+            toks_col = toks_col.combine_chunks()
+        flat = pc.list_flatten(toks_col)
+        lens = pc.list_value_length(toks_col).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "")
+        flat = pc.filter(flat, keep)
+        doc_idx = doc_idx[keep.to_numpy(zero_copy_only=False)]
+        if len(flat) == 0:
+            return partial_schema.empty_table()
+        # unigram partial
+        uni = (
+            pa.table({"t": flat}).group_by("t").aggregate([([], "count_all")])
+        ).rename_columns(["t", "n"])
+        ut = uni.column("t")
+        ut = ut.combine_chunks() if isinstance(ut, pa.ChunkedArray) else ut
+        uni_tab = pa.table(
+            {
+                "kind": pa.array(np.full(uni.num_rows, 1, dtype=np.int8)),
+                "h": pa.array(
+                    _hash_string_array(ut).astype(np.int64), type=pa.int64()
+                ),
+                "w1": ut,
+                "w2": pa.nulls(uni.num_rows, pa.string()),
+                "n": uni.column("n").cast(pa.int64()),
+            }
+        )
+        # bigram partial: adjacent pairs within the same document
+        same_doc = doc_idx[1:] == doc_idx[:-1]
+        if same_doc.any():
+            mask = pa.array(same_doc)
+            w1 = flat.slice(0, len(flat) - 1).filter(mask)
+            w2 = flat.slice(1).filter(mask)
+            big = (
+                pa.table({"w1": w1, "w2": w2})
+                .group_by(["w1", "w2"])
+                .aggregate([([], "count_all")])
+            ).rename_columns(["w1", "w2", "n"])
+            b1 = big.column("w1")
+            b1 = b1.combine_chunks() if isinstance(b1, pa.ChunkedArray) else b1
+            b2 = big.column("w2")
+            b2 = b2.combine_chunks() if isinstance(b2, pa.ChunkedArray) else b2
+            joined = pc.binary_join_element_wise(b1, b2, sep)
+            big_tab = pa.table(
+                {
+                    "kind": pa.array(np.full(big.num_rows, 2, dtype=np.int8)),
+                    "h": pa.array(
+                        _hash_string_array(joined).astype(np.int64),
+                        type=pa.int64(),
+                    ),
+                    "w1": b1,
+                    "w2": b2,
+                    "n": big.column("n").cast(pa.int64()),
+                }
+            )
+            return pa.concat_tables([uni_tab.cast(partial_schema), big_tab.cast(partial_schema)])
+        return uni_tab.cast(partial_schema)
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def bigram_rows(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(batch.column("kind"), pa.scalar(2, type=pa.int8()))
+        ).select(["h", "n"])
+
+    reduced = bucketed_group_reduce(
+        partials.map_batches(
+            bigram_rows, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "h",
+        [("n", "sum")],
+        n_buckets=n_buckets,
+    )
+    if min_count > 1:
+
+        def prune(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.greater_equal(batch.column("sum(n)"), min_count)
+            )
+
+        reduced = reduced.map_batches(
+            prune, batch_format="pyarrow", zero_copy_batch=True
+        )
+    cand = reduced.take_all()  # min_count-pruned candidate head only
+    out_schema = pa.schema(
+        [
+            pa.field("w1", pa.string()),
+            pa.field("w2", pa.string()),
+            pa.field("n_ab", pa.int64()),
+            pa.field("n_w1", pa.int64()),
+            pa.field("n_w2", pa.int64()),
+            pa.field("score", pa.float64()),
+        ]
+    )
+    if not cand:
+        return ray.data.from_arrow(out_schema.empty_table())
+    nab = {r["h"]: r["sum(n)"] for r in cand}
+    cand_set = pa.array(sorted(nab), type=pa.int64())
+
+    # ONE re-scan recovers candidate bigram strings (broadcast is_in)
+    def recover(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.equal(batch.column("kind"), pa.scalar(2, type=pa.int8()))
+        )
+        keep = pc.is_in(b.column("h"), value_set=cand_set)
+        return b.select(["h", "w1", "w2"]).filter(keep)
+
+    pairs: dict[int, tuple[str, str]] = {}
+    for b in partials.map_batches(
+        recover, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for h, w1, w2 in zip(
+            b.column("h").to_pylist(),
+            b.column("w1").to_pylist(),
+            b.column("w2").to_pylist(),
+        ):
+            prev = pairs.setdefault(h, (w1, w2))
+            if prev != (w1, w2):
+                raise RuntimeError(
+                    f"64-bit bigram-hash collision among candidates: "
+                    f"{prev!r} vs {(w1, w2)!r}"
+                )
+
+    # second filtered re-scan + tiny reduce: unigram counts for the
+    # candidates' token set only
+    tok_hashes = sorted(
+        {
+            int(h)
+            for w1, w2 in pairs.values()
+            for h in _hash_string_array(pa.array([w1, w2])).astype(np.int64)
+        }
+    )
+    tok_set = pa.array(tok_hashes, type=pa.int64())
+
+    def uni_rows(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.equal(batch.column("kind"), pa.scalar(1, type=pa.int8()))
+        )
+        keep = pc.is_in(b.column("h"), value_set=tok_set)
+        return b.select(["h", "w1", "n"]).filter(keep)
+
+    uni_reduced = bucketed_group_reduce(
+        partials.map_batches(
+            uni_rows, batch_format="pyarrow", zero_copy_batch=True
+        ).map_batches(
+            lambda b: b.select(["h", "n"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        "h",
+        [("n", "sum")],
+        n_buckets=8,
+    )
+    ucount = {r["h"]: r["sum(n)"] for r in uni_reduced.take_all()}
+
+    hcache: dict[str, int] = {}
+
+    def th(w: str) -> int:
+        if w not in hcache:
+            hcache[w] = int(
+                _hash_string_array(pa.array([w])).astype(np.int64)[0]
+            )
+        return hcache[w]
+
+    rows = []
+    for h, (w1, w2) in pairs.items():
+        n_ab = int(nab[h])
+        n1 = int(ucount[th(w1)])
+        n2 = int(ucount[th(w2)])
+        # ONE float64 division of exact int64 products — bitwise portable
+        score = float(n_ab) / float(n1 * n2)
+        rows.append((w1, w2, n_ab, n1, n2, score))
+    rows.sort(key=lambda r: (-r[5], r[0], r[1]))
+    rows = rows[:top_k]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "w1": pa.array([r[0] for r in rows], type=pa.string()),
+                "w2": pa.array([r[1] for r in rows], type=pa.string()),
+                "n_ab": pa.array([r[2] for r in rows], type=pa.int64()),
+                "n_w1": pa.array([r[3] for r in rows], type=pa.int64()),
+                "n_w2": pa.array([r[4] for r in rows], type=pa.int64()),
+                "score": pa.array([r[5] for r in rows], type=pa.float64()),
+            }
+        )
+    )

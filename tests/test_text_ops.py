@@ -1142,3 +1142,68 @@ def test_normalize_text_canonicalizes(ray_session):
         assert got[i] == exp.lower(), (i, got[i], exp.lower())
     assert got[0] == "h\xe9llo world"
     assert got[4] == "\xa0 edge nbsp \xa0"
+
+
+def test_bigram_collocations_small_corpus(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.text_ops import bigram_collocations
+
+    # "new york" appears 3x and its tokens appear ONLY together -> top PMI;
+    # "the cat" also repeats but 'the' is frequent -> lower score
+    docs = [
+        {"text": "new york is big and the cat sat"},
+        {"text": "i love new york and the cat"},
+        {"text": "new york the end"},
+        {"text": "the dog the cat the bird"},
+    ]
+    out = bigram_collocations(
+        ray.data.from_items(docs).repartition(2), top_k=5, min_count=2
+    ).take_all()
+    assert out[0]["w1"] == "new" and out[0]["w2"] == "york"
+    assert out[0]["n_ab"] == 3 and out[0]["n_w1"] == 3 and out[0]["n_w2"] == 3
+    assert abs(out[0]["score"] - 3 / 9) < 1e-15
+    by_pair = {(r["w1"], r["w2"]): r for r in out}
+    assert ("the", "cat") in by_pair
+    tc = by_pair[("the", "cat")]
+    assert tc["n_ab"] == 3 and tc["score"] < out[0]["score"]
+    # scores strictly ordered, ties impossible in this fixture
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bigram_collocations_no_cross_doc_pairs(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.text_ops import bigram_collocations
+
+    # 'b' ends doc1 and 'c' starts doc2: (b,c) must NOT count as a bigram
+    docs = [{"text": "a b"}, {"text": "c a b"}, {"text": "c d"}]
+    out = bigram_collocations(
+        ray.data.from_items(docs).repartition(3), top_k=10, min_count=1
+    ).take_all()
+    pairs = {(r["w1"], r["w2"]) for r in out}
+    assert ("b", "c") not in pairs
+    assert ("a", "b") in pairs and ("c", "a") in pairs and ("c", "d") in pairs
+    ab = next(r for r in out if (r["w1"], r["w2"]) == ("a", "b"))
+    assert ab["n_ab"] == 2
+
+
+def test_bigram_collocations_layout_invariance(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.text_ops import bigram_collocations
+
+    rng = np.random.RandomState(17)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        {"text": " ".join(vocab[int(rng.randint(0, 30))] for _ in range(40))}
+        for _ in range(60)
+    ]
+    a = bigram_collocations(
+        ray.data.from_items(docs).repartition(2), top_k=20, min_count=2
+    ).take_all()
+    b = bigram_collocations(
+        ray.data.from_items(docs).repartition(13), top_k=20, min_count=2
+    ).take_all()
+    assert a == b and len(a) == 20
