@@ -935,6 +935,18 @@ def _q_doc_collocations(sf_dir: str):
     return bigram_collocations(docs, top_k=50, min_count=2)
 
 
+def _q_events_retention(sf_dir: str):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.windows import retention_cohorts
+
+    # cohort = first-activity week per user; retention triangle over
+    # (cohort_week, week_offset). Integer week math (positive epochs, so
+    # DuckDB's truncating // equals numpy's floor //)
+    ev = _read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return retention_cohorts(ev, "user_id", "ts")
+
+
 def _q_files_secrets(sf_dir: str):
     from hyperpolyglot_ray.stages.secrets import scan_secrets
 
@@ -1534,6 +1546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "files_todo_extract": _q_files_todo_extract,
         "events_value_histogram": _q_events_value_histogram,
         "doc_collocations": _q_doc_collocations,
+        "events_retention": _q_events_retention,
         "doc_snapshot_diff": _q_doc_snapshot_diff,
         "doc_rollup": _q_doc_rollup,
         "customer_semi_join": _q_customer_semi_join,
@@ -1855,6 +1868,17 @@ FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
             " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id"
             "  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
         ),
+        # mirrors stages/windows.py:retention_cohorts — integer week
+        # indices via epoch_us // week_us (positive epochs, so DuckDB's
+        # truncating // equals the floor division on the Ray side)
+        "events_retention": r"""
+WITH f AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+c AS (SELECT user_id, min(wk) AS cohort FROM f GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, wk FROM f)
+SELECT c.cohort AS cohort_week, a.wk - c.cohort AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a JOIN c ON a.user_id = c.user_id
+GROUP BY c.cohort, a.wk - c.cohort""",
         # mirrors stages/text_ops.py:bigram_collocations — same token
         # spec as doc_vocab; PMI ranking realized as the exact
         # n_ab/(n_a*n_b) division (the ln() is monotone and dropped)

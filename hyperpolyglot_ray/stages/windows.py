@@ -382,3 +382,103 @@ def funnel_per_key(
         .groupby("__bucket")
         .map_groups(funnel_bucket, batch_format="pyarrow")
     )
+
+
+_WEEK_US = 604_800_000_000  # 7 * 86400 * 1e6
+
+
+def retention_cohorts(
+    ds: ray.data.Dataset,
+    user_col: str,
+    ts_col: str,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Cohort retention: assign each user to the week of their FIRST
+    event (cohort_week = epoch_us // week), then count how many of each
+    cohort's users were active k weeks later — the product-analytics
+    retention triangle, and over an ingest log the "sources still
+    contributing k weeks after onboarding" audit.
+
+    Week indices are exact integer floor divisions of the microsecond
+    epoch (no float date math), so the SQL oracle
+    (``epoch_us(ts) // 604800000000``) matches bitwise.
+
+    Topology: one map-only pass reduces events to per-block DISTINCT
+    (user, week) pairs (a large reduction on any real log), then ONE
+    bucketed shuffle by user co-locates each user's weeks; the per-bucket
+    kernel computes cohort = min(week) per user and emits fixed-width
+    (cohort, offset) partial counts; a final tiny groupby sums them.
+    Nothing user-level ever reaches the driver. Output: (cohort_week,
+    week_offset, n_users) — n_users distinct by construction because
+    (user, week) pairs are deduped before counting.
+    """
+    from .shuffle import bucket_column
+
+    out_schema = pa.schema(
+        [
+            pa.field("cohort_week", pa.int64()),
+            pa.field("week_offset", pa.int64()),
+            pa.field("__n", pa.int64()),
+        ]
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        for c in (user_col, ts_col):
+            if batch.column(c).null_count:
+                raise ValueError(f"retention_cohorts: null values in {c!r}")
+        ts = batch.column(ts_col).combine_chunks().to_numpy(zero_copy_only=False)
+        wk = ts.astype("datetime64[us]").view(np.int64) // _WEEK_US
+        t = pa.table(
+            {
+                user_col: batch.column(user_col),
+                "wk": pa.array(wk, type=pa.int64()),
+            }
+        ).group_by([user_col, "wk"]).aggregate([])  # block-local distinct
+        return t.append_column(
+            "__bucket", bucket_column(t, [user_col], n_buckets)
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        # global distinct (user, week): block-local dedup may leave dups
+        g = group.select([user_col, "wk"]).group_by([user_col, "wk"]).aggregate([])
+        users = g.column(user_col).to_numpy(zero_copy_only=False)
+        wks = g.column("wk").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(users, return_inverse=True)
+        cohort = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(cohort, inv, wks)
+        co = cohort[inv]
+        off = wks - co
+        agg = (
+            pa.table(
+                {
+                    "cohort_week": pa.array(co, type=pa.int64()),
+                    "week_offset": pa.array(off, type=pa.int64()),
+                }
+            )
+            .group_by(["cohort_week", "week_offset"])
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(
+            ["cohort_week", "week_offset", "__n"]
+        ).cast(out_schema)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_week": batch.column("cohort_week"),
+                "week_offset": batch.column("week_offset"),
+                "n_users": batch.column("sum(__n)"),
+            }
+        )
+
+    return (
+        ds.select_columns([user_col, ts_col])
+        .map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby(["cohort_week", "week_offset"])
+        .sum("__n")
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )

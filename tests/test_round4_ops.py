@@ -915,3 +915,61 @@ def test_session2_ops_layout_invariance(ray_session):
     a = norm(snapshot_diff(old.repartition(2), new.repartition(3), "kk").take_all())
     b = norm(snapshot_diff(old.repartition(11), new.repartition(7), "kk").take_all())
     assert a == b and len(a) > 0
+
+
+def test_retention_cohorts_triangle(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.windows import retention_cohorts
+
+    WK = 604_800_000_000  # one week in us
+
+    def ts(week, offset_us=1):
+        return week * WK + offset_us
+
+    t = pa.table(
+        {
+            "u": pa.array([1, 1, 1, 2, 2, 3, 3, 3], type=pa.int64()),
+            "ts": pa.array(
+                [
+                    ts(10), ts(10, 5), ts(12),   # u1: cohort 10, active 10 & 12
+                    ts(10), ts(11),              # u2: cohort 10, active 10 & 11
+                    ts(11), ts(11, 9), ts(13),   # u3: cohort 11, active 11 & 13
+                ],
+                type=pa.int64(),
+            ).cast(pa.timestamp("us")),
+        }
+    )
+    out = retention_cohorts(
+        ray.data.from_arrow(t).repartition(3), "u", "ts", n_buckets=4
+    ).take_all()
+    got = {(r["cohort_week"], r["week_offset"]): r["n_users"] for r in out}
+    assert got == {
+        (10, 0): 2,  # u1, u2 active in their cohort week
+        (10, 1): 1,  # u2 one week later
+        (10, 2): 1,  # u1 two weeks later
+        (11, 0): 1,  # u3
+        (11, 2): 1,  # u3 two weeks later
+    }
+
+
+def test_retention_cohorts_dedups_within_week(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.windows import retention_cohorts
+
+    WK = 604_800_000_000
+    # one user, 50 events all in the same week across many blocks: must
+    # count as ONE active user in (cohort, 0)
+    t = pa.table(
+        {
+            "u": pa.array([7] * 50, type=pa.int64()),
+            "ts": pa.array(
+                [5 * WK + i for i in range(50)], type=pa.int64()
+            ).cast(pa.timestamp("us")),
+        }
+    )
+    out = retention_cohorts(
+        ray.data.from_arrow(t).repartition(10), "u", "ts", n_buckets=4
+    ).take_all()
+    assert out == [{"cohort_week": 5, "week_offset": 0, "n_users": 1}]
