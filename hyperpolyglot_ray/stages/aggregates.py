@@ -1183,6 +1183,15 @@ def grouping_sets_agg(
         for d in dims:
             if batch.column(d).null_count:
                 raise ValueError(f"grouping_sets_agg: null values in dim {d!r}")
+            # a REAL dim value equal to the rollup sentinel would hash its
+            # detail rows into the rolled-up groups and then be NULLed on
+            # output — corrupt cube cells with no error (web-scraped
+            # string dims can contain anything)
+            if pc.any(pc.equal(batch.column(d), _GS_ALL)).as_py():
+                raise ValueError(
+                    f"grouping_sets_agg: dim {d!r} contains the reserved "
+                    "rollup sentinel value"
+                )
         parts = []
         n = batch.num_rows
         sentinel_col = pa.array([_GS_ALL] * n, type=pa.string())

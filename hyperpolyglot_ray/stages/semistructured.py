@@ -47,7 +47,15 @@ def _extract_strings(col: pa.ChunkedArray | pa.Array, path: str) -> pa.Array:
             cur = json.loads(v)
             for k in keys:
                 cur = cur[k]
-            vals.append(None if cur is None else str(cur))
+            if cur is None:
+                vals.append(None)
+            elif isinstance(cur, str):
+                vals.append(cur)
+            else:
+                # JSON text form, matching polars/DuckDB: true/false,
+                # bare numbers, compact object/array serialization —
+                # NOT Python str() (True, {'a': 1})
+                vals.append(json.dumps(cur, separators=(",", ":")))
         except (ValueError, KeyError, TypeError):
             vals.append(None)
     return pa.array(vals, type=pa.string())
@@ -115,8 +123,17 @@ def regexp_extract_rows(
             import re
 
             rx = re.compile(pattern)
+            # group(0) per match — re.findall would return capture-GROUP
+            # text for patterns with a capturing group, diverging from
+            # polars extract_all / SQL regexp_extract_all full-match
+            # semantics
             lists = pa.array(
-                [None if v is None else rx.findall(v) for v in col.to_pylist()],
+                [
+                    None
+                    if v is None
+                    else [m.group(0) for m in rx.finditer(v)]
+                    for v in col.to_pylist()
+                ],
                 type=pa.large_list(pa.large_string()),
             )
         parents = pc.list_parent_indices(lists)

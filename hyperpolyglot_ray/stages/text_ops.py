@@ -1595,19 +1595,28 @@ def bigram_collocations(
         keep = pc.is_in(b.column("h"), value_set=tok_set)
         return b.select(["h", "w1", "n"]).filter(keep)
 
+    # reduce on (h, w1) JOINTLY so a candidate-token hash shared by two
+    # DIFFERENT token strings surfaces as two rows — summing on h alone
+    # would silently merge a colliding non-candidate token's counts into
+    # n_w1/n_w2 (the bigram path already string-verifies; this mirrors it)
     uni_reduced = bucketed_group_reduce(
         partials.map_batches(
             uni_rows, batch_format="pyarrow", zero_copy_batch=True
-        ).map_batches(
-            lambda b: b.select(["h", "n"]),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
         ),
-        "h",
+        ["h", "w1"],
         [("n", "sum")],
         n_buckets=8,
     )
-    ucount = {r["h"]: r["sum(n)"] for r in uni_reduced.take_all()}
+    ucount: dict[int, int] = {}
+    utok: dict[int, str] = {}
+    for r in uni_reduced.take_all():
+        prev = utok.setdefault(r["h"], r["w1"])
+        if prev != r["w1"]:
+            raise RuntimeError(
+                f"64-bit token-hash collision among candidate unigrams: "
+                f"{prev!r} vs {r['w1']!r}"
+            )
+        ucount[r["h"]] = r["sum(n)"]
 
     hcache: dict[str, int] = {}
 

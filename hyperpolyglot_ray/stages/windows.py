@@ -350,9 +350,12 @@ def funnel_per_key(
         ts = group.column(order_col).combine_chunks().to_numpy(
             zero_copy_only=False
         )
-        ts = ts.astype("datetime64[us]").view(np.int64) if is_ts else ts.astype(
-            np.int64
-        )
+        # unit-PRESERVING integer view: a datetime64 of any unit views to
+        # its own epoch integer, and the final cast back to order_type
+        # reinterprets in that same unit — converting to [us] here would
+        # silently rescale non-microsecond timestamps on output and
+        # truncate nanosecond resolution at the strictly-after gate
+        ts = ts.view(np.int64) if is_ts else ts.astype(np.int64)
         types = group.column(type_col).to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(keys, return_inverse=True)
         n_seg = len(uniq)

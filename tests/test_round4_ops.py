@@ -454,9 +454,13 @@ def test_funnel_per_key_timestamp_order_col(ray_session):
     out = funnel_per_key(
         ray.data.from_arrow(t), "u", "ts", "e", ["view", "click"], n_buckets=2
     ).take_all()
+    from datetime import datetime, timedelta
+
     by_u = {r["u"]: r for r in out}
     assert by_u[1]["depth"] == 2
-    assert by_u[1]["t_click"].timestamp() * 1e6 == 200
+    # naive-datetime comparison against the epoch — .timestamp() would
+    # interpret the naive value in the machine's LOCAL timezone
+    assert by_u[1]["t_click"] == datetime(1970, 1, 1) + timedelta(microseconds=200)
     assert by_u[2]["depth"] == 1 and by_u[2]["t_click"] is None
 
 
@@ -973,3 +977,83 @@ def test_retention_cohorts_dedups_within_week(ray_session):
         ray.data.from_arrow(t).repartition(10), "u", "ts", n_buckets=4
     ).take_all()
     assert out == [{"cohort_week": 5, "week_offset": 0, "n_users": 1}]
+
+
+def test_funnel_per_key_millisecond_timestamps(ray_session):
+    """Non-microsecond timestamp units must round-trip exactly (a [us]
+    normalization once rescaled ms values 1000x on output)."""
+    from datetime import datetime, timedelta
+
+    import ray.data
+
+    from hyperpolyglot_ray.stages.windows import funnel_per_key
+
+    ts_ms = pa.array([1000, 2000, 500], type=pa.int64()).cast(pa.timestamp("ms"))
+    t = pa.table(
+        {
+            "u": pa.array([1, 1, 2], type=pa.int64()),
+            "ts": ts_ms,
+            "e": pa.array(["view", "click", "view"]),
+        }
+    )
+    out = funnel_per_key(
+        ray.data.from_arrow(t), "u", "ts", "e", ["view", "click"], n_buckets=2
+    ).take_all()
+    by_u = {r["u"]: r for r in out}
+    assert by_u[1]["t_view"] == datetime(1970, 1, 1) + timedelta(seconds=1)
+    assert by_u[1]["t_click"] == datetime(1970, 1, 1) + timedelta(seconds=2)
+    assert by_u[2]["t_view"] == datetime(1970, 1, 1) + timedelta(milliseconds=500)
+
+
+def test_json_extract_fallback_bool_and_object_forms(ray_session):
+    from hyperpolyglot_ray.stages import semistructured as ss
+
+    col = pa.array(
+        ['{"k": true}', '{"k": false}', '{"k": {"a": 1}}', '{"k": [1, 2]}',
+         '{"k": 6.5}']
+    )
+    fast = ss._extract_strings(col, "$.k").to_pylist()
+    saved = ss._pl
+    try:
+        ss._pl = None
+        slow = ss._extract_strings(col, "$.k").to_pylist()
+    finally:
+        ss._pl = saved
+    assert slow == fast  # 'true', 'false', compact JSON text, '6.5'
+    assert slow[0] == "true" and slow[2] == '{"a":1}'
+
+
+def test_regexp_extract_fallback_capturing_group(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages import semistructured as ss
+
+    # a CAPTURING group: full-match semantics required on both paths
+    t = pa.table(
+        {"i": pa.array([0], type=pa.int64()), "txt": pa.array(["TODO: one x"])}
+    )
+    pat = r"(TODO|FIXME)[^\n]*"
+
+    def run():
+        return ss.regexp_extract_rows(
+            ray.data.from_arrow(t), "txt", pat, "m", ["i"]
+        ).take_all()
+
+    fast = run()
+    saved = ss._pl
+    try:
+        ss._pl = None
+        slow = run()
+    finally:
+        ss._pl = saved
+    assert fast == slow == [{"i": 0, "m": "TODO: one x"}]
+
+
+def test_grouping_sets_agg_rejects_sentinel_value(ray_session):
+    import pytest
+
+    from hyperpolyglot_ray.stages.aggregates import _GS_ALL, grouping_sets_agg
+
+    items = [{"a": "x", "v": 1}, {"a": _GS_ALL, "v": 2}]
+    with pytest.raises(Exception, match="reserved rollup sentinel"):
+        grouping_sets_agg(_ds(items), ["a"], "v").take_all()
