@@ -694,6 +694,15 @@ def heavy_hitters(
 
     if capacity is None:
         capacity = 4 * k
+    if capacity < k:
+        # MG with m counters only guarantees survival of items with
+        # count > n/(m+1); exactness for the 1/k threshold needs m >= k —
+        # a smaller capacity can decrement a TRUE hitter to zero in every
+        # block and silently return an incomplete (even empty) result
+        raise ValueError(
+            f"heavy_hitters: capacity ({capacity}) must be >= k ({k}) "
+            "for an exact result"
+        )
     n_total = ds.count()
     slim = ds.select_columns([col])
 
@@ -1032,6 +1041,20 @@ def pivot_counts(
         categories = sorted(categories)
     if not categories:
         raise ValueError("pivot_counts: no categories")
+    # category values become OUTPUT COLUMN NAMES — a value equal to
+    # key_col would silently overwrite the key column in the widened
+    # dict, and two values with equal str() would merge counts
+    names = [str(c) for c in categories]
+    if key_col in names:
+        raise ValueError(
+            f"pivot_counts: category value {key_col!r} collides with the "
+            "key column name"
+        )
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(
+            f"pivot_counts: duplicate category column names {dupes}"
+        )
     cat_index = {c: i for i, c in enumerate(categories)}
     out_schema = pa.schema(
         [pa.field(key_col, key_type)]

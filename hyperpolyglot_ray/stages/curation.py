@@ -1204,15 +1204,11 @@ def hash_split(
         raise ValueError("hash_split: fractions sum above 1")
 
     def assign(batch: pa.Table) -> pa.Table:
+        from .ordering import sha_row_keys
+
         ids = batch.column(id_col).to_pylist()
         u = np.array(
-            [
-                int(
-                    hashlib.sha256(f"{seed}:{i}".encode("utf-8")).hexdigest()[:8],
-                    16,
-                )
-                for i in ids
-            ],
+            [int(k[:8], 16) for k in sha_row_keys(ids, seed)],
             dtype=np.int64,
         )
         out = np.full(len(ids), labels[-1], dtype=object)

@@ -46,7 +46,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from .text_ops import _B_SHINGLE, _mix64, _token_hashes
+from .text_ops import _token_hashes
 
 _U64 = np.uint64
 
@@ -54,10 +54,15 @@ _U64 = np.uint64
 def _doc_feature_buckets(text: str, n_buckets: int) -> np.ndarray:
     """int64 feature-bucket stream for one document: every unigram token
     hash and every width-2 shingle value (positional), mod n_buckets."""
+    from .span_dedup import _window_values
+
     th = _token_hashes(text)
     feats = [th]
     if len(th) >= 2:
-        feats.append(_mix64(th[:-1] * _B_SHINGLE + th[1:]))
+        # the ONE shared width-2 window-hash spec (span_dedup module
+        # docstring; its sequential oracle mirrors it by constant) —
+        # do not re-inline the polynomial here
+        feats.append(_window_values(th, 2))
     all_f = np.concatenate(feats) if feats else np.zeros(0, dtype=np.uint64)
     return (all_f % _U64(n_buckets)).astype(np.int64)
 

@@ -39,6 +39,18 @@ import ray
 import ray.data
 
 
+def sha_row_keys(ids: list, seed: int) -> list[str]:
+    """THE shared deterministic row-key spec: ``sha256(f"{seed}:{id}")``
+    hex digest per id. Single definition consumed by
+    ``deterministic_shuffle``, ``sample_k_per_key`` and
+    ``curation.hash_split`` (which slices the first 8 hex chars) — the
+    DuckDB oracles hard-code this exact string, so every consumer must
+    stay bit-identical; do not fork this loop locally."""
+    return [
+        hashlib.sha256(f"{seed}:{i}".encode("utf-8")).hexdigest() for i in ids
+    ]
+
+
 def percentile_rank(
     ds: ray.data.Dataset,
     key_col: str,
@@ -140,10 +152,7 @@ def sample_k_per_key(
     slim = ds.select_columns([key_col, id_col])
 
     def add_key(batch: pa.Table) -> pa.Table:
-        keys = [
-            hashlib.sha256(f"{seed}:{i}".encode("utf-8")).hexdigest()
-            for i in batch.column(id_col).to_pylist()
-        ]
+        keys = sha_row_keys(batch.column(id_col).to_pylist(), seed)
         return batch.append_column(
             "__skey", pa.array(keys, type=pa.string())
         ).append_column("__bucket", bucket_column(batch, [key_col], n_buckets))
@@ -183,11 +192,14 @@ def deterministic_shuffle(
     """Append ``pos`` — the row's 0-based position in the seeded global
     shuffle order (module docstring). Output: input columns + ``pos``."""
 
+    def _buckets(ids: list) -> np.ndarray:
+        keys = sha_row_keys(ids, seed)
+        pref = np.array([int(k[:4], 16) for k in keys], dtype=np.int64)
+        return pref * n_buckets // 65536
+
     def add_key(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
-        keys = [
-            hashlib.sha256(f"{seed}:{i}".encode("utf-8")).hexdigest() for i in ids
-        ]
+        keys = sha_row_keys(ids, seed)
         pref = np.array([int(k[:4], 16) for k in keys], dtype=np.int64)
         bkt = pref * n_buckets // 65536
         return batch.append_column(
@@ -196,13 +208,34 @@ def deterministic_shuffle(
 
     keyed = ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
 
-    counts = keyed.groupby("__bucket").count().take_all()
+    # counting pass on an ID-ONLY projection: the payload columns never
+    # enter pass 1, and each batch pre-reduces to <= n_buckets (bucket, n)
+    # partial rows before the tiny groupby (the keyed DAG above still
+    # executes once, in the final assign pass)
+    def count_partial(batch: pa.Table) -> pa.Table:
+        bkt = _buckets(batch.column(id_col).to_pylist())
+        n = np.bincount(bkt, minlength=n_buckets).astype(np.int64)
+        nz = np.flatnonzero(n)
+        return pa.table(
+            {
+                "__bucket": pa.array(nz, type=pa.int64()),
+                "__n": pa.array(n[nz], type=pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.select_columns([id_col])
+        .map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .sum("__n")
+        .take_all()
+    )
     counts.sort(key=lambda r: r["__bucket"])
     offsets: dict[int, int] = {}
     acc = 0
     for r in counts:
         offsets[r["__bucket"]] = acc
-        acc += r["count()"]
+        acc += r["sum(__n)"]
     off_ref = ray.put(offsets)
 
     def assign(group: pa.Table) -> pa.Table:
@@ -272,7 +305,15 @@ def zscore_per_key(
         g = group.take(order)
         n = g.num_rows
         kv = g.column(key_col).to_numpy(zero_copy_only=False)
-        xv = g.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        xnp = g.column(val_col).to_numpy(zero_copy_only=False)
+        xv = xnp.astype(np.int64)
+        if xnp.dtype.kind == "f" and not np.array_equal(xv.astype(xnp.dtype), xnp):
+            # same contract enforcement as cumsum_per_key/grouped_corr —
+            # a silent float truncation here would corrupt mu/var/z
+            raise ValueError(
+                f"zscore_per_key: {val_col!r} has non-integer values; "
+                "int64-exact moments are required for deterministic results"
+            )
         seg_new = np.empty(n, dtype=bool)
         seg_new[0] = True
         seg_new[1:] = kv[1:] != kv[:-1]

@@ -22,7 +22,7 @@ def test_heavy_hitters_exact_counts(ray_session):
     n = len(items)
     k = 50
     out = heavy_hitters(
-        _ds(items).repartition(8), "v", k=k, capacity=8
+        _ds(items).repartition(8), "v", k=k, capacity=k
     ).take_all()
     import collections
 
@@ -37,8 +37,14 @@ def test_heavy_hitters_string_column_and_no_hitters(ray_session):
     from hyperpolyglot_ray.stages.aggregates import heavy_hitters
 
     items = [{"v": f"u{i}"} for i in range(100)]  # all unique: no hitters
-    out = heavy_hitters(_ds(items).repartition(4), "v", k=10, capacity=4).take_all()
+    out = heavy_hitters(_ds(items).repartition(4), "v", k=10, capacity=12).take_all()
     assert out == []
+    # exactness precondition: capacity below k must fail loudly (an MG
+    # sketch that small can decrement a TRUE hitter to zero per block)
+    import pytest
+
+    with pytest.raises(ValueError, match="capacity"):
+        heavy_hitters(_ds(items), "v", k=10, capacity=4)
 
 
 def test_zscore_per_key_matches_numpy(ray_session):
@@ -1057,3 +1063,25 @@ def test_grouping_sets_agg_rejects_sentinel_value(ray_session):
     items = [{"a": "x", "v": 1}, {"a": _GS_ALL, "v": 2}]
     with pytest.raises(Exception, match="reserved rollup sentinel"):
         grouping_sets_agg(_ds(items), ["a"], "v").take_all()
+
+
+def test_pivot_counts_rejects_colliding_category_names(ray_session):
+    import pytest
+
+    from hyperpolyglot_ray.stages.aggregates import pivot_counts
+
+    # a category value equal to the key column name would overwrite the
+    # key column in the widened output
+    items = [{"u": 1, "t": "u"}, {"u": 1, "t": "click"}]
+    with pytest.raises(ValueError, match="collides with the key column"):
+        pivot_counts(_ds(items), "u", "t", categories=["u", "click"])
+
+
+def test_zscore_per_key_rejects_fractional_floats(ray_session):
+    import pytest
+
+    from hyperpolyglot_ray.stages.ordering import zscore_per_key
+
+    items = [{"doc_id": i, "k": "a", "x": 0.5 + i} for i in range(4)]
+    with pytest.raises(Exception, match="non-integer"):
+        zscore_per_key(_ds(items), "k", "x", id_col="doc_id").take_all()
