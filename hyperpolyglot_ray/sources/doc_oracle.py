@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r4d"
+ORACLE_VERSION = "r4e"  # r4e: cosine-consistent IVF (unit-vector k-means)
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -897,7 +897,17 @@ def _expected_ngram_jaccard_clusters(texts, doc_ids, threshold=0.8, width=3) -> 
 _KMEANS_SCALE = float(1 << 24)
 
 
-def _kmeans_seq(emb: np.ndarray, ids: np.ndarray, n_clusters: int, n_iter: int = 3):
+def _kmeans_seq(
+    emb: np.ndarray,
+    ids: np.ndarray,
+    n_clusters: int,
+    n_iter: int = 3,
+    normalize: bool = False,
+):
+    if normalize:
+        # cosine-serving IVF clusters on unit vectors (spec:
+        # stages/similarity.py deterministic_kmeans(normalize=True))
+        emb = _normalize_rows(emb)
     order = np.argsort(ids, kind="stable")[:n_clusters]
     centroids = emb[order].astype(np.float64)
     for _ in range(n_iter):
@@ -975,10 +985,11 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
 def _expected_knn_ivf(
     emb: np.ndarray, ids: np.ndarray, k=5, n_clusters=8, nprobe=3, nq=10
 ) -> pa.Table:
-    centroids, assign = _kmeans_seq(emb, ids, n_clusters)
+    centroids, assign = _kmeans_seq(emb, ids, n_clusters, normalize=True)
     qmask = ids < nq
     q, qids = emb[qmask], ids[qmask]
-    dq = ((q[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    qn_probe = _normalize_rows(q)
+    dq = ((qn_probe[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
     probed = sorted({int(c) for row in np.argsort(dq, axis=1)[:, :nprobe] for c in row})
     sub = np.isin(assign, probed)
     sub_emb, sub_ids = _normalize_rows(emb[sub]), ids[sub]
@@ -1005,7 +1016,7 @@ def _expected_knn_ivf(
 def _expected_near_dup_ivf(
     emb: np.ndarray, ids: np.ndarray, threshold=0.35, n_clusters=16
 ) -> pa.Table:
-    _, assign = _kmeans_seq(emb, ids, n_clusters)
+    _, assign = _kmeans_seq(emb, ids, n_clusters, normalize=True)
     kept = []
     for c in range(n_clusters):
         m = assign == c

@@ -98,28 +98,49 @@ def _bucket_ids(text: str) -> np.ndarray:
     return (_token_hashes(text) % np.uint64(N_BUCKETS_LM)).astype(np.int64)
 
 
+def _block_token_stream(
+    texts: list[str | None],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Whole-block token/bigram stream: per-doc token-bucket streams
+    concatenate into one array; bigram keys are computed over the full
+    stream and doc-boundary pairs are masked with one doc-index
+    comparison — no Python loop over docs or bigrams. Returns
+    (lens, keys, nxt, pair_doc, h) where keys/nxt/pair_doc cover only
+    same-doc adjacent pairs. THE one bigram-key layout shared by
+    training and scoring — a fork here would silently make every scored
+    bigram back off."""
+    ids_list = [_bucket_ids(t or "") for t in texts]
+    n_docs = len(ids_list)
+    lens = np.fromiter((len(a) for a in ids_list), dtype=np.int64, count=n_docs)
+    h = (
+        np.concatenate(ids_list)
+        if ids_list and lens.sum()
+        else np.zeros(0, dtype=np.int64)
+    )
+    if len(h) > 1:
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        same_doc = doc_idx[:-1] == doc_idx[1:]
+        keys = ((h[:-1] << 16) | h[1:])[same_doc]
+        nxt = h[1:][same_doc]
+        pair_doc = doc_idx[:-1][same_doc]
+    else:
+        keys = np.zeros(0, dtype=np.int64)
+        nxt = np.zeros(0, dtype=np.int64)
+        pair_doc = np.zeros(0, dtype=np.int64)
+    return lens, keys, nxt, pair_doc, h
+
+
 def train_bigram_lm(
     ds: ray.data.Dataset, text_col: str = "text", min_count: int = 2
 ) -> BigramLM:
     def partial(batch: pa.Table) -> pa.Table:
-        # whole-block vectorization: per-doc token streams concatenate
-        # into one array; bigram keys are computed over the full stream
-        # and doc-boundary pairs are masked out with one doc-index
-        # comparison — no Python loop over docs or bigrams
-        ids_list = [_bucket_ids(t or "") for t in batch.column(text_col).to_pylist()]
-        lens = np.fromiter((len(a) for a in ids_list), dtype=np.int64, count=len(ids_list))
-        h = (
-            np.concatenate(ids_list)
-            if ids_list and lens.sum()
-            else np.zeros(0, dtype=np.int64)
+        _lens, keys, _nxt, _pd, h = _block_token_stream(
+            batch.column(text_col).to_pylist()
         )
         uni = np.bincount(h, minlength=N_BUCKETS_LM) if len(h) else np.zeros(
             N_BUCKETS_LM, dtype=np.int64
         )
-        if len(h) > 1:
-            doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-            same_doc = doc_idx[:-1] == doc_idx[1:]
-            keys = ((h[:-1] << 16) | h[1:])[same_doc]
+        if len(keys):
             bk, bc = np.unique(keys, return_counts=True)
         else:
             bk = np.zeros(0, dtype=np.int64)
@@ -188,22 +209,13 @@ def perplexity_score(
         # are summed per document with a segment reduce (exact: int-valued
         # magnitudes stay far below 2^53)
         m: BigramLM = ray.get(model_ref)
-        ids_list = [_bucket_ids(t or "") for t in batch.column(text_col).to_pylist()]
-        n_docs = len(ids_list)
-        lens = np.fromiter((len(a) for a in ids_list), dtype=np.int64, count=n_docs)
+        lens, keys, nxt, pair_doc, _h = _block_token_stream(
+            batch.column(text_col).to_pylist()
+        )
+        n_docs = len(lens)
         nll = np.zeros(n_docs, dtype=np.int64)
         n_terms = np.maximum(lens - 1, 0)
-        h = (
-            np.concatenate(ids_list)
-            if ids_list and lens.sum()
-            else np.zeros(0, dtype=np.int64)
-        )
-        if len(h) > 1:
-            doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
-            same_doc = doc_idx[:-1] == doc_idx[1:]
-            keys = ((h[:-1] << 16) | h[1:])[same_doc]
-            nxt = h[1:][same_doc]
-            pair_doc = doc_idx[:-1][same_doc]
+        if len(keys):
             if len(m.bi_keys):
                 pos = np.searchsorted(m.bi_keys, keys)
                 pos_c = np.minimum(pos, len(m.bi_keys) - 1)

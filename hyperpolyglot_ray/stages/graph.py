@@ -321,6 +321,36 @@ def hash_min_components(
         # that makes successive rounds progressively slower.
         return ray.data.from_arrow_refs(ds.to_arrow_refs())
 
+    def exact_label_sum(lds: ray.data.Dataset) -> int:
+        """Python-int-exact label sum: Arrow's int64 sum WRAPS mod 2^64,
+        and with full-range hash node ids a wrapped sum could compare
+        equal to the previous round's despite real label changes, exiting
+        the loop early with non-converged labels. Each block emits its
+        sum split as (lbl >> 32, lbl & 0xffffffff) partials — both exact
+        in int64 up to ~2^30-row blocks, negatives handled by the
+        arithmetic shift's floor semantics — and the driver recombines
+        with arbitrary-precision ints."""
+
+        def sum_parts(batch: pa.Table) -> pa.Table:
+            lbl = batch.column("lbl").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "q": pa.array([int((lbl >> 32).sum())], type=pa.int64()),
+                    "r": pa.array(
+                        [int((lbl & np.int64(0xFFFFFFFF)).sum())], type=pa.int64()
+                    ),
+                }
+            )
+
+        q_tot = 0
+        r_tot = 0
+        for b in lds.select_columns(["lbl"]).map_batches(
+            sum_parts, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow"):
+            q_tot += sum(b.column("q").to_pylist())
+            r_tot += sum(b.column("r").to_pylist())
+        return q_tot * (1 << 32) + r_tot
+
     prev_sum = None
     converged = False
     for it in range(max_iters):
@@ -330,7 +360,7 @@ def hash_min_components(
             ptr_edges, batch_format="pyarrow", zero_copy_batch=True
         )
         labels = snapshot(_phase(labels, ptr, n_buckets))  # pointer jump
-        cur = labels.sum("lbl")
+        cur = exact_label_sum(labels)
         if verbose:
             print(
                 f"[cc] round {it}: sum={cur} rows={labels.count()} "

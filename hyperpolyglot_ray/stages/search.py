@@ -76,7 +76,8 @@ def bm25_search(
     # otherwise get multiple identical tf columns and double-count its
     # score contribution relative to the BM25 formula
     terms = list(dict.fromkeys(terms))
-    if not terms:
+
+    def _empty_result() -> ray.data.Dataset:
         return ray.data.from_arrow(
             pa.table(
                 {
@@ -85,6 +86,9 @@ def bm25_search(
                 }
             )
         )
+
+    if not terms:
+        return _empty_result()
     terms_ref = ray.put(terms)
 
     def stats_partial(batch: pa.Table) -> pa.Table:
@@ -107,14 +111,7 @@ def bm25_search(
     n_toks = sum(r["n_toks"] for r in stats_rows)
     df = [sum(r[f"df_{j}"] for r in stats_rows) for j in range(len(terms))]
     if n_docs == 0:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    id_col: pa.array([], type=pa.int64()),
-                    "score": pa.array([], type=pa.float64()),
-                }
-            )
-        )
+        return _empty_result()
     avgdl = n_toks / n_docs
     idf = [math.log((n_docs - d + 0.5) / (d + 0.5) + 1.0) for d in df]
     model_ref = ray.put({"idf": idf, "avgdl": avgdl, "terms": terms})

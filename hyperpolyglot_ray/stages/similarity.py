@@ -118,25 +118,18 @@ def knn_bruteforce(
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
 
 
-def deterministic_kmeans(
-    ds: ray.data.Dataset,
-    n_clusters: int = 16,
-    n_iter: int = 3,
-    id_col: str = "vec_id",
-    emb_col: str = "embedding",
-) -> np.ndarray:
-    """Deterministic distributed k-means: init = the vectors with the
-    ``n_clusters`` smallest ids; each iteration is one map_batches partial
-    (sum, count per cluster) + driver-side reduce. Returns centroids.
-
-    Init is a per-block partial min-k + driver merge (each block emits only
-    its k smallest (id, vector) rows) — no all-to-all sort just to fetch k
-    rows (VERDICT r1 §wrong 6).
-    """
+def _min_k_init(
+    ds: ray.data.Dataset, n: int, id_col: str, emb_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, vectors) of the ``n`` smallest-id rows: per-block partial
+    min-k + driver merge (no all-to-all sort just to fetch n rows).
+    THE shared deterministic init for ``deterministic_kmeans`` and
+    ``pq_train_codebooks`` — one definition so the two trainers (and the
+    sequential oracle mirroring this spec) cannot drift."""
 
     def block_min_k(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        take = np.argsort(ids, kind="stable")[:n_clusters]
+        take = np.argsort(ids, kind="stable")[:n]
         return pa.table(
             {
                 id_col: pa.array(ids[take], type=pa.int64()),
@@ -154,10 +147,43 @@ def deterministic_kmeans(
         if len(b):
             cand_ids.append(b.column(id_col).to_numpy(zero_copy_only=False))
             cand_vecs.append(_to_matrix(b, emb_col))
-    all_cand_ids = np.concatenate(cand_ids)
-    all_cand_vecs = np.concatenate(cand_vecs)
-    order = np.argsort(all_cand_ids, kind="stable")[:n_clusters]
-    centroids = all_cand_vecs[order].astype(np.float64)
+    if not cand_ids:
+        raise ValueError("min-k init: dataset has no rows — nothing to cluster")
+    all_ids = np.concatenate(cand_ids)
+    all_vecs = np.concatenate(cand_vecs)
+    order = np.argsort(all_ids, kind="stable")[:n]
+    return all_ids[order], all_vecs[order].astype(np.float64)
+
+
+def deterministic_kmeans(
+    ds: ray.data.Dataset,
+    n_clusters: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    normalize: bool = False,
+) -> np.ndarray:
+    """Deterministic distributed k-means: init = the vectors with the
+    ``n_clusters`` smallest ids; each iteration is one map_batches partial
+    (sum, count per cluster) + driver-side reduce. Returns centroids.
+
+    ``normalize=True`` runs L2 k-means on UNIT vectors (normalized per
+    row before init, assignment and the quantized sums) — the correct
+    clustering geometry when the served metric is cosine: without it a
+    vector and its 10x-scaled copy (cosine 1.0) can land in different
+    cells. The IVF call sites pass True; PQ trains on raw subvectors
+    (reconstruction is L2 by definition).
+
+    Init is a per-block partial min-k + driver merge (each block emits only
+    its k smallest (id, vector) rows) — no all-to-all sort just to fetch k
+    rows (VERDICT r1 §wrong 6). The (id, emb) projection is materialized
+    ONCE up front: init plus every iteration re-scan the blocks, and a
+    lazy upstream plan would otherwise re-execute per pass.
+    """
+    ds = ds.select_columns([id_col, emb_col]).materialize()
+    _ids, centroids = _min_k_init(ds, n_clusters, id_col, emb_col)
+    if normalize:
+        centroids = _normalize(centroids)
 
     for _ in range(n_iter):
         c_ref = ray.put(centroids)
@@ -165,6 +191,8 @@ def deterministic_kmeans(
         def partial(batch: pa.Table) -> pa.Table:
             c = ray.get(c_ref)
             emb = _to_matrix(batch, emb_col)
+            if normalize:
+                emb = _normalize(emb)
             assign = _sq_dists(emb, c).argmin(axis=1)
             # integer-quantized accumulation: int64 sums are exact and
             # order-independent, so the reduced centroids are bit-identical
@@ -202,14 +230,20 @@ def deterministic_kmeans(
 
 
 def ivf_assign(
-    ds: ray.data.Dataset, centroids: np.ndarray, emb_col: str = "embedding"
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    emb_col: str = "embedding",
+    normalize: bool = False,
 ) -> ray.data.Dataset:
-    """Appends ``cluster`` (int32) — the IVF partition key."""
+    """Appends ``cluster`` (int32) — the IVF partition key. Pass the same
+    ``normalize`` the centroids were trained with."""
     c_ref = ray.put(np.asarray(centroids, dtype=np.float64))
 
     def fn(batch: pa.Table) -> pa.Table:
         c = ray.get(c_ref)
         emb = _to_matrix(batch, emb_col)
+        if normalize:
+            emb = _normalize(emb)
         assign = _sq_dists(emb, c).argmin(axis=1)
         return batch.append_column(
             "cluster", pa.array(assign.astype(np.int32), type=pa.int32())
@@ -229,12 +263,18 @@ def knn_ivf(
     emb_col: str = "embedding",
 ) -> ray.data.Dataset:
     """Approximate top-k: brute force restricted to the nprobe clusters
-    nearest each query. With nprobe == n_clusters this is exact."""
-    centroids = deterministic_kmeans(ds, n_clusters=n_clusters, id_col=id_col, emb_col=emb_col)
-    assigned = ivf_assign(ds, centroids, emb_col=emb_col)
+    nearest each query. With nprobe == n_clusters this is exact. The
+    served metric is cosine, so clustering, assignment and probing all
+    run on UNIT vectors — unnormalized L2 cells would scatter
+    cosine-neighbors of different magnitudes across cells."""
+    proj = ds.select_columns([id_col, emb_col]).materialize()
+    centroids = deterministic_kmeans(
+        proj, n_clusters=n_clusters, id_col=id_col, emb_col=emb_col, normalize=True
+    )
+    assigned = ivf_assign(proj, centroids, emb_col=emb_col, normalize=True)
 
     q = np.asarray(queries, dtype=np.float64)
-    d = _sq_dists(q, centroids)
+    d = _sq_dists(_normalize(q), centroids)
     probe = np.argsort(d, axis=1)[:, :nprobe]  # (nq, nprobe)
     probed_clusters = sorted({int(c) for row in probe for c in row})
     probed_arr = pa.array(probed_clusters, type=pa.int32())
@@ -273,41 +313,55 @@ def embedding_near_dup_keep_ids(
     Up to ``max_exact_rows`` this is EXACT: the (id, vector) matrix — and
     only it, never the payload columns — is materialized once, normalized,
     and broadcast via ``ray.put``; every block then resolves its rows with
-    one (block x corpus) matmul masked to earlier ids. Beyond the
-    threshold the call routes to ``embedding_near_dup_ivf`` (one shuffle
-    by cluster key, intra-cluster pairs only) — the scale-safe default, so
-    a 100 TB corpus never hits the O(n^2) driver gather.
+    a corpus-TILED matmul masked to earlier ids (fixed-width column tiles
+    so task memory is bounded by tile size, not corpus size — a full
+    (block x 1M-corpus) float64 sims matrix would be ~8 GB per task).
+    Beyond the threshold the call routes to ``embedding_near_dup_ivf``
+    (one shuffle by cluster key, intra-cluster pairs only) — the
+    scale-safe default, so a 100 TB corpus never hits the O(n^2) driver
+    gather.
     """
-    import pyarrow.compute as pc  # noqa: F401
-
-    if ds.count() > max_exact_rows:
+    # project + materialize ONCE: count(), the gather and the final map
+    # otherwise each re-execute the (possibly expensive) upstream plan
+    proj = ds.select_columns([id_col, emb_col]).materialize()
+    if proj.count() > max_exact_rows:
         return embedding_near_dup_ivf(
-            ds, threshold=threshold, n_clusters=ivf_clusters,
+            proj, threshold=threshold, n_clusters=ivf_clusters,
             id_col=id_col, emb_col=emb_col,
         )
 
     mats = []
     idss = []
-    for ref in ds.select_columns([id_col, emb_col]).to_arrow_refs():
-        t = ray.get(ref)
+    for t_ref in proj.to_arrow_refs():
+        t = ray.get(t_ref)
         if t.num_rows:
             mats.append(_to_matrix(t, emb_col))
             idss.append(t.column(id_col).to_numpy(zero_copy_only=False))
+    if not mats:
+        return ray.data.from_arrow(
+            pa.table({id_col: pa.array([], type=pa.int64())})
+        )
     all_emb = _normalize(np.concatenate(mats))
     all_ids = np.concatenate(idss).astype(np.int64)
     order = np.argsort(all_ids, kind="stable")
     ref = ray.put((all_emb[order], all_ids[order]))
 
+    TILE = 65_536  # corpus columns per matmul tile (~0.5 GB per 1k-row block)
+
     def block_keep(batch: pa.Table) -> pa.Table:
         corpus, corpus_ids = ray.get(ref)
         emb = _normalize(_to_matrix(batch, emb_col))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        sims = emb @ corpus.T  # (n_block, n_corpus)
-        earlier = corpus_ids[None, :] < ids[:, None]
-        dup = ((sims >= threshold) & earlier).any(axis=1)
+        dup = np.zeros(len(ids), dtype=bool)
+        for s in range(0, corpus.shape[0], TILE):
+            tile = corpus[s : s + TILE]
+            tids = corpus_ids[s : s + TILE]
+            sims = emb @ tile.T  # (n_block, tile)
+            earlier = tids[None, :] < ids[:, None]
+            dup |= ((sims >= threshold) & earlier).any(axis=1)
         return pa.table({id_col: pa.array(ids[~dup], type=pa.int64())})
 
-    return ds.map_batches(block_keep, batch_format="pyarrow", zero_copy_batch=True)
+    return proj.map_batches(block_keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def embedding_near_dup_ivf(
@@ -322,9 +376,14 @@ def embedding_near_dup_ivf(
     cluster (``groupby(cluster).map_groups``). Near-identical vectors land
     in the same cell with overwhelming probability, so this approximates
     the exact variant while shuffling each vector once by cluster key
-    instead of densifying an n^2 pair space."""
-    centroids = deterministic_kmeans(ds, n_clusters=n_clusters, id_col=id_col, emb_col=emb_col)
-    assigned = ivf_assign(ds, centroids, emb_col=emb_col)
+    instead of densifying an n^2 pair space. Cells are trained and
+    assigned on UNIT vectors (the dup metric is cosine — raw-L2 cells
+    would separate a vector from its scaled near-duplicates)."""
+    proj = ds.select_columns([id_col, emb_col]).materialize()
+    centroids = deterministic_kmeans(
+        proj, n_clusters=n_clusters, id_col=id_col, emb_col=emb_col, normalize=True
+    )
+    assigned = ivf_assign(proj, centroids, emb_col=emb_col, normalize=True)
 
     def group_keep(group: pa.Table) -> pa.Table:
         emb = _normalize(_to_matrix(group, emb_col))
@@ -369,22 +428,31 @@ def quantize_embeddings(
             }
         )
 
-    lo = hi = None
+    # iter_batches RE-SLICES the per-block partial tables (default
+    # batch_size 256), so a batch can hold an arbitrary row range of one
+    # or more (ndim-row) partials — accumulate by INDEXING with the dim
+    # column into arrays grown to the largest dim seen, never by assuming
+    # a batch covers whole partials (a >256-dim embedding once crashed
+    # here on a shape mismatch between 256-row slices)
+    lo = np.zeros(0, dtype=np.float64)
+    hi = np.zeros(0, dtype=np.float64)
     for b in (
         ds.map_batches(minmax_partial, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow")
     ):
+        if b.num_rows == 0:
+            continue
         blo = b.column("lo").to_numpy(zero_copy_only=False)
         bhi = b.column("hi").to_numpy(zero_copy_only=False)
         d = b.column("dim").to_numpy(zero_copy_only=False)
-        # batches may concatenate several block partials; reduce per dim
         ndim = int(d.max()) + 1
-        blo2 = np.full(ndim, np.inf)
-        bhi2 = np.full(ndim, -np.inf)
-        np.minimum.at(blo2, d, blo)
-        np.maximum.at(bhi2, d, bhi)
-        lo = blo2 if lo is None else np.minimum(lo, blo2)
-        hi = bhi2 if hi is None else np.maximum(hi, bhi2)
+        if len(lo) < ndim:
+            lo = np.concatenate([lo, np.full(ndim - len(lo), np.inf)])
+            hi = np.concatenate([hi, np.full(ndim - len(hi), -np.inf)])
+        np.minimum.at(lo, d, blo)
+        np.maximum.at(hi, d, bhi)
+    if len(lo) == 0:
+        lo = hi = None
     bounds_ref = ray.put((lo, hi))
 
     def encode(batch: pa.Table) -> pa.Table:
@@ -429,29 +497,8 @@ def pq_train_codebooks(
     emitting integer-quantized per-(subspace, cluster) partial sums —
     m x k tiny rows per block, reduced driver-side — so codebooks are
     bit-identical under any block layout. Returns ``(m, k, subd)``."""
-
-    def block_min_k(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        take = np.argsort(ids, kind="stable")[:n_clusters]
-        return pa.table(
-            {
-                id_col: pa.array(ids[take], type=pa.int64()),
-                emb_col: batch.column(emb_col).take(pa.array(take)),
-            }
-        )
-
-    cand_ids: list[np.ndarray] = []
-    cand_vecs: list[np.ndarray] = []
-    for b in (
-        ds.select_columns([id_col, emb_col])
-        .map_batches(block_min_k, batch_format="pyarrow", zero_copy_batch=True)
-        .iter_batches(batch_format="pyarrow")
-    ):
-        if len(b):
-            cand_ids.append(b.column(id_col).to_numpy(zero_copy_only=False))
-            cand_vecs.append(_to_matrix(b, emb_col))
-    order = np.argsort(np.concatenate(cand_ids), kind="stable")[:n_clusters]
-    init_full = np.concatenate(cand_vecs)[order].astype(np.float64)
+    ds = ds.select_columns([id_col, emb_col]).materialize()
+    _ids, init_full = _min_k_init(ds, n_clusters, id_col, emb_col)
     d = init_full.shape[1]
     assert d % n_subspaces == 0, (d, n_subspaces)
     subd = d // n_subspaces

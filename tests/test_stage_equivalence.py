@@ -1,6 +1,8 @@
 """Stage/core equivalence: the Ray batch stages must produce exactly the
 per-row core results, and the fused stage exactly the chained stages."""
 
+import numpy as np
+import pyarrow as pa
 import pyarrow.dataset as pads
 import pytest
 
@@ -187,3 +189,78 @@ def test_scrub_stage_sliced_and_large_string(sample_table):
     assert out_big.drop_columns(["scrubbed", "content"]).equals(
         ref.drop_columns(["scrubbed", "content"])
     )
+
+
+def test_quantize_embeddings_high_dim(ray_session):
+    """dim > 256 once crashed the driver min/max reduce: iter_batches
+    re-slices the per-block partials at batch_size=256, so the reducer
+    must index by the dim column, not assume whole partials per batch."""
+    import ray.data
+
+    from hyperpolyglot_ray.stages.similarity import quantize_embeddings
+
+    rng = np.random.RandomState(3)
+    dim = 300
+    rows = [
+        {"vec_id": i, "embedding": [float(x) for x in rng.randn(dim)]}
+        for i in range(40)
+    ]
+    out = quantize_embeddings(
+        ray.data.from_items(rows).repartition(4), levels=256
+    ).take_all()
+    assert len(out) == 40
+    assert all(len(r["codes"]) == dim for r in out)
+    flat = [c for r in out for c in r["codes"]]
+    assert min(flat) >= 0 and max(flat) <= 255
+    # per-dimension extremes must code to 0 / levels-1
+    emb = np.array([r["embedding"] for r in rows])
+    codes = np.array(
+        [r["codes"] for r in sorted(out, key=lambda r: r["vec_id"])]
+    )
+    assert (codes[emb.argmin(axis=0), np.arange(dim)] == 0).all()
+    # the max extreme floors to 255 or (by float rounding of
+    # (hi-lo)*255/span) 254 — both are the operator's defined semantics
+    assert (codes[emb.argmax(axis=0), np.arange(dim)] >= 254).all()
+
+
+def test_embedding_near_dup_ivf_catches_scaled_duplicate(ray_session):
+    """Cosine near-dups of different magnitudes must land in the same IVF
+    cell: clustering on raw L2 once separated a vector from its
+    10x-scaled copy (cosine 1.0), so the dup survived dedup."""
+    import ray.data
+
+    from hyperpolyglot_ray.stages.similarity import embedding_near_dup_ivf
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(40, 8)
+    rows = [
+        {"vec_id": i, "embedding": [float(x) for x in base[i]]} for i in range(40)
+    ]
+    # vec 100 = 10x vec 0 (cosine exactly 1.0, far away in raw L2)
+    rows.append(
+        {"vec_id": 100, "embedding": [float(10.0 * x) for x in base[0]]}
+    )
+    kept = embedding_near_dup_ivf(
+        ray.data.from_items(rows).repartition(3), threshold=0.95, n_clusters=4
+    ).take_all()
+    kept_ids = {r["vec_id"] for r in kept}
+    assert 0 in kept_ids
+    assert 100 not in kept_ids  # the scaled copy must be deduped
+
+
+def test_deterministic_kmeans_empty_dataset_raises(ray_session):
+    import pytest
+    import ray.data
+
+    from hyperpolyglot_ray.stages.similarity import deterministic_kmeans
+
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([], type=pa.int64()),
+                "embedding": pa.array([], type=pa.list_(pa.float64())),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="no rows"):
+        deterministic_kmeans(empty, n_clusters=4)
