@@ -524,7 +524,18 @@ def paragraph_dedup(
         tag_docs, batch_format="pyarrow", zero_copy_batch=True
     ).union(drops.map_batches(tag_drops, batch_format="pyarrow", zero_copy_batch=True))
 
+    _doc_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field(text_col, pa.string()),
+            pa.field("n_removed", pa.int64()),
+        ]
+        + [pa.field(c, extra_types[c]) for c in extra_cols]
+    )
+
     def per_doc(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _doc_schema.empty_table()
         side = group.column("_side").to_numpy(zero_copy_only=False)
         doc_rows = np.flatnonzero(side == 0)
         # exactly one side-0 row per doc_id by construction
@@ -600,6 +611,12 @@ def cap_per_group(
     stages/shuffle.py) and re-runs the same segment-rank election.
     """
     n_buckets = 64
+    cap_schema = pa.schema(
+        [
+            pa.field(key_col, ds.schema().base_schema.field(key_col).type),
+            pa.field(id_col, ds.schema().base_schema.field(id_col).type),
+        ]
+    )
 
     def _rank_keep(keys: np.ndarray, ids: np.ndarray) -> np.ndarray:
         codes = np.unique(keys, return_inverse=True)[1]
@@ -612,11 +629,10 @@ def cap_per_group(
 
     def block_cap(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table(
-                {
-                    key_col: pa.array([], type=batch.schema.field(key_col).type),
-                    id_col: pa.array([], type=pa.int64()),
-                }
+            # MUST carry __bucket like the non-empty branch: a block
+            # missing the groupby key breaks schema unification
+            return cap_schema.empty_table().append_column(
+                "__bucket", pa.array([], type=pa.int64())
             )
         keys = np.asarray(batch.column(key_col).to_pylist())
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
@@ -632,12 +648,9 @@ def cap_per_group(
 
     def merge_bucket(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
-            return pa.table(
-                {
-                    key_col: pa.array([], type=group.schema.field(key_col).type),
-                    id_col: pa.array([], type=pa.int64()),
-                }
-            )
+            # a schema-less empty group has no key field to introspect —
+            # use the declared schema
+            return cap_schema.empty_table()
         keys = np.asarray(group.column(key_col).to_pylist())
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
         keep = _rank_keep(keys, ids)
@@ -758,7 +771,18 @@ def pack_sequences(
         acc += r["sum(n_tok)"]
     off_ref = ray.put(offsets)
 
+    _scan_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("n_tok", pa.int64()),
+            pa.field("seq_id", pa.int64()),
+            pa.field("tok_offset", pa.int64()),
+        ]
+    )
+
     def scan_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _scan_schema.empty_table()
         base = ray.get(off_ref)[group.column("_bkt")[0].as_py()]
         d = group.column(id_col).to_numpy(zero_copy_only=False)
         n = group.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -993,11 +1017,15 @@ def write_packed_shards(
 
     def write_bucket(group: pa.Table) -> pa.Table:
         import hashlib
+        import os
 
         import pyarrow.parquet as pq
 
         from .text_ops import _hash_string_array
 
+        # task-side: on a multi-node cluster the driver's makedirs only
+        # created out_dir on the head node; the write happens HERE
+        os.makedirs(out_dir, exist_ok=True)
         bkt = group.column("_bkt")[0].as_py()
         shard = os.path.join(out_dir, f"bucket={bkt}.parquet")
         d = group.column(id_col).to_numpy(zero_copy_only=False)
@@ -1115,7 +1143,17 @@ def pack_texts(
         acc += r["sum(n_tok)"]
     off_ref = ray.put(offsets)
 
+    _frag_schema = pa.schema(
+        [
+            pa.field("seq_id", pa.int64()),
+            pa.field("off", pa.int64()),
+            pa.field("frag", pa.string()),
+        ]
+    )
+
     def fragments(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _frag_schema.empty_table()
         base = ray.get(off_ref)[group.column("_bkt")[0].as_py()]
         d = group.column(id_col).to_numpy(zero_copy_only=False)
         order = np.argsort(d, kind="stable")
@@ -1142,7 +1180,17 @@ def pack_texts(
             }
         )
 
+    _asm_schema = pa.schema(
+        [
+            pa.field("seq_id", pa.int64()),
+            pa.field("n_tokens", pa.int64()),
+            pa.field("text", pa.string()),
+        ]
+    )
+
     def assemble(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _asm_schema.empty_table()
         offs = group.column("off").to_numpy(zero_copy_only=False)
         order = np.argsort(offs, kind="stable")
         frags = group.column("frag").to_pylist()

@@ -45,6 +45,13 @@ def broadcast_join(
     The small side ships once via ``ray.put`` (VERDICT r1 §wrong 7).
     """
     keys = small.column(right_on).combine_chunks()
+    if len(keys) != len(pc.unique(keys)):
+        # index_in would silently take the FIRST match per key — a stale
+        # duplicate dimension row would then win order-dependently
+        raise ValueError(
+            f"broadcast_join: duplicate keys in small side column "
+            f"{right_on!r}; deduplicate the dimension table first"
+        )
     small_ref = ray.put((keys, {c: small.column(c).combine_chunks() for c in take_cols}))
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -88,7 +95,7 @@ def asof_join(
                 key_col: b.column(key_col),
                 "ts": b.column(ts_col).cast(pa.int64()),
                 "row_id": b.column(left_id).cast(pa.int64()),
-                "side": pa.array(["L"] * len(b)),
+                "side": pa.array(["L"] * len(b), type=pa.string()),
             }
         ),
         batch_format="pyarrow",
@@ -99,14 +106,25 @@ def asof_join(
                 key_col: b.column(key_col),
                 "ts": b.column(ts_col).cast(pa.int64()),
                 "row_id": b.column(right_id).cast(pa.int64()),
-                "side": pa.array(["R"] * len(b)),
+                "side": pa.array(["R"] * len(b), type=pa.string()),
             }
         ),
         batch_format="pyarrow",
     )
     both = l_tag.union(r_tag)
+    out_schema = pa.schema(
+        [
+            pa.field(key_col, left.schema().base_schema.field(key_col).type),
+            pa.field(left_id, pa.int64()),
+            pa.field(out_col, pa.int64()),
+        ]
+    )
 
     def per_key(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            # duplicate range-partition boundaries yield schema-less
+            # empty groups; [0].as_py() below would IndexError
+            return out_schema.empty_table()
         sides = np.asarray(group.column("side").to_pylist())
         ts = group.column("ts").to_numpy(zero_copy_only=False)
         ids = group.column("row_id").to_numpy(zero_copy_only=False)
@@ -165,7 +183,7 @@ def _asof_join_chunked(
                     "_chunk": pc.divide(ts, chunk_us),
                     "ts": ts,
                     "row_id": b.column(id_col).cast(pa.int64()),
-                    "side": pa.array([side] * len(b)),
+                    "side": pa.array([side] * len(b), type=pa.string()),
                 }
             )
 
@@ -175,7 +193,19 @@ def _asof_join_chunked(
         right.map_batches(tag("R", right_id, ts_col), batch_format="pyarrow")
     )
 
+    phase_schema = pa.schema(
+        [
+            pa.field(key_col, left.schema().base_schema.field(key_col).type),
+            pa.field("_chunk", pa.int64()),
+            pa.field("kind", pa.string()),
+            pa.field("a", pa.int64()),
+            pa.field("b", pa.int64()),
+        ]
+    )
+
     def per_chunk(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return phase_schema.empty_table()
         sides = np.asarray(group.column("side").to_pylist())
         ts = group.column("ts").to_numpy(zero_copy_only=False)
         ids = group.column("row_id").to_numpy(zero_copy_only=False)
@@ -219,15 +249,21 @@ def _asof_join_chunked(
             {
                 key_col: pa.array([key] * n, type=key_type),
                 "_chunk": pa.array([chunk] * n, type=pa.int64()),
-                "kind": pa.array(np.where(res_mask, "res", "un").tolist() + extra_kind),
+                "kind": pa.array(
+                    np.where(res_mask, "res", "un").tolist() + extra_kind,
+                    type=pa.string(),
+                ),
                 "a": pa.array(a_np, type=pa.int64(), mask=a_mask),
                 "b": pa.array(b_np, type=pa.int64(), mask=b_mask),
             }
         )
 
+    # phase1 is consumed THREE times (resolved / carries / fixed) —
+    # materialize the chunk-summary-scale intermediate so the union +
+    # (key, chunk) shuffle and per_chunk pass run once, not three times
     phase1 = both.groupby([key_col, "_chunk"]).map_groups(
         per_chunk, batch_format="pyarrow"
-    )
+    ).materialize()
 
     def split(wanted: tuple[str, ...]):
         def fn(b: pa.Table) -> pa.Table:
@@ -243,6 +279,8 @@ def _asof_join_chunked(
     )
 
     def carry_per_key(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return phase_schema.empty_table()
         kinds = np.asarray(group.column("kind").to_pylist())
         chunks = group.column("_chunk").to_numpy(zero_copy_only=False)
         a = group.column("a").to_numpy(zero_copy_only=False)
@@ -263,7 +301,7 @@ def _asof_join_chunked(
             {
                 key_col: pa.array([key] * n, type=key_type),
                 "_chunk": pa.array(out_chunk, type=pa.int64()),
-                "kind": pa.array(["C"] * n),
+                "kind": pa.array(["C"] * n, type=pa.string()),
                 "a": pa.array(out_carry, type=pa.int64()),
                 "b": pa.array([None] * n, type=pa.int64()),
             }
@@ -275,7 +313,17 @@ def _asof_join_chunked(
         .map_groups(carry_per_key, batch_format="pyarrow")
     )
 
+    fix_schema = pa.schema(
+        [
+            pa.field(key_col, left.schema().base_schema.field(key_col).type),
+            pa.field(left_id, pa.int64()),
+            pa.field(out_col, pa.int64()),
+        ]
+    )
+
     def fix_per_chunk(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return fix_schema.empty_table()
         kinds = np.asarray(group.column("kind").to_pylist())
         a = group.column("a")
         key = group.column(key_col)[0].as_py()
@@ -336,11 +384,18 @@ def interval_join(
                 "ts": ts,
                 "end": ts,
                 "row_id": b.column(left_id).cast(pa.int64()),
-                "side": pa.array(["L"] * len(b)),
+                "side": pa.array(["L"] * len(b), type=pa.string()),
             }
         )
         if chunk_us is not None:
-            t = t.append_column("_chunk", pc.divide(ts, chunk_us))
+            # numpy floor division, matching r_fn's interval replication —
+            # pc.divide TRUNCATES toward zero, so a negative timestamp
+            # would land in a chunk its covering interval was never
+            # replicated into and the match would silently go null
+            ts_np = ts.to_numpy(zero_copy_only=False)
+            t = t.append_column(
+                "_chunk", pa.array(ts_np // chunk_us, type=pa.int64())
+            )
         return t
 
     def r_fn(b: pa.Table) -> pa.Table:
@@ -352,7 +407,7 @@ def interval_join(
                 "ts": starts,
                 "end": ends,
                 "row_id": b.column(right_id).cast(pa.int64()),
-                "side": pa.array(["R"] * len(b)),
+                "side": pa.array(["R"] * len(b), type=pa.string()),
             }
         )
         if chunk_us is None:
@@ -376,7 +431,17 @@ def interval_join(
     r_tag = right.map_batches(r_fn, batch_format="pyarrow")
     both = l_tag.union(r_tag)
 
+    iv_schema = pa.schema(
+        [
+            pa.field(key_col, left.schema().base_schema.field(key_col).type),
+            pa.field(left_id, pa.int64()),
+            pa.field(out_col, pa.int64()),
+        ]
+    )
+
     def per_key(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return iv_schema.empty_table()
         sides = np.asarray(group.column("side").to_pylist())
         ts = group.column("ts").to_numpy(zero_copy_only=False)
         ends = group.column("end").to_numpy(zero_copy_only=False)
@@ -467,7 +532,15 @@ def hash_join(
                     f"hash_join: null values in join key {key_col!r} are not "
                     "supported; fill_null or filter them before joining"
                 )
-            h = _column_hash(batch.column(key_col))
+            # hash the key AS THE LEFT TYPE on both sides: the join body
+            # below casts right_on to the left type anyway, but hashing
+            # the uncast right key would bucket cross-typed equal keys
+            # (e.g. string '5' vs int64 5) differently and silently drop
+            # every match (semi_join already casts before hashing)
+            key_arr = batch.column(key_col)
+            if side == 1 and key_arr.type != l_types[left_on]:
+                key_arr = key_arr.cast(l_types[left_on])
+            h = _column_hash(key_arr)
             cols: dict = {
                 "__bucket": pa.array(
                     (h % np.uint64(n_buckets)).astype(np.int64), type=pa.int64()

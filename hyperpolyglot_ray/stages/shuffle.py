@@ -79,11 +79,52 @@ def bucketed_group_reduce(
     arrow_names = [f"{c}_{fn}" for c, fn in aggs]
     out_names = [f"{fn}({c})" for c, fn in aggs]
 
+    # declared output schema, for typed EMPTY groups: duplicate
+    # range-partition boundaries in the groupby sort produce schema-less
+    # empty groups whose .drop('__bucket') would otherwise KeyError
+    # (same failure class hash_join.join_bucket guards against).
+    # ds.schema() is None for a fully-empty MAPPED input (Ray's limit-1
+    # probe sees nothing) — then there are no rows, no groups, and the
+    # guard is unreachable, so skip the derivation
+    maybe_schema = ds.schema()
+    if maybe_schema is None:
+        out_schema = None
+    else:
+        in_schema = maybe_schema.base_schema
+
+        def _agg_type(col: str, fn: str) -> pa.DataType:
+            t = in_schema.field(col).type
+            if fn in ("count", "count_distinct"):
+                return pa.int64()
+            if fn == "mean":
+                return pa.float64()
+            if fn == "sum":  # Arrow sum promotes to 64-bit
+                if pa.types.is_unsigned_integer(t):
+                    return pa.uint64()
+                if pa.types.is_integer(t):
+                    return pa.int64()
+                return pa.float64()
+            return t  # min / max keep the input type
+
+        out_schema = pa.schema(
+            [pa.field(k, in_schema.field(k).type) for k in keys]
+            + [
+                pa.field(out, _agg_type(c, fn))
+                for out, (c, fn) in zip(out_names, aggs)
+            ]
+        )
+
     def reduce_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            if out_schema is not None:
+                return out_schema.empty_table()
+            return pa.table({})  # unreachable: schema-less input has no rows
         agg = group.drop(["__bucket"]).group_by(keys).aggregate(aggs)
         cols = {k: agg.column(k) for k in keys}
         for out, an in zip(out_names, arrow_names):
             cols[out] = agg.column(an)
+        if out_schema is not None:
+            return pa.table(cols, schema=out_schema)
         return pa.table(cols)
 
     return (

@@ -722,7 +722,12 @@ def _minhash_edges_impl(
             ids.extend(id_list)
             keys.extend(sig.column(col).to_pylist())
         return pa.table(
-            {"band_key": pa.array(keys, type=pa.int64()), id_col: pa.array(ids)}
+            {
+                "band_key": pa.array(keys, type=pa.int64()),
+                # explicit type: an empty batch would otherwise emit a
+                # null-typed id column and break schema unification
+                id_col: pa.array(ids, type=pa.int64()),
+            }
         )
 
     band_rows = slim.map_batches(to_band_rows, batch_format="pyarrow", zero_copy_batch=True)
@@ -756,7 +761,14 @@ def _pairs_from_key_rows(
             pa.array((h % np.uint64(n_pair_buckets)).astype(np.int64), type=pa.int64()),
         )
 
+    _pairs_schema = pa.schema(
+        [pa.field("a", pa.int64()), pa.field("b", pa.int64())]
+    )
+
     def bucket_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            # schema-less empty sort partition (duplicate range bounds)
+            return _pairs_schema.empty_table()
         bk = group.column("band_key").to_numpy(zero_copy_only=False)
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
         order = np.argsort(bk, kind="stable")
@@ -837,6 +849,15 @@ def _distributed_verify(
         as ONE tagged union: pair rows (a, b, __id=null) and need rows
         (__id, a=b=null). One group pass replaces the former driver-side
         ``pair_set`` and candidate-id collection."""
+        if group.num_rows == 0:
+            return pa.schema(
+                [
+                    pa.field("__vb", pa.int64()),
+                    pa.field("a", pa.int64()),
+                    pa.field("b", pa.int64()),
+                    pa.field("__id", pa.int64()),
+                ]
+            ).empty_table()
         vb = int(group.column("__vb")[0].as_py())
         a = group.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
         b = group.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -922,6 +943,10 @@ def _distributed_verify(
     pair_rows = tagged.map_batches(pair_rows_fn, batch_format="pyarrow", zero_copy_batch=True)
 
     def verify_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.schema(
+                [pa.field("a", pa.int64()), pa.field("b", pa.int64())]
+            ).empty_table()
         is_sh = np.asarray(pc.is_valid(group.column("__sh")), dtype=bool)
         sh_tbl = group.filter(pa.array(is_sh))
         m = {
@@ -1014,7 +1039,12 @@ def ngram_jaccard_verified_edges(
             }
         )
 
-    sh_rows = slim.map_batches(sh_rows_fn, batch_format="pyarrow", zero_copy_batch=True)
+    # materialize: sh_rows feeds BOTH the df reduce and the hash_join
+    # probe below — without this the tokenize+shingle pass (the dominant
+    # map cost) would re-execute for each consumer
+    sh_rows = slim.map_batches(
+        sh_rows_fn, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
     # shingles are unique per doc, so count(id) IS the document frequency
     df = bucketed_group_reduce(
         sh_rows.select_columns(["sh", id_col]),

@@ -1,6 +1,7 @@
 """Tests for the generic large-by-large distributed hash join."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 
@@ -122,3 +123,92 @@ def test_semi_join_rejects_null_keys(ray_session):
     right = _ds([{"rk": 1}])
     with pytest.raises(Exception):
         semi_join(left, right, "k", "rk").take_all()
+
+
+def test_hash_join_cross_type_keys(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.joins import hash_join
+
+    # left string keys, right int keys: the right side must be hashed AS
+    # the left type or equal keys land in different buckets and silently
+    # drop every match
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array(["5", "7", "9"]), "lv": pa.array([1, 2, 3])})
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {"rk": pa.array([5, 7, 8], type=pa.int64()).cast(pa.string()),
+             "rv": pa.array([50, 70, 80])}
+        )
+    )
+    out = hash_join(left, right, "k", "rk", n_buckets=8).take_all()
+    got = {(r["k"], r["lv"], r["rv"]) for r in out}
+    assert got == {("5", 1, 50), ("7", 2, 70)}
+
+
+def test_hash_join_cross_width_int_keys(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.joins import hash_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {"k": pa.array([5, 7], type=pa.int64()), "lv": pa.array([1, 2])}
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {"rk": pa.array([5, 8], type=pa.int32()), "rv": pa.array([50, 80])}
+        )
+    )
+    out = hash_join(left, right, "k", "rk", n_buckets=8).take_all()
+    assert {(r["k"], r["rv"]) for r in out} == {(5, 50)}
+
+
+def test_interval_join_chunked_negative_timestamps(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.joins import interval_join
+
+    # interval [-7, -2] must match left ts=-5 in the chunked path too:
+    # truncating vs flooring division once put them in different chunks
+    left = ray.data.from_items(
+        [{"k": 1, "ts": -5, "lid": 10}, {"k": 1, "ts": 5, "lid": 11},
+         {"k": 1, "ts": -15, "lid": 12}]
+    )
+    right = ray.data.from_items(
+        [{"k": 1, "start": -7, "end": -2, "rid": 1},
+         {"k": 1, "start": 3, "end": 8, "rid": 2}]
+    )
+
+    def run(chunk):
+        return {
+            r["lid"]: r["matched_id"]
+            for r in interval_join(
+                left, right, "k", "ts", "start", "end", "lid", "rid",
+                chunk_us=chunk,
+            ).take_all()
+        }
+
+    expect = {10: 1, 11: 2, 12: None}
+    assert run(10) == expect
+    # unchunked reference agrees
+    un = {
+        r["lid"]: r["matched_id"]
+        for r in interval_join(
+            left, right, "k", "ts", "start", "end", "lid", "rid"
+        ).take_all()
+    }
+    assert un == expect
+
+
+def test_broadcast_join_rejects_duplicate_small_keys(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.joins import broadcast_join
+
+    big = ray.data.from_items([{"k": 1}])
+    small = pa.table({"k2": pa.array([1, 1]), "v": pa.array(["a", "b"])})
+    with pytest.raises(ValueError, match="duplicate keys"):
+        broadcast_join(big, small, "k", "k2", ["v"])
