@@ -55,12 +55,10 @@ _U64 = np.uint64
 _BLOOM_K = 8
 
 
-def _mix64(x: np.ndarray) -> np.ndarray:
-    """splitmix64 finalizer (same spec as stages/text_ops)."""
-    z = x + _U64(0x9E3779B97F4A7C15)
-    z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
-    return z ^ (z >> _U64(31))
+# THE splitmix64 finalizer — single definition in text_ops (span_dedup
+# imports it the same way); a local fork of a bit-exactness-critical
+# constant sequence could silently drift
+from .text_ops import _mix64
 
 
 def _hash_texts(texts: list[str | None]) -> tuple[np.ndarray, list[bytes]]:
@@ -104,30 +102,38 @@ def build_bloom(
 ) -> bytes:
     """Bloom bitmap (packed bytes) over the reference corpus's text hashes.
 
-    One map-only pass emits a per-block bitmap; a second ``map_batches``
-    level ORs ``fanin`` bitmaps per task (so the driver sees #blocks/fanin
-    rows, each m/8 bytes); the final OR runs on the driver. At 100 TB the
-    fan-in level bounds the driver transfer to (blocks/fanin) bitmaps.
+    Traffic discipline: the map pass emits 8-byte KEYS (one int64 row per
+    document), never bitmaps — a full-size bitmap per input BLOCK would
+    move #blocks x m/8 bytes through the object store (terabytes at the
+    1e9-doc envelope where one bitmap is already 2 GB). The second level
+    coalesces keys into at most ~``fanin`` batches, builds one bitmap per
+    batch, and the driver ORs those ``fanin`` bitmaps — total transfer
+    ~8 B/doc + fanin x m/8 bytes, order-independent and bit-deterministic
+    (OR is commutative).
     """
-    m_bits = _bloom_size_bits(ref_ds.count(), bits_per_key)
+    n_keys = ref_ds.count()
+    m_bits = _bloom_size_bits(n_keys, bits_per_key)
 
-    def block_bloom(batch: pa.Table) -> pa.Table:
+    def block_keys(batch: pa.Table) -> pa.Table:
         keys, _ = _hash_texts(batch.column(text_col).to_pylist())
+        return pa.table(
+            {"k": pa.array(keys.astype(np.int64), type=pa.int64())}
+        )
+
+    def build_part(batch: pa.Table) -> pa.Table:
+        keys = (
+            batch.column("k").to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
         bits = np.zeros(m_bits >> 3, dtype=np.uint8)
         byte_idx, bit = _bloom_positions(keys, m_bits)
         np.bitwise_or.at(bits, byte_idx.ravel(), bit.ravel())
         return pa.table({"bloom": pa.array([bits.tobytes()], type=pa.binary())})
 
-    def or_fold(batch: pa.Table) -> pa.Table:
-        acc = np.zeros(m_bits >> 3, dtype=np.uint8)
-        for buf in batch.column("bloom"):
-            acc |= np.frombuffer(buf.as_py(), dtype=np.uint8)
-        return pa.table({"bloom": pa.array([acc.tobytes()], type=pa.binary())})
-
+    per_task = max(1, -(-max(1, n_keys) // max(1, fanin)))  # ceil
     folded = (
         ref_ds.select_columns([text_col])
-        .map_batches(block_bloom, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(or_fold, batch_format="pyarrow", batch_size=fanin)
+        .map_batches(block_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(build_part, batch_format="pyarrow", batch_size=per_task)
         .take_all()
     )
     acc = np.zeros(m_bits >> 3, dtype=np.uint8)
@@ -450,10 +456,12 @@ def snapshot_diff(
 
         return fn
 
-    old_digests = old_ds.map_batches(
+    # column-pruned scans (module contract): only (key, text) feed the
+    # digest maps, never the snapshots' payload columns
+    old_digests = old_ds.select_columns([key_col, text_col]).map_batches(
         digest_side("__old_digest"), batch_format="pyarrow", zero_copy_batch=True
     )
-    new_digests = new_ds.map_batches(
+    new_digests = new_ds.select_columns([key_col, text_col]).map_batches(
         digest_side("__new_digest"), batch_format="pyarrow", zero_copy_batch=True
     )
 

@@ -22,13 +22,19 @@ import ray.data
 
 N_BUCKETS = 1 << 16
 ALPHA = 0.5  # additive smoothing
-MAX_BYTES = 4096  # char-ngram profile prefix (train AND predict — frozen spec)
+# char-ngram profile prefix, in CHARACTERS (train AND predict — frozen
+# spec, mirrored by the oracle's _LANGID_MAX_CHARS): the UTF-8 encoding
+# of 4096 chars can reach ~16 KB / ~16382 trigrams, so the worst-case
+# per-row term count is 4*MAX_CHARS, not MAX_CHARS — see predict_batch's
+# exactness note. Do NOT "fix" this to a byte slice: every non-ASCII
+# prediction would change against the oracle.
+MAX_CHARS = 4096
 
 
 def _bucket_ids(text: str) -> np.ndarray:
     if not text:  # null/empty cells: no features (never crash the stage)
         return np.zeros(0, dtype=np.int64)
-    b = np.frombuffer(text[:MAX_BYTES].encode("utf-8"), dtype=np.uint8).astype(np.uint32)
+    b = np.frombuffer(text[:MAX_CHARS].encode("utf-8"), dtype=np.uint8).astype(np.uint32)
     if len(b) < 3:
         return np.zeros(0, dtype=np.int64)
     tri = (b[:-2] << 16) | (b[1:-1] << 8) | b[2:]
@@ -78,10 +84,12 @@ class HashedLangIDModel:
         """Vectorized scoring: dense per-row bucket counts x weight matrix
         as ONE BLAS float64 matmul per sub-chunk (VERDICT r1 §wrong 7).
 
-        Exactness: every product is count (<= 4094) x quantized weight
-        (|w| < 2^35), every row sum has <= 4094 terms, so all intermediate
-        values are integers < 2^53 — float64 arithmetic on them is EXACT
-        and order-independent, hence bit-identical to the integer per-row
+        Exactness: MAX_CHARS chars encode to at most 4*MAX_CHARS UTF-8
+        bytes, so a row has <= 4*MAX_CHARS-2 (~16382) trigram terms; every
+        product is count (<= 16382) x quantized weight (|w| < 2^35), and
+        the worst row sum ~16382 * 2^35 ~ 2^49 — all intermediate values
+        are integers < 2^53, so float64 arithmetic on them is EXACT and
+        order-independent, hence bit-identical to the integer per-row
         path (``predict_one``) and the sequential oracle."""
         if self._wT is None:
             self._wT = self.weights.T.astype(np.float64)

@@ -248,9 +248,12 @@ def png_pixel_mean(payload: bytes) -> float | None:
     return total / (h * stride)
 
 
-def bmp_pixel_mean(payload: bytes) -> float | None:
-    """Decode uncompressed 24-bit BMP rows (padded, bottom-up or top-down)
-    and return the mean over all RGB bytes."""
+def _bmp_pixel_rows(payload: bytes) -> tuple["np.ndarray", int] | None:
+    """Validate + decode an uncompressed 24-bit BMP to (rows x stride
+    uint8 array, width). THE shared header/stride spec for the decode
+    family — bmp_pixel_mean and bmp_resize_mean both build on it, so a
+    header fix cannot diverge between them. None for unsupported
+    layouts/truncation."""
     if len(payload) < 54 or payload[:2] != b"BM":
         return None
     off = int.from_bytes(payload[10:14], "little")
@@ -267,6 +270,17 @@ def bmp_pixel_mean(payload: bytes) -> float | None:
     data = np.frombuffer(payload, np.uint8, count=stride * rows, offset=off).reshape(
         rows, stride
     )
+    return data, w
+
+
+def bmp_pixel_mean(payload: bytes) -> float | None:
+    """Decode uncompressed 24-bit BMP rows (padded, bottom-up or top-down)
+    and return the mean over all RGB bytes."""
+    decoded = _bmp_pixel_rows(payload)
+    if decoded is None:
+        return None
+    data, w = decoded
+    rows = data.shape[0]
     total = int(data[:, : w * 3].astype(np.int64).sum())
     return total / (rows * w * 3)
 
@@ -355,7 +369,10 @@ class DecodeStage:
         return [v / 0xFFFFFFFF for v in ints]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch.column("payload").to_pylist()
+        # null payload cells decode as empty bytes (kind "unknown",
+        # payload_len 0) — the never-crash policy FrameSampleStage and
+        # ResizeStage already follow; len(None)/sha256(None) would die
+        payloads = [p if p is not None else b"" for p in batch.column("payload").to_pylist()]
         kinds, widths, heights = [], [], []
         for p in payloads:
             kind, w, h = parse_media_header(p)
@@ -455,6 +472,15 @@ class FrameSampleStage:
                 continue
             w, h, n = struct.unpack("<HHH", p[4:10])
             fsz = w * h
+            if n == 0 or fsz == 0 or len(p) < 10 + n * fsz:
+                # truncated or degenerate payload: a valid magic does not
+                # guarantee the frame data — emit null rows like any other
+                # malformed payload instead of crashing the whole task
+                # (frombuffer would raise / the mean would divide by zero)
+                n_frames_out.append(None)
+                n_sampled_out.append(None)
+                mean_out.append(None)
+                continue
             data = np.frombuffer(p, dtype=np.uint8, count=n * fsz, offset=10)
             grid = data.reshape(n, fsz)
             sampled = grid[:: self.every]
@@ -493,22 +519,11 @@ def bmp_resize_mean(payload: bytes, factor: int = 2) -> float | None:
     decimated RGB bytes — the resize member of the decode family,
     implemented on the one raw-pixel format stdlib can reach. None for
     non-BMP / unsupported layouts."""
-    if len(payload) < 54 or payload[:2] != b"BM":
+    decoded = _bmp_pixel_rows(payload)
+    if decoded is None:
         return None
-    off = int.from_bytes(payload[10:14], "little")
-    w = int.from_bytes(payload[18:22], "little", signed=True)
-    h = int.from_bytes(payload[22:26], "little", signed=True)
-    bpp = int.from_bytes(payload[28:30], "little")
-    compression = int.from_bytes(payload[30:34], "little")
-    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
-        return None
-    rows = abs(h)
-    stride = (w * 3 + 3) & ~3
-    if len(payload) < off + stride * rows:
-        return None
-    data = np.frombuffer(payload, np.uint8, count=stride * rows, offset=off).reshape(
-        rows, stride
-    )
+    data, w = decoded
+    rows = data.shape[0]
     px = data[:, : w * 3].reshape(rows, w, 3)
     dec = px[:: max(1, factor), :: max(1, factor), :]
     return float(int(dec.astype(np.int64).sum()) / dec.size)

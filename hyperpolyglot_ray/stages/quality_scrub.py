@@ -25,6 +25,7 @@ import os
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 from .. import config
 from ..artifacts import load_char_lm
@@ -178,6 +179,14 @@ class QualityScrubStage:
         content = batch.column("content")
         n = len(batch)
 
+        # fill null paths BEFORE the regex matches: match_substring_regex
+        # propagates null, and a null is_vendored/is_documentation would
+        # diverge from the stage's score-as-empty null policy
+        if isinstance(path, pa.ChunkedArray):
+            path = path.combine_chunks()
+        if path.null_count:
+            path = pc.fill_null(path, "")
+
         vendored = pc.match_substring_regex(path, self.vendor_pat)
         documentation = pc.match_substring_regex(path, self.doc_pat)
 
@@ -189,10 +198,6 @@ class QualityScrubStage:
             # record the "null_content" drop reason (never crash the stage)
             null_rows = pc.is_null(content).to_numpy(zero_copy_only=False)
             content = pc.fill_null(content, "")
-        if isinstance(path, pa.ChunkedArray):
-            path = path.combine_chunks()
-        if path.null_count:
-            path = pc.fill_null(path, "")
 
         # ---- content-addressed memo: compute each DISTINCT content once
         # (in-batch dedup + cross-batch per-actor cache). Digests are read
@@ -349,7 +354,15 @@ class QualityScrubStage:
                 deltas[f"scrub_{cat}"] = int(
                     pc.sum(counts_cols[cat]).as_py() or 0
                 )
-            self.stats_actor.increment.remote(deltas)
+            # SYNCHRONOUS increment: a fire-and-forget .remote() could
+            # still be in the actor's mailbox when the driver's
+            # write_parquet returns and get_and_reset() runs — those
+            # in-flight deltas would silently land on the NEXT
+            # partition's lineage record. Awaiting here means task
+            # completion implies the counters are applied; the cost is
+            # one actor round-trip per BATCH, noise next to the batch's
+            # detect+scrub compute.
+            ray.get(self.stats_actor.increment.remote(deltas))
 
         return (
             batch.append_column("is_vendored", vendored)

@@ -264,7 +264,16 @@ def span_dedup(
         zero_copy_batch=True,
     )
 
+    _starts_schema = pa.schema(
+        [pa.field(id_col, pa.int64()), pa.field("starts_blob", pa.binary())]
+    )
+
     def pack_starts(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            # schema-less empty sort partition (duplicate range-partition
+            # boundaries) — .drop / ids[[0]] below would die; this is the
+            # at-scale join route the broadcast-route tests never hit
+            return _starts_schema.empty_table()
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
         starts = group.column("start").to_numpy(zero_copy_only=False)
         order = np.lexsort((starts, ids))
@@ -294,7 +303,9 @@ def span_dedup(
         )
         .groupby("__bucket")
         .map_groups(
-            lambda g: pack_starts(g.drop(["__bucket"])),
+            # skip the drop on an empty group: a schema-less group has no
+            # __bucket field and pack_starts's empty guard handles it
+            lambda g: pack_starts(g.drop(["__bucket"]) if g.num_rows else g),
             batch_format="pyarrow",
         )
     )

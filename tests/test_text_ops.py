@@ -1207,3 +1207,46 @@ def test_bigram_collocations_layout_invariance(ray_session):
         ray.data.from_items(docs).repartition(13), top_k=20, min_count=2
     ).take_all()
     assert a == b and len(a) == 20
+
+
+def test_multimodal_null_payload_and_truncated_video(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.multimodal import (
+        DecodeStage,
+        FrameSampleStage,
+        VIDEO_MAGIC,
+    )
+
+    # null payload must decode as unknown/empty, not crash
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "payload": pa.array([None, b"BMxx"], type=pa.binary()),
+        }
+    )
+    out = ray.data.from_arrow(t).map_batches(
+        DecodeStage, concurrency=1, batch_size=2, batch_format="pyarrow"
+    ).take_all()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["media_kind"] == "unknown" and by_id[1]["payload_len"] == 0
+
+    # truncated / zero-frame HVID payloads must yield null rows
+    import struct
+
+    good = VIDEO_MAGIC + struct.pack("<HHH", 2, 2, 2) + bytes(8)
+    truncated = VIDEO_MAGIC + struct.pack("<HHH", 2, 2, 9) + bytes(4)
+    zero = VIDEO_MAGIC + struct.pack("<HHH", 0, 0, 0)
+    t2 = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "payload": pa.array([good, truncated, zero], type=pa.binary()),
+        }
+    )
+    out2 = ray.data.from_arrow(t2).map_batches(
+        FrameSampleStage, concurrency=1, batch_size=3, batch_format="pyarrow"
+    ).take_all()
+    by_id2 = {r["doc_id"]: r for r in out2}
+    assert by_id2[1]["n_frames"] == 2
+    assert by_id2[2]["n_frames"] is None
+    assert by_id2[3]["n_frames"] is None
