@@ -79,6 +79,7 @@ def _flagship(files_dir: str, num_cpus: int, sink: str = "write") -> tuple[float
     import ray.data
 
 
+    from hyperpolyglot_ray.pipelines.quality_filter import swept_pool_size
     from hyperpolyglot_ray.stages.fused import QualityFilterStage
 
     t0 = time.time()
@@ -91,7 +92,7 @@ def _flagship(files_dir: str, num_cpus: int, sink: str = "write") -> tuple[float
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=1024,
-        concurrency=max(1, min(num_cpus - 1, num_cpus * 3 // 4)),
+        concurrency=swept_pool_size(num_cpus),
     )
     if sink == "write":
         shutil.rmtree(BENCH_OUT, ignore_errors=True)
@@ -123,7 +124,11 @@ def run_vocab_only(sf_dir: str, num_cpus: int) -> dict:
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     sf = sf_from_dir(sf_dir)
-    fix = build_files_fixture(sf, n_rows=int(sf * 3_000_000))
+    # honor the same row override run_bench uses — otherwise the
+    # fresh-process number measures a DIFFERENT corpus than the
+    # in-session one it exists to be compared against
+    n_rows = int(os.environ.get("GRAFT_BENCH_ROWS", int(sf * 3_000_000)))
+    fix = build_files_fixture(sf, n_rows=n_rows)
     files_dir = str(fix / "files")
     # warm-up must SPAWN EVERY WORKER SLOT, not just a few: the tiny
     # fixture alone yields ~4 tasks, leaving ~28 worker processes to
@@ -221,9 +226,16 @@ def run_bench(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
     # cache DISABLED (comparable across rounds, independent of corpus dup
     # rate); *_cached = the production config on this fixture (repeats hit
     # the per-actor memo, so it tracks corpus duplication too)
+    prev_cache = os.environ.get("HYPLY_CONTENT_CACHE")
     os.environ["HYPLY_CONTENT_CACHE"] = "0"
     stage = QualityFilterStage(drop_content=True)
-    del os.environ["HYPLY_CONTENT_CACHE"]
+    # RESTORE the caller's value (scaling children run with cache
+    # disabled globally — deleting outright would hand the "cached"
+    # probe a cache the run explicitly turned off)
+    if prev_cache is None:
+        del os.environ["HYPLY_CONTENT_CACHE"]
+    else:
+        os.environ["HYPLY_CONTENT_CACHE"] = prev_cache
     stage_cached = QualityFilterStage(drop_content=True)
     stage(t.slice(0, min(1024, t.num_rows)))  # warm
     # probe slice: rows past the warm batch, else reuse the warm slice so
@@ -482,7 +494,15 @@ def run_scaling(sf_dir: str, n_low: int, n_high: int) -> dict:
                 timeout=3600,
             )
             steals.append(_steal_pct(tk0, _cpu_ticks()))
-            line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+            json_lines = [
+                l for l in proc.stdout.strip().splitlines() if l.startswith("{")
+            ]
+            if proc.returncode != 0 or not json_lines:
+                raise RuntimeError(
+                    f"scaling child (cpus={cpus}) failed rc={proc.returncode}: "
+                    f"{proc.stderr.strip()[-2000:]}"
+                )
+            line = json_lines[-1]
             res = json.loads(line)
             pair[cpus] = res
             if cpus not in outs or res["files_per_sec"] > outs[cpus]["files_per_sec"]:
@@ -554,6 +574,7 @@ def run_stats(sf_dir: str, num_cpus: int) -> None:
     import ray.data
     import pyarrow as pa
 
+    from hyperpolyglot_ray.pipelines.quality_filter import swept_pool_size
     from hyperpolyglot_ray.sources.fixtures import build_files_fixture, sf_from_dir
     from hyperpolyglot_ray.stages.fused import QualityFilterStage
 
@@ -566,7 +587,7 @@ def run_stats(sf_dir: str, num_cpus: int) -> None:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=1024,
-        concurrency=max(1, min(num_cpus - 1, num_cpus * 3 // 4)),
+        concurrency=swept_pool_size(num_cpus),
     )
     reduced = ds.map_batches(
         lambda b: pa.table({"n": pa.array([len(b)], type=pa.int64())}),

@@ -110,7 +110,10 @@ def get_language_breakdown(
 
         from .stages.detector import DetectStage
 
-        root_str = str(root)
+        # resolve ON THE DRIVER: a relative root resolved against a Ray
+        # WORKER's cwd would make every open fail and the OSError-skip
+        # below (meant for unreadable files) silently empty the breakdown
+        root_str = str(root.resolve())
 
         def load(batch: pa.Table) -> pa.Table:
             paths, contents = [], []

@@ -21,17 +21,22 @@ from ..stages.detector import DetectStage
 from ..stages.quality_scrub import QualityScrubStage
 
 
-def _swept_pool_size() -> int:
+def swept_pool_size(cpus: int | None = None) -> int:
     """Swept optimum (BASELINE.md round-1 sweep) for a SINGLE actor-pool
-    pipeline: 3/4 of the cluster CPUs, leaving head room for read/write
-    tasks — the same sizing bench.py and run_job.py use."""
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        cpus = 4
+    pipeline: 3/4 of the given (default: cluster) CPUs, leaving head room
+    for read/write tasks. THE one sizing formula — bench.py imports it;
+    do not re-inline the expression."""
+    if cpus is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            cpus = 4
     # never the whole cluster: a fixed pool equal to total CPUs starves the
     # read tasks feeding it (observed wedge at num_cpus=2)
     return max(1, min(cpus - 1, cpus * 3 // 4))
+
+
+_swept_pool_size = swept_pool_size  # internal alias (existing call sites)
 
 
 def _default_concurrency() -> tuple[int, int]:
@@ -95,6 +100,15 @@ def quality_filter_pipeline(
         )
     ds = detect_dataset(ds, concurrency=concurrency)
     ds = quality_scrub_dataset(ds, concurrency=concurrency)
+    if drop_content:
+        # parity with the fused path's drop_content: same output schema
+        # and object-store volume in both modes
+        import pyarrow as pa
+
+        def _drop(batch: pa.Table) -> pa.Table:
+            return batch.drop_columns(["content"])
+
+        ds = ds.map_batches(_drop, batch_format="pyarrow", zero_copy_batch=True)
     return ds
 
 

@@ -38,6 +38,17 @@ def language_split(detected: ray.data.Dataset) -> "pa.Table":
         expr="language_type == 'Markup' or language_type == 'Programming'"
     )
     counts = language_counts(filtered).to_pandas()
+    if counts.empty:
+        # no Markup/Programming rows at all: an empty groupby frame has
+        # no columns, so the arithmetic below would KeyError — return a
+        # typed empty split instead
+        return pa.table(
+            {
+                "detected_lang": pa.array([], type=pa.string()),
+                "file_count": pa.array([], type=pa.int64()),
+                "percentage": pa.array([], type=pa.float64()),
+            }
+        )
     total = counts["file_count"].sum()
     counts["percentage"] = counts["file_count"] * 100.0 / total if total else 0.0
     counts = counts.sort_values(

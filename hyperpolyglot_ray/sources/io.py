@@ -24,7 +24,7 @@ import ray.data
 
 
 def read_parquet_clean(
-    path: str, columns: list[str] | None = None, **kwargs
+    path: str | list[str], columns: list[str] | None = None, **kwargs
 ) -> ray.data.Dataset:
     """``ray.data.read_parquet`` with a metadata-stripped schema (module
     docstring). ``columns`` prunes at the read exactly as upstream.
@@ -32,16 +32,24 @@ def read_parquet_clean(
     a pre-stripped ``schema=`` to ``ray.data.read_parquet`` directly."""
     import os
 
-    probe = path
-    if os.path.isdir(path):
+    if isinstance(path, (list, tuple)):
+        # ray.data.read_parquet accepts path lists; probe the first
+        # entry (shards of one logical table share a schema)
+        if not path:
+            raise FileNotFoundError("read_parquet_clean: empty path list")
+        probe = path[0]
+        path = list(path)
+    else:
+        probe = path
+    if os.path.isdir(probe):
         # directory of shards: all shards share one schema (our writers
         # and the driver's generator both guarantee it)
         names = sorted(
-            n for n in os.listdir(path) if n.endswith(".parquet")
+            n for n in os.listdir(probe) if n.endswith(".parquet")
         )
         if not names:
-            raise FileNotFoundError(f"no .parquet files under {path}")
-        probe = os.path.join(path, names[0])
+            raise FileNotFoundError(f"no .parquet files under {probe}")
+        probe = os.path.join(probe, names[0])
     schema = pq.read_schema(probe).remove_metadata()
     if columns is not None:
         schema = pa.schema([schema.field(c) for c in columns])

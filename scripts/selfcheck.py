@@ -81,6 +81,13 @@ def main():
         if p.exists():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    if only:
+        unknown = sorted(set(only) - set(qs))
+        if unknown:
+            # a typo'd query name must not silently "pass" a gate run
+            print(f"unknown queries: {unknown}")
+            print(f"available: {sorted(qs)}")
+            sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
