@@ -1518,6 +1518,222 @@ def _q_events_value_quantiles_refine(sf_dir: str):
     return grouped_quantiles_refine(ds, "event_type", "value", n_bins=256, gather_cap=512)
 
 
+def _q_orders_custdist(sf_dir: str):
+    """Order-count distribution per customer (TPC-H Q13 pattern),
+    including the zero-order bucket — the long-tail activity histogram
+    behind per-source contribution audits."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from hyperpolyglot_ray.stages.shuffle import bucketed_group_reduce
+
+    orders = _read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    # phase 1: orders per customer (bucketed reduce — custkey cardinality
+    # grows with the corpus); phase 2: tiny distribution groupby
+    per_cust = bucketed_group_reduce(orders, "o_custkey", [("o_custkey", "count")])
+
+    def to_count(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_count": batch.column("count(o_custkey)")})
+
+    dist = (
+        per_cust.map_batches(to_count, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_count")
+        .count()
+    )
+    tables = [t for t in ray.get(dist.to_arrow_refs()) if t.num_rows]
+    small = pa.concat_tables([t.combine_chunks() for t in tables]).combine_chunks()
+    custdist = small.column("count()")
+    # zero-order bucket: customers with no order row at all (count()
+    # on the customer read is metadata-only, no scan)
+    total_cust = _read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).count()
+    import pyarrow.compute as pc
+
+    n_zero = total_cust - pc.sum(custdist).as_py()
+    cc = small.column("c_count").to_pylist()
+    cd = custdist.to_pylist()
+    if n_zero > 0:
+        cc.append(0)
+        cd.append(n_zero)
+    return pa.table(
+        {
+            "c_count": pa.array(cc, type=pa.int64()),
+            "custdist": pa.array(cd, type=pa.int64()),
+        }
+    )
+
+
+_Q3_CUTOFF = "1998-06-15"
+
+
+def _q_tpch_q3_topk(sf_dir: str):
+    """Top-10 highest-revenue qualifying orders (TPC-H Q3 pattern):
+    segment-filtered customers ⨝ date-filtered orders ⨝ date-filtered
+    lineitems, revenue summed per order, global top-k. Revenue is exact
+    int64 (cents x (100 - discount pct)) so the hash is bit-stable."""
+    from datetime import datetime
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from hyperpolyglot_ray.stages.joins import hash_join
+    from hyperpolyglot_ray.stages.shuffle import bucketed_group_reduce
+
+    cutoff = datetime.fromisoformat(_Q3_CUTOFF)
+
+    def cust_keys(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column("c_mktsegment"), pa.scalar("BUILDING"))
+        return pa.table({"c_custkey": batch.column("c_custkey").filter(m)})
+
+    cust = _read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(cust_keys, batch_format="pyarrow", zero_copy_batch=True)
+
+    def orders_pred(batch: pa.Table) -> pa.Table:
+        m = pc.less(batch.column("o_orderdate"), pa.scalar(cutoff))
+        return batch.filter(m)
+
+    orders = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(orders_pred, batch_format="pyarrow", zero_copy_batch=True)
+
+    def li_pred(batch: pa.Table) -> pa.Table:
+        m = pc.greater(batch.column("l_shipdate"), pa.scalar(cutoff))
+        b = batch.filter(m)
+        cents = pc.round(pc.multiply(b.column("l_extendedprice"), pa.scalar(100.0))).cast(pa.int64())
+        pct = pc.round(pc.multiply(b.column("l_discount"), pa.scalar(100.0))).cast(pa.int64())
+        rev = pc.multiply_checked(cents, pc.subtract(pa.scalar(100, type=pa.int64()), pct))
+        return pa.table({"l_orderkey": b.column("l_orderkey"), "rev": rev})
+
+    li = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(li_pred, batch_format="pyarrow", zero_copy_batch=True)
+
+    j1 = hash_join(orders, cust, "o_custkey", "c_custkey").select_columns(
+        ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+    j2 = hash_join(li, j1, "l_orderkey", "o_orderkey")
+    per_order = bucketed_group_reduce(
+        j2, ["l_orderkey", "o_orderdate", "o_orderpriority"], [("rev", "sum")]
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[("sum(rev)", "descending"), ("l_orderkey", "ascending")],
+        )
+        return batch.take(idx.slice(0, 10))
+
+    top = (
+        per_order.map_batches(block_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(block_topk, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["l_orderkey", "o_orderdate", "o_orderpriority", "revenue_c4"]
+        )
+
+    return top.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_events_ntile(sf_dir: str):
+    """Per-type value quartiles: NTILE(4) over (value, event_id) — the
+    equal-frequency banding step behind spend-quartile user tags."""
+    from hyperpolyglot_ray.stages.ordering import ntile_per_key
+
+    ev = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value", "event_id"]
+    )
+    return ntile_per_key(ev, "event_type", ["value", "event_id"], 4, out_col="tile")
+
+
+def _q_events_latest_per_pair(sf_dir: str):
+    """Upsert compaction: the single latest row per (user, event_type)
+    by (ts, event_id) — the CDC/state-table dedup operator."""
+    from hyperpolyglot_ray.stages.aggregates import latest_rows_per_key
+
+    ev = _read_parquet_clean(f"{sf_dir}/events.parquet")
+    return latest_rows_per_key(ev, ["user_id", "event_type"], ["ts", "event_id"])
+
+
+def _q_events_first_last(sf_dir: str):
+    """Per-user entry/exit summary: first and last event type by
+    (ts, event_id) plus the exact row count — one distributed pass."""
+    from hyperpolyglot_ray.stages.aggregates import first_last_per_key
+
+    ev = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    return first_last_per_key(ev, "user_id", ["ts", "event_id"], "event_type")
+
+
+def _q_lineitem_regr(sf_dir: str):
+    """Per-returnflag least-squares fit of price-cents vs quantity via
+    distributed integer sufficient statistics (exact reduce; the closing
+    float expression is mirrored op-for-op by the oracle)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from hyperpolyglot_ray.stages.aggregates import grouped_linreg
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "qty": batch.column("l_quantity").cast(pa.int64()),
+                "cents": pc.round(
+                    pc.multiply(batch.column("l_extendedprice"), pa.scalar(100.0))
+                ).cast(pa.int64()),
+            }
+        )
+
+    li = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    ).map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_linreg(li, "l_returnflag", "qty", "cents")
+
+
+def _q_events_hourly_gapfill(sf_dir: str):
+    """Dense hourly counts per event type with zero-filled gaps — the
+    resample step before time-series diffs/windows."""
+    from hyperpolyglot_ray.stages.windows import hourly_counts_gapfill
+
+    ev = _read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    return hourly_counts_gapfill(ev)
+
+
+def _q_emb_centroids(sf_dir: str):
+    """Mean embedding per label (long format) via integer-quantized
+    exact partial sums — class prototypes / drift baselines."""
+    from hyperpolyglot_ray.stages.similarity import centroid_per_label
+
+    emb = _read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    return centroid_per_label(emb)
+
+
+def _q_files_license(sf_dir: str):
+    """Corpus license composition: first-match license classification
+    (priority list) + counts — the compliance gate over a code corpus."""
+    from hyperpolyglot_ray.stages.secrets import license_counts
+
+    ds, _ = _files_ds(sf_dir)
+    return license_counts(ds.select_columns(["content"]))
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1539,6 +1755,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (the driver checks a finite prefix): 7 never-driver-checked, then the
     # 11 last checked in round 2, then the 50 green in round 3.
     return {
+        # --- new in round 4 session 3 (never driver-checked) ---
+        "orders_custdist": _q_orders_custdist,
+        "tpch_q3_topk": _q_tpch_q3_topk,
+        "events_ntile": _q_events_ntile,
+        "events_latest_per_pair": _q_events_latest_per_pair,
+        "events_first_last": _q_events_first_last,
+        "lineitem_regr": _q_lineitem_regr,
+        "events_hourly_gapfill": _q_events_hourly_gapfill,
+        "emb_centroids": _q_emb_centroids,
+        "files_license": _q_files_license,
         # --- new in round 4 (never driver-checked) ---
         "events_funnel": _q_events_funnel,
         "events_rolling_sum": _q_events_rolling_sum,
@@ -1660,7 +1886,19 @@ def oracle_sql() -> dict[str, str]:
     lang_info = str(LOOKUPS / "language_info.parquet")
 
     from hyperpolyglot_ray.core.filters import documentation_pattern, vendor_pattern
+    from hyperpolyglot_ray.stages.secrets import LICENSE_PATTERNS as _licpats
+    from hyperpolyglot_ray.stages.secrets import NO_LICENSE as _nolic
     from hyperpolyglot_ray.stages.secrets import SECRET_PATTERNS as _secpats
+
+    # first-match priority CASE chain mirrors stages/secrets.py:license_counts
+    _lic_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN regexp_matches(content, '{p}') THEN '{name}'"
+            for name, p in _licpats
+        )
+        + f" ELSE '{_nolic}' END"
+    )
 
     # patterns are single-quote-free by contract (stages/secrets.py), so
     # they embed verbatim — DuckDB shares the RE2 engine with pyarrow
@@ -1694,6 +1932,100 @@ WITH f AS (
 )"""
 
     sql = {
+        # --- round 4 session 3 ---
+        "orders_custdist": """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) GROUP BY c_count""",
+        "tpch_q3_topk": f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_c4
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '{_Q3_CUTOFF}'
+  AND l_shipdate > TIMESTAMP '{_Q3_CUTOFF}'
+GROUP BY 1, 2, 3
+ORDER BY revenue_c4 DESC, l_orderkey
+LIMIT 10""",
+        "events_ntile": (
+            "SELECT event_type, value, event_id, CAST(NTILE(4) OVER ("
+            "PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS tile"
+            " FROM events"
+        ),
+        "events_latest_per_pair": (
+            "SELECT event_id, ts, user_id, event_type, value, props FROM events"
+            " QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type"
+            " ORDER BY ts DESC, event_id DESC) = 1"
+        ),
+        "events_first_last": """
+WITH w AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rb
+  FROM events
+)
+SELECT user_id,
+       MAX(CASE WHEN ra = 1 THEN event_type END) AS first_event_type,
+       MAX(CASE WHEN rb = 1 THEN event_type END) AS last_event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM w GROUP BY user_id""",
+        # mirrors stages/aggregates.py:grouped_linreg finish() op-for-op:
+        # exact int64 sufficient statistics, then a fixed double expression
+        "lineitem_regr": """
+WITH ints AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS yc
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag, COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS nd,
+         CAST(SUM(q) AS DOUBLE) AS sx, CAST(SUM(yc) AS DOUBLE) AS sy,
+         CAST(SUM(q * q) AS DOUBLE) AS sxx, CAST(SUM(q * yc) AS DOUBLE) AS sxy
+  FROM ints GROUP BY 1
+), m AS (
+  SELECT l_returnflag, n,
+         sx / nd AS mux, sy / nd AS muy,
+         sxy / nd - (sx / nd) * (sy / nd) AS cov,
+         sxx / nd - (sx / nd) * (sx / nd) AS varx
+  FROM s
+)
+SELECT l_returnflag, n, cov / varx AS slope,
+       muy - (cov / varx) * mux AS intercept
+FROM m""",
+        "events_hourly_gapfill": """
+WITH b AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+), hours AS (
+  SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b
+), keys AS (SELECT DISTINCT event_type FROM events),
+c AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT k.event_type, h.hour, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM keys k CROSS JOIN hours h
+LEFT JOIN c ON c.event_type = k.event_type AND c.hour = h.hour""",
+        # mirrors stages/similarity.py:centroid_per_label: floor(x * 2^24)
+        # int64 sums (exact), one closing double division
+        "emb_centroids": """
+WITH q AS (
+  SELECT label, d AS dim,
+         CAST(FLOOR(CAST(embedding[d + 1] AS DOUBLE) * 16777216.0) AS BIGINT) AS qv
+  FROM embeddings CROSS JOIN range(0, 64) t(d)
+)
+SELECT label, dim,
+       CAST(SUM(qv) AS DOUBLE) / (16777216.0 * COUNT(*)) AS mean_val
+FROM q GROUP BY label, dim""",
+        "files_license": (
+            f"SELECT license, CAST(COUNT(*) AS BIGINT) AS n_files FROM ("
+            f"SELECT {_lic_case} AS license FROM read_parquet('{files}')"
+            f") GROUP BY license"
+        ),
         "detect_cascade": (
             f"SELECT path, lang AS detected_lang FROM read_parquet('{exp}') WHERE detectable"
         ),

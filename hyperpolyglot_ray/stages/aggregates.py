@@ -1260,3 +1260,278 @@ def grouping_sets_agg(
         return pa.table(out)
 
     return reduced.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_linreg(
+    ds: ray.data.Dataset,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> ray.data.Dataset:
+    """Per-key simple linear regression (y = slope*x + intercept) via
+    distributed sufficient statistics — the trend screen behind "is
+    quality score drifting with document length inside each language?".
+    Output: (``key_col``, n int64, slope float64, intercept float64);
+    both NULL when x has zero variance within the key.
+
+    Exactness contract mirrors ``grouped_corr``: integer-typed columns
+    only, the five statistics (n, Σx, Σy, Σx², Σxy) accumulate in int64
+    (exact, order-independent), and the closing float expression is
+    fixed: ``mux = double(Σx)/n``, ``muy = double(Σy)/n``,
+    ``cov = double(Σxy)/n - mux*muy``, ``varx = double(Σx²)/n - mux²``,
+    ``slope = cov/varx``, ``intercept = muy - slope*mux`` — a SQL oracle
+    repeating those ops is bitwise-identical. Per-key ``Σ|x·y|`` must
+    stay below 2^63; rescale upstream otherwise.
+
+    Topology: per-block Arrow group_by collapses each block to one
+    partial row per key; a tiny global groupby sums partials; a map-only
+    kernel closes the expression. No corpus-scale shuffle.
+    """
+    import numpy as np
+
+    for c in (x_col, y_col):
+        t = ds.schema().base_schema.field(c).type
+        if not pa.types.is_integer(t):
+            raise ValueError(
+                f"grouped_linreg: {c!r} must be integer-typed for exact "
+                f"partials (got {t}); cast or rescale upstream"
+            )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).cast(pa.int64())
+        y = batch.column(y_col).cast(pa.int64())
+        if x.null_count or y.null_count:
+            raise ValueError("grouped_linreg: null values are not supported")
+        t = pa.table(
+            {
+                key_col: batch.column(key_col),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "sx": x,
+                "sy": y,
+                "sxx": pc.multiply_checked(x, x),
+                "sxy": pc.multiply_checked(x, y),
+            }
+        )
+        g = t.group_by([key_col]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("sxy", "sum")]
+        )
+        return g.rename_columns([key_col, "n", "sx", "sy", "sxx", "sxy"])
+
+    merged = (
+        ds.select_columns([key_col, x_col, y_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .sum(["n", "sx", "sy", "sxx", "sxy"])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = batch.column("sum(sx)").to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = batch.column("sum(sy)").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = batch.column("sum(sxx)").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = batch.column("sum(sxy)").to_numpy(zero_copy_only=False).astype(np.float64)
+        mux, muy = sx / n, sy / n
+        cov = sxy / n - mux * muy
+        varx = sxx / n - mux * mux
+        valid = varx > 0.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = cov / varx
+            intercept = muy - slope * mux
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                "n": batch.column("sum(n)"),
+                "slope": pa.array(
+                    np.where(valid, slope, 0.0), type=pa.float64(), mask=~valid
+                ),
+                "intercept": pa.array(
+                    np.where(valid, intercept, 0.0), type=pa.float64(), mask=~valid
+                ),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _segment_starts(table: pa.Table, cols: list[str]) -> "np.ndarray":
+    """Boolean mask of segment starts over a table SORTED by ``cols``
+    (vectorized multi-column run detection: OR of per-column
+    ``value[i] != value[i-1]``, Arrow-native so string keys never
+    round-trip through Python)."""
+    import numpy as np
+
+    n = table.num_rows
+    start = np.zeros(n, dtype=bool)
+    if n == 0:
+        return start
+    start[0] = True
+    for c in cols:
+        col = table.column(c).combine_chunks()
+        neq = pc.not_equal(col.slice(1), col.slice(0, n - 1))
+        start[1:] |= neq.to_numpy(zero_copy_only=False).astype(bool)
+    return start
+
+
+def latest_rows_per_key(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    order_cols: list[str],
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Keep each key's single row with the MAXIMUM ``order_cols`` tuple —
+    the upsert-compaction / CDC-dedup operator ("latest state per
+    (user, event_type)", "newest commit per (repo, path)"). SQL:
+    ``row_number() OVER (PARTITION BY keys ORDER BY order DESC) = 1``.
+    ``order_cols`` must be unique per key (include a tiebreak id) so the
+    winner is deterministic. Nulls in key/order columns are rejected.
+
+    Topology: a per-block combiner keeps ONE row per key per block
+    (sort + segment-start take), so the bucketed shuffle carries
+    O(keys-per-block x blocks) full rows, never the corpus; bucket
+    groups re-run the same kernel to pick the global winner. Output:
+    all input columns, one row per distinct key.
+    """
+    import numpy as np
+
+    from .shuffle import bucket_column
+
+    sort_keys = [(c, "ascending") for c in key_cols] + [
+        (c, "descending") for c in order_cols
+    ]
+
+    def keep_latest(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        for c in key_cols + order_cols:
+            if batch.column(c).null_count:
+                raise ValueError(f"latest_rows_per_key: null values in {c!r}")
+        g = batch.take(pc.sort_indices(batch, sort_keys=sort_keys))
+        starts = _segment_starts(g, key_cols)
+        return g.take(pa.array(np.flatnonzero(starts)))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", bucket_column(batch, key_cols, n_buckets)
+        )
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        return keep_latest(group.drop_columns(["__bucket"]))
+
+    return (
+        ds.map_batches(keep_latest, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(reduce_group, batch_format="pyarrow")
+    )
+
+
+def first_last_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    val_col: str,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per key: the ``val_col`` of the FIRST and LAST row by
+    ``order_cols`` plus the exact row count — the entry/exit summary
+    behind "first and last event type per user" session rollups. SQL:
+    ``arg_min(val, (ord...)) / arg_max(val, (ord...)) / count(*)``.
+    ``order_cols`` must be unique per key (include a tiebreak) so both
+    endpoints are deterministic; nulls are rejected.
+
+    Topology: a per-block combiner collapses each key seen in a block to
+    one partial row carrying both endpoint candidates and a partial
+    count; bucket groups reduce partials with the same endpoint rule.
+    The exchange carries O(keys-per-block x blocks) fixed-width rows.
+    Output: (``key_col``, first_{val_col}, last_{val_col}, n_rows).
+    """
+    import numpy as np
+
+    from .shuffle import bucket_column
+
+    f_ord = [f"__f_{c}" for c in order_cols]
+    l_ord = [f"__l_{c}" for c in order_cols]
+    out_first, out_last = f"first_{val_col}", f"last_{val_col}"
+
+    schema = ds.schema().base_schema
+    out_schema = pa.schema(
+        [
+            pa.field(key_col, schema.field(key_col).type),
+            pa.field(out_first, schema.field(val_col).type),
+            pa.field(out_last, schema.field(val_col).type),
+            pa.field("n_rows", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        for c in [key_col, val_col] + order_cols:
+            if batch.column(c).null_count:
+                raise ValueError(f"first_last_per_key: null values in {c!r}")
+        sort_keys = [(key_col, "ascending")] + [
+            (c, "ascending") for c in order_cols
+        ]
+        g = batch.take(pc.sort_indices(batch, sort_keys=sort_keys))
+        starts_mask = _segment_starts(g, [key_col])
+        starts = np.flatnonzero(starts_mask)
+        seg_len = np.diff(np.append(starts, g.num_rows))
+        ends = starts + seg_len - 1
+        first = g.take(pa.array(starts))
+        last = g.take(pa.array(ends))
+        cols = {key_col: first.column(key_col)}
+        cols[out_first] = first.column(val_col)
+        for c, fc in zip(order_cols, f_ord):
+            cols[fc] = first.column(c)
+        cols[out_last] = last.column(val_col)
+        for c, lc in zip(order_cols, l_ord):
+            cols[lc] = last.column(c)
+        cols["n_rows"] = pa.array(seg_len.astype(np.int64))
+        return pa.table(cols)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", bucket_column(batch, [key_col], n_buckets)
+        )
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        # global first: min over first-endpoint order tuples
+        gf = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[(key_col, "ascending")]
+                + [(c, "ascending") for c in f_ord],
+            )
+        )
+        f_starts = np.flatnonzero(_segment_starts(gf, [key_col]))
+        first = gf.take(pa.array(f_starts))
+        # global last: max over last-endpoint order tuples
+        gl = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[(key_col, "ascending")]
+                + [(c, "descending") for c in l_ord],
+            )
+        )
+        l_starts = np.flatnonzero(_segment_starts(gl, [key_col]))
+        last = gl.take(pa.array(l_starts))
+        # n_rows: exact sum of partial counts per key (gf is key-sorted)
+        cnt = gf.column("n_rows").to_numpy(zero_copy_only=False)
+        n_rows = np.add.reduceat(cnt, f_starts)
+        return pa.table(
+            {
+                key_col: first.column(key_col),
+                out_first: first.column(out_first),
+                out_last: last.column(out_last),
+                "n_rows": pa.array(n_rows.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, val_col] + order_cols)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(reduce_group, batch_format="pyarrow")
+    )

@@ -625,3 +625,85 @@ def rolling_sum_per_key(
         .groupby("__bucket")
         .map_groups(rolling_groups, batch_format="pyarrow")
     )
+
+
+def ntile_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    n_tiles: int,
+    out_col: str = "tile",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-key NTILE: split each key's rows, ordered by ``order_cols``,
+    into ``n_tiles`` groups as evenly as possible — SQL ``NTILE(n) OVER
+    (PARTITION BY key ORDER BY ord...)``. The banding primitive behind
+    quartile tags ("which spend quartile is this user in?") and equal-
+    frequency binning. ``order_cols`` must be unique per key (include a
+    tiebreak id) so tile assignment is deterministic; nulls rejected.
+
+    SQL semantics reproduced exactly: with c rows and n tiles, the first
+    ``c % n`` tiles get ``c//n + 1`` rows, the rest ``c//n`` (every row
+    its own tile when c < n). Integer arithmetic only — hash-exact.
+
+    Topology: one bucketed shuffle co-locates each key's rows (a bucket
+    group holds MANY keys; one in-group sort serves them all), then a
+    vectorized segment-reset row_number + closed-form tile formula. The
+    partitioning assumption: a single key's rows fit one group — the
+    same contract as every windowed stage in this module. Output: the
+    input columns + (``out_col`` int64, 1-based).
+    """
+    from .shuffle import bucket_column
+
+    cols = [key_col] + order_cols
+    slim = ds.select_columns(cols)
+    schema = ds.schema().base_schema
+    out_schema = pa.schema(
+        [pa.field(c, schema.field(c).type) for c in cols]
+        + [pa.field(out_col, pa.int64())]
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            if batch.column(c).null_count:
+                raise ValueError(f"ntile_per_key: null values in {c!r}")
+        return batch.append_column(
+            "__bucket", bucket_column(batch, [key_col], n_buckets)
+        )
+
+    def tile_groups(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        order = pa.compute.sort_indices(
+            group,
+            sort_keys=[(key_col, "ascending")]
+            + [(c, "ascending") for c in order_cols],
+        )
+        g = group.take(order)
+        n = g.num_rows
+        kv = g.column(key_col).to_numpy(zero_copy_only=False)
+        seg_start = np.empty(n, dtype=bool)
+        seg_start[0] = True
+        seg_start[1:] = kv[1:] != kv[:-1]
+        starts = np.flatnonzero(seg_start)
+        seg_len = np.diff(np.append(starts, n))
+        seg_id = np.cumsum(seg_start) - 1
+        # 0-based row number within each key segment
+        rn = np.arange(n, dtype=np.int64) - starts[seg_id]
+        c = seg_len[seg_id].astype(np.int64)
+        base = c // n_tiles
+        rem = c % n_tiles
+        big = rem * (base + 1)  # rows covered by the (base+1)-sized tiles
+        small_tile = np.where(
+            base > 0, rem + (rn - big) // np.maximum(base, 1), 0
+        )
+        tile = np.where(rn < big, rn // (base + 1), small_tile) + 1
+        return g.select(cols).append_column(
+            out_col, pa.array(tile.astype(np.int64))
+        )
+
+    return (
+        slim.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(tile_groups, batch_format="pyarrow")
+    )

@@ -76,3 +76,68 @@ def mask_secrets(
         return batch.set_column(i, text_col, text)
 
     return ds.map_batches(mask, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# (license id, RE2 pattern) — ORDER IS MATCH PRIORITY (first hit wins).
+# Same contract as SECRET_PATTERNS: single-quote-free so oracle SQL can
+# embed each pattern verbatim in a CASE chain of regexp_matches.
+LICENSE_PATTERNS: list[tuple[str, str]] = [
+    ("Apache-2.0", r"Apache License"),
+    ("MIT", r"MIT [Ll]icense|Permission is hereby granted, free of charge"),
+    ("LGPL", r"GNU Lesser General Public"),
+    ("GPL", r"GNU General Public License"),
+    ("BSD", r"Redistribution and use in source and binary forms"),
+    ("MPL", r"Mozilla Public License"),
+]
+
+NO_LICENSE = "none"
+
+
+def license_counts(
+    ds: ray.data.Dataset,
+    text_col: str = "content",
+) -> ray.data.Dataset:
+    """Corpus license composition: classify every file by the FIRST
+    matching license marker (priority = ``LICENSE_PATTERNS`` order,
+    ``none`` when nothing matches) and count files per license — the
+    compliance gate a code-corpus pipeline runs before training (GPL
+    exclusion lists, attribution inventories). Equivalent SQL: a CASE
+    chain of ``regexp_matches`` + GROUP BY.
+
+    Topology: map-only RE2 kernels over whole Arrow batches (one
+    ``match_substring_regex`` per pattern, first-hit priority composed
+    with ``if_else`` — no Python row loop), per-block partial counts,
+    then a tiny global groupby over ≤ len(patterns)+1 keys. Output:
+    (license string, n_files int64).
+    """
+    import numpy as np
+
+    def classify(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if col.null_count:
+            raise ValueError("license_counts: null text values")
+        lic = pa.array([NO_LICENSE] * batch.num_rows, type=pa.string())
+        # compose back-to-front so earlier patterns override later ones
+        for name, pat in reversed(LICENSE_PATTERNS):
+            hit = pc.match_substring_regex(col, pat)
+            lic = pc.if_else(hit, pa.scalar(name, type=pa.string()), lic)
+        t = pa.table({"license": lic})
+        g = t.group_by(["license"]).aggregate([([], "count_all")])
+        return g.rename_columns(["license", "n"])
+
+    counts = (
+        ds.select_columns([text_col])
+        .map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("license")
+        .sum("n")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "license": batch.column("license"),
+                "n_files": batch.column("sum(n)"),
+            }
+        )
+
+    return counts.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -591,3 +591,75 @@ def pq_encode(
         )
 
     return ds.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def centroid_per_label(
+    ds: ray.data.Dataset,
+    label_col: str = "label",
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Mean embedding per label, in long format (label, dim, mean_val) —
+    the class-prototype computation behind centroid classifiers, cluster
+    drift checks and label-balance audits over an embedding table.
+
+    Exactness: coordinates are integer-quantized (floor(x * 2^24), the
+    module's ``KMEANS_SCALE`` convention with FLOOR so SQL mirrors it —
+    ROUND ties break differently between numpy and SQL) and accumulated
+    in int64, so the reduction is exact under any block layout; the
+    single closing division ``double(Σq) / (2^24 * n)`` is mirrored
+    op-for-op by the oracle. float32 -> float64 casts are exact.
+
+    Topology: each block collapses to (labels-in-block x d) fixed-width
+    partial rows via one sort + ``np.add.reduceat`` — the groupby
+    shuffle carries partials only, never vectors. Output: (``label_col``,
+    dim int64, mean_val float64), one row per (label, dimension).
+    """
+    import pyarrow.compute as pc
+
+    label_type = ds.schema().base_schema.field(label_col).type
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.column(label_col).null_count:
+            raise ValueError("centroid_per_label: null labels")
+        mat = _to_matrix(batch, emb_col)
+        q = np.floor(mat * KMEANS_SCALE).astype(np.int64)
+        labels = batch.column(label_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(labels, kind="stable")
+        labels_s, q_s = labels[order], q[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], labels_s[1:] != labels_s[:-1]])
+        )
+        seg_len = np.diff(np.append(starts, len(labels_s)))
+        sums = np.add.reduceat(q_s, starts, axis=0)  # (n_labels, d)
+        n_lab, d = sums.shape
+        return pa.table(
+            {
+                label_col: pa.array(
+                    np.repeat(labels_s[starts], d), type=label_type
+                ),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n_lab)),
+                "sq": pa.array(sums.reshape(-1)),
+                "n": pa.array(np.repeat(seg_len.astype(np.int64), d)),
+            }
+        )
+
+    merged = (
+        ds.select_columns([label_col, emb_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([label_col, "dim"])
+        .sum(["sq", "n"])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sq = batch.column("sum(sq)").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                label_col: batch.column(label_col),
+                "dim": batch.column("dim"),
+                "mean_val": pa.array(sq / (KMEANS_SCALE * n), type=pa.float64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

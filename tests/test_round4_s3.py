@@ -1,0 +1,264 @@
+"""Round-4 session-3 operators: grouped linreg, latest/first-last per
+key, NTILE, hourly gap-fill, per-label centroids, license counts."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ds(items, nparts=4):
+    import ray.data
+
+    return ray.data.from_items(items).repartition(nparts)
+
+
+# --------------------------------------------------------------------- linreg
+
+
+def test_grouped_linreg_matches_numpy(ray_session):
+    from hyperpolyglot_ray.stages.aggregates import grouped_linreg
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for key, slope, icpt in [("a", 3, 10), ("b", -2, 5)]:
+        x = rng.randint(0, 100, size=400)
+        noise = rng.randint(-4, 5, size=400)
+        for xi, ni in zip(x, noise):
+            rows.append({"k": key, "x": int(xi), "y": int(slope * xi + icpt + ni)})
+    out = {
+        r["k"]: r
+        for r in grouped_linreg(_ds(rows, 8), "k", "x", "y").take_all()
+    }
+    for key in ("a", "b"):
+        sub = [(r["x"], r["y"]) for r in rows if r["k"] == key]
+        xs = np.array([s[0] for s in sub], dtype=np.float64)
+        ys = np.array([s[1] for s in sub], dtype=np.float64)
+        ref_slope, ref_icpt = np.polyfit(xs, ys, 1)
+        assert out[key]["n"] == len(sub)
+        assert out[key]["slope"] == pytest.approx(ref_slope, rel=1e-9)
+        assert out[key]["intercept"] == pytest.approx(ref_icpt, rel=1e-6)
+
+
+def test_grouped_linreg_layout_invariant_and_degenerate(ray_session):
+    from hyperpolyglot_ray.stages.aggregates import grouped_linreg
+
+    rows = [{"k": "a", "x": i % 7, "y": 2 * (i % 7) + 1} for i in range(50)]
+    rows += [{"k": "z", "x": 4, "y": i} for i in range(10)]  # zero x-variance
+    a = sorted(
+        map(tuple_of, grouped_linreg(_ds(rows, 1), "k", "x", "y").take_all())
+    )
+    b = sorted(
+        map(tuple_of, grouped_linreg(_ds(rows, 9), "k", "x", "y").take_all())
+    )
+    assert a == b
+    d = {r[0]: r for r in a}
+    assert d["a"][2] == pytest.approx(2.0) and d["a"][3] == pytest.approx(1.0)
+    assert d["z"][2] is None and d["z"][3] is None  # degenerate -> NULL
+
+    with pytest.raises(ValueError, match="integer-typed"):
+        grouped_linreg(_ds([{"k": "a", "x": 1.5, "y": 2.0}]), "k", "x", "y")
+
+
+def tuple_of(r):
+    return (r["k"], r["n"], r["slope"], r["intercept"])
+
+
+# ------------------------------------------------------- latest / first-last
+
+
+def _event_rows():
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(600):
+        rows.append(
+            {
+                "id": i,
+                "user": int(rng.randint(0, 12)),
+                "kind": ["a", "b", "c"][rng.randint(0, 3)],
+                "ts": int(rng.randint(0, 50)),  # many ts collisions -> tiebreak
+                "val": f"v{i}",
+            }
+        )
+    return rows
+
+
+def test_latest_rows_per_key_matches_pandas(ray_session):
+    import pandas as pd
+
+    from hyperpolyglot_ray.stages.aggregates import latest_rows_per_key
+
+    rows = _event_rows()
+    out = latest_rows_per_key(
+        _ds(rows, 7), ["user", "kind"], ["ts", "id"]
+    ).take_all()
+    df = pd.DataFrame(rows).sort_values(["ts", "id"]).groupby(["user", "kind"]).tail(1)
+    expect = sorted(map(tuple, df[["user", "kind", "id"]].itertuples(index=False)))
+    got = sorted((r["user"], r["kind"], r["id"]) for r in out)
+    assert got == expect
+    # full rows survive: every column of the winning row is present
+    assert all(set(r) == {"id", "user", "kind", "ts", "val"} for r in out)
+
+
+def test_latest_rows_per_key_rejects_nulls(ray_session):
+    from hyperpolyglot_ray.stages.aggregates import latest_rows_per_key
+
+    ds = _ds([{"k": None, "o": 1}, {"k": "a", "o": 2}], 1)
+    with pytest.raises(Exception, match="null"):
+        latest_rows_per_key(ds, ["k"], ["o"]).take_all()
+
+
+def test_first_last_per_key_matches_pandas(ray_session):
+    import pandas as pd
+
+    from hyperpolyglot_ray.stages.aggregates import first_last_per_key
+
+    rows = _event_rows()
+    out = first_last_per_key(_ds(rows, 6), "user", ["ts", "id"], "kind").take_all()
+    df = pd.DataFrame(rows).sort_values(["ts", "id"])
+    g = df.groupby("user")["kind"]
+    first, last, n = g.first(), g.last(), g.size()
+    got = sorted((r["user"], r["first_kind"], r["last_kind"], r["n_rows"]) for r in out)
+    expect = sorted(
+        (int(u), first[u], last[u], int(n[u])) for u in first.index
+    )
+    assert got == expect
+
+
+# ----------------------------------------------------------------- ntile
+
+
+def _ref_ntile(c, n):
+    """SQL NTILE reference: first c%n tiles get c//n+1 rows."""
+    base, rem = divmod(c, n)
+    tiles = []
+    for t in range(1, n + 1):
+        tiles.extend([t] * (base + (1 if t <= rem else 0)))
+    return tiles
+
+
+def test_ntile_per_key_matches_sql_semantics(ray_session):
+    from hyperpolyglot_ray.stages.ordering import ntile_per_key
+
+    rng = np.random.RandomState(3)
+    rows = []
+    i = 0
+    for key, count in [("a", 17), ("b", 4), ("c", 2), ("d", 40)]:  # c < n case
+        for _ in range(count):
+            rows.append({"k": key, "v": int(rng.randint(0, 9)), "id": i})
+            i += 1
+    out = ntile_per_key(_ds(rows, 5), "k", ["v", "id"], 4).take_all()
+    by_key = {}
+    for r in sorted(out, key=lambda r: (r["k"], r["v"], r["id"])):
+        by_key.setdefault(r["k"], []).append(r["tile"])
+    for key, count in [("a", 17), ("b", 4), ("c", 2), ("d", 40)]:
+        assert by_key[key] == _ref_ntile(count, 4), key
+    # layout invariance
+    out1 = sorted(
+        (r["k"], r["v"], r["id"], r["tile"])
+        for r in ntile_per_key(_ds(rows, 1), "k", ["v", "id"], 4).take_all()
+    )
+    assert out1 == sorted((r["k"], r["v"], r["id"], r["tile"]) for r in out)
+
+
+# ----------------------------------------------------------------- gapfill
+
+
+def test_hourly_counts_gapfill_zero_fills(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.windows import hourly_counts_gapfill
+
+    base = np.datetime64("2024-03-01T00:30:00", "us")
+    hour = np.timedelta64(3600, "s")
+    rows = [
+        {"ts": base, "event_type": "x"},
+        {"ts": base + 4 * hour, "event_type": "x"},  # hours 1-3 silent
+        {"ts": base + 4 * hour, "event_type": "y"},
+    ]
+    out = hourly_counts_gapfill(_ds(rows, 2)).take_all()
+    # grid: 2 keys x 5 hours
+    assert len(out) == 10
+    d = {(r["event_type"], str(r["hour"])): r["n_events"] for r in out}
+    assert d[("x", "2024-03-01 00:00:00")] == 1
+    assert d[("x", "2024-03-01 02:00:00")] == 0
+    assert d[("x", "2024-03-01 04:00:00")] == 1
+    assert d[("y", "2024-03-01 00:00:00")] == 0
+    assert d[("y", "2024-03-01 04:00:00")] == 1
+    assert sum(v for v in d.values()) == 3
+
+
+def test_hourly_counts_gapfill_empty_input(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.windows import hourly_counts_gapfill
+
+    ds = _ds([{"ts": np.datetime64("2024-01-01", "us"), "event_type": "x"}], 1)
+    ds = ds.filter(lambda r: False)
+    out = hourly_counts_gapfill(ds).take_all()
+    assert out == []
+
+
+# --------------------------------------------------------------- centroids
+
+
+def test_centroid_per_label_matches_numpy(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.similarity import KMEANS_SCALE, centroid_per_label
+
+    rng = np.random.RandomState(9)
+    n, d = 300, 8
+    vecs = rng.randn(n, d).astype(np.float32)
+    labels = rng.randint(0, 4, size=n).astype(np.int32)
+    t = pa.table(
+        {
+            "label": pa.array(labels),
+            "embedding": pa.array(
+                [v for v in vecs.tolist()], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(6)
+    out = centroid_per_label(ds).take_all()
+    assert len(out) == 4 * d
+    q = np.floor(vecs.astype(np.float64) * KMEANS_SCALE).astype(np.int64)
+    for lab in range(4):
+        m = labels == lab
+        ref = q[m].sum(axis=0).astype(np.float64) / (KMEANS_SCALE * m.sum())
+        got = np.array(
+            [
+                r["mean_val"]
+                for r in sorted(
+                    (r for r in out if r["label"] == lab),
+                    key=lambda r: r["dim"],
+                )
+            ]
+        )
+        assert np.array_equal(got, ref)  # bit-exact by construction
+
+
+# ----------------------------------------------------------------- license
+
+
+def test_license_counts_priority_and_none(ray_session):
+    from hyperpolyglot_ray.stages.secrets import license_counts
+
+    rows = [
+        {"content": "licensed under the Apache License v2 and the MIT License"},
+        {"content": "MIT License\nPermission is hereby granted, free of charge"},
+        {"content": "This uses the GNU Lesser General Public License"},
+        {"content": "GNU General Public License v3"},
+        {"content": "Redistribution and use in source and binary forms"},
+        {"content": "no license text here"},
+        {"content": "also nothing"},
+    ]
+    out = {r["license"]: r["n_files"] for r in license_counts(_ds(rows, 3)).take_all()}
+    # first row matches both Apache and MIT -> priority picks Apache-2.0
+    assert out == {
+        "Apache-2.0": 1,
+        "MIT": 1,
+        "LGPL": 1,
+        "GPL": 1,
+        "BSD": 1,
+        "none": 2,
+    }
