@@ -1734,6 +1734,17 @@ def _q_files_license(sf_dir: str):
     return license_counts(ds.select_columns(["content"]))
 
 
+def _q_events_mad_outliers(sf_dir: str):
+    """Per-type robust anomaly summary (median / MAD / 3xMAD outlier
+    count) — the screen a single extreme value cannot poison."""
+    from hyperpolyglot_ray.stages.aggregates import mad_outliers_per_key
+
+    ev = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return mad_outliers_per_key(ev, "event_type", "value", thresh=3.0)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1806,6 +1817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_chunked": _q_events_asof_chunked,
         "events_session_join_chunked": _q_events_session_join_chunked,
         "events_value_quantiles_refine": _q_events_value_quantiles_refine,
+        "events_mad_outliers": _q_events_mad_outliers,
         # --- last driver-checked in round 2 ---
         "events_window": _q_events_window,
         "events_value_quantiles": _q_events_value_quantiles,
@@ -2026,6 +2038,22 @@ FROM q GROUP BY label, dim""",
             f"SELECT {_lic_case} AS license FROM read_parquet('{files}')"
             f") GROUP BY license"
         ),
+        # mirrors stages/aggregates.py:mad_outliers_per_key: DuckDB median
+        # on DOUBLE == quantile_cont(0.5) == the stage's lo+0.5*(hi-lo)
+        "events_mad_outliers": """
+WITH med AS (
+  SELECT event_type, median(value) AS m FROM events GROUP BY 1
+), d AS (
+  SELECT e.event_type, ABS(e.value - med.m) AS ad, med.m
+  FROM events e JOIN med USING (event_type)
+), md AS (
+  SELECT event_type, median(ad) AS mad FROM d GROUP BY 1
+)
+SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n, MAX(d.m) AS med,
+       MAX(md.mad) AS mad,
+       CAST(COUNT(*) FILTER (WHERE d.ad > 3.0 * md.mad) AS BIGINT) AS n_outliers
+FROM d JOIN md USING (event_type)
+GROUP BY d.event_type""",
         "detect_cascade": (
             f"SELECT path, lang AS detected_lang FROM read_parquet('{exp}') WHERE detectable"
         ),

@@ -1535,3 +1535,106 @@ def first_last_per_key(
         .groupby("__bucket")
         .map_groups(reduce_group, batch_format="pyarrow")
     )
+
+
+def mad_outliers_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    thresh: float = 3.0,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-key robust anomaly summary: median, MAD (median absolute
+    deviation) and the count of values beyond ``thresh x MAD`` — the
+    outlier screen that, unlike ``zscore_per_key``, a single extreme
+    value cannot poison (mean/std are unbounded-influence; median/MAD
+    have breakdown point 0.5). Output: (``key_col``, n int64,
+    med float64, mad float64, n_outliers int64).
+
+    Determinism: medians use SQL ``quantile_cont(0.5)`` semantics
+    mirrored op-for-op — sorted values, odd n takes the middle, even n
+    computes ``lo + 0.5 * (hi - lo)`` — and the outlier predicate is
+    the same float comparison on both sides, so the oracle hash-matches
+    (float ulp drift would need a value EXACTLY on the 3xMAD boundary
+    to flip a count). Nulls are rejected.
+
+    Topology: exact medians need each key's values co-located — ONE
+    bucketed shuffle of (key, value) pairs (a bucket group serves many
+    keys; both medians + the outlier count come from a single in-group
+    sort via segment reduceat, no second pass). The partitioning
+    assumption is the module-wide windowed-stage contract: one key's
+    rows fit one group. For corpora where value-per-key cardinality
+    explodes, pre-aggregate or route through
+    ``grouped_quantiles_refine``'s bounded-memory refinement instead.
+    """
+    import numpy as np
+
+    from .shuffle import bucket_column
+
+    out_schema = pa.schema(
+        [
+            pa.field(key_col, ds.schema().base_schema.field(key_col).type),
+            pa.field("n", pa.int64()),
+            pa.field("med", pa.float64()),
+            pa.field("mad", pa.float64()),
+            pa.field("n_outliers", pa.int64()),
+        ]
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        for c in (key_col, val_col):
+            if batch.column(c).null_count:
+                raise ValueError(f"mad_outliers_per_key: null values in {c!r}")
+        return batch.append_column(
+            "__bucket", bucket_column(batch, [key_col], n_buckets)
+        )
+
+    def _seg_median(vals: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        """quantile_cont(0.5) per segment of a SEGMENT-SORTED value array."""
+        mid = lens // 2
+        hi = vals[starts + mid]
+        lo = vals[starts + np.maximum(mid - 1, 0)]
+        even = lens % 2 == 0
+        return np.where(even, lo + 0.5 * (hi - lo), hi)
+
+    def stats_groups(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        order = pa.compute.sort_indices(
+            group, sort_keys=[(key_col, "ascending"), (val_col, "ascending")]
+        )
+        g = group.take(order)
+        n = g.num_rows
+        kv = g.column(key_col).to_numpy(zero_copy_only=False)
+        vals = g.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        seg_start = np.empty(n, dtype=bool)
+        seg_start[0] = True
+        seg_start[1:] = kv[1:] != kv[:-1]
+        starts = np.flatnonzero(seg_start)
+        lens = np.diff(np.append(starts, n))
+        seg_id = np.cumsum(seg_start) - 1
+        med = _seg_median(vals, starts, lens)
+        ad = np.abs(vals - med[seg_id])
+        # second median over deviations: re-sort ad within each segment
+        ad_sorted = np.empty_like(ad)
+        order2 = np.lexsort((ad, seg_id))
+        ad_sorted = ad[order2]
+        mad = _seg_median(ad_sorted, starts, lens)
+        out_mask = ad > thresh * mad[seg_id]
+        n_out = np.add.reduceat(out_mask.astype(np.int64), starts)
+        return pa.table(
+            {
+                key_col: pa.array(kv[starts], type=out_schema.field(key_col).type),
+                "n": pa.array(lens.astype(np.int64)),
+                "med": pa.array(med, type=pa.float64()),
+                "mad": pa.array(mad, type=pa.float64()),
+                "n_outliers": pa.array(n_out),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, val_col])
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(stats_groups, batch_format="pyarrow")
+    )

@@ -262,3 +262,37 @@ def test_license_counts_priority_and_none(ray_session):
         "BSD": 1,
         "none": 2,
     }
+
+
+# ----------------------------------------------------------------- MAD
+
+
+def test_mad_outliers_per_key_matches_numpy(ray_session):
+    from hyperpolyglot_ray.stages.aggregates import mad_outliers_per_key
+
+    rng = np.random.RandomState(21)
+    rows = []
+    for key, n in [("a", 101), ("b", 64), ("c", 1)]:  # odd, even, singleton
+        vals = rng.randn(n) * 10
+        vals[: max(n // 20, 0)] += 500.0  # plant outliers
+        rows.extend({"k": key, "v": float(v)} for v in vals)
+
+    def q_cont(v):
+        v = np.sort(v)
+        m = len(v) // 2
+        if len(v) % 2 == 1:
+            return v[m]
+        return v[m - 1] + 0.5 * (v[m] - v[m - 1])
+
+    out = {r["k"]: r for r in mad_outliers_per_key(_ds(rows, 7), "k", "v").take_all()}
+    for key in ("a", "b", "c"):
+        vals = np.array([r["v"] for r in rows if r["k"] == key])
+        med = q_cont(vals)
+        ad = np.abs(vals - med)
+        mad = q_cont(ad)
+        assert out[key]["n"] == len(vals)
+        assert out[key]["med"] == med  # bit-exact: same expression
+        assert out[key]["mad"] == mad
+        assert out[key]["n_outliers"] == int((ad > 3.0 * mad).sum())
+    assert out["a"]["n_outliers"] >= 5  # the planted outliers are found
+    assert out["c"]["mad"] == 0.0 and out["c"]["n_outliers"] == 0
