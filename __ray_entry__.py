@@ -1542,18 +1542,24 @@ def _q_orders_custdist(sf_dir: str):
         .count()
     )
     tables = [t for t in ray.get(dist.to_arrow_refs()) if t.num_rows]
-    small = pa.concat_tables([t.combine_chunks() for t in tables]).combine_chunks()
-    custdist = small.column("count()")
     # zero-order bucket: customers with no order row at all (count()
     # on the customer read is metadata-only, no scan)
     total_cust = _read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey"]
     ).count()
-    import pyarrow.compute as pc
+    if tables:
+        small = pa.concat_tables(
+            [t.combine_chunks() for t in tables]
+        ).combine_chunks()
+        import pyarrow.compute as pc
 
-    n_zero = total_cust - pc.sum(custdist).as_py()
-    cc = small.column("c_count").to_pylist()
-    cd = custdist.to_pylist()
+        custdist = small.column("count()")
+        n_zero = total_cust - pc.sum(custdist).as_py()
+        cc = small.column("c_count").to_pylist()
+        cd = custdist.to_pylist()
+    else:  # no orders at all: every customer is in the zero bucket
+        n_zero = total_cust
+        cc, cd = [], []
     if n_zero > 0:
         cc.append(0)
         cd.append(n_zero)
@@ -1902,6 +1908,20 @@ def oracle_sql() -> dict[str, str]:
     from hyperpolyglot_ray.stages.secrets import NO_LICENSE as _nolic
     from hyperpolyglot_ray.stages.secrets import SECRET_PATTERNS as _secpats
 
+    # embedding dimensionality for the centroid oracle: derived from the
+    # oracle-scale data itself (the stage infers it at runtime; pinning a
+    # literal here would silently desync if the fixture dimension changed)
+    import pyarrow.parquet as _pq
+
+    try:
+        _emb_dim = len(
+            _pq.ParquetFile(f"/root/testdata/sf{ORACLE_SF:g}/embeddings.parquet")
+            .read_row_group(0, columns=["embedding"])
+            .column("embedding")[0]
+        )
+    except Exception:
+        _emb_dim = 64
+
     # first-match priority CASE chain mirrors stages/secrets.py:license_counts
     _lic_case = (
         "CASE "
@@ -2024,11 +2044,11 @@ FROM keys k CROSS JOIN hours h
 LEFT JOIN c ON c.event_type = k.event_type AND c.hour = h.hour""",
         # mirrors stages/similarity.py:centroid_per_label: floor(x * 2^24)
         # int64 sums (exact), one closing double division
-        "emb_centroids": """
+        "emb_centroids": f"""
 WITH q AS (
   SELECT label, d AS dim,
          CAST(FLOOR(CAST(embedding[d + 1] AS DOUBLE) * 16777216.0) AS BIGINT) AS qv
-  FROM embeddings CROSS JOIN range(0, 64) t(d)
+  FROM embeddings CROSS JOIN range(0, {_emb_dim}) t(d)
 )
 SELECT label, dim,
        CAST(SUM(qv) AS DOUBLE) / (16777216.0 * COUNT(*)) AS mean_val
@@ -2038,16 +2058,48 @@ FROM q GROUP BY label, dim""",
             f"SELECT {_lic_case} AS license FROM read_parquet('{files}')"
             f") GROUP BY license"
         ),
-        # mirrors stages/aggregates.py:mad_outliers_per_key: DuckDB median
-        # on DOUBLE == quantile_cont(0.5) == the stage's lo+0.5*(hi-lo)
+        # mirrors stages/aggregates.py:mad_outliers_per_key. Medians are
+        # spelled out as explicit sorted-position selections + the stage's
+        # exact interpolation `lo + 0.5*(hi-lo)` — NOT DuckDB's median(),
+        # whose even-count rounding differs by 1 ulp from any plain-Python
+        # expression (its interpolation is compiler-fused) — so both sides
+        # evaluate the identical float64 op tree and hash bitwise-equal.
         "events_mad_outliers": """
-WITH med AS (
-  SELECT event_type, median(value) AS m FROM events GROUP BY 1
+WITH r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS c
+  FROM events
+), med0 AS (
+  SELECT event_type,
+         MAX(CASE WHEN 2 * rn = c + 1 THEN value END) AS mid_odd,
+         MAX(CASE WHEN 2 * rn = c THEN value END) AS lo,
+         MAX(CASE WHEN 2 * rn = c + 2 THEN value END) AS hi,
+         MAX(c) AS c
+  FROM r GROUP BY event_type
+), med AS (
+  SELECT event_type,
+         CASE WHEN c % 2 = 1 THEN mid_odd ELSE lo + 0.5 * (hi - lo) END AS m
+  FROM med0
 ), d AS (
   SELECT e.event_type, ABS(e.value - med.m) AS ad, med.m
   FROM events e JOIN med USING (event_type)
+), r2 AS (
+  SELECT event_type, ad, m,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ad) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS c
+  FROM d
+), md0 AS (
+  SELECT event_type,
+         MAX(CASE WHEN 2 * rn = c + 1 THEN ad END) AS mid_odd,
+         MAX(CASE WHEN 2 * rn = c THEN ad END) AS lo,
+         MAX(CASE WHEN 2 * rn = c + 2 THEN ad END) AS hi,
+         MAX(c) AS c
+  FROM r2 GROUP BY event_type
 ), md AS (
-  SELECT event_type, median(ad) AS mad FROM d GROUP BY 1
+  SELECT event_type,
+         CASE WHEN c % 2 = 1 THEN mid_odd ELSE lo + 0.5 * (hi - lo) END AS mad
+  FROM md0
 )
 SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n, MAX(d.m) AS med,
        MAX(md.mad) AS mad,

@@ -1396,6 +1396,12 @@ def latest_rows_per_key(
 
     from .shuffle import bucket_column
 
+    # declared schema for typed EMPTY groups (duplicate range-partition
+    # boundaries in the groupby sort yield schema-less empty groups —
+    # the failure class bucketed_group_reduce guards against)
+    maybe_schema = ds.schema()
+    out_schema = None if maybe_schema is None else maybe_schema.base_schema
+
     sort_keys = [(c, "ascending") for c in key_cols] + [
         (c, "descending") for c in order_cols
     ]
@@ -1416,6 +1422,10 @@ def latest_rows_per_key(
         )
 
     def reduce_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            if out_schema is not None:
+                return out_schema.empty_table()
+            return pa.table({})  # unreachable: schema-less input has no rows
         return keep_latest(group.drop_columns(["__bucket"]))
 
     return (
@@ -1551,12 +1561,14 @@ def mad_outliers_per_key(
     have breakdown point 0.5). Output: (``key_col``, n int64,
     med float64, mad float64, n_outliers int64).
 
-    Determinism: medians use SQL ``quantile_cont(0.5)`` semantics
-    mirrored op-for-op — sorted values, odd n takes the middle, even n
-    computes ``lo + 0.5 * (hi - lo)`` — and the outlier predicate is
-    the same float comparison on both sides, so the oracle hash-matches
-    (float ulp drift would need a value EXACTLY on the 3xMAD boundary
-    to flip a count). Nulls are rejected.
+    Determinism: medians interpolate as ``lo + 0.5 * (hi - lo)`` for
+    even counts (middle value for odd). The oracle does NOT use SQL
+    ``median()`` — DuckDB's even-count interpolation is compiler-fused
+    and differs by 1 ulp from any plain expression — it instead selects
+    the two middle values by sorted position and repeats this exact
+    float64 expression, so both sides evaluate the identical op tree
+    (medians, deviations, and the 3xMAD predicate) and hash
+    bitwise-equal. Nulls are rejected.
 
     Topology: exact medians need each key's values co-located — ONE
     bucketed shuffle of (key, value) pairs (a bucket group serves many
@@ -1616,7 +1628,6 @@ def mad_outliers_per_key(
         med = _seg_median(vals, starts, lens)
         ad = np.abs(vals - med[seg_id])
         # second median over deviations: re-sort ad within each segment
-        ad_sorted = np.empty_like(ad)
         order2 = np.lexsort((ad, seg_id))
         ad_sorted = ad[order2]
         mad = _seg_median(ad_sorted, starts, lens)

@@ -655,6 +655,9 @@ def ntile_per_key(
     """
     from .shuffle import bucket_column
 
+    if n_tiles < 1:
+        raise ValueError(f"ntile_per_key: n_tiles must be >= 1 (got {n_tiles})")
+
     cols = [key_col] + order_cols
     slim = ds.select_columns(cols)
     schema = ds.schema().base_schema

@@ -597,7 +597,6 @@ def centroid_per_label(
     ds: ray.data.Dataset,
     label_col: str = "label",
     emb_col: str = "embedding",
-    id_col: str = "vec_id",
 ) -> ray.data.Dataset:
     """Mean embedding per label, in long format (label, dim, mean_val) —
     the class-prototype computation behind centroid classifiers, cluster

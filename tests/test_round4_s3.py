@@ -296,3 +296,13 @@ def test_mad_outliers_per_key_matches_numpy(ray_session):
         assert out[key]["n_outliers"] == int((ad > 3.0 * mad).sum())
     assert out["a"]["n_outliers"] >= 5  # the planted outliers are found
     assert out["c"]["mad"] == 0.0 and out["c"]["n_outliers"] == 0
+
+
+def test_ntile_per_key_rejects_bad_n(ray_session):
+    from hyperpolyglot_ray.stages.ordering import ntile_per_key
+
+    ds = _ds([{"k": "a", "v": 1, "id": 1}], 1)
+    with pytest.raises(ValueError, match="n_tiles"):
+        ntile_per_key(ds, "k", ["v", "id"], 0)
+    with pytest.raises(ValueError, match="n_tiles"):
+        ntile_per_key(ds, "k", ["v", "id"], -3)
