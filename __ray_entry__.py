@@ -1751,6 +1751,26 @@ def _q_events_mad_outliers(sf_dir: str):
     return mad_outliers_per_key(ev, "event_type", "value", thresh=3.0)
 
 
+def _q_doc_expectations(sf_dir: str):
+    """Declarative data-quality gate over documents: six expectation
+    rules (null/unique/range/regex/accepted-values) -> exact violation
+    counts, one distributed scan + one value-bucketed uniqueness reduce."""
+    from hyperpolyglot_ray.stages.profile import validate_expectations
+
+    docs = _read_parquet_clean(f"{sf_dir}/documents.parquet")
+    return validate_expectations(
+        docs,
+        [
+            ("not_null", "text", None),
+            ("unique", "doc_id", None),
+            ("unique", "lang", None),  # heavy-duplicate column: all rows flagged
+            ("in_range", "n_chars", (0, 300)),
+            ("matches", "lang", "^[a-z][a-z]$"),
+            ("accepted", "lang", ["de", "en", "es", "fr"]),
+        ],
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1824,6 +1844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_join_chunked": _q_events_session_join_chunked,
         "events_value_quantiles_refine": _q_events_value_quantiles_refine,
         "events_mad_outliers": _q_events_mad_outliers,
+        "doc_expectations": _q_doc_expectations,
         # --- last driver-checked in round 2 ---
         "events_window": _q_events_window,
         "events_value_quantiles": _q_events_value_quantiles,
@@ -2106,6 +2127,36 @@ SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n, MAX(d.m) AS med,
        CAST(COUNT(*) FILTER (WHERE d.ad > 3.0 * md.mad) AS BIGINT) AS n_outliers
 FROM d JOIN md USING (event_type)
 GROUP BY d.event_type""",
+        # mirrors stages/profile.py:validate_expectations rule-for-rule
+        "doc_expectations": """
+WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents)
+SELECT 'not_null' AS rule, 'text' AS col,
+       (SELECT CAST(COUNT(*) FILTER (WHERE text IS NULL) AS BIGINT) FROM documents) AS n_violations,
+       n_rows FROM t
+UNION ALL
+SELECT 'unique', 'doc_id',
+       (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM (
+          SELECT COUNT(*) AS c FROM documents WHERE doc_id IS NOT NULL
+          GROUP BY doc_id HAVING COUNT(*) > 1)),
+       n_rows FROM t
+UNION ALL
+SELECT 'unique', 'lang',
+       (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM (
+          SELECT COUNT(*) AS c FROM documents WHERE lang IS NOT NULL
+          GROUP BY lang HAVING COUNT(*) > 1)),
+       n_rows FROM t
+UNION ALL
+SELECT 'in_range', 'n_chars',
+       (SELECT CAST(COUNT(*) FILTER (WHERE n_chars < 0 OR n_chars > 300) AS BIGINT) FROM documents),
+       n_rows FROM t
+UNION ALL
+SELECT 'matches', 'lang',
+       (SELECT CAST(COUNT(*) FILTER (WHERE lang IS NOT NULL AND NOT regexp_matches(lang, '^[a-z][a-z]$')) AS BIGINT) FROM documents),
+       n_rows FROM t
+UNION ALL
+SELECT 'accepted', 'lang',
+       (SELECT CAST(COUNT(*) FILTER (WHERE lang IS NOT NULL AND lang NOT IN ('de','en','es','fr')) AS BIGINT) FROM documents),
+       n_rows FROM t""",
         "detect_cascade": (
             f"SELECT path, lang AS detected_lang FROM read_parquet('{exp}') WHERE detectable"
         ),

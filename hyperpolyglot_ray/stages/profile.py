@@ -327,3 +327,153 @@ def grouped_histogram(
         .sum("__n")
         .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+# --------------------------------------------------------------------------
+# declarative data-quality expectations (Deequ / Great-Expectations style)
+
+
+def validate_expectations(
+    ds: ray.data.Dataset,
+    rules: list[tuple[str, str, object]],
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Declarative data-quality gate: evaluate a list of expectation
+    rules against a table and report exact violation counts per rule —
+    the contract check a pipeline runs on every new corpus drop before
+    training (the published Deequ / Great-Expectations pattern).
+
+    ``rules`` is a list of ``(rule_name, column, spec)``:
+
+    * ``("not_null", col, None)`` — NULL cells violate.
+    * ``("unique", col, None)`` — every row whose value occurs more
+      than once violates (NULLs excluded, SQL-style).
+    * ``("in_range", col, (lo, hi))`` — numeric cells outside
+      ``[lo, hi]`` violate; NULLs don't (compose with not_null).
+    * ``("matches", col, pattern)`` — non-NULL strings NOT matching the
+      RE2 ``pattern`` (unanchored, like ``regexp_matches``) violate.
+    * ``("accepted", col, [v1, v2, ...])`` — non-NULL values outside
+      the list violate.
+
+    Output: one row per rule — (rule string, col string,
+    n_violations int64, n_rows int64) — in rule order ("col", not
+    "column", so the SQL oracle needs no reserved-word quoting).
+
+    Topology: every rule except ``unique`` is a map-only vectorized
+    predicate folded into per-block partial counts (one scan for ALL
+    rules together, one tiny driver merge of #blocks fixed-width rows).
+    ``unique`` routes its column through the bucketed growing-
+    cardinality reduce (value co-location makes over-count exact) and
+    adds the duplicated-row total — the only exchanged data is one
+    (value-hash-bucketed value, count) stream. No corpus-scale shuffle.
+    """
+    import ray as _ray
+
+    from .shuffle import bucket_column
+
+    known = {"not_null", "unique", "in_range", "matches", "accepted"}
+    for name, col, _ in rules:
+        if name not in known:
+            raise ValueError(f"validate_expectations: unknown rule {name!r}")
+
+    map_rules = [(i, r) for i, r in enumerate(rules) if r[0] != "unique"]
+    uniq_rules = [(i, r) for i, r in enumerate(rules) if r[0] == "unique"]
+    need_cols = sorted({r[1] for r in rules})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts, rows = [], batch.num_rows
+        for _, (name, col, spec) in map_rules:
+            c = batch.column(col)
+            if name == "not_null":
+                bad = c.null_count
+            elif name == "in_range":
+                lo, hi = spec
+                v = pc.or_(pc.less(c, pa.scalar(lo)), pc.greater(c, pa.scalar(hi)))
+                bad = pc.sum(v).as_py() or 0
+            elif name == "matches":
+                v = pc.invert(pc.match_substring_regex(c, spec))
+                bad = pc.sum(v).as_py() or 0
+            else:  # accepted — NULLs excluded (is_in maps null -> false)
+                v = pc.and_(
+                    pc.invert(pc.is_in(c, value_set=pa.array(spec))),
+                    pc.is_valid(c),
+                )
+                bad = pc.sum(v).as_py() or 0
+            counts.append(bad)
+        return pa.table(
+            {
+                "rule_idx": pa.array(
+                    [i for i, _ in map_rules] + [-1], type=pa.int64()
+                ),
+                "bad": pa.array(counts + [0], type=pa.int64()),
+                "rows": pa.array([0] * len(map_rules) + [rows], type=pa.int64()),
+            }
+        )
+
+    # partials are (#rules+1) fixed-width rows per block — merge them on
+    # the driver directly (no groupby exchange needed at any corpus size)
+    merged = {}
+    total_rows = 0
+    parts = ds.select_columns(need_cols).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    for t in _ray.get(parts.to_arrow_refs()):
+        if t.num_rows == 0:
+            continue
+        for idx, bad, rows in zip(
+            t.column("rule_idx").to_pylist(),
+            t.column("bad").to_pylist(),
+            t.column("rows").to_pylist(),
+        ):
+            if idx == -1:
+                total_rows += rows
+            else:
+                merged[idx] = merged.get(idx, 0) + bad
+
+    # unique rules: per-value counts via the bucketed reduce, then the
+    # number of rows participating in any duplicate group (cnt > 1)
+    for idx, (name, col, _) in uniq_rules:
+        col_ds = ds.select_columns([col])
+
+        def val_counts(batch: pa.Table, _c=col) -> pa.Table:
+            t = batch.filter(pc.is_valid(batch.column(_c)))
+            g = t.group_by([_c]).aggregate([([], "count_all")])
+            return g.rename_columns([_c, "cnt"])
+
+        def add_bucket(batch: pa.Table, _c=col) -> pa.Table:
+            return batch.append_column(
+                "__bucket", bucket_column(batch, [_c], n_buckets)
+            )
+
+        def dup_rows(group: pa.Table, _c=col) -> pa.Table:
+            if group.num_rows == 0:
+                return pa.table({"dups": pa.array([], type=pa.int64())})
+            g = group.drop(["__bucket"]).group_by([_c]).aggregate([("cnt", "sum")])
+            cnt = g.column("cnt_sum").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"dups": pa.array([int(cnt[cnt > 1].sum())], type=pa.int64())}
+            )
+
+        dup_total = 0
+        red = (
+            col_ds.map_batches(val_counts, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("__bucket")
+            .map_groups(dup_rows, batch_format="pyarrow")
+        )
+        for t in _ray.get(red.to_arrow_refs()):
+            if t.num_rows:
+                dup_total += sum(t.column("dups").to_pylist())
+        merged[idx] = dup_total
+
+    out = pa.table(
+        {
+            "rule": pa.array([r[0] for r in rules], type=pa.string()),
+            "col": pa.array([r[1] for r in rules], type=pa.string()),
+            "n_violations": pa.array(
+                [merged.get(i, 0) for i in range(len(rules))], type=pa.int64()
+            ),
+            "n_rows": pa.array([total_rows] * len(rules), type=pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(out)

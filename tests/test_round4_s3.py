@@ -306,3 +306,46 @@ def test_ntile_per_key_rejects_bad_n(ray_session):
         ntile_per_key(ds, "k", ["v", "id"], 0)
     with pytest.raises(ValueError, match="n_tiles"):
         ntile_per_key(ds, "k", ["v", "id"], -3)
+
+
+# ------------------------------------------------------------ expectations
+
+
+def test_validate_expectations_all_rules(ray_session):
+    from hyperpolyglot_ray.stages.profile import validate_expectations
+
+    rows = [
+        {"id": 1, "name": "alpha", "score": 10},
+        {"id": 2, "name": "beta", "score": 200},   # out of range
+        {"id": 2, "name": "Gamma", "score": 20},   # dup id, bad regex
+        {"id": 3, "name": None, "score": 30},      # null name
+        {"id": 4, "name": "delta", "score": 40},
+    ]
+    out = validate_expectations(
+        _ds(rows, 3),
+        [
+            ("not_null", "name", None),
+            ("unique", "id", None),
+            ("in_range", "score", (0, 100)),
+            ("matches", "name", "^[a-z]+$"),
+            ("accepted", "name", ["alpha", "beta", "delta"]),
+        ],
+    ).take_all()
+    d = {(r["rule"], r["col"]): r["n_violations"] for r in out}
+    assert all(r["n_rows"] == 5 for r in out)
+    assert d[("not_null", "name")] == 1
+    assert d[("unique", "id")] == 2       # both rows of the dup group
+    assert d[("in_range", "score")] == 1
+    assert d[("matches", "name")] == 1    # "Gamma"; NULL not counted
+    assert d[("accepted", "name")] == 1   # "Gamma"; NULL not counted
+    # rule order is preserved in the report
+    assert [r["rule"] for r in out] == [
+        "not_null", "unique", "in_range", "matches", "accepted"
+    ]
+
+
+def test_validate_expectations_unknown_rule(ray_session):
+    from hyperpolyglot_ray.stages.profile import validate_expectations
+
+    with pytest.raises(ValueError, match="unknown rule"):
+        validate_expectations(_ds([{"a": 1}], 1), [("positive", "a", None)])
