@@ -349,7 +349,10 @@ def validate_expectations(
     * ``("unique", col, None)`` — every row whose value occurs more
       than once violates (NULLs excluded, SQL-style).
     * ``("in_range", col, (lo, hi))`` — numeric cells outside
-      ``[lo, hi]`` violate; NULLs don't (compose with not_null).
+      ``[lo, hi]`` violate; NULLs don't (compose with not_null). Float
+      NaN cells VIOLATE — SQL comparison semantics (DuckDB orders NaN
+      above every value, so ``col > hi`` is true for NaN; Arrow's
+      kernels return false, hence the explicit ``is_nan`` fold-in).
     * ``("matches", col, pattern)`` — non-NULL strings NOT matching the
       RE2 ``pattern`` (unanchored, like ``regexp_matches``) violate.
     * ``("accepted", col, [v1, v2, ...])`` — non-NULL values outside
@@ -362,23 +365,32 @@ def validate_expectations(
     Topology: every rule except ``unique`` is a map-only vectorized
     predicate folded into per-block partial counts (one scan for ALL
     rules together, one tiny driver merge of #blocks fixed-width rows).
-    ``unique`` routes its column through the bucketed growing-
-    cardinality reduce (value co-location makes over-count exact) and
-    adds the duplicated-row total — the only exchanged data is one
-    (value-hash-bucketed value, count) stream. No corpus-scale shuffle.
+    ``unique`` routes its column through ``bucketed_group_reduce``
+    (value co-location makes over-count exact) and adds the
+    duplicated-row total — the only exchanged data is one
+    (value-hash-bucketed value, count) stream; each unique rule is its
+    own column-pruned pass. No corpus-scale shuffle.
     """
-    import ray as _ray
-
-    from .shuffle import bucket_column
+    from .shuffle import bucketed_group_reduce
 
     known = {"not_null", "unique", "in_range", "matches", "accepted"}
     for name, col, _ in rules:
         if name not in known:
             raise ValueError(f"validate_expectations: unknown rule {name!r}")
+        if col in ("cnt", "__bucket"):
+            # internal names of the uniqueness reduce — reject up front
+            # rather than fail with an ambiguous-column error in a task
+            raise ValueError(
+                f"validate_expectations: column name {col!r} collides "
+                "with an internal name; rename the column first"
+            )
 
     map_rules = [(i, r) for i, r in enumerate(rules) if r[0] != "unique"]
     uniq_rules = [(i, r) for i, r in enumerate(rules) if r[0] == "unique"]
-    need_cols = sorted({r[1] for r in rules})
+    # the shared scan prunes to the MAP-rule columns (unique rules run
+    # their own single-column pass); with no map rules, scan the first
+    # rule's column just for the row count
+    need_cols = sorted({r[1] for _, r in map_rules}) or [rules[0][1]]
 
     def partial(batch: pa.Table) -> pa.Table:
         counts, rows = [], batch.num_rows
@@ -389,6 +401,9 @@ def validate_expectations(
             elif name == "in_range":
                 lo, hi = spec
                 v = pc.or_(pc.less(c, pa.scalar(lo)), pc.greater(c, pa.scalar(hi)))
+                if pa.types.is_floating(c.type):
+                    # NaN violates (SQL orders NaN above all values)
+                    v = pc.or_(v, pc.is_nan(c))
                 bad = pc.sum(v).as_py() or 0
             elif name == "matches":
                 v = pc.invert(pc.match_substring_regex(c, spec))
@@ -417,7 +432,7 @@ def validate_expectations(
     parts = ds.select_columns(need_cols).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    for t in _ray.get(parts.to_arrow_refs()):
+    for t in ray.get(parts.to_arrow_refs()):
         if t.num_rows == 0:
             continue
         for idx, bad, rows in zip(
@@ -430,38 +445,30 @@ def validate_expectations(
             else:
                 merged[idx] = merged.get(idx, 0) + bad
 
-    # unique rules: per-value counts via the bucketed reduce, then the
+    # unique rules: per-value counts through the hardened bucketed
+    # reduce primitive (grouped_count_distinct's composition), then the
     # number of rows participating in any duplicate group (cnt > 1)
     for idx, (name, col, _) in uniq_rules:
-        col_ds = ds.select_columns([col])
 
         def val_counts(batch: pa.Table, _c=col) -> pa.Table:
             t = batch.filter(pc.is_valid(batch.column(_c)))
             g = t.group_by([_c]).aggregate([([], "count_all")])
             return g.rename_columns([_c, "cnt"])
 
-        def add_bucket(batch: pa.Table, _c=col) -> pa.Table:
-            return batch.append_column(
-                "__bucket", bucket_column(batch, [_c], n_buckets)
-            )
-
-        def dup_rows(group: pa.Table, _c=col) -> pa.Table:
-            if group.num_rows == 0:
-                return pa.table({"dups": pa.array([], type=pa.int64())})
-            g = group.drop(["__bucket"]).group_by([_c]).aggregate([("cnt", "sum")])
-            cnt = g.column("cnt_sum").to_numpy(zero_copy_only=False)
+        def dup_partial(batch: pa.Table) -> pa.Table:
+            cnt = batch.column("sum(cnt)").to_numpy(zero_copy_only=False)
             return pa.table(
                 {"dups": pa.array([int(cnt[cnt > 1].sum())], type=pa.int64())}
             )
 
-        dup_total = 0
-        red = (
-            col_ds.map_batches(val_counts, batch_format="pyarrow", zero_copy_batch=True)
-            .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("__bucket")
-            .map_groups(dup_rows, batch_format="pyarrow")
+        pairs = ds.select_columns([col]).map_batches(
+            val_counts, batch_format="pyarrow", zero_copy_batch=True
         )
-        for t in _ray.get(red.to_arrow_refs()):
+        red = bucketed_group_reduce(
+            pairs, [col], [("cnt", "sum")], n_buckets=n_buckets
+        ).map_batches(dup_partial, batch_format="pyarrow", zero_copy_batch=True)
+        dup_total = 0
+        for t in ray.get(red.to_arrow_refs()):
             if t.num_rows:
                 dup_total += sum(t.column("dups").to_pylist())
         merged[idx] = dup_total

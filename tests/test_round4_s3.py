@@ -349,3 +349,18 @@ def test_validate_expectations_unknown_rule(ray_session):
 
     with pytest.raises(ValueError, match="unknown rule"):
         validate_expectations(_ds([{"a": 1}], 1), [("positive", "a", None)])
+
+
+def test_validate_expectations_nan_and_collisions(ray_session):
+    from hyperpolyglot_ray.stages.profile import validate_expectations
+
+    rows = [
+        {"x": 1.0}, {"x": float("nan")}, {"x": 50.0}, {"x": None}, {"x": -3.0}
+    ]
+    out = validate_expectations(
+        _ds(rows, 2), [("in_range", "x", (0.0, 100.0))]
+    ).take_all()
+    # NaN and -3.0 violate (SQL orders NaN above every value); NULL doesn't
+    assert out[0]["n_violations"] == 2
+    with pytest.raises(ValueError, match="collides"):
+        validate_expectations(_ds([{"cnt": 1}], 1), [("unique", "cnt", None)])
