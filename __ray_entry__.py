@@ -1771,6 +1771,55 @@ def _q_doc_expectations(sf_dir: str):
     )
 
 
+def _q_customer_rfm(sf_dir: str):
+    """Frequency/monetary customer segmentation: per-customer order
+    count + exact lifetime cents (bucketed reduce) joined to the segment
+    dimension, then an in-segment NTILE(4) monetary quartile — the
+    classic RFM-style warehouse composition over three existing
+    primitives (bucketed_group_reduce -> hash_join -> ntile_per_key)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from hyperpolyglot_ray.stages.joins import hash_join
+    from hyperpolyglot_ray.stages.ordering import ntile_per_key
+    from hyperpolyglot_ray.stages.shuffle import bucketed_group_reduce
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch.column("o_custkey"),
+                "cents": pc.round(
+                    pc.multiply(batch.column("o_totalprice"), pa.scalar(100.0))
+                ).cast(pa.int64()),
+            }
+        )
+
+    orders = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+    per_cust = bucketed_group_reduce(
+        orders, "c_custkey", [("c_custkey", "count"), ("cents", "sum")]
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["c_custkey", "n_orders", "monetary_c"])
+
+    per_cust = per_cust.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+    cust = _read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = hash_join(per_cust, cust, "c_custkey", "c_custkey")
+    return ntile_per_key(
+        joined,
+        "c_mktsegment",
+        ["monetary_c", "c_custkey"],
+        4,
+        out_col="m_quartile",
+        carry_cols=["n_orders"],
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1845,6 +1894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles_refine": _q_events_value_quantiles_refine,
         "events_mad_outliers": _q_events_mad_outliers,
         "doc_expectations": _q_doc_expectations,
+        "customer_rfm": _q_customer_rfm,
         # --- last driver-checked in round 2 ---
         "events_window": _q_events_window,
         "events_value_quantiles": _q_events_value_quantiles,
@@ -2127,6 +2177,16 @@ SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n, MAX(d.m) AS med,
        CAST(COUNT(*) FILTER (WHERE d.ad > 3.0 * md.mad) AS BIGINT) AS n_outliers
 FROM d JOIN md USING (event_type)
 GROUP BY d.event_type""",
+        "customer_rfm": """
+WITH pc AS (
+  SELECT o_custkey AS c_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_c
+  FROM orders GROUP BY 1
+)
+SELECT c.c_mktsegment, pc.monetary_c, pc.c_custkey, pc.n_orders,
+       CAST(NTILE(4) OVER (PARTITION BY c.c_mktsegment
+            ORDER BY pc.monetary_c, pc.c_custkey) AS BIGINT) AS m_quartile
+FROM pc JOIN customer c USING (c_custkey)""",
         # mirrors stages/profile.py:validate_expectations rule-for-rule
         "doc_expectations": """
 WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents)

@@ -634,6 +634,7 @@ def ntile_per_key(
     n_tiles: int,
     out_col: str = "tile",
     n_buckets: int = 64,
+    carry_cols: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Per-key NTILE: split each key's rows, ordered by ``order_cols``,
     into ``n_tiles`` groups as evenly as possible — SQL ``NTILE(n) OVER
@@ -658,7 +659,9 @@ def ntile_per_key(
     if n_tiles < 1:
         raise ValueError(f"ntile_per_key: n_tiles must be >= 1 (got {n_tiles})")
 
-    cols = [key_col] + order_cols
+    # carry_cols ride the shuffle untouched (payload columns like a
+    # frequency count next to the monetary ordering column)
+    cols = [key_col] + order_cols + list(carry_cols or [])
     slim = ds.select_columns(cols)
     schema = ds.schema().base_schema
     out_schema = pa.schema(

@@ -364,3 +364,17 @@ def test_validate_expectations_nan_and_collisions(ray_session):
     assert out[0]["n_violations"] == 2
     with pytest.raises(ValueError, match="collides"):
         validate_expectations(_ds([{"cnt": 1}], 1), [("unique", "cnt", None)])
+
+
+def test_ntile_carry_cols(ray_session):
+    from hyperpolyglot_ray.stages.ordering import ntile_per_key
+
+    rows = [{"k": "a", "v": i, "id": i, "payload": i * 10} for i in range(8)]
+    out = sorted(
+        ntile_per_key(
+            _ds(rows, 3), "k", ["v", "id"], 4, carry_cols=["payload"]
+        ).take_all(),
+        key=lambda r: r["v"],
+    )
+    assert [r["payload"] for r in out] == [i * 10 for i in range(8)]
+    assert [r["tile"] for r in out] == [1, 1, 2, 2, 3, 3, 4, 4]
