@@ -1289,8 +1289,13 @@ def grouped_linreg(
     """
     import numpy as np
 
+    maybe_schema = ds.schema()
+    if maybe_schema is None:
+        # fully-empty mapped input (Ray's limit-1 probe saw nothing):
+        # empty in -> empty out, same convention as bucketed_group_reduce
+        return ds
     for c in (x_col, y_col):
-        t = ds.schema().base_schema.field(c).type
+        t = maybe_schema.base_schema.field(c).type
         if not pa.types.is_integer(t):
             raise ValueError(
                 f"grouped_linreg: {c!r} must be integer-typed for exact "
@@ -1464,7 +1469,10 @@ def first_last_per_key(
     l_ord = [f"__l_{c}" for c in order_cols]
     out_first, out_last = f"first_{val_col}", f"last_{val_col}"
 
-    schema = ds.schema().base_schema
+    maybe_schema = ds.schema()
+    if maybe_schema is None:  # fully-empty mapped input: empty in -> out
+        return ds
+    schema = maybe_schema.base_schema
     out_schema = pa.schema(
         [
             pa.field(key_col, schema.field(key_col).type),
@@ -1583,9 +1591,12 @@ def mad_outliers_per_key(
 
     from .shuffle import bucket_column
 
+    maybe_schema = ds.schema()
+    if maybe_schema is None:  # fully-empty mapped input: empty in -> out
+        return ds
     out_schema = pa.schema(
         [
-            pa.field(key_col, ds.schema().base_schema.field(key_col).type),
+            pa.field(key_col, maybe_schema.base_schema.field(key_col).type),
             pa.field("n", pa.int64()),
             pa.field("med", pa.float64()),
             pa.field("mad", pa.float64()),

@@ -662,8 +662,11 @@ def ntile_per_key(
     # carry_cols ride the shuffle untouched (payload columns like a
     # frequency count next to the monetary ordering column)
     cols = [key_col] + order_cols + list(carry_cols or [])
+    maybe_schema = ds.schema()
+    if maybe_schema is None:  # fully-empty mapped input: empty in -> out
+        return ds
     slim = ds.select_columns(cols)
-    schema = ds.schema().base_schema
+    schema = maybe_schema.base_schema
     out_schema = pa.schema(
         [pa.field(c, schema.field(c).type) for c in cols]
         + [pa.field(out_col, pa.int64())]

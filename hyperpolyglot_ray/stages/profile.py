@@ -373,6 +373,8 @@ def validate_expectations(
     """
     from .shuffle import bucketed_group_reduce
 
+    if not rules:
+        raise ValueError("validate_expectations: empty rule list")
     known = {"not_null", "unique", "in_range", "matches", "accepted"}
     for name, col, _ in rules:
         if name not in known:

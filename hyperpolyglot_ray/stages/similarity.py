@@ -616,9 +616,22 @@ def centroid_per_label(
     """
     import pyarrow.compute as pc
 
-    label_type = ds.schema().base_schema.field(label_col).type
+    maybe_schema = ds.schema()
+    if maybe_schema is None:  # fully-empty mapped input: empty in -> out
+        return ds
+    label_type = maybe_schema.base_schema.field(label_col).type
+    empty_partial = pa.schema(
+        [
+            pa.field(label_col, label_type),
+            pa.field("dim", pa.int64()),
+            pa.field("sq", pa.int64()),
+            pa.field("n", pa.int64()),
+        ]
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty blocks (repartition > rows)
+            return empty_partial.empty_table()
         if batch.column(label_col).null_count:
             raise ValueError("centroid_per_label: null labels")
         mat = _to_matrix(batch, emb_col)

@@ -533,9 +533,15 @@ def hourly_counts_gapfill(
 
     tables = [t for t in _ray.get(counts.to_arrow_refs()) if t.num_rows]
     if not tables:
+        maybe_schema = ds.schema()
+        key_type = (
+            maybe_schema.base_schema.field(key_col).type
+            if maybe_schema is not None
+            else pa.string()
+        )
         empty = pa.schema(
             [
-                pa.field(key_col, pa.string()),
+                pa.field(key_col, key_type),
                 pa.field("hour", pa.timestamp("us")),
                 pa.field(out_col, pa.int64()),
             ]

@@ -378,3 +378,66 @@ def test_ntile_carry_cols(ray_session):
     )
     assert [r["payload"] for r in out] == [i * 10 for i in range(8)]
     assert [r["tile"] for r in out] == [1, 1, 2, 2, 3, 3, 4, 4]
+
+
+def test_empty_mapped_input_returns_empty(ray_session):
+    """A fully-empty MAPPED dataset (Ray schema=None) flows through the
+    session-3 per-key operators as empty-in -> empty-out, not a crash."""
+    from hyperpolyglot_ray.stages.aggregates import (
+        first_last_per_key,
+        grouped_linreg,
+        latest_rows_per_key,
+        mad_outliers_per_key,
+    )
+    from hyperpolyglot_ray.stages.ordering import ntile_per_key
+    from hyperpolyglot_ray.stages.similarity import centroid_per_label
+
+    empty = _ds([{"k": "a", "v": 1, "id": 1}], 1).filter(lambda r: False)
+    assert grouped_linreg(empty, "k", "v", "id").take_all() == []
+    assert latest_rows_per_key(empty, ["k"], ["v", "id"]).take_all() == []
+    assert first_last_per_key(empty, "k", ["v", "id"], "k").take_all() == []
+    assert mad_outliers_per_key(empty, "k", "v").take_all() == []
+    assert ntile_per_key(empty, "k", ["v", "id"], 4).take_all() == []
+
+    import ray.data
+
+    emb_empty = ray.data.from_items(
+        [{"label": 1, "embedding": [0.1, 0.2]}]
+    ).filter(lambda r: False)
+    assert centroid_per_label(emb_empty).take_all() == []
+
+
+def test_centroid_empty_blocks(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.similarity import centroid_per_label
+
+    # more partitions than rows -> some blocks are empty
+    ds = ray.data.from_items(
+        [{"label": 0, "embedding": [1.0, 3.0]}, {"label": 0, "embedding": [2.0, 5.0]}]
+    ).repartition(6)
+    out = sorted(centroid_per_label(ds).take_all(), key=lambda r: r["dim"])
+    assert [round(r["mean_val"], 6) for r in out] == [1.5, 4.0]
+
+
+def test_validate_expectations_empty_rules(ray_session):
+    from hyperpolyglot_ray.stages.profile import validate_expectations
+
+    with pytest.raises(ValueError, match="empty rule list"):
+        validate_expectations(_ds([{"a": 1}], 1), [])
+
+
+def test_gapfill_empty_keeps_key_type(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.windows import hourly_counts_gapfill
+
+    # zero-row input WITH a known schema (an empty typed Arrow table, the
+    # shape an empty parquet read produces): key type must survive
+    t = pa.schema(
+        [pa.field("ts", pa.timestamp("us")), pa.field("event_type", pa.int64())]
+    ).empty_table()
+    out = hourly_counts_gapfill(ray.data.from_arrow(t))
+    schema = out.schema().base_schema
+    assert str(schema.field("event_type").type) == "int64"
+    assert out.take_all() == []
