@@ -1820,6 +1820,64 @@ def _q_customer_rfm(sf_dir: str):
     )
 
 
+def _q_emb_norms(sf_dir: str):
+    """Per-vector L2 norm (embedding-quality audit): exact integer
+    quantized sum of squares + correctly-rounded IEEE sqrt — bitwise
+    reproducible by the SQL oracle. Map-only."""
+    from hyperpolyglot_ray.stages.similarity import embedding_norms
+
+    emb = _read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return embedding_norms(emb)
+
+
+def _q_emb_covariance(sf_dir: str):
+    """Full 64x64 embedding covariance matrix (PCA/drift prep) from
+    distributed int64 Gram-matrix partials — one fixed-size partial per
+    block, no shuffle."""
+    from hyperpolyglot_ray.stages.similarity import embedding_covariance
+
+    emb = _read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    return embedding_covariance(emb)
+
+
+def _q_doc_lang_share_by_source(sf_dir: str):
+    """Corpus composition: per (source, lang) doc counts with each
+    lang's share of its source — the mixing-audit report."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from hyperpolyglot_ray.stages.shuffle import bucketed_group_reduce
+
+    docs = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+    )
+    counts = bucketed_group_reduce(docs, ["source", "lang"], [("lang", "count")])
+    # the reduced set is bounded by sources x langs — tiny at any corpus
+    # size; the share division happens driver-side on exact int counts
+    tables = [t for t in ray.get(counts.to_arrow_refs()) if t.num_rows]
+    small = pa.concat_tables([t.combine_chunks() for t in tables]).combine_chunks()
+    src = small.column("source").to_pylist()
+    lang = small.column("lang").to_pylist()
+    n = np.asarray(small.column("count(lang)").to_pylist(), dtype=np.int64)
+    totals: dict = {}
+    for s, c in zip(src, n):
+        totals[s] = totals.get(s, 0) + int(c)
+    tot = np.asarray([totals[s] for s in src], dtype=np.int64)
+    share = n.astype(np.float64) * 100.0 / tot.astype(np.float64)
+    return pa.table(
+        {
+            "source": pa.array(src, type=pa.string()),
+            "lang": pa.array(lang, type=pa.string()),
+            "n_docs": pa.array(n),
+            "share_pct": pa.array(share, type=pa.float64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1895,6 +1953,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mad_outliers": _q_events_mad_outliers,
         "doc_expectations": _q_doc_expectations,
         "customer_rfm": _q_customer_rfm,
+        "emb_norms": _q_emb_norms,
+        "emb_covariance": _q_emb_covariance,
+        "doc_lang_share_by_source": _q_doc_lang_share_by_source,
         # --- last driver-checked in round 2 ---
         "events_window": _q_events_window,
         "events_value_quantiles": _q_events_value_quantiles,
@@ -2187,6 +2248,42 @@ SELECT c.c_mktsegment, pc.monetary_c, pc.c_custkey, pc.n_orders,
        CAST(NTILE(4) OVER (PARTITION BY c.c_mktsegment
             ORDER BY pc.monetary_c, pc.c_custkey) AS BIGINT) AS m_quartile
 FROM pc JOIN customer c USING (c_custkey)""",
+        # mirrors stages/similarity.py:embedding_norms: floor(x*2^24) int
+        # sums of squares, correctly-rounded sqrt, one exact division
+        "emb_norms": f"""
+WITH q AS (
+  SELECT vec_id, CAST(FLOOR(CAST(embedding[d + 1] AS DOUBLE) * 16777216.0) AS BIGINT) AS qv
+  FROM embeddings CROSS JOIN range(0, {_emb_dim}) t(d)
+)
+SELECT vec_id, SQRT(CAST(SUM(qv * qv) AS DOUBLE)) / 16777216.0 AS norm
+FROM q GROUP BY vec_id""",
+        # mirrors stages/similarity.py:embedding_covariance op-for-op
+        # (COV_SCALE = 2^20 = 1048576; int64-exact Gram/sum partials)
+        "emb_covariance": f"""
+WITH q AS (
+  SELECT vec_id, d, CAST(FLOOR(CAST(embedding[d + 1] AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
+  FROM embeddings CROSS JOIN range(0, {_emb_dim}) t(d)
+), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nf FROM embeddings),
+s AS (SELECT d, CAST(SUM(qv) AS DOUBLE) AS sd FROM q GROUP BY d),
+g AS (
+  SELECT a.d AS dim_i, b.d AS dim_j, CAST(SUM(a.qv * b.qv) AS DOUBLE) AS gij
+  FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2
+)
+SELECT g.dim_i, g.dim_j,
+       (g.gij / nn.nf - (si.sd / nn.nf) * (sj.sd / nn.nf))
+         / (1048576.0 * 1048576.0) AS cov
+FROM g CROSS JOIN nn
+JOIN s si ON si.d = g.dim_i
+JOIN s sj ON sj.d = g.dim_j""",
+        "doc_lang_share_by_source": """
+WITH c AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, lang, n_docs,
+       CAST(n_docs AS DOUBLE) * 100.0
+         / CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE) AS share_pct
+FROM c""",
         # mirrors stages/profile.py:validate_expectations rule-for-rule
         "doc_expectations": """
 WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents)

@@ -675,3 +675,133 @@ def centroid_per_label(
         )
 
     return merged.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def embedding_norms(
+    ds: ray.data.Dataset,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Per-vector L2 norm — the standard embedding-quality audit
+    (collapsed/zero/exploding vectors) before indexing or dedup.
+
+    Exactness: coordinates floor-quantize to int64 at 2^24 (module
+    convention); the squared norm is an exact integer sum (64 dims x
+    (2^26)^2 ~ 2^57 headroom for |x| <= 4), and IEEE-754 ``sqrt`` is
+    correctly rounded — so ``sqrt(double(Σq²)) / 2^24`` is bitwise
+    reproducible by any engine, including the SQL oracle. Map-only.
+    Output: (``id_col``, norm float64).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [
+                    pa.field(id_col, pa.int64()),
+                    pa.field("norm", pa.float64()),
+                ]
+            ).empty_table()
+        mat = _to_matrix(batch, emb_col)
+        q = np.floor(mat * KMEANS_SCALE).astype(np.int64)
+        sumsq = (q * q).sum(axis=1)
+        norm = np.sqrt(sumsq.astype(np.float64)) / KMEANS_SCALE
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "norm": pa.array(norm, type=pa.float64()),
+            }
+        )
+
+    return ds.select_columns([id_col, emb_col]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# covariance quantization: coarser than KMEANS_SCALE because the partial
+# carries PRODUCTS of quantized coordinates — Σ|q_i·q_j| must stay below
+# 2^63 across the whole reduce (the grouped_corr contract). 2^20 gives
+# |q| <= 2^22 for |x| <= 4, products <= 2^44, ~2^18 rows of headroom per
+# global sum; rescale via the parameter for bigger corpora.
+COV_SCALE = float(1 << 20)
+
+
+def embedding_covariance(
+    ds: ray.data.Dataset,
+    emb_col: str = "embedding",
+    scale: float = COV_SCALE,
+) -> ray.data.Dataset:
+    """Full covariance matrix of the embedding columns — the PCA /
+    drift-detection prep step ("did the representation distribution
+    move between corpus drops?"), computed as distributed sufficient
+    statistics: one int64 Gram-matrix partial per block (a single
+    ``q.T @ q`` integer matmul), plus per-dim sums and the row count.
+
+    Exactness contract (``grouped_corr`` discipline): coordinates
+    floor-quantize at ``scale``; Σq_i, Σq_iq_j and n accumulate in
+    int64 — exact and order-independent — and the closing float
+    expression is fixed: ``cov = (double(Σq_iq_j)/n -
+    (double(Σq_i)/n)·(double(Σq_j)/n)) / scale²``, mirrored op-for-op
+    by the SQL oracle. Caller contract: global ``Σ|q_i·q_j| < 2^63``
+    (lower ``scale`` for bigger corpora — the oracle must use the same
+    value).
+
+    Topology: each block collapses to ONE (d² + d + 1)-value partial
+    row; partials stream to the driver (#blocks fixed-size rows — no
+    shuffle at any corpus size). Output: (dim_i, dim_j, cov float64),
+    d² rows.
+    """
+
+    first = ds.take_batch(1, batch_format="pyarrow")
+    d = len(first.column(emb_col)[0])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [
+                    pa.field("gram", pa.list_(pa.int64())),
+                    pa.field("sums", pa.list_(pa.int64())),
+                    pa.field("n", pa.int64()),
+                ]
+            ).empty_table()
+        mat = _to_matrix(batch, emb_col)
+        q = np.floor(mat * scale).astype(np.int64)
+        gram = q.T @ q  # (d, d) int64 — exact
+        sums = q.sum(axis=0)
+        return pa.table(
+            {
+                "gram": pa.array([gram.reshape(-1)]),
+                "sums": pa.array([sums]),
+                "n": pa.array([batch.num_rows], type=pa.int64()),
+            }
+        )
+
+    gram_t = np.zeros(d * d, dtype=np.int64)
+    sums_t = np.zeros(d, dtype=np.int64)
+    n_t = 0
+    for t in ray.get(
+        ds.select_columns([emb_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()
+    ):
+        if t.num_rows == 0:
+            continue
+        for i in range(t.num_rows):
+            gram_t += np.asarray(t.column("gram")[i].as_py(), dtype=np.int64)
+            sums_t += np.asarray(t.column("sums")[i].as_py(), dtype=np.int64)
+            n_t += t.column("n")[i].as_py()
+    if n_t == 0:
+        raise ValueError("embedding_covariance: empty dataset")
+    nf = float(n_t)
+    mu = sums_t.astype(np.float64) / nf
+    cov = (
+        gram_t.astype(np.float64).reshape(d, d) / nf - np.outer(mu, mu)
+    ) / (scale * scale)
+    ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+    out = pa.table(
+        {
+            "dim_i": pa.array(ii.reshape(-1).astype(np.int64)),
+            "dim_j": pa.array(jj.reshape(-1).astype(np.int64)),
+            "cov": pa.array(cov.reshape(-1), type=pa.float64()),
+        }
+    )
+    return ray.data.from_arrow(out)

@@ -441,3 +441,58 @@ def test_gapfill_empty_keeps_key_type(ray_session):
     schema = out.schema().base_schema
     assert str(schema.field("event_type").type) == "int64"
     assert out.take_all() == []
+
+
+# --------------------------------------------------------- vector math
+
+
+def test_embedding_norms_bit_exact(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.similarity import KMEANS_SCALE, embedding_norms
+
+    rng = np.random.RandomState(33)
+    vecs = rng.randn(120, 16).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(120, dtype=np.int64)),
+            "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float32())),
+        }
+    )
+    out = {
+        r["vec_id"]: r["norm"]
+        for r in embedding_norms(ray.data.from_arrow(t).repartition(5)).take_all()
+    }
+    q = np.floor(vecs.astype(np.float64) * KMEANS_SCALE).astype(np.int64)
+    ref = np.sqrt((q * q).sum(axis=1).astype(np.float64)) / KMEANS_SCALE
+    for i in range(120):
+        assert out[i] == ref[i]  # bitwise: exact ints + IEEE sqrt
+    # close to the true norms too
+    true = np.linalg.norm(vecs.astype(np.float64), axis=1)
+    assert np.allclose(ref, true, atol=1e-5)
+
+
+def test_embedding_covariance_matches_numpy(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.similarity import embedding_covariance
+
+    rng = np.random.RandomState(44)
+    vecs = (rng.randn(400, 6) * [1, 2, 3, 1, 1, 0.5]).astype(np.float32)
+    vecs[:, 1] = vecs[:, 0] * 2  # perfectly correlated pair
+    t = pa.table({"embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float32()))})
+    out = embedding_covariance(ray.data.from_arrow(t).repartition(7)).take_all()
+    assert len(out) == 36
+    cov = np.zeros((6, 6))
+    for r in out:
+        cov[r["dim_i"], r["dim_j"]] = r["cov"]
+    ref = np.cov(vecs.astype(np.float64).T, bias=True)
+    assert np.allclose(cov, ref, atol=1e-4)
+    assert np.allclose(cov, cov.T)  # symmetric
+    assert cov[0, 1] > 0 and abs(cov[0, 1] - 2 * cov[0, 0]) < 1e-4
+    # layout invariance: single partition gives the identical matrix
+    out1 = embedding_covariance(ray.data.from_arrow(t).repartition(1)).take_all()
+    cov1 = np.zeros((6, 6))
+    for r in out1:
+        cov1[r["dim_i"], r["dim_j"]] = r["cov"]
+    assert np.array_equal(cov, cov1)
