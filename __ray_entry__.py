@@ -1878,6 +1878,19 @@ def _q_doc_lang_share_by_source(sf_dir: str):
     )
 
 
+def _q_emb_pca(sf_dir: str):
+    """Distributed PCA projection onto the corpus's top-2 principal
+    axes: exact int64 covariance partials (no shuffle) -> one driver
+    eigh -> map-only quantized-exact projection. Oracle = sequential
+    sidecar repeating the identical spec (bitwise)."""
+    from hyperpolyglot_ray.stages.similarity import pca_project
+
+    emb = _read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pca_project(emb, k=2)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1956,6 +1969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_norms": _q_emb_norms,
         "emb_covariance": _q_emb_covariance,
         "doc_lang_share_by_source": _q_doc_lang_share_by_source,
+        "emb_pca": _q_emb_pca,
         # --- last driver-checked in round 2 ---
         "events_window": _q_events_window,
         "events_value_quantiles": _q_events_value_quantiles,
@@ -2980,6 +2994,7 @@ SELECT doc_id, token AS keyword, score, rank FROM ranked WHERE rank <= 5""",
         "emb_knn_ivf": f"SELECT query_id, neighbor_id, rank FROM read_parquet('{side}/emb_knn_ivf.parquet')",
         "emb_near_dup_ivf": f"SELECT vec_id FROM read_parquet('{side}/emb_near_dup_ivf.parquet')",
         "emb_pq": f"SELECT vec_id, sub, code FROM read_parquet('{side}/emb_pq.parquet')",
+        "emb_pca": f"SELECT vec_id, pc0, pc1 FROM read_parquet('{side}/emb_pca.parquet')",
         "drop_reason_counts": f"SELECT reason, n FROM read_parquet('{side}/drop_reason_counts.parquet')",
         "files_langid_fused": f"SELECT path, fused_lang FROM read_parquet('{side}/files_langid_fused.parquet')",
         "emb_knn": """

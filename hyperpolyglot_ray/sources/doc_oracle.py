@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r4e"  # r4e: cosine-consistent IVF (unit-vector k-means)
+ORACLE_VERSION = "r4f"  # r4f: + sequential PCA sidecar (emb_pca)
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -1166,6 +1166,54 @@ def _build_files_sidecars(fixture_dir: Path, out_dir: Path) -> None:
 # ---------------------------------------------------------------------------
 
 
+def _expected_pca(emb: np.ndarray, ids: np.ndarray, k: int = 2) -> pa.Table:
+    """Sequential PCA spec (stages/similarity.py:pca_project): quantize
+    at 2^20, accumulate the Gram matrix and sums ROW BY ROW in exact
+    python ints, close the covariance with the fixed float expression,
+    one eigh + canonical sign, then exact per-row integer dot products.
+    No Ray, no blocks — any distributed-layout bug in the production
+    path shows up as a value mismatch."""
+    scale, wscale = float(1 << 20), float(1 << 24)
+    n, d = emb.shape
+    q_rows = [[int(np.floor(x * scale)) for x in row] for row in emb]
+    gram = [[0] * d for _ in range(d)]
+    sums = [0] * d
+    for row in q_rows:
+        for i in range(d):
+            ri = row[i]
+            sums[i] += ri
+            gi = gram[i]
+            for j in range(d):
+                gi[j] += ri * row[j]
+    nf = float(n)
+    gram_np = np.array(gram, dtype=np.int64).reshape(-1)
+    sums_np = np.array(sums, dtype=np.int64)
+    mu = sums_np.astype(np.float64) / nf
+    cov = (
+        gram_np.astype(np.float64).reshape(d, d) / nf - np.outer(mu, mu)
+    ) / (scale * scale)
+    vals, vecs = np.linalg.eigh(cov)
+    comps = vecs[:, ::-1][:, :k].T
+    for j in range(comps.shape[0]):
+        i_max = int(np.argmax(np.abs(comps[j])))
+        if comps[j, i_max] < 0:
+            comps[j] = -comps[j]
+    q_w = [[int(np.floor(w * wscale)) for w in comp] for comp in comps]
+    denom = scale * wscale
+    offset = [
+        float(sum(s * w for s, w in zip(sums, q_w[j]))) / (nf * denom)
+        for j in range(k)
+    ]
+    cols: dict = {"vec_id": pa.array(ids, type=pa.int64())}
+    for j in range(k):
+        proj = [
+            float(sum(x * w for x, w in zip(row, q_w[j]))) / denom - offset[j]
+            for row in q_rows
+        ]
+        cols[f"pc{j}"] = pa.array(proj, type=pa.float64())
+    return pa.table(cols)
+
+
 def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
     """Build (or reuse) all oracle sidecars for one scale factor. Returns
     the sidecar directory."""
@@ -1233,6 +1281,7 @@ def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
     pq.write_table(_expected_knn_ivf(emb, ids), out / "emb_knn_ivf.parquet")
     pq.write_table(_expected_near_dup_ivf(emb, ids), out / "emb_near_dup_ivf.parquet")
     pq.write_table(_expected_pq(emb, ids), out / "emb_pq.parquet")
+    pq.write_table(_expected_pca(emb, ids), out / "emb_pca.parquet")
 
     _build_files_sidecars(fixture_dir, out)
 

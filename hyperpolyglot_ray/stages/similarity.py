@@ -725,32 +725,14 @@ def embedding_norms(
 COV_SCALE = float(1 << 20)
 
 
-def embedding_covariance(
-    ds: ray.data.Dataset,
-    emb_col: str = "embedding",
-    scale: float = COV_SCALE,
-) -> ray.data.Dataset:
-    """Full covariance matrix of the embedding columns — the PCA /
-    drift-detection prep step ("did the representation distribution
-    move between corpus drops?"), computed as distributed sufficient
-    statistics: one int64 Gram-matrix partial per block (a single
-    ``q.T @ q`` integer matmul), plus per-dim sums and the row count.
-
-    Exactness contract (``grouped_corr`` discipline): coordinates
-    floor-quantize at ``scale``; Σq_i, Σq_iq_j and n accumulate in
-    int64 — exact and order-independent — and the closing float
-    expression is fixed: ``cov = (double(Σq_iq_j)/n -
-    (double(Σq_i)/n)·(double(Σq_j)/n)) / scale²``, mirrored op-for-op
-    by the SQL oracle. Caller contract: global ``Σ|q_i·q_j| < 2^63``
-    (lower ``scale`` for bigger corpora — the oracle must use the same
-    value).
-
-    Topology: each block collapses to ONE (d² + d + 1)-value partial
-    row; partials stream to the driver (#blocks fixed-size rows — no
-    shuffle at any corpus size). Output: (dim_i, dim_j, cov float64),
-    d² rows.
-    """
-
+def _covariance_partials(
+    ds: ray.data.Dataset, emb_col: str, scale: float
+) -> tuple["np.ndarray", "np.ndarray", int]:
+    """THE shared exact-sufficient-statistics pass for
+    ``embedding_covariance`` and ``pca_project``: one int64 Gram-matrix
+    (``q.T @ q``) + per-dim-sum partial per block, summed exactly on the
+    driver. Returns (gram d*d flat int64, sums int64, n). The sequential
+    oracle (doc_oracle._expected_pca) mirrors this spec byte-for-byte."""
     first = ds.take_batch(1, batch_format="pyarrow")
     d = len(first.column(emb_col)[0])
 
@@ -789,8 +771,39 @@ def embedding_covariance(
             gram_t += np.asarray(t.column("gram")[i].as_py(), dtype=np.int64)
             sums_t += np.asarray(t.column("sums")[i].as_py(), dtype=np.int64)
             n_t += t.column("n")[i].as_py()
+    return gram_t, sums_t, n_t
+
+
+def embedding_covariance(
+    ds: ray.data.Dataset,
+    emb_col: str = "embedding",
+    scale: float = COV_SCALE,
+) -> ray.data.Dataset:
+    """Full covariance matrix of the embedding columns — the PCA /
+    drift-detection prep step ("did the representation distribution
+    move between corpus drops?"), computed as distributed sufficient
+    statistics: one int64 Gram-matrix partial per block (a single
+    ``q.T @ q`` integer matmul), plus per-dim sums and the row count.
+
+    Exactness contract (``grouped_corr`` discipline): coordinates
+    floor-quantize at ``scale``; Σq_i, Σq_iq_j and n accumulate in
+    int64 — exact and order-independent — and the closing float
+    expression is fixed: ``cov = (double(Σq_iq_j)/n -
+    (double(Σq_i)/n)·(double(Σq_j)/n)) / scale²``, mirrored op-for-op
+    by the SQL oracle. Caller contract: global ``Σ|q_i·q_j| < 2^63``
+    (lower ``scale`` for bigger corpora — the oracle must use the same
+    value).
+
+    Topology: each block collapses to ONE (d² + d + 1)-value partial
+    row; partials stream to the driver (#blocks fixed-size rows — no
+    shuffle at any corpus size). Output: (dim_i, dim_j, cov float64),
+    d² rows.
+    """
+
+    gram_t, sums_t, n_t = _covariance_partials(ds, emb_col, scale)
     if n_t == 0:
         raise ValueError("embedding_covariance: empty dataset")
+    d = len(sums_t)
     nf = float(n_t)
     mu = sums_t.astype(np.float64) / nf
     cov = (
@@ -805,3 +818,103 @@ def embedding_covariance(
         }
     )
     return ray.data.from_arrow(out)
+
+
+# PCA eigenvector quantization for the exact projection dot products
+PCA_W_SCALE = float(1 << 24)
+
+
+def pca_fit_components(
+    ds: ray.data.Dataset,
+    emb_col: str = "embedding",
+    k: int = 2,
+    scale: float = COV_SCALE,
+) -> "np.ndarray":
+    """Fit the top-``k`` principal axes of the embedding distribution:
+    exact distributed covariance (``_covariance_partials``) closed on
+    the driver, one d x d ``eigh`` (d is small — 64 here), descending
+    eigenvalue order, and a canonical sign (each axis's
+    largest-|component| made positive, ties to the lower index) so the
+    basis is unique. Returns (k, d) float64 components.
+    """
+    gram_t, sums_t, n_t = _covariance_partials(ds, emb_col, scale)
+    if n_t == 0:
+        raise ValueError("pca_fit_components: empty dataset")
+    return _pca_components(gram_t, sums_t, n_t, k, scale)
+
+
+def _pca_components(gram_t, sums, n, k, scale) -> "np.ndarray":
+    """Close the PCA basis from the exact partials: covariance, one
+    driver-side ``eigh`` (ascending; reversed to descending), canonical
+    sign. Shared by fit and project so the spec cannot fork."""
+    d = len(sums)
+    nf = float(n)
+    mu = sums.astype(np.float64) / nf
+    cov = (
+        gram_t.astype(np.float64).reshape(d, d) / nf - np.outer(mu, mu)
+    ) / (scale * scale)
+    vals, vecs = np.linalg.eigh(cov)
+    comps = vecs[:, ::-1][:, :k].T  # (k, d), descending eigenvalue order
+    for j in range(comps.shape[0]):
+        i_max = int(np.argmax(np.abs(comps[j])))
+        if comps[j, i_max] < 0:
+            comps[j] = -comps[j]
+    return comps
+
+
+def pca_project(
+    ds: ray.data.Dataset,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 2,
+    scale: float = COV_SCALE,
+) -> ray.data.Dataset:
+    """Distributed PCA: project every vector onto the corpus's top-``k``
+    principal axes — the dimensionality-reduction / drift-visualization
+    step after ``embedding_covariance``. Two passes: the exact-integer
+    covariance partials (no shuffle), then a map-only projection.
+
+    Exactness: the components come off ONE driver-side ``eigh`` over the
+    exactly-reduced covariance — any execution layout produces the same
+    matrix, hence the same basis. The projection re-quantizes both the
+    vector (``scale``) and the component (``2^24``) to int64, so each
+    dot product is an exact integer; centering subtracts the exactly-
+    accumulated mean's projection. Closing float expression (mirrored by
+    the sequential sidecar oracle byte-for-byte):
+    ``p = double(Σ q_x·q_w)/(scale·2^24) - double(Σ q_mu·q_w)/(n·scale·2^24)``.
+    Output: (``id_col``, pc0..pc{k-1} float64).
+    """
+    gram_t, sums, n = _covariance_partials(ds, emb_col, scale)
+    if n == 0:
+        raise ValueError("pca_project: empty dataset")
+    nf = float(n)
+    comps = _pca_components(gram_t, sums, n, k, scale)
+    q_w = np.floor(comps * PCA_W_SCALE).astype(np.int64)  # (k, d)
+    # the mean's projection offset, from the SAME exact integer sums
+    # (python-int accumulation: Σ|sums·q_w| can pass 2^63)
+    mu_dot = (sums[None, :].astype(object) * q_w.astype(object)).sum(axis=1)
+    denom = scale * PCA_W_SCALE
+    offset = np.array(
+        [float(int(v)) / (nf * denom) for v in mu_dot], dtype=np.float64
+    )
+    comp_ref = ray.put((q_w, offset))
+
+    def project(batch: pa.Table) -> pa.Table:
+        qw, off = ray.get(comp_ref)
+        if batch.num_rows == 0:
+            return pa.schema(
+                [pa.field(id_col, pa.int64())]
+                + [pa.field(f"pc{j}", pa.float64()) for j in range(len(qw))]
+            ).empty_table()
+        mat = _to_matrix(batch, emb_col)
+        q = np.floor(mat * scale).astype(np.int64)
+        dots = q @ qw.T  # (n, k) int64 — exact (|q|·|qw|·d < 2^63)
+        proj = dots.astype(np.float64) / denom - off[None, :]
+        cols = {id_col: batch.column(id_col).cast(pa.int64())}
+        for j in range(qw.shape[0]):
+            cols[f"pc{j}"] = pa.array(proj[:, j], type=pa.float64())
+        return pa.table(cols)
+
+    return ds.select_columns([id_col, emb_col]).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -496,3 +496,35 @@ def test_embedding_covariance_matches_numpy(ray_session):
     for r in out1:
         cov1[r["dim_i"], r["dim_j"]] = r["cov"]
     assert np.array_equal(cov, cov1)
+
+
+def test_pca_project_bitwise_vs_sequential_and_sane(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.sources.doc_oracle import _expected_pca
+    from hyperpolyglot_ray.stages.similarity import pca_project
+
+    rng = np.random.RandomState(55)
+    # anisotropic cloud: dim 2 carries 10x the variance
+    vecs = (rng.randn(300, 5) * [0.3, 0.5, 3.0, 0.4, 0.2]).astype(np.float32)
+    ids = np.arange(300, dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float32())),
+        }
+    )
+    out = pca_project(ray.data.from_arrow(t).repartition(6), k=2).take_all()
+    got = {r["vec_id"]: (r["pc0"], r["pc1"]) for r in out}
+    ref = _expected_pca(vecs.astype(np.float64), ids, k=2)
+    rp0 = ref.column("pc0").to_pylist()
+    rp1 = ref.column("pc1").to_pylist()
+    for i, vid in enumerate(ref.column("vec_id").to_pylist()):
+        assert got[vid][0] == rp0[i]  # bitwise: distributed == sequential
+        assert got[vid][1] == rp1[i]
+    # pc0 must recover the high-variance axis: correlation with dim 2
+    p0 = np.array([got[i][0] for i in range(300)])
+    c = np.corrcoef(p0, vecs[:, 2].astype(np.float64))[0, 1]
+    assert abs(c) > 0.99
+    # projections are centered
+    assert abs(p0.mean()) < 1e-6
