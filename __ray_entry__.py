@@ -1852,13 +1852,36 @@ def _q_doc_lang_share_by_source(sf_dir: str):
 
     from hyperpolyglot_ray.stages.shuffle import bucketed_group_reduce
 
+    import pyarrow.compute as pc
+
+    def clean(batch: pa.Table) -> pa.Table:
+        # NULL lang folds to '' (COALESCE in the oracle) so row counts
+        # and shares agree under missing labels; source must be non-null
+        if batch.column("source").null_count:
+            raise ValueError("doc_lang_share_by_source: null source values")
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "lang": pc.fill_null(batch.column("lang"), ""),
+            }
+        )
+
     docs = _read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["source", "lang"]
-    )
+    ).map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
     counts = bucketed_group_reduce(docs, ["source", "lang"], [("lang", "count")])
     # the reduced set is bounded by sources x langs — tiny at any corpus
     # size; the share division happens driver-side on exact int counts
     tables = [t for t in ray.get(counts.to_arrow_refs()) if t.num_rows]
+    if not tables:  # empty documents table: empty report, like the oracle
+        return pa.table(
+            {
+                "source": pa.array([], type=pa.string()),
+                "lang": pa.array([], type=pa.string()),
+                "n_docs": pa.array([], type=pa.int64()),
+                "share_pct": pa.array([], type=pa.float64()),
+            }
+        )
     small = pa.concat_tables([t.combine_chunks() for t in tables]).combine_chunks()
     src = small.column("source").to_pylist()
     lang = small.column("lang").to_pylist()
@@ -2291,7 +2314,7 @@ JOIN s si ON si.d = g.dim_i
 JOIN s sj ON sj.d = g.dim_j""",
         "doc_lang_share_by_source": """
 WITH c AS (
-  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  SELECT source, COALESCE(lang, '') AS lang, CAST(COUNT(*) AS BIGINT) AS n_docs
   FROM documents GROUP BY 1, 2
 )
 SELECT source, lang, n_docs,

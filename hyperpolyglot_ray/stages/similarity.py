@@ -733,9 +733,6 @@ def _covariance_partials(
     (``q.T @ q``) + per-dim-sum partial per block, summed exactly on the
     driver. Returns (gram d*d flat int64, sums int64, n). The sequential
     oracle (doc_oracle._expected_pca) mirrors this spec byte-for-byte."""
-    first = ds.take_batch(1, batch_format="pyarrow")
-    d = len(first.column(emb_col)[0])
-
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.schema(
@@ -757,8 +754,8 @@ def _covariance_partials(
             }
         )
 
-    gram_t = np.zeros(d * d, dtype=np.int64)
-    sums_t = np.zeros(d, dtype=np.int64)
+    # lazy sizing from the first non-empty partial — no extra probe pass
+    gram_t = sums_t = None
     n_t = 0
     for t in ray.get(
         ds.select_columns([emb_col])
@@ -768,8 +765,13 @@ def _covariance_partials(
         if t.num_rows == 0:
             continue
         for i in range(t.num_rows):
-            gram_t += np.asarray(t.column("gram")[i].as_py(), dtype=np.int64)
-            sums_t += np.asarray(t.column("sums")[i].as_py(), dtype=np.int64)
+            g = np.asarray(t.column("gram")[i].as_py(), dtype=np.int64)
+            s = np.asarray(t.column("sums")[i].as_py(), dtype=np.int64)
+            if gram_t is None:
+                gram_t, sums_t = g.copy(), s.copy()
+            else:
+                gram_t += g
+                sums_t += s
             n_t += t.column("n")[i].as_py()
     return gram_t, sums_t, n_t
 
@@ -803,12 +805,8 @@ def embedding_covariance(
     gram_t, sums_t, n_t = _covariance_partials(ds, emb_col, scale)
     if n_t == 0:
         raise ValueError("embedding_covariance: empty dataset")
-    d = len(sums_t)
-    nf = float(n_t)
-    mu = sums_t.astype(np.float64) / nf
-    cov = (
-        gram_t.astype(np.float64).reshape(d, d) / nf - np.outer(mu, mu)
-    ) / (scale * scale)
+    cov = _close_covariance(gram_t, sums_t, n_t, scale)
+    d = cov.shape[0]
     ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
     out = pa.table(
         {
@@ -843,16 +841,24 @@ def pca_fit_components(
     return _pca_components(gram_t, sums_t, n_t, k, scale)
 
 
+def _close_covariance(gram_t, sums, n, scale) -> "np.ndarray":
+    """THE single covariance-closing float expression — shared by
+    ``embedding_covariance`` and the PCA fit so the exact op tree the
+    bitwise oracles mirror cannot fork: ``(double(G)/n − μμᵀ)/scale²``
+    with ``μ = double(Σq)/n``."""
+    d = len(sums)
+    nf = float(n)
+    mu = sums.astype(np.float64) / nf
+    return (
+        gram_t.astype(np.float64).reshape(d, d) / nf - np.outer(mu, mu)
+    ) / (scale * scale)
+
+
 def _pca_components(gram_t, sums, n, k, scale) -> "np.ndarray":
     """Close the PCA basis from the exact partials: covariance, one
     driver-side ``eigh`` (ascending; reversed to descending), canonical
     sign. Shared by fit and project so the spec cannot fork."""
-    d = len(sums)
-    nf = float(n)
-    mu = sums.astype(np.float64) / nf
-    cov = (
-        gram_t.astype(np.float64).reshape(d, d) / nf - np.outer(mu, mu)
-    ) / (scale * scale)
+    cov = _close_covariance(gram_t, sums, n, scale)
     vals, vecs = np.linalg.eigh(cov)
     comps = vecs[:, ::-1][:, :k].T  # (k, d), descending eigenvalue order
     for j in range(comps.shape[0]):
@@ -897,10 +903,11 @@ def pca_project(
     offset = np.array(
         [float(int(v)) / (nf * denom) for v in mu_dot], dtype=np.float64
     )
-    comp_ref = ray.put((q_w, offset))
+    # (k x d) int64 + k floats ~ 1 KB: plain closure capture — object-
+    # store indirection (ray.put) only pays off for large broadcasts
+    qw, off = q_w, offset
 
     def project(batch: pa.Table) -> pa.Table:
-        qw, off = ray.get(comp_ref)
         if batch.num_rows == 0:
             return pa.schema(
                 [pa.field(id_col, pa.int64())]
