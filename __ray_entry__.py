@@ -1914,6 +1914,49 @@ def _q_emb_pca(sf_dir: str):
     return pca_project(emb, k=2)
 
 
+def _q_files_code_metrics(sf_dir: str):
+    """Code-shape metrics per file (branch-keyword density, comment-line
+    ratio) — the structure screen over a source-code corpus; map-only
+    RE2 mirrored verbatim by the SQL oracle."""
+    from hyperpolyglot_ray.stages.quality_signals import code_complexity
+
+    ds, _ = _files_ds(sf_dir)
+    return code_complexity(ds)
+
+
+def _q_doc_ttr(sf_dir: str):
+    """Vocabulary richness (distinct/total whitespace tokens) per doc —
+    exact distinct via in-block Arrow hash aggregates, no shuffle."""
+    from hyperpolyglot_ray.stages.quality_signals import type_token_ratio
+
+    docs = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return type_token_ratio(docs)
+
+
+def _q_doc_compression(sf_dir: str):
+    """zlib compressibility per doc — the boilerplate/near-random screen;
+    oracle = sequential sidecar calling the same pinned-level zlib."""
+    from hyperpolyglot_ray.stages.quality_signals import compression_ratio
+
+    docs = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return compression_ratio(docs)
+
+
+def _q_doc_byte_entropy(sf_dir: str):
+    """UTF-8 byte entropy per doc (binary-payload screen) — quantized
+    int64-exact terms, bitwise-equal to the sequential sidecar."""
+    from hyperpolyglot_ray.stages.quality_signals import byte_entropy
+
+    docs = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return byte_entropy(docs)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1935,6 +1978,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (the driver checks a finite prefix): 7 never-driver-checked, then the
     # 11 last checked in round 2, then the 50 green in round 3.
     return {
+        # --- new in round 4 session 4 (never driver-checked) ---
+        "files_code_metrics": _q_files_code_metrics,
+        "doc_ttr": _q_doc_ttr,
+        "doc_compression": _q_doc_compression,
+        "doc_byte_entropy": _q_doc_byte_entropy,
         # --- new in round 4 session 3 (never driver-checked) ---
         "orders_custdist": _q_orders_custdist,
         "tpch_q3_topk": _q_tpch_q3_topk,
@@ -2132,7 +2180,52 @@ WITH f AS (
   SELECT path, arg_min(suffix, j) AS extension FROM hits GROUP BY path
 )"""
 
+    from hyperpolyglot_ray.stages.quality_signals import (
+        BRANCH_PATTERN as _branch_pat,
+    )
+    from hyperpolyglot_ray.stages.quality_signals import (
+        COMMENT_LINE_PATTERN as _comment_pat,
+    )
+
     sql = {
+        # --- round 4 session 4 ---
+        # mirrors stages/quality_signals.py:code_complexity op-for-op:
+        # patterns embed verbatim (quote-free, shared RE2), each density
+        # is one CAST-CAST-divide
+        "files_code_metrics": f"""
+SELECT path, n_lines, n_branch, n_comment_lines,
+       CAST(n_branch AS DOUBLE) / CAST(n_lines AS DOUBLE) AS branch_density,
+       CAST(n_comment_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS comment_ratio
+FROM (
+  SELECT path,
+         1 + length(c) - length(replace(c, chr(10), '')) AS n_lines,
+         CAST(len(regexp_extract_all(c, '{_branch_pat}')) AS BIGINT) AS n_branch,
+         CAST(len(regexp_extract_all(c, '{_comment_pat}')) AS BIGINT) AS n_comment_lines
+  FROM (SELECT path, coalesce(content, '') AS c FROM read_parquet('{files}'))
+)""",
+        # mirrors stages/quality_signals.py:type_token_ratio — \\S+ match
+        # list vs the stage's \\s+ split with empties dropped (identical
+        # token sets), list_distinct for the exact distinct count
+        "doc_ttr": r"""
+SELECT doc_id, n_tokens, n_distinct_tokens,
+       CASE WHEN n_tokens > 0
+            THEN CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+            ELSE NULL END AS ttr
+FROM (
+  SELECT doc_id,
+         len(regexp_extract_all(coalesce(text, ''), '\S+')) AS n_tokens,
+         len(list_distinct(regexp_extract_all(coalesce(text, ''), '\S+')))
+           AS n_distinct_tokens
+  FROM documents
+)""",
+        "doc_compression": (
+            f"SELECT doc_id, n_bytes, n_compressed, compression_ratio "
+            f"FROM read_parquet('{side}/doc_compression.parquet')"
+        ),
+        "doc_byte_entropy": (
+            f"SELECT doc_id, n_bytes, entropy "
+            f"FROM read_parquet('{side}/doc_byte_entropy.parquet')"
+        ),
         # --- round 4 session 3 ---
         "orders_custdist": """
 SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (

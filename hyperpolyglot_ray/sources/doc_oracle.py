@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r4f"  # r4f: + sequential PCA sidecar (emb_pca)
+ORACLE_VERSION = "r4g"  # r4g: + compression-ratio / byte-entropy sidecars
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -1161,6 +1161,58 @@ def _build_files_sidecars(fixture_dir: Path, out_dir: Path) -> None:
     )
 
 
+def _expected_compression(texts, doc_ids, level: int = 6) -> pa.Table:
+    """Sequential spec of stages/quality_signals.py:compression_ratio —
+    zlib at the pinned level IS the spec (deterministic for a fixed
+    input); ratio is one IEEE division, NULL for empty rows."""
+    import zlib
+
+    raw, comp, ratio = [], [], []
+    for t in texts:
+        b = (t or "").encode("utf-8")
+        raw.append(len(b))
+        c = len(zlib.compress(b, level))
+        comp.append(c)
+        ratio.append(float(c) / float(len(b)) if b else None)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "n_bytes": pa.array(raw, type=pa.int64()),
+            "n_compressed": pa.array(comp, type=pa.int64()),
+            "compression_ratio": pa.array(ratio, type=pa.float64()),
+        }
+    )
+
+
+def _expected_byte_entropy(texts, doc_ids) -> pa.Table:
+    """Sequential spec of stages/quality_signals.py:byte_entropy —
+    Counter histogram per row, each term floor((c*ln c)*2**24) as an
+    exact int (scalar math.log, the same libm path the production
+    kernel's log table uses), fixed closing float expression."""
+    import math
+
+    q = 16777216.0
+    n_bytes, ent = [], []
+    for t in texts:
+        b = (t or "").encode("utf-8")
+        n = len(b)
+        n_bytes.append(n)
+        if n == 0:
+            ent.append(None)
+            continue
+        s = 0
+        for c in Counter(b).values():
+            s += math.floor((c * math.log(c)) * q)
+        ent.append(math.log(n) - (s / (q * n)))
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "n_bytes": pa.array(n_bytes, type=pa.int64()),
+            "entropy": pa.array(ent, type=pa.float64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # build entry point
 # ---------------------------------------------------------------------------
@@ -1256,6 +1308,12 @@ def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
     pq.write_table(
         _expected_ngram_jaccard_clusters(texts, doc_ids),
         out / "doc_ngram_clusters.parquet",
+    )
+    pq.write_table(
+        _expected_compression(texts, doc_ids), out / "doc_compression.parquet"
+    )
+    pq.write_table(
+        _expected_byte_entropy(texts, doc_ids), out / "doc_byte_entropy.parquet"
     )
 
     evp = pq.read_table(

@@ -1,0 +1,263 @@
+"""Corpus quality signals beyond the flagship gate: code-shape metrics,
+vocabulary richness, compressibility, and byte entropy.
+
+These are the cheap per-document screens a web-scale curation run
+computes for EVERY row before any expensive model touches it (CCNet /
+Gopher / RefinedWeb all gate on signals of exactly this shape):
+
+- ``code_complexity`` — branch-keyword density and comment-line ratio
+  over a source-code corpus (a styleness/structure proxy; minified or
+  generated code scores near zero on both).
+- ``type_token_ratio`` — distinct-token / total-token vocabulary
+  richness (template spam and keyword-stuffed pages score low).
+- ``compression_ratio`` — zlib bytes-out / bytes-in (the classic
+  boilerplate detector: highly repetitive text compresses far below
+  natural prose; near-random payloads approach or exceed 1.0).
+- ``byte_entropy`` — Shannon entropy of the UTF-8 byte distribution
+  (flags binary-ish / encoded payloads masquerading as text).
+
+All four are MAP-ONLY: no shuffle at any corpus size, fixed-width
+outputs, text dropped. The two regex ops and the ratio arithmetic are
+mirrored verbatim by plain-SQL DuckDB oracles (shared RE2 engine, one
+IEEE division per ratio). ``compression_ratio`` and ``byte_entropy``
+are oracled by sequential sidecars (`sources/doc_oracle.py`): zlib with
+a pinned level is a deterministic spec, and the entropy terms are
+floor-quantized to int64 at 2**24 with scalar-``math.log`` values (the
+module-wide exact-sum discipline), so distributed == sequential bitwise.
+
+Null policy: text nulls coerce to "" (the house rule — see SURVEY §8).
+"""
+
+from __future__ import annotations
+
+import math
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+# ORDER AND SPELLING ARE LOAD-BEARING: both patterns embed verbatim in
+# the DuckDB oracle (single-quote-free by contract, shared RE2 subset).
+BRANCH_PATTERN = r"\b(if|for|while|case|catch|elif|when)\b"
+# Each match CONSUMES to end-of-line ([^\n]*): pyarrow's
+# count_substring_regex rescans from a fresh slice after every match, so
+# a bare ^-anchored pattern falsely re-matches mid-line at the restart
+# position ("%%" would count twice; DuckDB counts once). Consuming the
+# whole line parks the restart on the \n, which cannot start a match, so
+# both engines count each comment LINE exactly once (verified equal over
+# the full 10k-file fixture).
+COMMENT_LINE_PATTERN = r"(?m)^[ \t]*(//|#|--|%)[^\n]*"
+
+# entropy quantization scale — 2**24, the similarity.py k-means
+# convention; terms c*ln(c) stay inside int64 up to c ~ 2**38 bytes/row
+_ENT_Q = 16777216.0
+
+
+def code_complexity(
+    ds: ray.data.Dataset,
+    text_col: str = "content",
+    id_col: str = "path",
+) -> ray.data.Dataset:
+    """Per-file structure metrics over a code corpus: line count,
+    branch-keyword count, comment-line count, and their densities.
+
+    Map-only RE2 (``pc.count_substring`` / ``pc.count_substring_regex``)
+    over whole Arrow batches; each density is ONE IEEE float64 division
+    (n_lines >= 1 always, so no zero guard), mirrored op-for-op by the
+    SQL oracle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column(text_col).cast(pa.string()), "")
+        n_lines = pc.add(
+            pc.count_substring(text, "\n").cast(pa.int64()),
+            pa.scalar(1, pa.int64()),
+        )
+        n_branch = pc.count_substring_regex(text, BRANCH_PATTERN).cast(pa.int64())
+        n_comment = pc.count_substring_regex(text, COMMENT_LINE_PATTERN).cast(
+            pa.int64()
+        )
+        f64 = pa.float64()
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_lines": n_lines,
+                "n_branch": n_branch,
+                "n_comment_lines": n_comment,
+                "branch_density": pc.divide(n_branch.cast(f64), n_lines.cast(f64)),
+                "comment_ratio": pc.divide(n_comment.cast(f64), n_lines.cast(f64)),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def type_token_ratio(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Vocabulary richness: whitespace-token count, DISTINCT-token count,
+    and their ratio (NULL when the row has no tokens).
+
+    The distinct count is exact (no hashing): per batch, tokens explode
+    to (row, token) pairs via ``split_pattern_regex`` + flatten, then two
+    Arrow hash-aggregates (pair-distinct, per-row count) — all C kernels,
+    block-bounded, no shuffle. Tokenization is ``\\S+`` (the
+    ``doc_token_count`` convention), realized as a ``\\s+`` split with
+    empty fragments dropped — identical match sets by construction."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column(text_col).cast(pa.string()), "")
+        n_tokens = pc.count_substring_regex(text, r"\S+").cast(pa.int64())
+        toks = pc.split_pattern_regex(text, r"\s+")
+        parent = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        mask = pc.not_equal(flat, "")
+        pairs = pa.table({"r": parent.filter(mask), "t": flat.filter(mask)})
+        dist = pairs.group_by(["r", "t"]).aggregate([])
+        per_row = dist.group_by("r").aggregate([("t", "count")])
+        n_dist = np.zeros(len(batch), np.int64)
+        n_dist[per_row.column("r").to_numpy()] = per_row.column(
+            "t_count"
+        ).to_numpy()
+        n_distinct = pa.array(n_dist, pa.int64())
+        f64 = pa.float64()
+        ttr = pc.if_else(
+            pc.greater(n_tokens, 0),
+            pc.divide(n_distinct.cast(f64), n_tokens.cast(f64)),
+            pa.scalar(None, f64),
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": n_tokens,
+                "n_distinct_tokens": n_distinct,
+                "ttr": ttr,
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def compression_ratio(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> ray.data.Dataset:
+    """zlib compressibility per row: UTF-8 byte length, compressed
+    length at a PINNED level, and their ratio (NULL for empty rows —
+    one IEEE division otherwise).
+
+    The per-row loop is a sequence of single C calls (``zlib.compress``)
+    — the sha256-scrub shape, compute-bound in C, not a Python hot loop.
+    zlib output for a fixed (input, level) is deterministic, so the
+    sequential sidecar oracle (which calls the same library — the spec)
+    matches bitwise."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column(text_col).cast(pa.string()), "")
+        raw, comp = [], []
+        for v in text.to_pylist():
+            b = v.encode("utf-8")
+            raw.append(len(b))
+            comp.append(len(zlib.compress(b, level)))
+        raw_a = pa.array(raw, pa.int64())
+        comp_a = pa.array(comp, pa.int64())
+        f64 = pa.float64()
+        ratio = pc.if_else(
+            pc.greater(raw_a, 0),
+            pc.divide(comp_a.cast(f64), raw_a.cast(f64)),
+            pa.scalar(None, f64),
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_bytes": raw_a,
+                "n_compressed": comp_a,
+                "compression_ratio": ratio,
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _scalar_log_table(values: np.ndarray) -> np.ndarray:
+    """ln() of each unique non-negative integer in ``values`` computed
+    with SCALAR ``math.log`` (0 maps to 0.0, never used). numpy's
+    vectorized log may route through a SIMD implementation whose last
+    ulp differs from libm's scalar path — the sidecar uses scalar
+    ``math.log``, so this side must too for bitwise parity."""
+    return np.array(
+        [math.log(int(c)) if c > 0 else 0.0 for c in values.tolist()],
+        dtype=np.float64,
+    )
+
+
+def byte_entropy(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Shannon entropy (nats) of each row's UTF-8 byte distribution;
+    NULL for empty rows.
+
+    Exact per-row byte histograms via one ``np.bincount`` over
+    ``row*256 + byte`` (vectorized, ~2KB of counters per row in flight).
+    Entropy uses the module's quantized-exact discipline:
+
+        H = ln(n) - (sum_b floor((c_b * ln(c_b)) * 2**24)) / (2**24 * n)
+
+    Every ln() value comes from a scalar-``math.log`` table (see
+    ``_scalar_log_table``), each term is ONE multiply then ONE quantize,
+    and the sum is int64 (exact under any order/layout) — so the
+    distributed result equals the sequential sidecar bitwise."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column(text_col).cast(pa.string()), "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        la = text.cast(pa.large_string())
+        n = len(la)
+        offs = np.frombuffer(la.buffers()[1], np.int64, n + 1 + la.offset)[
+            la.offset :
+        ]
+        data = np.frombuffer(la.buffers()[2], np.uint8)
+        lengths = np.diff(offs)
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        byte_vals = data[offs[0] : offs[-1]].astype(np.int64)
+        hist = np.bincount(row_idx * 256 + byte_vals, minlength=n * 256).reshape(
+            n, 256
+        )
+        uniq = np.unique(np.concatenate([hist.ravel(), lengths]))
+        logs = _scalar_log_table(uniq)
+        logh = logs[np.searchsorted(uniq, hist)]
+        term_int = np.floor((hist.astype(np.float64) * logh) * _ENT_Q).astype(
+            np.int64
+        )
+        sum_int = term_int.sum(axis=1)
+        ln_n = logs[np.searchsorted(uniq, lengths)]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ent = ln_n - (sum_int.astype(np.float64) / (_ENT_Q * lengths))
+        entropy = pa.array(
+            np.where(lengths > 0, ent, 0.0), pa.float64(), mask=lengths == 0
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_bytes": pa.array(lengths, pa.int64()),
+                "entropy": entropy,
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )

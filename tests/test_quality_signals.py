@@ -1,0 +1,172 @@
+"""Quality-signal operators: code complexity, type-token ratio,
+compression ratio, byte entropy (stages/quality_signals.py)."""
+
+import math
+import re
+import zlib
+
+import numpy as np
+import pytest
+
+
+def _ds(items, nparts=4):
+    import ray.data
+
+    return ray.data.from_items(items).repartition(nparts)
+
+
+# ------------------------------------------------------------- complexity
+
+
+def test_code_complexity_hand_counts(ray_session):
+    from hyperpolyglot_ray.stages.quality_signals import code_complexity
+
+    src = "// hdr\nif (a) { for (;;) { x(); } }\n  # note\nplain\n"
+    rows = [
+        {"path": "a.c", "content": src},
+        {"path": "b.c", "content": ""},
+        {"path": "c.c", "content": None},
+        {"path": "d.c", "content": "iffy formula while_x case1"},  # \b blocks all
+    ]
+    out = {r["path"]: r for r in code_complexity(_ds(rows)).take_all()}
+    a = out["a.c"]
+    assert a["n_lines"] == 5  # 4 newlines + 1
+    assert a["n_branch"] == 2  # if, for
+    assert a["n_comment_lines"] == 2  # // and #
+    assert a["branch_density"] == 2.0 / 5.0
+    assert a["comment_ratio"] == 2.0 / 5.0
+    for p in ("b.c", "c.c"):  # empty and null both coerce to ""
+        assert out[p]["n_lines"] == 1 and out[p]["n_branch"] == 0
+        assert out[p]["branch_density"] == 0.0
+    # word boundaries: substrings of identifiers never count
+    assert out["d.c"]["n_branch"] == 0
+
+
+def test_code_complexity_double_marker_counts_once(ray_session):
+    """Regression: '%%'-prefixed lines (Erlang/LaTeX style) must count as
+    ONE comment line — pyarrow's slice-restart rescan double-counted a
+    bare ^-anchored pattern before the pattern consumed to EOL."""
+    from hyperpolyglot_ray.stages.quality_signals import code_complexity
+
+    rows = [{"path": "e.erl", "content": "%% one\n%%% two\n-- three --\ncode\n"}]
+    out = code_complexity(_ds(rows, 1)).take_all()[0]
+    assert out["n_comment_lines"] == 3
+
+
+def test_code_complexity_layout_invariant(ray_session):
+    from hyperpolyglot_ray.stages.quality_signals import code_complexity
+
+    rows = [
+        {"path": f"p{i}", "content": ("if x\n" * (i % 5)) + "# c\n" * (i % 3)}
+        for i in range(40)
+    ]
+    a = sorted(map(tuple, map(dict.values, code_complexity(_ds(rows, 1)).take_all())))
+    b = sorted(map(tuple, map(dict.values, code_complexity(_ds(rows, 9)).take_all())))
+    assert a == b
+
+
+# -------------------------------------------------------------------- ttr
+
+
+def test_type_token_ratio_matches_python(ray_session):
+    from hyperpolyglot_ray.stages.quality_signals import type_token_ratio
+
+    rows = [
+        {"doc_id": 0, "text": "a b a c  a\tb\nz"},
+        {"doc_id": 1, "text": "   "},
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": None},
+        {"doc_id": 4, "text": "unique tokens only here"},
+    ]
+    out = {r["doc_id"]: r for r in type_token_ratio(_ds(rows)).take_all()}
+    for r in rows:
+        toks = re.findall(r"\S+", r["text"] or "")
+        o = out[r["doc_id"]]
+        assert o["n_tokens"] == len(toks)
+        assert o["n_distinct_tokens"] == len(set(toks))
+        if toks:
+            assert o["ttr"] == len(set(toks)) / len(toks)
+        else:
+            assert o["ttr"] is None
+
+
+def test_type_token_ratio_layout_invariant(ray_session):
+    from hyperpolyglot_ray.stages.quality_signals import type_token_ratio
+
+    rows = [
+        {"doc_id": i, "text": " ".join(f"w{j % (i + 1)}" for j in range(20))}
+        for i in range(30)
+    ]
+    a = sorted(map(tuple, map(dict.values, type_token_ratio(_ds(rows, 1)).take_all())))
+    b = sorted(map(tuple, map(dict.values, type_token_ratio(_ds(rows, 7)).take_all())))
+    assert a == b
+
+
+# ------------------------------------------------------------ compression
+
+
+def test_compression_ratio_matches_zlib(ray_session):
+    from hyperpolyglot_ray.stages.quality_signals import compression_ratio
+
+    rows = [
+        {"doc_id": 0, "text": "abc " * 500},  # highly compressible
+        {"doc_id": 1, "text": "k9$Qz!m@X#w%L^d&"},  # short, incompressible
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": None},
+        {"doc_id": 4, "text": "naïve café — unicode ✓"},
+    ]
+    out = {r["doc_id"]: r for r in compression_ratio(_ds(rows)).take_all()}
+    for r in rows:
+        b = (r["text"] or "").encode("utf-8")
+        o = out[r["doc_id"]]
+        assert o["n_bytes"] == len(b)
+        assert o["n_compressed"] == len(zlib.compress(b, 6))
+        if b:
+            assert o["compression_ratio"] == len(zlib.compress(b, 6)) / len(b)
+        else:
+            assert o["compression_ratio"] is None
+    assert out[0]["compression_ratio"] < 0.05
+    assert out[1]["compression_ratio"] > 1.0
+
+
+# ---------------------------------------------------------------- entropy
+
+
+def test_byte_entropy_known_distributions(ray_session):
+    from hyperpolyglot_ray.stages.quality_signals import byte_entropy
+
+    rows = [
+        {"doc_id": 0, "text": "aaaaaaaa"},  # H = 0
+        {"doc_id": 1, "text": "abababab"},  # H = ln 2
+        {"doc_id": 2, "text": "abcd"},  # H = ln 4
+        {"doc_id": 3, "text": ""},
+        {"doc_id": 4, "text": "é" * 4},  # 2 bytes, equal counts -> ln 2
+    ]
+    out = {r["doc_id"]: r for r in byte_entropy(_ds(rows)).take_all()}
+    assert out[0]["entropy"] == pytest.approx(0.0, abs=1e-6)
+    assert out[1]["entropy"] == pytest.approx(math.log(2), abs=1e-6)
+    assert out[2]["entropy"] == pytest.approx(math.log(4), abs=1e-6)
+    assert out[3]["entropy"] is None and out[3]["n_bytes"] == 0
+    assert out[4]["entropy"] == pytest.approx(math.log(2), abs=1e-6)
+    assert out[4]["n_bytes"] == 8
+
+
+def test_byte_entropy_bitwise_vs_sidecar(ray_session):
+    from hyperpolyglot_ray.sources.doc_oracle import _expected_byte_entropy
+    from hyperpolyglot_ray.stages.quality_signals import byte_entropy
+
+    rng = np.random.RandomState(11)
+    texts = [
+        "".join(chr(rng.randint(32, 300)) for _ in range(rng.randint(0, 200)))
+        for _ in range(60)
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    exp = _expected_byte_entropy(texts, list(range(60))).to_pylist()
+    for nparts in (1, 7):
+        got = sorted(
+            byte_entropy(_ds(rows, nparts)).take_all(), key=lambda r: r["doc_id"]
+        )
+        for g, e in zip(got, exp):
+            assert g["n_bytes"] == e["n_bytes"]
+            # bitwise: quantized int64 terms + one fixed float expression
+            assert g["entropy"] == e["entropy"], g
