@@ -1957,6 +1957,162 @@ def _q_doc_byte_entropy(sf_dir: str):
     return byte_entropy(docs)
 
 
+def _q_graph_pagerank(sf_dir: str):
+    """Distributed PageRank over the customer->supplier money-flow graph
+    (edges = lineitem x orders join, node ids tagged into disjoint
+    spaces). Integer-exact 85/100 damping at ONE=2**40 — bitwise-equal
+    to the sequential sidecar. Per iteration: one edge-scale hash_join +
+    one bucketed sum; rank state never touches the driver."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hyperpolyglot_ray.stages.graph import pagerank
+    from hyperpolyglot_ray.stages.joins import hash_join
+
+    li = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    od = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    j = hash_join(li, od, left_on="l_orderkey", right_on="o_orderkey")
+
+    def mk(batch: pa.Table) -> pa.Table:
+        two = pa.scalar(2, pa.int64())
+        return pa.table(
+            {
+                "src": pc.multiply(batch.column("o_custkey").cast(pa.int64()), two),
+                "dst": pc.add(
+                    pc.multiply(batch.column("l_suppkey").cast(pa.int64()), two),
+                    pa.scalar(1, pa.int64()),
+                ),
+            }
+        )
+
+    edges = j.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True)
+    return pagerank(edges, n_iters=5)
+
+
+def _q_tpch_q5(sf_dir: str):
+    """Regional supplier volume (TPC-H Q5 shape): ASIA-region customers
+    and suppliers, one-year order window, revenue where the customer and
+    supplier share a nation. Dims (region/nation/supplier) broadcast;
+    the two corpus-scale relations meet in `hash_join`s; revenue is
+    exact int64 cents x (100 - discount pct) so the hash is bit-stable."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from hyperpolyglot_ray.stages.joins import broadcast_join, hash_join
+    from hyperpolyglot_ray.stages.shuffle import bucketed_group_reduce
+
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rkeys = (
+        region.filter(pc.equal(region.column("r_name"), pa.scalar("ASIA")))
+        .column("r_regionkey")
+        .combine_chunks()
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nat = nation.filter(pc.is_in(nation.column("n_regionkey"), value_set=rkeys))
+    nat_keys = nat.column("n_nationkey").combine_chunks()
+    nmap = dict(
+        zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    )
+
+    lo, hi = datetime(1996, 1, 1), datetime(1997, 1, 1)
+
+    def ord_f(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        m = pc.and_(
+            pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi))
+        )
+        b = batch.filter(m)
+        return pa.table(
+            {"o_orderkey": b.column("o_orderkey"), "o_custkey": b.column("o_custkey")}
+        )
+
+    orders = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(ord_f, batch_format="pyarrow", zero_copy_batch=True)
+
+    def cust_f(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_in(batch.column("c_nationkey"), value_set=nat_keys))
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "c_nationkey": b.column("c_nationkey").cast(pa.int64()),
+            }
+        )
+
+    cust = _read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_f, batch_format="pyarrow", zero_copy_batch=True)
+
+    j1 = hash_join(orders, cust, "o_custkey", "c_custkey").select_columns(
+        ["o_orderkey", "c_nationkey"]
+    )
+
+    def li_f(batch: pa.Table) -> pa.Table:
+        cents = pc.round(
+            pc.multiply(batch.column("l_extendedprice"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        pct = pc.round(
+            pc.multiply(batch.column("l_discount"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        rev = pc.multiply_checked(
+            cents, pc.subtract(pa.scalar(100, type=pa.int64()), pct)
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_suppkey": batch.column("l_suppkey"),
+                "rev": rev,
+            }
+        )
+
+    li = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_f, batch_format="pyarrow", zero_copy_batch=True)
+
+    j2 = hash_join(li, j1, "l_orderkey", "o_orderkey")
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    j3 = broadcast_join(j2, supp, "l_suppkey", "s_suppkey", ["s_nationkey"])
+
+    def same_nation(batch: pa.Table) -> pa.Table:
+        sn = batch.column("s_nationkey").cast(pa.int64())
+        b = batch.filter(pc.equal(sn, batch.column("c_nationkey")))
+        return pa.table(
+            {
+                "n_nationkey": b.column("c_nationkey"),
+                "rev": b.column("rev"),
+            }
+        )
+
+    per_nation = bucketed_group_reduce(
+        j3.map_batches(same_nation, batch_format="pyarrow", zero_copy_batch=True),
+        "n_nationkey",
+        [("rev", "sum")],
+        n_buckets=16,
+    )
+
+    def close(batch: pa.Table) -> pa.Table:
+        names = [nmap[k] for k in batch.column("n_nationkey").to_pylist()]
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "revenue_c4": batch.column("sum(rev)"),
+            }
+        )
+
+    return per_nation.map_batches(close, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1983,6 +2139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ttr": _q_doc_ttr,
         "doc_compression": _q_doc_compression,
         "doc_byte_entropy": _q_doc_byte_entropy,
+        "graph_pagerank": _q_graph_pagerank,
+        "tpch_q5": _q_tpch_q5,
         # --- new in round 4 session 3 (never driver-checked) ---
         "orders_custdist": _q_orders_custdist,
         "tpch_q3_topk": _q_tpch_q3_topk,
@@ -2226,6 +2384,23 @@ FROM (
             f"SELECT doc_id, n_bytes, entropy "
             f"FROM read_parquet('{side}/doc_byte_entropy.parquet')"
         ),
+        "graph_pagerank": (
+            f'SELECT node, "rank" FROM read_parquet(\'{side}/graph_pagerank.parquet\')'
+        ),
+        # mirrors _q_tpch_q5: same int-cents revenue expression, same
+        # date window and region literal
+        "tpch_q5": """
+SELECT n_name,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c4
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name""",
         # --- round 4 session 3 ---
         "orders_custdist": """
 SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (

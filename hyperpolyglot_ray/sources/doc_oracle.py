@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r4g"  # r4g: + compression-ratio / byte-entropy sidecars
+ORACLE_VERSION = "r4h"  # r4h: + compression/entropy/pagerank sidecars
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -1213,6 +1213,30 @@ def _expected_byte_entropy(texts, doc_ids) -> pa.Table:
     )
 
 
+def _expected_pagerank(edges, n_iters: int = 5) -> pa.Table:
+    """Sequential spec of stages/graph.py:pagerank — pure-python dicts
+    and exact ints (ONE=2**40, damping as 85/100 integer arithmetic,
+    floor divisions); any distributed-topology bug (join routing, bucket
+    reduce, zero-in-degree handling) shows up as a value mismatch."""
+    one = 1 << 40
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    outdeg = Counter(u for u, _ in edges)
+    rank = {v: one // n for v in nodes}
+    base = (15 * one) // (100 * n)
+    for _ in range(n_iters):
+        sums: dict[int, int] = {}
+        for u, v in edges:
+            sums[v] = sums.get(v, 0) + rank[u] // outdeg[u]
+        rank = {v: base + (85 * sums.get(v, 0)) // 100 for v in nodes}
+    return pa.table(
+        {
+            "node": pa.array(nodes, type=pa.int64()),
+            "rank": pa.array([rank[v] for v in nodes], type=pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # build entry point
 # ---------------------------------------------------------------------------
@@ -1340,6 +1364,24 @@ def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
     pq.write_table(_expected_near_dup_ivf(emb, ids), out / "emb_near_dup_ivf.parquet")
     pq.write_table(_expected_pq(emb, ids), out / "emb_pq.parquet")
     pq.write_table(_expected_pca(emb, ids), out / "emb_pca.parquet")
+
+    # customer -> supplier money-flow graph (node ids tagged into
+    # disjoint spaces: 2*custkey vs 2*suppkey+1) — same derivation as
+    # __ray_entry__._q_graph_pagerank, realized with sequential dicts
+    od = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    cust_of = dict(
+        zip(od.column("o_orderkey").to_pylist(), od.column("o_custkey").to_pylist())
+    )
+    pr_edges = [
+        (2 * cust_of[k], 2 * s + 1)
+        for k, s in zip(
+            li.column("l_orderkey").to_pylist(), li.column("l_suppkey").to_pylist()
+        )
+    ]
+    pq.write_table(_expected_pagerank(pr_edges), out / "graph_pagerank.parquet")
 
     _build_files_sidecars(fixture_dir, out)
 

@@ -385,3 +385,290 @@ def hash_min_components(
         )
 
     return labels.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# PageRank — iterative link analysis as repeated Dataset shuffles
+# ---------------------------------------------------------------------------
+
+PR_ONE = 1 << 40  # rank mass unit — all arithmetic below is exact int64
+
+
+def _pagerank_broadcast(
+    edges_s: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    n_nodes: int,
+    n_iters: int,
+    n_buckets: int,
+) -> ray.data.Dataset:
+    """Small-V fast path (see ``pagerank``): rank state is an int64
+    vector on the driver (V <= node_budget), broadcast once per round;
+    the edge table is mapped (never shuffled) and only <=V slim
+    (dst, partial) rows cross the per-round reduce."""
+    import ray
+
+    from .shuffle import bucketed_group_reduce
+
+    def gather(ds: ray.data.Dataset):
+        tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+        return pa.concat_tables(tabs) if tabs else None
+
+    nodes_arr = np.sort(
+        gather(nodes).column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    v = n_nodes
+
+    def src_partial(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        u, c = np.unique(src, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(u, pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    deg_t = gather(
+        bucketed_group_reduce(
+            edges_s.map_batches(
+                src_partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "node",
+            [("c", "sum")],
+            n_buckets=n_buckets,
+        )
+    )
+    deg = np.zeros(v, np.int64)
+    deg[np.searchsorted(nodes_arr, deg_t.column("node").to_numpy())] = (
+        deg_t.column("sum(c)").to_numpy()
+    )
+
+    def emit_fn(ref):
+        def emit(batch: pa.Table) -> pa.Table:
+            na, sh = ray.get(ref)
+            src = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+            dst = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+            s = sh[np.searchsorted(na, src)]
+            order = np.argsort(dst, kind="stable")
+            d, val = dst[order], s[order]
+            first = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+            return pa.table(
+                {
+                    "dst": pa.array(d[first], pa.int64()),
+                    "partial": pa.array(np.add.reduceat(val, first), pa.int64()),
+                }
+            )
+
+        return emit
+
+    rank = np.full(v, PR_ONE // v, np.int64)
+    base = (15 * PR_ONE) // (100 * v)
+    nz = deg > 0
+    for _ in range(n_iters):
+        shares = np.zeros(v, np.int64)
+        shares[nz] = rank[nz] // deg[nz]
+        ref = ray.put((nodes_arr, shares))
+        red = gather(
+            bucketed_group_reduce(
+                edges_s.map_batches(
+                    emit_fn(ref), batch_format="pyarrow", zero_copy_batch=True
+                ),
+                "dst",
+                [("partial", "sum")],
+                n_buckets=n_buckets,
+            )
+        )
+        sums = np.zeros(v, np.int64)
+        if red is not None:
+            sums[np.searchsorted(nodes_arr, red.column("dst").to_numpy())] = (
+                red.column("sum(partial)").to_numpy()
+            )
+        rank = base + (85 * sums) // 100
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes_arr, pa.int64()),
+                "rank": pa.array(rank, pa.int64()),
+            }
+        )
+    )
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iters: int = 10,
+    n_buckets: int = 64,
+    node_budget: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Integer-exact distributed PageRank over a directed edge table
+    (duplicate edges count with multiplicity; a row per edge).
+
+    Spec (deterministic under ANY block layout — every step is int64):
+
+        ONE        = 2**40                    (total rank mass)
+        rank_0(v)  = ONE // N                 for every node
+        share(u)   = rank(u) // outdeg(u)     (floor division)
+        rank'(v)   = (15*ONE)//(100*N) + (85 * sum_in(v)) // 100
+
+    i.e. damping 0.85 realized as exact integer 85/100 arithmetic.
+    Floor remainders and dangling-node mass simply vanish (the result is
+    a ranking signal, not a probability distribution — and the loss is
+    bit-deterministic, so the sequential sidecar oracle matches BITWISE).
+
+    Two auto-routed topologies (the minhash/incremental-dedup policy —
+    both produce bitwise-identical ranks, equivalence-tested):
+
+    - ``n_nodes <= node_budget`` (default 1M, ~16 MB of rank state):
+      the rank vector broadcasts via ``ray.put`` each round; every
+      iteration is ONE pipeline — a map over the materialized edge
+      blocks (searchsorted share lookup + block-local reduceat by dst)
+      into a slim ``bucketed_group_reduce``, whose <=V-row result
+      returns to the driver for the vectorized rank update. Edges are
+      shuffled ZERO times after the one-off materialization.
+    - beyond the budget: rank state stays a Dataset end to end — one
+      ``hash_join`` (edges+outdeg x ranks, keyed by src), a map to
+      (dst, share), one ``bucketed_group_reduce``, and a left-outer
+      ``hash_join`` back onto the node list (zero in-degree -> base).
+      O(E) exchanged per iteration, O(V) rank rows held, nothing
+      node-level ever on the driver.
+
+    Each round snapshots via ``from_arrow_refs`` so the logical plan
+    never grows (the hash_min_components discipline)."""
+    from .joins import hash_join
+    from .shuffle import bucketed_group_reduce
+
+    if n_iters < 1:
+        raise ValueError("n_iters must be >= 1")
+
+    def snapshot(ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ray.data.from_arrow_refs(ds.to_arrow_refs())
+
+    def slim(batch: pa.Table) -> pa.Table:
+        if (
+            batch.column(src_col).null_count
+            or batch.column(dst_col).null_count
+        ):
+            raise ValueError("pagerank: null node ids are not supported")
+        return pa.table(
+            {
+                "src": batch.column(src_col).cast(pa.int64()),
+                "dst": batch.column(dst_col).cast(pa.int64()),
+            }
+        )
+
+    # materialize the slim edge list ONCE: it feeds node discovery,
+    # out-degrees, and every iteration's join — upstream plans (the edge
+    # table is often itself a join) must not re-execute per consumer
+    edges_s = snapshot(
+        edges.map_batches(slim, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def node_rows(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({"node": batch.column(col)})
+
+        return fn
+
+    ends = edges_s.map_batches(
+        node_rows("src"), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        edges_s.map_batches(
+            node_rows("dst"), batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    nodes = snapshot(bucketed_group_reduce(ends, "node", [], n_buckets=n_buckets))
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.map_batches(
+            lambda b: pa.table(
+                {"node": pa.array([], pa.int64()), "rank": pa.array([], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+
+    if n_nodes <= node_budget:
+        return _pagerank_broadcast(edges_s, nodes, n_nodes, n_iters, n_buckets)
+
+    outdeg = bucketed_group_reduce(
+        edges_s.map_batches(
+            node_rows("src"), batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "node",
+        [("node", "count")],
+        n_buckets=n_buckets,
+    )
+
+    # outdeg attaches to edges ONCE (it never changes across iterations)
+    edges_deg = snapshot(
+        hash_join(
+            edges_s,
+            outdeg.map_batches(
+                lambda b: pa.table(
+                    {"onode": b.column("node"), "odeg": b.column("count(node)")}
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            left_on="src",
+            right_on="onode",
+            n_buckets=n_buckets,
+        )
+    )
+
+    init_rank = PR_ONE // n_nodes
+    base = (15 * PR_ONE) // (100 * n_nodes)
+
+    def init_fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "rank": pa.array(
+                    np.full(len(batch), init_rank, np.int64), pa.int64()
+                ),
+            }
+        )
+
+    ranks = snapshot(
+        nodes.map_batches(init_fn, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def to_share(batch: pa.Table) -> pa.Table:
+        share = pc.divide(batch.column("rank"), batch.column("odeg"))
+        return pa.table({"dst": batch.column("dst"), "share": share})
+
+    def close_rank(batch: pa.Table) -> pa.Table:
+        s = pc.fill_null(batch.column("sum(share)"), 0)
+        new = pc.add(
+            pa.scalar(base, pa.int64()),
+            pc.divide(pc.multiply(pa.scalar(85, pa.int64()), s), 100),
+        )
+        return pa.table({"node": batch.column("node"), "rank": new})
+
+    for _ in range(n_iters):
+        contrib = hash_join(
+            edges_deg, ranks, left_on="src", right_on="node", n_buckets=n_buckets
+        )
+        sums = bucketed_group_reduce(
+            contrib.map_batches(
+                to_share, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "dst",
+            [("share", "sum")],
+            n_buckets=n_buckets,
+        )
+        joined = hash_join(
+            nodes,
+            sums,
+            left_on="node",
+            right_on="dst",
+            join_type="left outer",
+            n_buckets=n_buckets,
+        )
+        ranks = snapshot(
+            joined.map_batches(
+                close_rank, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+    return ranks

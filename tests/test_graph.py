@@ -117,3 +117,86 @@ def test_components_missing_endpoint_raises(ray_session):
     with pytest.raises(Exception, match="missing from"):
         # iterative path validates too (searchsorted membership check)
         hash_min_components(edges, nodes, small_graph_rows=0).take_all()
+
+
+# ------------------------------------------------------------------ pagerank
+
+
+def test_pagerank_bitwise_vs_sequential(ray_session):
+    import numpy as np
+    import ray.data
+
+    from hyperpolyglot_ray.sources.doc_oracle import _expected_pagerank
+    from hyperpolyglot_ray.stages.graph import pagerank
+
+    rng = np.random.RandomState(5)
+    edges = [
+        (int(rng.randint(0, 40)), int(rng.randint(0, 40))) for _ in range(300)
+    ]
+    exp = {
+        r["node"]: r["rank"] for r in _expected_pagerank(edges, 3).to_pylist()
+    }
+    rows = [{"src": u, "dst": v} for u, v in edges]
+    for nparts in (1, 7):
+        ds = ray.data.from_items(rows).repartition(nparts)
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(ds, n_iters=3, n_buckets=8).take_all()
+        }
+        assert got == exp  # bitwise: every step is exact int64
+
+
+def test_pagerank_star_and_dangling(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.graph import pagerank
+
+    # star: all spokes point at the hub; hub has no out-edges (dangling)
+    rows = [{"src": i, "dst": 0} for i in range(1, 9)]
+    ds = ray.data.from_items(rows).repartition(3)
+    got = {r["node"]: r["rank"] for r in pagerank(ds, n_iters=3, n_buckets=4).take_all()}
+    one = 1 << 40
+    n = 9
+    base = (15 * one) // (100 * n)
+    assert len(got) == n
+    # spokes receive nothing (zero in-degree): exactly the base rank
+    for i in range(1, 9):
+        assert got[i] == base
+    # hub accumulates all spoke mass: strictly the largest
+    assert got[0] > got[1] * 5
+
+
+def test_pagerank_rejects_null_nodes(ray_session):
+    import pytest
+    import ray.data
+
+    from hyperpolyglot_ray.stages.graph import pagerank
+
+    ds = ray.data.from_items([{"src": 1, "dst": None}])
+    with pytest.raises(Exception, match="null node ids"):
+        pagerank(ds, n_iters=1, n_buckets=2).take_all()
+
+
+def test_pagerank_routes_bitwise_equal(ray_session):
+    """The broadcast fast path (V <= node_budget) and the dataset-join
+    path must produce BITWISE-identical ranks (both integer-exact)."""
+    import numpy as np
+    import ray.data
+
+    from hyperpolyglot_ray.stages.graph import pagerank
+
+    rng = np.random.RandomState(13)
+    rows = [
+        {"src": int(rng.randint(0, 25)), "dst": int(rng.randint(0, 25))}
+        for _ in range(150)
+    ]
+    ds = ray.data.from_items(rows).repartition(5)
+    fast = {
+        r["node"]: r["rank"]
+        for r in pagerank(ds, n_iters=2, n_buckets=8).take_all()
+    }
+    slow = {
+        r["node"]: r["rank"]
+        for r in pagerank(ds, n_iters=2, n_buckets=8, node_budget=0).take_all()
+    }
+    assert fast == slow
