@@ -2113,6 +2113,60 @@ def _q_tpch_q5(sf_dir: str):
     return per_nation.map_batches(close, batch_format="pyarrow")
 
 
+def _q_files_imports(sf_dir: str):
+    """Dependency mining over the code corpus: import/use/include
+    statements exploded to rows (Rust-kernel regex unnest), module names
+    counted through the hash-bucketed reduce (token strings never reach
+    a high-cardinality built-in groupby), global top-50 via per-block
+    combiners — no global sort."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hyperpolyglot_ray.stages.quality_signals import (
+        IMPORT_STMT_PATTERN,
+        IMPORT_STRIP_PATTERN,
+    )
+    from hyperpolyglot_ray.stages.semistructured import regexp_extract_rows
+    from hyperpolyglot_ray.stages.shuffle import bucketed_group_reduce
+
+    ds, _ = _files_ds(sf_dir)
+    stmts = regexp_extract_rows(
+        ds, "content", IMPORT_STMT_PATTERN, "stmt", keep_cols=[]
+    )
+
+    def to_module(batch: pa.Table) -> pa.Table:
+        mod = pc.replace_substring_regex(
+            batch.column("stmt"), IMPORT_STRIP_PATTERN, "", max_replacements=1
+        )
+        return pa.table({"module": mod})
+
+    counts = bucketed_group_reduce(
+        stmts.map_batches(to_module, batch_format="pyarrow", zero_copy_batch=True),
+        "module",
+        [("module", "count")],
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[("count(module)", "descending"), ("module", "ascending")],
+        )
+        return batch.take(idx.slice(0, 50))
+
+    top = (
+        counts.map_batches(block_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(block_topk, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return top.map_batches(
+        lambda b: b.rename_columns(["module", "n_imports"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2141,6 +2195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_byte_entropy": _q_doc_byte_entropy,
         "graph_pagerank": _q_graph_pagerank,
         "tpch_q5": _q_tpch_q5,
+        "files_imports": _q_files_imports,
         # --- new in round 4 session 3 (never driver-checked) ---
         "orders_custdist": _q_orders_custdist,
         "tpch_q3_topk": _q_tpch_q3_topk,
@@ -2344,6 +2399,12 @@ WITH f AS (
     from hyperpolyglot_ray.stages.quality_signals import (
         COMMENT_LINE_PATTERN as _comment_pat,
     )
+    from hyperpolyglot_ray.stages.quality_signals import (
+        IMPORT_STMT_PATTERN as _imp_pat,
+    )
+    from hyperpolyglot_ray.stages.quality_signals import (
+        IMPORT_STRIP_PATTERN as _imp_strip,
+    )
 
     sql = {
         # --- round 4 session 4 ---
@@ -2401,6 +2462,18 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name""",
+        # mirrors _q_files_imports: full-match unnest, first-match strip
+        # (DuckDB regexp_replace default == max_replacements=1), count,
+        # deterministic (n DESC, module) top-50
+        "files_imports": f"""
+SELECT module, n_imports FROM (
+  SELECT regexp_replace(stmt, '{_imp_strip}', '') AS module,
+         CAST(COUNT(*) AS BIGINT) AS n_imports
+  FROM (
+    SELECT unnest(regexp_extract_all(coalesce(content, ''), '{_imp_pat}')) AS stmt
+    FROM read_parquet('{files}')
+  ) GROUP BY module
+) ORDER BY n_imports DESC, module LIMIT 50""",
         # --- round 4 session 3 ---
         "orders_custdist": """
 SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (

@@ -50,6 +50,17 @@ BRANCH_PATTERN = r"\b(if|for|while|case|catch|elif|when)\b"
 # the full 10k-file fixture).
 COMMENT_LINE_PATTERN = r"(?m)^[ \t]*(//|#|--|%)[^\n]*"
 
+# Import/include statement mining over a code corpus (dependency
+# analysis — what does the corpus depend on?). Both patterns are
+# quote-free and live in the Rust-regex ∩ RE2 subset so the same
+# literals drive polars' extract_all, pyarrow's replace kernel, and the
+# DuckDB oracle. The strip pattern is applied with max_replacements=1 /
+# DuckDB's default first-match regexp_replace (identical semantics).
+IMPORT_STMT_PATTERN = (
+    r"(?m)^[ \t]*(import|use|require|include|from)[ \t]+[A-Za-z_][A-Za-z0-9_.:/]*"
+)
+IMPORT_STRIP_PATTERN = r"^[ \t]*(import|use|require|include|from)[ \t]+"
+
 # entropy quantization scale — 2**24, the similarity.py k-means
 # convention; terms c*ln(c) stay inside int64 up to c ~ 2**38 bytes/row
 _ENT_Q = 16777216.0

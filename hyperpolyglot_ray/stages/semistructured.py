@@ -114,10 +114,14 @@ def regexp_extract_rows(
 
     def fn(batch: pa.Table) -> pa.Table:
         col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            # an all-null block types the column `null`, which polars
+            # rejects; null text contributes no rows either way
+            col = col.cast(pa.string())
         if _pl is not None:
-            s = _pl.from_arrow(
-                col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            )
+            s = _pl.from_arrow(col)
             lists = s.str.extract_all(pattern).to_arrow()
         else:  # pragma: no cover - exercised only without polars
             import re
@@ -138,7 +142,12 @@ def regexp_extract_rows(
             )
         parents = pc.list_parent_indices(lists)
         flat = pc.list_flatten(lists)
+        flat = flat.cast(pa.string())
+        if not keep_cols:
+            # batch.select([]) is a 0-column table whose length is 0
+            # regardless of rows — append_column would reject the matches
+            return pa.table({out_col: flat})
         kept = batch.select(keep_cols).take(parents)
-        return kept.append_column(out_col, flat.cast(pa.string()))
+        return kept.append_column(out_col, flat)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

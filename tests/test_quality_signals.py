@@ -170,3 +170,48 @@ def test_byte_entropy_bitwise_vs_sidecar(ray_session):
             assert g["n_bytes"] == e["n_bytes"]
             # bitwise: quantized int64 terms + one fixed float expression
             assert g["entropy"] == e["entropy"], g
+
+
+# ---------------------------------------------------------- import mining
+
+
+def test_regexp_extract_rows_no_keep_cols(ray_session):
+    """Regression: keep_cols=[] must still emit one row per match
+    (batch.select([]) reports length 0 and broke append_column)."""
+    import ray.data
+
+    from hyperpolyglot_ray.stages.semistructured import regexp_extract_rows
+
+    ds = ray.data.from_items(
+        [{"t": "import os\nimport sys"}, {"t": "plain"}, {"t": None}]
+    )
+    rows = regexp_extract_rows(ds, "t", r"import [a-z]+", "m", keep_cols=[]).take_all()
+    assert sorted(r["m"] for r in rows) == ["import os", "import sys"]
+
+
+def test_import_patterns_extract_and_strip(ray_session):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hyperpolyglot_ray.stages.quality_signals import (
+        IMPORT_STMT_PATTERN,
+        IMPORT_STRIP_PATTERN,
+    )
+
+    src = (
+        "import os.path\n  from collections import x\nuse std::fmt\n"
+        "include math/rand\nnotimport foo\n  x = 1 # import nope\n"
+    )
+    import polars as pl
+
+    stmts = pl.Series([src]).str.extract_all(IMPORT_STMT_PATTERN).to_list()[0]
+    assert stmts == [
+        "import os.path",
+        "  from collections",
+        "use std::fmt",
+        "include math/rand",
+    ]
+    mods = pc.replace_substring_regex(
+        pa.array(stmts), IMPORT_STRIP_PATTERN, "", max_replacements=1
+    ).to_pylist()
+    assert mods == ["os.path", "collections", "std::fmt", "math/rand"]
