@@ -2167,6 +2167,18 @@ def _q_files_imports(sf_dir: str):
     )
 
 
+def _q_doc_winnow(sf_dir: str):
+    """MOSS-style winnowing fingerprints per doc (clone-detection
+    screen): rightmost-min selection over k-gram hash windows, compact
+    (count, XOR-digest) summary — bitwise vs the sequential sidecar."""
+    from hyperpolyglot_ray.stages.text_ops import winnow_fingerprints
+
+    docs = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return winnow_fingerprints(docs)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2196,6 +2208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": _q_graph_pagerank,
         "tpch_q5": _q_tpch_q5,
         "files_imports": _q_files_imports,
+        "doc_winnow": _q_doc_winnow,
         # --- new in round 4 session 3 (never driver-checked) ---
         "orders_custdist": _q_orders_custdist,
         "tpch_q3_topk": _q_tpch_q3_topk,
@@ -2474,6 +2487,10 @@ SELECT module, n_imports FROM (
     FROM read_parquet('{files}')
   ) GROUP BY module
 ) ORDER BY n_imports DESC, module LIMIT 50""",
+        "doc_winnow": (
+            f"SELECT doc_id, n_fingerprints, fp_digest "
+            f"FROM read_parquet('{side}/doc_winnow.parquet')"
+        ),
         # --- round 4 session 3 ---
         "orders_custdist": """
 SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (

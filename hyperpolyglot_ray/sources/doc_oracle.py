@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r4h"  # r4h: + compression/entropy/pagerank sidecars
+ORACLE_VERSION = "r4i"  # r4i: + winnowing-fingerprint sidecar
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -1213,6 +1213,50 @@ def _expected_byte_entropy(texts, doc_ids) -> pa.Table:
     )
 
 
+def _expected_winnow(texts, doc_ids, k: int = 4, window: int = 4) -> pa.Table:
+    """Sequential winnowing spec (stages/text_ops.py:winnow_fingerprints)
+    — scalar token/gram hashes, explicit per-window rightmost-min scan,
+    XOR digest with signed-int64 reinterpretation."""
+    b = 0xBF58476D1CE4E5B9
+    n_fp, digest = [], []
+    for text in texts:
+        ths = [_tok_hash_s(t) for t in (text or "").split()]
+        if len(ths) < k:
+            acc = 0
+            for v in ths:
+                acc = (acc * b + v) & _MASK64
+            grams = [_mix64_s(acc)]
+        else:
+            grams = []
+            for i in range(len(ths) - k + 1):
+                acc = 0
+                for v in ths[i : i + k]:
+                    acc = (acc * b + v) & _MASK64
+                grams.append(_mix64_s(acc))
+        m = len(grams)
+        sel = set()
+        if m <= window:
+            mn = min(grams)
+            sel.add(max(i for i in range(m) if grams[i] == mn))
+        else:
+            for i in range(m - window + 1):
+                wnd = grams[i : i + window]
+                mn = min(wnd)
+                sel.add(i + max(j for j in range(window) if wnd[j] == mn))
+        x = 0
+        for p in sel:
+            x ^= grams[p]
+        n_fp.append(len(sel))
+        digest.append(x if x < (1 << 63) else x - (1 << 64))
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "n_fingerprints": pa.array(n_fp, type=pa.int64()),
+            "fp_digest": pa.array(digest, type=pa.int64()),
+        }
+    )
+
+
 def _expected_pagerank(edges, n_iters: int = 5) -> pa.Table:
     """Sequential spec of stages/graph.py:pagerank — pure-python dicts
     and exact ints (ONE=2**40, damping as 85/100 integer arithmetic,
@@ -1339,6 +1383,7 @@ def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
     pq.write_table(
         _expected_byte_entropy(texts, doc_ids), out / "doc_byte_entropy.parquet"
     )
+    pq.write_table(_expected_winnow(texts, doc_ids), out / "doc_winnow.parquet")
 
     evp = pq.read_table(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "props"]

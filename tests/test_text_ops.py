@@ -1250,3 +1250,54 @@ def test_multimodal_null_payload_and_truncated_video(ray_session):
     assert by_id2[1]["n_frames"] == 2
     assert by_id2[2]["n_frames"] is None
     assert by_id2[3]["n_frames"] is None
+
+
+# ------------------------------------------------------------- winnowing
+
+
+def test_winnow_bitwise_vs_sidecar(ray_session):
+    import numpy as np
+    import ray.data
+
+    from hyperpolyglot_ray.sources.doc_oracle import _expected_winnow
+    from hyperpolyglot_ray.stages.text_ops import winnow_fingerprints
+
+    rng = np.random.RandomState(3)
+    texts = [
+        " ".join(f"w{rng.randint(0, 30)}" for _ in range(rng.randint(0, 60)))
+        for _ in range(40)
+    ] + ["", "one two three"]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    exp = {
+        r["doc_id"]: (r["n_fingerprints"], r["fp_digest"])
+        for r in _expected_winnow(texts, list(range(len(texts)))).to_pylist()
+    }
+    for nparts in (1, 6):
+        ds = ray.data.from_items(rows).repartition(nparts)
+        got = {
+            r["doc_id"]: (r["n_fingerprints"], r["fp_digest"])
+            for r in winnow_fingerprints(ds).take_all()
+        }
+        assert got == exp
+
+
+def test_winnow_shared_run_guarantee(ray_session):
+    """Winnowing's coverage property: any shared token run of length
+    >= k + window - 1 yields at least one shared fingerprint."""
+    import ray.data
+
+    from hyperpolyglot_ray.stages.text_ops import winnow_fingerprints
+
+    core = " ".join(f"c{i}" for i in range(12))  # shared run of 12 >= 4+4-1
+    rows = [
+        {"doc_id": 0, "text": "x1 x2 x3 " + core + " y1 y2"},
+        {"doc_id": 1, "text": "z9 " + core},
+        {"doc_id": 2, "text": " ".join(f"u{i}" for i in range(12))},
+    ]
+    ds = ray.data.from_items(rows)
+    fps = winnow_fingerprints(ds, explode=True).take_all()
+    sets = {}
+    for r in fps:
+        sets.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert sets[0] & sets[1]  # shared run -> shared fingerprint
+    assert not (sets[0] & sets[2])  # disjoint tokens -> disjoint prints
