@@ -2179,6 +2179,18 @@ def _q_doc_winnow(sf_dir: str):
     return winnow_fingerprints(docs)
 
 
+def _q_lineitem_basket_pairs(sf_dir: str):
+    """Market-basket affinity: top-100 part pairs co-ordered in the same
+    order (SQL self-join a<b semantics), via one bucketed shuffle +
+    vectorized in-bucket pair expansion — no relation-scale self-join."""
+    from hyperpolyglot_ray.stages.aggregates import cooccurrence_pairs
+
+    li = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return cooccurrence_pairs(li, "l_orderkey", "l_partkey", top_k=100)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2209,6 +2221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5": _q_tpch_q5,
         "files_imports": _q_files_imports,
         "doc_winnow": _q_doc_winnow,
+        "lineitem_basket_pairs": _q_lineitem_basket_pairs,
         # --- new in round 4 session 3 (never driver-checked) ---
         "orders_custdist": _q_orders_custdist,
         "tpch_q3_topk": _q_tpch_q3_topk,
@@ -2491,6 +2504,16 @@ SELECT module, n_imports FROM (
             f"SELECT doc_id, n_fingerprints, fp_digest "
             f"FROM read_parquet('{side}/doc_winnow.parquet')"
         ),
+        # mirrors cooccurrence_pairs: unordered line-instance pairs with
+        # a<b (multiplicity preserved), deterministic top-100
+        "lineitem_basket_pairs": """
+SELECT a, b, n_pairs FROM (
+  SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  GROUP BY a, b
+) ORDER BY n_pairs DESC, a, b LIMIT 100""",
         # --- round 4 session 3 ---
         "orders_custdist": """
 SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (

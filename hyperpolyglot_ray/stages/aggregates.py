@@ -1660,3 +1660,127 @@ def mad_outliers_per_key(
         .groupby("__bucket")
         .map_groups(stats_groups, batch_format="pyarrow")
     )
+
+
+def cooccurrence_pairs(
+    ds: ray.data.Dataset,
+    group_col: str,
+    item_col: str,
+    top_k: int = 100,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Market-basket pair counts (the apriori / affinity-analysis first
+    step): for every group (order, basket, session) count each unordered
+    pair of distinct item values over the group's item INSTANCES — SQL
+    self-join ``l1.item < l2.item`` semantics, multiplicity preserved —
+    then keep the deterministic global top-k by (count desc, a, b).
+
+    Topology: ONE bucketed shuffle of slim (group, item) rows (a group
+    lands wholly in one bucket); pair expansion is bucket-local and
+    fully vectorized (repeat/cumsum index construction, no Python loop
+    over groups) and pre-aggregates to (a, b, n) before leaving the
+    task; a second slim bucketed reduce closes the counts; top-k runs as
+    per-block combiners + one single-partition head — no global sort.
+
+    Precondition: group sizes are receipt-scale — pairs grow
+    quadratically PER GROUP (a 1M-item group would emit 5e11 pairs);
+    cap mega-groups upstream. Integer group/item columns only (exact
+    SQL-comparable keys); nulls are rejected."""
+    import numpy as np
+
+    from .shuffle import bucket_column, bucketed_group_reduce
+
+    schema = ds.schema().base_schema
+    for c in (group_col, item_col):
+        if not pa.types.is_integer(schema.field(c).type):
+            raise ValueError(f"cooccurrence_pairs: column {c!r} must be integer-typed")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        if batch.column(group_col).null_count or batch.column(item_col).null_count:
+            raise ValueError("cooccurrence_pairs: null keys/items are not supported")
+        t = pa.table(
+            {
+                group_col: batch.column(group_col).cast(pa.int64()),
+                item_col: batch.column(item_col).cast(pa.int64()),
+            }
+        )
+        return t.append_column(
+            "__bucket", bucket_column(t, [group_col], n_buckets)
+        )
+
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def expand(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            # duplicate range-partition boundaries emit schema-less empty
+            # groups — return the TYPED empty (the hash_join guard class)
+            return empty
+        g = group.column(group_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        it = group.column(item_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((it, g))  # segments by group, items sorted within
+        g, it = g[order], it[order]
+        n = len(g)
+        new_seg = np.concatenate([[True], g[1:] != g[:-1]])
+        starts = np.flatnonzero(new_seg)
+        seg_id = np.cumsum(new_seg) - 1
+        seg_len = np.diff(np.concatenate([starts, [n]]))
+        seg_end = starts[seg_id] + seg_len[seg_id]
+        counts = seg_end - np.arange(n) - 1  # pairs with LATER rows in segment
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        first_idx = np.repeat(np.arange(n), counts)
+        off = np.concatenate([[0], np.cumsum(counts)])
+        run_pos = np.arange(total) - np.repeat(off[:-1], counts)
+        second_idx = first_idx + 1 + run_pos
+        a, b = it[first_idx], it[second_idx]
+        keep = a != b  # sorted within segment -> a <= b; drop equals, a < b holds
+        tb = pa.table(
+            {"a": pa.array(a[keep], pa.int64()), "b": pa.array(b[keep], pa.int64())}
+        )
+        agg = tb.group_by(["a", "b"]).aggregate([("a", "count")])
+        return pa.table(
+            {
+                "a": agg.column("a"),
+                "b": agg.column("b"),
+                "n": agg.column("a_count").cast(pa.int64()),
+            }
+        )
+
+    pairs = (
+        ds.select_columns([group_col, item_col])
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(expand, batch_format="pyarrow")
+    )
+    totals = bucketed_group_reduce(pairs, ["a", "b"], [("n", "sum")], n_buckets)
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[
+                ("sum(n)", "descending"),
+                ("a", "ascending"),
+                ("b", "ascending"),
+            ],
+        )
+        return batch.take(idx.slice(0, top_k))
+
+    return (
+        totals.map_batches(block_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(block_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            lambda t: t.rename_columns(["a", "b", "n_pairs"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )

@@ -1085,3 +1085,57 @@ def test_zscore_per_key_rejects_fractional_floats(ray_session):
     items = [{"doc_id": i, "k": "a", "x": 0.5 + i} for i in range(4)]
     with pytest.raises(Exception, match="non-integer"):
         zscore_per_key(_ds(items), "k", "x", id_col="doc_id").take_all()
+
+
+# ------------------------------------------------------- cooccurrence pairs
+
+
+def test_cooccurrence_pairs_matches_bruteforce(ray_session):
+    from collections import Counter
+    from itertools import combinations
+
+    import numpy as np
+    import ray.data
+
+    from hyperpolyglot_ray.stages.aggregates import cooccurrence_pairs
+
+    rng = np.random.RandomState(9)
+    rows = []
+    baskets = {}
+    for g in range(60):
+        items = [int(rng.randint(0, 15)) for _ in range(rng.randint(1, 7))]
+        baskets[g] = items
+        rows += [{"g": g, "item": i} for i in items]
+    exp = Counter()
+    for items in baskets.values():
+        for x, y in combinations(sorted(items), 2):  # instance pairs, a<=b
+            if x != y:
+                exp[(x, y)] += 1
+    want = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    for nparts in (1, 8):
+        ds = ray.data.from_items(rows).repartition(nparts)
+        got = [
+            ((r["a"], r["b"]), r["n_pairs"])
+            for r in cooccurrence_pairs(ds, "g", "item", top_k=100).take_all()
+        ]
+        got.sort(key=lambda kv: (-kv[1], kv[0]))
+        assert got == want
+
+
+def test_cooccurrence_pairs_duplicates_and_guards(ray_session):
+    import pytest
+    import ray.data
+
+    from hyperpolyglot_ray.stages.aggregates import cooccurrence_pairs
+
+    # [3,3,5]: (3,3) excluded, (3,5) counted TWICE (instance multiplicity)
+    ds = ray.data.from_items(
+        [{"g": 1, "item": 3}, {"g": 1, "item": 3}, {"g": 1, "item": 5}]
+    )
+    out = cooccurrence_pairs(ds, "g", "item").take_all()
+    assert out == [{"a": 3, "b": 5, "n_pairs": 2}]
+
+    with pytest.raises(ValueError, match="integer-typed"):
+        cooccurrence_pairs(
+            ray.data.from_items([{"g": "x", "item": 1}]), "g", "item"
+        )
