@@ -2191,6 +2191,19 @@ def _q_lineitem_basket_pairs(sf_dir: str):
     return cooccurrence_pairs(li, "l_orderkey", "l_partkey", top_k=100)
 
 
+def _q_events_transitions(sf_dir: str):
+    """User-journey transition matrix: counts of (previous event type ->
+    event type) per user-ordered stream — one bucketed shuffle, one
+    in-group sort, Arrow-slice bigrams."""
+    from hyperpolyglot_ray.stages.windows import transition_counts
+
+    ev = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return transition_counts(ev, "user_id", "ts", "event_type", "event_id")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2222,6 +2235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "files_imports": _q_files_imports,
         "doc_winnow": _q_doc_winnow,
         "lineitem_basket_pairs": _q_lineitem_basket_pairs,
+        "events_transitions": _q_events_transitions,
         # --- new in round 4 session 3 (never driver-checked) ---
         "orders_custdist": _q_orders_custdist,
         "tpch_q3_topk": _q_tpch_q3_topk,
@@ -2514,6 +2528,17 @@ SELECT a, b, n_pairs FROM (
     ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
   GROUP BY a, b
 ) ORDER BY n_pairs DESC, a, b LIMIT 100""",
+        # mirrors transition_counts: LAG under the same total order
+        "events_transitions": """
+WITH w AS (
+  SELECT event_type AS state,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_state
+  FROM events
+)
+SELECT prev_state, state, CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM w WHERE prev_state IS NOT NULL GROUP BY prev_state, state""",
         # --- round 4 session 3 ---
         "orders_custdist": """
 SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (

@@ -573,3 +573,94 @@ def hourly_counts_gapfill(
         }
     )
     return ray.data.from_arrow(out)
+
+
+def transition_counts(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_col: str,
+    state_col: str,
+    tiebreak_col: str,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Markov transition counts over per-key ordered state sequences —
+    SQL ``LAG(state) OVER (PARTITION BY key ORDER BY ord, tie)`` +
+    ``GROUP BY (prev_state, state)``. The clickstream / user-journey
+    transition matrix: which state follows which, corpus-wide.
+
+    ``tiebreak_col`` must make the per-key order total (the
+    ``lag_delta_per_key`` contract). Topology: one bucketed shuffle of
+    slim (key, ord, tie, state) rows, ONE in-group sort, transition
+    pairs taken as two Arrow array slices masked at key-segment starts
+    (strings never enter Python), per-group hash-aggregate partials
+    closed by a slim bucketed reduce. Output:
+    (prev_state, state, n_transitions)."""
+    from .shuffle import bucket_column, bucketed_group_reduce
+
+    cols = [key_col, order_col, tiebreak_col, state_col]
+    slim = ds.select_columns(cols)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            if batch.column(c).null_count:
+                raise ValueError(f"transition_counts: null values in {c!r}")
+        return batch.append_column(
+            "__bucket", bucket_column(batch, [key_col], n_buckets)
+        )
+
+    empty = pa.table(
+        {
+            "prev_state": pa.array([], pa.string()),
+            "state": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        order = pc.sort_indices(
+            group,
+            sort_keys=[
+                (key_col, "ascending"),
+                (order_col, "ascending"),
+                (tiebreak_col, "ascending"),
+            ],
+        )
+        g = group.take(order)
+        n = g.num_rows
+        if n < 2:
+            return empty
+        kv = g.column(key_col).to_numpy(zero_copy_only=False)
+        same_key = pa.array(kv[1:] == kv[:-1])
+        state = g.column(state_col).combine_chunks().cast(pa.string())
+        prev = state.slice(0, n - 1).filter(same_key)
+        cur = state.slice(1).filter(same_key)
+        if len(prev) == 0:
+            return empty
+        agg = (
+            pa.table({"prev_state": prev, "state": cur})
+            .group_by(["prev_state", "state"])
+            .aggregate([("prev_state", "count")])
+        )
+        return pa.table(
+            {
+                "prev_state": agg.column("prev_state"),
+                "state": agg.column("state"),
+                "n": agg.column("prev_state_count").cast(pa.int64()),
+            }
+        )
+
+    partials = (
+        slim.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(per_group, batch_format="pyarrow")
+    )
+    totals = bucketed_group_reduce(
+        partials, ["prev_state", "state"], [("n", "sum")], n_buckets=n_buckets
+    )
+    return totals.map_batches(
+        lambda t: t.rename_columns(["prev_state", "state", "n_transitions"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -1139,3 +1139,54 @@ def test_cooccurrence_pairs_duplicates_and_guards(ray_session):
         cooccurrence_pairs(
             ray.data.from_items([{"g": "x", "item": 1}]), "g", "item"
         )
+
+
+# ---------------------------------------------------------- transitions
+
+
+def test_transition_counts_matches_pandas(ray_session):
+    from collections import Counter
+
+    import numpy as np
+    import ray.data
+
+    from hyperpolyglot_ray.stages.windows import transition_counts
+
+    rng = np.random.RandomState(21)
+    rows = [
+        {
+            "u": int(rng.randint(0, 12)),
+            "ts": int(rng.randint(0, 1000)),
+            "eid": i,
+            "state": f"s{rng.randint(0, 4)}",
+        }
+        for i in range(400)
+    ]
+    exp = Counter()
+    bykey = {}
+    for r in rows:
+        bykey.setdefault(r["u"], []).append(r)
+    for seq in bykey.values():
+        seq.sort(key=lambda r: (r["ts"], r["eid"]))
+        for a, b in zip(seq, seq[1:]):
+            exp[(a["state"], b["state"])] += 1
+    for nparts in (1, 7):
+        ds = ray.data.from_items(rows).repartition(nparts)
+        got = {
+            (r["prev_state"], r["state"]): r["n_transitions"]
+            for r in transition_counts(ds, "u", "ts", "state", "eid").take_all()
+        }
+        assert got == dict(exp)
+
+
+def test_transition_counts_single_row_keys(ray_session):
+    import ray.data
+
+    from hyperpolyglot_ray.stages.windows import transition_counts
+
+    rows = [
+        {"u": 1, "ts": 1, "eid": 1, "state": "a"},
+        {"u": 2, "ts": 1, "eid": 2, "state": "b"},
+    ]
+    ds = ray.data.from_items(rows)
+    assert transition_counts(ds, "u", "ts", "state", "eid").take_all() == []
