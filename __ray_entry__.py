@@ -2204,6 +2204,17 @@ def _q_events_transitions(sf_dir: str):
     return transition_counts(ev, "user_id", "ts", "event_type", "event_id")
 
 
+def _q_files_token_classes(sf_dir: str):
+    """Token-class histogram per file from the reference tokenizer
+    (ident/number/symbol/string/comment counts, 51200-byte truncation)
+    — the structural code-corpus profile; sidecar = the same [REF]
+    tokenizer spec run sequentially."""
+    from hyperpolyglot_ray.stages.quality_signals import token_class_counts
+
+    ds, _ = _files_ds(sf_dir)
+    return token_class_counts(ds)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2236,6 +2247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow": _q_doc_winnow,
         "lineitem_basket_pairs": _q_lineitem_basket_pairs,
         "events_transitions": _q_events_transitions,
+        "files_token_classes": _q_files_token_classes,
         # --- new in round 4 session 3 (never driver-checked) ---
         "orders_custdist": _q_orders_custdist,
         "tpch_q3_topk": _q_tpch_q3_topk,
@@ -2539,6 +2551,11 @@ WITH w AS (
 )
 SELECT prev_state, state, CAST(COUNT(*) AS BIGINT) AS n_transitions
 FROM w WHERE prev_state IS NOT NULL GROUP BY prev_state, state""",
+        "files_token_classes": (
+            f"SELECT path, n_ident, n_number, n_symbol, n_string, "
+            f"n_line_comment, n_block_comment "
+            f"FROM read_parquet('{side}/files_token_classes.parquet')"
+        ),
         # --- round 4 session 3 ---
         "orders_custdist": """
 SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (

@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r4i"  # r4i: + winnowing-fingerprint sidecar
+ORACLE_VERSION = "r4j"  # r4j: + winnowing + token-class sidecars
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -1158,6 +1158,34 @@ def _build_files_sidecars(fixture_dir: Path, out_dir: Path) -> None:
              "fused_lang": pa.array(fused, type=pa.string())}
         ),
         out_dir / "files_langid_fused.parquet",
+    )
+
+    # token-class histogram: the reference tokenizer run SEQUENTIALLY
+    # over every file (the tokenizer is itself the deterministic [REF]
+    # spec — what this sidecar oracles is the distributed plumbing:
+    # batching, truncation, column routing), 51200-byte truncation
+    from ..core import tokenizer as _tk
+    from ..core.detect import truncate_to_char_boundary as _trunc
+
+    _kinds = (
+        _tk.IDENT,
+        _tk.NUMBER,
+        _tk.SYMBOL,
+        _tk.STRING,
+        _tk.LINE_COMMENT,
+        _tk.BLOCK_COMMENT,
+    )
+    tc_cols: dict = {k: [] for k in _kinds}
+    for content in contents:
+        c = Counter(t[0] for t in _tk.tokenize(_trunc(content or "", 51200)))
+        for k in _kinds:
+            tc_cols[k].append(c.get(k, 0))
+    pq.write_table(
+        pa.table(
+            {"path": pa.array(paths, type=pa.string())}
+            | {f"n_{k}": pa.array(tc_cols[k], type=pa.int64()) for k in _kinds}
+        ),
+        out_dir / "files_token_classes.parquet",
     )
 
 

@@ -215,3 +215,41 @@ def test_import_patterns_extract_and_strip(ray_session):
         pa.array(stmts), IMPORT_STRIP_PATTERN, "", max_replacements=1
     ).to_pylist()
     assert mods == ["os.path", "collections", "std::fmt", "math/rand"]
+
+
+# -------------------------------------------------------- token classes
+
+
+def test_token_class_counts_hand_case(ray_session):
+    from hyperpolyglot_ray.stages.quality_signals import token_class_counts
+
+    src = 'x = 42 // note\n"s" /* b */ y\n'
+    rows = [{"path": "a.c", "content": src}, {"path": "b.c", "content": None}]
+    out = {r["path"]: r for r in token_class_counts(_ds(rows, 2)).take_all()}
+    a = out["a.c"]
+    assert a["n_ident"] == 2  # x, y
+    assert a["n_number"] == 1  # 42
+    assert a["n_line_comment"] == 1
+    assert a["n_block_comment"] == 1
+    assert a["n_string"] == 1
+    assert a["n_symbol"] == 1  # '='
+    b = out["b.c"]
+    assert all(b[f"n_{k}"] == 0 for k in (
+        "ident", "number", "symbol", "string", "line_comment", "block_comment"
+    ))
+
+
+def test_token_class_counts_truncation_and_layout(ray_session):
+    from hyperpolyglot_ray.stages.quality_signals import token_class_counts
+
+    rows = [
+        {"path": f"p{i}", "content": ("a " * 40 + "// c\n") * (i % 4 + 1)}
+        for i in range(20)
+    ]
+    a = sorted(map(tuple, map(dict.values, token_class_counts(_ds(rows, 1)).take_all())))
+    b = sorted(map(tuple, map(dict.values, token_class_counts(_ds(rows, 7)).take_all())))
+    assert a == b
+    # truncation bound: a giant row counts only its first 51200 bytes
+    big = [{"path": "g", "content": "a " * 60000}]  # 120 kB
+    out = token_class_counts(_ds(big, 1)).take_all()[0]
+    assert out["n_ident"] == 25600  # 51200 bytes / 2 bytes per "a "
