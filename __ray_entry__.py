@@ -2215,6 +2215,18 @@ def _q_files_token_classes(sf_dir: str):
     return token_class_counts(ds)
 
 
+def _q_events_winsorize(sf_dir: str):
+    """Per-type winsorized event values (clamped into the exact
+    [p5, p95] quantile_disc band) — outlier-robust normalization;
+    pure-comparison clamp hash-matches SQL LEAST/GREATEST."""
+    from hyperpolyglot_ray.stages.ordering import winsorize_per_key
+
+    ev = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    return winsorize_per_key(ev, "event_type", "value", "event_id")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2248,6 +2260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_basket_pairs": _q_lineitem_basket_pairs,
         "events_transitions": _q_events_transitions,
         "files_token_classes": _q_files_token_classes,
+        "events_winsorize": _q_events_winsorize,
         # --- new in round 4 session 3 (never driver-checked) ---
         "orders_custdist": _q_orders_custdist,
         "tpch_q3_topk": _q_tpch_q3_topk,
@@ -2556,6 +2569,18 @@ FROM w WHERE prev_state IS NOT NULL GROUP BY prev_state, state""",
             f"n_line_comment, n_block_comment "
             f"FROM read_parquet('{side}/files_token_classes.parquet')"
         ),
+        # mirrors winsorize_per_key: exact quantile_disc thresholds, a
+        # pure-comparison clamp (no arithmetic -> bitwise float parity)
+        "events_winsorize": """
+WITH th AS (
+  SELECT event_type,
+         CAST(quantile_disc(value, 0.05) AS DOUBLE) AS lo,
+         CAST(quantile_disc(value, 0.95) AS DOUBLE) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       LEAST(GREATEST(e.value, th.lo), th.hi) AS value_w
+FROM events e JOIN th USING (event_type)""",
         # --- round 4 session 3 ---
         "orders_custdist": """
 SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (

@@ -716,3 +716,60 @@ def ntile_per_key(
         .groupby("__bucket")
         .map_groups(tile_groups, batch_format="pyarrow")
     )
+
+
+def winsorize_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    id_col: str,
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+    out_col: str = "value_w",
+) -> ray.data.Dataset:
+    """Per-key winsorization: clamp each value into its key's
+    [q_lo, q_hi] exact ``quantile_disc`` band — the outlier-robust
+    normalization before cross-key mixing (the transform counterpart to
+    ``quantile_gate``'s drop).
+
+    Thresholds come from ``grouped_quantiles`` (one (key, value) shuffle,
+    exact discrete quantiles — data values, no interpolation), return as
+    a keys-bounded tiny table, and broadcast once via ``ray.put``; the
+    clamp pass is map-only (``pc.index_in`` threshold lookup + one
+    element-wise max + one min — pure comparisons, no arithmetic, so the
+    float values hash-match SQL ``LEAST(GREATEST(v, lo), hi)`` exactly).
+    Low-cardinality keys assumed (the grouped_quantiles envelope); route
+    hot keys through ``grouped_quantiles_refine`` upstream. Nulls
+    rejected (SQL LEAST/GREATEST null semantics differ from Arrow's)."""
+    import pyarrow.compute as pc
+
+    from .aggregates import grouped_quantiles
+
+    lo_name = f"q{int(round(q_lo * 100))}"
+    hi_name = f"q{int(round(q_hi * 100))}"
+    th = grouped_quantiles(ds, key_col, val_col, qs=(q_lo, q_hi)).take_all()
+    keys_arr = pa.array([r[key_col] for r in th])
+    lo_arr = pa.array([r[lo_name] for r in th], pa.float64())
+    hi_arr = pa.array([r[hi_name] for r in th], pa.float64())
+    ref = ray.put((keys_arr, lo_arr, hi_arr))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        for c in (key_col, val_col, id_col):
+            if batch.column(c).null_count:
+                raise ValueError(f"winsorize_per_key: null values in {c!r}")
+        k, lo, hi = ray.get(ref)
+        idx = pc.index_in(batch.column(key_col), value_set=k)
+        v = batch.column(val_col).cast(pa.float64())
+        w = pc.min_element_wise(pc.max_element_wise(v, lo.take(idx)), hi.take(idx))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                key_col: batch.column(key_col),
+                val_col: v,
+                out_col: w,
+            }
+        )
+
+    return ds.select_columns([id_col, key_col, val_col]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )

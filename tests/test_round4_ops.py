@@ -1190,3 +1190,36 @@ def test_transition_counts_single_row_keys(ray_session):
     ]
     ds = ray.data.from_items(rows)
     assert transition_counts(ds, "u", "ts", "state", "eid").take_all() == []
+
+
+# ------------------------------------------------------------- winsorize
+
+
+def test_winsorize_per_key_matches_numpy(ray_session):
+    import numpy as np
+    import ray.data
+
+    from hyperpolyglot_ray.stages.ordering import winsorize_per_key
+
+    rng = np.random.RandomState(17)
+    rows = [
+        {"id": i, "k": f"t{i % 3}", "v": float(rng.randint(-50, 500))}
+        for i in range(300)
+    ]
+    # exact quantile_disc thresholds: sorted value at ceil(q*n)-1
+    th = {}
+    for key in ("t0", "t1", "t2"):
+        vals = np.sort([r["v"] for r in rows if r["k"] == key])
+        n = len(vals)
+        lo = vals[max(0, int(np.ceil(0.05 * n)) - 1)]
+        hi = vals[max(0, int(np.ceil(0.95 * n)) - 1)]
+        th[key] = (lo, hi)
+    for nparts in (1, 6):
+        ds = ray.data.from_items(rows).repartition(nparts)
+        got = winsorize_per_key(ds, "k", "v", "id").take_all()
+        assert len(got) == len(rows)
+        for r in got:
+            lo, hi = th[r["k"]]
+            assert r["value_w"] == min(max(r["v"], lo), hi)
+    # clamping actually engaged on the extremes
+    assert any(r["value_w"] != r["v"] for r in got)
