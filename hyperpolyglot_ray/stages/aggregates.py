@@ -1690,10 +1690,14 @@ def cooccurrence_pairs(
 
     from .shuffle import bucket_column, bucketed_group_reduce
 
-    schema = ds.schema().base_schema
-    for c in (group_col, item_col):
-        if not pa.types.is_integer(schema.field(c).type):
-            raise ValueError(f"cooccurrence_pairs: column {c!r} must be integer-typed")
+    maybe_schema = ds.schema()
+    if maybe_schema is not None:  # None = fully-empty mapped input
+        schema = maybe_schema.base_schema
+        for c in (group_col, item_col):
+            if not pa.types.is_integer(schema.field(c).type):
+                raise ValueError(
+                    f"cooccurrence_pairs: column {c!r} must be integer-typed"
+                )
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         if batch.column(group_col).null_count or batch.column(item_col).null_count:
