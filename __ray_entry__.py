@@ -2227,6 +2227,18 @@ def _q_events_winsorize(sf_dir: str):
     return winsorize_per_key(ev, "event_type", "value", "event_id")
 
 
+def _q_doc_winnow_matches(sf_dir: str):
+    """Clone-candidate pairs sharing >= 2 winnowing fingerprints (the
+    MOSS match step, df-capped) — bitwise vs the sequential
+    inverted-index sidecar."""
+    from hyperpolyglot_ray.stages.text_ops import winnow_match_pairs
+
+    docs = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return winnow_match_pairs(docs)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2261,6 +2273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions": _q_events_transitions,
         "files_token_classes": _q_files_token_classes,
         "events_winsorize": _q_events_winsorize,
+        "doc_winnow_matches": _q_doc_winnow_matches,
         # --- new in round 4 session 3 (never driver-checked) ---
         "orders_custdist": _q_orders_custdist,
         "tpch_q3_topk": _q_tpch_q3_topk,
@@ -2543,6 +2556,10 @@ SELECT module, n_imports FROM (
         "doc_winnow": (
             f"SELECT doc_id, n_fingerprints, fp_digest "
             f"FROM read_parquet('{side}/doc_winnow.parquet')"
+        ),
+        "doc_winnow_matches": (
+            f"SELECT id_a, id_b, n_shared "
+            f"FROM read_parquet('{side}/doc_winnow_matches.parquet')"
         ),
         # mirrors cooccurrence_pairs: unordered line-instance pairs with
         # a<b (multiplicity preserved), deterministic top-100

@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r4j"  # r4j: + winnowing + token-class sidecars
+ORACLE_VERSION = "r4k"  # r4k: + winnow match-pairs sidecar
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -1241,36 +1241,43 @@ def _expected_byte_entropy(texts, doc_ids) -> pa.Table:
     )
 
 
+def _winnow_select_s(text, k: int = 4, window: int = 4):
+    """Scalar winnowing selection for one document: (selected positions,
+    gram list) — explicit per-window rightmost-min scan."""
+    b = 0xBF58476D1CE4E5B9
+    ths = [_tok_hash_s(t) for t in (text or "").split()]
+    if len(ths) < k:
+        acc = 0
+        for v in ths:
+            acc = (acc * b + v) & _MASK64
+        grams = [_mix64_s(acc)]
+    else:
+        grams = []
+        for i in range(len(ths) - k + 1):
+            acc = 0
+            for v in ths[i : i + k]:
+                acc = (acc * b + v) & _MASK64
+            grams.append(_mix64_s(acc))
+    m = len(grams)
+    sel = set()
+    if m <= window:
+        mn = min(grams)
+        sel.add(max(i for i in range(m) if grams[i] == mn))
+    else:
+        for i in range(m - window + 1):
+            wnd = grams[i : i + window]
+            mn = min(wnd)
+            sel.add(i + max(j for j in range(window) if wnd[j] == mn))
+    return sel, grams
+
+
 def _expected_winnow(texts, doc_ids, k: int = 4, window: int = 4) -> pa.Table:
     """Sequential winnowing spec (stages/text_ops.py:winnow_fingerprints)
     — scalar token/gram hashes, explicit per-window rightmost-min scan,
     XOR digest with signed-int64 reinterpretation."""
-    b = 0xBF58476D1CE4E5B9
     n_fp, digest = [], []
     for text in texts:
-        ths = [_tok_hash_s(t) for t in (text or "").split()]
-        if len(ths) < k:
-            acc = 0
-            for v in ths:
-                acc = (acc * b + v) & _MASK64
-            grams = [_mix64_s(acc)]
-        else:
-            grams = []
-            for i in range(len(ths) - k + 1):
-                acc = 0
-                for v in ths[i : i + k]:
-                    acc = (acc * b + v) & _MASK64
-                grams.append(_mix64_s(acc))
-        m = len(grams)
-        sel = set()
-        if m <= window:
-            mn = min(grams)
-            sel.add(max(i for i in range(m) if grams[i] == mn))
-        else:
-            for i in range(m - window + 1):
-                wnd = grams[i : i + window]
-                mn = min(wnd)
-                sel.add(i + max(j for j in range(window) if wnd[j] == mn))
+        sel, grams = _winnow_select_s(text, k, window)
         x = 0
         for p in sel:
             x ^= grams[p]
@@ -1281,6 +1288,40 @@ def _expected_winnow(texts, doc_ids, k: int = 4, window: int = 4) -> pa.Table:
             "doc_id": pa.array(doc_ids, type=pa.int64()),
             "n_fingerprints": pa.array(n_fp, type=pa.int64()),
             "fp_digest": pa.array(digest, type=pa.int64()),
+        }
+    )
+
+
+def _expected_winnow_matches(
+    texts,
+    doc_ids,
+    k: int = 4,
+    window: int = 4,
+    max_df: int = 64,
+    min_shared: int = 2,
+) -> pa.Table:
+    """Sequential spec of stages/text_ops.py:winnow_match_pairs —
+    inverted fingerprint index over per-doc DISTINCT selected hashes,
+    hashes shared by more than ``max_df`` docs skipped (boilerplate
+    cap, part of the spec), pair counts thresholded at ``min_shared``."""
+    inv: dict[int, list[int]] = {}
+    order = sorted(range(len(doc_ids)), key=lambda i: doc_ids[i])
+    for i in order:
+        sel, grams = _winnow_select_s(texts[i], k, window)
+        for h in sorted({grams[p] for p in sel}):
+            inv.setdefault(h, []).append(doc_ids[i])
+    counts: Counter = Counter()
+    for h, docs in inv.items():
+        if 2 <= len(docs) <= max_df:
+            for x in range(len(docs)):
+                for y in range(x + 1, len(docs)):
+                    counts[(docs[x], docs[y])] += 1
+    rows = sorted((a, b, n) for (a, b), n in counts.items() if n >= min_shared)
+    return pa.table(
+        {
+            "id_a": pa.array([r[0] for r in rows], type=pa.int64()),
+            "id_b": pa.array([r[1] for r in rows], type=pa.int64()),
+            "n_shared": pa.array([r[2] for r in rows], type=pa.int64()),
         }
     )
 
@@ -1412,6 +1453,9 @@ def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
         _expected_byte_entropy(texts, doc_ids), out / "doc_byte_entropy.parquet"
     )
     pq.write_table(_expected_winnow(texts, doc_ids), out / "doc_winnow.parquet")
+    pq.write_table(
+        _expected_winnow_matches(texts, doc_ids), out / "doc_winnow_matches.parquet"
+    )
 
     evp = pq.read_table(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "props"]

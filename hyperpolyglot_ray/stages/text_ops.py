@@ -441,6 +441,127 @@ def winnow_fingerprints(
     )
 
 
+def winnow_match_pairs(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    window: int = 4,
+    max_df: int = 64,
+    min_shared: int = 2,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """The MOSS match step over ``winnow_fingerprints``: document pairs
+    sharing >= ``min_shared`` DISTINCT winnowing fingerprints — local
+    clone / plagiarism candidates with positional evidence, the sixth
+    member of the near-dup ladder (exact / minhash / simhash / n-gram /
+    embedding / winnow).
+
+    Fingerprints shared by more than ``max_df`` documents are SKIPPED —
+    the boilerplate cap, part of the deterministic spec (a license
+    header's gram would otherwise pair everything with everything; the
+    LSH-band hot-bucket discipline). Integer ids required.
+
+    Topology: explode → block-local (id, fp) dedupe (valid because one
+    document's fingerprint rows never span blocks) → ONE bucketed
+    shuffle keyed by fp → vectorized in-bucket pair expansion over
+    df-capped fingerprint groups (ids distinct and sorted within a
+    group, so pairs are strict a<b), pre-counted in-task → slim
+    (a, b, n) count reduce → threshold filter. Nothing pair-scale or
+    doc-scale touches the driver."""
+    from .shuffle import bucket_column, bucketed_group_reduce
+
+    fps = winnow_fingerprints(
+        ds, text_col=text_col, id_col=id_col, k=k, window=window, explode=True
+    )
+
+    def dedupe_and_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        fp = batch.column("fp").to_numpy(zero_copy_only=False).astype(np.int64)
+        pairs = np.unique(np.stack([ids, fp], axis=1), axis=0)
+        t = pa.table(
+            {
+                "id": pa.array(pairs[:, 0], pa.int64()),
+                "fp": pa.array(pairs[:, 1], pa.int64()),
+            }
+        )
+        return t.append_column("__bucket", bucket_column(t, ["fp"], n_buckets))
+
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def expand(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        fp = group.column("fp").to_numpy(zero_copy_only=False)
+        ids = group.column("id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, fp))
+        f, d = fp[order], ids[order]
+        n = len(f)
+        new_seg = np.concatenate([[True], f[1:] != f[:-1]])
+        starts = np.flatnonzero(new_seg)
+        seg_id = np.cumsum(new_seg) - 1
+        seg_len = np.diff(np.concatenate([starts, [n]]))
+        row_len = seg_len[seg_id]
+        keep = (row_len >= 2) & (row_len <= max_df)
+        if not keep.any():
+            return empty
+        f, d = f[keep], d[keep]
+        n = len(f)
+        new_seg = np.concatenate([[True], f[1:] != f[:-1]])
+        starts = np.flatnonzero(new_seg)
+        seg_id = np.cumsum(new_seg) - 1
+        seg_len = np.diff(np.concatenate([starts, [n]]))
+        seg_end = starts[seg_id] + seg_len[seg_id]
+        counts = seg_end - np.arange(n) - 1
+        total = int(counts.sum())
+        first_idx = np.repeat(np.arange(n), counts)
+        off = np.concatenate([[0], np.cumsum(counts)])
+        run_pos = np.arange(total) - np.repeat(off[:-1], counts)
+        second_idx = first_idx + 1 + run_pos
+        tb = pa.table(
+            {
+                "a": pa.array(d[first_idx], pa.int64()),
+                "b": pa.array(d[second_idx], pa.int64()),
+            }
+        )
+        agg = tb.group_by(["a", "b"]).aggregate([("a", "count")])
+        return pa.table(
+            {
+                "a": agg.column("a"),
+                "b": agg.column("b"),
+                "n": agg.column("a_count").cast(pa.int64()),
+            }
+        )
+
+    pairs = (
+        fps.map_batches(
+            dedupe_and_bucket, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("__bucket")
+        .map_groups(expand, batch_format="pyarrow")
+    )
+    totals = bucketed_group_reduce(pairs, ["a", "b"], [("n", "sum")], n_buckets)
+
+    def close(batch: pa.Table) -> pa.Table:
+        m = pc.greater_equal(batch.column("sum(n)"), pa.scalar(min_shared, pa.int64()))
+        b = batch.filter(m)
+        return pa.table(
+            {
+                "id_a": b.column("a"),
+                "id_b": b.column("b"),
+                "n_shared": b.column("sum(n)"),
+            }
+        )
+
+    return totals.map_batches(close, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # -- MinHash + LSH near-dup dedup ----------------------------------------
 
 _MERSENNE = (1 << 61) - 1

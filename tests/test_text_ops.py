@@ -1301,3 +1301,49 @@ def test_winnow_shared_run_guarantee(ray_session):
         sets.setdefault(r["doc_id"], set()).add(r["fp"])
     assert sets[0] & sets[1]  # shared run -> shared fingerprint
     assert not (sets[0] & sets[2])  # disjoint tokens -> disjoint prints
+
+
+def test_winnow_match_pairs_bitwise_vs_sidecar(ray_session):
+    import numpy as np
+    import ray.data
+
+    from hyperpolyglot_ray.sources.doc_oracle import _expected_winnow_matches
+    from hyperpolyglot_ray.stages.text_ops import winnow_match_pairs
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(25)]
+    texts = []
+    for _ in range(30):
+        texts.append(" ".join(vocab[rng.randint(0, 25)] for _ in range(40)))
+    # plant explicit near-dup pairs (shared long runs)
+    texts[3] = texts[0] + " tail a b"
+    texts[11] = "head z " + texts[5]
+    ids = list(range(len(texts)))
+    exp = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in _expected_winnow_matches(texts, ids).to_pylist()
+    }
+    rows = [{"doc_id": i, "text": t} for i, t in zip(ids, texts)]
+    for nparts in (1, 5):
+        ds = ray.data.from_items(rows).repartition(nparts)
+        got = {
+            (r["id_a"], r["id_b"]): r["n_shared"]
+            for r in winnow_match_pairs(ds).take_all()
+        }
+        assert got == exp
+    assert (0, 3) in exp and (5, 11) in exp  # planted clones found
+
+
+def test_winnow_match_pairs_df_cap(ray_session):
+    """A fingerprint shared by more docs than max_df must pair nothing."""
+    import ray.data
+
+    from hyperpolyglot_ray.stages.text_ops import winnow_match_pairs
+
+    core = " ".join(f"c{i}" for i in range(10))
+    rows = [{"doc_id": i, "text": core} for i in range(6)]
+    ds = ray.data.from_items(rows)
+    got = winnow_match_pairs(ds, max_df=3, min_shared=1).take_all()
+    assert got == []  # identical boilerplate, df 6 > cap 3 -> no pairs
+    full = winnow_match_pairs(ds, max_df=10, min_shared=1).take_all()
+    assert len(full) == 15  # all C(6,2) pairs once the cap allows
