@@ -238,10 +238,24 @@ def byte_entropy(
             text = text.combine_chunks()
         la = text.cast(pa.large_string())
         n = len(la)
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    "n_bytes": pa.array([], pa.int64()),
+                    "entropy": pa.array([], pa.float64()),
+                }
+            )
         offs = np.frombuffer(la.buffers()[1], np.int64, n + 1 + la.offset)[
             la.offset :
         ]
-        data = np.frombuffer(la.buffers()[2], np.uint8)
+        # the data buffer is None when every row is empty ("" only)
+        data_buf = la.buffers()[2]
+        data = (
+            np.frombuffer(data_buf, np.uint8)
+            if data_buf is not None
+            else np.zeros(0, np.uint8)
+        )
         lengths = np.diff(offs)
         row_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
         byte_vals = data[offs[0] : offs[-1]].astype(np.int64)

@@ -253,3 +253,13 @@ def test_token_class_counts_truncation_and_layout(ray_session):
     big = [{"path": "g", "content": "a " * 60000}]  # 120 kB
     out = token_class_counts(_ds(big, 1)).take_all()[0]
     assert out["n_ident"] == 25600  # 51200 bytes / 2 bytes per "a "
+
+
+def test_byte_entropy_all_empty_block(ray_session):
+    """Regression: a block of only empty/null strings has a None Arrow
+    data buffer — must yield NULL entropies, not crash."""
+    from hyperpolyglot_ray.stages.quality_signals import byte_entropy
+
+    rows = [{"doc_id": 0, "text": ""}, {"doc_id": 1, "text": None}]
+    out = byte_entropy(_ds(rows, 1)).take_all()
+    assert all(r["entropy"] is None and r["n_bytes"] == 0 for r in out)
