@@ -2239,6 +2239,101 @@ def _q_doc_winnow_matches(sf_dir: str):
     return winnow_match_pairs(docs)
 
 
+def _q_doc_lang_confusion(sf_dir: str):
+    """Model-eval confusion matrix (long format): ground-truth lang x
+    langid prediction -> exact counts; the classifier-audit report.
+    Composition: langid scoring (deterministic hashed-trigram NB) +
+    one tiny (lang, pred) bucketed count."""
+    import pyarrow as pa
+
+    from hyperpolyglot_ray.stages.langid import predict_langid, train_langid
+    from hyperpolyglot_ray.stages.shuffle import bucketed_group_reduce
+
+    ds = _docs(sf_dir)
+    model = train_langid(ds, "text", "lang")
+    pred = predict_langid(ds, model, "text").select_columns(
+        ["lang", "langid_lang"]
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # null ground-truth labels coerce to '' (bucket hash is defined
+        # over strings only — the doc_lang_share_by_source convention)
+        i = batch.schema.get_field_index("lang")
+        return batch.set_column(
+            i, "lang", pc.fill_null(batch.column("lang").cast(pa.string()), "")
+        )
+
+    counts = bucketed_group_reduce(
+        pred.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang", "langid_lang"],
+        [("lang", "count")],
+        n_buckets=16,
+    )
+    return counts.map_batches(
+        lambda t: t.rename_columns(["lang", "langid_lang", "n_docs"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _q_orders_monthly_delta(sf_dir: str):
+    """Month-over-month revenue report: per-block Arrow partials -> tiny
+    month groupby (bounded by the calendar, not the corpus) -> one
+    single-partition LAG pass. Revenue is exact int64 cents; the delta
+    is one int subtraction — hash-stable."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    od = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def part(batch: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(batch.column("o_orderdate"), unit="month")
+        cents = pc.round(
+            pc.multiply(batch.column("o_totalprice"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        agg = (
+            pa.table({"month": month, "c": cents})
+            .group_by("month")
+            .aggregate([("c", "sum")])
+        )
+        return pa.table(
+            {"month": agg.column("month"), "c": agg.column("c_sum")}
+        )
+
+    per_month = (
+        od.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("month")
+        .sum("c")
+    )
+
+    def close(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=[("month", "ascending")])
+        b = batch.take(idx)
+        rev = b.column("sum(c)").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(rev)
+        prev = np.empty(n, np.int64)
+        prev[1:] = rev[:-1]
+        mask = np.zeros(n, bool)
+        mask[0] = True
+        return pa.table(
+            {
+                "month": b.column("month"),
+                "revenue_c": pa.array(rev, pa.int64()),
+                "prev_revenue_c": pa.array(prev, pa.int64(), mask=mask),
+                "delta_c": pa.array(rev - prev, pa.int64(), mask=mask),
+            }
+        )
+
+    return per_month.repartition(1).map_batches(
+        close, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2274,6 +2369,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "files_token_classes": _q_files_token_classes,
         "events_winsorize": _q_events_winsorize,
         "doc_winnow_matches": _q_doc_winnow_matches,
+        "doc_lang_confusion": _q_doc_lang_confusion,
+        "orders_monthly_delta": _q_orders_monthly_delta,
         # --- new in round 4 session 3 (never driver-checked) ---
         "orders_custdist": _q_orders_custdist,
         "tpch_q3_topk": _q_tpch_q3_topk,
@@ -2561,6 +2658,26 @@ SELECT module, n_imports FROM (
             f"SELECT id_a, id_b, n_shared "
             f"FROM read_parquet('{side}/doc_winnow_matches.parquet')"
         ),
+        # predictions from the independent sequential langid sidecar,
+        # ground truth joined from the documents table itself
+        "doc_lang_confusion": f"""
+SELECT coalesce(d.lang, '') AS lang, p.langid_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents d JOIN read_parquet('{side}/doc_langid.parquet') p
+  USING (doc_id)
+GROUP BY 1, 2""",
+        # mirrors _q_orders_monthly_delta: int-cents sums, one LAG
+        "orders_monthly_delta": """
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_c
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue_c,
+       LAG(revenue_c) OVER (ORDER BY month) AS prev_revenue_c,
+       revenue_c - LAG(revenue_c) OVER (ORDER BY month) AS delta_c
+FROM m""",
         # mirrors cooccurrence_pairs: unordered line-instance pairs with
         # a<b (multiplicity preserved), deterministic top-100
         "lineitem_basket_pairs": """
