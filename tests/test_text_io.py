@@ -1,0 +1,61 @@
+"""JSONL / CSV interchange sources and sinks (sources/text_io.py)."""
+
+import json
+import os
+
+import pyarrow as pa
+
+
+def test_read_jsonl_pinned_schema(ray_session, tmp_path):
+    from hyperpolyglot_ray.sources.text_io import read_jsonl
+
+    p = tmp_path / "d.jsonl"
+    p.write_text(
+        json.dumps({"doc_id": 1, "text": "a b", "extra": 9})
+        + "\n"
+        + json.dumps({"doc_id": 2, "text": None})
+        + "\n"
+    )
+    ds = read_jsonl(str(p), {"doc_id": pa.int64(), "text": pa.string()})
+    rows = sorted(ds.take_all(), key=lambda r: r["doc_id"])
+    # extra key dropped, missing/null -> null, types pinned
+    assert rows == [{"doc_id": 1, "text": "a b"}, {"doc_id": 2, "text": None}]
+    schema = ds.schema()
+    assert schema.base_schema.field("text").type == pa.string()
+
+
+def test_read_csv_pinned_types(ray_session, tmp_path):
+    from hyperpolyglot_ray.sources.text_io import read_csv
+
+    p = tmp_path / "e.csv"
+    p.write_text("event_id,event_type,value,junk\n1,click,1.5,x\n2,view,2.25,y\n")
+    ds = read_csv(
+        str(p),
+        {"event_id": pa.int64(), "event_type": pa.string(), "value": pa.float64()},
+    )
+    rows = sorted(ds.take_all(), key=lambda r: r["event_id"])
+    assert rows == [
+        {"event_id": 1, "event_type": "click", "value": 1.5},
+        {"event_id": 2, "event_type": "view", "value": 2.25},
+    ]
+
+
+def test_write_jsonl_roundtrip_and_resume(ray_session, tmp_path):
+    import ray.data
+
+    from hyperpolyglot_ray.sources.text_io import read_jsonl, write_jsonl
+
+    rows = [{"doc_id": i, "text": f"t{i} x"} for i in range(20)]
+    ds = ray.data.from_items(rows).repartition(4)
+    out = str(tmp_path / "out")
+    n1 = write_jsonl(ds, out)
+    assert n1 >= 1
+    # rerun: identical blocks -> identical part names -> nothing rewritten
+    n2 = write_jsonl(ray.data.from_items(rows).repartition(4), out)
+    assert n2 == 0
+    back = read_jsonl(
+        [os.path.join(out, f) for f in sorted(os.listdir(out))],
+        {"doc_id": pa.int64(), "text": pa.string()},
+    )
+    got = sorted(back.take_all(), key=lambda r: r["doc_id"])
+    assert got == rows
