@@ -2434,6 +2434,19 @@ def _q_events_csv_pricing(sf_dir: str):
     )
 
 
+def _q_doc_winnow_contamination(sf_dir: str):
+    """Cross-corpus contamination screen: documents x the derived crawl
+    shard, pairs sharing >= 2 winnow fingerprints — benchmark-leak
+    detection with positional evidence."""
+    from hyperpolyglot_ray.stages.incremental import derive_incremental_shard
+    from hyperpolyglot_ray.stages.text_ops import winnow_cross_matches
+
+    docs = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return winnow_cross_matches(docs, derive_incremental_shard(docs))
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2473,6 +2486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_monthly_delta": _q_orders_monthly_delta,
         "doc_jsonl_tokens": _q_doc_jsonl_tokens,
         "events_csv_pricing": _q_events_csv_pricing,
+        "doc_winnow_contamination": _q_doc_winnow_contamination,
         # --- new in round 4 session 3 (never driver-checked) ---
         "orders_custdist": _q_orders_custdist,
         "tpch_q3_topk": _q_tpch_q3_topk,
@@ -2761,6 +2775,10 @@ SELECT module, n_imports FROM (
         "doc_winnow_matches": (
             f"SELECT id_a, id_b, n_shared "
             f"FROM read_parquet('{side}/doc_winnow_matches.parquet')"
+        ),
+        "doc_winnow_contamination": (
+            f"SELECT corpus_id, ref_id, n_shared "
+            f"FROM read_parquet('{side}/doc_winnow_contamination.parquet')"
         ),
         # predictions from the independent sequential langid sidecar,
         # ground truth joined from the documents table itself

@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r4k"  # r4k: + winnow match-pairs sidecar
+ORACLE_VERSION = "r4l"  # r4l: + cross-corpus winnow contamination sidecar
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -1326,6 +1326,41 @@ def _expected_winnow_matches(
     )
 
 
+def _expected_winnow_cross(
+    texts_a,
+    ids_a,
+    texts_b,
+    ids_b,
+    k: int = 4,
+    window: int = 4,
+    max_df: int = 64,
+    min_shared: int = 2,
+) -> pa.Table:
+    """Sequential spec of stages/text_ops.py:winnow_cross_matches —
+    one inverted index over BOTH corpora (total-df cap), cross-side
+    pairs only, thresholded counts."""
+    inv: dict[int, tuple[list[int], list[int]]] = {}
+    for texts, ids, side in ((texts_a, ids_a, 0), (texts_b, ids_b, 1)):
+        for i, t in zip(ids, texts):
+            sel, grams = _winnow_select_s(t, k, window)
+            for h in {grams[p] for p in sel}:
+                inv.setdefault(h, ([], []))[side].append(i)
+    counts: Counter = Counter()
+    for h, (ca, cb) in inv.items():
+        if len(ca) + len(cb) <= max_df:
+            for a in ca:
+                for b in cb:
+                    counts[(a, b)] += 1
+    rows = sorted((a, b, n) for (a, b), n in counts.items() if n >= min_shared)
+    return pa.table(
+        {
+            "corpus_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ref_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "n_shared": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
+
+
 def _expected_pagerank(edges, n_iters: int = 5) -> pa.Table:
     """Sequential spec of stages/graph.py:pagerank — pure-python dicts
     and exact ints (ONE=2**40, damping as 85/100 integer arithmetic,
@@ -1455,6 +1490,16 @@ def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
     pq.write_table(_expected_winnow(texts, doc_ids), out / "doc_winnow.parquet")
     pq.write_table(
         _expected_winnow_matches(texts, doc_ids), out / "doc_winnow_matches.parquet"
+    )
+    # cross-corpus contamination: reference = the derived incremental
+    # shard (stages/incremental.py:derive_incremental_shard SQL spec)
+    shard_texts = [
+        t if i % 7 == 0 else f"{t} x{i}" for i, t in zip(doc_ids, texts)
+    ]
+    shard_ids = [i + 1_000_000 for i in doc_ids]
+    pq.write_table(
+        _expected_winnow_cross(texts, doc_ids, shard_texts, shard_ids),
+        out / "doc_winnow_contamination.parquet",
     )
 
     evp = pq.read_table(

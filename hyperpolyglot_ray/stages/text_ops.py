@@ -562,6 +562,137 @@ def winnow_match_pairs(
     return totals.map_batches(close, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def winnow_cross_matches(
+    corpus: ray.data.Dataset,
+    reference: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    window: int = 4,
+    max_df: int = 64,
+    min_shared: int = 2,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Cross-corpus winnowing contamination screen: (corpus doc,
+    reference doc) pairs sharing >= ``min_shared`` distinct fingerprints
+    — benchmark-leak detection WITH positional fingerprint evidence (the
+    complement to ``curation.decontaminate``'s exact 13-gram gate; near
+    matches that exact n-grams miss still share winnow prints).
+
+    Same topology as ``winnow_match_pairs`` with a side tag: pairs are
+    generated ONLY across sides (a full cartesian per fingerprint group,
+    corpus-rows x reference-rows, vectorized); ``max_df`` caps the TOTAL
+    documents (both sides) sharing a fingerprint. Output:
+    (corpus_id, ref_id, n_shared); id spaces may overlap — the columns
+    keep the sides apart."""
+    from .shuffle import bucket_column, bucketed_group_reduce
+
+    def tagged(ds: ray.data.Dataset, side: int) -> ray.data.Dataset:
+        fps = winnow_fingerprints(
+            ds, text_col=text_col, id_col=id_col, k=k, window=window, explode=True
+        )
+
+        def dedupe(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            fp = batch.column("fp").to_numpy(zero_copy_only=False).astype(np.int64)
+            pairs = np.unique(np.stack([ids, fp], axis=1), axis=0)
+            t = pa.table(
+                {
+                    "id": pa.array(pairs[:, 0], pa.int64()),
+                    "fp": pa.array(pairs[:, 1], pa.int64()),
+                    "side": pa.array(
+                        np.full(len(pairs), side, np.int64), pa.int64()
+                    ),
+                }
+            )
+            return t.append_column(
+                "__bucket", bucket_column(t, ["fp"], n_buckets)
+            )
+
+        return fps.map_batches(dedupe, batch_format="pyarrow", zero_copy_batch=True)
+
+    both = tagged(corpus, 0).union(tagged(reference, 1))
+
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def expand(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        fp = group.column("fp").to_numpy(zero_copy_only=False)
+        ids = group.column("id").to_numpy(zero_copy_only=False)
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, side, fp))  # per-fp: side-0 block then side-1
+        f, d, s = fp[order], ids[order], side[order]
+        n = len(f)
+        new_seg = np.concatenate([[True], f[1:] != f[:-1]])
+        starts = np.flatnonzero(new_seg)
+        seg_id = np.cumsum(new_seg) - 1
+        seg_len = np.diff(np.concatenate([starts, [n]]))
+        n0 = np.add.reduceat((s == 0).astype(np.int64), starts)
+        n1 = seg_len - n0
+        valid = (n0 >= 1) & (n1 >= 1) & (seg_len <= max_df)
+        keep = valid[seg_id]
+        if not keep.any():
+            return empty
+        f, d, s = f[keep], d[keep], s[keep]
+        n = len(f)
+        new_seg = np.concatenate([[True], f[1:] != f[:-1]])
+        starts = np.flatnonzero(new_seg)
+        seg_id = np.cumsum(new_seg) - 1
+        seg_len = np.diff(np.concatenate([starts, [n]]))
+        n0 = np.add.reduceat((s == 0).astype(np.int64), starts)
+        n1 = seg_len - n0
+        # corpus rows pair with every reference row of their segment
+        c_rows = np.flatnonzero(s == 0)
+        c_seg = seg_id[c_rows]
+        counts = n1[c_seg]
+        total = int(counts.sum())
+        r_start = starts + n0  # first reference row per segment
+        off = np.concatenate([[0], np.cumsum(counts)])
+        run_pos = np.arange(total) - np.repeat(off[:-1], counts)
+        second_idx = np.repeat(r_start[c_seg], counts) + run_pos
+        tb = pa.table(
+            {
+                "a": pa.array(np.repeat(d[c_rows], counts), pa.int64()),
+                "b": pa.array(d[second_idx], pa.int64()),
+            }
+        )
+        agg = tb.group_by(["a", "b"]).aggregate([("a", "count")])
+        return pa.table(
+            {
+                "a": agg.column("a"),
+                "b": agg.column("b"),
+                "n": agg.column("a_count").cast(pa.int64()),
+            }
+        )
+
+    pairs = both.groupby("__bucket").map_groups(expand, batch_format="pyarrow")
+    totals = bucketed_group_reduce(pairs, ["a", "b"], [("n", "sum")], n_buckets)
+
+    def close(batch: pa.Table) -> pa.Table:
+        m = pc.greater_equal(
+            batch.column("sum(n)"), pa.scalar(min_shared, pa.int64())
+        )
+        b = batch.filter(m)
+        return pa.table(
+            {
+                "corpus_id": b.column("a"),
+                "ref_id": b.column("b"),
+                "n_shared": b.column("sum(n)"),
+            }
+        )
+
+    return totals.map_batches(close, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # -- MinHash + LSH near-dup dedup ----------------------------------------
 
 _MERSENNE = (1 << 61) - 1

@@ -1347,3 +1347,41 @@ def test_winnow_match_pairs_df_cap(ray_session):
     assert got == []  # identical boilerplate, df 6 > cap 3 -> no pairs
     full = winnow_match_pairs(ds, max_df=10, min_shared=1).take_all()
     assert len(full) == 15  # all C(6,2) pairs once the cap allows
+
+
+def test_winnow_cross_matches_bitwise_vs_sidecar(ray_session):
+    import numpy as np
+    import ray.data
+
+    from hyperpolyglot_ray.sources.doc_oracle import _expected_winnow_cross
+    from hyperpolyglot_ray.stages.text_ops import winnow_cross_matches
+
+    rng = np.random.RandomState(23)
+    vocab = [f"v{i}" for i in range(20)]
+    a_texts = [
+        " ".join(vocab[rng.randint(0, 20)] for _ in range(30)) for _ in range(15)
+    ]
+    # reference: two contaminated (copied) docs + noise
+    b_texts = [a_texts[2], "zz " + a_texts[7] + " tail"] + [
+        " ".join(vocab[rng.randint(0, 20)] for _ in range(30)) for _ in range(10)
+    ]
+    a_ids = list(range(15))
+    b_ids = [100 + i for i in range(len(b_texts))]  # overlapping-ish space ok
+    exp = {
+        (r["corpus_id"], r["ref_id"]): r["n_shared"]
+        for r in _expected_winnow_cross(a_texts, a_ids, b_texts, b_ids).to_pylist()
+    }
+    corpus = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in zip(a_ids, a_texts)]
+    ).repartition(4)
+    ref = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in zip(b_ids, b_texts)]
+    ).repartition(3)
+    got = {
+        (r["corpus_id"], r["ref_id"]): r["n_shared"]
+        for r in winnow_cross_matches(corpus, ref).take_all()
+    }
+    assert got == exp
+    assert (2, 100) in exp and (7, 101) in exp  # planted leaks found
+    # within-side pairs never emitted: corpus ids only on the left
+    assert all(c < 100 <= r for c, r in got)
