@@ -2447,6 +2447,105 @@ def _q_doc_winnow_contamination(sf_dir: str):
     return winnow_cross_matches(docs, derive_incremental_shard(docs))
 
 
+def _q_events_hourly_users(sf_dir: str):
+    """Hourly distinct active users: block-local (hour, user) dedupe so
+    the exchange carries pair partials, one bucketed pair-distinct, one
+    tiny per-hour count — the DAU/HAU report primitive."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hyperpolyglot_ray.stages.shuffle import bucketed_group_reduce
+
+    ev = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        t = (
+            pa.table({"hour": hour, "user_id": batch.column("user_id")})
+            .group_by(["hour", "user_id"])
+            .aggregate([])
+        )
+        return t
+
+    dedup = bucketed_group_reduce(
+        ev.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True),
+        ["hour", "user_id"],
+        [],
+        n_buckets=32,
+    )
+    counts = bucketed_group_reduce(
+        dedup, "hour", [("user_id", "count")], n_buckets=32
+    )
+    return counts.map_batches(
+        lambda t: t.rename_columns(["hour", "n_users"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _q_doc_dup_rate_by_source(sf_dir: str):
+    """Dedup telemetry per source: docs, exact-dup survivors (min-id-
+    per-text election, attributed to the survivor's source), dup rate
+    (one IEEE division) — the observability report a curation run emits
+    next to its keep/drop counters. Survivor election rides
+    `latest_rows_per_key` (per-block combiner, full rows never gathered);
+    only the source-cardinality aggregates reach the driver."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hyperpolyglot_ray.stages.aggregates import latest_rows_per_key
+    from hyperpolyglot_ray.stages.shuffle import bucketed_group_reduce
+
+    docs = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        hashes = [
+            hashlib.sha256((t or "").encode("utf-8")).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "text_hash": pa.array(hashes, pa.string()),
+                "neg_id": pc.negate(batch.column("doc_id")),
+                "source": batch.column("source"),
+            }
+        )
+
+    hashed = docs.map_batches(
+        hash_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # survivors: max(neg_id) per text == min doc_id, source carried
+    surv = latest_rows_per_key(hashed, ["text_hash"], ["neg_id"])
+    kept = bucketed_group_reduce(
+        surv.select_columns(["source"]), "source", [("source", "count")], 8
+    ).take_all()
+    total = bucketed_group_reduce(
+        hashed.select_columns(["source"]), "source", [("source", "count")], 8
+    ).take_all()
+    k_map = {r["source"]: r["count(source)"] for r in kept}
+    rows = sorted(total, key=lambda r: r["source"])
+    src = [r["source"] for r in rows]
+    n = [r["count(source)"] for r in rows]
+    k = [k_map.get(s, 0) for s in src]
+    return pa.table(
+        {
+            "source": pa.array(src, pa.string()),
+            "n_docs": pa.array(n, pa.int64()),
+            "n_kept": pa.array(k, pa.int64()),
+            "dup_rate": pa.array(
+                [float(nn - kk) / float(nn) for nn, kk in zip(n, k)],
+                pa.float64(),
+            ),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2487,6 +2586,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_jsonl_tokens": _q_doc_jsonl_tokens,
         "events_csv_pricing": _q_events_csv_pricing,
         "doc_winnow_contamination": _q_doc_winnow_contamination,
+        "events_hourly_users": _q_events_hourly_users,
+        "doc_dup_rate_by_source": _q_doc_dup_rate_by_source,
         # --- new in round 4 session 3 (never driver-checked) ---
         "orders_custdist": _q_orders_custdist,
         "tpch_q3_topk": _q_tpch_q3_topk,
@@ -2780,6 +2881,25 @@ SELECT module, n_imports FROM (
             f"SELECT corpus_id, ref_id, n_shared "
             f"FROM read_parquet('{side}/doc_winnow_contamination.parquet')"
         ),
+        "events_hourly_users": """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1""",
+        # survivor = min doc_id per text; rate is one CAST-CAST-divide
+        "doc_dup_rate_by_source": """
+WITH surv AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+), k AS (
+  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM documents d JOIN surv USING (doc_id) GROUP BY 1
+), t AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+)
+SELECT t.source, t.n_docs, coalesce(k.n_kept, 0) AS n_kept,
+       CAST(t.n_docs - coalesce(k.n_kept, 0) AS DOUBLE)
+         / CAST(t.n_docs AS DOUBLE) AS dup_rate
+FROM t LEFT JOIN k USING (source)""",
         # predictions from the independent sequential langid sidecar,
         # ground truth joined from the documents table itself
         "doc_lang_confusion": f"""
