@@ -2563,11 +2563,35 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # Ordered so queries lacking a recent driver CORRECTNESS row come first
-    # (the driver checks a finite prefix): 7 never-driver-checked, then the
-    # 11 last checked in round 2, then the 50 green in round 3.
+    # Ordered for the driver's finite correctness window (~50 rows):
+    # (1) the seven queries VERDICT r3 flagged as never driver-checked,
+    # (2) round-4 session-3 ops (never checked), (3) this session's new
+    # ops, (4) the highest-value session-1/2 ops, then everything else
+    # (never-checked first, then r2-checked, then r3-green).
     return {
-        # --- new in round 4 session 4 (never driver-checked) ---
+        "emb_quantize": _q_emb_quantize,
+        "emb_pq": _q_emb_pq,
+        "events_distinct_users_hll": _q_events_distinct_users_hll,
+        "events_sessionize_chunked": _q_events_sessionize_chunked,
+        "events_asof_chunked": _q_events_asof_chunked,
+        "events_session_join_chunked": _q_events_session_join_chunked,
+        "events_value_quantiles_refine": _q_events_value_quantiles_refine,
+        "orders_custdist": _q_orders_custdist,
+        "tpch_q3_topk": _q_tpch_q3_topk,
+        "events_ntile": _q_events_ntile,
+        "events_latest_per_pair": _q_events_latest_per_pair,
+        "events_first_last": _q_events_first_last,
+        "lineitem_regr": _q_lineitem_regr,
+        "events_hourly_gapfill": _q_events_hourly_gapfill,
+        "emb_centroids": _q_emb_centroids,
+        "files_license": _q_files_license,
+        "events_mad_outliers": _q_events_mad_outliers,
+        "doc_expectations": _q_doc_expectations,
+        "customer_rfm": _q_customer_rfm,
+        "emb_norms": _q_emb_norms,
+        "emb_covariance": _q_emb_covariance,
+        "doc_lang_share_by_source": _q_doc_lang_share_by_source,
+        "emb_pca": _q_emb_pca,
         "files_code_metrics": _q_files_code_metrics,
         "doc_ttr": _q_doc_ttr,
         "doc_compression": _q_doc_compression,
@@ -2588,17 +2612,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow_contamination": _q_doc_winnow_contamination,
         "events_hourly_users": _q_events_hourly_users,
         "doc_dup_rate_by_source": _q_doc_dup_rate_by_source,
-        # --- new in round 4 session 3 (never driver-checked) ---
-        "orders_custdist": _q_orders_custdist,
-        "tpch_q3_topk": _q_tpch_q3_topk,
-        "events_ntile": _q_events_ntile,
-        "events_latest_per_pair": _q_events_latest_per_pair,
-        "events_first_last": _q_events_first_last,
-        "lineitem_regr": _q_lineitem_regr,
-        "events_hourly_gapfill": _q_events_hourly_gapfill,
-        "emb_centroids": _q_emb_centroids,
-        "files_license": _q_files_license,
-        # --- new in round 4 (never driver-checked) ---
+        "customer_semi_join": _q_customer_semi_join,
+        "customer_anti_join": _q_customer_anti_join,
+        "custkey_full_outer": _q_custkey_full_outer,
+        "events_heavy_hitters": _q_events_heavy_hitters,
+        "doc_zscore": _q_doc_zscore,
+        "events_lag_delta": _q_events_lag_delta,
+        "lineitem_running_qty": _q_lineitem_running_qty,
         "events_funnel": _q_events_funnel,
         "events_rolling_sum": _q_events_rolling_sum,
         "events_props_sum": _q_events_props_sum,
@@ -2608,13 +2628,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": _q_events_retention,
         "doc_snapshot_diff": _q_doc_snapshot_diff,
         "doc_rollup": _q_doc_rollup,
-        "customer_semi_join": _q_customer_semi_join,
-        "customer_anti_join": _q_customer_anti_join,
-        "custkey_full_outer": _q_custkey_full_outer,
-        "events_heavy_hitters": _q_events_heavy_hitters,
-        "doc_zscore": _q_doc_zscore,
-        "events_lag_delta": _q_events_lag_delta,
-        "lineitem_running_qty": _q_lineitem_running_qty,
         "lineitem_qty_discount_corr": _q_lineitem_qty_discount_corr,
         "events_mode_type": _q_events_mode_type,
         "events_type_pivot": _q_events_type_pivot,
@@ -2622,7 +2635,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_unpivot": _q_lineitem_unpivot,
         "files_secrets": _q_files_secrets,
         "files_mask_secrets": _q_files_mask_secrets,
-        # --- never driver-checked before round 4 ---
         "doc_ngram_dedup": _q_doc_ngram_dedup,
         "doc_dsir": _q_doc_dsir,
         "doc_sample_per_lang": _q_doc_sample_per_lang,
@@ -2632,21 +2644,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pct_rank": _q_doc_pct_rank,
         "doc_span_dedup": _q_doc_span_dedup,
         "doc_shuffle": _q_doc_shuffle,
-        "emb_quantize": _q_emb_quantize,
-        "emb_pq": _q_emb_pq,
-        "events_distinct_users_hll": _q_events_distinct_users_hll,
-        "events_sessionize_chunked": _q_events_sessionize_chunked,
-        "events_asof_chunked": _q_events_asof_chunked,
-        "events_session_join_chunked": _q_events_session_join_chunked,
-        "events_value_quantiles_refine": _q_events_value_quantiles_refine,
-        "events_mad_outliers": _q_events_mad_outliers,
-        "doc_expectations": _q_doc_expectations,
-        "customer_rfm": _q_customer_rfm,
-        "emb_norms": _q_emb_norms,
-        "emb_covariance": _q_emb_covariance,
-        "doc_lang_share_by_source": _q_doc_lang_share_by_source,
-        "emb_pca": _q_emb_pca,
-        # --- last driver-checked in round 2 ---
         "events_window": _q_events_window,
         "events_value_quantiles": _q_events_value_quantiles,
         "events_distinct_users": _q_events_distinct_users,
@@ -2658,7 +2655,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repo_stats": _q_repo_stats,
         "orders_by_nation": _q_orders_by_nation,
         "emb_near_dup_ivf": _q_emb_near_dup_ivf,
-        # --- driver-green in round 3 ---
         "detect_cascade": _q_detect_cascade,
         "strategy_counts": _q_strategy_counts,
         "language_split": _q_language_split,
@@ -2710,7 +2706,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivf": _q_emb_knn_ivf,
         "emb_near_dup": _q_emb_near_dup,
     }
-
 
 def oracle_sql() -> dict[str, str]:
     from hyperpolyglot_ray.sources.doc_oracle import build_oracle_sidecars
