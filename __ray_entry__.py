@@ -2546,6 +2546,18 @@ def _q_doc_dup_rate_by_source(sf_dir: str):
     )
 
 
+def _q_events_twa(sf_dir: str):
+    """Time-weighted average event value per user (each value holds
+    until the user's next event) — integer-exact cents x seconds sums,
+    one fixed closing float expression."""
+    from hyperpolyglot_ray.stages.windows import time_weighted_avg_per_key
+
+    ev = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return time_weighted_avg_per_key(ev, "user_id", "ts", "value")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2619,6 +2631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_zscore": _q_doc_zscore,
         "events_lag_delta": _q_events_lag_delta,
         "lineitem_running_qty": _q_lineitem_running_qty,
+        "events_twa": _q_events_twa,
         "events_funnel": _q_events_funnel,
         "events_rolling_sum": _q_events_rolling_sum,
         "events_props_sum": _q_events_props_sum,
@@ -2895,6 +2908,30 @@ SELECT t.source, t.n_docs, coalesce(k.n_kept, 0) AS n_kept,
        CAST(t.n_docs - coalesce(k.n_kept, 0) AS DOUBLE)
          / CAST(t.n_docs AS DOUBLE) AS dup_rate
 FROM t LEFT JOIN k USING (source)""",
+        # mirrors time_weighted_avg_per_key: cents x whole-second interval
+        # sums (exact ints), the identical closing float tree; ties in ts
+        # break by value on both sides
+        "events_twa": """
+WITH s AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) AS t,
+         epoch_us(LEAD(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, round(value * 100)
+         )) AS t2
+  FROM events
+), iv AS (
+  SELECT user_id, cents,
+         CASE WHEN t2 IS NULL THEN 0 ELSE (t2 - t) // 1000000 END AS dt_s
+  FROM s
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(SUM(dt_s) AS BIGINT) AS total_s,
+       CASE WHEN SUM(dt_s) > 0
+            THEN CAST(SUM(cents * dt_s) AS DOUBLE)
+                 / (CAST(SUM(dt_s) AS DOUBLE) * 100.0)
+            ELSE NULL END AS twa
+FROM iv GROUP BY user_id""",
         # predictions from the independent sequential langid sidecar,
         # ground truth joined from the documents table itself
         "doc_lang_confusion": f"""

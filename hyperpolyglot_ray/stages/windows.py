@@ -664,3 +664,129 @@ def transition_counts(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def time_weighted_avg_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Time-weighted average per key: each observation holds its value
+    until the NEXT observation; TWA = sum(value_i * dt_i) / sum(dt_i)
+    over consecutive same-key intervals — the correct mean for sampled
+    gauges (sensor state, account balance, queue depth), where the plain
+    row mean over-weights bursts.
+
+    Integer-exact distributed arithmetic: values quantize to int64
+    cents (round(v*100)), interval widths to whole SECONDS (us-epoch
+    difference // 1_000_000 — exact), so both sums are int64 under any
+    layout; the closing expression is the fixed float tree
+    ``CAST(num AS DOUBLE) / (CAST(den AS DOUBLE) * 100.0)`` mirrored
+    op-for-op by the SQL oracle. Keys with < 2 observations or zero
+    total width -> NULL. Ties in ``ts`` contribute zero-width intervals
+    (order within a tie is irrelevant: dt = 0). Topology: the per-key
+    one-shuffle/one-in-group-sort shape (``lag_delta_per_key``).
+    Output: (key, n_obs, total_s, twa)."""
+    import numpy as np
+
+    from .shuffle import bucket_column
+
+    cols = [key_col, ts_col, val_col]
+    slim = ds.select_columns(cols)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            if batch.column(c).null_count:
+                raise ValueError(f"time_weighted_avg_per_key: nulls in {c!r}")
+        return batch.append_column(
+            "__bucket", bucket_column(batch, [key_col], n_buckets)
+        )
+
+    empty = pa.table(
+        {
+            "key": pa.array([], pa.int64()),
+            "n_obs": pa.array([], pa.int64()),
+            "num": pa.array([], pa.int64()),
+            "den": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        order = pc.sort_indices(
+            group,
+            sort_keys=[
+                (key_col, "ascending"),
+                (ts_col, "ascending"),
+                # value as final key: ties in ts must order identically on
+                # both sides (equal-value ties are harmless — dt lands on
+                # an equal product either way)
+                (val_col, "ascending"),
+            ],
+        )
+        g = group.take(order)
+        kv = g.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts_arr = g.column(ts_col).combine_chunks()
+        if pa.types.is_timestamp(ts_arr.type):
+            # normalize to microseconds FIRST — a timestamp[ns]/[s] column
+            # cast straight to int64 keeps its source unit (the
+            # sliding_window_agg ADVICE r2 bug class)
+            ts_arr = ts_arr.cast(pa.timestamp("us"))
+        ts = ts_arr.cast(pa.int64()).to_numpy()
+        cents = (
+            pc.round(pc.multiply(g.column(val_col), pa.scalar(100.0)))
+            .cast(pa.int64())
+            .to_numpy()
+        )
+        n = len(kv)
+        same = np.zeros(n, bool)
+        same[:-1] = kv[1:] == kv[:-1]  # row i has a successor in its key
+        dt_s = np.zeros(n, np.int64)
+        dt_s[:-1] = (ts[1:] - ts[:-1]) // 1_000_000
+        dt_s[~same] = 0
+        seg_start = np.concatenate([[True], kv[1:] != kv[:-1]])
+        starts = np.flatnonzero(seg_start)
+        num = np.add.reduceat(cents * dt_s, starts)
+        den = np.add.reduceat(dt_s, starts)
+        cnt = np.diff(np.concatenate([starts, [n]]))
+        return pa.table(
+            {
+                "key": pa.array(kv[starts], pa.int64()),
+                "n_obs": pa.array(cnt, pa.int64()),
+                "num": pa.array(num, pa.int64()),
+                "den": pa.array(den, pa.int64()),
+            }
+        )
+
+    # one row per key already — a key lands wholly in ONE bucket group,
+    # so no second reduce is needed
+    per_key = (
+        slim.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(per_group, batch_format="pyarrow")
+    )
+
+    def close(batch: pa.Table) -> pa.Table:
+        num = batch.column("num")
+        den = batch.column("den")
+        f64 = pa.float64()
+        twa = pc.if_else(
+            pc.greater(den, 0),
+            pc.divide(
+                num.cast(f64), pc.multiply(den.cast(f64), pa.scalar(100.0))
+            ),
+            pa.scalar(None, f64),
+        )
+        return pa.table(
+            {
+                key_col: batch.column("key"),
+                "n_obs": batch.column("n_obs"),
+                "total_s": den,
+                "twa": twa,
+            }
+        )
+
+    return per_key.map_batches(close, batch_format="pyarrow", zero_copy_batch=True)

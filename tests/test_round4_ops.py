@@ -1223,3 +1223,76 @@ def test_winsorize_per_key_matches_numpy(ray_session):
             assert r["value_w"] == min(max(r["v"], lo), hi)
     # clamping actually engaged on the extremes
     assert any(r["value_w"] != r["v"] for r in got)
+
+
+# ------------------------------------------------------------------- twa
+
+
+def test_time_weighted_avg_matches_python(ray_session):
+    import numpy as np
+    import ray.data
+
+    from hyperpolyglot_ray.stages.windows import time_weighted_avg_per_key
+
+    rng = np.random.RandomState(31)
+    rows = []
+    for i in range(300):
+        rows.append(
+            {
+                "u": int(rng.randint(0, 10)),
+                "ts": np.datetime64(
+                    1_600_000_000_000_000 + int(rng.randint(0, 10**9)) * 1000, "us"
+                ),
+                "v": float(rng.randint(0, 500)) / 4.0,
+            }
+        )
+    # sequential spec
+    exp = {}
+    byu = {}
+    for r in rows:
+        byu.setdefault(r["u"], []).append(r)
+    for u, rs in byu.items():
+        rs.sort(key=lambda r: (r["ts"], round(r["v"] * 100)))
+        num = den = 0
+        for a, b in zip(rs, rs[1:]):
+            dt = (b["ts"].astype("int64") - a["ts"].astype("int64")) // 10**6
+            num += round(a["v"] * 100) * dt
+            den += dt
+        exp[u] = (
+            len(rs),
+            den,
+            float(num) / (float(den) * 100.0) if den > 0 else None,
+        )
+    for nparts in (1, 6):
+        ds = ray.data.from_items(rows).repartition(nparts)
+        got = {
+            r["u"]: (r["n_obs"], r["total_s"], r["twa"])
+            for r in time_weighted_avg_per_key(ds, "u", "ts", "v").take_all()
+        }
+        assert got == exp
+
+
+def test_time_weighted_avg_degenerate_keys(ray_session):
+    import datetime
+
+    import ray.data
+
+    from hyperpolyglot_ray.stages.windows import time_weighted_avg_per_key
+
+    t0 = datetime.datetime(2020, 1, 1)
+    rows = [
+        {"u": 1, "ts": t0, "v": 5.0},  # single observation -> NULL
+        {"u": 2, "ts": t0, "v": 1.0},  # two obs, same second -> den 0 -> NULL
+        {"u": 2, "ts": t0, "v": 3.0},
+        {"u": 3, "ts": t0, "v": 2.0},  # 10s at 2.0 then end
+        {"u": 3, "ts": t0 + datetime.timedelta(seconds=10), "v": 99.0},
+    ]
+    got = {
+        r["u"]: r
+        for r in time_weighted_avg_per_key(
+            ray.data.from_items(rows), "u", "ts", "v"
+        ).take_all()
+    }
+    assert got[1]["twa"] is None and got[1]["n_obs"] == 1
+    assert got[2]["twa"] is None and got[2]["total_s"] == 0
+    assert got[3]["twa"] == 2.0 and got[3]["total_s"] == 10
