@@ -2558,6 +2558,78 @@ def _q_events_twa(sf_dir: str):
     return time_weighted_avg_per_key(ev, "user_id", "ts", "value")
 
 
+def _q_orders_pareto(sf_dir: str):
+    """Revenue-concentration (Pareto) report: top-100 customers by exact
+    lifetime cents with cumulative revenue share. Per-customer reduce ->
+    per-block top-k combiners (no global sort); the global total is an
+    exact int from per-block partials; each share is one IEEE division."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hyperpolyglot_ray.stages.shuffle import bucketed_group_reduce
+
+    od = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.round(
+            pc.multiply(batch.column("o_totalprice"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        return pa.table({"o_custkey": batch.column("o_custkey"), "cents": cents})
+
+    cents_ds = od.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+
+    def block_total(batch: pa.Table) -> pa.Table:
+        s = pc.sum(batch.column("cents")).as_py() or 0
+        return pa.table({"t": pa.array([s], pa.int64())})
+
+    total = sum(
+        r["t"]
+        for r in cents_ds.map_batches(
+            block_total, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+    )
+
+    per_cust = bucketed_group_reduce(
+        cents_ds, "o_custkey", [("cents", "sum")], n_buckets=32
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[("sum(cents)", "descending"), ("o_custkey", "ascending")],
+        )
+        return batch.take(idx.slice(0, 100))
+
+    top = (
+        per_cust.map_batches(block_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(block_topk, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def close(batch: pa.Table) -> pa.Table:
+        c = batch.column("sum(cents)").to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.cumsum(c)
+        f64 = pa.float64()
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "cents": pa.array(c, pa.int64()),
+                "cum_cents": pa.array(cum, pa.int64()),
+                "cum_share": pc.divide(
+                    pa.array(cum, pa.int64()).cast(f64),
+                    pa.scalar(float(total), f64),
+                ),
+            }
+        )
+
+    return top.map_batches(close, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2632,6 +2704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_delta": _q_events_lag_delta,
         "lineitem_running_qty": _q_lineitem_running_qty,
         "events_twa": _q_events_twa,
+        "orders_pareto": _q_orders_pareto,
         "events_funnel": _q_events_funnel,
         "events_rolling_sum": _q_events_rolling_sum,
         "events_props_sum": _q_events_props_sum,
@@ -2932,6 +3005,25 @@ SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_obs,
                  / (CAST(SUM(dt_s) AS DOUBLE) * 100.0)
             ELSE NULL END AS twa
 FROM iv GROUP BY user_id""",
+        # mirrors _q_orders_pareto: exact-int cumulative over the same
+        # total order, one division per row against the exact total
+        "orders_pareto": """
+WITH c AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM c),
+r AS (
+  SELECT o_custkey, cents,
+         CAST(SUM(cents) OVER (
+           ORDER BY cents DESC, o_custkey
+         ) AS BIGINT) AS cum_cents
+  FROM c
+)
+SELECT o_custkey, cents, cum_cents,
+       CAST(cum_cents AS DOUBLE) / CAST(t.total AS DOUBLE) AS cum_share
+FROM r, t ORDER BY cents DESC, o_custkey LIMIT 100""",
         # predictions from the independent sequential langid sidecar,
         # ground truth joined from the documents table itself
         "doc_lang_confusion": f"""
