@@ -57,19 +57,33 @@ def read_csv(
 
 
 def write_jsonl(ds: ray.data.Dataset, out_dir: str) -> int:
-    """Write one ``part-NNNNN.jsonl`` per block (task-side, atomic
+    """Write one ``part-<sha16>.jsonl`` per block (task-side, atomic
     tmp+rename; existing parts are left alone so a rerun resumes).
-    Returns the number of parts written by THIS run."""
+    Returns the number of parts written by THIS run.
+
+    Content-addressed part names make the sink IDEMPOTENT under Ray
+    task retries (a re-executed block rewrites the same name, never a
+    duplicate). The flip side — two byte-identical sibling blocks in
+    ONE dataset would collapse onto one part — is detected at the
+    driver (every task reports its digest) and raised loudly instead
+    of silently dropping rows; repartitioning differently or deduping
+    upstream resolves it. Empty blocks are skipped entirely."""
     import json
     import os
 
     os.makedirs(out_dir, exist_ok=True)
 
-    def write_block(batch: pa.Table, ctx=None) -> pa.Table:
-        # TaskContext gives a stable per-block index when available;
-        # fall back to a content hash so parallel tasks never collide
+    def write_block(batch: pa.Table) -> pa.Table:
         import hashlib
 
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "digest": pa.array([], pa.string()),
+                    "n_rows": pa.array([], pa.int64()),
+                    "parts_written": pa.array([], pa.int64()),
+                }
+            )
         rows = batch.to_pylist()
         payload = "\n".join(
             json.dumps(r, sort_keys=True, default=str) for r in rows
@@ -77,14 +91,33 @@ def write_jsonl(ds: ray.data.Dataset, out_dir: str) -> int:
         digest = hashlib.sha256(payload.encode()).hexdigest()[:16]
         final = os.path.join(out_dir, f"part-{digest}.jsonl")
         if not os.path.exists(final):
-            tmp = final + ".tmp"
+            tmp = final + f".tmp-{os.getpid()}"
             with open(tmp, "w") as fh:
-                fh.write(payload + ("\n" if payload else ""))
+                fh.write(payload + "\n")
             os.replace(tmp, final)
             n_new = 1
         else:
             n_new = 0
-        return pa.table({"parts_written": pa.array([n_new], pa.int64())})
+        return pa.table(
+            {
+                "digest": pa.array([digest], pa.string()),
+                "n_rows": pa.array([batch.num_rows], pa.int64()),
+                "parts_written": pa.array([n_new], pa.int64()),
+            }
+        )
 
-    out = ds.map_batches(write_block, batch_format="pyarrow", batch_size=None)
-    return sum(r["parts_written"] for r in out.take_all())
+    reports = ds.map_batches(
+        write_block, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    seen: dict[str, int] = {}
+    for r in reports:
+        seen[r["digest"]] = seen.get(r["digest"], 0) + 1
+    dups = {d: c for d, c in seen.items() if c > 1}
+    if dups:
+        raise RuntimeError(
+            "write_jsonl: byte-identical sibling blocks collapsed onto one "
+            f"content-addressed part ({dups}); the written parts are valid "
+            "but duplicate blocks' rows appear once. Repartition or dedupe "
+            "upstream, or write distinct runs to distinct directories."
+        )
+    return sum(r["parts_written"] for r in reports)

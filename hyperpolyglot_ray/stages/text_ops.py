@@ -441,6 +441,56 @@ def winnow_fingerprints(
     )
 
 
+def _winnow_distinct_fps(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    k: int,
+    window: int,
+) -> ray.data.Dataset:
+    """Per-document DISTINCT winnowing fingerprints as (id, fp) rows —
+    the match-step input. Distinctness is established INSIDE the per-doc
+    loop (np.unique over one doc's selected gram hashes), so the rows
+    are globally unique per (id, fp) regardless of how the executor
+    batches, fuses, or splits blocks downstream; the match topology
+    never needs a block-locality assumption."""
+
+    def select_distinct(text: str) -> np.ndarray:
+        g = _positional_grams(_token_hashes(text), k)
+        m = len(g)
+        if m <= window:
+            # one window: the selected fp VALUE is min(g) (tie position
+            # is irrelevant here — only distinct values are kept)
+            return np.unique(g[[int(np.argmin(g))]])
+        sw = np.lib.stride_tricks.sliding_window_view(g, window)[:, ::-1]
+        am = np.argmin(sw, axis=1).astype(np.int64)
+        pos = np.unique(
+            np.arange(m - window + 1, dtype=np.int64) + (window - 1) - am
+        )
+        return np.unique(g[pos])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, fps = [], []
+        id_vals = batch.column(id_col).to_pylist()
+        for i, t in enumerate(batch.column(text_col).to_pylist()):
+            g = select_distinct(t or "")
+            ids.extend([id_vals[i]] * len(g))
+            fps.append(g)
+        return pa.table(
+            {
+                "id": pa.array(np.asarray(ids, np.int64), pa.int64()),
+                "fp": pa.array(
+                    np.concatenate(fps).astype(np.int64) if fps else [],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def winnow_match_pairs(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -462,30 +512,21 @@ def winnow_match_pairs(
     header's gram would otherwise pair everything with everything; the
     LSH-band hot-bucket discipline). Integer ids required.
 
-    Topology: explode → block-local (id, fp) dedupe (valid because one
-    document's fingerprint rows never span blocks) → ONE bucketed
-    shuffle keyed by fp → vectorized in-bucket pair expansion over
-    df-capped fingerprint groups (ids distinct and sorted within a
+    Topology: per-doc distinct (id, fp) generation (distinctness made
+    inside the per-doc loop — no block-locality assumption) → ONE
+    bucketed shuffle keyed by fp → vectorized in-bucket pair expansion
+    over df-capped fingerprint groups (ids distinct and sorted within a
     group, so pairs are strict a<b), pre-counted in-task → slim
     (a, b, n) count reduce → threshold filter. Nothing pair-scale or
     doc-scale touches the driver."""
     from .shuffle import bucket_column, bucketed_group_reduce
 
-    fps = winnow_fingerprints(
-        ds, text_col=text_col, id_col=id_col, k=k, window=window, explode=True
-    )
+    fps = _winnow_distinct_fps(ds, text_col, id_col, k, window)
 
     def dedupe_and_bucket(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        fp = batch.column("fp").to_numpy(zero_copy_only=False).astype(np.int64)
-        pairs = np.unique(np.stack([ids, fp], axis=1), axis=0)
-        t = pa.table(
-            {
-                "id": pa.array(pairs[:, 0], pa.int64()),
-                "fp": pa.array(pairs[:, 1], pa.int64()),
-            }
+        return batch.append_column(
+            "__bucket", bucket_column(batch, ["fp"], n_buckets)
         )
-        return t.append_column("__bucket", bucket_column(t, ["fp"], n_buckets))
 
     empty = pa.table(
         {
@@ -588,30 +629,20 @@ def winnow_cross_matches(
     from .shuffle import bucket_column, bucketed_group_reduce
 
     def tagged(ds: ray.data.Dataset, side: int) -> ray.data.Dataset:
-        fps = winnow_fingerprints(
-            ds, text_col=text_col, id_col=id_col, k=k, window=window, explode=True
-        )
+        fps = _winnow_distinct_fps(ds, text_col, id_col, k, window)
 
-        def dedupe(batch: pa.Table) -> pa.Table:
-            ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(
-                np.int64
-            )
-            fp = batch.column("fp").to_numpy(zero_copy_only=False).astype(np.int64)
-            pairs = np.unique(np.stack([ids, fp], axis=1), axis=0)
-            t = pa.table(
-                {
-                    "id": pa.array(pairs[:, 0], pa.int64()),
-                    "fp": pa.array(pairs[:, 1], pa.int64()),
-                    "side": pa.array(
-                        np.full(len(pairs), side, np.int64), pa.int64()
-                    ),
-                }
+        def tag_and_bucket(batch: pa.Table) -> pa.Table:
+            t = batch.append_column(
+                "side",
+                pa.array(np.full(batch.num_rows, side, np.int64), pa.int64()),
             )
             return t.append_column(
                 "__bucket", bucket_column(t, ["fp"], n_buckets)
             )
 
-        return fps.map_batches(dedupe, batch_format="pyarrow", zero_copy_batch=True)
+        return fps.map_batches(
+            tag_and_bucket, batch_format="pyarrow", zero_copy_batch=True
+        )
 
     both = tagged(corpus, 0).union(tagged(reference, 1))
 

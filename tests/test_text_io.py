@@ -59,3 +59,31 @@ def test_write_jsonl_roundtrip_and_resume(ray_session, tmp_path):
     )
     got = sorted(back.take_all(), key=lambda r: r["doc_id"])
     assert got == rows
+
+
+def test_write_jsonl_identical_sibling_blocks_raise(ray_session, tmp_path):
+    """Two byte-identical blocks in one dataset must be DETECTED (the
+    content-addressed sink would otherwise silently collapse them)."""
+    import pytest
+    import ray.data
+
+    from hyperpolyglot_ray.sources.text_io import write_jsonl
+
+    rows = [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]
+    ds = ray.data.from_items(rows + rows).repartition(2)
+    # repartition(2) over 4 rows -> two 2-row blocks with identical bytes
+    with pytest.raises(RuntimeError, match="byte-identical"):
+        write_jsonl(ds, str(tmp_path / "out"))
+
+
+def test_write_jsonl_skips_empty_blocks(ray_session, tmp_path):
+    import ray.data
+
+    from hyperpolyglot_ray.sources.text_io import write_jsonl
+
+    ds = ray.data.from_items([{"a": i} for i in range(3)]).repartition(8)
+    out = tmp_path / "out"
+    n = write_jsonl(ds, str(out))
+    files = sorted(out.glob("part-*.jsonl"))
+    assert n == len(files) == 3  # 3 one-row parts, 5 empty blocks skipped
+    assert all(f.stat().st_size > 0 for f in files)

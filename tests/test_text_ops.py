@@ -1385,3 +1385,32 @@ def test_winnow_cross_matches_bitwise_vs_sidecar(ray_session):
     assert (2, 100) in exp and (7, 101) in exp  # planted leaks found
     # within-side pairs never emitted: corpus ids only on the left
     assert all(c < 100 <= r for c, r in got)
+
+
+def test_winnow_match_pairs_repetitive_long_docs(ray_session):
+    """Distinctness must come from the per-doc loop, not block-local
+    dedupe: two identical highly repetitive long docs explode to
+    thousands of fingerprint rows drawn from a tiny distinct-fp set.
+    If (id, fp) distinctness ever depended on batch/block boundaries,
+    n_shared would inflate by the repetition factor."""
+    import ray.data
+
+    from hyperpolyglot_ray.sources.doc_oracle import _expected_winnow_matches
+    from hyperpolyglot_ray.stages.text_ops import winnow_match_pairs
+
+    pat = " ".join("tok%d" % (i % 8) for i in range(12000))
+    texts = [pat, pat]
+    ids = [1, 2]
+    exp = sorted(
+        (r["id_a"], r["id_b"], r["n_shared"])
+        for r in _expected_winnow_matches(texts, ids, min_shared=1).to_pylist()
+    )
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in zip(ids, texts)]
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["n_shared"])
+        for r in winnow_match_pairs(ds, min_shared=1).take_all()
+    )
+    assert got == exp
+    assert got and got[0][2] <= 8  # distinct fps, not row counts
