@@ -2558,6 +2558,20 @@ def _q_events_twa(sf_dir: str):
     return time_weighted_avg_per_key(ev, "user_id", "ts", "value")
 
 
+def _q_customer_fuzzy_pairs(sf_dir: str):
+    """Record-linkage fuzzy self-join: customer-name pairs within
+    Levenshtein distance 1, with the exact distance. FastSS deletion-
+    neighborhood blocking -> one vhash-bucketed shuffle -> in-bucket
+    exact-DP verify -> slim (a, b) min-reduce; nothing pair-scale on
+    the driver."""
+    from hyperpolyglot_ray.stages.fuzzy import fuzzy_self_pairs
+
+    cust = _read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    return fuzzy_self_pairs(cust, "c_name", "c_custkey", max_dist=1)
+
+
 def _q_orders_pareto(sf_dir: str):
     """Revenue-concentration (Pareto) report: top-100 customers by exact
     lifetime cents with cumulative revenue share. Per-customer reduce ->
@@ -2660,6 +2674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_chunked": _q_events_asof_chunked,
         "events_session_join_chunked": _q_events_session_join_chunked,
         "events_value_quantiles_refine": _q_events_value_quantiles_refine,
+        "customer_fuzzy_pairs": _q_customer_fuzzy_pairs,
         "orders_custdist": _q_orders_custdist,
         "tpch_q3_topk": _q_tpch_q3_topk,
         "events_ntile": _q_events_ntile,
@@ -3098,6 +3113,15 @@ SELECT e.event_id, e.event_type, e.value,
        LEAST(GREATEST(e.value, th.lo), th.hi) AS value_w
 FROM events e JOIN th USING (event_type)""",
         # --- round 4 session 3 ---
+        # mirrors stages/fuzzy.py:fuzzy_self_pairs — blocking is exact
+        # (FastSS deletion neighborhoods are a superset of true pairs;
+        # the DP verify keeps exactly levenshtein <= 1), so plain
+        # brute-force SQL is the spec
+        "customer_fuzzy_pairs": """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1""",
         "orders_custdist": """
 SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
   SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count

@@ -1,0 +1,226 @@
+"""Fuzzy (edit-distance) self-join — record linkage over short keys.
+
+The classic entity-resolution primitive a warehouse-scale corpus needs
+(merging author/repo/package name variants, linking crawl hosts, and
+the near-dup ladder's string-key cousin): all id pairs whose key
+strings are within Levenshtein distance ``max_dist``.
+
+Topology (FastSS deletion-neighborhood blocking, Bocek et al. 2007 —
+the public spec):
+
+1. **Explode** (map-only): each key emits its deletion neighborhood —
+   every string reachable by deleting up to ``max_dist`` characters
+   (``O(len^max_dist)`` variants; keys are SHORT linkage keys, not
+   documents). Rows are slim ``(id, key, vhash)`` where ``vhash`` is
+   the shared byte-polynomial hash of the variant string; a row's
+   variant hashes are deduped per row at generation, so downstream
+   needs no block-locality assumption.
+2. **One bucketed shuffle** keyed by ``vhash`` (the only exchange;
+   nothing pair-scale exists yet).
+3. **In-bucket expand + verify**: rows sharing a variant hash form a
+   candidate segment (FastSS guarantees every true pair shares at
+   least one variant; hash collisions only ADD candidates). Strict
+   ``a < b`` pairs are generated vectorized per segment, then each
+   candidate is verified with an exact Levenshtein DP (keys are short,
+   candidates are blocking-pruned — this is the cheap tail, not the
+   hot path).
+4. **Slim pair reduce**: a pair that shares several variants appears
+   several times; one ``(a, b) -> min(dist)`` bucketed reduce makes
+   pairs distinct. Nothing pair- or key-scale touches the driver.
+
+``max_group`` (optional) caps a variant segment's size — the hot-key
+guard against degenerate boilerplate keys (e.g. millions of rows whose
+key is ""). When it trips, that variant's candidates are SKIPPED and
+the result is a documented under-approximation; the default (None) is
+exact and matches the SQL oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from .shuffle import bucket_column, bucketed_group_reduce
+from .text_ops import _hash_string_array
+
+
+def _del_variants(s: str, k: int) -> list[str]:
+    """All strings reachable from ``s`` by deleting up to ``k`` chars
+    (including ``s`` itself), distinct."""
+    out = {s}
+    frontier = {s}
+    for _ in range(k):
+        nxt = set()
+        for t in frontier:
+            for i in range(len(t)):
+                nxt.add(t[:i] + t[i + 1 :])
+        out |= nxt
+        frontier = nxt
+    return sorted(out)
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Exact Levenshtein distance — two-row DP; linkage keys are short
+    so the quadratic cost is trivial per verified candidate."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return la + lb
+    if la < lb:
+        a, b, la, lb = b, a, lb, la
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        ca = a[i - 1]
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        prev = cur
+    return prev[lb]
+
+
+def fuzzy_self_pairs(
+    ds: ray.data.Dataset,
+    key_col: str,
+    id_col: str,
+    max_dist: int = 1,
+    n_buckets: int = 64,
+    max_group: int | None = None,
+) -> ray.data.Dataset:
+    """All distinct id pairs (``id_a < id_b``) whose ``key_col`` strings
+    are within Levenshtein distance ``max_dist``, with the exact
+    distance: ``(id_a, id_b, dist)``. Null keys never match (SQL
+    ``levenshtein(NULL, x)`` semantics). Integer ids required."""
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        mask = batch.column(key_col).is_valid()
+        b = batch.filter(mask)
+        ids = b.column(id_col).to_pylist()
+        keys = b.column(key_col).to_pylist()
+        out_id: list[int] = []
+        out_key: list[str] = []
+        variants: list[str] = []
+        for i, s in zip(ids, keys):
+            vs = _del_variants(s, max_dist)
+            out_id.extend([i] * len(vs))
+            out_key.extend([s] * len(vs))
+            variants.extend(vs)
+        vh = _hash_string_array(pa.array(variants, pa.string()))
+        t = pa.table(
+            {
+                "id": pa.array(out_id, pa.int64()),
+                "key": pa.array(out_key, pa.string()),
+                "vh": pa.array(vh.astype(np.int64), pa.int64()),
+            }
+        )
+        # a row's deletion variants are distinct strings but may collide
+        # in hash — drop per-row duplicate (id, vh) at generation
+        _, first = np.unique(
+            np.stack(
+                [
+                    t.column("id").to_numpy(zero_copy_only=False),
+                    t.column("vh").to_numpy(zero_copy_only=False),
+                ],
+                axis=1,
+            ),
+            axis=0,
+            return_index=True,
+        ) if t.num_rows else (None, np.zeros(0, np.int64))
+        t = t.take(pa.array(np.sort(first), pa.int64()))
+        return t.append_column("__bucket", bucket_column(t, ["vh"], n_buckets))
+
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "dist": pa.array([], pa.int64()),
+        }
+    )
+
+    def expand_verify(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        vh = group.column("vh").to_numpy(zero_copy_only=False)
+        ids = group.column("id").to_numpy(zero_copy_only=False)
+        keys = group.column("key").to_pylist()
+        order = np.lexsort((ids, vh))
+        vh, ids = vh[order], ids[order]
+        keys = [keys[i] for i in order]
+        n = len(vh)
+        new_seg = np.concatenate([[True], vh[1:] != vh[:-1]])
+        starts = np.flatnonzero(new_seg)
+        seg_id = np.cumsum(new_seg) - 1
+        seg_len = np.diff(np.concatenate([starts, [n]]))
+        row_len = seg_len[seg_id]
+        keep = row_len >= 2
+        if max_group is not None:
+            keep &= row_len <= max_group
+        if not keep.any():
+            return empty
+        vh, ids = vh[keep], ids[keep]
+        keys = [k for k, m in zip(keys, keep) if m]
+        n = len(vh)
+        new_seg = np.concatenate([[True], vh[1:] != vh[:-1]])
+        starts = np.flatnonzero(new_seg)
+        seg_id = np.cumsum(new_seg) - 1
+        seg_len = np.diff(np.concatenate([starts, [n]]))
+        seg_end = starts[seg_id] + seg_len[seg_id]
+        counts = seg_end - np.arange(n) - 1
+        total = int(counts.sum())
+        first_idx = np.repeat(np.arange(n), counts)
+        off = np.concatenate([[0], np.cumsum(counts)])
+        run_pos = np.arange(total) - np.repeat(off[:-1], counts)
+        second_idx = first_idx + 1 + run_pos
+        a_out: list[int] = []
+        b_out: list[int] = []
+        d_out: list[int] = []
+        seen: set[tuple[int, int]] = set()  # in-task candidate dedupe
+        for fi, si in zip(first_idx, second_idx):
+            ia, ib = int(ids[fi]), int(ids[si])
+            if ia == ib:
+                continue
+            if ia > ib:
+                ia, ib = ib, ia
+            if (ia, ib) in seen:
+                continue
+            seen.add((ia, ib))
+            ka, kb = keys[fi], keys[si]
+            if abs(len(ka) - len(kb)) > max_dist:
+                continue
+            d = _levenshtein(ka, kb)
+            if d <= max_dist:
+                a_out.append(ia)
+                b_out.append(ib)
+                d_out.append(d)
+        if not a_out:
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(a_out, pa.int64()),
+                "b": pa.array(b_out, pa.int64()),
+                "dist": pa.array(d_out, pa.int64()),
+            }
+        )
+
+    cand = (
+        ds.select_columns([id_col, key_col])
+        .map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(expand_verify, batch_format="pyarrow")
+    )
+    totals = bucketed_group_reduce(cand, ["a", "b"], [("dist", "min")], n_buckets)
+
+    def close(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": batch.column("a"),
+                "id_b": batch.column("b"),
+                "dist": batch.column("min(dist)"),
+            }
+        )
+
+    return totals.map_batches(close, batch_format="pyarrow", zero_copy_batch=True)

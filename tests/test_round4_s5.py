@@ -1,0 +1,90 @@
+"""Round-4 session-5 operators: fuzzy join, BPE training, skyline,
+text chunking."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+
+# --------------------------------------------------------------- fuzzy join
+
+
+def _lev_ref(a: str, b: str) -> int:
+    la, lb = len(a), len(b)
+    d = list(range(lb + 1))
+    for i in range(1, la + 1):
+        prev = d[0]
+        d[0] = i
+        for j in range(1, lb + 1):
+            cur = d[j]
+            d[j] = min(d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return d[lb]
+
+
+def _expected_pairs(rows, max_dist):
+    out = []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            (ia, ka), (ib, kb) = rows[i], rows[j]
+            if ka is None or kb is None:
+                continue
+            d = _lev_ref(ka, kb)
+            if d <= max_dist:
+                a, b = (ia, ib) if ia < ib else (ib, ia)
+                out.append((a, b, d))
+    return sorted(out)
+
+
+def test_fuzzy_self_pairs_vs_bruteforce(ray_session):
+    from hyperpolyglot_ray.stages.fuzzy import fuzzy_self_pairs
+
+    rng = np.random.RandomState(11)
+    alpha = "abcdef"
+    rows = []
+    for i in range(120):
+        s = "".join(alpha[rng.randint(0, 6)] for _ in range(rng.randint(3, 9)))
+        rows.append((i, s))
+    rows.append((500, None))  # null key never matches
+    for k in (0, 1, 2):
+        ds = ray.data.from_items(
+            [{"id": i, "key": s} for i, s in rows]
+        ).repartition(5)
+        got = sorted(
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in fuzzy_self_pairs(ds, "key", "id", max_dist=k).take_all()
+        )
+        assert got == _expected_pairs(rows, k), f"max_dist={k}"
+
+
+def test_fuzzy_self_pairs_duplicate_keys_and_ids(ray_session):
+    """Identical keys pair at dist 0; equal ids never self-pair."""
+    from hyperpolyglot_ray.stages.fuzzy import fuzzy_self_pairs
+
+    rows = [(1, "same"), (2, "same"), (3, "same"), (4, "other")]
+    ds = ray.data.from_items([{"id": i, "key": s} for i, s in rows])
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_self_pairs(ds, "key", "id", max_dist=1).take_all()
+    )
+    assert got == [(1, 2, 0), (1, 3, 0), (2, 3, 0)]
+
+
+def test_fuzzy_self_pairs_max_group_cap(ray_session):
+    """max_group skips degenerate boilerplate segments (documented
+    under-approximation)."""
+    from hyperpolyglot_ray.stages.fuzzy import fuzzy_self_pairs
+
+    rows = [{"id": i, "key": "boiler"} for i in range(10)] + [
+        {"id": 100, "key": "rare"},
+        {"id": 101, "key": "rarex"},
+    ]
+    ds = ray.data.from_items(rows)
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_self_pairs(
+            ds, "key", "id", max_dist=1, max_group=5
+        ).take_all()
+    )
+    assert got == [(100, 101, 1)]  # boilerplate segment skipped, rare kept
