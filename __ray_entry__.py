@@ -2572,6 +2572,20 @@ def _q_customer_fuzzy_pairs(sf_dir: str):
     return fuzzy_self_pairs(cust, "c_name", "c_custkey", max_dist=1)
 
 
+def _q_doc_bpe_merges(sf_dir: str):
+    """Tokenizer training: the top-30 BPE merges learned from the
+    documents corpus. One corpus pass for word counts, then the merge
+    loop runs over the distinct-word table (vectorized pair counting +
+    a tiny symbol-pair reduce per round) — bitwise vs the sequential
+    Sennrich sidecar."""
+    from hyperpolyglot_ray.stages.bpe import bpe_train
+
+    docs = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return bpe_train(docs, "text", n_merges=30)
+
+
 def _q_orders_pareto(sf_dir: str):
     """Revenue-concentration (Pareto) report: top-100 customers by exact
     lifetime cents with cumulative revenue share. Per-customer reduce ->
@@ -2675,6 +2689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_join_chunked": _q_events_session_join_chunked,
         "events_value_quantiles_refine": _q_events_value_quantiles_refine,
         "customer_fuzzy_pairs": _q_customer_fuzzy_pairs,
+        "doc_bpe_merges": _q_doc_bpe_merges,
         "orders_custdist": _q_orders_custdist,
         "tpch_q3_topk": _q_tpch_q3_topk,
         "events_ntile": _q_events_ntile,
@@ -2968,6 +2983,10 @@ SELECT module, n_imports FROM (
         "doc_winnow": (
             f"SELECT doc_id, n_fingerprints, fp_digest "
             f"FROM read_parquet('{side}/doc_winnow.parquet')"
+        ),
+        "doc_bpe_merges": (
+            f"SELECT rank, \"left\", \"right\", pair_count "
+            f"FROM read_parquet('{side}/doc_bpe_merges.parquet')"
         ),
         "doc_winnow_matches": (
             f"SELECT id_a, id_b, n_shared "

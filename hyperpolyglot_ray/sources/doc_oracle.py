@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r4l"  # r4l: + cross-corpus winnow contamination sidecar
+ORACLE_VERSION = "r4m"  # r4m: + BPE merge-table sidecar
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -1212,6 +1212,70 @@ def _expected_compression(texts, doc_ids, level: int = 6) -> pa.Table:
     )
 
 
+def _expected_bpe_merges(texts, n_merges: int = 30, min_count: int = 2) -> pa.Table:
+    """Sequential spec of stages/bpe.py:bpe_train — classic Sennrich BPE
+    over the word-count table: whitespace split (THE shared Arrow
+    kernel via ``_split_words``), char symbols + ``</w>``, per-round
+    argmax on (count desc, left string, right string, ids), greedy
+    left-to-right merge application."""
+    from collections import Counter as _Counter
+
+    from hyperpolyglot_ray.stages.bpe import END_WORD, _split_words
+
+    tb = pa.table({"text": pa.array([t or "" for t in texts], pa.string())})
+    wc = _Counter(_split_words(tb, "text").to_pylist())
+    symtab = sorted({c for w in wc for c in w}) + [END_WORD]
+    sym_id = {s: i for i, s in enumerate(symtab)}
+    seqs = {w: [sym_id[c] for c in w] + [sym_id[END_WORD]] for w in wc}
+    ranks, lefts, rights, counts = [], [], [], []
+    for rank in range(n_merges):
+        pc_counts: _Counter = _Counter()
+        for w, n in wc.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc_counts[(s[i], s[i + 1])] += n
+        if not pc_counts:
+            break
+        (l, r), c = min(
+            pc_counts.items(),
+            key=lambda kv: (
+                -kv[1],
+                symtab[kv[0][0]],
+                symtab[kv[0][1]],
+                kv[0][0],
+                kv[0][1],
+            ),
+        )
+        if c < min_count:
+            break
+        new_id = len(symtab)
+        symtab.append(symtab[l] + symtab[r])
+        ranks.append(rank)
+        lefts.append(symtab[l])
+        rights.append(symtab[r])
+        counts.append(c)
+        for w in seqs:
+            s = seqs[w]
+            out = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(new_id)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return pa.table(
+        {
+            "rank": pa.array(ranks, type=pa.int64()),
+            "left": pa.array(lefts, type=pa.string()),
+            "right": pa.array(rights, type=pa.string()),
+            "pair_count": pa.array(counts, type=pa.int64()),
+        }
+    )
+
+
 def _expected_byte_entropy(texts, doc_ids) -> pa.Table:
     """Sequential spec of stages/quality_signals.py:byte_entropy —
     Counter histogram per row, each term floor((c*ln c)*2**24) as an
@@ -1487,6 +1551,7 @@ def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
     pq.write_table(
         _expected_byte_entropy(texts, doc_ids), out / "doc_byte_entropy.parquet"
     )
+    pq.write_table(_expected_bpe_merges(texts), out / "doc_bpe_merges.parquet")
     pq.write_table(_expected_winnow(texts, doc_ids), out / "doc_winnow.parquet")
     pq.write_table(
         _expected_winnow_matches(texts, doc_ids), out / "doc_winnow_matches.parquet"

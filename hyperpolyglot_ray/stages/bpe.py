@@ -1,0 +1,267 @@
+"""Distributed BPE merge training (Sennrich et al. 2016, ACL — the
+public byte-pair-encoding subword spec).
+
+The tokenizer-training step of a training-data pipeline: learn the top
+``n_merges`` symbol merges from a corpus. The classic algorithm runs
+over the DISTINCT-WORD table weighted by word frequency — that is what
+makes it distributable at 100 TB:
+
+1. **Word counts** (one corpus pass): whitespace-split each document
+   (Arrow kernel), per-block partial counts, one bucketed word reduce.
+   The corpus is never touched again; everything below runs over the
+   distinct-word table (zipfian: orders of magnitude smaller, and
+   ``min_word_count`` trims the long tail the way production trainers
+   do).
+2. **Symbol encoding**: the character vocabulary (plus the ``</w>``
+   end-of-word marker) is collected once (tiny), broadcast via
+   ``ray.put``, and each word becomes a slim ``list<int32>`` id
+   sequence.
+3. **Merge loop** (``n_merges`` rounds): each round is one vectorized
+   pair-count pass over the word table (numpy on the flattened list
+   buffers, weighted by word count, pre-combined per block) + one tiny
+   ``(l, r) -> sum`` bucketed reduce. The reduced pair table is bounded
+   by the SYMBOL vocabulary squared (hundreds of rows), so the argmax
+   lands on the driver by design, not by accident. The winning pair is
+   applied to the word table with a vectorized greedy left-to-right
+   substitution (overlap runs resolved by even-offset selection — the
+   ``aaa`` case), and the table is re-materialized so the next round
+   does not replay lineage.
+
+Ties break deterministically: highest count, then lexicographically
+smallest (left, right) decoded strings, then smallest ids. Output is
+the merge table (rank, left, right, pair_count) — driver-small.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from .shuffle import bucketed_group_reduce
+
+END_WORD = "</w>"
+
+
+def _split_words(batch: pa.Table, text_col: str) -> pa.Array:
+    """Whitespace-split with empties dropped — THE shared split spec
+    (sidecars call this same function on the driver)."""
+    words = pc.list_flatten(
+        pc.utf8_split_whitespace(batch.column(text_col).combine_chunks())
+    )
+    return words.filter(pc.greater(pc.utf8_length(words), 0))
+
+
+def _word_counts(
+    ds: ray.data.Dataset,
+    text_col: str,
+    min_word_count: int,
+    n_buckets: int,
+) -> ray.data.Dataset:
+    def partial(batch: pa.Table) -> pa.Table:
+        words = _split_words(batch, text_col)
+        t = pa.table({"word": words})
+        agg = t.group_by(["word"]).aggregate([("word", "count")])
+        return pa.table(
+            {
+                "word": agg.column("word"),
+                "n": agg.column("word_count").cast(pa.int64()),
+            }
+        )
+
+    counts = bucketed_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "word",
+        [("n", "sum")],
+        n_buckets,
+    )
+
+    def close(batch: pa.Table) -> pa.Table:
+        t = pa.table({"word": batch.column("word"), "n": batch.column("sum(n)")})
+        if min_word_count > 1:
+            t = t.filter(
+                pc.greater_equal(t.column("n"), pa.scalar(min_word_count, pa.int64()))
+            )
+        return t
+
+    return counts.map_batches(close, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _char_vocab(words: ray.data.Dataset) -> list[str]:
+    """Distinct characters across all words, sorted — per-block distinct
+    sets are tiny, so the union is a driver no-op."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        chars: set[str] = set()
+        for w in batch.column("word").to_pylist():
+            chars.update(w)
+        return pa.table({"c": pa.array(sorted(chars), pa.string())})
+
+    seen: set[str] = set()
+    for r in words.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all():
+        seen.add(r["c"])
+    return sorted(seen)
+
+
+def _flatten(lists: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    off = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = lists.values.to_numpy(zero_copy_only=False).astype(np.int32)
+    return vals[off[0] : off[-1]], off - off[0]
+
+
+def _pair_partials(batch: pa.Table) -> pa.Table:
+    v, off = _flatten(batch.column("ids"))
+    cnt = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(v)
+    if n < 2:
+        return pa.table(
+            {
+                "l": pa.array([], pa.int32()),
+                "r": pa.array([], pa.int32()),
+                "w": pa.array([], pa.int64()),
+            }
+        )
+    lens = np.diff(off)
+    row_of = np.repeat(np.arange(len(lens)), lens)
+    same = row_of[:-1] == row_of[1:]
+    li, ri = v[:-1][same], v[1:][same]
+    wi = cnt[row_of[:-1][same]]
+    # local combine: distinct symbol pairs are vocab-bounded
+    key = li.astype(np.int64) * np.int64(1 << 31) + ri.astype(np.int64)
+    uk, inv = np.unique(key, return_inverse=True)
+    sums = np.zeros(len(uk), np.int64)
+    np.add.at(sums, inv, wi)
+    return pa.table(
+        {
+            "l": pa.array((uk // (1 << 31)).astype(np.int32), pa.int32()),
+            "r": pa.array((uk % (1 << 31)).astype(np.int32), pa.int32()),
+            "w": pa.array(sums, pa.int64()),
+        }
+    )
+
+
+def _apply_merge(l_id: int, r_id: int, new_id: int):
+    def apply(batch: pa.Table) -> pa.Table:
+        v, off = _flatten(batch.column("ids"))
+        n = len(v)
+        if n >= 2:
+            lens = np.diff(off)
+            row_of = np.repeat(np.arange(len(lens)), lens)
+            cand = np.zeros(n, dtype=bool)
+            cand[:-1] = (
+                (v[:-1] == l_id) & (v[1:] == r_id) & (row_of[:-1] == row_of[1:])
+            )
+            if cand.any():
+                # greedy left-to-right: inside each run of consecutive
+                # candidates (only possible when l_id == r_id), keep
+                # even offsets from the run start
+                starts = cand & ~np.concatenate([[False], cand[:-1]])
+                run_start_idx = np.flatnonzero(starts)
+                run_no = np.cumsum(starts) - 1
+                pos = np.arange(n)
+                kept = cand & (((pos - run_start_idx[run_no]) % 2) == 0)
+                new_v = v.copy()
+                new_v[kept] = new_id
+                drop = np.zeros(n, dtype=bool)
+                drop[1:] = kept[:-1]
+                keep_mask = ~drop
+                removed_per_row = np.zeros(len(lens), np.int64)
+                np.add.at(removed_per_row, row_of[kept], 1)
+                new_lens = lens - removed_per_row
+                new_off = np.concatenate([[0], np.cumsum(new_lens)])
+                lists = pa.ListArray.from_arrays(
+                    pa.array(new_off, pa.int32()),
+                    pa.array(new_v[keep_mask], pa.int32()),
+                )
+                return pa.table({"ids": lists, "n": batch.column("n")})
+        return batch
+
+    return apply
+
+
+def bpe_train(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    n_merges: int = 30,
+    min_count: int = 2,
+    min_word_count: int = 1,
+    n_buckets: int = 64,
+) -> pa.Table:
+    """Learn ``n_merges`` BPE merges; returns the merge table
+    ``(rank, left, right, pair_count)`` (driver-small by construction).
+    Stops early when the best pair's count drops below ``min_count``."""
+    words = _word_counts(ds, text_col, min_word_count, n_buckets)
+    symtab = _char_vocab(words) + [END_WORD]
+    sym_id = {s: i for i, s in enumerate(symtab)}
+    end_id = sym_id[END_WORD]
+
+    def encode(batch: pa.Table) -> pa.Table:
+        offs = [0]
+        vals: list[int] = []
+        for w in batch.column("word").to_pylist():
+            vals.extend(sym_id[c] for c in w)
+            vals.append(end_id)
+            offs.append(len(vals))
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(vals, pa.int32())
+        )
+        return pa.table({"ids": lists, "n": batch.column("n")})
+
+    table = words.map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    ranks: list[int] = []
+    lefts: list[str] = []
+    rights: list[str] = []
+    counts: list[int] = []
+    for rank in range(n_merges):
+        pairs = bucketed_group_reduce(
+            table.map_batches(
+                _pair_partials, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["l", "r"],
+            [("w", "sum")],
+            n_buckets,
+        ).take_all()
+        if not pairs:
+            break
+        best = min(
+            pairs,
+            key=lambda p: (
+                -p["sum(w)"],
+                symtab[p["l"]],
+                symtab[p["r"]],
+                p["l"],
+                p["r"],
+            ),
+        )
+        if best["sum(w)"] < min_count:
+            break
+        l_id, r_id = best["l"], best["r"]
+        new_id = len(symtab)
+        symtab.append(symtab[l_id] + symtab[r_id])
+        ranks.append(rank)
+        lefts.append(symtab[l_id])
+        rights.append(symtab[r_id])
+        counts.append(best["sum(w)"])
+        table = table.map_batches(
+            _apply_merge(l_id, r_id, new_id),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+
+    return pa.table(
+        {
+            "rank": pa.array(ranks, pa.int64()),
+            "left": pa.array(lefts, pa.string()),
+            "right": pa.array(rights, pa.string()),
+            "pair_count": pa.array(counts, pa.int64()),
+        }
+    )

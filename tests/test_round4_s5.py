@@ -88,3 +88,48 @@ def test_fuzzy_self_pairs_max_group_cap(ray_session):
         ).take_all()
     )
     assert got == [(100, 101, 1)]  # boilerplate segment skipped, rare kept
+
+
+# ------------------------------------------------------------------ BPE
+
+
+def test_bpe_train_bitwise_vs_sidecar(ray_session):
+    from hyperpolyglot_ray.sources.doc_oracle import _expected_bpe_merges
+    from hyperpolyglot_ray.stages.bpe import bpe_train
+
+    rng = np.random.RandomState(3)
+    vocab = ["lo", "low", "lower", "newest", "wide", "widest", "er", "est"]
+    texts = [
+        " ".join(vocab[rng.randint(0, len(vocab))] for _ in range(20))
+        for _ in range(40)
+    ]
+    exp = _expected_bpe_merges(texts, n_merges=20).to_pylist()
+    ds = ray.data.from_items([{"text": t} for t in texts]).repartition(6)
+    got = bpe_train(ds, "text", n_merges=20).to_pylist()
+    assert got == exp
+    assert len(got) > 5  # the loop actually learned merges
+
+
+def test_bpe_greedy_overlap_runs(ray_session):
+    """'aaaa' with merge (a,a) must apply greedily left-to-right:
+    aaaa</w> -> (aa)(aa)</w>, never overlapping."""
+    from hyperpolyglot_ray.sources.doc_oracle import _expected_bpe_merges
+    from hyperpolyglot_ray.stages.bpe import bpe_train
+
+    texts = ["aaaa aaaa aaaa", "aaa aaa", "aa"] * 4
+    exp = _expected_bpe_merges(texts, n_merges=6).to_pylist()
+    ds = ray.data.from_items([{"text": t} for t in texts]).repartition(3)
+    got = bpe_train(ds, "text", n_merges=6).to_pylist()
+    assert got == exp
+    assert got[0]["left"] == "a" and got[0]["right"] == "a"
+
+
+def test_bpe_early_stop_min_count(ray_session):
+    from hyperpolyglot_ray.stages.bpe import bpe_train
+
+    # every word unique, count 1 -> best pair count 1 < min_count 2
+    ds = ray.data.from_items([{"text": "ab cd ef"}])
+    got = bpe_train(ds, "text", n_merges=10, min_count=2).to_pylist()
+    assert got == []
+    got1 = bpe_train(ds, "text", n_merges=3, min_count=1).to_pylist()
+    assert len(got1) == 3
