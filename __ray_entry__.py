@@ -2586,6 +2586,30 @@ def _q_doc_bpe_merges(sf_dir: str):
     return bpe_train(docs, "text", n_merges=30)
 
 
+def _q_part_skyline(sf_dir: str):
+    """Pareto front over parts: cheapest-for-their-size (minimize
+    p_retailprice, maximize p_size). Local skyline per block, one tiny
+    merge task over the union of local skylines."""
+    from hyperpolyglot_ray.stages.skyline import skyline
+
+    part = _read_parquet_clean(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_retailprice", "p_size"],
+    )
+    return skyline(part, ["p_retailprice", "p_size"], ["min", "max"])
+
+
+def _q_doc_chunks(sf_dir: str):
+    """RAG chunking: overlapping 400-char windows every 300 chars per
+    document (codepoint semantics = SQL substr). Map-only explode."""
+    from hyperpolyglot_ray.stages.chunking import chunk_text_overlap
+
+    docs = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return chunk_text_overlap(docs, "text", "doc_id", size=400, stride=300)
+
+
 def _q_orders_pareto(sf_dir: str):
     """Revenue-concentration (Pareto) report: top-100 customers by exact
     lifetime cents with cumulative revenue share. Per-customer reduce ->
@@ -2690,6 +2714,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles_refine": _q_events_value_quantiles_refine,
         "customer_fuzzy_pairs": _q_customer_fuzzy_pairs,
         "doc_bpe_merges": _q_doc_bpe_merges,
+        "part_skyline": _q_part_skyline,
+        "doc_chunks": _q_doc_chunks,
         "orders_custdist": _q_orders_custdist,
         "tpch_q3_topk": _q_tpch_q3_topk,
         "events_ntile": _q_events_ntile,
@@ -2984,6 +3010,25 @@ SELECT module, n_imports FROM (
             f"SELECT doc_id, n_fingerprints, fp_digest "
             f"FROM read_parquet('{side}/doc_winnow.parquet')"
         ),
+        # mirrors stages/skyline.py:skyline — the standard NOT EXISTS
+        # dominance spec; duplicates of an undominated vector all stay
+        "part_skyline": """
+SELECT p_partkey, p_retailprice, p_size FROM part t
+WHERE NOT EXISTS (
+  SELECT 1 FROM part u
+  WHERE u.p_retailprice <= t.p_retailprice AND u.p_size >= t.p_size
+    AND (u.p_retailprice < t.p_retailprice OR u.p_size > t.p_size))""",
+        # mirrors stages/chunking.py:chunk_text_overlap — starts at
+        # 0, 300, ... while start==0 or start<length; empty text gives
+        # one empty chunk; substr/length are codepoint-based both sides
+        "doc_chunks": """
+WITH gs AS (SELECT g FROM generate_series(0, 999900, 300) AS t(g))
+SELECT d.doc_id,
+       CAST(gs.g // 300 AS BIGINT) AS chunk_id,
+       CAST(gs.g AS BIGINT) AS start,
+       substr(coalesce(d.text, ''), CAST(gs.g AS BIGINT) + 1, 400) AS chunk
+FROM documents d
+JOIN gs ON gs.g = 0 OR gs.g < length(coalesce(d.text, ''))""",
         "doc_bpe_merges": (
             f"SELECT rank, \"left\", \"right\", pair_count "
             f"FROM read_parquet('{side}/doc_bpe_merges.parquet')"

@@ -1,0 +1,94 @@
+"""Overlapping text chunking — the RAG / context-window prep step.
+
+Splits each document into fixed-size character windows advancing by
+``stride`` (< ``size`` gives overlap), the standard retrieval-corpus
+chunking. Map-only: no shuffle, streams at corpus scale; the output is
+the exploded (id, chunk_id, start, chunk) table a downstream embedding
+stage consumes batch-by-batch.
+
+Chunk starts are ``0, stride, 2*stride, ...`` while ``start == 0`` or
+``start < len(text)`` — an empty (or null) text yields exactly one
+empty chunk, and the last chunk may be shorter than ``size``. Offsets
+and lengths are CODEPOINT-based (Arrow ``utf8_*`` kernels), matching
+SQL ``substr``/``length`` semantics, so the operator is plain-SQL
+oracled (``generate_series`` + ``substr``).
+
+Vectorization: one ``utf8_slice_codeunits`` call per chunk ordinal k
+over the (shrinking) set of rows that still have a k-th chunk — the
+loop runs max-chunks-per-block times, not rows times.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def chunk_text_overlap(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 400,
+    stride: int = 300,
+) -> ray.data.Dataset:
+    """Explode each row into overlapping character chunks:
+    ``(id, chunk_id, start, chunk)``. Null text counts as empty."""
+    if size < 1 or stride < 1:
+        raise ValueError("size and stride must be >= 1")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+        ids = batch.column(id_col)
+        lens = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_chunks = (np.maximum(lens, 1) - 1) // stride + 1
+        id_type = batch.schema.field(id_col).type
+        out_id: list[pa.Array] = []
+        out_k: list[np.ndarray] = []
+        out_start: list[np.ndarray] = []
+        out_chunk: list[pa.Array] = []
+        k = 0
+        idx = np.arange(len(lens))
+        while True:
+            alive = idx[n_chunks[idx] > k]
+            if len(alive) == 0:
+                break
+            sel = pa.array(alive, pa.int64())
+            out_id.append(ids.take(sel).combine_chunks())
+            out_k.append(np.full(len(alive), k, np.int64))
+            out_start.append(np.full(len(alive), k * stride, np.int64))
+            out_chunk.append(
+                pc.utf8_slice_codeunits(
+                    text.take(sel), k * stride, k * stride + size
+                )
+            )
+            idx = alive
+            k += 1
+        if not out_id:
+            return pa.table(
+                {
+                    id_col: pa.array([], id_type),
+                    "chunk_id": pa.array([], pa.int64()),
+                    "start": pa.array([], pa.int64()),
+                    "chunk": pa.array([], pa.string()),
+                }
+            )
+        return pa.table(
+            {
+                id_col: pa.concat_arrays(
+                    a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                    for a in out_id
+                ),
+                "chunk_id": pa.array(np.concatenate(out_k), pa.int64()),
+                "start": pa.array(np.concatenate(out_start), pa.int64()),
+                "chunk": pa.concat_arrays(
+                    c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                    for c in out_chunk
+                ),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -1,0 +1,116 @@
+"""Distributed skyline (Pareto front) — Börzsönyi et al. 2001 (ICDE),
+the public "skyline operator" spec.
+
+Rows not dominated by any other row on the given dimensions, where
+``directions[i]`` is ``"min"`` or ``"max"`` per dimension. Dominance is
+the standard one: ``x`` dominates ``y`` iff ``x`` is as good on every
+dimension and strictly better on at least one. Duplicate key vectors
+never dominate each other, so ALL rows carrying an undominated key
+vector are kept (matching the SQL ``NOT EXISTS`` spec).
+
+Topology — the textbook distributed skyline:
+
+1. **Local skyline per block** (map-only): each block's dominated rows
+   are discarded in-task. The local pass is exact and monotone —
+   a block's skyline is a superset of its contribution to the global
+   one, so nothing global is lost.
+2. **Merge**: the union of local skylines (skylines over real-valued
+   data are tiny relative to input — O(log^d n) expected for
+   independent dims) is coalesced to one task and the same kernel runs
+   once more. Adversarial anticorrelated data can make the union large;
+   the merge stays correct, just not parallel — documented trade-off.
+
+Kernel: dimensions are normalized to all-minimize (max dims negated),
+rows lexicographically sorted, then a single forward scan — in sorted
+order no later row can dominate an earlier kept row, so the skyline
+set only grows. 2D runs fully vectorized (group-min + strict prefix-min
+scan); higher dimensions check each row against the kept set with one
+vectorized comparison per row. Nulls/NaNs in skyline dimensions raise
+(dominance is undefined on them; filter upstream).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def _key_matrix(batch: pa.Table, cols: list[str], directions: list[str]) -> np.ndarray:
+    m = np.empty((batch.num_rows, len(cols)), dtype=np.float64)
+    for j, (c, d) in enumerate(zip(cols, directions)):
+        col = batch.column(c)
+        if col.null_count:
+            raise ValueError(f"skyline: nulls in dimension {c!r}")
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        if np.isnan(v).any():
+            raise ValueError(f"skyline: NaNs in dimension {c!r}")
+        m[:, j] = v if d == "min" else -v
+    return m
+
+
+def _skyline_mask(m: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask for the all-minimize key matrix ``m``."""
+    n, d = m.shape
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort(tuple(m[:, j] for j in range(d - 1, -1, -1)))
+    s = m[order]
+    keep_sorted = np.zeros(n, dtype=bool)
+    if d == 1:
+        keep_sorted[:] = s[:, 0] == s[0, 0]
+    elif d == 2:
+        a, b = s[:, 0], s[:, 1]
+        new_a = np.concatenate([[True], a[1:] != a[:-1]])
+        grp = np.cumsum(new_a) - 1
+        # per-a-group minimum b = b at the group's first sorted row
+        gmin = b[new_a]
+        # strict prefix-min of PREVIOUS groups' minima
+        prev = np.concatenate([[np.inf], np.minimum.accumulate(gmin)[:-1]])
+        group_keep = gmin < prev
+        # keep every duplicate of the group's min b in kept groups
+        keep_sorted = group_keep[grp] & (b == gmin[grp])
+    else:
+        sky = np.empty((0, d), dtype=np.float64)
+        for i in range(n):
+            r = s[i]
+            if sky.shape[0]:
+                dom = (sky <= r).all(axis=1) & (sky < r).any(axis=1)
+                if dom.any():
+                    continue
+            # in lexicographic order no later row dominates an earlier
+            # kept one, so the set only grows; dedupe identical keys out
+            # of the comparison set (they are kept but add no pruning)
+            if not (sky.shape[0] and (sky == r).all(axis=1).any()):
+                sky = np.vstack([sky, r])
+            keep_sorted[i] = True
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def skyline(
+    ds: ray.data.Dataset,
+    cols: list[str],
+    directions: list[str],
+) -> ray.data.Dataset:
+    """Rows of ``ds`` whose ``cols`` vector is Pareto-undominated under
+    ``directions`` (each ``"min"`` | ``"max"``). Full rows pass through."""
+    if len(cols) != len(directions) or not cols:
+        raise ValueError("cols and directions must be same nonzero length")
+    for d in directions:
+        if d not in ("min", "max"):
+            raise ValueError(f"direction must be min|max, got {d!r}")
+
+    def local(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        return batch.filter(
+            pa.array(_skyline_mask(_key_matrix(batch, cols, directions)))
+        )
+
+    locals_ds = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+    # merge: local skylines are small; one task finishes the job
+    return locals_ds.repartition(1).map_batches(
+        local, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )

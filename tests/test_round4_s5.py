@@ -133,3 +133,128 @@ def test_bpe_early_stop_min_count(ray_session):
     assert got == []
     got1 = bpe_train(ds, "text", n_merges=3, min_count=1).to_pylist()
     assert len(got1) == 3
+
+
+# -------------------------------------------------------------- skyline
+
+
+def _brute_skyline(rows, dirs):
+    def norm(r):
+        return tuple(v if d == "min" else -v for v, d in zip(r, dirs))
+
+    keys = [norm(r) for r in rows]
+    keep = []
+    for i, ki in enumerate(keys):
+        dominated = any(
+            all(a <= b for a, b in zip(kj, ki))
+            and any(a < b for a, b in zip(kj, ki))
+            for j, kj in enumerate(keys)
+            if j != i
+        )
+        keep.append(not dominated)
+    return keep
+
+
+@pytest.mark.parametrize("d,dirs", [(1, ["min"]), (2, ["min", "max"]), (3, ["min", "max", "min"])])
+def test_skyline_vs_bruteforce(ray_session, d, dirs):
+    from hyperpolyglot_ray.stages.skyline import skyline
+
+    rng = np.random.RandomState(17 + d)
+    vals = rng.randint(0, 12, size=(80, d)).astype(float)  # many key ties
+    rows = [
+        {"id": i, **{f"c{j}": float(vals[i, j]) for j in range(d)}}
+        for i in range(80)
+    ]
+    keep = _brute_skyline([tuple(vals[i]) for i in range(80)], dirs)
+    exp = sorted(r["id"] for r, k in zip(rows, keep) if k)
+    ds = ray.data.from_items(rows).repartition(7)
+    got = sorted(
+        r["id"]
+        for r in skyline(ds, [f"c{j}" for j in range(d)], dirs).take_all()
+    )
+    assert got == exp
+
+
+def test_skyline_duplicates_kept_and_nan_raises(ray_session):
+    from hyperpolyglot_ray.stages.skyline import skyline
+
+    rows = [
+        {"id": 1, "a": 1.0, "b": 9.0},
+        {"id": 2, "a": 1.0, "b": 9.0},  # duplicate of the optimum
+        {"id": 3, "a": 1.0, "b": 5.0},  # dominated (same a, worse b)
+        {"id": 4, "a": 0.5, "b": 1.0},  # pareto: cheaper, lower b
+    ]
+    ds = ray.data.from_items(rows)
+    got = sorted(r["id"] for r in skyline(ds, ["a", "b"], ["min", "max"]).take_all())
+    assert got == [1, 2, 4]
+
+    bad = ray.data.from_items([{"a": float("nan"), "b": 1.0}])
+    with pytest.raises(Exception, match="NaN"):
+        skyline(bad, ["a", "b"], ["min", "max"]).take_all()
+
+
+# ------------------------------------------------------------- chunking
+
+
+def test_chunk_text_overlap_spec(ray_session):
+    from hyperpolyglot_ray.stages.chunking import chunk_text_overlap
+
+    rows = [
+        {"doc_id": 1, "text": "abcdefghij"},  # len 10
+        {"doc_id": 2, "text": ""},            # one empty chunk
+        {"doc_id": 3, "text": None},          # null = empty
+        {"doc_id": 4, "text": "abcdef"},      # len == 2*stride exactly
+        {"doc_id": 5, "text": "héllo wörld"}, # codepoints, not bytes
+    ]
+    ds = ray.data.from_items(rows).repartition(2)
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["start"], r["chunk"])
+        for r in chunk_text_overlap(ds, size=4, stride=3).take_all()
+    )
+    assert got == [
+        (1, 0, 0, "abcd"),
+        (1, 1, 3, "defg"),
+        (1, 2, 6, "ghij"),
+        (1, 3, 9, "j"),
+        (2, 0, 0, ""),
+        (3, 0, 0, ""),
+        (4, 0, 0, "abcd"),
+        (4, 1, 3, "def"),
+        (5, 0, 0, "héll"),
+        (5, 1, 3, "lo w"),
+        (5, 2, 6, "wörl"),
+        (5, 3, 9, "ld"),
+    ]
+
+
+def test_chunk_text_overlap_matches_duckdb(ray_session):
+    import duckdb
+
+    from hyperpolyglot_ray.stages.chunking import chunk_text_overlap
+
+    rng = np.random.RandomState(5)
+    rows = [
+        {
+            "doc_id": i,
+            "text": "".join(
+                "abçdé fgh "[rng.randint(0, 10)] for _ in range(rng.randint(0, 50))
+            ),
+        }
+        for i in range(60)
+    ]
+    ds = ray.data.from_items(rows).repartition(4)
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["start"], r["chunk"])
+        for r in chunk_text_overlap(ds, size=12, stride=7).take_all()
+    )
+    con = duckdb.connect()
+    con.register("docs", __import__("pandas").DataFrame(rows))
+    exp = con.execute(
+        """
+WITH gs AS (SELECT g FROM generate_series(0, 999999, 7) AS t(g))
+SELECT d.doc_id, CAST(gs.g // 7 AS BIGINT), CAST(gs.g AS BIGINT),
+       substr(coalesce(d.text,''), CAST(gs.g AS BIGINT) + 1, 12)
+FROM docs d JOIN gs ON gs.g = 0 OR gs.g < length(coalesce(d.text, ''))
+ORDER BY 1, 2"""
+    ).fetchall()
+    assert got == [tuple(r) for r in exp]
