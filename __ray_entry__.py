@@ -2610,6 +2610,35 @@ def _q_doc_chunks(sf_dir: str):
     return chunk_text_overlap(docs, "text", "doc_id", size=400, stride=300)
 
 
+def _q_emb_cross_contaminated(sf_dir: str):
+    """Embedding-space contamination: even-id corpus vectors with a
+    cosine >= 0.35 match against any odd-id reference vector, plus the
+    exact match count. Reference matrix broadcast once; map-only over
+    the corpus side."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hyperpolyglot_ray.stages.similarity import embedding_cross_contaminated
+
+    emb = _read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def _parity(p):
+        def fn(batch):
+            m = pc.equal(
+                pc.bit_wise_and(batch.column("vec_id"), pa.scalar(1, pa.int64())),
+                pa.scalar(p, pa.int64()),
+            )
+            return batch.filter(m)
+
+        return fn
+
+    corpus = emb.map_batches(_parity(0), batch_format="pyarrow", zero_copy_batch=True)
+    reference = emb.map_batches(_parity(1), batch_format="pyarrow", zero_copy_batch=True)
+    return embedding_cross_contaminated(corpus, reference, threshold=0.35)
+
+
 def _q_orders_pareto(sf_dir: str):
     """Revenue-concentration (Pareto) report: top-100 customers by exact
     lifetime cents with cumulative revenue share. Per-customer reduce ->
@@ -2716,6 +2745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_merges": _q_doc_bpe_merges,
         "part_skyline": _q_part_skyline,
         "doc_chunks": _q_doc_chunks,
+        "emb_cross_contaminated": _q_emb_cross_contaminated,
         "orders_custdist": _q_orders_custdist,
         "tpch_q3_topk": _q_tpch_q3_topk,
         "events_ntile": _q_events_ntile,
@@ -3029,6 +3059,14 @@ SELECT d.doc_id,
        substr(coalesce(d.text, ''), CAST(gs.g AS BIGINT) + 1, 400) AS chunk
 FROM documents d
 JOIN gs ON gs.g = 0 OR gs.g < length(coalesce(d.text, ''))""",
+        # mirrors similarity.py:embedding_cross_contaminated (exact
+        # broadcast path; both sides compute cosine in float64)
+        "emb_cross_contaminated": """
+SELECT e.vec_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM embeddings e JOIN embeddings r
+  ON list_cosine_similarity(e.embedding, r.embedding) >= 0.35
+WHERE e.vec_id % 2 = 0 AND r.vec_id % 2 = 1
+GROUP BY 1""",
         "doc_bpe_merges": (
             f"SELECT rank, \"left\", \"right\", pair_count "
             f"FROM read_parquet('{side}/doc_bpe_merges.parquet')"

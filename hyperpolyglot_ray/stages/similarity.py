@@ -397,6 +397,141 @@ def embedding_near_dup_ivf(
     return assigned.groupby("cluster").map_groups(group_keep, batch_format="pyarrow")
 
 
+def embedding_cross_contaminated(
+    corpus: ray.data.Dataset,
+    reference: ray.data.Dataset,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_exact_ref_rows: int = EXACT_NEAR_DUP_MAX_ROWS,
+    ivf_clusters: int = 16,
+) -> ray.data.Dataset:
+    """Embedding-space contamination screen: corpus rows whose cosine to
+    ANY reference vector is >= ``threshold``, with the exact match count
+    — ``(id, n_matches)``. The semantic complement to
+    ``curation.decontaminate`` (exact n-grams) and
+    ``winnow_cross_matches`` (positional fingerprints): paraphrased
+    benchmark leaks that share no surface text still collide in
+    embedding space.
+
+    Reference sets (benchmarks/eval suites) are the SMALL side: up to
+    ``max_exact_ref_rows`` the (id, vector) reference matrix is gathered
+    once, normalized, broadcast via ``ray.put``, and every corpus block
+    resolves itself with a reference-TILED matmul (map-only over the
+    corpus — the 100 TB side streams, nothing corpus-scale moves).
+    Beyond that the call routes to the IVF path: k-means cells trained
+    on the reference, both sides assigned, cross checks only within a
+    cell (same approximation contract as ``embedding_near_dup_ivf``)."""
+    ref_proj = reference.select_columns([id_col, emb_col]).materialize()
+    if ref_proj.count() > max_exact_ref_rows:
+        return _embedding_cross_contaminated_ivf(
+            corpus, ref_proj, threshold, id_col, emb_col, ivf_clusters
+        )
+
+    mats, cnt = [], 0
+    for t_ref in ref_proj.to_arrow_refs():
+        t = ray.get(t_ref)
+        if t.num_rows:
+            mats.append(_to_matrix(t, emb_col))
+            cnt += t.num_rows
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "n_matches": pa.array([], pa.int64()),
+        }
+    )
+    if not mats:
+        return ray.data.from_arrow(empty)
+    ref = ray.put(_normalize(np.concatenate(mats)))
+
+    TILE = 65_536
+
+    def block_match(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        refm = ray.get(ref)
+        emb = _normalize(_to_matrix(batch, emb_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.zeros(len(ids), dtype=np.int64)
+        for s in range(0, refm.shape[0], TILE):
+            sims = emb @ refm[s : s + TILE].T
+            n += (sims >= threshold).sum(axis=1)
+        hit = n > 0
+        return pa.table(
+            {
+                id_col: pa.array(ids[hit], pa.int64()),
+                "n_matches": pa.array(n[hit], pa.int64()),
+            }
+        )
+
+    return corpus.select_columns([id_col, emb_col]).map_batches(
+        block_match, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _embedding_cross_contaminated_ivf(
+    corpus: ray.data.Dataset,
+    ref_proj: ray.data.Dataset,
+    threshold: float,
+    id_col: str,
+    emb_col: str,
+    n_clusters: int,
+) -> ray.data.Dataset:
+    """Scale path: cells trained on the reference, both sides assigned,
+    per-cell cross matmul; a corpus row's matches are summed across the
+    (single) cell it lands in — near-threshold pairs straddling a cell
+    boundary are missed, the documented IVF approximation."""
+    centroids = deterministic_kmeans(
+        ref_proj, n_clusters=n_clusters, id_col=id_col, emb_col=emb_col,
+        normalize=True,
+    )
+    corp = ivf_assign(
+        corpus.select_columns([id_col, emb_col]), centroids,
+        emb_col=emb_col, normalize=True,
+    )
+    refs = ivf_assign(ref_proj, centroids, emb_col=emb_col, normalize=True)
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "side", pa.array(np.full(batch.num_rows, side, np.int64))
+            )
+
+        return fn
+
+    both = corp.map_batches(
+        tag(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(refs.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True))
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "n_matches": pa.array([], pa.int64()),
+        }
+    )
+
+    def group_match(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        emb = _normalize(_to_matrix(group, emb_col))
+        ids = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        c_mask, r_mask = side == 0, side == 1
+        if not c_mask.any() or not r_mask.any():
+            return empty
+        sims = emb[c_mask] @ emb[r_mask].T
+        n = (sims >= threshold).sum(axis=1).astype(np.int64)
+        hit = n > 0
+        return pa.table(
+            {
+                id_col: pa.array(ids[c_mask][hit], pa.int64()),
+                "n_matches": pa.array(n[hit], pa.int64()),
+            }
+        )
+
+    return both.groupby("cluster").map_groups(group_match, batch_format="pyarrow")
+
+
 def quantize_embeddings(
     ds: ray.data.Dataset,
     emb_col: str = "embedding",

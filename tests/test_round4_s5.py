@@ -258,3 +258,80 @@ FROM docs d JOIN gs ON gs.g = 0 OR gs.g < length(coalesce(d.text, ''))
 ORDER BY 1, 2"""
     ).fetchall()
     assert got == [tuple(r) for r in exp]
+
+
+# ----------------------------------------------- embedding contamination
+
+
+def test_embedding_cross_contaminated_vs_bruteforce(ray_session):
+    from hyperpolyglot_ray.stages.similarity import embedding_cross_contaminated
+
+    rng = np.random.RandomState(9)
+    dim = 16
+    ref = rng.randn(20, dim)
+    corpus = np.vstack([
+        ref[3] * 2.0,               # scaled copy -> cos 1.0
+        ref[7] + rng.randn(dim) * 0.01,  # near copy
+        rng.randn(30, dim),
+    ])
+    thr = 0.8
+
+    def norm(m):
+        return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    exp_counts = (norm(corpus) @ norm(ref).T >= thr).sum(axis=1)
+    exp = sorted(
+        (i, int(c)) for i, c in enumerate(exp_counts) if c > 0
+    )
+    c_ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": corpus[i].tolist()} for i in range(len(corpus))]
+    ).repartition(4)
+    r_ds = ray.data.from_items(
+        [{"vec_id": 1000 + i, "embedding": ref[i].tolist()} for i in range(len(ref))]
+    ).repartition(3)
+    got = sorted(
+        (r["vec_id"], r["n_matches"])
+        for r in embedding_cross_contaminated(c_ds, r_ds, threshold=thr).take_all()
+    )
+    assert got == exp
+    assert (0, 1) in got and any(i == 1 for i, _ in got)
+
+
+def test_embedding_cross_contaminated_ivf_route(ray_session):
+    """Force the IVF path with a tiny max_exact_ref_rows; well-separated
+    clusters make the approximation exact and equal to the broadcast
+    path."""
+    from hyperpolyglot_ray.stages.similarity import embedding_cross_contaminated
+
+    rng = np.random.RandomState(21)
+    dim = 8
+    centers = np.eye(4, dim) * 50.0
+    ref = np.vstack([centers[i % 4] + rng.randn(dim) * 0.05 for i in range(24)])
+    corpus = np.vstack([centers[i % 4] + rng.randn(dim) * 0.05 for i in range(40)])
+    c_ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": corpus[i].tolist()} for i in range(len(corpus))]
+    ).repartition(3)
+    r_ds = ray.data.from_items(
+        [{"vec_id": 500 + i, "embedding": ref[i].tolist()} for i in range(len(ref))]
+    ).repartition(2)
+    exact = sorted(
+        (r["vec_id"], r["n_matches"])
+        for r in embedding_cross_contaminated(c_ds, r_ds, threshold=0.99).take_all()
+    )
+    ivf = sorted(
+        (r["vec_id"], r["n_matches"])
+        for r in embedding_cross_contaminated(
+            c_ds, r_ds, threshold=0.99, max_exact_ref_rows=4, ivf_clusters=4
+        ).take_all()
+    )
+    assert ivf == exact and len(exact) == 40  # every corpus row matches its cell
+
+
+def test_embedding_cross_contaminated_empty_reference(ray_session):
+    from hyperpolyglot_ray.stages.similarity import embedding_cross_contaminated
+
+    c_ds = ray.data.from_items([{"vec_id": 1, "embedding": [1.0, 0.0]}])
+    r_ds = ray.data.from_items([{"vec_id": 2, "embedding": [1.0, 0.0]}]).filter(
+        lambda r: False
+    )
+    assert embedding_cross_contaminated(c_ds, r_ds).take_all() == []
