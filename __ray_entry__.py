@@ -2639,6 +2639,19 @@ def _q_emb_cross_contaminated(sf_dir: str):
     return embedding_cross_contaminated(corpus, reference, threshold=0.35)
 
 
+def _q_doc_weighted_sample(sf_dir: str):
+    """Deterministic weighted sample without replacement (A-ES): top-200
+    documents by u^(1/n_chars) with hash-derived uniforms — reproducible
+    across runs and partitionings. Per-block top-k partials + one tiny
+    merge task; bitwise vs the sequential sidecar."""
+    from hyperpolyglot_ray.stages.curation import weighted_sample_ids
+
+    docs = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return weighted_sample_ids(docs, "n_chars", "doc_id", k=200)
+
+
 def _q_orders_pareto(sf_dir: str):
     """Revenue-concentration (Pareto) report: top-100 customers by exact
     lifetime cents with cumulative revenue share. Per-customer reduce ->
@@ -2746,6 +2759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_skyline": _q_part_skyline,
         "doc_chunks": _q_doc_chunks,
         "emb_cross_contaminated": _q_emb_cross_contaminated,
+        "doc_weighted_sample": _q_doc_weighted_sample,
         "orders_custdist": _q_orders_custdist,
         "tpch_q3_topk": _q_tpch_q3_topk,
         "events_ntile": _q_events_ntile,
@@ -3067,6 +3081,10 @@ FROM embeddings e JOIN embeddings r
   ON list_cosine_similarity(e.embedding, r.embedding) >= 0.35
 WHERE e.vec_id % 2 = 0 AND r.vec_id % 2 = 1
 GROUP BY 1""",
+        "doc_weighted_sample": (
+            f"SELECT rank, doc_id, n_chars "
+            f"FROM read_parquet('{side}/doc_weighted_sample.parquet')"
+        ),
         "doc_bpe_merges": (
             f"SELECT rank, \"left\", \"right\", pair_count "
             f"FROM read_parquet('{side}/doc_bpe_merges.parquet')"

@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r4m"  # r4m: + BPE merge-table sidecar
+ORACLE_VERSION = "r4n"  # r4n: + weighted-sample sidecar
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -1276,6 +1276,34 @@ def _expected_bpe_merges(texts, n_merges: int = 30, min_count: int = 2) -> pa.Ta
     )
 
 
+def _expected_weighted_sample(doc_ids, weights, k: int = 200, seed: int = 0) -> pa.Table:
+    """Sequential spec of stages/curation.py:weighted_sample_ids — A-ES
+    keys u^(1/w), u = (splitmix64(id ^ seed) + 1) / 2^64, top-k by
+    (key desc, id asc), zero/null weights excluded."""
+    import numpy as np
+
+    from hyperpolyglot_ray.stages.text_ops import _mix64
+
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    w = np.asarray(
+        [float(x) if x is not None else 0.0 for x in weights], dtype=np.float64
+    )
+    m = w > 0
+    ids, w = ids[m], w[m]
+    u = (
+        _mix64(ids.astype(np.uint64) ^ np.uint64(seed)).astype(np.float64) + 1.0
+    ) / 18446744073709551616.0
+    key = u ** (1.0 / w)
+    order = np.lexsort((ids, -key))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(order)), type=pa.int64()),
+            "doc_id": pa.array(ids[order], type=pa.int64()),
+            "n_chars": pa.array(w[order], type=pa.float64()),
+        }
+    )
+
+
 def _expected_byte_entropy(texts, doc_ids) -> pa.Table:
     """Sequential spec of stages/quality_signals.py:byte_entropy —
     Counter histogram per row, each term floor((c*ln c)*2**24) as an
@@ -1552,6 +1580,13 @@ def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
         _expected_byte_entropy(texts, doc_ids), out / "doc_byte_entropy.parquet"
     )
     pq.write_table(_expected_bpe_merges(texts), out / "doc_bpe_merges.parquet")
+    n_chars = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["n_chars"]
+    ).column("n_chars").to_pylist()
+    pq.write_table(
+        _expected_weighted_sample(doc_ids, n_chars),
+        out / "doc_weighted_sample.parquet",
+    )
     pq.write_table(_expected_winnow(texts, doc_ids), out / "doc_winnow.parquet")
     pq.write_table(
         _expected_winnow_matches(texts, doc_ids), out / "doc_winnow_matches.parquet"

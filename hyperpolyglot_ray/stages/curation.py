@@ -664,6 +664,94 @@ def cap_per_group(
     )
 
 
+def weighted_sample_ids(
+    ds: ray.data.Dataset,
+    weight_col: str,
+    id_col: str = "doc_id",
+    k: int = 100,
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, IPL — the public A-ES spec): each row gets the key
+    ``u^(1/w)`` with ``u = (splitmix64(id ^ seed) + 1) / 2^64``; the
+    sample is the top-``k`` keys. Hash-derived uniforms make the draw
+    reproducible across runs, partitionings, and cluster sizes — the
+    property a resumable 100 TB curation pass needs (a re-run selects
+    the same sample, so downstream shards are stable).
+
+    Topology: map-only per-block top-k partials (argpartition, nothing
+    row-scale leaves the block) -> one tiny merge task over ``P x k``
+    partial rows. Rows with weight <= 0 or null never sample. Output:
+    ``(rank, id, weight)``, rank 0 = largest key."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from .text_ops import _mix64
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        w_raw = batch.column(weight_col)
+        ids_raw = batch.column(id_col)
+        valid = pc.and_kleene(
+            w_raw.is_valid(), pc.greater(pc.cast(w_raw, pa.float64()), 0.0)
+        )
+        b = batch.filter(pc.fill_null(valid, False))
+        empty = pa.table(
+            {
+                "id": pa.array([], pa.int64()),
+                "w": pa.array([], pa.float64()),
+                "key": pa.array([], pa.float64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = b.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        u = (
+            _mix64(ids.astype(np.uint64) ^ np.uint64(seed)).astype(np.float64)
+            + 1.0
+        ) / 18446744073709551616.0
+        key = u ** (1.0 / w)
+        if len(key) > k:
+            top = np.argpartition(key, len(key) - k)[len(key) - k :]
+        else:
+            top = np.arange(len(key))
+        return pa.table(
+            {
+                "id": pa.array(ids[top], pa.int64()),
+                "w": pa.array(w[top], pa.float64()),
+                "key": pa.array(key[top], pa.float64()),
+            }
+        )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "rank": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    weight_col: pa.array([], pa.float64()),
+                }
+            )
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
+        w = batch.column("w").to_numpy(zero_copy_only=False)
+        key = batch.column("key").to_numpy(zero_copy_only=False)
+        # deterministic total order: key desc, id asc on ties
+        order = np.lexsort((ids, -key))[:k]
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(len(order)), pa.int64()),
+                id_col: pa.array(ids[order], pa.int64()),
+                weight_col: pa.array(w[order], pa.float64()),
+            }
+        )
+
+    partials = ds.select_columns([id_col, weight_col]).map_batches(
+        block_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
 def repetition_stats(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",

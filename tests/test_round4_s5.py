@@ -335,3 +335,39 @@ def test_embedding_cross_contaminated_empty_reference(ray_session):
         lambda r: False
     )
     assert embedding_cross_contaminated(c_ds, r_ds).take_all() == []
+
+
+# ----------------------------------------------------- weighted sampling
+
+
+def test_weighted_sample_bitwise_and_partition_invariant(ray_session):
+    from hyperpolyglot_ray.sources.doc_oracle import _expected_weighted_sample
+    from hyperpolyglot_ray.stages.curation import weighted_sample_ids
+
+    rng = np.random.RandomState(2)
+    ids = list(range(300))
+    w = [float(rng.randint(1, 500)) for _ in ids] 
+    w[5] = 0.0   # zero weight never samples
+    rows = [{"doc_id": i, "n_chars": x} for i, x in zip(ids, w)]
+    exp = _expected_weighted_sample(ids, w, k=50).to_pylist()
+    for nparts in (1, 7):
+        ds = ray.data.from_items(rows).repartition(nparts)
+        got = weighted_sample_ids(ds, "n_chars", "doc_id", k=50).take_all()
+        assert [
+            (r["rank"], r["doc_id"], r["n_chars"]) for r in got
+        ] == [(r["rank"], r["doc_id"], r["n_chars"]) for r in exp]
+    assert all(r["doc_id"] != 5 for r in exp)
+
+
+def test_weighted_sample_heavy_weights_dominate(ray_session):
+    """Rows with overwhelmingly larger weights should dominate the
+    sample (statistical sanity, not exactness)."""
+    from hyperpolyglot_ray.stages.curation import weighted_sample_ids
+
+    rows = [{"doc_id": i, "n_chars": 10000.0} for i in range(20)] + [
+        {"doc_id": 100 + i, "n_chars": 0.001} for i in range(200)
+    ]
+    ds = ray.data.from_items(rows).repartition(4)
+    got = weighted_sample_ids(ds, "n_chars", "doc_id", k=20).take_all()
+    heavy = sum(1 for r in got if r["doc_id"] < 100)
+    assert heavy >= 18
