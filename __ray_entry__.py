@@ -2652,6 +2652,20 @@ def _q_doc_weighted_sample(sf_dir: str):
     return weighted_sample_ids(docs, "n_chars", "doc_id", k=200)
 
 
+def _q_lineitem_triangles(sf_dir: str):
+    """Graph analytics: exact triangle count over the part co-order
+    graph (parts are connected when some order contains both).
+    Degree-ordered orientation bounds wedge expansion on hub parts;
+    id-width rows only, one int64 result row."""
+    from hyperpolyglot_ray.stages.graph import cooccurrence_edges, triangle_count
+
+    li = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return triangle_count(edges)
+
+
 def _q_orders_pareto(sf_dir: str):
     """Revenue-concentration (Pareto) report: top-100 customers by exact
     lifetime cents with cumulative revenue share. Per-customer reduce ->
@@ -2760,6 +2774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "emb_cross_contaminated": _q_emb_cross_contaminated,
         "doc_weighted_sample": _q_doc_weighted_sample,
+        "lineitem_triangles": _q_lineitem_triangles,
         "orders_custdist": _q_orders_custdist,
         "tpch_q3_topk": _q_tpch_q3_topk,
         "events_ntile": _q_events_ntile,
@@ -3081,6 +3096,19 @@ FROM embeddings e JOIN embeddings r
   ON list_cosine_similarity(e.embedding, r.embedding) >= 0.35
 WHERE e.vec_id % 2 = 0 AND r.vec_id % 2 = 1
 GROUP BY 1""",
+        # mirrors graph.py:triangle_count over cooccurrence_edges — the
+        # id-canonical triple join counts each triangle once, equal to
+        # the degree-oriented count
+        "lineitem_triangles": """
+WITH pairs AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM pairs e1
+JOIN pairs e2 ON e2.a = e1.b
+JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b""",
         "doc_weighted_sample": (
             f"SELECT rank, doc_id, n_chars "
             f"FROM read_parquet('{side}/doc_weighted_sample.parquet')"

@@ -672,3 +672,290 @@ def pagerank(
             )
         )
     return ranks
+
+
+# -- triangle counting ------------------------------------------------------
+
+
+def cooccurrence_edges(
+    ds: ray.data.Dataset,
+    group_col: str,
+    item_col: str,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Distinct undirected co-occurrence edges ``(a, b)`` with
+    ``a < b``: items sharing a group are connected (the basket/order ->
+    item graph projection). One bucketed shuffle of slim (group, item)
+    rows, vectorized in-bucket per-group pair expansion over DISTINCT
+    group items, then a distinct (a, b) reduce. Same receipt-scale
+    precondition as ``aggregates.cooccurrence_pairs``: pairs grow
+    quadratically per group."""
+    from .shuffle import bucket_column, bucketed_group_reduce
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_col, item_col])
+        if t.column(group_col).null_count or t.column(item_col).null_count:
+            raise ValueError("cooccurrence_edges: null group/item values")
+        return t.append_column(
+            "__bucket", bucket_column(t, [group_col], n_buckets)
+        )
+
+    empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+    )
+
+    def expand(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        g = group.column(group_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        it = group.column(item_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        pairs = np.unique(np.stack([g, it], axis=1), axis=0)
+        g, it = pairs[:, 0], pairs[:, 1]
+        n = len(g)
+        new_seg = np.concatenate([[True], g[1:] != g[:-1]])
+        starts = np.flatnonzero(new_seg)
+        seg_id = np.cumsum(new_seg) - 1
+        seg_len = np.diff(np.concatenate([starts, [n]]))
+        seg_end = starts[seg_id] + seg_len[seg_id]
+        counts = seg_end - np.arange(n) - 1
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        first_idx = np.repeat(np.arange(n), counts)
+        off = np.concatenate([[0], np.cumsum(counts)])
+        run_pos = np.arange(total) - np.repeat(off[:-1], counts)
+        second_idx = first_idx + 1 + run_pos
+        # items are sorted within a group (np.unique), so a < b holds
+        tb = np.unique(
+            np.stack([it[first_idx], it[second_idx]], axis=1), axis=0
+        )
+        return pa.table(
+            {
+                "a": pa.array(tb[:, 0], pa.int64()),
+                "b": pa.array(tb[:, 1], pa.int64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(expand, batch_format="pyarrow")
+    )
+    distinct = bucketed_group_reduce(pairs, ["a", "b"], [], n_buckets)
+    return distinct
+
+
+def triangle_count(
+    edges: ray.data.Dataset,
+    a_col: str = "a",
+    b_col: str = "b",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Exact global triangle count over an undirected edge set — the
+    degree-ordered orientation algorithm (Schank & Wagner 2005 /
+    Suri & Vassilvitskii 2011 MapReduce variant, public literature):
+
+    1. canonicalize + dedupe edges (self-loops dropped);
+    2. one degree pass (slim endpoint explode -> bucketed count);
+    3. orient every edge from its lower-(degree, id) endpoint to the
+       higher one — out-degrees are then O(sqrt(m)), which bounds the
+       wedge expansion even on hub vertices (the skew mitigation);
+    4. wedges: group oriented edges by source, expand ordered pairs of
+       out-neighbors (vectorized), pre-count per (x, y) in-task;
+    5. close: co-partition wedges with oriented edges by (x, y) hash;
+       a wedge whose (x, y) is itself an oriented edge is a triangle
+       (each triangle counted exactly once, from its unique
+       two-out-edge apex). Per-bucket partial sums -> one int64 row
+       ``n_triangles``.
+
+    Everything that moves is id-width rows; nothing edge- or
+    wedge-scale touches the driver."""
+    from .joins import hash_join
+    from .shuffle import bucket_column, bucketed_group_reduce
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col)
+        b = batch.column(b_col)
+        if a.null_count or b.null_count:
+            raise ValueError("triangle_count: null endpoints")
+        av = a.to_numpy(zero_copy_only=False).astype(np.int64)
+        bv = b.to_numpy(zero_copy_only=False).astype(np.int64)
+        m = av != bv
+        av, bv = av[m], bv[m]
+        if len(av) and (
+            min(av.min(), bv.min()) < 0 or max(av.max(), bv.max()) >= (1 << 32)
+        ):
+            # wedge keys pack two ids into one int64
+            raise ValueError("triangle_count: node ids must be in [0, 2^32)")
+        lo = np.minimum(av, bv)
+        hi = np.maximum(av, bv)
+        return pa.table(
+            {"lo": pa.array(lo, pa.int64()), "hi": pa.array(hi, pa.int64())}
+        )
+
+    dedup = bucketed_group_reduce(
+        edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True),
+        ["lo", "hi"],
+        [],
+        n_buckets,
+    ).materialize()
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        lo = batch.column("lo").to_numpy(zero_copy_only=False)
+        hi = batch.column("hi").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([lo, hi]), pa.int64())})
+
+    degrees = bucketed_group_reduce(
+        dedup.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True),
+        "node",
+        [("node", "count")],
+        n_buckets,
+    ).map_batches(
+        lambda t: pa.table(
+            {"node": t.column("node"), "deg": t.column("count(node)")}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    with_lo = hash_join(dedup, degrees, left_on="lo", right_on="node").map_batches(
+        lambda t: pa.table(
+            {
+                "lo": t.column("lo"),
+                "hi": t.column("hi"),
+                "deg_lo": t.column("deg"),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    both = hash_join(with_lo, degrees, left_on="hi", right_on="node")
+
+    def orient(batch: pa.Table) -> pa.Table:
+        lo = batch.column("lo").to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = batch.column("hi").to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = batch.column("deg_lo").to_numpy(zero_copy_only=False).astype(np.int64)
+        dh = batch.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        lo_first = (dl < dh) | ((dl == dh) & (lo < hi))
+        src = np.where(lo_first, lo, hi)
+        dst = np.where(lo_first, hi, lo)
+        dsrc = np.where(lo_first, dl, dh)
+        ddst = np.where(lo_first, dh, dl)
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "deg_src": pa.array(dsrc, pa.int64()),
+                "deg_dst": pa.array(ddst, pa.int64()),
+            }
+        )
+
+    oriented = both.map_batches(
+        orient, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def src_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", bucket_column(batch, ["src"], n_buckets)
+        )
+
+    w_empty = pa.table(
+        {
+            "x": pa.array([], pa.int64()),
+            "y": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def wedges(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return w_empty
+        src = group.column("src").to_numpy(zero_copy_only=False)
+        dst = group.column("dst").to_numpy(zero_copy_only=False)
+        dd = group.column("deg_dst").to_numpy(zero_copy_only=False)
+        # per source, neighbors ordered by (deg, id) so expanded pairs
+        # (i < j) are already in canonical closing-edge orientation
+        order = np.lexsort((dst, dd, src))
+        src, dst, dd = src[order], dst[order], dd[order]
+        n = len(src)
+        new_seg = np.concatenate([[True], src[1:] != src[:-1]])
+        starts = np.flatnonzero(new_seg)
+        seg_id = np.cumsum(new_seg) - 1
+        seg_len = np.diff(np.concatenate([starts, [n]]))
+        seg_end = starts[seg_id] + seg_len[seg_id]
+        counts = seg_end - np.arange(n) - 1
+        total = int(counts.sum())
+        if total == 0:
+            return w_empty
+        first_idx = np.repeat(np.arange(n), counts)
+        off = np.concatenate([[0], np.cumsum(counts)])
+        run_pos = np.arange(total) - np.repeat(off[:-1], counts)
+        second_idx = first_idx + 1 + run_pos
+        key = dst[first_idx] * np.int64(1 << 32) + dst[second_idx]
+        uk, cnts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "x": pa.array(uk // (1 << 32), pa.int64()),
+                "y": pa.array(uk % (1 << 32), pa.int64()),
+                "n": pa.array(cnts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    wedge_ds = (
+        oriented.map_batches(src_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(wedges, batch_format="pyarrow")
+    )
+
+    def tag_wedge(batch: pa.Table) -> pa.Table:
+        t = batch.append_column(
+            "is_edge", pa.array(np.zeros(batch.num_rows, np.int64))
+        )
+        return t.append_column("__bucket", bucket_column(t, ["x", "y"], n_buckets))
+
+    def tag_edge(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "x": batch.column("src"),
+                "y": batch.column("dst"),
+                "n": pa.array(np.zeros(batch.num_rows, np.int64)),
+                "is_edge": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        return t.append_column("__bucket", bucket_column(t, ["x", "y"], n_buckets))
+
+    tagged = wedge_ds.map_batches(
+        tag_wedge, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        oriented.map_batches(tag_edge, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def close_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"t": pa.array([], pa.int64())})
+        x = group.column("x").to_numpy(zero_copy_only=False)
+        y = group.column("y").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        is_e = group.column("is_edge").to_numpy(zero_copy_only=False)
+        key = x * np.int64(1 << 32) + y
+        order = np.argsort(key, kind="stable")
+        key, n, is_e = key[order], n[order], is_e[order]
+        new_seg = np.concatenate([[True], key[1:] != key[:-1]])
+        starts = np.flatnonzero(new_seg)
+        wedge_n = np.add.reduceat(n, starts)
+        has_edge = np.add.reduceat(is_e, starts) > 0
+        return pa.table(
+            {"t": pa.array([int(wedge_n[has_edge].sum())], pa.int64())}
+        )
+
+    partials = tagged.groupby("__bucket").map_groups(
+        close_bucket, batch_format="pyarrow"
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        s = pc.sum(batch.column("t")).as_py() or 0
+        return pa.table({"n_triangles": pa.array([s], pa.int64())})
+
+    return partials.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )

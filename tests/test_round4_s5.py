@@ -371,3 +371,77 @@ def test_weighted_sample_heavy_weights_dominate(ray_session):
     got = weighted_sample_ids(ds, "n_chars", "doc_id", k=20).take_all()
     heavy = sum(1 for r in got if r["doc_id"] < 100)
     assert heavy >= 18
+
+
+# ------------------------------------------------------------- triangles
+
+
+def test_triangle_count_vs_bruteforce(ray_session):
+    import itertools
+
+    from hyperpolyglot_ray.stages.graph import triangle_count
+
+    rng = np.random.RandomState(4)
+    nodes = 40
+    edges = set()
+    while len(edges) < 150:
+        a, b = rng.randint(0, nodes, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    adj = {n: set() for n in range(nodes)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    exp = sum(
+        1
+        for a, b, c in itertools.combinations(range(nodes), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    # duplicates, reversed orientation, and self-loops must all be benign
+    rows = (
+        [{"a": int(a), "b": int(b)} for a, b in edges]
+        + [{"a": int(b), "b": int(a)} for a, b in list(edges)[:40]]
+        + [{"a": 3, "b": 3}]
+    )
+    ds = ray.data.from_items(rows).repartition(5)
+    got = triangle_count(ds).take_all()
+    assert got == [{"n_triangles": exp}]
+
+
+def test_triangle_count_known_graphs(ray_session):
+    from hyperpolyglot_ray.stages.graph import triangle_count
+
+    # K4 has 4 triangles; adding a pendant vertex changes nothing
+    k4 = [
+        {"a": a, "b": b}
+        for a in range(4)
+        for b in range(4)
+        if a < b
+    ] + [{"a": 3, "b": 9}]
+    assert triangle_count(ray.data.from_items(k4)).take_all() == [
+        {"n_triangles": 4}
+    ]
+    # a path has none
+    path = [{"a": i, "b": i + 1} for i in range(10)]
+    assert triangle_count(ray.data.from_items(path)).take_all() == [
+        {"n_triangles": 0}
+    ]
+
+
+def test_cooccurrence_edges(ray_session):
+    import itertools
+    from collections import defaultdict
+
+    from hyperpolyglot_ray.stages.graph import cooccurrence_edges
+
+    rng = np.random.RandomState(6)
+    rows = [{"g": int(i // 4), "it": int(v)} for i, v in enumerate(rng.randint(0, 15, 60))]
+    ds = ray.data.from_items(rows).repartition(4)
+    got = sorted((r["a"], r["b"]) for r in cooccurrence_edges(ds, "g", "it").take_all())
+    gg = defaultdict(set)
+    for r in rows:
+        gg[r["g"]].add(r["it"])
+    exp = set()
+    for items in gg.values():
+        exp.update(itertools.combinations(sorted(items), 2))
+    assert got == sorted(exp)
