@@ -2666,6 +2666,58 @@ def _q_lineitem_triangles(sf_dir: str):
     return triangle_count(edges)
 
 
+def _q_events_value_psi(sf_dir: str):
+    """Distribution drift (PSI) between purchase events and everything
+    else over the value column: two histogram scans (20 fixed bins over
+    [0, 500)), a dense per-bin finish with the eps-floored proportions
+    and ln evaluated via glibc libm (bitwise = DuckDB ln)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hyperpolyglot_ray.stages.profile import psi_drift
+
+    ev = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def pick(want_purchase: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            m = pc.equal(batch.column("event_type"), pa.scalar("purchase"))
+            if not want_purchase:
+                m = pc.invert(m)
+            return batch.filter(pc.fill_null(m, False))
+
+        return fn
+
+    a = ev.map_batches(pick(True), batch_format="pyarrow", zero_copy_batch=True)
+    b = ev.map_batches(pick(False), batch_format="pyarrow", zero_copy_batch=True)
+    return psi_drift(a, b, "value", 0.0, 500.0, 20)
+
+
+def _q_doc_langid_kappa(sf_dir: str):
+    """Cohen's kappa between metadata language labels and the langid
+    model's predictions — chance-corrected classifier audit. Integer
+    pair counts (tiny groupby), single-row float finish; the expected
+    agreement numerator stays int64 so the result is order-independent."""
+    from hyperpolyglot_ray.stages.langid import predict_langid, train_langid
+    from hyperpolyglot_ray.stages.profile import label_agreement
+
+    ds = _docs(sf_dir)
+    model = train_langid(ds, "text", "lang")
+    pred = predict_langid(ds, model, "text")
+    return label_agreement(pred, "lang", "langid_lang")
+
+
+def _q_files_dup_cluster_sizes(sf_dir: str):
+    """Exact-dup cluster-size histogram over the code corpus — the
+    dedup report. (sha256, 1) rows through the bucketed reduce, then a
+    tiny size histogram; content never crosses the shuffle."""
+    from hyperpolyglot_ray.stages.text_ops import dup_cluster_sizes
+
+    files, _fix = _files_ds(sf_dir)
+    return dup_cluster_sizes(files, text_col="content")
+
+
 def _q_orders_pareto(sf_dir: str):
     """Revenue-concentration (Pareto) report: top-100 customers by exact
     lifetime cents with cumulative revenue share. Per-customer reduce ->
@@ -2775,6 +2827,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_cross_contaminated": _q_emb_cross_contaminated,
         "doc_weighted_sample": _q_doc_weighted_sample,
         "lineitem_triangles": _q_lineitem_triangles,
+        "events_value_psi": _q_events_value_psi,
+        "doc_langid_kappa": _q_doc_langid_kappa,
+        "files_dup_cluster_sizes": _q_files_dup_cluster_sizes,
         "orders_custdist": _q_orders_custdist,
         "tpch_q3_topk": _q_tpch_q3_topk,
         "events_ntile": _q_events_ntile,
@@ -3109,6 +3164,71 @@ SELECT CAST(count(*) AS BIGINT) AS n_triangles
 FROM pairs e1
 JOIN pairs e2 ON e2.a = e1.b
 JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b""",
+        # PSI drift: same fixed-bin spec as events_value_histogram
+        # (step 25.0 exact), eps-floored proportions, DuckDB ln ==
+        # glibc math.log bitwise (numpy's vectorized log would not be)
+        "events_value_psi": """
+WITH a AS (
+  SELECT CAST(least(greatest(floor((value - 0.0) / 25.0), 0.0), 19.0) AS BIGINT)
+           AS bin, count(*) AS n
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1
+), b AS (
+  SELECT CAST(least(greatest(floor((value - 0.0) / 25.0), 0.0), 19.0) AS BIGINT)
+           AS bin, count(*) AS n
+  FROM events
+  WHERE event_type <> 'purchase' AND value IS NOT NULL
+  GROUP BY 1
+), bins AS (SELECT unnest(generate_series(0, 19)) AS bin),
+ta AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM a),
+tb AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM b)
+SELECT CAST(bins.bin AS BIGINT) AS bin,
+       0.0 + CAST(bins.bin AS DOUBLE) * 25.0 AS bin_lo,
+       0.0 + (CAST(bins.bin AS DOUBLE) + 1.0) * 25.0 AS bin_hi,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_a,
+       CAST(coalesce(b.n, 0) AS BIGINT) AS n_b,
+       greatest(CAST(coalesce(a.n, 0) AS DOUBLE) / ta.t, 1e-6) AS p_a,
+       greatest(CAST(coalesce(b.n, 0) AS DOUBLE) / tb.t, 1e-6) AS p_b,
+       (p_a - p_b) * ln(p_a / p_b) AS psi_term
+FROM bins LEFT JOIN a ON a.bin = bins.bin LEFT JOIN b ON b.bin = bins.bin,
+     ta, tb""",
+        # kappa: integer pe numerator (sum of matched marginal products)
+        # so the only float ops are single divisions / subtractions
+        "doc_langid_kappa": f"""
+WITH j AS (
+  SELECT coalesce(d.lang, '') AS a, coalesce(p.langid_lang, '') AS b
+  FROM documents d JOIN read_parquet('{side}/doc_langid.parquet') p
+    USING (doc_id)
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(sum(CASE WHEN a = b THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS agree
+  FROM j
+), r AS (SELECT a AS l, count(*) AS rn FROM j GROUP BY 1),
+c AS (SELECT b AS l, count(*) AS cn FROM j GROUP BY 1),
+pn AS (
+  SELECT CAST(coalesce(sum(rn * cn), 0) AS BIGINT) AS pe_num
+  FROM r JOIN c USING (l)
+)
+SELECT n AS n_rows, agree AS n_agree,
+       CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+       CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe,
+       CASE WHEN CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                 = 1.0
+            THEN 1.0
+            ELSE (CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+                  - CAST(pe_num AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 / (1.0 - CAST(pe_num AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+       END AS kappa
+FROM tot, pn""",
+        "files_dup_cluster_sizes": f"""
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM (
+  SELECT count(*) AS sz FROM read_parquet('{files}')
+  GROUP BY coalesce(content, '')
+) GROUP BY 1""",
         "doc_weighted_sample": (
             f"SELECT rank, doc_id, n_chars "
             f"FROM read_parquet('{side}/doc_weighted_sample.parquet')"

@@ -891,12 +891,18 @@ def triangle_count(
         off = np.concatenate([[0], np.cumsum(counts)])
         run_pos = np.arange(total) - np.repeat(off[:-1], counts)
         second_idx = first_idx + 1 + run_pos
-        key = dst[first_idx] * np.int64(1 << 32) + dst[second_idx]
+        # pack in uint64: ids reach 2^32-1, so int64 would wrap for
+        # x >= 2^31 and floor-divide back to the WRONG (x, y)
+        key = dst[first_idx].astype(np.uint64) * np.uint64(1 << 32) + dst[
+            second_idx
+        ].astype(np.uint64)
         uk, cnts = np.unique(key, return_counts=True)
         return pa.table(
             {
-                "x": pa.array(uk // (1 << 32), pa.int64()),
-                "y": pa.array(uk % (1 << 32), pa.int64()),
+                "x": pa.array((uk >> np.uint64(32)).astype(np.int64), pa.int64()),
+                "y": pa.array(
+                    (uk & np.uint64(0xFFFFFFFF)).astype(np.int64), pa.int64()
+                ),
                 "n": pa.array(cnts.astype(np.int64), pa.int64()),
             }
         )
@@ -937,7 +943,7 @@ def triangle_count(
         y = group.column("y").to_numpy(zero_copy_only=False)
         n = group.column("n").to_numpy(zero_copy_only=False)
         is_e = group.column("is_edge").to_numpy(zero_copy_only=False)
-        key = x * np.int64(1 << 32) + y
+        key = x.astype(np.uint64) * np.uint64(1 << 32) + y.astype(np.uint64)
         order = np.argsort(key, kind="stable")
         key, n, is_e = key[order], n[order], is_e[order]
         new_seg = np.concatenate([[True], key[1:] != key[:-1]])

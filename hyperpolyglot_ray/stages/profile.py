@@ -486,3 +486,164 @@ def validate_expectations(
         }
     )
     return ray.data.from_arrow(out)
+
+
+# --------------------------------------------------------------------------
+# distribution drift (PSI) and label agreement (Cohen's kappa)
+
+
+def psi_drift(
+    ds_a: ray.data.Dataset,
+    ds_b: ray.data.Dataset,
+    val_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    eps: float = 1e-6,
+) -> ray.data.Dataset:
+    """Population Stability Index between two corpus slices — the
+    standard drift screen run between a new data drop and the corpus it
+    extends (finance-risk literature's PSI; >0.25 is the conventional
+    "significant shift" flag).
+
+    Both sides are binned with ``grouped_histogram``'s fixed-bin spec
+    (equal width over ``[lo, hi)``, out-of-range clamped to edge bins,
+    nulls skipped), so each side costs one streaming pass; only the two
+    ``n_bins``-row histograms leave the scan. The finish emits ALL bins
+    densely: ``p = max(n / total, eps)`` (the standard zero-count
+    floor) and ``psi_term = (p_a - p_b) * ln(p_a / p_b)``; the total PSI
+    is the sum of ``psi_term``.
+
+    Float discipline: proportions are single divisions of exact int64
+    counts, and ``ln`` is evaluated elementwise with ``math.log`` (glibc
+    libm — bitwise-identical to DuckDB's ``ln``; numpy's vectorized log
+    differs in the last ulp and would break the oracle hash).
+
+    Output: ``(bin, bin_lo, bin_hi, n_a, n_b, p_a, p_b, psi_term)``,
+    one row per bin. Raises if either side has zero in-range rows.
+    """
+    step = (hi - lo) / n_bins
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "bin": batch.column("bin"),
+                    "n": batch.column("n"),
+                    "side": pa.array(np.full(batch.num_rows, side, np.int8)),
+                }
+            )
+
+        return fn
+
+    ha = grouped_histogram(ds_a, val_col, lo, hi, n_bins).map_batches(
+        tag(0), batch_format="pyarrow", zero_copy_batch=True
+    )
+    hb = grouped_histogram(ds_b, val_col, lo, hi, n_bins).map_batches(
+        tag(1), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        bins = batch.column("bin").to_numpy(zero_copy_only=False)
+        ns = batch.column("n").to_numpy(zero_copy_only=False)
+        sides = batch.column("side").to_numpy(zero_copy_only=False)
+        na = np.zeros(n_bins, np.int64)
+        nb = np.zeros(n_bins, np.int64)
+        na[bins[sides == 0]] = ns[sides == 0]
+        nb[bins[sides == 1]] = ns[sides == 1]
+        tot_a, tot_b = int(na.sum()), int(nb.sum())
+        if tot_a == 0 or tot_b == 0:
+            raise ValueError("psi_drift: a side has no in-range rows")
+        p_a = [max(int(x) / tot_a, eps) for x in na]
+        p_b = [max(int(x) / tot_b, eps) for x in nb]
+        psi = [(x - y) * math.log(x / y) for x, y in zip(p_a, p_b)]
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(n_bins), type=pa.int64()),
+                "bin_lo": pa.array([lo + k * step for k in range(n_bins)], pa.float64()),
+                "bin_hi": pa.array(
+                    [lo + (k + 1.0) * step for k in range(n_bins)], pa.float64()
+                ),
+                "n_a": pa.array(na, type=pa.int64()),
+                "n_b": pa.array(nb, type=pa.int64()),
+                "p_a": pa.array(p_a, pa.float64()),
+                "p_b": pa.array(p_b, pa.float64()),
+                "psi_term": pa.array(psi, pa.float64()),
+            }
+        )
+
+    return ha.union(hb).repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
+def label_agreement(
+    ds: ray.data.Dataset,
+    col_a: str,
+    col_b: str,
+) -> ray.data.Dataset:
+    """Cohen's kappa between two label columns — chance-corrected
+    agreement (Cohen 1960), the standard audit of a model's predictions
+    against ground truth (or two annotators / two model versions)
+    beyond raw accuracy.
+
+    NULL labels coerce to ``''`` (the confusion-matrix convention).
+    Topology: per-batch Arrow pair counts -> one tiny groupby (label
+    pairs are category-bounded) -> a single-row finish. Exactness: the
+    expected-agreement numerator is the INTEGER ``sum(row_k * col_k)``
+    (no per-category float divisions to order-depend on); ``po``, ``pe``
+    and kappa are then single float64 ops, so the result is bitwise
+    reproducible and plain-SQL oracled. Requires ``n^2 < 2^53`` rows for
+    the exact double conversion (any realistic corpus: n < 9.4e7 per
+    slice — shard above that).
+
+    Output: one row ``(n_rows, n_agree, po, pe, kappa)``; kappa is 1.0
+    when ``pe == 1`` and ``po == 1`` (single-category degenerate case),
+    else ``(po - pe) / (1 - pe)``.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        a = pc.fill_null(batch.column(col_a), "")
+        b = pc.fill_null(batch.column(col_b), "")
+        t = pa.table({"a": a, "b": b})
+        g = t.group_by(["a", "b"]).aggregate([([], "count_all")])
+        return g.rename_columns(["a", "b", "__n"])
+
+    counts = (
+        ds.select_columns([col_a, col_b])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["a", "b"])
+        .sum("__n")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = 0
+        agree = 0
+        row_tot: dict[str, int] = {}
+        col_tot: dict[str, int] = {}
+        for r in batch.to_pylist():
+            c = int(r["sum(__n)"])
+            n += c
+            if r["a"] == r["b"]:
+                agree += c
+            row_tot[r["a"]] = row_tot.get(r["a"], 0) + c
+            col_tot[r["b"]] = col_tot.get(r["b"], 0) + c
+        if n == 0:
+            raise ValueError("label_agreement: empty input")
+        pe_num = sum(row_tot[k] * col_tot.get(k, 0) for k in row_tot)
+        po = float(agree) / float(n)
+        pe = float(pe_num) / (float(n) * float(n))
+        kappa = 1.0 if pe == 1.0 and po == 1.0 else (po - pe) / (1.0 - pe)
+        return pa.table(
+            {
+                "n_rows": pa.array([n], pa.int64()),
+                "n_agree": pa.array([agree], pa.int64()),
+                "po": pa.array([po], pa.float64()),
+                "pe": pa.array([pe], pa.float64()),
+                "kappa": pa.array([kappa], pa.float64()),
+            }
+        )
+
+    return counts.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )

@@ -2063,3 +2063,65 @@ def bigram_collocations(
             }
         )
     )
+
+
+def dup_cluster_sizes(
+    ds: ray.data.Dataset, text_col: str = "text", n_buckets: int = 64
+) -> ray.data.Dataset:
+    """Exact-duplicate cluster-size histogram — the dedup REPORT: how
+    many distinct contents occur once, twice, ... (``cluster_size=1`` is
+    the unique mass; everything above it is what ``exact_dedup_keep_ids``
+    would remove). The first number a curation run reads off a new crawl.
+
+    Two-level reduce, both stages shuffle-slim: (1) per-distinct-content
+    counts — sha256 rows through ``bucketed_group_reduce`` (the same
+    (hash, n) discipline as ``exact_dedup_keep_ids``; text never moves);
+    (2) per-block histogram partials over those counts -> one tiny
+    groupby (distinct cluster sizes are few). NULL text counts as ``''``
+    (SQL ``coalesce``). Output: ``(cluster_size, n_clusters)``.
+    """
+
+    def hash_only(batch: pa.Table) -> pa.Table:
+        hashes = [
+            hashlib.sha256((t or "").encode("utf-8")).hexdigest()
+            for t in batch.column(text_col).to_pylist()
+        ]
+        return pa.table(
+            {
+                "text_hash": pa.array(hashes, type=pa.string()),
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    from .shuffle import bucketed_group_reduce
+
+    hashed = ds.select_columns([text_col]).map_batches(
+        hash_only, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_content = bucketed_group_reduce(hashed, "text_hash", [("n", "sum")], n_buckets)
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["sum(n)"])
+            .rename_columns(["cluster_size"])
+            .group_by(["cluster_size"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["cluster_size", "__n"])
+
+    def close(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cluster_size": batch.column("cluster_size"),
+                "n_clusters": batch.column("sum(__n)").cast(pa.int64()),
+            }
+        )
+
+    return (
+        per_content.map_batches(
+            size_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("cluster_size")
+        .sum("__n")
+        .map_batches(close, batch_format="pyarrow", zero_copy_batch=True)
+    )

@@ -428,6 +428,27 @@ def test_triangle_count_known_graphs(ray_session):
     ]
 
 
+def test_triangle_count_large_ids(ray_session):
+    """Node ids up to 2^32-1: the wedge-key packing must be uint64 —
+    int64 would wrap for x >= 2^31 and decode the wrong (x, y),
+    silently dropping triangles."""
+    from hyperpolyglot_ray.stages.graph import triangle_count
+
+    base = (1 << 31) + 12345
+    hi = (1 << 32) - 2
+    tri = [
+        {"a": base, "b": base + 7},
+        {"a": base + 7, "b": hi},
+        {"a": base, "b": hi},
+        # a second triangle mixing small and huge ids
+        {"a": 5, "b": base},
+        {"a": 5, "b": base + 7},
+    ]
+    assert triangle_count(ray.data.from_items(tri)).take_all() == [
+        {"n_triangles": 2}
+    ]
+
+
 def test_cooccurrence_edges(ray_session):
     import itertools
     from collections import defaultdict

@@ -1,0 +1,141 @@
+"""Round-4 session-6 operators: PSI drift, Cohen's kappa, dup-cluster
+histogram."""
+
+import math
+
+import numpy as np
+import pytest
+import ray
+
+from hyperpolyglot_ray.stages.profile import label_agreement, psi_drift
+from hyperpolyglot_ray.stages.text_ops import dup_cluster_sizes
+
+
+# ------------------------------------------------------------------ PSI
+
+
+def test_psi_drift_matches_manual(ray_session):
+    rng = np.random.RandomState(11)
+    va = rng.uniform(-5, 25, 400)  # out-of-range values clamp to edge bins
+    vb = rng.uniform(0, 30, 300)
+    a = ray.data.from_items([{"v": float(x)} for x in va]).repartition(4)
+    b = ray.data.from_items([{"v": float(x)} for x in vb]).repartition(3)
+    lo, hi, n_bins = 0.0, 20.0, 8
+    step = (hi - lo) / n_bins
+    got = sorted(
+        psi_drift(a, b, "v", lo, hi, n_bins).take_all(), key=lambda r: r["bin"]
+    )
+    assert len(got) == n_bins
+
+    def counts(vals):
+        c = np.zeros(n_bins, np.int64)
+        for v in vals:
+            c[int(np.clip(np.floor((v - lo) / step), 0, n_bins - 1))] += 1
+        return c
+
+    na, nb = counts(va), counts(vb)
+    for r in got:
+        k = r["bin"]
+        assert r["n_a"] == na[k] and r["n_b"] == nb[k]
+        p_a = max(int(na[k]) / int(na.sum()), 1e-6)
+        p_b = max(int(nb[k]) / int(nb.sum()), 1e-6)
+        assert r["p_a"] == p_a and r["p_b"] == p_b
+        assert r["psi_term"] == (p_a - p_b) * math.log(p_a / p_b)
+        assert r["bin_lo"] == lo + k * step
+        assert r["bin_hi"] == lo + (k + 1.0) * step
+
+
+def test_psi_drift_empty_bin_eps_floor(ray_session):
+    # side A occupies only bin 0, side B only the last bin: every other
+    # bin must carry the eps floor on both sides (psi_term == 0.0 there)
+    a = ray.data.from_items([{"v": 0.5}] * 10)
+    b = ray.data.from_items([{"v": 3.5}] * 7)
+    rows = {r["bin"]: r for r in psi_drift(a, b, "v", 0.0, 4.0, 4).take_all()}
+    assert rows[1]["p_a"] == 1e-6 and rows[1]["p_b"] == 1e-6
+    assert rows[1]["psi_term"] == 0.0
+    assert rows[0]["p_a"] == 1.0 and rows[0]["p_b"] == 1e-6
+    assert rows[3]["p_b"] == 1.0
+
+
+def test_psi_drift_empty_side_raises(ray_session):
+    a = ray.data.from_items([{"v": 1.0}])
+    b = ray.data.from_items([{"v": 1.0}]).map_batches(
+        lambda t: t.slice(0, 0), batch_format="pyarrow"
+    )
+    with pytest.raises(Exception, match="no in-range rows"):
+        psi_drift(a, b, "v", 0.0, 4.0, 4).take_all()
+
+
+# ---------------------------------------------------------------- kappa
+
+
+def _manual_kappa(pairs):
+    n = len(pairs)
+    agree = sum(1 for x, y in pairs if x == y)
+    row, col = {}, {}
+    for x, y in pairs:
+        row[x] = row.get(x, 0) + 1
+        col[y] = col.get(y, 0) + 1
+    pe_num = sum(row[k] * col.get(k, 0) for k in row)
+    po = float(agree) / float(n)
+    pe = float(pe_num) / (float(n) * float(n))
+    if pe == 1.0:
+        return n, agree, po, pe, 1.0
+    return n, agree, po, pe, (po - pe) / (1.0 - pe)
+
+
+def test_label_agreement_matches_manual(ray_session):
+    rng = np.random.RandomState(3)
+    labels = ["en", "fr", "de", None]
+    rows = [
+        {"x": labels[rng.randint(4)], "y": labels[rng.randint(4)]}
+        for _ in range(500)
+    ]
+    got = label_agreement(
+        ray.data.from_items(rows).repartition(5), "x", "y"
+    ).take_all()
+    assert len(got) == 1
+    pairs = [((r["x"] or ""), (r["y"] or "")) for r in rows]
+    n, agree, po, pe, kappa = _manual_kappa(pairs)
+    r = got[0]
+    assert (r["n_rows"], r["n_agree"]) == (n, agree)
+    assert (r["po"], r["pe"], r["kappa"]) == (po, pe, kappa)
+
+
+def test_label_agreement_degenerate_single_category(ray_session):
+    ds = ray.data.from_items([{"x": "en", "y": "en"}] * 9)
+    r = label_agreement(ds, "x", "y").take_all()[0]
+    assert r["pe"] == 1.0 and r["kappa"] == 1.0
+
+
+def test_label_agreement_perfect_and_zero(ray_session):
+    perfect = ray.data.from_items(
+        [{"x": v, "y": v} for v in ["a", "b", "c"] * 10]
+    )
+    r = label_agreement(perfect, "x", "y").take_all()[0]
+    assert r["kappa"] == 1.0
+    # independent marginals -> kappa near 0 but exactly (po-pe)/(1-pe)
+    swapped = ray.data.from_items(
+        [{"x": "a", "y": "b"}, {"x": "b", "y": "a"}] * 8
+    )
+    r = label_agreement(swapped, "x", "y").take_all()[0]
+    assert r["n_agree"] == 0 and r["kappa"] == (0.0 - r["pe"]) / (1.0 - r["pe"])
+
+
+# ------------------------------------------------------- dup cluster sizes
+
+
+def test_dup_cluster_sizes(ray_session):
+    from collections import Counter
+
+    texts = (
+        ["alpha"] * 4 + ["beta"] * 2 + ["gamma"] + ["delta"] * 2
+        + [None, ""]  # null coerces to '' -> one cluster of size 2
+    )
+    ds = ray.data.from_items([{"text": t} for t in texts]).repartition(3)
+    got = sorted(
+        (r["cluster_size"], r["n_clusters"])
+        for r in dup_cluster_sizes(ds).take_all()
+    )
+    sizes = Counter(Counter(t or "" for t in texts).values())
+    assert got == sorted(sizes.items())
