@@ -2708,6 +2708,47 @@ def _q_doc_langid_kappa(sf_dir: str):
     return label_agreement(pred, "lang", "langid_lang")
 
 
+def _q_events_value_ks(sf_dir: str):
+    """Exact two-sample KS statistic between purchase events and the
+    rest over value — the unbinned drift test. Distinct-value bucketed
+    reduce, one range sort of the (already reduced) table, two-level
+    prefix-sum offsets, per-block max |F_a - F_b|; all float ops are
+    single IEEE divisions/subtractions, bitwise vs the window SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hyperpolyglot_ray.stages.profile import ks_drift
+
+    ev = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def pick(want_purchase: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            m = pc.equal(batch.column("event_type"), pa.scalar("purchase"))
+            if not want_purchase:
+                m = pc.invert(m)
+            return batch.filter(pc.fill_null(m, False))
+
+        return fn
+
+    a = ev.map_batches(pick(True), batch_format="pyarrow", zero_copy_batch=True)
+    b = ev.map_batches(pick(False), batch_format="pyarrow", zero_copy_batch=True)
+    return ks_drift(a, b, "value")
+
+
+def _q_doc_lang_source_chi2(sf_dir: str):
+    """Chi-square independence grid between document language and
+    source — the full contingency table with expected counts and
+    per-cell contributions; exact int marginals, IEEE-exact cells."""
+    from hyperpolyglot_ray.stages.profile import chi2_independence
+
+    docs = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+    )
+    return chi2_independence(docs, "lang", "source")
+
+
 def _q_files_dup_cluster_sizes(sf_dir: str):
     """Exact-dup cluster-size histogram over the code corpus — the
     dedup report. (sha256, 1) rows through the bucketed reduce, then a
@@ -2830,6 +2871,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_psi": _q_events_value_psi,
         "doc_langid_kappa": _q_doc_langid_kappa,
         "files_dup_cluster_sizes": _q_files_dup_cluster_sizes,
+        "events_value_ks": _q_events_value_ks,
+        "doc_lang_source_chi2": _q_doc_lang_source_chi2,
         "orders_custdist": _q_orders_custdist,
         "tpch_q3_topk": _q_tpch_q3_topk,
         "events_ntile": _q_events_ntile,
@@ -3222,6 +3265,45 @@ SELECT n AS n_rows, agree AS n_agree,
                           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
        END AS kappa
 FROM tot, pn""",
+        # KS: cumulative window sums over the distinct-value table;
+        # every float op is a single IEEE division/subtraction, so the
+        # distributed prefix-sum topology hashes identically
+        "events_value_ks": """
+WITH d AS (
+  SELECT value AS v,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS na,
+         CAST(sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS nb
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1
+), t AS (
+  SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb FROM d
+), c AS (
+  SELECT sum(na) OVER (ORDER BY v) AS ca, sum(nb) OVER (ORDER BY v) AS cb
+  FROM d
+)
+SELECT t.ta AS n_a, t.tb AS n_b,
+       max(abs(CAST(c.ca AS DOUBLE) / CAST(t.ta AS DOUBLE)
+               - CAST(c.cb AS DOUBLE) / CAST(t.tb AS DOUBLE))) AS ks_stat
+FROM c, t GROUP BY 1, 2""",
+        # chi-square grid: CROSS JOIN of marginals so zero-observed
+        # cells are emitted; expected = exact-int marginal product / n
+        "doc_lang_source_chi2": """
+WITH j AS (
+  SELECT coalesce(lang, '') AS a, coalesce(source, '') AS b FROM documents
+), o AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1, 2),
+r AS (SELECT a, CAST(count(*) AS BIGINT) AS rn FROM j GROUP BY 1),
+c AS (SELECT b, CAST(count(*) AS BIGINT) AS cn FROM j GROUP BY 1),
+t AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM j)
+SELECT r.a AS lang, c.b AS source,
+       CAST(coalesce(o.n, 0) AS BIGINT) AS observed,
+       CAST(r.rn * c.cn AS DOUBLE) / t.n AS expected,
+       (CAST(coalesce(o.n, 0) AS DOUBLE) - CAST(r.rn * c.cn AS DOUBLE) / t.n)
+       * (CAST(coalesce(o.n, 0) AS DOUBLE) - CAST(r.rn * c.cn AS DOUBLE) / t.n)
+       / (CAST(r.rn * c.cn AS DOUBLE) / t.n) AS chi2_term
+FROM r CROSS JOIN c LEFT JOIN o ON o.a = r.a AND o.b = c.b, t""",
         "files_dup_cluster_sizes": f"""
 SELECT CAST(sz AS BIGINT) AS cluster_size,
        CAST(count(*) AS BIGINT) AS n_clusters

@@ -647,3 +647,225 @@ def label_agreement(
     return counts.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
+
+
+def ks_drift(
+    ds_a: ray.data.Dataset,
+    ds_b: ray.data.Dataset,
+    val_col: str,
+) -> ray.data.Dataset:
+    """Exact two-sample Kolmogorov-Smirnov statistic between two corpus
+    slices — the unbinned companion to ``psi_drift``: the supremum of
+    ``|F_a(x) - F_b(x)|`` over the pooled empirical CDFs, attained at a
+    pooled distinct value (both CDFs evaluated inclusively at each one).
+
+    Exact and distributed:
+
+    1. values map to their IEEE-754 bit pattern (``-0.0`` normalized to
+       ``+0.0`` so grouping matches SQL float equality; NaN raises) and
+       pre-combine per batch; one ``bucketed_group_reduce`` yields the
+       distinct-value table ``(v, n_a, n_b)``;
+    2. one range-partition ``sort("v")`` of that (already reduced)
+       table; per-block ``(min_v, sum_a, sum_b)`` summaries prefix-sum
+       on the driver (#blocks rows) into exclusive offsets — values are
+       distinct so block ranges are disjoint and ``min_v`` is a unique
+       block key (the ``pack_sequences`` two-level-scan discipline);
+    3. per-block cumulative counts + ``|ca/n_a - cb/n_b|`` — int64
+       cumsums, one IEEE division each, subtraction/abs/max exact — so
+       the result is bitwise equal to the SQL window-function oracle.
+
+    Output: one row ``(n_a, n_b, ks_stat)``. Raises if a side has no
+    non-null rows. Nulls are skipped (SQL aggregate semantics).
+    """
+    from .shuffle import bucketed_group_reduce
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            v = batch.column(val_col)
+            if v.null_count:
+                v = v.filter(pc.is_valid(v))
+            vn = v.cast(pa.float64()).to_numpy(zero_copy_only=False)
+            if np.isnan(vn).any():
+                raise ValueError(f"ks_drift: NaN values in {val_col!r}")
+            vn = vn + 0.0  # -0.0 -> +0.0: match SQL float equality
+            bits, counts = np.unique(vn.view(np.int64), return_counts=True)
+            z = np.zeros(len(bits), np.int64)
+            c = counts.astype(np.int64)
+            return pa.table(
+                {
+                    "bits": pa.array(bits, pa.int64()),
+                    "na": pa.array(c if side == 0 else z, pa.int64()),
+                    "nb": pa.array(z if side == 0 else c, pa.int64()),
+                }
+            )
+
+        return fn
+
+    pooled = (
+        ds_a.select_columns([val_col])
+        .map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            ds_b.select_columns([val_col]).map_batches(
+                tag(1), batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+    )
+    red = bucketed_group_reduce(pooled, "bits", [("na", "sum"), ("nb", "sum")])
+
+    def to_v(batch: pa.Table) -> pa.Table:
+        bits = batch.column("bits").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "v": pa.array(bits.view(np.float64), pa.float64()),
+                "na": batch.column("sum(na)"),
+                "nb": batch.column("sum(nb)"),
+            }
+        )
+
+    dist = (
+        red.map_batches(to_v, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("v")
+        .materialize()
+    )
+
+    def summary(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "min_v": pa.array([], pa.float64()),
+                    "sa": pa.array([], pa.int64()),
+                    "sb": pa.array([], pa.int64()),
+                }
+            )
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        na = batch.column("na").to_numpy(zero_copy_only=False)
+        nb = batch.column("nb").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "min_v": pa.array([float(v.min())], pa.float64()),
+                "sa": pa.array([int(na.sum())], pa.int64()),
+                "sb": pa.array([int(nb.sum())], pa.int64()),
+            }
+        )
+
+    sums = sorted(
+        dist.map_batches(
+            summary, batch_format="pyarrow", batch_size=None
+        ).take_all(),
+        key=lambda r: r["min_v"],
+    )
+    tot_a = sum(r["sa"] for r in sums)
+    tot_b = sum(r["sb"] for r in sums)
+    if tot_a == 0 or tot_b == 0:
+        raise ValueError("ks_drift: a side has no non-null rows")
+    offs: dict[float, tuple[int, int]] = {}
+    acc_a = acc_b = 0
+    for r in sums:
+        offs[r["min_v"]] = (acc_a, acc_b)
+        acc_a += r["sa"]
+        acc_b += r["sb"]
+    off_ref = ray.put(offs)
+
+    def block_max(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"d": pa.array([], pa.float64())})
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        na = batch.column("na").to_numpy(zero_copy_only=False)
+        nb = batch.column("nb").to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        off_a, off_b = ray.get(off_ref)[float(v.min())]
+        ca = off_a + np.cumsum(na[order])
+        cb = off_b + np.cumsum(nb[order])
+        d = np.abs(ca / float(tot_a) - cb / float(tot_b))
+        return pa.table({"d": pa.array([float(d.max())], pa.float64())})
+
+    parts = dist.map_batches(block_max, batch_format="pyarrow", batch_size=None)
+
+    def final(batch: pa.Table) -> pa.Table:
+        m = pc.max(batch.column("d")).as_py()
+        return pa.table(
+            {
+                "n_a": pa.array([tot_a], pa.int64()),
+                "n_b": pa.array([tot_b], pa.int64()),
+                "ks_stat": pa.array([float(m)], pa.float64()),
+            }
+        )
+
+    return parts.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
+def chi2_independence(
+    ds: ray.data.Dataset,
+    col_a: str,
+    col_b: str,
+) -> ray.data.Dataset:
+    """Chi-square independence grid between two categorical columns —
+    the full r x c contingency table with observed counts, expected
+    counts under independence, and per-cell chi-square contributions
+    (Pearson's test; the statistic is the sum of ``chi2_term``, left to
+    the caller so no order-dependent float sum crosses the oracle).
+
+    NULL labels coerce to ``''``. Expected counts are single divisions
+    of int64 marginal products (``r * c <= n^2 < 2^53`` required), and
+    each term is ``(o - e)^2 / e`` via explicit multiply — every float
+    op is IEEE-exact, so the grid is bitwise SQL-oracled. Cells with
+    zero observed mass ARE emitted (the CROSS JOIN grid — a chi-square
+    over observed cells only would understate the statistic).
+
+    Topology: per-batch Arrow pair counts -> tiny groupby -> single-task
+    grid finish (categories are corpus-bounded). Output:
+    ``(col_a, col_b, observed, expected, chi2_term)``.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        a = pc.fill_null(batch.column(col_a), "")
+        b = pc.fill_null(batch.column(col_b), "")
+        t = pa.table({"a": a, "b": b})
+        g = t.group_by(["a", "b"]).aggregate([([], "count_all")])
+        return g.rename_columns(["a", "b", "__n"])
+
+    counts = (
+        ds.select_columns([col_a, col_b])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["a", "b"])
+        .sum("__n")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        obs: dict[tuple[str, str], int] = {}
+        row_tot: dict[str, int] = {}
+        col_tot: dict[str, int] = {}
+        n = 0
+        for r in batch.to_pylist():
+            c = int(r["sum(__n)"])
+            obs[(r["a"], r["b"])] = c
+            row_tot[r["a"]] = row_tot.get(r["a"], 0) + c
+            col_tot[r["b"]] = col_tot.get(r["b"], 0) + c
+            n += c
+        if n == 0:
+            raise ValueError("chi2_independence: empty input")
+        av, bv, ov, ev, tv = [], [], [], [], []
+        for a in sorted(row_tot):
+            for b in sorted(col_tot):
+                o = obs.get((a, b), 0)
+                e = float(row_tot[a] * col_tot[b]) / float(n)
+                av.append(a)
+                bv.append(b)
+                ov.append(o)
+                ev.append(e)
+                tv.append((float(o) - e) * (float(o) - e) / e)
+        return pa.table(
+            {
+                col_a: pa.array(av, pa.string()),
+                col_b: pa.array(bv, pa.string()),
+                "observed": pa.array(ov, pa.int64()),
+                "expected": pa.array(ev, pa.float64()),
+                "chi2_term": pa.array(tv, pa.float64()),
+            }
+        )
+
+    return counts.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )

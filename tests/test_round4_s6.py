@@ -139,3 +139,101 @@ def test_dup_cluster_sizes(ray_session):
     )
     sizes = Counter(Counter(t or "" for t in texts).values())
     assert got == sorted(sizes.items())
+
+
+# ------------------------------------------------------------------- KS
+
+
+def _manual_ks(va, vb):
+    import numpy as np
+
+    va, vb = np.asarray(va, float) + 0.0, np.asarray(vb, float) + 0.0
+    pooled = np.unique(np.concatenate([va, vb]))
+    best = 0.0
+    for x in pooled:
+        fa = int((va <= x).sum()) / float(len(va))
+        fb = int((vb <= x).sum()) / float(len(vb))
+        d = abs(fa - fb)
+        if d > best:
+            best = d
+    return best
+
+
+def test_ks_drift_matches_manual(ray_session):
+    rng = np.random.RandomState(17)
+    va = np.round(rng.normal(10, 3, 600), 2)
+    vb = np.round(rng.normal(11, 4, 450), 2)
+    a = ray.data.from_items([{"v": float(x)} for x in va]).repartition(5)
+    b = ray.data.from_items([{"v": float(x)} for x in vb]).repartition(4)
+    from hyperpolyglot_ray.stages.profile import ks_drift
+
+    got = ks_drift(a, b, "v").take_all()
+    assert got == [
+        {"n_a": 600, "n_b": 450, "ks_stat": _manual_ks(va, vb)}
+    ]
+
+
+def test_ks_drift_identical_and_negzero(ray_session):
+    from hyperpolyglot_ray.stages.profile import ks_drift
+
+    vals = [1.0, 2.0, 2.0, 3.5, -4.0]
+    a = ray.data.from_items([{"v": v} for v in vals])
+    b = ray.data.from_items([{"v": v} for v in vals] * 3).repartition(2)
+    r = ks_drift(a, b, "v").take_all()[0]
+    assert r["ks_stat"] == 0.0 and (r["n_a"], r["n_b"]) == (5, 15)
+    # -0.0 and 0.0 are the same value (SQL float equality)
+    a = ray.data.from_items([{"v": -0.0}, {"v": 1.0}])
+    b = ray.data.from_items([{"v": 0.0}, {"v": 1.0}])
+    assert ks_drift(a, b, "v").take_all()[0]["ks_stat"] == 0.0
+
+
+def test_ks_drift_empty_side_raises(ray_session):
+    from hyperpolyglot_ray.stages.profile import ks_drift
+
+    a = ray.data.from_items([{"v": 1.0}])
+    b = ray.data.from_items([{"v": 1.0}]).map_batches(
+        lambda t: t.slice(0, 0), batch_format="pyarrow"
+    )
+    with pytest.raises(Exception, match="no non-null rows"):
+        ks_drift(a, b, "v").take_all()
+
+
+# ----------------------------------------------------------------- chi2
+
+
+def test_chi2_independence_matches_manual(ray_session):
+    from hyperpolyglot_ray.stages.profile import chi2_independence
+
+    rng = np.random.RandomState(23)
+    langs = ["en", "fr", None]
+    srcs = ["w", "x", "y", "z"]
+    rows = [
+        {"lang": langs[rng.randint(3)], "source": srcs[rng.randint(4)]}
+        for _ in range(400)
+    ]
+    # force a zero-observed cell: no ('zz', 'w') pairs but 'zz' exists
+    rows += [{"lang": "zz", "source": "x"}] * 3
+    ds = ray.data.from_items(rows).repartition(4)
+    got = {
+        (r["lang"], r["source"]): r
+        for r in chi2_independence(ds, "lang", "source").take_all()
+    }
+    obs: dict[tuple, int] = {}
+    rt: dict[str, int] = {}
+    ct: dict[str, int] = {}
+    for r in rows:
+        k = (r["lang"] or "", r["source"] or "")
+        obs[k] = obs.get(k, 0) + 1
+        rt[k[0]] = rt.get(k[0], 0) + 1
+        ct[k[1]] = ct.get(k[1], 0) + 1
+    n = len(rows)
+    assert len(got) == len(rt) * len(ct)
+    for a in rt:
+        for b in ct:
+            r = got[(a, b)]
+            o = obs.get((a, b), 0)
+            e = float(rt[a] * ct[b]) / float(n)
+            assert r["observed"] == o
+            assert r["expected"] == e
+            assert r["chi2_term"] == (float(o) - e) * (float(o) - e) / e
+    assert got[("zz", "w")]["observed"] == 0
