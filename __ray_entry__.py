@@ -2708,6 +2708,18 @@ def _q_doc_langid_kappa(sf_dir: str):
     return label_agreement(pred, "lang", "langid_lang")
 
 
+def _q_doc_global_rank(sf_dir: str):
+    """Global ROW_NUMBER export: documents ranked by n_chars desc with
+    doc_id tiebreak — one slim (id, val) range sort + the two-level
+    prefix-sum offset scan; nothing rank-scale on the driver."""
+    from hyperpolyglot_ray.stages.ordering import global_row_number
+
+    docs = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return global_row_number(docs, "n_chars", "doc_id", descending=True)
+
+
 def _q_events_value_ks(sf_dir: str):
     """Exact two-sample KS statistic between purchase events and the
     rest over value — the unbinned drift test. Distinct-value bucketed
@@ -2873,6 +2885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "files_dup_cluster_sizes": _q_files_dup_cluster_sizes,
         "events_value_ks": _q_events_value_ks,
         "doc_lang_source_chi2": _q_doc_lang_source_chi2,
+        "doc_global_rank": _q_doc_global_rank,
         "orders_custdist": _q_orders_custdist,
         "tpch_q3_topk": _q_tpch_q3_topk,
         "events_ntile": _q_events_ntile,
@@ -3265,6 +3278,11 @@ SELECT n AS n_rows, agree AS n_agree,
                           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
        END AS kappa
 FROM tot, pn""",
+        "doc_global_rank": """
+SELECT doc_id, n_chars,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
+         AS rank
+FROM documents""",
         # KS: cumulative window sums over the distinct-value table;
         # every float op is a single IEEE division/subtraction, so the
         # distributed prefix-sum topology hashes identically

@@ -773,3 +773,140 @@ def winsorize_per_key(
     return ds.select_columns([id_col, key_col, val_col]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def _order_idx(
+    batch: pa.Table, val_col: str, id_col: str, descending: bool
+) -> np.ndarray:
+    """Row order for the strict total order (val dir, id asc) — numpy
+    lexsort fast path for numeric values, stable two-pass Python sort
+    otherwise (strings, or an int column touching INT_MIN where
+    negation would overflow)."""
+    v_arr = batch.column(val_col)
+    t = v_arr.type
+    if pa.types.is_integer(t) or pa.types.is_floating(t):
+        v = v_arr.to_numpy(zero_copy_only=False)
+        i = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if not descending:
+            return np.lexsort((i, v))
+        if not (
+            v.dtype.kind == "i"
+            and len(v)
+            and int(v.min()) == np.iinfo(v.dtype).min
+        ):
+            return np.lexsort((i, -v))
+    vals = v_arr.to_pylist()
+    ids = batch.column(id_col).to_pylist()
+    idx = sorted(range(len(ids)), key=lambda k: ids[k])
+    idx.sort(key=lambda k: vals[k], reverse=descending)
+    return np.asarray(idx, np.int64)
+
+
+def global_row_number(
+    ds: ray.data.Dataset,
+    val_col: str,
+    id_col: str = "doc_id",
+    descending: bool = True,
+) -> ray.data.Dataset:
+    """Global ROW_NUMBER over the strict total order ``(val_col dir,
+    id_col asc)`` — the ranking-export step ("the corpus ordered by
+    quality score, with its global rank") with nothing rank-scale on
+    the driver.
+
+    Topology: the (id, val) projection takes ONE range-partition sort
+    (the payload never moves — join ranks back by id downstream), then
+    the two-level scan: per-block (first-key, count) summaries
+    prefix-sum on the driver (#blocks rows) and broadcast. The id
+    tiebreak makes the order strict, so block key ranges are disjoint
+    and each block's first key is a unique offset lookup — the
+    ``deterministic_shuffle`` / ``ks_drift`` discipline generalized to
+    a data-dependent sort key.
+
+    Nulls in either column raise (SQL ORDER BY NULL placement is
+    dialect-dependent); float ``-0.0`` normalizes to ``+0.0`` and NaN
+    raises, so ties resolve exactly like SQL. ``id_col`` values must be
+    unique. Output: ``(id_col, val_col, rank)``, rank 1-based like SQL
+    ROW_NUMBER.
+    """
+    proj = ds.select_columns([id_col, val_col])
+
+    def check(batch: pa.Table) -> pa.Table:
+        v = batch.column(val_col)
+        if v.null_count or batch.column(id_col).null_count:
+            raise ValueError("global_row_number: null id/value rows")
+        if pa.types.is_floating(v.type):
+            vn = v.cast(pa.float64()).to_numpy(zero_copy_only=False)
+            if np.isnan(vn).any():
+                raise ValueError(f"global_row_number: NaN in {val_col!r}")
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    val_col: pa.array(vn + 0.0, pa.float64()),
+                }
+            )
+        return batch
+
+    sorted_ds = (
+        proj.map_batches(check, batch_format="pyarrow", zero_copy_batch=True)
+        .sort([val_col, id_col], descending=[descending, False])
+        .materialize()
+    )
+
+    def summary(batch: pa.Table) -> pa.Table:
+        vt = batch.schema.field(val_col).type
+        it = batch.schema.field(id_col).type
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "k_v": pa.array([], vt),
+                    "k_i": pa.array([], it),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        first = int(_order_idx(batch, val_col, id_col, descending)[0])
+        return pa.table(
+            {
+                "k_v": batch.column(val_col).take(pa.array([first])),
+                "k_i": batch.column(id_col).take(pa.array([first])),
+                "cnt": pa.array([batch.num_rows], pa.int64()),
+            }
+        )
+
+    sums = sorted_ds.map_batches(
+        summary, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    # (val dir, id asc) via two stable passes
+    sums.sort(key=lambda r: r["k_i"])
+    sums.sort(key=lambda r: r["k_v"], reverse=descending)
+    offsets: dict[tuple, int] = {}
+    acc = 0
+    for r in sums:
+        offsets[(r["k_v"], r["k_i"])] = acc
+        acc += r["cnt"]
+    off_ref = ray.put(offsets)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], batch.schema.field(id_col).type),
+                    val_col: pa.array([], batch.schema.field(val_col).type),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        order = _order_idx(batch, val_col, id_col, descending)
+        first = int(order[0])
+        kv = batch.column(val_col)[first].as_py()
+        ki = batch.column(id_col)[first].as_py()
+        base = ray.get(off_ref)[(kv, ki)]
+        rank = np.empty(batch.num_rows, np.int64)
+        rank[order] = base + np.arange(1, batch.num_rows + 1)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                val_col: batch.column(val_col),
+                "rank": pa.array(rank, pa.int64()),
+            }
+        )
+
+    return sorted_ds.map_batches(assign, batch_format="pyarrow", batch_size=None)

@@ -237,3 +237,49 @@ def test_chi2_independence_matches_manual(ray_session):
             assert r["expected"] == e
             assert r["chi2_term"] == (float(o) - e) * (float(o) - e) / e
     assert got[("zz", "w")]["observed"] == 0
+
+
+# ------------------------------------------------------- global row number
+
+
+def test_global_row_number_numeric(ray_session):
+    from hyperpolyglot_ray.stages.ordering import global_row_number
+
+    rng = np.random.RandomState(29)
+    vals = rng.randint(0, 50, 300)  # heavy ties -> id tiebreak matters
+    rows = [{"id": int(i), "v": int(v)} for i, v in enumerate(vals)]
+    ds = ray.data.from_items(rows).repartition(6)
+    for desc in (True, False):
+        got = {
+            r["id"]: r["rank"]
+            for r in global_row_number(ds, "v", "id", descending=desc).take_all()
+        }
+        exp_order = sorted(rows, key=lambda r: (-r["v"] if desc else r["v"], r["id"]))
+        for rank0, r in enumerate(exp_order):
+            assert got[r["id"]] == rank0 + 1
+        assert len(got) == len(rows)
+
+
+def test_global_row_number_string_vals(ray_session):
+    from hyperpolyglot_ray.stages.ordering import global_row_number
+
+    rows = [
+        {"id": i, "v": w}
+        for i, w in enumerate(["pear", "apple", "fig", "apple", "kiwi", "fig"])
+    ]
+    got = {
+        r["id"]: r["rank"]
+        for r in global_row_number(
+            ray.data.from_items(rows).repartition(3), "v", "id", descending=False
+        ).take_all()
+    }
+    exp = sorted(rows, key=lambda r: (r["v"], r["id"]))
+    assert [got[r["id"]] for r in exp] == list(range(1, len(rows) + 1))
+
+
+def test_global_row_number_null_raises(ray_session):
+    from hyperpolyglot_ray.stages.ordering import global_row_number
+
+    ds = ray.data.from_items([{"id": 1, "v": 2.0}, {"id": 2, "v": None}])
+    with pytest.raises(Exception, match="null id/value"):
+        global_row_number(ds, "v", "id").take_all()
