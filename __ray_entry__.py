@@ -2708,6 +2708,20 @@ def _q_doc_langid_kappa(sf_dir: str):
     return label_agreement(pred, "lang", "langid_lang")
 
 
+def _q_lineitem_kcore(sf_dir: str):
+    """k-core (k=75) of the part co-order graph: iterative distributed
+    peeling — per-round slim degree reduce + two semi-joins; the edge
+    set only shrinks, the driver sees only counts. Sequential-sidecar
+    oracled (the k-core is unique, so peel order is irrelevant)."""
+    from hyperpolyglot_ray.stages.graph import cooccurrence_edges, k_core
+
+    li = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return k_core(edges, 75)
+
+
 def _q_doc_global_rank(sf_dir: str):
     """Global ROW_NUMBER export: documents ranked by n_chars desc with
     doc_id tiebreak — one slim (id, val) range sort + the two-level
@@ -2886,6 +2900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_ks": _q_events_value_ks,
         "doc_lang_source_chi2": _q_doc_lang_source_chi2,
         "doc_global_rank": _q_doc_global_rank,
+        "lineitem_kcore": _q_lineitem_kcore,
         "orders_custdist": _q_orders_custdist,
         "tpch_q3_topk": _q_tpch_q3_topk,
         "events_ntile": _q_events_ntile,
@@ -3278,6 +3293,10 @@ SELECT n AS n_rows, agree AS n_agree,
                           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
        END AS kappa
 FROM tot, pn""",
+        "lineitem_kcore": (
+            f"SELECT node, degree "
+            f"FROM read_parquet('{side}/lineitem_kcore.parquet')"
+        ),
         "doc_global_rank": """
 SELECT doc_id, n_chars,
        CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)

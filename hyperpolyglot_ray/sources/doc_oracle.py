@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r4n"  # r4n: + weighted-sample sidecar
+ORACLE_VERSION = "r4o"  # r4o: + k-core sidecar
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -1530,6 +1530,34 @@ def _expected_pca(emb: np.ndarray, ids: np.ndarray, k: int = 2) -> pa.Table:
     return pa.table(cols)
 
 
+
+def _expected_k_core(edges: list, k: int) -> pa.Table:
+    """Sequential k-core peeling (the k-core is unique, so peel order is
+    irrelevant): surviving (node, degree) sorted by node.
+    Reference spec for stages/graph.py:k_core."""
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    nodes = sorted(adj)
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "degree": pa.array([len(adj[n]) for n in nodes], pa.int64()),
+        }
+    )
+
 def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
     """Build (or reuse) all oracle sidecars for one scale factor. Returns
     the sidecar directory."""
@@ -1644,6 +1672,26 @@ def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
         )
     ]
     pq.write_table(_expected_pagerank(pr_edges), out / "graph_pagerank.parquet")
+
+    # part co-order graph (same derivation as _q_lineitem_triangles /
+    # _q_lineitem_kcore): parts connected when an order contains both
+    lpk = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    by_order: dict[int, set] = {}
+    for o, p_ in zip(
+        lpk.column("l_orderkey").to_pylist(), lpk.column("l_partkey").to_pylist()
+    ):
+        by_order.setdefault(o, set()).add(p_)
+    co_edges = set()
+    for items in by_order.values():
+        s = sorted(items)
+        for ii in range(len(s)):
+            for jj in range(ii + 1, len(s)):
+                co_edges.add((s[ii], s[jj]))
+    pq.write_table(
+        _expected_k_core(sorted(co_edges), 75), out / "lineitem_kcore.parquet"
+    )
 
     _build_files_sidecars(fixture_dir, out)
 

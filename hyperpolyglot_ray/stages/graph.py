@@ -965,3 +965,156 @@ def triangle_count(
     return partials.repartition(1).map_batches(
         final, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
+
+
+def k_core(
+    edges: ray.data.Dataset,
+    k: int,
+    a_col: str = "a",
+    b_col: str = "b",
+    n_buckets: int = 64,
+    max_iters: int = 200,
+    broadcast_nodes_budget: int = 5_000_000,
+) -> ray.data.Dataset:
+    """k-core of an undirected graph — the nodes surviving iterative
+    peeling of degree-< k vertices (Seidman 1983; the parallel peeling
+    formulation of Montresor et al. 2013), with their within-core
+    degrees: the graph-density screen behind spam-farm and bot-ring
+    detection on interaction graphs.
+
+    Topology per round (the edge set only ever SHRINKS): one slim
+    endpoint-explode -> bucketed degree count, a >= k filter, then the
+    edge filter — survivor ids broadcast once and edges filtered
+    map-only while the survivor set fits ``broadcast_nodes_budget``,
+    two chained ``semi_join`` passes beyond it (the pagerank/near-dup
+    auto-routing policy; the right side ships only the deduped node
+    column). Each round's edge set is repartitioned to ``n_buckets``
+    blocks before materializing — without the bound, block count grows
+    linearly per round and the groupbys go super-linear. Terminates
+    when no node fell below k (the fixpoint — the k-core is unique, so
+    peel order is irrelevant) or the core is empty. The driver sees
+    only per-round COUNTS; ``max_iters`` bounds adversarial peel chains
+    (each round removes >= 1 node, so rounds <= peeling depth).
+
+    Input edges: self-loops dropped, duplicates/orientation normalized
+    like ``triangle_count``. Output: ``(node, degree)``, degree >= k.
+    """
+    from .joins import semi_join
+    from .shuffle import bucketed_group_reduce
+
+    if k < 1:
+        raise ValueError("k_core: k must be >= 1")
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col)
+        b = batch.column(b_col)
+        if a.null_count or b.null_count:
+            raise ValueError("k_core: null endpoints")
+        av = a.to_numpy(zero_copy_only=False).astype(np.int64)
+        bv = b.to_numpy(zero_copy_only=False).astype(np.int64)
+        m = av != bv
+        av, bv = av[m], bv[m]
+        return pa.table(
+            {
+                "lo": pa.array(np.minimum(av, bv), pa.int64()),
+                "hi": pa.array(np.maximum(av, bv), pa.int64()),
+            }
+        )
+
+    cur = bucketed_group_reduce(
+        edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True),
+        ["lo", "hi"],
+        [],
+        n_buckets,
+    ).materialize()
+
+    empty = pa.table(
+        {"node": pa.array([], pa.int64()), "degree": pa.array([], pa.int64())}
+    )
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        lo = batch.column("lo").to_numpy(zero_copy_only=False)
+        hi = batch.column("hi").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([lo, hi]), pa.int64())})
+
+    def close_deg(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "degree": batch.column("count(node)").cast(pa.int64()),
+            }
+        )
+
+    for _ in range(max_iters):
+        degrees = bucketed_group_reduce(
+            cur.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True),
+            "node",
+            [("node", "count")],
+            n_buckets,
+        ).map_batches(
+            close_deg, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        total = degrees.count()
+        if total == 0:
+            return ray.data.from_arrow(empty)
+        keep = degrees.map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t.column("degree"), pa.scalar(k, pa.int64()))
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+        keep_n = keep.count()
+        if keep_n == total:
+            return degrees
+        if keep_n == 0:
+            return ray.data.from_arrow(empty)
+        if keep_n <= broadcast_nodes_budget:
+            # small-core fast path (the pagerank/near-dup routing knob):
+            # ship the sorted survivor ids once, filter edges map-only —
+            # one pass instead of two chained shuffles per round
+            ids = np.sort(
+                np.concatenate(
+                    [
+                        t.column("node").to_numpy(zero_copy_only=False)
+                        for t in ray.get(keep.to_arrow_refs())
+                        if t.num_rows
+                    ]
+                )
+            )
+            ids_ref = ray.put(ids)
+
+            def edge_filter(batch: pa.Table) -> pa.Table:
+                s = ray.get(ids_ref)
+                lo = batch.column("lo").to_numpy(zero_copy_only=False)
+                hi = batch.column("hi").to_numpy(zero_copy_only=False)
+                p = np.searchsorted(s, lo)
+                q = np.searchsorted(s, hi)
+                m = (
+                    (p < len(s))
+                    & (q < len(s))
+                    & (s[np.minimum(p, len(s) - 1)] == lo)
+                    & (s[np.minimum(q, len(s) - 1)] == hi)
+                )
+                return batch.filter(pa.array(m))
+
+            cur = (
+                cur.map_batches(
+                    edge_filter, batch_format="pyarrow", zero_copy_batch=True
+                )
+                .repartition(n_buckets)
+                .materialize()
+            )
+        else:
+            cur = (
+                semi_join(
+                    semi_join(cur, keep, "lo", "node", n_buckets),
+                    keep,
+                    "hi",
+                    "node",
+                    n_buckets,
+                )
+                .repartition(n_buckets)
+                .materialize()
+            )
+    raise RuntimeError(f"k_core: no fixpoint within {max_iters} rounds")

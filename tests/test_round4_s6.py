@@ -283,3 +283,83 @@ def test_global_row_number_null_raises(ray_session):
     ds = ray.data.from_items([{"id": 1, "v": 2.0}, {"id": 2, "v": None}])
     with pytest.raises(Exception, match="null id/value"):
         global_row_number(ds, "v", "id").take_all()
+
+
+# ---------------------------------------------------------------- k-core
+
+
+def _peel(edges, k):
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    return {n: len(v) for n, v in adj.items()}
+
+
+def test_k_core_matches_peeling(ray_session):
+    from hyperpolyglot_ray.stages.graph import k_core
+
+    rng = np.random.RandomState(31)
+    edges = set()
+    while len(edges) < 400:
+        a, b = rng.randint(0, 60, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    rows = [{"a": int(a), "b": int(b)} for a, b in edges]
+    # duplicates / reversed orientation / self-loops must be benign
+    rows += [{"a": b, "b": a} for a, b in list(edges)[:50]] + [{"a": 7, "b": 7}]
+    ds = ray.data.from_items(rows).repartition(5)
+    for k in (8, 12):
+        got = {r["node"]: r["degree"] for r in k_core(ds, k).take_all()}
+        assert got == _peel(edges, k), f"k={k}"
+
+
+def test_k_core_cascade_and_empty(ray_session):
+    from hyperpolyglot_ray.stages.graph import k_core
+
+    # a path peels completely at k=2 only via the cascade (every
+    # interior node has degree 2 until the endpoints peel away)
+    path = [{"a": i, "b": i + 1} for i in range(6)]
+    assert k_core(ray.data.from_items(path), 2).take_all() == []
+    # a 4-clique with a pendant chain: the clique survives k=3
+    k4 = [{"a": a, "b": b} for a in range(4) for b in range(4) if a < b]
+    chain = [{"a": 3, "b": 9}, {"a": 9, "b": 10}]
+    got = {
+        r["node"]: r["degree"]
+        for r in k_core(ray.data.from_items(k4 + chain), 3).take_all()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_k_core_route_equivalence(ray_session):
+    # broadcast fast path vs forced semi-join route: bitwise-equal
+    from hyperpolyglot_ray.stages.graph import k_core
+
+    rng = np.random.RandomState(37)
+    edges = set()
+    while len(edges) < 200:
+        a, b = rng.randint(0, 40, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    ds = ray.data.from_items(
+        [{"a": int(a), "b": int(b)} for a, b in edges]
+    ).repartition(4)
+    fast = sorted(
+        (r["node"], r["degree"]) for r in k_core(ds, 9).take_all()
+    )
+    slow = sorted(
+        (r["node"], r["degree"])
+        for r in k_core(ds, 9, broadcast_nodes_budget=0).take_all()
+    )
+    assert fast == slow and fast == sorted(_peel(edges, 9).items())
