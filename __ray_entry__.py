@@ -2708,6 +2708,21 @@ def _q_doc_langid_kappa(sf_dir: str):
     return label_agreement(pred, "lang", "langid_lang")
 
 
+def _q_doc_bpe_token_counts(sf_dir: str):
+    """Tokenizer APPLICATION at corpus scale: per-document BPE token
+    counts under the corpus-trained 30-merge table — train once
+    (distributed merge loop), broadcast the tiny merge table, map-only
+    encode with in-batch word dedupe. Sequential-sidecar oracled via
+    the shared apply/encode helpers."""
+    from hyperpolyglot_ray.stages.bpe import bpe_encode_counts, bpe_train
+
+    docs = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    merges = bpe_train(docs, "text", n_merges=30)
+    return bpe_encode_counts(docs, merges, "text", "doc_id")
+
+
 def _q_lineitem_kcore(sf_dir: str):
     """k-core (k=75) of the part co-order graph: iterative distributed
     peeling — per-round slim degree reduce + two semi-joins; the edge
@@ -2901,6 +2916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_source_chi2": _q_doc_lang_source_chi2,
         "doc_global_rank": _q_doc_global_rank,
         "lineitem_kcore": _q_lineitem_kcore,
+        "doc_bpe_token_counts": _q_doc_bpe_token_counts,
         "orders_custdist": _q_orders_custdist,
         "tpch_q3_topk": _q_tpch_q3_topk,
         "events_ntile": _q_events_ntile,
@@ -3296,6 +3312,10 @@ FROM tot, pn""",
         "lineitem_kcore": (
             f"SELECT node, degree "
             f"FROM read_parquet('{side}/lineitem_kcore.parquet')"
+        ),
+        "doc_bpe_token_counts": (
+            f"SELECT doc_id, n_bpe_tokens "
+            f"FROM read_parquet('{side}/doc_bpe_token_counts.parquet')"
         ),
         "doc_global_rank": """
 SELECT doc_id, n_chars,

@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r4o"  # r4o: + k-core sidecar
+ORACLE_VERSION = "r4p"  # r4p: + BPE-encode token-count sidecar
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -1558,6 +1558,34 @@ def _expected_k_core(edges: list, k: int) -> pa.Table:
         }
     )
 
+
+def _expected_bpe_token_counts(texts, doc_ids) -> pa.Table:
+    """Sequential spec of stages/bpe.py:bpe_encode_counts — merges from
+    the shared sequential trainer, each document's words encoded with
+    the SAME shared apply helpers (apply_merge_strs / encode_word)."""
+    from hyperpolyglot_ray.stages.bpe import _split_words, encode_word
+
+    merges = _expected_bpe_merges(texts)
+    merge_list = list(
+        zip(merges.column("left").to_pylist(), merges.column("right").to_pylist())
+    )
+    cache: dict[str, int] = {}
+    counts = []
+    for t in texts:
+        tb = pa.table({"text": pa.array([t or ""], pa.string())})
+        n = 0
+        for w in _split_words(tb, "text").to_pylist():
+            if w not in cache:
+                cache[w] = encode_word(w, merge_list)
+            n += cache[w]
+        counts.append(n)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_bpe_tokens": pa.array(counts, pa.int64()),
+        }
+    )
+
 def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
     """Build (or reuse) all oracle sidecars for one scale factor. Returns
     the sidecar directory."""
@@ -1608,6 +1636,10 @@ def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
         _expected_byte_entropy(texts, doc_ids), out / "doc_byte_entropy.parquet"
     )
     pq.write_table(_expected_bpe_merges(texts), out / "doc_bpe_merges.parquet")
+    pq.write_table(
+        _expected_bpe_token_counts(texts, doc_ids),
+        out / "doc_bpe_token_counts.parquet",
+    )
     n_chars = pq.read_table(
         f"{sf_dir}/documents.parquet", columns=["n_chars"]
     ).column("n_chars").to_pylist()

@@ -265,3 +265,88 @@ def bpe_train(
             "pair_count": pa.array(counts, pa.int64()),
         }
     )
+
+
+def apply_merge_strs(seq: list[str], l: str, r: str) -> list[str]:
+    """Greedy left-to-right application of one merge to a symbol
+    sequence (consumed pairs are skipped, so ``aaa`` -> ``[aa, a]``) —
+    THE shared apply spec: the distributed encoder and the sequential
+    sidecar both call this function."""
+    out: list[str] = []
+    i = 0
+    n = len(seq)
+    while i < n:
+        if i + 1 < n and seq[i] == l and seq[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+def encode_word(word: str, merge_list: list[tuple[str, str]]) -> int:
+    """BPE token count of one word: chars + ``</w>``, then every merge
+    replayed in rank order (the trainer's application semantics)."""
+    seq = list(word) + [END_WORD]
+    for l, r in merge_list:
+        if len(seq) < 2:
+            break
+        seq = apply_merge_strs(seq, l, r)
+    return len(seq)
+
+
+def bpe_encode_counts(
+    ds: ray.data.Dataset,
+    merges: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Apply a learned merge table at corpus scale: per-document BPE
+    token counts ``(id, n_bpe_tokens)`` — the sizing pass a packing /
+    token-budget stage consumes once a tokenizer is trained.
+
+    Map-only (the merge table is rank-ordered, tiny, and broadcast via
+    ``ray.put`` once): each batch splits to words with the shared Arrow
+    kernel, deduplicates them IN-BATCH (zipf: the distinct-word set is
+    orders of magnitude smaller than the token stream), encodes each
+    distinct word once with the shared ``encode_word`` spec, and maps
+    counts back vectorized. Null text counts as empty (0 tokens).
+    """
+    merge_list = list(
+        zip(merges.column("left").to_pylist(), merges.column("right").to_pylist())
+    )
+    mref = ray.put(merge_list)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ml = ray.get(mref)
+        lists = pc.utf8_split_whitespace(
+            pc.fill_null(batch.column(text_col).combine_chunks(), "")
+        )
+        flat = pc.list_flatten(lists)
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        # per-row word counts BEFORE the empty filter, then correct
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        row_of = np.repeat(np.arange(len(lens)), lens)
+        keep_np = keep.to_numpy(zero_copy_only=False).astype(bool)
+        words = flat.filter(keep).to_pylist()
+        row_of = row_of[keep_np]
+        uniq: dict[str, int] = {}
+        for w in words:
+            if w not in uniq:
+                uniq[w] = encode_word(w, ml)
+        per_word = np.fromiter(
+            (uniq[w] for w in words), dtype=np.int64, count=len(words)
+        )
+        out = np.zeros(batch.num_rows, np.int64)
+        np.add.at(out, row_of, per_word)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_bpe_tokens": pa.array(out, pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )

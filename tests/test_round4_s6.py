@@ -363,3 +363,45 @@ def test_k_core_route_equivalence(ray_session):
         for r in k_core(ds, 9, broadcast_nodes_budget=0).take_all()
     )
     assert fast == slow and fast == sorted(_peel(edges, 9).items())
+
+
+# ------------------------------------------------------------- BPE encode
+
+
+def test_bpe_encode_counts(ray_session):
+    import pyarrow as pa
+
+    from hyperpolyglot_ray.stages.bpe import (
+        apply_merge_strs,
+        bpe_encode_counts,
+        bpe_train,
+        encode_word,
+    )
+
+    # greedy overlap: merge (a, a) on "aaaa" -> [aa, aa]; "aaa" -> [aa, a]
+    assert apply_merge_strs(list("aaaa"), "a", "a") == ["aa", "aa"]
+    assert apply_merge_strs(list("aaa"), "a", "a") == ["aa", "a"]
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest low",
+        "",
+        None,
+        "low lower",
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    ds = ray.data.from_items(rows).repartition(3)
+    merges = bpe_train(ds, "text", n_merges=10, min_count=1)
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_encode_counts(ds, merges, "text", "doc_id").take_all()
+    }
+    ml = list(
+        zip(merges.column("left").to_pylist(), merges.column("right").to_pylist())
+    )
+    for i, t in enumerate(texts):
+        exp = sum(encode_word(w, ml) for w in (t or "").split())
+        assert got[i] == exp, (i, t)
+    assert got[2] == 0 and got[3] == 0
+    # with every pair merged to completion, frequent short words hit 1 token
+    assert got[4] <= 4
