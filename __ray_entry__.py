@@ -2888,6 +2888,76 @@ def entry() -> Any:
     )
 
 
+def _q_part_bfs_hops(sf_dir: str):
+    """Multi-source BFS (seeds = partkeys 1-3, max 2 hops) over the
+    part co-order graph: level-synchronous frontier expansion, per-round
+    slim int64 exchanges with the broadcast/semi-join routing knob —
+    the blast-radius primitive. Recursive-CTE oracled."""
+    from hyperpolyglot_ray.stages.graph import bfs_hops, cooccurrence_edges
+
+    li = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return bfs_hops(edges, seeds=[1, 2, 3], max_hops=2)
+
+
+def _q_customer_fuzzy_clusters(sf_dir: str):
+    """Entity resolution end-to-end: FastSS fuzzy self-join (edit
+    distance <= 1 on c_name) feeding distributed connected components —
+    every customer labeled with its duplicate-cluster id (min custkey
+    reachable). Recursive-CTE min-propagation oracle."""
+    import pyarrow as pa
+
+    from hyperpolyglot_ray.stages.fuzzy import fuzzy_self_pairs
+    from hyperpolyglot_ray.stages.graph import hash_min_components
+
+    cust = _read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    pairs = fuzzy_self_pairs(cust, "c_name", "c_custkey", max_dist=1)
+    nodes = cust.map_batches(
+        lambda t: pa.table({"node": t.column("c_custkey")}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    comp = hash_min_components(pairs, nodes, edge_cols=("id_a", "id_b"))
+    return comp.map_batches(
+        lambda t: pa.table(
+            {"c_custkey": t.column("node"), "component": t.column("component")}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _q_events_value_runs(sf_dir: str):
+    """SCD2 / gaps-and-islands: each user's event stream collapsed into
+    maximal equal-event_type runs under the strict (ts, event_id) order
+    — (run_id, value, valid_from, valid_to, n_events) per run.
+    Window-function oracle (LAG + conditional cumulative sum)."""
+    from hyperpolyglot_ray.stages.windows import value_runs_per_key
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return value_runs_per_key(ds)
+
+
+def _q_events_value_runs_chunked(sf_dir: str):
+    """Hot-key-safe value runs (per-(key, time-chunk) collapse + a
+    run-summary merge shuffle); identical semantics to
+    events_value_runs, same SQL oracle."""
+    from hyperpolyglot_ray.stages.windows import value_runs_per_key
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return value_runs_per_key(ds, chunk_hours=6.0)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordered for the driver's finite correctness window (~50 rows):
     # (1) the seven queries VERDICT r3 flagged as never driver-checked,
@@ -2895,6 +2965,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ops, (4) the highest-value session-1/2 ops, then everything else
     # (never-checked first, then r2-checked, then r3-green).
     return {
+        "part_bfs_hops": _q_part_bfs_hops,
+        "customer_fuzzy_clusters": _q_customer_fuzzy_clusters,
+        "events_value_runs": _q_events_value_runs,
+        "events_value_runs_chunked": _q_events_value_runs_chunked,
         "emb_quantize": _q_emb_quantize,
         "emb_pq": _q_emb_pq,
         "events_distinct_users_hll": _q_events_distinct_users_hll,
@@ -3529,6 +3603,54 @@ SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
        CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
 FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 1""",
+        # min-label propagation to a fixpoint == connected components:
+        # reach enumerates (node, label of every reachable node), the
+        # GROUP BY takes the min — the textbook recursive-CTE CC
+        "customer_fuzzy_clusters": """
+WITH RECURSIVE pairs AS (
+  SELECT a.c_custkey AS a, b.c_custkey AS b
+  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1
+), und AS (
+  SELECT a AS s, b AS d FROM pairs UNION ALL SELECT b, a FROM pairs
+), reach(node, lbl) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT u.d, reach.lbl FROM reach JOIN und u ON u.s = reach.node
+)
+SELECT node AS c_custkey, CAST(MIN(lbl) AS BIGINT) AS component
+FROM reach GROUP BY node""",
+        "part_bfs_hops": """
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), und AS (
+  SELECT a AS s, b AS d FROM e0 UNION ALL SELECT b, a FROM e0
+), bfs(node, dist) AS (
+  SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(0 AS BIGINT)), (2, 0), (3, 0)) v(node, dist)
+  UNION
+  SELECT u.d, bfs.dist + 1 FROM bfs JOIN und u ON u.s = bfs.node
+  WHERE bfs.dist < 2
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(MIN(dist) AS BIGINT) AS dist
+FROM bfs GROUP BY node""",
+        "events_value_runs": """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), g AS (
+  SELECT user_id, event_type, ts,
+         SUM(CASE WHEN prev IS NULL OR event_type <> prev THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS grp
+  FROM o
+)
+SELECT user_id, CAST(grp - 1 AS BIGINT) AS run_id, event_type AS value,
+       MIN(ts) AS valid_from, MAX(ts) AS valid_to,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, grp, event_type""",
         "orders_custdist": """
 SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
   SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
@@ -4521,6 +4643,7 @@ FROM s GROUP BY user_id, session_id""",
     }
     # the hot-key-safe execution paths compute the same functions — same
     # oracle, different distributed topology
+    sql["events_value_runs_chunked"] = sql["events_value_runs"]
     sql["events_sessionize_chunked"] = sql["events_sessionize"]
     sql["events_asof_chunked"] = sql["events_asof"]
     sql["events_session_join_chunked"] = sql["events_session_join"]

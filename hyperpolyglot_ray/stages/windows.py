@@ -790,3 +790,192 @@ def time_weighted_avg_per_key(
         )
 
     return per_key.map_batches(close, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def value_runs_per_key(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    val_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    chunk_hours: float | None = None,
+) -> ray.data.Dataset:
+    """Collapse each key's event stream into VALUE RUNS — maximal spans
+    of consecutive equal ``val_col`` under the strict order ``(ts_col,
+    id_col)`` — the gaps-and-islands / SCD2 history build: "which state
+    was this user in, from when to when". Output per run: ``(key_col,
+    run_id, value, valid_from, valid_to, n_events)``, ``run_id``
+    0-based per key in time order, ``valid_from``/``valid_to`` the
+    run's first/last event timestamp.
+
+    ``chunk_hours=None`` shuffles whole keys (groupby + map_groups with
+    an in-group sort — one group per key). ``chunk_hours=H`` is the
+    hot-key-safe path, the :func:`sessionize` two-phase discipline with
+    a simpler merge rule: phase 1 collapses runs within ``(key,
+    time-chunk)`` groups; phase 2 shuffles only RUN SUMMARIES (value +
+    three ints each) per key, merging boundary runs iff their values
+    are equal — no gap condition, so adjacency is decided by chunk
+    order alone and empty chunks in between are irrelevant. Exactness:
+    chunks partition event time, so global runs are exactly the
+    equal-value merge of per-chunk runs; worst case (values alternating
+    every event) run summaries degenerate to event scale, which the
+    docstring envelope shares with every islands formulation.
+
+    Null ``val_col``/``ts_col``/``id_col`` rows raise: SQL's
+    ``value <> prev`` is NULL under nulls and silently merges runs —
+    better to refuse than diverge from the window-function oracle.
+    """
+    if chunk_hours is not None:
+        chunk_us = int(chunk_hours * 3600 * 1e6)
+        return _value_runs_chunked(ds, key_col, val_col, ts_col, id_col, chunk_us)
+
+    def per_key(group: pa.Table) -> pa.Table:
+        if (
+            group.column(val_col).null_count
+            or group.column(ts_col).null_count
+            or group.column(id_col).null_count
+        ):
+            raise ValueError("value_runs_per_key: null value/ts/id rows")
+        order = pc.sort_indices(
+            group, sort_keys=[(ts_col, "ascending"), (id_col, "ascending")]
+        )
+        g = group.take(order)
+        ts = g.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        vals = g.column(val_col)
+        n = len(ts)
+        new_run = np.ones(n, dtype=bool)
+        if n > 1:
+            new_run[1:] = np.invert(
+                pc.equal(vals.slice(1), vals.slice(0, n - 1))
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+            )
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], n) - 1
+        key = g.column(key_col)[0].as_py()
+        nr = len(starts)
+        return pa.table(
+            {
+                key_col: pa.array([key] * nr, pa.int64()),
+                "run_id": pa.array(np.arange(nr), pa.int64()),
+                "value": vals.take(pa.array(starts)),
+                "valid_from": pa.array(ts[starts], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "valid_to": pa.array(ts[ends], pa.int64()).cast(pa.timestamp("us")),
+                "n_events": pa.array(ends - starts + 1, pa.int64()),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
+def _value_runs_chunked(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    ts_col: str,
+    id_col: str,
+    chunk_us: int,
+) -> ray.data.Dataset:
+    """Two-phase hot-key-safe value runs; see :func:`value_runs_per_key`."""
+
+    def add_chunk(batch: pa.Table) -> pa.Table:
+        if (
+            batch.column(val_col).null_count
+            or batch.column(ts_col).null_count
+            or batch.column(id_col).null_count
+        ):
+            raise ValueError("value_runs_per_key: null value/ts/id rows")
+        us = (
+            batch.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                "__chunk": pa.array(us // chunk_us, pa.int64()),
+                "__us": pa.array(us, pa.int64()),
+                "__id": batch.column(id_col),
+                "__val": batch.column(val_col),
+            }
+        )
+
+    def per_chunk(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("__us", "ascending"), ("__id", "ascending")]
+        )
+        g = group.take(order)
+        us = g.column("__us").to_numpy(zero_copy_only=False)
+        vals = g.column("__val")
+        n = len(us)
+        new_run = np.ones(n, dtype=bool)
+        if n > 1:
+            new_run[1:] = np.invert(
+                pc.equal(vals.slice(1), vals.slice(0, n - 1))
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+            )
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], n) - 1
+        nr = len(starts)
+        return pa.table(
+            {
+                key_col: pa.array([g.column(key_col)[0].as_py()] * nr, pa.int64()),
+                "__chunk": pa.array(
+                    [g.column("__chunk")[0].as_py()] * nr, pa.int64()
+                ),
+                "__ridx": pa.array(np.arange(nr), pa.int64()),
+                "__val": vals.take(pa.array(starts)),
+                "__from": pa.array(us[starts], pa.int64()),
+                "__to": pa.array(us[ends], pa.int64()),
+                "__n": pa.array(ends - starts + 1, pa.int64()),
+            }
+        )
+
+    summaries = (
+        ds.map_batches(add_chunk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key_col, "__chunk"])
+        .map_groups(per_chunk, batch_format="pyarrow")
+    )
+
+    def merge_key(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("__chunk", "ascending"), ("__ridx", "ascending")]
+        )
+        g = group.take(order)
+        vals = g.column("__val")
+        frm = g.column("__from").to_numpy(zero_copy_only=False)
+        to = g.column("__to").to_numpy(zero_copy_only=False)
+        cnt = g.column("__n").to_numpy(zero_copy_only=False)
+        n = len(frm)
+        new_run = np.ones(n, dtype=bool)
+        if n > 1:
+            new_run[1:] = np.invert(
+                pc.equal(vals.slice(1), vals.slice(0, n - 1))
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+            )
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], n) - 1
+        nr = len(starts)
+        return pa.table(
+            {
+                key_col: pa.array([g.column(key_col)[0].as_py()] * nr, pa.int64()),
+                "run_id": pa.array(np.arange(nr), pa.int64()),
+                "value": vals.take(pa.array(starts)),
+                "valid_from": pa.array(frm[starts], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "valid_to": pa.array(to[ends], pa.int64()).cast(pa.timestamp("us")),
+                "n_events": pa.array(
+                    np.add.reduceat(cnt, starts), pa.int64()
+                ),
+            }
+        )
+
+    return summaries.groupby(key_col).map_groups(merge_key, batch_format="pyarrow")

@@ -1,0 +1,172 @@
+"""Round-4 session-7 operators: multi-source BFS hop distances and
+SCD2 value runs (gaps-and-islands)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from hyperpolyglot_ray.stages.graph import bfs_hops
+from hyperpolyglot_ray.stages.windows import value_runs_per_key
+
+
+def _edges(pairs):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([p[0] for p in pairs], pa.int64()),
+                "b": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    ).repartition(3)
+
+
+def _bfs_dict(ds):
+    return {r["node"]: r["dist"] for r in ds.take_all()}
+
+
+# ------------------------------------------------------------- bfs_hops
+
+
+def test_bfs_hops_basic(ray_session):
+    # path 1-2-3-4-5, branch 2-10, island 7-8, isolated seed 99
+    e = _edges([(1, 2), (2, 3), (3, 4), (4, 5), (2, 10), (7, 8)])
+    got = _bfs_dict(bfs_hops(e, seeds=[1, 99], max_hops=2))
+    assert got == {1: 0, 99: 0, 2: 1, 3: 2, 10: 2}
+
+
+def test_bfs_hops_reference_bfs_random(ray_session):
+    rng = np.random.RandomState(7)
+    n = 60
+    pairs = set()
+    while len(pairs) < 120:
+        a, b = rng.randint(0, n, 2)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    pairs = sorted(pairs)
+    seeds = [0, 17]
+    # sequential BFS reference
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    for d in range(1, 4):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    got = _bfs_dict(bfs_hops(_edges(pairs), seeds=seeds, max_hops=3))
+    assert got == dist
+
+
+def test_bfs_hops_routes_equivalent(ray_session):
+    # broadcast vs semi-join routing must agree bit-for-bit
+    pairs = [(i, i + 1) for i in range(0, 30)] + [(5, 25), (0, 29)]
+    fast = _bfs_dict(bfs_hops(_edges(pairs), seeds=[0], max_hops=4))
+    slow = _bfs_dict(
+        bfs_hops(_edges(pairs), seeds=[0], max_hops=4, broadcast_nodes_budget=0)
+    )
+    assert fast == slow
+
+
+def test_bfs_hops_zero_hops_and_dupes(ray_session):
+    # max_hops=0 returns only seeds; duplicate/self-loop edges ignored
+    e = _edges([(1, 2), (1, 2), (3, 3)])
+    assert _bfs_dict(bfs_hops(e, seeds=[2, 2], max_hops=0)) == {2: 0}
+    with pytest.raises(ValueError):
+        bfs_hops(e, seeds=[], max_hops=1)
+    with pytest.raises(ValueError):
+        bfs_hops(e, seeds=[1], max_hops=-1)
+
+
+# ---------------------------------------------------------- value runs
+
+
+def _events(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[1] for r in rows], pa.timestamp("us")
+                ),
+                "event_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+    ).repartition(3)
+
+
+def _runs_set(ds):
+    return {
+        (r["user_id"], r["run_id"], r["value"], r["valid_from"], r["valid_to"], r["n_events"])
+        for r in ds.take_all()
+    }
+
+
+def test_value_runs_basic(ray_session):
+    rows = [
+        (1, 1000, 1, "a"),
+        (1, 2000, 2, "a"),
+        (1, 3000, 3, "b"),
+        (1, 4000, 4, "a"),
+        (2, 1000, 5, "x"),
+    ]
+    got = sorted(
+        value_runs_per_key(_events(rows)).take_all(),
+        key=lambda r: (r["user_id"], r["run_id"]),
+    )
+    assert [
+        (r["user_id"], r["run_id"], r["value"], r["n_events"]) for r in got
+    ] == [(1, 0, "a", 2), (1, 1, "b", 1), (1, 2, "a", 1), (2, 0, "x", 1)]
+    assert got[0]["valid_from"].timestamp() * 1e6 == 1000
+    assert got[0]["valid_to"].timestamp() * 1e6 == 2000
+
+
+def test_value_runs_ts_tie_breaks_on_id(ray_session):
+    # same ts: order by event_id decides run membership
+    rows = [(1, 1000, 2, "b"), (1, 1000, 1, "a"), (1, 1000, 3, "b")]
+    got = sorted(
+        value_runs_per_key(_events(rows)).take_all(), key=lambda r: r["run_id"]
+    )
+    assert [(r["run_id"], r["value"], r["n_events"]) for r in got] == [
+        (0, "a", 1),
+        (1, "b", 2),
+    ]
+
+
+def test_value_runs_chunked_equivalence_random(ray_session):
+    rng = np.random.RandomState(3)
+    rows = []
+    eid = 0
+    for u in range(8):
+        t = 0
+        for _ in range(rng.randint(5, 60)):
+            # gaps from seconds to days so runs straddle 6h chunks
+            t += int(rng.choice([1e6, 3.6e9, 2.2e10, 9e10]))
+            rows.append((u, t, eid, str(rng.choice(["a", "b", "c"]))))
+            eid += 1
+    plain = _runs_set(value_runs_per_key(_events(rows)))
+    chunked = _runs_set(value_runs_per_key(_events(rows), chunk_hours=6.0))
+    assert plain == chunked
+
+
+def test_value_runs_null_value_raises(ray_session):
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1, 1], pa.int64()),
+            "ts": pa.array([1000, 2000], pa.timestamp("us")),
+            "event_id": pa.array([1, 2], pa.int64()),
+            "event_type": pa.array(["a", None], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    with pytest.raises(Exception):
+        value_runs_per_key(ds).take_all()
+    with pytest.raises(Exception):
+        value_runs_per_key(ds, chunk_hours=6.0).take_all()
