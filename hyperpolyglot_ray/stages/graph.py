@@ -52,6 +52,59 @@ def _bucket_of(ids: np.ndarray, n_buckets: int) -> np.ndarray:
     return (_mix64(ids.astype(np.uint64)) % _U64(n_buckets)).astype(np.int64)
 
 
+def _canon_undirected(a_col: str, b_col: str, op_name: str, max_id: int | None = None):
+    """THE shared undirected-edge canonicalizer: drop self-loops, order
+    endpoints as (lo, hi) int64, raise on nulls (and on ids outside
+    ``[0, max_id)`` when the caller packs ids into wider keys). Single
+    definition consumed by ``triangle_count``, ``k_core`` and
+    ``bfs_hops`` — a canonicalization fix must not be appliable to one
+    operator and silently missed by the others."""
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col)
+        b = batch.column(b_col)
+        if a.null_count or b.null_count:
+            raise ValueError(f"{op_name}: null endpoints")
+        av = a.to_numpy(zero_copy_only=False).astype(np.int64)
+        bv = b.to_numpy(zero_copy_only=False).astype(np.int64)
+        m = av != bv
+        av, bv = av[m], bv[m]
+        if max_id is not None and len(av) and (
+            min(av.min(), bv.min()) < 0 or max(av.max(), bv.max()) >= max_id
+        ):
+            raise ValueError(f"{op_name}: node ids must be in [0, {max_id})")
+        return pa.table(
+            {
+                "lo": pa.array(np.minimum(av, bv), pa.int64()),
+                "hi": pa.array(np.maximum(av, bv), pa.int64()),
+            }
+        )
+
+    return canon
+
+
+def _gather_sorted_ids(ds: ray.data.Dataset, col: str = "node") -> np.ndarray:
+    """Collect one int64 id column of a (budget-bounded) dataset to the
+    driver, sorted — the broadcast side of the small-set routing knob."""
+    parts = [
+        t.column(col).to_numpy(zero_copy_only=False)
+        for t in ray.get(ds.to_arrow_refs())
+        if t.num_rows
+    ]
+    if not parts:
+        return np.empty(0, np.int64)
+    return np.sort(np.concatenate(parts))
+
+
+def _member_mask(s: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``vals`` in the SORTED array ``s`` —
+    the clamped-searchsorted test shared by every broadcast filter."""
+    if len(s) == 0:
+        return np.zeros(len(vals), bool)
+    p = np.minimum(np.searchsorted(s, vals), len(s) - 1)
+    return s[p] == vals
+
+
 def _emit_messages_fn(n_buckets: int):
     """Per-bucket message emit: label rows carry (node, lbl); edge rows
     carry (node=src, nbr=dst). Every edge row sends its SOURCE's label to
@@ -773,25 +826,8 @@ def triangle_count(
     from .joins import hash_join
     from .shuffle import bucket_column, bucketed_group_reduce
 
-    def canon(batch: pa.Table) -> pa.Table:
-        a = batch.column(a_col)
-        b = batch.column(b_col)
-        if a.null_count or b.null_count:
-            raise ValueError("triangle_count: null endpoints")
-        av = a.to_numpy(zero_copy_only=False).astype(np.int64)
-        bv = b.to_numpy(zero_copy_only=False).astype(np.int64)
-        m = av != bv
-        av, bv = av[m], bv[m]
-        if len(av) and (
-            min(av.min(), bv.min()) < 0 or max(av.max(), bv.max()) >= (1 << 32)
-        ):
-            # wedge keys pack two ids into one int64
-            raise ValueError("triangle_count: node ids must be in [0, 2^32)")
-        lo = np.minimum(av, bv)
-        hi = np.maximum(av, bv)
-        return pa.table(
-            {"lo": pa.array(lo, pa.int64()), "hi": pa.array(hi, pa.int64())}
-        )
+    # wedge keys pack two ids into one int64, hence the [0, 2^32) bound
+    canon = _canon_undirected(a_col, b_col, "triangle_count", max_id=1 << 32)
 
     dedup = bucketed_group_reduce(
         edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True),
@@ -1005,21 +1041,7 @@ def k_core(
     if k < 1:
         raise ValueError("k_core: k must be >= 1")
 
-    def canon(batch: pa.Table) -> pa.Table:
-        a = batch.column(a_col)
-        b = batch.column(b_col)
-        if a.null_count or b.null_count:
-            raise ValueError("k_core: null endpoints")
-        av = a.to_numpy(zero_copy_only=False).astype(np.int64)
-        bv = b.to_numpy(zero_copy_only=False).astype(np.int64)
-        m = av != bv
-        av, bv = av[m], bv[m]
-        return pa.table(
-            {
-                "lo": pa.array(np.minimum(av, bv), pa.int64()),
-                "hi": pa.array(np.maximum(av, bv), pa.int64()),
-            }
-        )
+    canon = _canon_undirected(a_col, b_col, "k_core")
 
     cur = bucketed_group_reduce(
         edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True),
@@ -1073,29 +1095,13 @@ def k_core(
             # small-core fast path (the pagerank/near-dup routing knob):
             # ship the sorted survivor ids once, filter edges map-only —
             # one pass instead of two chained shuffles per round
-            ids = np.sort(
-                np.concatenate(
-                    [
-                        t.column("node").to_numpy(zero_copy_only=False)
-                        for t in ray.get(keep.to_arrow_refs())
-                        if t.num_rows
-                    ]
-                )
-            )
-            ids_ref = ray.put(ids)
+            ids_ref = ray.put(_gather_sorted_ids(keep))
 
             def edge_filter(batch: pa.Table) -> pa.Table:
                 s = ray.get(ids_ref)
                 lo = batch.column("lo").to_numpy(zero_copy_only=False)
                 hi = batch.column("hi").to_numpy(zero_copy_only=False)
-                p = np.searchsorted(s, lo)
-                q = np.searchsorted(s, hi)
-                m = (
-                    (p < len(s))
-                    & (q < len(s))
-                    & (s[np.minimum(p, len(s) - 1)] == lo)
-                    & (s[np.minimum(q, len(s) - 1)] == hi)
-                )
+                m = _member_mask(s, lo) & _member_mask(s, hi)
                 return batch.filter(pa.array(m))
 
             cur = (
@@ -1145,10 +1151,12 @@ def bfs_hops(
        map-only; beyond it, two ``semi_join`` passes (lo-side, hi-side)
        route edges through bucketed existence checks instead.
     2. dedup + unseen filter: candidate endpoints distinct via
-       ``bucketed_group_reduce``, then visited nodes are removed — same
-       broadcast-or-``semi_join(anti=True)`` routing keyed on the
-       VISITED count (which only grows, so the route can only ever
-       step from broadcast to shuffle, never flap back).
+       ``bucketed_group_reduce``, then visited nodes are removed —
+       broadcast filter or ``semi_join(anti=True)`` keyed on the
+       VISITED count. The driver-side sorted visited array is grown
+       INCREMENTALLY (``np.union1d`` with the just-gathered frontier —
+       never a per-round cluster gather), and since visited only grows,
+       the route can only ever step from broadcast to shuffle.
 
     Seeds are dist 0 whether or not they touch an edge (SQL's VALUES
     seed list does the same). Edges canonicalize like ``k_core``:
@@ -1163,26 +1171,14 @@ def bfs_hops(
         raise ValueError("bfs_hops: max_hops must be >= 0")
     if not seeds:
         raise ValueError("bfs_hops: seeds must be non-empty")
-    seed_arr = np.unique(np.asarray(sorted(set(int(s) for s in seeds)), np.int64))
-
-    def canon(batch: pa.Table) -> pa.Table:
-        a = batch.column(a_col)
-        b = batch.column(b_col)
-        if a.null_count or b.null_count:
-            raise ValueError("bfs_hops: null endpoints")
-        av = a.to_numpy(zero_copy_only=False).astype(np.int64)
-        bv = b.to_numpy(zero_copy_only=False).astype(np.int64)
-        m = av != bv
-        av, bv = av[m], bv[m]
-        return pa.table(
-            {
-                "lo": pa.array(np.minimum(av, bv), pa.int64()),
-                "hi": pa.array(np.maximum(av, bv), pa.int64()),
-            }
-        )
+    seed_arr = np.unique(np.asarray(list(seeds), np.int64))
 
     edge_ds = bucketed_group_reduce(
-        edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True),
+        edges.map_batches(
+            _canon_undirected(a_col, b_col, "bfs_hops"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
         ["lo", "hi"],
         [],
         n_buckets,
@@ -1196,35 +1192,26 @@ def bfs_hops(
             }
         )
 
+    budget = broadcast_nodes_budget
     visited = ray.data.from_arrow(node_table(seed_arr, 0)).materialize()
     frontier = visited.select_columns(["node"]).materialize()
-    frontier_n = len(seed_arr)
     visited_n = len(seed_arr)
+    # driver-side sorted id arrays: valid while the respective set fits
+    # the broadcast budget, None once it outgrows it (never reinstated)
+    f_ids: np.ndarray | None = seed_arr if len(seed_arr) <= budget else None
+    v_ids: np.ndarray | None = seed_arr if len(seed_arr) <= budget else None
 
     for r in range(1, max_hops + 1):
-        if frontier_n == 0:
-            break
-        if frontier_n <= broadcast_nodes_budget:
-            f_ids = np.sort(
-                np.concatenate(
-                    [
-                        t.column("node").to_numpy(zero_copy_only=False)
-                        for t in ray.get(frontier.to_arrow_refs())
-                        if t.num_rows
-                    ]
-                )
-            )
+        if f_ids is not None:
             f_ref = ray.put(f_ids)
 
             def emit(batch: pa.Table) -> pa.Table:
                 s = ray.get(f_ref)
                 lo = batch.column("lo").to_numpy(zero_copy_only=False)
                 hi = batch.column("hi").to_numpy(zero_copy_only=False)
-                p = np.minimum(np.searchsorted(s, lo), len(s) - 1)
-                q = np.minimum(np.searchsorted(s, hi), len(s) - 1)
-                in_lo = s[p] == lo
-                in_hi = s[q] == hi
-                out = np.concatenate([hi[in_lo], lo[in_hi]])
+                out = np.concatenate(
+                    [hi[_member_mask(s, lo)], lo[_member_mask(s, hi)]]
+                )
                 return pa.table({"node": pa.array(np.unique(out), pa.int64())})
 
             nbrs = edge_ds.map_batches(
@@ -1243,23 +1230,13 @@ def bfs_hops(
             )
             nbrs = e_lo.union(e_hi)
         cand = bucketed_group_reduce(nbrs, "node", [], n_buckets)
-        if visited_n <= broadcast_nodes_budget:
-            v_ids = np.sort(
-                np.concatenate(
-                    [
-                        t.column("node").to_numpy(zero_copy_only=False)
-                        for t in ray.get(visited.to_arrow_refs())
-                        if t.num_rows
-                    ]
-                )
-            )
+        if v_ids is not None:
             v_ref = ray.put(v_ids)
 
             def unseen(batch: pa.Table) -> pa.Table:
                 s = ray.get(v_ref)
                 n = batch.column("node").to_numpy(zero_copy_only=False)
-                p = np.minimum(np.searchsorted(s, n), len(s) - 1)
-                return batch.filter(pa.array(s[p] != n))
+                return batch.filter(pa.array(~_member_mask(s, n)))
 
             new = cand.map_batches(
                 unseen, batch_format="pyarrow", zero_copy_batch=True
@@ -1284,5 +1261,10 @@ def bfs_hops(
         visited = visited.union(tagged).materialize()
         visited_n += new_n
         frontier = new.select_columns(["node"]).materialize()
-        frontier_n = new_n
+        f_ids = _gather_sorted_ids(new) if new_n <= budget else None
+        v_ids = (
+            np.union1d(v_ids, f_ids)
+            if v_ids is not None and f_ids is not None and visited_n <= budget
+            else None
+        )
     return visited

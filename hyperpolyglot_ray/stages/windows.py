@@ -858,7 +858,7 @@ def value_runs_per_key(
         nr = len(starts)
         return pa.table(
             {
-                key_col: pa.array([key] * nr, pa.int64()),
+                key_col: pa.array([key] * nr, g.schema.field(key_col).type),
                 "run_id": pa.array(np.arange(nr), pa.int64()),
                 "value": vals.take(pa.array(starts)),
                 "valid_from": pa.array(ts[starts], pa.int64()).cast(
@@ -925,7 +925,10 @@ def _value_runs_chunked(
         nr = len(starts)
         return pa.table(
             {
-                key_col: pa.array([g.column(key_col)[0].as_py()] * nr, pa.int64()),
+                key_col: pa.array(
+                    [g.column(key_col)[0].as_py()] * nr,
+                    g.schema.field(key_col).type,
+                ),
                 "__chunk": pa.array(
                     [g.column("__chunk")[0].as_py()] * nr, pa.int64()
                 ),
@@ -965,7 +968,10 @@ def _value_runs_chunked(
         nr = len(starts)
         return pa.table(
             {
-                key_col: pa.array([g.column(key_col)[0].as_py()] * nr, pa.int64()),
+                key_col: pa.array(
+                    [g.column(key_col)[0].as_py()] * nr,
+                    g.schema.field(key_col).type,
+                ),
                 "run_id": pa.array(np.arange(nr), pa.int64()),
                 "value": vals.take(pa.array(starts)),
                 "valid_from": pa.array(frm[starts], pa.int64()).cast(

@@ -124,8 +124,12 @@ def test_value_runs_basic(ray_session):
     assert [
         (r["user_id"], r["run_id"], r["value"], r["n_events"]) for r in got
     ] == [(1, 0, "a", 2), (1, 1, "b", 1), (1, 2, "a", 1), (2, 0, "x", 1)]
-    assert got[0]["valid_from"].timestamp() * 1e6 == 1000
-    assert got[0]["valid_to"].timestamp() * 1e6 == 2000
+    # naive-datetime compare (not .timestamp(), which applies local tz)
+    from datetime import datetime, timedelta
+
+    epoch = datetime(1970, 1, 1)
+    assert got[0]["valid_from"] == epoch + timedelta(microseconds=1000)
+    assert got[0]["valid_to"] == epoch + timedelta(microseconds=2000)
 
 
 def test_value_runs_ts_tie_breaks_on_id(ray_session):
@@ -154,6 +158,26 @@ def test_value_runs_chunked_equivalence_random(ray_session):
     plain = _runs_set(value_runs_per_key(_events(rows)))
     chunked = _runs_set(value_runs_per_key(_events(rows), chunk_hours=6.0))
     assert plain == chunked
+
+
+def test_value_runs_string_key(ray_session):
+    # key column type is preserved, not coerced to int64
+    tbl = pa.table(
+        {
+            "k": pa.array(["us", "us", "de"], pa.string()),
+            "ts": pa.array([1000, 2000, 1000], pa.timestamp("us")),
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "event_type": pa.array(["a", "a", "b"], pa.string()),
+        }
+    )
+    for kw in ({}, {"chunk_hours": 6.0}):
+        got = {
+            (r["k"], r["run_id"], r["value"], r["n_events"])
+            for r in value_runs_per_key(
+                ray.data.from_arrow(tbl), key_col="k", **kw
+            ).take_all()
+        }
+        assert got == {("us", 0, "a", 2), ("de", 0, "b", 1)}
 
 
 def test_value_runs_null_value_raises(ray_session):
