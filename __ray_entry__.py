@@ -2888,6 +2888,82 @@ def entry() -> Any:
     )
 
 
+def _q_events_ohlc_hourly(sf_dir: str):
+    """Hourly OHLC bars per event_type (time-series downsampling): the
+    fixed-width-combiner topology — per-block (window, key) partials
+    with endpoint candidates + high/low lanes, bucketed merge; the
+    event stream never crosses the shuffle. Open/close are strict
+    (ts, event_id)-order endpoints; window-function oracle."""
+    from hyperpolyglot_ray.stages.windows import ohlc_bars
+
+    ev = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "value", "event_id"],
+    )
+    return ohlc_bars(ev)
+
+
+def _q_events_new_users_daily(sf_dir: str):
+    """Daily NEW-user curve (user acquisition telemetry): first event
+    timestamp per user via one slim bucketed min-reduce, truncated to
+    the day, then a tiny second reduce counts users per day."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hyperpolyglot_ray.stages.shuffle import bucketed_group_reduce
+
+    ev = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    first = bucketed_group_reduce(ev, "user_id", [("ts", "min")])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": t.column("min(ts)")
+                .cast(pa.timestamp("us"))
+                .cast(pa.date32())
+                .cast(pa.int32()),
+            }
+        )
+
+    days = bucketed_group_reduce(
+        first.map_batches(to_day, batch_format="pyarrow", zero_copy_batch=True),
+        "day",
+        [("day", "count")],
+        n_buckets=8,
+    )
+    return days.map_batches(
+        lambda t: pa.table(
+            {
+                # midnight timestamp, not date32: a date column round-trips
+                # through pandas as datetime.date objects on the Ray side
+                # but datetime64 from DuckDB, breaking the string-normalized
+                # value hash even when the dates match
+                "day": t.column("day").cast(pa.date32()).cast(pa.timestamp("us")),
+                "new_users": t.column("count(day)").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _q_lineitem_zorder(sf_dir: str):
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey):
+    map-only per-bit interleave — the multi-dimensional data-layout key
+    whose sort co-locates rows in both dimensions so min/max file stats
+    prune scans on either. Oracle shares the exact bit-shift expression
+    via zorder_sql_expr."""
+    from hyperpolyglot_ray.stages.ordering import zorder_key
+
+    li = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    )
+    return zorder_key(li, ["l_partkey", "l_suppkey"], bits=21)
+
+
 def _q_part_bfs_hops(sf_dir: str):
     """Multi-source BFS (seeds = partkeys 1-3, max 2 hops) over the
     part co-order graph: level-synchronous frontier expansion, per-round
@@ -2965,6 +3041,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ops, (4) the highest-value session-1/2 ops, then everything else
     # (never-checked first, then r2-checked, then r3-green).
     return {
+        "lineitem_zorder": _q_lineitem_zorder,
+        "events_ohlc_hourly": _q_events_ohlc_hourly,
+        "events_new_users_daily": _q_events_new_users_daily,
         "part_bfs_hops": _q_part_bfs_hops,
         "customer_fuzzy_clusters": _q_customer_fuzzy_clusters,
         "events_value_runs": _q_events_value_runs,
@@ -3138,6 +3217,10 @@ def oracle_sql() -> dict[str, str]:
     lang_info = str(LOOKUPS / "language_info.parquet")
 
     from hyperpolyglot_ray.core.filters import documentation_pattern, vendor_pattern
+    from hyperpolyglot_ray.stages.ordering import zorder_sql_expr
+
+    # the operator and the oracle share the exact bit-interleave expression
+    _zexpr = zorder_sql_expr(["l_partkey", "l_suppkey"], 21)
     from hyperpolyglot_ray.stages.secrets import LICENSE_PATTERNS as _licpats
     from hyperpolyglot_ray.stages.secrets import NO_LICENSE as _nolic
     from hyperpolyglot_ray.stages.secrets import SECRET_PATTERNS as _secpats
@@ -3620,6 +3703,36 @@ WITH RECURSIVE pairs AS (
 )
 SELECT node AS c_custkey, CAST(MIN(lbl) AS BIGINT) AS component
 FROM reach GROUP BY node""",
+        "lineitem_zorder": f"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       CAST({_zexpr} AS BIGINT) AS zkey
+FROM lineitem""",
+        # v + 0.0 mirrors the operator's -0.0 normalization (IEEE
+        # -0.0 + 0.0 = +0.0); min/max/endpoint picks are arithmetic-free
+        "events_ohlc_hourly": """
+WITH w AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type, ts, event_id,
+         value + 0.0 AS v
+  FROM events
+), r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY window_start, event_type
+                            ORDER BY ts, event_id) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY window_start, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rl
+  FROM w
+)
+SELECT window_start, event_type,
+       MAX(CASE WHEN rf = 1 THEN v END) AS "open",
+       MAX(v) AS high, MIN(v) AS low,
+       MAX(CASE WHEN rl = 1 THEN v END) AS "close",
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM r GROUP BY window_start, event_type""",
+        "events_new_users_daily": """
+SELECT CAST(CAST(first_ts AS DATE) AS TIMESTAMP) AS day,
+       CAST(COUNT(*) AS BIGINT) AS new_users
+FROM (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id)
+GROUP BY CAST(first_ts AS DATE)""",
         "part_bfs_hops": """
 WITH RECURSIVE e0 AS (
   SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b

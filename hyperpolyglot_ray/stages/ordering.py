@@ -910,3 +910,66 @@ def global_row_number(
         )
 
     return sorted_ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def zorder_key(
+    ds: ray.data.Dataset,
+    cols: list[str],
+    bits: int = 21,
+    out_col: str = "zkey",
+) -> ray.data.Dataset:
+    """Append the Morton (Z-order) key interleaving ``bits`` low bits of
+    each column in ``cols`` — bit ``j`` of column ``i`` lands at key bit
+    ``j * len(cols) + i`` — the multi-dimensional clustering key behind
+    data-layout optimization: sorting/range-partitioning a 100 TB table
+    by ``zkey`` co-locates rows close in EVERY listed dimension, so
+    per-file min/max statistics prune scans filtered on any subset of
+    the columns (the Z-order curve of Morton 1966, as used by analytics
+    table formats; one map-only pass here, the layout itself is
+    ``ds.sort(out_col)`` or a range partition on it downstream).
+
+    Columns must be non-null integers in ``[0, 2**bits)`` (raise
+    otherwise — silently masking high bits would break the locality
+    guarantee), and ``len(cols) * bits <= 63`` so the key fits a
+    non-negative int64. The interleave is a per-bit vectorized shift
+    loop (``bits`` passes over the batch, each a numpy kernel).
+    """
+    k = len(cols)
+    if k < 1:
+        raise ValueError("zorder_key: need at least one column")
+    if bits < 1 or k * bits > 63:
+        raise ValueError("zorder_key: need 1 <= len(cols) * bits <= 63")
+    lim = np.uint64(1) << np.uint64(bits)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        z = np.zeros(batch.num_rows, np.uint64)
+        for i, c in enumerate(cols):
+            col = batch.column(c)
+            if col.null_count:
+                raise ValueError(f"zorder_key: null values in {c!r}")
+            v = col.to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(v) and (v.min() < 0 or v.max() >= int(lim)):
+                raise ValueError(
+                    f"zorder_key: {c!r} values outside [0, 2**{bits})"
+                )
+            u = v.astype(np.uint64)
+            for b in range(bits):
+                z |= ((u >> np.uint64(b)) & np.uint64(1)) << np.uint64(
+                    b * k + i
+                )
+        return batch.append_column(out_col, pa.array(z.astype(np.int64), pa.int64()))
+
+    return ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def zorder_sql_expr(cols: list[str], bits: int = 21) -> str:
+    """The ANSI-SQL expression computing exactly :func:`zorder_key`'s
+    key (bit-shift arithmetic, one term per (column, bit)) — shared so
+    the DuckDB oracle and the operator cannot drift."""
+    k = len(cols)
+    terms = [
+        f"(((CAST({c} AS BIGINT) >> {b}) & 1) << {b * k + i})"
+        for i, c in enumerate(cols)
+        for b in range(bits)
+    ]
+    return " + ".join(terms)

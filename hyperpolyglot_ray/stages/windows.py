@@ -985,3 +985,138 @@ def _value_runs_chunked(
         )
 
     return summaries.groupby(key_col).map_groups(merge_key, batch_format="pyarrow")
+
+
+def ohlc_bars(
+    ds: ray.data.Dataset,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    window: str = "hour",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per (time window, key): OPEN / HIGH / LOW / CLOSE of ``val_col``
+    plus the event count — classic time-series downsampling (candlestick
+    bars; equally the metric-rollup shape for monitoring pipelines).
+    Open/close are the values of the strictly-first/last row by
+    ``(ts_col, id_col)`` inside the window, so ties are deterministic.
+
+    Topology (the ``first_last_per_key`` fixed-width-combiner shape,
+    extended to a composite (window, key) key and min/max lanes): a
+    per-block combiner collapses every (window, key) seen in the block
+    to ONE partial row carrying both endpoint candidates, the block-local
+    high/low, and a partial count; bucket groups then reduce partials
+    with the same endpoint rule and exact min/max/sum merges. The
+    exchange carries O(windows-per-block x blocks) fixed-width rows —
+    never the event stream.
+
+    Floats: ``-0.0`` normalizes to ``+0.0`` on entry (matched by a
+    ``+ 0.0`` in the SQL oracle — IEEE ``-0.0 + 0.0 = +0.0``) so
+    endpoint picks hash identically; NaN values raise (SQL MIN/MAX
+    ignore-NaN semantics differ from numpy's propagate). Nulls raise.
+    Output: (window_start timestamp[us], ``key_col``, open, high, low,
+    close, n_events).
+    """
+    from .aggregates import _segment_starts
+    from .shuffle import bucket_column
+
+    keys = ["window_start", key_col]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        for c in (ts_col, key_col, val_col, id_col):
+            if batch.column(c).null_count:
+                raise ValueError(f"ohlc_bars: null values in {c!r}")
+        win = pc.floor_temporal(
+            batch.column(ts_col).cast(pa.timestamp("us")), unit=window
+        ).cast(pa.timestamp("us"))
+        v = batch.column(val_col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        if np.isnan(v).any():
+            raise ValueError(f"ohlc_bars: NaN values in {val_col!r}")
+        t = pa.table(
+            {
+                "window_start": win,
+                key_col: batch.column(key_col),
+                "__ts": batch.column(ts_col).cast(pa.timestamp("us")),
+                "__id": batch.column(id_col),
+                "__v": pa.array(v + 0.0, pa.float64()),
+            }
+        )
+        g = t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[(c, "ascending") for c in keys]
+                + [("__ts", "ascending"), ("__id", "ascending")],
+            )
+        )
+        starts = np.flatnonzero(_segment_starts(g, keys))
+        seg_len = np.diff(np.append(starts, g.num_rows))
+        ends = starts + seg_len - 1
+        first = g.take(pa.array(starts))
+        last = g.take(pa.array(ends))
+        vv = g.column("__v").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "window_start": first.column("window_start"),
+                key_col: first.column(key_col),
+                "open": first.column("__v"),
+                "__f_ts": first.column("__ts"),
+                "__f_id": first.column("__id"),
+                "close": last.column("__v"),
+                "__l_ts": last.column("__ts"),
+                "__l_id": last.column("__id"),
+                "high": pa.array(np.maximum.reduceat(vv, starts), pa.float64()),
+                "low": pa.array(np.minimum.reduceat(vv, starts), pa.float64()),
+                "n_events": pa.array(seg_len.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", bucket_column(batch, keys, n_buckets)
+        )
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        gf = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[(c, "ascending") for c in keys]
+                + [("__f_ts", "ascending"), ("__f_id", "ascending")],
+            )
+        )
+        f_starts = np.flatnonzero(_segment_starts(gf, keys))
+        first = gf.take(pa.array(f_starts))
+        gl = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[(c, "ascending") for c in keys]
+                + [("__l_ts", "descending"), ("__l_id", "descending")],
+            )
+        )
+        last = gl.take(pa.array(np.flatnonzero(_segment_starts(gl, keys))))
+        hi = gf.column("high").to_numpy(zero_copy_only=False)
+        lo = gf.column("low").to_numpy(zero_copy_only=False)
+        cnt = gf.column("n_events").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "window_start": first.column("window_start"),
+                key_col: first.column(key_col),
+                "open": first.column("open"),
+                "high": pa.array(np.maximum.reduceat(hi, f_starts), pa.float64()),
+                "low": pa.array(np.minimum.reduceat(lo, f_starts), pa.float64()),
+                "close": last.column("close"),
+                "n_events": pa.array(
+                    np.add.reduceat(cnt, f_starts).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.select_columns([ts_col, key_col, val_col, id_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(reduce_group, batch_format="pyarrow")
+    )

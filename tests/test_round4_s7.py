@@ -180,6 +180,156 @@ def test_value_runs_string_key(ray_session):
         assert got == {("us", 0, "a", 2), ("de", 0, "b", 1)}
 
 
+def test_zorder_key_known_values(ray_session):
+    from hyperpolyglot_ray.stages.ordering import zorder_key
+
+    tbl = pa.table(
+        {
+            "x": pa.array([1, 3, 0], pa.int64()),
+            "y": pa.array([2, 3, 0], pa.int64()),
+        }
+    )
+    out = {
+        (r["x"], r["y"]): r["zkey"]
+        for r in zorder_key(ray.data.from_arrow(tbl), ["x", "y"], bits=2).take_all()
+    }
+    # x bit j -> position 2j, y bit j -> position 2j+1
+    assert out == {(1, 2): 0b1001, (3, 3): 0b1111, (0, 0): 0}
+
+
+def test_zorder_key_matches_sql_expr(ray_session):
+    import duckdb
+
+    from hyperpolyglot_ray.stages.ordering import zorder_key, zorder_sql_expr
+
+    rng = np.random.RandomState(5)
+    tbl = pa.table(
+        {
+            "a": pa.array(rng.randint(0, 1 << 21, 200), pa.int64()),
+            "b": pa.array(rng.randint(0, 1 << 21, 200), pa.int64()),
+            "c": pa.array(rng.randint(0, 1 << 21, 200), pa.int64()),
+        }
+    )
+    got = sorted(
+        (r["a"], r["b"], r["c"], r["zkey"])
+        for r in zorder_key(
+            ray.data.from_arrow(tbl), ["a", "b", "c"], bits=21
+        ).take_all()
+    )
+    expr = zorder_sql_expr(["a", "b", "c"], 21)
+    want = sorted(
+        duckdb.sql(
+            f"SELECT a, b, c, CAST({expr} AS BIGINT) AS z FROM tbl"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_zorder_key_validation(ray_session):
+    from hyperpolyglot_ray.stages.ordering import zorder_key
+
+    tbl = pa.table({"x": pa.array([4], pa.int64())})
+    ds = ray.data.from_arrow(tbl)
+    with pytest.raises(ValueError):
+        zorder_key(ds, [], bits=2)
+    with pytest.raises(ValueError):
+        zorder_key(ds, ["x"], bits=64)
+    with pytest.raises(Exception):  # 4 >= 2**2
+        zorder_key(ds, ["x"], bits=2).take_all()
+    neg = ray.data.from_arrow(pa.table({"x": pa.array([-1], pa.int64())}))
+    with pytest.raises(Exception):
+        zorder_key(neg, ["x"], bits=2).take_all()
+
+
+def test_ohlc_bars_reference_parity(ray_session):
+    from hyperpolyglot_ray.stages.windows import ohlc_bars
+
+    rng = np.random.RandomState(9)
+    n = 500
+    ts = rng.randint(0, 6 * 3600, n).astype(np.int64) * 1_000_000
+    keys = rng.choice(["a", "b"], n)
+    vals = np.round(rng.uniform(-5, 5, n), 3)
+    tbl = pa.table(
+        {
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_type": pa.array(keys, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+            "event_id": pa.array(np.arange(n), pa.int64()),
+        }
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (
+            r["open"],
+            r["high"],
+            r["low"],
+            r["close"],
+            r["n_events"],
+        )
+        for r in ohlc_bars(ray.data.from_arrow(tbl).repartition(7)).take_all()
+    }
+    # sequential reference
+    import collections
+    from datetime import datetime, timedelta
+
+    groups = collections.defaultdict(list)
+    hour_us = 3600 * 1_000_000
+    for i in range(n):
+        w = (int(ts[i]) // hour_us) * hour_us
+        groups[(w, keys[i])].append((int(ts[i]), i, float(vals[i])))
+    want = {}
+    epoch = datetime(1970, 1, 1)
+    for (w, k), rows in groups.items():
+        rows.sort()
+        vs = [v for _, _, v in rows]
+        want[(epoch + timedelta(microseconds=w), k)] = (
+            rows[0][2],
+            max(vs),
+            min(vs),
+            rows[-1][2],
+            len(rows),
+        )
+    assert got == want
+
+
+def test_ohlc_bars_tie_and_single(ray_session):
+    from hyperpolyglot_ray.stages.windows import ohlc_bars
+
+    # two events at the identical ts: event_id breaks open/close ties
+    tbl = pa.table(
+        {
+            "ts": pa.array([1000, 1000, 1000], pa.timestamp("us")),
+            "event_type": pa.array(["k", "k", "k"], pa.string()),
+            "value": pa.array([2.0, 1.0, 3.0], pa.float64()),
+            "event_id": pa.array([5, 2, 9], pa.int64()),
+        }
+    )
+    rows = ohlc_bars(ray.data.from_arrow(tbl).repartition(3)).take_all()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["open"], r["high"], r["low"], r["close"], r["n_events"]) == (
+        1.0,
+        3.0,
+        1.0,
+        3.0,
+        3,
+    )
+
+
+def test_ohlc_bars_nan_raises(ray_session):
+    from hyperpolyglot_ray.stages.windows import ohlc_bars
+
+    tbl = pa.table(
+        {
+            "ts": pa.array([1000], pa.timestamp("us")),
+            "event_type": pa.array(["k"], pa.string()),
+            "value": pa.array([float("nan")], pa.float64()),
+            "event_id": pa.array([1], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception):
+        ohlc_bars(ray.data.from_arrow(tbl)).take_all()
+
+
 def test_value_runs_null_value_raises(ray_session):
     tbl = pa.table(
         {
