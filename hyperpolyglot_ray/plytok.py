@@ -1,13 +1,15 @@
-"""`plytok`-style token-dump CLI (reference:
-``crates/polyglot_tokenizer/src/main.rs:9-30``): read one file, print one
-token per line in the reference's Rust ``{:?}`` Debug format, e.g.::
+"""Token-dump CLI — parity with the reference's ``plytok`` binary
+(``crates/polyglot_tokenizer/src/main.rs:9-30``): read one file, print
+every token in Rust ``{:?}`` Debug format, one per line.
 
-    Ident("let")
-    Symbol("=")
-    String("\\"", "s", "\\"")
-    LineComment("//", " hi")
+    python -m hyperpolyglot_ray.plytok FILE
 
-Usage: ``python -m hyperpolyglot_ray.plytok <file>``.
+Output lines mirror the reference enum Debug impl
+(``tokenizer.rs:32-39``): ``Ident("x")``, ``Number("5")``,
+``Symbol(";")``, ``String("\"", "body", "\"")``,
+``LineComment("//", " text")``, ``BlockComment("/*", " text ", "*/")``.
+Error messages match main.rs verbatim ("Filename not provided",
+"File {name} not found").
 """
 
 from __future__ import annotations
@@ -34,10 +36,12 @@ _VARIANT = {
 }
 
 
-def _rust_debug_str(s: str) -> str:
-    """Rust's ``{:?}`` for &str: double-quoted with \\ \" \\n \\r \\t
-    escapes and ``\\u{..}`` for other control characters."""
-    out = ['"']
+def rust_debug_str(s: str) -> str:
+    """``str``'s Rust Debug rendering (``char::escape_debug`` per char,
+    quotes around the whole): ``\\`` ``"`` ``\\n`` ``\\r`` ``\\t`` get
+    two-char escapes, other control chars become ``\\u{hex}``; printable
+    text (including non-ASCII) passes through."""
+    out = []
     for ch in s:
         if ch == "\\":
             out.append("\\\\")
@@ -49,19 +53,17 @@ def _rust_debug_str(s: str) -> str:
             out.append("\\r")
         elif ch == "\t":
             out.append("\\t")
-        elif ch == "\0":
-            out.append("\\0")
-        elif ord(ch) < 0x20 or ch == "\x7f":
+        elif ord(ch) < 0x20 or ord(ch) == 0x7F:
             out.append(f"\\u{{{ord(ch):x}}}")
         else:
             out.append(ch)
-    out.append('"')
-    return "".join(out)
+    return '"' + "".join(out) + '"'
 
 
 def format_token(tok: tuple) -> str:
-    variant = _VARIANT[tok[0]]
-    return f"{variant}({', '.join(_rust_debug_str(p) for p in tok[1:])})"
+    """One token tuple from :func:`tokenize` -> its Rust Debug line."""
+    kind, parts = tok[0], tok[1:]
+    return f"{_VARIANT[kind]}({', '.join(rust_debug_str(p) for p in parts)})"
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -71,16 +73,13 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     file_name = args[0]
     try:
-        with open(file_name, encoding="utf-8") as fh:
+        with open(file_name, encoding="utf-8", errors="replace") as fh:
             content = fh.read()
     except FileNotFoundError:
         print(f"File {file_name} not found")
         return 0
     except OSError as e:
         print(f"Error opening file: {e}")
-        return 0
-    except UnicodeDecodeError as e:
-        print(f"Error reading file: {e}")
         return 0
     for tok in tokenize(content):
         print(format_token(tok))

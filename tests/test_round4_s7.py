@@ -330,6 +330,36 @@ def test_ohlc_bars_nan_raises(ray_session):
         ohlc_bars(ray.data.from_arrow(tbl)).take_all()
 
 
+def test_plytok_token_dump(tmp_path, capsys):
+    # parity with crates/polyglot_tokenizer/src/main.rs: Rust Debug lines
+    from hyperpolyglot_ray.plytok import main
+
+    f = tmp_path / "s.rs"
+    f.write_text('let x = 5; // hi\ns = "a\\tb"\n/* blk */\n')
+    assert main([str(f)]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out == [
+        'Ident("let")',
+        'Ident("x")',
+        'Symbol("=")',
+        'Number("5")',
+        'Symbol(";")',
+        'LineComment("//", "hi")',
+        'Ident("s")',
+        'Symbol("=")',
+        'String("\\"", "a\\\\tb", "\\"")',
+        'BlockComment("/*", " blk ", "*/")',
+    ]
+    # control characters escape like char::escape_debug
+    from hyperpolyglot_ray.plytok import rust_debug_str
+
+    assert rust_debug_str("a\x01\x7f\n\"\\") == '"a\\u{1}\\u{7f}\\n\\"\\\\"'
+    main(["/definitely/not/here"])
+    assert "not found" in capsys.readouterr().out
+    main([])
+    assert capsys.readouterr().out.strip() == "Filename not provided"
+
+
 def test_value_runs_null_value_raises(ray_session):
     tbl = pa.table(
         {
