@@ -2888,6 +2888,33 @@ def entry() -> Any:
     )
 
 
+def _q_events_quota(sf_dir: str):
+    """Per-(user, day) quota: first 3 events by (ts, event_id) — the
+    bounded-combiner topology (block-local first-n candidates, bucketed
+    re-rank), never shuffling the event stream; daily windows so the
+    cap actually binds at oracle scale (hourly cells never exceed 3).
+    ROW_NUMBER oracle."""
+    from hyperpolyglot_ray.stages.windows import quota_per_key_window
+
+    ev = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_id"]
+    )
+    return quota_per_key_window(ev, n=3, window="day")
+
+
+def _q_events_debounce(sf_dir: str):
+    """Debounce: keep events >= 600 s after the last KEPT event per
+    user — the sequential stream-throttle rule (kept-prefix dependent,
+    no chunk decomposition; whole-key groups, O(kept log n) scan).
+    Sequential-sidecar oracled."""
+    from hyperpolyglot_ray.stages.windows import debounce_per_key
+
+    ev = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_id"]
+    )
+    return debounce_per_key(ev, min_gap_seconds=600)
+
+
 def _q_events_ohlc_hourly(sf_dir: str):
     """Hourly OHLC bars per event_type (time-series downsampling): the
     fixed-width-combiner topology — per-block (window, key) partials
@@ -3042,6 +3069,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (never-checked first, then r2-checked, then r3-green).
     return {
         "lineitem_zorder": _q_lineitem_zorder,
+        "events_quota": _q_events_quota,
+        "events_debounce": _q_events_debounce,
         "events_ohlc_hourly": _q_events_ohlc_hourly,
         "events_new_users_daily": _q_events_new_users_daily,
         "part_bfs_hops": _q_part_bfs_hops,
@@ -3707,6 +3736,18 @@ FROM reach GROUP BY node""",
 SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
        CAST({_zexpr} AS BIGINT) AS zkey
 FROM lineitem""",
+        "events_quota": """
+SELECT user_id, window_start, event_id, ts, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+         event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn <= 3""",
+        "events_debounce": f"""
+SELECT user_id, event_id, ts
+FROM read_parquet('{side}/events_debounce.parquet')""",
         # v + 0.0 mirrors the operator's -0.0 normalization (IEEE
         # -0.0 + 0.0 = +0.0); min/max/endpoint picks are arithmetic-free
         "events_ohlc_hourly": """

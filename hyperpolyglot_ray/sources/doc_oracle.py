@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r4p"  # r4p: + BPE-encode token-count sidecar
+ORACLE_VERSION = "r4q"  # r4q: + events debounce sidecar
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -1723,6 +1723,43 @@ def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
                 co_edges.add((s[ii], s[jj]))
     pq.write_table(
         _expected_k_core(sorted(co_edges), 75), out / "lineitem_kcore.parquet"
+    )
+
+    # sequential debounce over events (same spec as
+    # stages/windows.py:debounce_per_key, gap 600 s): per user in strict
+    # (ts, event_id) order, keep an event iff >= gap after the last KEPT
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+    from datetime import timedelta
+
+    gap = timedelta(seconds=600)  # exact integer-microsecond compare
+    per_user: dict[int, list] = {}
+    for u, i, t in zip(
+        ev.column("user_id").to_pylist(),
+        ev.column("event_id").to_pylist(),
+        ev.column("ts").to_pylist(),
+    ):
+        per_user.setdefault(u, []).append((t, i))
+    du, di, dt = [], [], []
+    for u in per_user:
+        rows = sorted(per_user[u])
+        last = None
+        for t, i in rows:
+            if last is None or (t - last) >= gap:
+                du.append(u)
+                di.append(i)
+                dt.append(t)
+                last = t
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array(du, pa.int64()),
+                "event_id": pa.array(di, pa.int64()),
+                "ts": pa.array(dt, pa.timestamp("us")),
+            }
+        ),
+        out / "events_debounce.parquet",
     )
 
     _build_files_sidecars(fixture_dir, out)

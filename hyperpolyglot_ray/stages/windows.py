@@ -1120,3 +1120,155 @@ def ohlc_bars(
         .groupby("__bucket")
         .map_groups(reduce_group, batch_format="pyarrow")
     )
+
+
+def quota_per_key_window(
+    ds: ray.data.Dataset,
+    n: int,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    window: str = "hour",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Keep the FIRST ``n`` events per (key, time window) in strict
+    ``(ts, id)`` order — rate-limit / per-user-quota enforcement
+    (training-data shape: "at most n samples per user per hour", the
+    temporal cousin of ``curation.cap_per_group``'s per-domain cap).
+
+    Same bounded-combiner topology as ``cap_per_group``: each block
+    keeps at most ``n`` candidate rows per (key, window) it sees (one
+    vectorized sort + segment rank) — the global first-n is always a
+    subset of the union of block-local first-n — then bucket groups
+    re-rank the candidates and keep the true first ``n``. The shuffle
+    carries at most ``n x (key, window)-pairs-per-block x blocks``
+    fixed-width rows, never the event stream. Nulls raise (rank order
+    under SQL nulls is dialect-dependent).
+
+    Output: (``key_col``, window_start timestamp[us], ``id_col``,
+    ``ts_col`` timestamp[us], rank int64 1-based) — the kept events.
+    """
+    from .aggregates import _segment_starts
+    from .shuffle import bucket_column
+
+    if n < 1:
+        raise ValueError("quota_per_key_window: n must be >= 1")
+    keys = [key_col, "window_start"]
+    sort_keys = [(c, "ascending") for c in keys] + [
+        ("__ts", "ascending"),
+        (id_col, "ascending"),
+    ]
+
+    def seg_rank(g: pa.Table) -> np.ndarray:
+        starts = np.flatnonzero(_segment_starts(g, keys))
+        seg_len = np.diff(np.append(starts, g.num_rows))
+        return np.arange(g.num_rows) - np.repeat(starts, seg_len)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        for c in (ts_col, key_col, id_col):
+            if batch.column(c).null_count:
+                raise ValueError(f"quota_per_key_window: null values in {c!r}")
+        ts_us = batch.column(ts_col).cast(pa.timestamp("us"))
+        t = pa.table(
+            {
+                key_col: batch.column(key_col),
+                "window_start": pc.floor_temporal(ts_us, unit=window).cast(
+                    pa.timestamp("us")
+                ),
+                "__ts": ts_us,
+                id_col: batch.column(id_col),
+            }
+        )
+        g = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        return g.filter(pa.array(seg_rank(g) < n))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", bucket_column(batch, keys, n_buckets)
+        )
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        rank = seg_rank(g)
+        g = g.filter(pa.array(rank < n))
+        rank = rank[rank < n]
+        return pa.table(
+            {
+                key_col: g.column(key_col),
+                "window_start": g.column("window_start"),
+                id_col: g.column(id_col),
+                ts_col: g.column("__ts"),
+                "rank": pa.array(rank + 1, pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([ts_col, key_col, id_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(reduce_group, batch_format="pyarrow")
+    )
+
+
+def debounce_per_key(
+    ds: ray.data.Dataset,
+    min_gap_seconds: float,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+) -> ray.data.Dataset:
+    """Keep an event iff it is at least ``min_gap_seconds`` after the
+    previously KEPT event of the same key (the first event always
+    kept) — debounce / throttling, the classic stream-dedup rule for
+    retry storms and double-fires. This is a §2.10 streaming-only
+    semantic: which event is kept depends on the full kept-prefix, so
+    unlike :func:`sessionize`/:func:`value_runs_per_key` there is NO
+    chunk-merge decomposition — state at a chunk boundary is the whole
+    prefix, and the operator shuffles whole keys (documented envelope:
+    one key's events fit one worker; SQL cannot express the rule
+    without recursion, hence the sequential-sidecar oracle).
+
+    Per key the scan is O(kept x log n), not a row loop: events sort
+    once by ``(ts, id)``; from each kept index the next kept is
+    ``searchsorted(ts, ts[i] + gap)``. Nulls raise. Output:
+    ``(key_col, id_col, ts_col timestamp[us])`` — the kept events.
+    """
+    gap_us = int(min_gap_seconds * 1e6)
+    if gap_us < 1:  # a zero gap would loop forever on tied timestamps
+        raise ValueError("debounce_per_key: min_gap_seconds must be >= 1e-6")
+
+    def per_key(group: pa.Table) -> pa.Table:
+        if (
+            group.column(ts_col).null_count
+            or group.column(key_col).null_count
+            or group.column(id_col).null_count
+        ):
+            raise ValueError("debounce_per_key: null key/ts/id rows")
+        order = pc.sort_indices(
+            group, sort_keys=[(ts_col, "ascending"), (id_col, "ascending")]
+        )
+        g = group.take(order)
+        ts = g.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n = len(ts)
+        keep = []
+        i = 0
+        while i < n:
+            keep.append(i)
+            i = int(np.searchsorted(ts, ts[i] + gap_us, side="left"))
+        idx = pa.array(np.asarray(keep, np.int64))
+        return pa.table(
+            {
+                key_col: g.column(key_col).take(idx),
+                id_col: g.column(id_col).take(idx),
+                ts_col: g.column(ts_col).cast(pa.timestamp("us")).take(idx),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, id_col, ts_col])
+        .groupby(key_col)
+        .map_groups(per_key, batch_format="pyarrow")
+    )

@@ -360,6 +360,104 @@ def test_plytok_token_dump(tmp_path, capsys):
     assert capsys.readouterr().out.strip() == "Filename not provided"
 
 
+def test_quota_per_key_window_reference(ray_session):
+    from hyperpolyglot_ray.stages.windows import quota_per_key_window
+
+    rng = np.random.RandomState(4)
+    n = 400
+    ts = rng.randint(0, 4 * 3600, n).astype(np.int64) * 1_000_000
+    users = rng.randint(0, 12, n).astype(np.int64)
+    tbl = pa.table(
+        {
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(users, pa.int64()),
+            "event_id": pa.array(np.arange(n), pa.int64()),
+        }
+    )
+    got = {
+        (r["user_id"], r["event_id"], r["rank"])
+        for r in quota_per_key_window(
+            ray.data.from_arrow(tbl).repartition(9), n=2
+        ).take_all()
+    }
+    import collections
+
+    groups = collections.defaultdict(list)
+    hour_us = 3600 * 1_000_000
+    for i in range(n):
+        groups[(int(users[i]), int(ts[i]) // hour_us)].append((int(ts[i]), i))
+    want = set()
+    for (u, _), rows in groups.items():
+        rows.sort()
+        for rk, (_, i) in enumerate(rows[:2], 1):
+            want.add((u, i, rk))
+    assert got == want
+
+
+def test_debounce_per_key_reference(ray_session):
+    from hyperpolyglot_ray.stages.windows import debounce_per_key
+
+    rng = np.random.RandomState(6)
+    rows = []
+    eid = 0
+    for u in range(6):
+        t = 0
+        for _ in range(rng.randint(10, 80)):
+            t += int(rng.choice([1e5, 5e5, 2e6, 9e6]))
+            rows.append((u, t, eid))
+            eid += 1
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_id": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    gap_s = 3.0
+    got = {
+        (r["user_id"], r["event_id"])
+        for r in debounce_per_key(
+            ray.data.from_arrow(tbl).repartition(5), min_gap_seconds=gap_s
+        ).take_all()
+    }
+    import collections
+
+    by_u = collections.defaultdict(list)
+    for u, t, i in rows:
+        by_u[u].append((t, i))
+    want = set()
+    for u, evs in by_u.items():
+        evs.sort()
+        last = None
+        for t, i in evs:
+            if last is None or t - last >= gap_s * 1e6:
+                want.add((u, i))
+                last = t
+    assert got == want
+
+
+def test_debounce_tied_timestamps_and_zero_gap(ray_session):
+    from hyperpolyglot_ray.stages.windows import debounce_per_key
+
+    # tied ts: only the lowest event_id of the tie can be kept
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            "ts": pa.array([1000, 1000, 2_001_000], pa.timestamp("us")),
+            "event_id": pa.array([7, 3, 9], pa.int64()),
+        }
+    )
+    got = sorted(
+        r["event_id"]
+        for r in debounce_per_key(
+            ray.data.from_arrow(tbl), min_gap_seconds=2.0
+        ).take_all()
+    )
+    assert got == [3, 9]
+    with pytest.raises(ValueError):
+        debounce_per_key(ray.data.from_arrow(tbl), min_gap_seconds=0.0)
+
+
 def test_value_runs_null_value_raises(ray_session):
     tbl = pa.table(
         {
