@@ -38,12 +38,20 @@ _VARIANT = {
 
 def rust_debug_str(s: str) -> str:
     """``str``'s Rust Debug rendering (``char::escape_debug`` per char,
-    quotes around the whole): ``\\`` ``"`` ``\\n`` ``\\r`` ``\\t`` get
-    two-char escapes, other control chars become ``\\u{hex}``; printable
-    text (including non-ASCII) passes through."""
+    quotes around the whole): ``\\0`` ``\\\\`` ``"`` ``\\n`` ``\\r``
+    ``\\t`` get two-char escapes; non-printable chars become
+    ``\\u{hex}`` using Rust's printable rule (a char is printable
+    unless its Unicode category is Other (C*) or Separator (Z*), with
+    the plain ASCII space excepted — a category-based rendering of
+    ``core::unicode::printable``; Cn assignments can drift across
+    Unicode versions); everything else passes through."""
+    import unicodedata
+
     out = []
     for ch in s:
-        if ch == "\\":
+        if ch == "\0":
+            out.append("\\0")
+        elif ch == "\\":
             out.append("\\\\")
         elif ch == '"':
             out.append('\\"')
@@ -53,7 +61,7 @@ def rust_debug_str(s: str) -> str:
             out.append("\\r")
         elif ch == "\t":
             out.append("\\t")
-        elif ord(ch) < 0x20 or ord(ch) == 0x7F:
+        elif ch != " " and unicodedata.category(ch)[0] in ("C", "Z"):
             out.append(f"\\u{{{ord(ch):x}}}")
         else:
             out.append(ch)
@@ -73,13 +81,19 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     file_name = args[0]
     try:
-        with open(file_name, encoding="utf-8", errors="replace") as fh:
-            content = fh.read()
+        with open(file_name, "rb") as fh:
+            raw = fh.read()
     except FileNotFoundError:
         print(f"File {file_name} not found")
         return 0
     except OSError as e:
         print(f"Error opening file: {e}")
+        return 0
+    try:
+        content = raw.decode("utf-8")
+    except UnicodeDecodeError:
+        # read_to_string's io::ErrorKind::InvalidData display string
+        print("Error reading file: stream did not contain valid UTF-8")
         return 0
     for tok in tokenize(content):
         print(format_token(tok))

@@ -945,6 +945,10 @@ def zorder_key(
         z = np.zeros(batch.num_rows, np.uint64)
         for i, c in enumerate(cols):
             col = batch.column(c)
+            if not pa.types.is_integer(col.type):
+                # a float would TRUNCATE here but ROUND in the oracle's
+                # CAST(AS BIGINT) — refuse rather than drift
+                raise ValueError(f"zorder_key: {c!r} must be an integer column")
             if col.null_count:
                 raise ValueError(f"zorder_key: null values in {c!r}")
             v = col.to_numpy(zero_copy_only=False).astype(np.int64)

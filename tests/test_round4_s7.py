@@ -239,6 +239,10 @@ def test_zorder_key_validation(ray_session):
     neg = ray.data.from_arrow(pa.table({"x": pa.array([-1], pa.int64())}))
     with pytest.raises(Exception):
         zorder_key(neg, ["x"], bits=2).take_all()
+    # float columns refuse: numpy truncates but SQL CAST rounds
+    flt = ray.data.from_arrow(pa.table({"x": pa.array([3.7], pa.float64())}))
+    with pytest.raises(Exception):
+        zorder_key(flt, ["x"], bits=4).take_all()
 
 
 def test_ohlc_bars_reference_parity(ray_session):
@@ -354,6 +358,17 @@ def test_plytok_token_dump(tmp_path, capsys):
     from hyperpolyglot_ray.plytok import rust_debug_str
 
     assert rust_debug_str("a\x01\x7f\n\"\\") == '"a\\u{1}\\u{7f}\\n\\"\\\\"'
+    # NUL is the \0 two-char escape; zero-width space (Cf) and NBSP (Zs)
+    # are non-printable per Rust's C/Z rule; plain space passes through
+    assert rust_debug_str("\0 ​ ") == '"\\0 \\u{200b}\\u{a0}"'
+    # invalid UTF-8 mirrors read_to_string's error path: no token dump
+    bad = tmp_path / "bad.bin"
+    bad.write_bytes(b"let x\xff")
+    main([str(bad)])
+    assert (
+        capsys.readouterr().out.strip()
+        == "Error reading file: stream did not contain valid UTF-8"
+    )
     main(["/definitely/not/here"])
     assert "not found" in capsys.readouterr().out
     main([])
