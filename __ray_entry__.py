@@ -2888,6 +2888,31 @@ def entry() -> Any:
     )
 
 
+def _q_lineitem_pruned_scan(sf_dir: str):
+    """Write-once Z-order clustered layout + manifest-pruned range scan:
+    lineitem laid out in 32 files range-partitioned on the
+    (l_partkey, l_suppkey) Morton key (cached under /tmp per scale),
+    then scanned with two range predicates — only manifest-intersecting
+    files open, residual filter exact, so the result equals the plain
+    SQL WHERE bit-for-bit while most files are skipped."""
+    from pathlib import Path
+
+    from hyperpolyglot_ray.sources.layout import zorder_scan, zorder_write
+
+    out = f"/tmp/hyperpolyglot_ray/layout/{Path(sf_dir).name}_lineitem_v1"
+    if not (Path(out) / "manifest.parquet").exists():
+        li = _read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+        )
+        zorder_write(li, ["l_partkey", "l_suppkey"], out, bits=21, n_files=32)
+    return zorder_scan(
+        out,
+        {"l_partkey": (50, 149), "l_suppkey": (2, 7)},
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    )
+
+
 def _q_events_quota(sf_dir: str):
     """Per-(user, day) quota: first 3 events by (ts, event_id) — the
     bounded-combiner topology (block-local first-n candidates, bucketed
@@ -3069,6 +3094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (never-checked first, then r2-checked, then r3-green).
     return {
         "lineitem_zorder": _q_lineitem_zorder,
+        "lineitem_pruned_scan": _q_lineitem_pruned_scan,
         "events_quota": _q_events_quota,
         "events_debounce": _q_events_debounce,
         "events_ohlc_hourly": _q_events_ohlc_hourly,
@@ -3736,6 +3762,10 @@ FROM reach GROUP BY node""",
 SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
        CAST({_zexpr} AS BIGINT) AS zkey
 FROM lineitem""",
+        "lineitem_pruned_scan": """
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+FROM lineitem
+WHERE l_partkey BETWEEN 50 AND 149 AND l_suppkey BETWEEN 2 AND 7""",
         "events_quota": """
 SELECT user_id, window_start, event_id, ts, CAST(rn AS BIGINT) AS rank
 FROM (

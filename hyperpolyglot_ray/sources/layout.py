@@ -1,0 +1,172 @@
+"""Z-order clustered data layout: write once, prune every scan.
+
+The 100 TB story behind ``stages/ordering.py:zorder_key``: a table
+range-partitioned on the Morton key is locally clustered in EVERY
+interleaved dimension, so a per-file min/max manifest lets a reader skip
+files for predicates on ANY subset of those columns — the same
+file-skipping contract analytics table formats build on Parquet
+footers, made explicit here so the scan path is testable.
+
+``zorder_write`` lays out the table; ``zorder_scan`` reads it back with
+range predicates, opening only manifest-intersecting files and applying
+the residual row filter exactly — pruning can only ever change WHICH
+files are read, never the result (the correctness oracle is therefore a
+plain SQL WHERE over the original table).
+
+Topology: one map appends the key, a bounded coarse-histogram sketch
+(65536 cells over the key space, fixed-width partials, driver merge)
+picks file boundaries at the count quantiles — approximately balanced
+within one cell regardless of skew, never a whole-column gather — then
+one groupby(file) shuffle moves the payload once; each file group sorts
+by key and writes its Parquet file task-side (tmp + atomic rename),
+returning a manifest row with per-column min/max. Single-writer per
+output dir, like any Parquet sink.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+_SKETCH_CELLS = 1 << 16
+
+
+def zorder_write(
+    ds: ray.data.Dataset,
+    cols: list[str],
+    out_dir: str,
+    bits: int = 21,
+    n_files: int = 32,
+) -> pa.Table:
+    """Write ``ds`` into ``out_dir`` as ``n_files`` Parquet files
+    range-partitioned (and internally sorted) by the Z-order key over
+    ``cols``; returns the manifest table — one row per file with
+    ``path``, ``rows``, and ``min_/max_`` for the key and every
+    interleaved column. The manifest is also written to
+    ``out_dir/manifest.parquet``.
+    """
+    from ..stages.ordering import zorder_key
+
+    if n_files < 1:
+        raise ValueError("zorder_write: n_files must be >= 1")
+    os.makedirs(out_dir, exist_ok=True)
+    keyed = zorder_key(ds, cols, bits=bits, out_col="__zkey").materialize()
+
+    total_bits = len(cols) * bits
+    shift = max(0, total_bits - 16)
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        z = batch.column("__zkey").to_numpy(zero_copy_only=False)
+        counts = np.bincount(z >> shift, minlength=_SKETCH_CELLS)
+        return pa.table({"c": pa.array(counts, pa.int64())})
+
+    parts = [
+        t.column("c").to_numpy(zero_copy_only=False)
+        for t in ray.get(
+            keyed.map_batches(
+                sketch, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    hist = np.sum(parts, axis=0) if parts else np.zeros(_SKETCH_CELLS, np.int64)
+    cum = np.cumsum(hist)
+    n_rows = int(cum[-1]) if len(cum) else 0
+    if n_rows == 0:
+        raise ValueError("zorder_write: empty input")
+    # boundary cells at the i/n_files count quantiles: file i covers
+    # coarse cells (bounds[i-1], bounds[i]] — contiguous key ranges
+    bounds = np.searchsorted(
+        cum, [(i * n_rows) // n_files for i in range(1, n_files)], side="left"
+    ).astype(np.int64)
+    b_ref = ray.put(bounds)
+
+    def add_file(batch: pa.Table) -> pa.Table:
+        b = ray.get(b_ref)
+        cell = batch.column("__zkey").to_numpy(zero_copy_only=False) >> shift
+        return batch.append_column(
+            "__file", pa.array(np.searchsorted(b, cell, side="left"), pa.int64())
+        )
+
+    stat_cols = ["__zkey"] + list(cols)
+
+    def write_group(group: pa.Table) -> pa.Table:
+        fid = int(group.column("__file")[0].as_py())
+        g = group.sort_by("__zkey").drop_columns(["__file"])
+        path = Path(out_dir) / f"part-{fid:05d}.parquet"
+        tmp = Path(out_dir) / f".part-{fid:05d}.tmp"
+        pq.write_table(g, tmp)
+        os.replace(tmp, path)
+        row: dict = {"file": fid, "path": str(path), "rows": g.num_rows}
+        for c in stat_cols:
+            v = g.column(c)
+            row[f"min_{c}"] = pc.min(v).as_py()
+            row[f"max_{c}"] = pc.max(v).as_py()
+        return pa.table({k: pa.array([v]) for k, v in row.items()})
+
+    manifest_rows = (
+        keyed.map_batches(add_file, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__file")
+        .map_groups(write_group, batch_format="pyarrow")
+        .take_all()
+    )
+    manifest_rows.sort(key=lambda r: r["file"])
+    manifest = pa.table(
+        {
+            k: pa.array([r[k] for r in manifest_rows])
+            for k in (manifest_rows[0].keys() if manifest_rows else [])
+        }
+    )
+    pq.write_table(manifest, Path(out_dir) / "manifest.parquet")
+    return manifest
+
+
+def zorder_scan(
+    out_dir: str,
+    ranges: dict[str, tuple[int, int]],
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Read a :func:`zorder_write` layout with inclusive range
+    predicates ``{col: (lo, hi)}``: files whose manifest ``[min, max]``
+    interval misses ANY predicate are skipped without being opened;
+    surviving files stream through the exact residual row filter, so
+    the result equals an unpruned full-scan filter bit-for-bit.
+    Raises if a predicate names a column the manifest has no stats for
+    (pruning would silently degrade to a full scan otherwise).
+    """
+    from .io import read_parquet_clean
+
+    manifest = pq.read_table(Path(out_dir) / "manifest.parquet")
+    mask = np.ones(manifest.num_rows, dtype=bool)
+    for c, (lo, hi) in ranges.items():
+        if f"min_{c}" not in manifest.column_names:
+            raise ValueError(f"zorder_scan: no manifest stats for {c!r}")
+        mn = manifest.column(f"min_{c}").to_numpy(zero_copy_only=False)
+        mx = manifest.column(f"max_{c}").to_numpy(zero_copy_only=False)
+        mask &= (mn <= hi) & (mx >= lo)
+    paths = [p for p, m in zip(manifest.column("path").to_pylist(), mask) if m]
+    if not paths:
+        # typed empty dataset with the layout's schema
+        schema = pq.read_schema(manifest.column("path")[0].as_py())
+        empty = schema.empty_table()
+        if columns is not None:
+            empty = empty.select(columns)
+        return ray.data.from_arrow(empty)
+
+    def residual(batch: pa.Table) -> pa.Table:
+        keep = np.ones(batch.num_rows, dtype=bool)
+        for c, (lo, hi) in ranges.items():
+            v = batch.column(c).to_numpy(zero_copy_only=False)
+            keep &= (v >= lo) & (v <= hi)
+        out = batch.filter(pa.array(keep))
+        return out.select(columns) if columns is not None else out
+
+    return read_parquet_clean(paths).map_batches(
+        residual, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -473,6 +473,64 @@ def test_debounce_tied_timestamps_and_zero_gap(ray_session):
         debounce_per_key(ray.data.from_arrow(tbl), min_gap_seconds=0.0)
 
 
+def test_zorder_layout_prunes_and_matches_full_scan(ray_session, tmp_path):
+    from hyperpolyglot_ray.sources.layout import zorder_scan, zorder_write
+
+    rng = np.random.RandomState(2)
+    n = 5000
+    tbl = pa.table(
+        {
+            "id": pa.array(np.arange(n), pa.int64()),
+            "x": pa.array(rng.randint(0, 1024, n), pa.int64()),
+            "y": pa.array(rng.randint(0, 1024, n), pa.int64()),
+        }
+    )
+    out = str(tmp_path / "layout")
+    manifest = zorder_write(
+        ray.data.from_arrow(tbl).repartition(8), ["x", "y"], out, bits=10, n_files=16
+    )
+    assert manifest.num_rows == 16
+    assert sum(manifest.column("rows").to_pylist()) == n
+    ranges = {"x": (100, 199), "y": (300, 449)}
+    got = sorted(
+        (r["id"], r["x"], r["y"])
+        for r in zorder_scan(out, ranges, columns=["id", "x", "y"]).take_all()
+    )
+    xs = tbl.column("x").to_numpy()
+    ys = tbl.column("y").to_numpy()
+    keep = (xs >= 100) & (xs <= 199) & (ys >= 300) & (ys <= 449)
+    want = sorted(zip(np.flatnonzero(keep).tolist(), xs[keep].tolist(), ys[keep].tolist()))
+    assert got == want
+    # the point of the layout: the manifest must actually skip files
+    mn_x = manifest.column("min_x").to_numpy()
+    mx_x = manifest.column("max_x").to_numpy()
+    mn_y = manifest.column("min_y").to_numpy()
+    mx_y = manifest.column("max_y").to_numpy()
+    opened = int(
+        ((mn_x <= 199) & (mx_x >= 100) & (mn_y <= 449) & (mx_y >= 300)).sum()
+    )
+    assert opened < 16, "a ~1.4% selective 2-D range should not open every file"
+
+
+def test_zorder_scan_empty_and_missing_stats(ray_session, tmp_path):
+    from hyperpolyglot_ray.sources.layout import zorder_scan, zorder_write
+
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "x": pa.array([1, 2, 3], pa.int64()),
+        }
+    )
+    out = str(tmp_path / "small")
+    zorder_write(ray.data.from_arrow(tbl), ["x"], out, bits=4, n_files=2)
+    # fully out-of-range predicate -> typed empty dataset
+    empty = zorder_scan(out, {"x": (9, 12)})
+    assert empty.count() == 0
+    assert set(empty.schema().names) == {"id", "x", "__zkey"}
+    with pytest.raises(ValueError):
+        zorder_scan(out, {"id": (1, 2)})  # no manifest stats for id
+
+
 def test_value_runs_null_value_raises(ray_session):
     tbl = pa.table(
         {
