@@ -2913,6 +2913,22 @@ def _q_lineitem_pruned_scan(sf_dir: str):
     )
 
 
+def _q_lineitem_fingerprint(sf_dir: str):
+    """Order-insensitive table fingerprint over the lineitem key
+    columns — the migration-validation primitive: one column-pruned map
+    pass, #blocks-row driver merge, no shuffle; matches the shared
+    mod-2**64 SQL expression bit-for-bit."""
+    from hyperpolyglot_ray.stages.profile import table_fingerprint
+
+    li = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+    )
+    return table_fingerprint(
+        li, ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+    )
+
+
 def _q_events_quota(sf_dir: str):
     """Per-(user, day) quota: first 3 events by (ts, event_id) — the
     bounded-combiner topology (block-local first-n candidates, bucketed
@@ -3095,6 +3111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "lineitem_zorder": _q_lineitem_zorder,
         "lineitem_pruned_scan": _q_lineitem_pruned_scan,
+        "lineitem_fingerprint": _q_lineitem_fingerprint,
         "events_quota": _q_events_quota,
         "events_debounce": _q_events_debounce,
         "events_ohlc_hourly": _q_events_ohlc_hourly,
@@ -3276,6 +3293,12 @@ def oracle_sql() -> dict[str, str]:
 
     # the operator and the oracle share the exact bit-interleave expression
     _zexpr = zorder_sql_expr(["l_partkey", "l_suppkey"], 21)
+    from hyperpolyglot_ray.stages.profile import fingerprint_sql_expr
+
+    # likewise the mod-2**64 multiply-mix row hash of table_fingerprint
+    _fpexpr = fingerprint_sql_expr(
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+    )
     from hyperpolyglot_ray.stages.secrets import LICENSE_PATTERNS as _licpats
     from hyperpolyglot_ray.stages.secrets import NO_LICENSE as _nolic
     from hyperpolyglot_ray.stages.secrets import SECRET_PATTERNS as _secpats
@@ -3766,6 +3789,10 @@ FROM lineitem""",
 SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
 FROM lineitem
 WHERE l_partkey BETWEEN 50 AND 149 AND l_suppkey BETWEEN 2 AND 7""",
+        "lineitem_fingerprint": f"""
+SELECT count(*) AS n_rows,
+       CAST(SUM(f) % 18446744073709551616 AS VARCHAR) AS fingerprint
+FROM (SELECT {_fpexpr} AS f FROM lineitem)""",
         "events_quota": """
 SELECT user_id, window_start, event_id, ts, CAST(rn AS BIGINT) AS rank
 FROM (

@@ -869,3 +869,86 @@ def chi2_independence(
     return counts.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
+
+
+_FP_BASE = 1 << 64
+# 32-bit odd multipliers: every product in the shared SQL expression
+# stays under 2**96, inside DuckDB's signed HUGEINT range
+_FP_PRIMES = [2654435761, 2246822519, 3266489917, 668265263, 374761393,
+              3812015801, 2545165805, 1181783497]
+_FP_MIX = 2246822519
+
+
+def fingerprint_sql_expr(cols: list[str]) -> str:
+    """The ANSI-SQL expression computing exactly the per-row hash of
+    :func:`table_fingerprint` (wrap-around mod-2**64 arithmetic in
+    HUGEINT, one multiply-accumulate term per column plus two mixing
+    rounds) — shared so the DuckDB oracle and the operator cannot
+    drift."""
+    if len(cols) > len(_FP_PRIMES):
+        raise ValueError(f"fingerprint: at most {len(_FP_PRIMES)} columns")
+    b = _FP_BASE
+    terms = " + ".join(
+        f"(((CAST({c} AS HUGEINT) % {b}) + {b}) % {b} * {p})"
+        for c, p in zip(cols, _FP_PRIMES)
+    )
+    h0 = f"(({terms}) % {b})"
+    h1 = f"((({h0} + ({h0} >> 31)) % {b}) * {_FP_MIX} % {b})"
+    return f"(({h1} + ({h1} >> 29)) % {b})"
+
+
+def table_fingerprint(
+    ds: ray.data.Dataset, cols: list[str]
+) -> ray.data.Dataset:
+    """Order-insensitive content fingerprint of ``cols``: per-row
+    mod-2**64 multiply-mix hash summed (wrapping) over all rows — the
+    migration/backup validation primitive: two copies of a 100 TB table
+    match iff (n_rows, fingerprint) match, computed with one
+    column-pruned map pass and a #blocks-row driver merge, no shuffle,
+    independent of block layout or row order.
+
+    Columns must be non-null integers (a float would round in the
+    oracle's CAST but truncate in numpy — refuse rather than drift; hash
+    strings to int64 upstream if needed). Output: one row
+    ``(n_rows, fingerprint)`` with the 64-bit sum as a decimal string
+    (it does not fit a signed BIGINT). The per-row hash is the shared
+    expression :func:`fingerprint_sql_expr`.
+    """
+    if not cols:
+        raise ValueError("table_fingerprint: need at least one column")
+    if len(cols) > len(_FP_PRIMES):
+        raise ValueError(f"fingerprint: at most {len(_FP_PRIMES)} columns")
+    proj = ds.select_columns(list(cols))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = np.zeros(batch.num_rows, np.uint64)
+        for c, p in zip(cols, _FP_PRIMES):
+            col = batch.column(c)
+            if not pa.types.is_integer(col.type):
+                raise ValueError(f"table_fingerprint: {c!r} must be integer")
+            if col.null_count:
+                raise ValueError(f"table_fingerprint: null values in {c!r}")
+            v = col.to_numpy(zero_copy_only=False).astype(np.int64)
+            h += v.astype(np.uint64) * np.uint64(p)
+        h = (h + (h >> np.uint64(31))) * np.uint64(_FP_MIX)
+        h += h >> np.uint64(29)
+        return pa.table(
+            {
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "s": pa.array([int(h.sum(dtype=np.uint64))], pa.uint64()),
+            }
+        )
+
+    parts = proj.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    n = sum(r["n"] for r in parts)
+    s = sum(r["s"] for r in parts) % _FP_BASE
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_rows": pa.array([n], pa.int64()),
+                "fingerprint": pa.array([str(s)], pa.string()),
+            }
+        )
+    )

@@ -545,3 +545,58 @@ def test_value_runs_null_value_raises(ray_session):
         value_runs_per_key(ds).take_all()
     with pytest.raises(Exception):
         value_runs_per_key(ds, chunk_hours=6.0).take_all()
+
+
+def test_table_fingerprint_order_insensitive_and_sensitive_to_change(ray_session):
+    from hyperpolyglot_ray.stages.profile import table_fingerprint
+
+    rng = np.random.RandomState(5)
+    a = rng.randint(-(10**9), 10**9, 300).astype(np.int64)
+    b = rng.randint(0, 10**12, 300).astype(np.int64)
+    tbl = pa.table({"a": pa.array(a), "b": pa.array(b)})
+    fp1 = table_fingerprint(ray.data.from_arrow(tbl), ["a", "b"]).take_all()[0]
+    # any row order / block layout gives the same fingerprint
+    perm = rng.permutation(300)
+    shuf = tbl.take(pa.array(perm))
+    fp2 = (
+        table_fingerprint(ray.data.from_arrow(shuf).repartition(7), ["a", "b"])
+        .take_all()[0]
+    )
+    assert fp1 == fp2
+    # a single-value change flips it
+    mut = pa.table({"a": pa.array(np.r_[a[:-1], a[-1] + 1]), "b": pa.array(b)})
+    fp3 = table_fingerprint(ray.data.from_arrow(mut), ["a", "b"]).take_all()[0]
+    assert fp3["n_rows"] == fp1["n_rows"] and fp3["fingerprint"] != fp1["fingerprint"]
+
+
+def test_table_fingerprint_matches_duckdb_and_validates(ray_session):
+    import duckdb
+
+    from hyperpolyglot_ray.stages.profile import (
+        fingerprint_sql_expr,
+        table_fingerprint,
+    )
+
+    tbl = pa.table(
+        {
+            "a": pa.array([1, -5, 3_000_000_000, 0, -(2**62)], pa.int64()),
+            "b": pa.array([7, 2, 3, 4, 5], pa.int64()),
+        }
+    )
+    got = table_fingerprint(ray.data.from_arrow(tbl), ["a", "b"]).take_all()[0]
+    con = duckdb.connect()
+    con.register("t", tbl)
+    expr = fingerprint_sql_expr(["a", "b"])
+    n, fp = con.execute(
+        f"SELECT count(*), CAST(SUM(f) % 18446744073709551616 AS VARCHAR)"
+        f" FROM (SELECT {expr} AS f FROM t)"
+    ).fetchone()
+    assert (got["n_rows"], got["fingerprint"]) == (n, fp)
+    with pytest.raises(Exception, match="must be integer"):
+        table_fingerprint(
+            ray.data.from_arrow(pa.table({"x": pa.array([1.5])})), ["x"]
+        ).take_all()
+    with pytest.raises(Exception, match="null values"):
+        table_fingerprint(
+            ray.data.from_arrow(pa.table({"x": pa.array([1, None])})), ["x"]
+        ).take_all()
