@@ -1308,6 +1308,22 @@ def _q_emb_knn(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
+def _q_emb_rrf_fusion(sf_dir: str):
+    """Multi-query retrieval fusion: three probe vectors' top-20 ANN
+    lists merged by reciprocal-rank fusion in the exact scaled-integer
+    domain — hybrid-retrieval's merge step, slim (id, weight) shuffle
+    plus the two-level rank scan."""
+    from hyperpolyglot_ray.stages.search import rrf_fuse
+    from hyperpolyglot_ray.stages.similarity import knn_bruteforce
+
+    ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet")
+    q, qids = _emb_queries(sf_dir, nq=3)
+    knn = knn_bruteforce(ds, q, qids, k=20).select_columns(
+        ["query_id", "neighbor_id", "rank"]
+    )
+    return rrf_fuse(knn, id_col="neighbor_id", rank_col="rank")
+
+
 def _q_emb_near_dup(sf_dir: str):
     import ray.data
 
@@ -3112,6 +3128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_zorder": _q_lineitem_zorder,
         "lineitem_pruned_scan": _q_lineitem_pruned_scan,
         "lineitem_fingerprint": _q_lineitem_fingerprint,
+        "emb_rrf_fusion": _q_emb_rrf_fusion,
         "events_quota": _q_events_quota,
         "events_debounce": _q_events_debounce,
         "events_ohlc_hourly": _q_events_ohlc_hourly,
@@ -3793,6 +3810,27 @@ WHERE l_partkey BETWEEN 50 AND 149 AND l_suppkey BETWEEN 2 AND 7""",
 SELECT count(*) AS n_rows,
        CAST(SUM(f) % 18446744073709551616 AS VARCHAR) AS fingerprint
 FROM (SELECT {_fpexpr} AS f FROM lineitem)""",
+        # same ANN ranking CTE as emb_knn (3 probes, top-20), then the
+        # exact scaled-integer RRF: floor(1e12/(60+rank)) summed per id
+        "emb_rrf_fusion": """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id < 3),
+sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q CROSS JOIN e WHERE e.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+  FROM sims
+), fused AS (
+  SELECT neighbor_id,
+         CAST(SUM(1000000000000 // (60 + rnk)) AS BIGINT) AS rrf_score
+  FROM ranked WHERE rnk <= 20 GROUP BY neighbor_id
+)
+SELECT neighbor_id, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, neighbor_id ASC) AS BIGINT) AS rank
+FROM fused""",
         "events_quota": """
 SELECT user_id, window_start, event_id, ts, CAST(rn AS BIGINT) AS rank
 FROM (

@@ -253,3 +253,69 @@ def doc_keywords(
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def rrf_fuse(
+    rankings: "ray.data.Dataset | list[ray.data.Dataset]",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    scale: int = 10**12,
+) -> ray.data.Dataset:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of one or more
+    rankings into a single ordering — the hybrid/multi-query retrieval
+    merge (BM25 + ANN lists, or one query expanded into several probe
+    vectors). Each input row ``(id, rank)`` contributes
+    ``floor(scale / (k + rank))``; a document's fused score is the sum
+    over every list it appears in.
+
+    The reciprocal is kept in a SCALED-INTEGER domain (default 1e-12
+    quantization) so the score is exact int64 arithmetic — identical in
+    any summation order and bit-reproducible against a plain-SQL
+    oracle, where a float RRF would drift by summation order. Topology:
+    map-only weighting, slim ``(id, weight)`` bucketed sum, then the
+    two-level ``global_row_number`` scan for the fused rank — nothing
+    corpus-scale on the driver. Output: ``(id_col, rrf_score, rank)``,
+    rank 1-based over (score desc, id asc).
+
+    Ranks must be non-null integers >= 1 (SQL ROW_NUMBER convention);
+    ``k >= 1`` keeps every weight finite and positive.
+    """
+    from .ordering import global_row_number
+    from .shuffle import bucketed_group_reduce
+
+    if k < 1:
+        raise ValueError("rrf_fuse: k must be >= 1")
+    if scale < 1:
+        raise ValueError("rrf_fuse: scale must be >= 1")
+    ds = rankings if isinstance(rankings, ray.data.Dataset) else None
+    if ds is None:
+        lists = list(rankings)
+        if not lists:
+            raise ValueError("rrf_fuse: need at least one ranking")
+        ds = lists[0].union(*lists[1:]) if len(lists) > 1 else lists[0]
+
+    def weight(batch: pa.Table) -> pa.Table:
+        r_arr = batch.column(rank_col)
+        if not pa.types.is_integer(r_arr.type):
+            raise ValueError(f"rrf_fuse: {rank_col!r} must be integer ranks")
+        if r_arr.null_count or batch.column(id_col).null_count:
+            raise ValueError("rrf_fuse: null id/rank rows")
+        r = r_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(r) and r.min() < 1:
+            raise ValueError("rrf_fuse: ranks must be >= 1")
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "w": pa.array(scale // (k + r), pa.int64()),
+            }
+        )
+
+    summed = bucketed_group_reduce(
+        ds.select_columns([id_col, rank_col]).map_batches(
+            weight, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        id_col,
+        [("w", "sum")],
+    ).rename_columns({"sum(w)": "rrf_score"})
+    return global_row_number(summed, "rrf_score", id_col=id_col, descending=True)

@@ -600,3 +600,50 @@ def test_table_fingerprint_matches_duckdb_and_validates(ray_session):
         table_fingerprint(
             ray.data.from_arrow(pa.table({"x": pa.array([1, None])})), ["x"]
         ).take_all()
+
+
+def test_rrf_fuse_matches_sequential_and_validates(ray_session):
+    from hyperpolyglot_ray.stages.search import rrf_fuse
+
+    # three overlapping rankings as separate datasets (union path)
+    lists = [
+        [(10, 1), (11, 2), (12, 3), (13, 4)],
+        [(12, 1), (10, 2), (14, 3)],
+        [(14, 1), (13, 2), (10, 3), (15, 4)],
+    ]
+    dss = [
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "neighbor_id": pa.array([i for i, _ in rows], pa.int64()),
+                    "rank": pa.array([r for _, r in rows], pa.int64()),
+                }
+            )
+        )
+        for rows in lists
+    ]
+    got = sorted(
+        (r["neighbor_id"], r["rrf_score"], r["rank"])
+        for r in rrf_fuse(dss, k=60).take_all()
+    )
+    # sequential reference: exact integer weights
+    scores: dict[int, int] = {}
+    for rows in lists:
+        for i, r in rows:
+            scores[i] = scores.get(i, 0) + 10**12 // (60 + r)
+    order = sorted(scores, key=lambda i: (-scores[i], i))
+    want = sorted((i, scores[i], order.index(i) + 1) for i in scores)
+    assert got == want
+    with pytest.raises(Exception, match="ranks must be >= 1"):
+        rrf_fuse(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "neighbor_id": pa.array([1], pa.int64()),
+                        "rank": pa.array([0], pa.int64()),
+                    }
+                )
+            )
+        ).take_all()
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        rrf_fuse(dss[0], k=0)
