@@ -2945,6 +2945,19 @@ def _q_lineitem_fingerprint(sf_dir: str):
     )
 
 
+def _q_events_attribution(sf_dir: str):
+    """First-touch conversion attribution: 30-min sessions credited to
+    their first event's type, conversion = session contains a purchase
+    — whole-user groups then a tiny per-channel reduce."""
+    from hyperpolyglot_ray.stages.windows import first_touch_attribution
+
+    ev = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return first_touch_attribution(ev, "purchase")
+
+
 def _q_events_quota(sf_dir: str):
     """Per-(user, day) quota: first 3 events by (ts, event_id) — the
     bounded-combiner topology (block-local first-n candidates, bucketed
@@ -3129,6 +3142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pruned_scan": _q_lineitem_pruned_scan,
         "lineitem_fingerprint": _q_lineitem_fingerprint,
         "emb_rrf_fusion": _q_emb_rrf_fusion,
+        "events_attribution": _q_events_attribution,
         "events_quota": _q_events_quota,
         "events_debounce": _q_events_debounce,
         "events_ohlc_hourly": _q_events_ohlc_hourly,
@@ -3831,6 +3845,27 @@ sims AS (
 SELECT neighbor_id, rrf_score,
        CAST(row_number() OVER (ORDER BY rrf_score DESC, neighbor_id ASC) AS BIGINT) AS rank
 FROM fused""",
+        # same session CTE as events_sessionize; first touch under the
+        # strict (ts, event_id) order; conversion = purchase in session
+        "events_attribution": """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+), per_sess AS (
+  SELECT user_id, sid,
+         first(event_type ORDER BY ts, event_id) AS channel,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM s GROUP BY user_id, sid
+)
+SELECT channel, count(*) AS n_sessions,
+       CAST(sum(conv) AS BIGINT) AS n_conversions
+FROM per_sess GROUP BY channel""",
         "events_quota": """
 SELECT user_id, window_start, event_id, ts, CAST(rn AS BIGINT) AS rank
 FROM (

@@ -1272,3 +1272,70 @@ def debounce_per_key(
         .groupby(key_col)
         .map_groups(per_key, batch_format="pyarrow")
     )
+
+
+def first_touch_attribution(
+    ds: ray.data.Dataset,
+    convert_type: str,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    gap_minutes: float = 30.0,
+) -> ray.data.Dataset:
+    """First-touch conversion attribution: sessionize each user's
+    stream (gap rule, same spec as :func:`sessionize`), credit each
+    session to its FIRST event's type under the strict (ts, id) order,
+    and count per channel how many sessions there were and how many
+    contained a ``convert_type`` event.
+
+    Topology: one whole-user groupby (the :func:`sessionize` default
+    envelope — a user's events fit one worker; the chunked sessionize
+    decomposition applies if a user ever doesn't), emitting one slim row
+    per session, then a tiny per-channel ``bucketed_group_reduce``.
+    Null ts/id/type raise — the first-touch order would be undefined.
+    Output: ``(channel, n_sessions, n_conversions)``.
+    """
+    from .shuffle import bucketed_group_reduce
+
+    gap_us = int(gap_minutes * 60 * 1e6)
+    proj = ds.select_columns([user_col, ts_col, id_col, type_col])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        for c in (ts_col, id_col, type_col):
+            if group.column(c).null_count:
+                raise ValueError(f"first_touch_attribution: nulls in {c!r}")
+        order = pc.sort_indices(
+            group, sort_keys=[(ts_col, "ascending"), (id_col, "ascending")]
+        )
+        g = group.take(order)
+        ts = (
+            g.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        et = np.asarray(g.column(type_col).to_pylist(), dtype=object)
+        new_sess = np.ones(len(ts), dtype=bool)
+        new_sess[1:] = (ts[1:] - ts[:-1]) > gap_us
+        starts = np.flatnonzero(new_sess)
+        ends = np.r_[starts[1:], len(ts)]
+        conv = et == convert_type
+        cum = np.r_[0, np.cumsum(conv)]
+        converted = (cum[ends] - cum[starts]) > 0
+        return pa.table(
+            {
+                "channel": pa.array(et[starts].tolist(), pa.string()),
+                "conv": pa.array(converted.astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_session = proj.groupby(user_col).map_groups(
+        per_user, batch_format="pyarrow"
+    )
+    out = bucketed_group_reduce(
+        per_session, "channel", [("conv", "count"), ("conv", "sum")]
+    )
+    return out.rename_columns(
+        {"count(conv)": "n_sessions", "sum(conv)": "n_conversions"}
+    )

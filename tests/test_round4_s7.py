@@ -647,3 +647,79 @@ def test_rrf_fuse_matches_sequential_and_validates(ray_session):
         ).take_all()
     with pytest.raises(ValueError, match="k must be >= 1"):
         rrf_fuse(dss[0], k=0)
+
+
+def test_first_touch_attribution_sequential_parity(ray_session):
+    from hyperpolyglot_ray.stages.windows import first_touch_attribution
+
+    rng = np.random.RandomState(11)
+    rows = []
+    eid = 0
+    for u in range(10):
+        t = 0
+        for _ in range(rng.randint(3, 40)):
+            t += int(rng.choice([60e6, 600e6, 3600e6 * 2]))  # 1m / 10m / 2h
+            rows.append((u, t, eid, str(rng.choice(["ad", "organic", "email", "buy"]))))
+            eid += 1
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    got = {
+        (r["channel"], r["n_sessions"], r["n_conversions"])
+        for r in first_touch_attribution(
+            ray.data.from_arrow(tbl).repartition(5), "buy"
+        ).take_all()
+    }
+    # sequential reference
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, t, e, et in rows:
+        by_user[u].append((t, e, et))
+    stats = defaultdict(lambda: [0, 0])
+    for u, evs in by_user.items():
+        evs.sort()
+        sessions = []
+        for t, e, et in evs:
+            if not sessions or t - sessions[-1][-1][0] > 30 * 60e6:
+                sessions.append([])
+            sessions[-1].append((t, e, et))
+        for s in sessions:
+            ch = s[0][2]
+            stats[ch][0] += 1
+            stats[ch][1] += int(any(et == "buy" for _, _, et in s))
+    want = {(ch, n, c) for ch, (n, c) in stats.items()}
+    assert got == want
+
+
+def test_first_touch_attribution_tiebreak_and_nulls(ray_session):
+    from hyperpolyglot_ray.stages.windows import first_touch_attribution
+
+    # two events at the same ts: event_id decides the first touch
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1, 1], pa.int64()),
+            "ts": pa.array([1000, 1000], pa.timestamp("us")),
+            "event_id": pa.array([5, 2], pa.int64()),
+            "event_type": pa.array(["late", "early"], pa.string()),
+        }
+    )
+    got = first_touch_attribution(ray.data.from_arrow(tbl), "late").take_all()
+    assert got == [
+        {"channel": "early", "n_sessions": 1, "n_conversions": 1}
+    ]
+    bad = pa.table(
+        {
+            "user_id": pa.array([1], pa.int64()),
+            "ts": pa.array([None], pa.timestamp("us")),
+            "event_id": pa.array([1], pa.int64()),
+            "event_type": pa.array(["a"], pa.string()),
+        }
+    )
+    with pytest.raises(Exception, match="nulls in"):
+        first_touch_attribution(ray.data.from_arrow(bad), "a").take_all()
