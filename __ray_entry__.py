@@ -2945,6 +2945,33 @@ def _q_lineitem_fingerprint(sf_dir: str):
     )
 
 
+def _q_events_cdc_snapshot(sf_dir: str):
+    """CDC log replay: events as a change stream keyed by user (seq =
+    event_id, 'error' rows tombstone the user, everything else
+    upserts) — per-block latest-per-key combiner, then one candidate
+    bucket shuffle; the log itself never re-shuffles."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hyperpolyglot_ray.stages.incremental import cdc_apply
+
+    ev = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "event_type", "value"],
+    )
+
+    def add_op(batch):
+        op = pc.if_else(
+            pc.equal(batch.column("event_type"), "error"),
+            pa.scalar("d"),
+            pa.scalar("u"),
+        )
+        return batch.append_column("op", op)
+
+    log = ev.map_batches(add_op, batch_format="pyarrow", zero_copy_batch=True)
+    return cdc_apply(log, key_col="user_id", seq_col="event_id")
+
+
 def _q_events_attribution(sf_dir: str):
     """First-touch conversion attribution: 30-min sessions credited to
     their first event's type, conversion = session contains a purchase
@@ -3143,6 +3170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_fingerprint": _q_lineitem_fingerprint,
         "emb_rrf_fusion": _q_emb_rrf_fusion,
         "events_attribution": _q_events_attribution,
+        "events_cdc_snapshot": _q_events_cdc_snapshot,
         "events_quota": _q_events_quota,
         "events_debounce": _q_events_debounce,
         "events_ohlc_hourly": _q_events_ohlc_hourly,
@@ -3866,6 +3894,19 @@ WITH e AS (
 SELECT channel, count(*) AS n_sessions,
        CAST(sum(conv) AS BIGINT) AS n_conversions
 FROM per_sess GROUP BY channel""",
+        # CDC replay: last event per user wins; a final 'error' row
+        # tombstones the user
+        "events_cdc_snapshot": """
+WITH log AS (
+  SELECT user_id, event_id, event_type, value,
+         CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+  FROM events
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM log
+)
+SELECT user_id, event_id, event_type, value FROM w
+WHERE rn = 1 AND op <> 'd'""",
         "events_quota": """
 SELECT user_id, window_start, event_id, ts, CAST(rn AS BIGINT) AS rank
 FROM (

@@ -522,3 +522,69 @@ def snapshot_diff(
         return out
 
     return joined.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cdc_apply(
+    log: ray.data.Dataset,
+    key_col: str,
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "d",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Replay a change-data-capture log into its latest snapshot:
+    last-write-wins per key under the ``seq_col`` order, a final
+    ``delete_op`` row tombstones the key, any other op value upserts the
+    row's payload. The warehouse "apply the CDC stream" primitive.
+
+    Topology: a per-block COMBINER keeps only each block's latest row
+    per key first (a hot key that dominates the log reduces to one
+    candidate per block before any data moves), then one bucketed
+    shuffle of the candidates and a per-bucket final pick. The shuffle
+    carries <= #keys x #blocks rows, never the log. Duplicate
+    ``(key, seq)`` pairs raise — last-write-wins would be
+    nondeterministic; null key/seq/op raise likewise. Output: every log
+    column except ``op_col``, one row per surviving key.
+    """
+    from .shuffle import bucket_column
+
+    def _latest(batch: pa.Table, where: str) -> pa.Table:
+        for c in (key_col, seq_col, op_col):
+            if batch.column(c).null_count:
+                raise ValueError(f"cdc_apply: nulls in {c!r} ({where})")
+        order = pc.sort_indices(
+            batch,
+            sort_keys=[(key_col, "ascending"), (seq_col, "descending")],
+        )
+        g = batch.take(order)
+        codes = (
+            pc.dictionary_encode(g.column(key_col))
+            .combine_chunks()
+            .indices.to_numpy(zero_copy_only=False)
+        )
+        first = np.r_[True, codes[1:] != codes[:-1]] if len(codes) else np.array([], bool)
+        seqs = g.column(seq_col).to_numpy(zero_copy_only=False)
+        if len(seqs) > 1 and bool(
+            ((codes[1:] == codes[:-1]) & (seqs[1:] == seqs[:-1])).any()
+        ):
+            raise ValueError(f"cdc_apply: duplicate (key, seq) rows ({where})")
+        return g.filter(pa.array(first))
+
+    def block_latest(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        win = _latest(batch, "block combiner")
+        return win.append_column(
+            "__bucket", bucket_column(win, [key_col], n_buckets)
+        )
+
+    def bucket_pick(group: pa.Table) -> pa.Table:
+        win = _latest(group.drop_columns(["__bucket"]), "bucket pick")
+        keep = pc.invert(pc.equal(win.column(op_col), delete_op))
+        return win.filter(keep).drop_columns([op_col])
+
+    return (
+        log.map_batches(block_latest, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(bucket_pick, batch_format="pyarrow")
+    )

@@ -723,3 +723,56 @@ def test_first_touch_attribution_tiebreak_and_nulls(ray_session):
     )
     with pytest.raises(Exception, match="nulls in"):
         first_touch_attribution(ray.data.from_arrow(bad), "a").take_all()
+
+
+def _cdc_log(rows, key_type=pa.int64()):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([r[0] for r in rows], key_type),
+                "seq": pa.array([r[1] for r in rows], pa.int64()),
+                "op": pa.array([r[2] for r in rows], pa.string()),
+                "v": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+    ).repartition(6)
+
+
+def test_cdc_apply_sequential_parity_random(ray_session):
+    from hyperpolyglot_ray.stages.incremental import cdc_apply
+
+    rng = np.random.RandomState(13)
+    rows = []
+    seqs = rng.permutation(600)
+    for i, s in enumerate(seqs):
+        rows.append(
+            (int(rng.randint(0, 40)), int(s), str(rng.choice(["u", "u", "d"])), i)
+        )
+    got = sorted(
+        (r["k"], r["seq"], r["v"])
+        for r in cdc_apply(_cdc_log(rows), "k", "seq").take_all()
+    )
+    latest: dict[int, tuple] = {}
+    for k, s, op, v in rows:
+        if k not in latest or s > latest[k][0]:
+            latest[k] = (s, op, v)
+    want = sorted((k, s, v) for k, (s, op, v) in latest.items() if op != "d")
+    assert got == want
+
+
+def test_cdc_apply_string_keys_and_raises(ray_session):
+    from hyperpolyglot_ray.stages.incremental import cdc_apply
+
+    rows = [("a", 1, "u", 10), ("a", 3, "d", 11), ("b", 2, "u", 20), ("b", 9, "u", 21)]
+    got = sorted(
+        (r["k"], r["seq"], r["v"])
+        for r in cdc_apply(_cdc_log(rows, pa.string()), "k", "seq").take_all()
+    )
+    assert got == [("b", 9, 21)]
+    # duplicate (key, seq) at the winning position raises
+    dup = [("a", 5, "u", 1), ("a", 5, "u", 2)]
+    with pytest.raises(Exception, match="duplicate"):
+        cdc_apply(_cdc_log(dup, pa.string()), "k", "seq").take_all()
+    bad = [("a", 1, None, 1)]
+    with pytest.raises(Exception, match="nulls in"):
+        cdc_apply(_cdc_log(bad, pa.string()), "k", "seq").take_all()
