@@ -2945,6 +2945,18 @@ def _q_lineitem_fingerprint(sf_dir: str):
     )
 
 
+def _q_lineitem_join_size(sf_dir: str):
+    """Join planning without moving payload: exact size + top-20 skew
+    keys of the lineitem self-join on l_partkey (the dedup-verify
+    candidate-pair shape) — slim per-key counts are the only shuffle."""
+    from hyperpolyglot_ray.stages.joins import join_key_stats
+
+    li = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey"]
+    )
+    return join_key_stats(li, li, "l_partkey", "l_partkey", top_k=20)
+
+
 def _q_events_cdc_snapshot(sf_dir: str):
     """CDC log replay: events as a change stream keyed by user (seq =
     event_id, 'error' rows tombstone the user, everything else
@@ -3171,6 +3183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_rrf_fusion": _q_emb_rrf_fusion,
         "events_attribution": _q_events_attribution,
         "events_cdc_snapshot": _q_events_cdc_snapshot,
+        "lineitem_join_size": _q_lineitem_join_size,
         "events_quota": _q_events_quota,
         "events_debounce": _q_events_debounce,
         "events_ohlc_hourly": _q_events_ohlc_hourly,
@@ -3907,6 +3920,17 @@ WITH log AS (
 )
 SELECT user_id, event_id, event_type, value FROM w
 WHERE rn = 1 AND op <> 'd'""",
+        # self-join size profile: per-key count once, pairs = n*n
+        "lineitem_join_size": """
+WITH c AS (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1),
+tot AS (SELECT CAST(SUM(n * n) AS BIGINT) AS total_pairs FROM c),
+r AS (SELECT l_partkey, n,
+             row_number() OVER (ORDER BY n * n DESC, l_partkey ASC) AS rnk
+      FROM c)
+SELECT l_partkey, n AS n_left, n AS n_right,
+       CAST(n * n AS BIGINT) AS n_pairs, t.total_pairs,
+       CAST(rnk AS BIGINT) AS rank
+FROM r, tot t WHERE rnk <= 20""",
         "events_quota": """
 SELECT user_id, window_start, event_id, ts, CAST(rn AS BIGINT) AS rank
 FROM (

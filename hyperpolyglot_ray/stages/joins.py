@@ -684,3 +684,82 @@ def semi_join(
     return tagged.groupby("__bucket").map_groups(
         filter_bucket, batch_format="pyarrow"
     )
+
+
+def join_key_stats(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_on: str,
+    right_on: str,
+    top_k: int = 20,
+) -> ray.data.Dataset:
+    """Exact equi-join SIZE and skew profile computed without moving any
+    payload — the planning step before committing a 100 TB join: each
+    side reduces to slim per-key counts (the only shuffle, key column
+    wide), the count tables join per key, and each matching key
+    contributes ``n_left * n_right`` output rows.
+
+    Output: the ``top_k`` keys by pair contribution (ties by key asc) as
+    ``(key, n_left, n_right, n_pairs, total_pairs, rank)`` with the
+    total join cardinality repeated on every row — the hot keys named
+    here are the ones to salt before running the real join. Null keys
+    are rejected by the underlying count/join machinery.
+    """
+    from .ordering import global_row_number
+    from .shuffle import bucketed_group_reduce
+
+    if top_k < 1:
+        raise ValueError("join_key_stats: top_k must be >= 1")
+    cl = bucketed_group_reduce(
+        left.select_columns([left_on]), left_on, [(left_on, "count")]
+    ).rename_columns({f"count({left_on})": "n_left"})
+    cr = bucketed_group_reduce(
+        right.select_columns([right_on]), right_on, [(right_on, "count")]
+    ).rename_columns({f"count({right_on})": "n_right"})
+    if right_on == left_on:
+        cr = cr.rename_columns({right_on: f"__r_{right_on}"})
+        r_key = f"__r_{right_on}"
+    else:
+        r_key = right_on
+    both = hash_join(cl, cr, left_on, r_key)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        nl = batch.column("n_left").to_numpy(zero_copy_only=False)
+        nr = batch.column("n_right").to_numpy(zero_copy_only=False)
+        return batch.append_column("n_pairs", pa.array(nl * nr, pa.int64()))
+
+    keyed = both.map_batches(
+        pairs, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    total = int(keyed.sum("n_pairs") or 0)
+
+    # the ranked head is top_k rows BY CONSTRUCTION — collecting it is a
+    # bounded driver read, not a corpus materialization
+    head = global_row_number(
+        keyed.select_columns([left_on, "n_pairs"]),
+        "n_pairs",
+        id_col=left_on,
+        descending=True,
+    ).filter(lambda r: r["rank"] <= top_k).take_all()
+    rank_by_key = {r[left_on]: r["rank"] for r in head}
+    key_set = pa.array(list(rank_by_key))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(
+            batch.column(left_on),
+            value_set=key_set.cast(batch.schema.field(left_on).type),
+        )
+        g = batch.filter(m)
+        ranks = [rank_by_key[k] for k in g.column(left_on).to_pylist()]
+        return pa.table(
+            {
+                left_on: g.column(left_on),
+                "n_left": g.column("n_left"),
+                "n_right": g.column("n_right"),
+                "n_pairs": g.column("n_pairs"),
+                "total_pairs": pa.array([total] * g.num_rows, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+            }
+        )
+
+    return keyed.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)

@@ -776,3 +776,42 @@ def test_cdc_apply_string_keys_and_raises(ray_session):
     bad = [("a", 1, None, 1)]
     with pytest.raises(Exception, match="nulls in"):
         cdc_apply(_cdc_log(bad, pa.string()), "k", "seq").take_all()
+
+
+def test_join_key_stats_sequential_parity(ray_session):
+    from hyperpolyglot_ray.stages.joins import join_key_stats
+
+    rng = np.random.RandomState(17)
+    lk = rng.choice([1, 1, 1, 2, 2, 3, 4, 5, 9], 400)
+    rk = rng.choice([1, 2, 2, 3, 3, 3, 6, 9], 300)
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array(lk, pa.int64())})
+    ).repartition(5)
+    right = ray.data.from_arrow(
+        pa.table({"j": pa.array(rk, pa.int64())})
+    ).repartition(4)
+    got = sorted(
+        (r["k"], r["n_left"], r["n_right"], r["n_pairs"], r["total_pairs"], r["rank"])
+        for r in join_key_stats(left, right, "k", "j", top_k=3).take_all()
+    )
+    from collections import Counter
+
+    cl, cr = Counter(lk.tolist()), Counter(rk.tolist())
+    pairs = {k: cl[k] * cr[k] for k in cl if k in cr}
+    total = sum(pairs.values())
+    order = sorted(pairs, key=lambda k: (-pairs[k], k))[:3]
+    want = sorted(
+        (k, cl[k], cr[k], pairs[k], total, order.index(k) + 1) for k in order
+    )
+    assert got == want
+    # exact join cardinality cross-check
+    import duckdb
+
+    n = duckdb.sql(
+        "SELECT count(*) FROM (SELECT unnest($1::BIGINT[]) k) l"
+        " JOIN (SELECT unnest($2::BIGINT[]) k) r USING (k)",
+        params=[lk.tolist(), rk.tolist()],
+    ).fetchone()[0]
+    assert total == n
+    with pytest.raises(ValueError, match="top_k"):
+        join_key_stats(left, right, "k", "j", top_k=0)
