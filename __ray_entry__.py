@@ -2945,6 +2945,18 @@ def _q_lineitem_fingerprint(sf_dir: str):
     )
 
 
+def _q_events_active_time(sf_dir: str):
+    """Union-of-intervals active time per user: every event opens a
+    5-minute window, overlaps merge into islands — whole-user groups
+    with a fully vectorized running-max merge."""
+    from hyperpolyglot_ray.stages.windows import interval_coverage
+
+    ev = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return interval_coverage(ev, duration_seconds=300.0)
+
+
 def _q_lineitem_join_size(sf_dir: str):
     """Join planning without moving payload: exact size + top-20 skew
     keys of the lineitem self-join on l_partkey (the dedup-verify
@@ -3184,6 +3196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_attribution": _q_events_attribution,
         "events_cdc_snapshot": _q_events_cdc_snapshot,
         "lineitem_join_size": _q_lineitem_join_size,
+        "events_active_time": _q_events_active_time,
         "events_quota": _q_events_quota,
         "events_debounce": _q_events_debounce,
         "events_ohlc_hourly": _q_events_ohlc_hourly,
@@ -3931,6 +3944,31 @@ SELECT l_partkey, n AS n_left, n AS n_right,
        CAST(n * n AS BIGINT) AS n_pairs, t.total_pairs,
        CAST(rnk AS BIGINT) AS rank
 FROM r, tot t WHERE rnk <= 20""",
+        # gaps-and-islands union of [ts, ts+5min) intervals per user;
+        # a start equal to the running max end merges (half-open)
+        "events_active_time": """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+  FROM events
+), m AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > COALESCE(max(e) OVER (
+                PARTITION BY user_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              -9223372036854775807) THEN 1 ELSE 0 END AS ni
+  FROM iv
+), g AS (
+  SELECT user_id, s, e,
+         sum(ni) OVER (PARTITION BY user_id ORDER BY s
+                       ROWS UNBOUNDED PRECEDING) AS island
+  FROM m
+), isl AS (
+  SELECT user_id, island, max(e) - min(s) AS cov
+  FROM g GROUP BY user_id, island
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(SUM(cov) AS BIGINT) AS covered_us
+FROM isl GROUP BY user_id""",
         "events_quota": """
 SELECT user_id, window_start, event_id, ts, CAST(rn AS BIGINT) AS rank
 FROM (

@@ -1339,3 +1339,53 @@ def first_touch_attribution(
     return out.rename_columns(
         {"count(conv)": "n_sessions", "sum(conv)": "n_conversions"}
     )
+
+
+def interval_coverage(
+    ds: ray.data.Dataset,
+    duration_seconds: float,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> ray.data.Dataset:
+    """Union-of-intervals coverage per key: each event opens the
+    half-open interval ``[ts, ts + duration)``; overlapping/touching
+    intervals merge into islands, and the key's coverage is the summed
+    island length — the "active time" / uptime telemetry over a raw
+    event stream (the gaps-and-islands union, exact in integer
+    microseconds).
+
+    Topology: whole-key groups (the :func:`sessionize` default
+    envelope), inside each a fully vectorized merge — sort by start,
+    running-maximum end (``np.maximum.accumulate``), islands where a
+    start exceeds every prior end. Null ts raise. Output:
+    ``(key_col, n_islands, covered_us)``.
+    """
+    dur_us = int(duration_seconds * 1e6)
+    if dur_us <= 0:
+        raise ValueError("interval_coverage: duration must be positive")
+    proj = ds.select_columns([key_col, ts_col])
+
+    def per_key(group: pa.Table) -> pa.Table:
+        if group.column(ts_col).null_count:
+            raise ValueError(f"interval_coverage: nulls in {ts_col!r}")
+        s = np.sort(
+            group.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        e = s + dur_us
+        run_end = np.maximum.accumulate(e)
+        new_island = np.r_[True, s[1:] > run_end[:-1]]
+        starts = np.flatnonzero(new_island)
+        ends = np.r_[starts[1:], len(s)]
+        covered = int((run_end[ends - 1] - s[starts]).sum())
+        return pa.table(
+            {
+                key_col: group.column(key_col).slice(0, 1),
+                "n_islands": pa.array([len(starts)], pa.int64()),
+                "covered_us": pa.array([covered], pa.int64()),
+            }
+        )
+
+    return proj.groupby(key_col).map_groups(per_key, batch_format="pyarrow")

@@ -815,3 +815,60 @@ def test_join_key_stats_sequential_parity(ray_session):
     assert total == n
     with pytest.raises(ValueError, match="top_k"):
         join_key_stats(left, right, "k", "j", top_k=0)
+
+
+def test_interval_coverage_sequential_parity(ray_session):
+    from hyperpolyglot_ray.stages.windows import interval_coverage
+
+    rng = np.random.RandomState(23)
+    rows = []
+    for u in range(12):
+        t = 0
+        for _ in range(rng.randint(2, 50)):
+            t += int(rng.choice([30e6, 200e6, 4000e6]))
+            rows.append((u, t))
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        }
+    )
+    dur = 120.0
+    got = {
+        (r["user_id"], r["n_islands"], r["covered_us"])
+        for r in interval_coverage(
+            ray.data.from_arrow(tbl).repartition(5), dur
+        ).take_all()
+    }
+    from collections import defaultdict
+
+    by_u = defaultdict(list)
+    for u, t in rows:
+        by_u[u].append(t)
+    want = set()
+    dus = int(dur * 1e6)
+    for u, ts in by_u.items():
+        islands = []
+        for s in sorted(ts):
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], s + dus)
+            else:
+                islands.append([s, s + dus])
+        want.add((u, len(islands), sum(e - s for s, e in islands)))
+    assert got == want
+
+
+def test_interval_coverage_touching_merges_and_raises(ray_session):
+    from hyperpolyglot_ray.stages.windows import interval_coverage
+
+    # [0, 10) and [10, 20): half-open touch merges into one island
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1, 1], pa.int64()),
+            "ts": pa.array([0, 10_000_000], pa.timestamp("us")),
+        }
+    )
+    got = interval_coverage(ray.data.from_arrow(tbl), 10.0).take_all()
+    assert got == [{"user_id": 1, "n_islands": 1, "covered_us": 20_000_000}]
+    with pytest.raises(ValueError, match="duration"):
+        interval_coverage(ray.data.from_arrow(tbl), 0.0)
