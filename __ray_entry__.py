@@ -2945,6 +2945,74 @@ def _q_lineitem_fingerprint(sf_dir: str):
     )
 
 
+def _q_customer_scd2(sf_dir: str):
+    """SCD2 dimension maintenance: customers start as open epoch-0 rows
+    (segment attr), one update per (customer, order date) carries that
+    date's order priority — chains close/open per key; history would
+    pass through map-only."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hyperpolyglot_ray.stages.incremental import scd2_merge
+
+    cust = _read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def to_current(batch):
+        n = batch.num_rows
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey"),
+                "valid_from": pa.array(np.zeros(n, np.int64)),
+                "valid_to": pa.nulls(n, pa.int64()),
+                "attr": batch.column("c_mktsegment"),
+            }
+        )
+
+    current = cust.map_batches(
+        to_current, batch_format="pyarrow", zero_copy_batch=True
+    )
+    orders = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"],
+    )
+
+    # one update per (customer, order date), lowest orderkey wins —
+    # cdc_apply's combiner topology does the dedup (seq = -orderkey so
+    # last-write-wins picks the FIRST order)
+    from hyperpolyglot_ray.stages.incremental import cdc_apply
+
+    def to_update_log(batch):
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        day = (
+            batch.column("o_orderdate")
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        n = batch.num_rows
+        return pa.table(
+            {
+                "__k": pa.array(ck * np.int64(1 << 32) + day // 86_400_000_000),
+                "__seq": pc.negate(batch.column("o_orderkey")),
+                "op": pa.array(["u"] * n, pa.string()),
+                "c_custkey": batch.column("o_custkey"),
+                "ts": pa.array(day, pa.int64()),
+                "attr": batch.column("o_orderpriority"),
+            }
+        )
+
+    log = orders.map_batches(
+        to_update_log, batch_format="pyarrow", zero_copy_batch=True
+    )
+    updates = cdc_apply(log, key_col="__k", seq_col="__seq").drop_columns(
+        ["__k", "__seq"]
+    )
+    return scd2_merge(current, updates, "c_custkey", ["attr"])
+
+
 def _q_events_active_time(sf_dir: str):
     """Union-of-intervals active time per user: every event opens a
     5-minute window, overlaps merge into islands — whole-user groups
@@ -3197,6 +3265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cdc_snapshot": _q_events_cdc_snapshot,
         "lineitem_join_size": _q_lineitem_join_size,
         "events_active_time": _q_events_active_time,
+        "customer_scd2": _q_customer_scd2,
         "events_quota": _q_events_quota,
         "events_debounce": _q_events_debounce,
         "events_ohlc_hourly": _q_events_ohlc_hourly,
@@ -3969,6 +4038,22 @@ WITH iv AS (
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
        CAST(SUM(cov) AS BIGINT) AS covered_us
 FROM isl GROUP BY user_id""",
+        # SCD2 chain: epoch-0 open row per customer + one update per
+        # (customer, order date); LEAD closes each version
+        "customer_scd2": """
+WITH upd AS (
+  SELECT o_custkey AS c_custkey, epoch_us(o_orderdate) AS ts,
+         first(o_orderpriority ORDER BY o_orderkey) AS attr
+  FROM orders GROUP BY o_custkey, epoch_us(o_orderdate)
+), allrows AS (
+  SELECT c_custkey, CAST(0 AS BIGINT) AS valid_from, c_mktsegment AS attr
+  FROM customer
+  UNION ALL SELECT c_custkey, ts, attr FROM upd
+)
+SELECT c_custkey, valid_from,
+       lead(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from) AS valid_to,
+       attr
+FROM allrows""",
         "events_quota": """
 SELECT user_id, window_start, event_id, ts, CAST(rn AS BIGINT) AS rank
 FROM (

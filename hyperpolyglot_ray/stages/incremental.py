@@ -588,3 +588,113 @@ def cdc_apply(
         .groupby("__bucket")
         .map_groups(bucket_pick, batch_format="pyarrow")
     )
+
+
+def scd2_merge(
+    current: ray.data.Dataset,
+    updates: ray.data.Dataset,
+    key_col: str,
+    attr_cols: list[str],
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    ts_col: str = "ts",
+) -> ray.data.Dataset:
+    """Slowly-changing-dimension (type 2) maintenance: apply an update
+    batch to a versioned dimension. ``current`` rows carry
+    ``(key, valid_from, valid_to, attrs...)`` with ``valid_to`` NULL on
+    the one open row per key; ``updates`` carry ``(key, ts, attrs...)``.
+    Each key's open row closes at its first update's ts, consecutive
+    updates chain (each closed by the next), and the last update opens;
+    keys absent from ``current`` start a fresh chain; closed history
+    rows pass through untouched.
+
+    Validity bounds are int64 epoch-microseconds (cast timestamps
+    before calling — a BIGINT round-trips engines losslessly where
+    date/timestamp types don't). Raises on: null key/ts/valid_from,
+    more than one open row per key, duplicate update ts per key, and an
+    update at or before the open row's valid_from — silent reordering
+    would corrupt the dimension. Topology: history is map-only
+    pass-through; only open rows + updates (dimension-scale, not
+    fact-scale) take one whole-key groupby for the chain assembly.
+    """
+    out_cols = [key_col, from_col, to_col] + list(attr_cols)
+
+    def split_hist(batch: pa.Table) -> pa.Table:
+        if batch.column(key_col).null_count or batch.column(from_col).null_count:
+            raise ValueError("scd2_merge: null key/valid_from in current")
+        m = pc.is_valid(batch.column(to_col))
+        g = batch.filter(m)
+        cols = {
+            key_col: g.column(key_col),
+            from_col: g.column(from_col).cast(pa.int64()),
+            to_col: g.column(to_col).cast(pa.int64()),
+        }
+        for c in attr_cols:
+            cols[c] = g.column(c)
+        return pa.table(cols).select(out_cols)
+
+    hist = current.map_batches(
+        split_hist, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def open_rows(batch: pa.Table) -> pa.Table:
+        m = pc.is_null(batch.column(to_col))
+        g = batch.filter(m)
+        cols = {
+            key_col: g.column(key_col),
+            "__vf": g.column(from_col).cast(pa.int64()),
+            "__side": pa.array(np.zeros(g.num_rows, np.int8)),
+        }
+        for c in attr_cols:
+            cols[c] = g.column(c)
+        return pa.table(cols)
+
+    def upd_rows(batch: pa.Table) -> pa.Table:
+        if batch.column(key_col).null_count or batch.column(ts_col).null_count:
+            raise ValueError("scd2_merge: null key/ts in updates")
+        cols = {
+            key_col: batch.column(key_col),
+            "__vf": batch.column(ts_col).cast(pa.int64()),
+            "__side": pa.array(np.ones(batch.num_rows, np.int8)),
+        }
+        for c in attr_cols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
+
+    tagged = current.map_batches(
+        open_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        updates.map_batches(upd_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def chain(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("__vf", "ascending"), ("__side", "ascending")]
+        )
+        g = group.take(order)
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        vf = g.column("__vf").to_numpy(zero_copy_only=False)
+        if int((side == 0).sum()) > 1:
+            raise ValueError(
+                f"scd2_merge: multiple open rows for key "
+                f"{g.column(key_col)[0].as_py()!r}"
+            )
+        if len(vf) > 1 and bool((vf[1:] == vf[:-1]).any()):
+            raise ValueError("scd2_merge: duplicate/immediate update ts per key")
+        if (side == 0).any() and side[0] != 0:
+            raise ValueError(
+                "scd2_merge: update at or before the open row's valid_from"
+            )
+        vt = np.r_[vf[1:], 0].astype(object)
+        vt[-1] = None
+        cols = {
+            key_col: g.column(key_col),
+            from_col: pa.array(vf, pa.int64()),
+            to_col: pa.array(vt.tolist(), pa.int64()),
+        }
+        for c in attr_cols:
+            cols[c] = g.column(c)
+        return pa.table(cols).select(out_cols)
+
+    chained = tagged.groupby(key_col).map_groups(chain, batch_format="pyarrow")
+    return hist.union(chained)

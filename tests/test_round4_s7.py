@@ -872,3 +872,69 @@ def test_interval_coverage_touching_merges_and_raises(ray_session):
     assert got == [{"user_id": 1, "n_islands": 1, "covered_us": 20_000_000}]
     with pytest.raises(ValueError, match="duration"):
         interval_coverage(ray.data.from_arrow(tbl), 0.0)
+
+
+def _scd2_current(rows):
+    # rows: (key, valid_from, valid_to_or_None, attr)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([r[0] for r in rows], pa.int64()),
+                "valid_from": pa.array([r[1] for r in rows], pa.int64()),
+                "valid_to": pa.array([r[2] for r in rows], pa.int64()),
+                "a": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+    ).repartition(3)
+
+
+def _scd2_updates(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()),
+                "a": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    ).repartition(2)
+
+
+def test_scd2_merge_chains_history_and_fresh_keys(ray_session):
+    from hyperpolyglot_ray.stages.incremental import scd2_merge
+
+    current = _scd2_current(
+        [
+            (1, 0, 50, "old"),    # closed history: passes through
+            (1, 50, None, "cur"), # open row, will close at 70
+            (2, 10, None, "two"), # open, no updates: stays open
+        ]
+    )
+    updates = _scd2_updates([(1, 70, "u1"), (1, 90, "u2"), (3, 5, "new")])
+    got = sorted(
+        (r["k"], r["valid_from"], r["valid_to"], r["a"])
+        for r in scd2_merge(current, updates, "k", ["a"]).take_all()
+    )
+    assert got == [
+        (1, 0, 50, "old"),
+        (1, 50, 70, "cur"),
+        (1, 70, 90, "u1"),
+        (1, 90, None, "u2"),
+        (2, 10, None, "two"),
+        (3, 5, None, "new"),
+    ]
+
+
+def test_scd2_merge_raises(ray_session):
+    from hyperpolyglot_ray.stages.incremental import scd2_merge
+
+    two_open = _scd2_current([(1, 0, None, "a"), (1, 5, None, "b")])
+    with pytest.raises(Exception, match="multiple open rows"):
+        scd2_merge(two_open, _scd2_updates([(1, 9, "u")]), "k", ["a"]).take_all()
+    cur = _scd2_current([(1, 10, None, "a")])
+    with pytest.raises(Exception, match="duplicate/immediate"):
+        scd2_merge(
+            cur, _scd2_updates([(1, 20, "u"), (1, 20, "v")]), "k", ["a"]
+        ).take_all()
+    with pytest.raises(Exception, match="at or before the open row"):
+        scd2_merge(cur, _scd2_updates([(1, 5, "u")]), "k", ["a"]).take_all()
