@@ -2945,6 +2945,39 @@ def _q_lineitem_fingerprint(sf_dir: str):
     )
 
 
+def _q_customer_fuzzy_join(sf_dir: str):
+    """Entity resolution against a master table: a derived dirty batch
+    (every 3rd customer, last name char mutated, ids offset +1e6)
+    fuzzy-joined to the master on Levenshtein <= 1 — the disjoint-id
+    reduction onto the oracled fuzzy_self_pairs path."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hyperpolyglot_ray.stages.fuzzy import fuzzy_join_pairs
+
+    cust = _read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+
+    def to_dirty(batch):
+        import numpy as np
+
+        keys = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        g = batch.filter(pa.array(keys % 3 == 0))
+        dirty = [s[:-1] + "x" for s in g.column("c_name").to_pylist()]
+        return pa.table(
+            {
+                "d_custkey": pc.add(g.column("c_custkey"), 1_000_000),
+                "d_name": pa.array(dirty, pa.string()),
+            }
+        )
+
+    dirty = cust.map_batches(to_dirty, batch_format="pyarrow", zero_copy_batch=True)
+    return fuzzy_join_pairs(
+        cust, dirty, "c_name", "c_custkey", "d_name", "d_custkey", max_dist=1
+    )
+
+
 def _q_customer_scd2(sf_dir: str):
     """SCD2 dimension maintenance: customers start as open epoch-0 rows
     (segment attr), one update per (customer, order date) carries that
@@ -3266,6 +3299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_join_size": _q_lineitem_join_size,
         "events_active_time": _q_events_active_time,
         "customer_scd2": _q_customer_scd2,
+        "customer_fuzzy_join": _q_customer_fuzzy_join,
         "events_quota": _q_events_quota,
         "events_debounce": _q_events_debounce,
         "events_ohlc_hourly": _q_events_ohlc_hourly,
@@ -4054,6 +4088,16 @@ SELECT c_custkey, valid_from,
        lead(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from) AS valid_to,
        attr
 FROM allrows""",
+        # same derived dirty batch, then the plain levenshtein join
+        "customer_fuzzy_join": """
+WITH dirty AS (
+  SELECT c_custkey + 1000000 AS d_custkey,
+         substr(c_name, 1, length(c_name) - 1) || 'x' AS d_name
+  FROM customer WHERE c_custkey % 3 = 0
+)
+SELECT c.c_custkey, d.d_custkey,
+       CAST(levenshtein(c.c_name, d.d_name) AS BIGINT) AS dist
+FROM customer c JOIN dirty d ON levenshtein(c.c_name, d.d_name) <= 1""",
         "events_quota": """
 SELECT user_id, window_start, event_id, ts, CAST(rn AS BIGINT) AS rank
 FROM (

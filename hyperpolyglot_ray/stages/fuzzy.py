@@ -224,3 +224,80 @@ def fuzzy_self_pairs(
         )
 
     return totals.map_batches(close, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fuzzy_join_pairs(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    left_id: str,
+    right_key: str,
+    right_id: str,
+    max_dist: int = 1,
+    n_buckets: int = 64,
+    max_group: int | None = None,
+) -> ray.data.Dataset:
+    """Cross-table fuzzy join: all ``(left_id, right_id, dist)`` pairs
+    whose key strings are within Levenshtein distance ``max_dist`` —
+    the entity-resolution step matching an incoming dirty batch against
+    a master table.
+
+    Implemented as a reduction onto :func:`fuzzy_self_pairs` (the same
+    FastSS blocking, verify, and min-reduce — one oracled code path):
+    left ids map to ``2*id``, right ids to ``2*id + 1`` (disjoint
+    ranges), the self-join runs over the union, and only odd-sum
+    (cross-side) pairs survive the unmap. Ids must be integers with
+    ``|id| < 2**62``; same-side near-matches are discarded, not
+    reported. Output: ``(left_id, right_id, dist)`` with original ids
+    and column names.
+    """
+    lim = 1 << 62
+    if left_id == right_id:
+        raise ValueError(
+            "fuzzy_join_pairs: left_id and right_id must have distinct names"
+        )
+
+    def tag(side: int, id_col: str, key_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            if len(ids) and int(np.abs(ids).max()) >= lim:
+                raise ValueError("fuzzy_join_pairs: |id| must be < 2**62")
+            return pa.table(
+                {
+                    "__id": pa.array(2 * ids.astype(np.int64) + side, pa.int64()),
+                    "__key": batch.column(key_col).cast(pa.string()),
+                }
+            )
+
+        return fn
+
+    u = left.select_columns([left_id, left_key]).map_batches(
+        tag(0, left_id, left_key), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.select_columns([right_id, right_key]).map_batches(
+            tag(1, right_id, right_key),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    pairs = fuzzy_self_pairs(
+        u, "__key", "__id", max_dist=max_dist, n_buckets=n_buckets, max_group=max_group
+    )
+
+    def unmap(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        cross = (a % 2) != (b % 2)
+        a, b = a[cross], b[cross]
+        d = batch.column("dist").to_numpy(zero_copy_only=False)[cross]
+        l = np.where(a % 2 == 0, a, b) >> 1
+        r = np.where(a % 2 == 1, a, b) >> 1
+        return pa.table(
+            {
+                left_id: pa.array(l, pa.int64()),
+                right_id: pa.array(r, pa.int64()),
+                "dist": pa.array(d, pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(unmap, batch_format="pyarrow", zero_copy_batch=True)

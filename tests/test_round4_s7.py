@@ -938,3 +938,54 @@ def test_scd2_merge_raises(ray_session):
         ).take_all()
     with pytest.raises(Exception, match="at or before the open row"):
         scd2_merge(cur, _scd2_updates([(1, 5, "u")]), "k", ["a"]).take_all()
+
+
+def test_fuzzy_join_pairs_cross_side_only(ray_session):
+    from hyperpolyglot_ray.stages.fuzzy import fuzzy_join_pairs
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "lid": pa.array([1, 2, 3, -4], pa.int64()),
+                # "abc"/"abd" are within dist 1 of each other but are
+                # SAME-side: must not be reported
+                "lname": pa.array(["abc", "abd", "zzz", "qqq"], pa.string()),
+            }
+        )
+    ).repartition(2)
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "rid": pa.array([7, 8, 9], pa.int64()),
+                "rname": pa.array(["abx", "zz", "qqq"], pa.string()),
+            }
+        )
+    ).repartition(2)
+    got = sorted(
+        (r["lid"], r["rid"], r["dist"])
+        for r in fuzzy_join_pairs(
+            left, right, "lname", "lid", "rname", "rid", max_dist=1
+        ).take_all()
+    )
+    # sequential reference over the cross product
+    def lev(a, b):
+        import itertools
+
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    lrows = [(1, "abc"), (2, "abd"), (3, "zzz"), (-4, "qqq")]
+    rrows = [(7, "abx"), (8, "zz"), (9, "qqq")]
+    want = sorted(
+        (li, ri, lev(ln, rn))
+        for li, ln in lrows
+        for ri, rn in rrows
+        if lev(ln, rn) <= 1
+    )
+    assert got == want
+    with pytest.raises(ValueError, match="distinct names"):
+        fuzzy_join_pairs(left, right, "lname", "lid", "rname", "lid")
