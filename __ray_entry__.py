@@ -2945,6 +2945,38 @@ def _q_lineitem_fingerprint(sf_dir: str):
     )
 
 
+def _q_customer_evolved_read(sf_dir: str):
+    """Schema-evolution read: two derived snapshot files (v1 predates
+    the c_tier column; v2 carries it) union under the footer-census
+    schema with typed-null fills — the lake convention for append-only
+    column addition."""
+    from pathlib import Path
+
+    import duckdb
+
+    from hyperpolyglot_ray.sources.io import read_parquet_evolved
+
+    out = Path(f"/tmp/hyperpolyglot_ray/evolved/{Path(sf_dir).name}_v1")
+    v1, v2 = out / "snap_v1.parquet", out / "snap_v2.parquet"
+    if not v2.exists():
+        out.mkdir(parents=True, exist_ok=True)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW customer AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/customer.parquet')"
+        )
+        con.execute(
+            f"COPY (SELECT c_custkey, c_name FROM customer "
+            f"WHERE c_custkey % 2 = 0) TO '{v1}' (FORMAT PARQUET)"
+        )
+        con.execute(
+            f"COPY (SELECT c_custkey, c_name, "
+            f"CASE WHEN c_acctbal >= 0 THEN 'pos' ELSE 'neg' END AS c_tier "
+            f"FROM customer WHERE c_custkey % 2 = 1) TO '{v2}' (FORMAT PARQUET)"
+        )
+    return read_parquet_evolved([str(v1), str(v2)])
+
+
 def _q_customer_fuzzy_join(sf_dir: str):
     """Entity resolution against a master table: a derived dirty batch
     (every 3rd customer, last name char mutated, ids offset +1e6)
@@ -3300,6 +3332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_active_time": _q_events_active_time,
         "customer_scd2": _q_customer_scd2,
         "customer_fuzzy_join": _q_customer_fuzzy_join,
+        "customer_evolved_read": _q_customer_evolved_read,
         "events_quota": _q_events_quota,
         "events_debounce": _q_events_debounce,
         "events_ohlc_hourly": _q_events_ohlc_hourly,
@@ -4098,6 +4131,14 @@ WITH dirty AS (
 SELECT c.c_custkey, d.d_custkey,
        CAST(levenshtein(c.c_name, d.d_name) AS BIGINT) AS dist
 FROM customer c JOIN dirty d ON levenshtein(c.c_name, d.d_name) <= 1""",
+        # the two snapshots reconstructed inline; v1 rows null-fill c_tier
+        "customer_evolved_read": """
+SELECT c_custkey, c_name, CAST(NULL AS VARCHAR) AS c_tier
+FROM customer WHERE c_custkey % 2 = 0
+UNION ALL
+SELECT c_custkey, c_name,
+       CASE WHEN c_acctbal >= 0 THEN 'pos' ELSE 'neg' END AS c_tier
+FROM customer WHERE c_custkey % 2 = 1""",
         "events_quota": """
 SELECT user_id, window_start, event_id, ts, CAST(rn AS BIGINT) AS rank
 FROM (

@@ -54,3 +54,64 @@ def read_parquet_clean(
     if columns is not None:
         schema = pa.schema([schema.field(c) for c in columns])
     return ray.data.read_parquet(path, schema=schema, columns=columns, **kwargs)
+
+
+def read_parquet_evolved(
+    paths: list[str], columns: list[str] | None = None
+) -> ray.data.Dataset:
+    """Read Parquet snapshots whose schemas EVOLVED by column addition
+    into one dataset: the union schema is computed from the footers
+    (first-seen field order), and every file's blocks are aligned to it
+    with typed-null fills for columns the file predates — the lake-read
+    convention for append-only schema evolution.
+
+    Same-name fields must carry identical types across files (a silent
+    int32->int64 or string->binary coercion would corrupt downstream
+    type contracts — raise instead). The footer census is
+    metadata-only (one footer read per file on the driver; group files
+    by table version upstream if a census over millions of files is too
+    wide). ``columns`` prunes the union schema; a file reads only the
+    requested columns it HAS, the rest null-fill.
+    """
+    if not paths:
+        raise FileNotFoundError("read_parquet_evolved: empty path list")
+    fields: dict[str, pa.DataType] = {}
+    file_names: list[set] = []
+    for p in paths:
+        s = pq.read_schema(p)
+        file_names.append(set(s.names))
+        for f in s:
+            if f.name in fields:
+                if fields[f.name] != f.type:
+                    raise ValueError(
+                        f"read_parquet_evolved: column {f.name!r} has "
+                        f"conflicting types {fields[f.name]} vs {f.type}"
+                    )
+            else:
+                fields[f.name] = f.type
+    out_names = list(fields) if columns is None else list(columns)
+    missing = [c for c in out_names if c not in fields]
+    if missing:
+        raise ValueError(f"read_parquet_evolved: unknown columns {missing}")
+    out_schema = pa.schema([pa.field(c, fields[c]) for c in out_names])
+
+    def align(batch: pa.Table) -> pa.Table:
+        cols = {
+            c: (
+                batch.column(c)
+                if c in batch.column_names
+                else pa.nulls(batch.num_rows, fields[c])
+            )
+            for c in out_names
+        }
+        return pa.table(cols).cast(out_schema)
+
+    parts = []
+    for p, names in zip(paths, file_names):
+        have = [c for c in out_names if c in names]
+        ds = read_parquet_clean(p, columns=have or None)
+        parts.append(
+            ds.map_batches(align, batch_format="pyarrow", zero_copy_batch=True)
+        )
+    out = parts[0]
+    return out.union(*parts[1:]) if len(parts) > 1 else out

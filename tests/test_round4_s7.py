@@ -989,3 +989,37 @@ def test_fuzzy_join_pairs_cross_side_only(ray_session):
     assert got == want
     with pytest.raises(ValueError, match="distinct names"):
         fuzzy_join_pairs(left, right, "lname", "lid", "rname", "lid")
+
+
+def test_read_parquet_evolved_aligns_and_validates(ray_session, tmp_path):
+    import pyarrow.parquet as pqt
+
+    from hyperpolyglot_ray.sources.io import read_parquet_evolved
+
+    v1 = str(tmp_path / "v1.parquet")
+    v2 = str(tmp_path / "v2.parquet")
+    pqt.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "a": pa.array(["x", "y"], pa.string())}), v1
+    )
+    pqt.write_table(
+        pa.table({"id": pa.array([3], pa.int64()),
+                  "a": pa.array(["z"], pa.string()),
+                  "b": pa.array([7], pa.int64())}), v2
+    )
+    got = sorted(
+        (r["id"], r["a"], r["b"])
+        for r in read_parquet_evolved([v1, v2]).take_all()
+    )
+    assert got == [(1, "x", None), (2, "y", None), (3, "z", 7)]
+    # column pruning keeps union-order subset
+    sub = read_parquet_evolved([v1, v2], columns=["b", "id"])
+    assert sub.schema().names == ["b", "id"]
+    assert sub.count() == 3
+    # conflicting type for a shared column name raises
+    v3 = str(tmp_path / "v3.parquet")
+    pqt.write_table(pa.table({"id": pa.array([9], pa.int32())}), v3)
+    with pytest.raises(ValueError, match="conflicting types"):
+        read_parquet_evolved([v1, v3])
+    with pytest.raises(ValueError, match="unknown columns"):
+        read_parquet_evolved([v1, v2], columns=["nope"])
