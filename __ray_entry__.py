@@ -2945,6 +2945,30 @@ def _q_lineitem_fingerprint(sf_dir: str):
     )
 
 
+def _q_events_purged(sf_dir: str):
+    """Right-to-erasure sweep: drop every event of the users on the
+    derived deletion-request list (user_id % 7 == 0) — sorted-array
+    broadcast + one map-only scan, no shuffle of the fact table."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hyperpolyglot_ray.stages.curation import purge_ids
+
+    ev = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type"],
+    )
+
+    def req_list(b):
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": pa.array(u[u % 7 == 0], pa.int64())})
+
+    tombs = ev.map_batches(req_list, batch_format="pyarrow", zero_copy_batch=True)
+    return purge_ids(ev, tombs, "user_id").select_columns(
+        ["event_id", "user_id", "event_type"]
+    )
+
+
 def _q_customer_evolved_read(sf_dir: str):
     """Schema-evolution read: two derived snapshot files (v1 predates
     the c_tier column; v2 carries it) union under the footer-census
@@ -3333,6 +3357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_scd2": _q_customer_scd2,
         "customer_fuzzy_join": _q_customer_fuzzy_join,
         "customer_evolved_read": _q_customer_evolved_read,
+        "events_purged": _q_events_purged,
         "events_quota": _q_events_quota,
         "events_debounce": _q_events_debounce,
         "events_ohlc_hourly": _q_events_ohlc_hourly,
@@ -4139,6 +4164,11 @@ UNION ALL
 SELECT c_custkey, c_name,
        CASE WHEN c_acctbal >= 0 THEN 'pos' ELSE 'neg' END AS c_tier
 FROM customer WHERE c_custkey % 2 = 1""",
+        "events_purged": """
+SELECT event_id, user_id, event_type FROM events
+WHERE user_id NOT IN (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0
+)""",
         "events_quota": """
 SELECT user_id, window_start, event_id, ts, CAST(rn AS BIGINT) AS rank
 FROM (

@@ -1354,3 +1354,63 @@ def hash_split(
         return batch.append_column(out_col, pa.array(out, type=pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def purge_ids(
+    ds: ray.data.Dataset,
+    tombstones: ray.data.Dataset,
+    key_col: str,
+    tomb_col: str | None = None,
+    broadcast_budget: int = 2_000_000,
+    n_buckets: int = 1024,
+) -> ray.data.Dataset:
+    """Right-to-erasure sweep: drop every row of ``ds`` whose key
+    appears in the tombstone list — the GDPR/CCPA deletion propagation
+    primitive, run per table the key reaches.
+
+    Auto-routed like incremental dedup: when the tombstone list fits
+    the broadcast budget (<= ``broadcast_budget`` distinct integer
+    keys), the sorted key array ships ONCE via ``ray.put`` and the
+    sweep is one map-only scan — no shuffle of the (fact-scale) table.
+    Above the budget, or for non-integer keys, it routes through
+    ``semi_join(anti=True)`` — the table co-partitions with the slim
+    key-only tombstone side. Both paths produce identical rows on
+    null-free keys (the equivalence is tested). Null table keys are
+    never purged on the broadcast path (SQL NOT IN semantics over a
+    non-null list); the anti-join route inherits ``semi_join``'s
+    null-key rejection, so pre-filter nulls before a big-list purge.
+    """
+    from ..stages.graph import _member_mask
+    from ..stages.joins import semi_join
+
+    tcol = tomb_col or key_col
+    key_type = ds.schema().base_schema.field(key_col).type
+    n_tombs = tombstones.count()
+    if pa.types.is_integer(key_type) and n_tombs <= broadcast_budget:
+        parts = [
+            t.column(tcol).to_numpy(zero_copy_only=False).astype(np.int64)
+            for t in ray.get(
+                tombstones.select_columns([tcol]).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        keys = (
+            np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        )
+        ref = ray.put(keys)
+
+        def drop(batch: pa.Table) -> pa.Table:
+            s = ray.get(ref)
+            v = batch.column(key_col).to_numpy(zero_copy_only=False)
+            valid = ~pa.compute.is_null(batch.column(key_col)).to_numpy(
+                zero_copy_only=False
+            )
+            hit = np.zeros(len(v), bool)
+            if valid.any():
+                hit[valid] = _member_mask(s, v[valid].astype(np.int64))
+            return batch.filter(pa.array(~hit))
+
+        return ds.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)
+    return semi_join(
+        ds, tombstones, key_col, tcol, n_buckets=n_buckets, anti=True
+    )

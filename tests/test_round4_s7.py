@@ -1023,3 +1023,39 @@ def test_read_parquet_evolved_aligns_and_validates(ray_session, tmp_path):
         read_parquet_evolved([v1, v3])
     with pytest.raises(ValueError, match="unknown columns"):
         read_parquet_evolved([v1, v2], columns=["nope"])
+
+
+def test_purge_ids_routes_equivalent_and_nulls(ray_session):
+    from hyperpolyglot_ray.stages.curation import purge_ids
+
+    rng = np.random.RandomState(29)
+    keys = rng.randint(0, 50, 400).tolist()
+    tbl = pa.table(
+        {
+            "k": pa.array(keys, pa.int64()),
+            "v": pa.array(range(400), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    tombs = ray.data.from_arrow(
+        pa.table({"k": pa.array([3, 11, 11, 42], pa.int64())})
+    )
+    fast = sorted(
+        (r["k"], r["v"]) for r in purge_ids(ds, tombs, "k").take_all()
+    )
+    slow = sorted(
+        (r["k"], r["v"])
+        for r in purge_ids(ds, tombs, "k", broadcast_budget=0).take_all()
+    )
+    want = sorted((k, v) for v, k in enumerate(keys) if k not in (3, 11, 42))
+    assert fast == want and slow == want
+    # null table keys are never purged on the broadcast path
+    nulls = pa.table(
+        {"k": pa.array([1, None], pa.int64()), "v": pa.array([0, 1], pa.int64())}
+    )
+    got = purge_ids(
+        ray.data.from_arrow(nulls),
+        ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64())})),
+        "k",
+    ).take_all()
+    assert [(r["k"], r["v"]) for r in got] == [(None, 1)]
