@@ -2945,6 +2945,45 @@ def _q_lineitem_fingerprint(sf_dir: str):
     )
 
 
+def _q_doc_hive_roundtrip(sf_dir: str):
+    """Hive-partitioned sink + path-pruned scan: documents written once
+    under lang=<value>/ directories (Ray's partition_cols writer), then
+    ONLY the lang=en directory is opened — directory-level pruning, the
+    partition column restored from the path."""
+    from pathlib import Path
+
+    import pyarrow as pa
+
+    out = Path(f"/tmp/hyperpolyglot_ray/hive/{Path(sf_dir).name}_docs_v1")
+    if not (out / "_DONE").exists():
+        ds = _read_parquet_clean(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "lang", "n_chars"],
+        )
+        # hive layout cannot place null partition values — drop them
+        # (the oracle filters identically)
+        ds = ds.map_batches(
+            lambda b: b.filter(b.column("lang").is_valid()),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        ds.write_parquet(str(out), partition_cols=["lang"])
+        (out / "_DONE").write_text("ok\n")
+    part = _read_parquet_clean(str(out / "lang=en"))
+
+    def restore(batch):
+        # Ray restores the hive partition column from the path; pin the
+        # column order + string type (it can arrive dictionary-encoded)
+        cols = {
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang").cast(pa.string()),
+            "n_chars": batch.column("n_chars"),
+        }
+        return pa.table(cols)
+
+    return part.map_batches(restore, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_events_purged(sf_dir: str):
     """Right-to-erasure sweep: drop every event of the users on the
     derived deletion-request list (user_id % 7 == 0) — sorted-array
@@ -3358,6 +3397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_fuzzy_join": _q_customer_fuzzy_join,
         "customer_evolved_read": _q_customer_evolved_read,
         "events_purged": _q_events_purged,
+        "doc_hive_roundtrip": _q_doc_hive_roundtrip,
         "events_quota": _q_events_quota,
         "events_debounce": _q_events_debounce,
         "events_ohlc_hourly": _q_events_ohlc_hourly,
@@ -4169,6 +4209,8 @@ SELECT event_id, user_id, event_type FROM events
 WHERE user_id NOT IN (
   SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0
 )""",
+        "doc_hive_roundtrip": """
+SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'""",
         "events_quota": """
 SELECT user_id, window_start, event_id, ts, CAST(rn AS BIGINT) AS rank
 FROM (
