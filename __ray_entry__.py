@@ -2945,6 +2945,20 @@ def _q_lineitem_fingerprint(sf_dir: str):
     )
 
 
+def _q_doc_cluster_split(sf_dir: str):
+    """Leakage-safe train/val/test split: assignment hashes the
+    near-dup CLUSTER id, not the doc id, so a near-duplicate pair can
+    never straddle train and test — the ML-hygiene composition of
+    minhash_clusters and hash_split (both independently oracled)."""
+    from hyperpolyglot_ray.stages.curation import hash_split
+    from hyperpolyglot_ray.stages.text_ops import minhash_clusters
+
+    clusters = minhash_clusters(_docs(sf_dir))
+    return hash_split(
+        clusters, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="cluster_id"
+    )
+
+
 def _q_doc_hive_roundtrip(sf_dir: str):
     """Hive-partitioned sink + path-pruned scan: documents written once
     under lang=<value>/ directories (Ray's partition_cols writer), then
@@ -3398,6 +3412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_evolved_read": _q_customer_evolved_read,
         "events_purged": _q_events_purged,
         "doc_hive_roundtrip": _q_doc_hive_roundtrip,
+        "doc_cluster_split": _q_doc_cluster_split,
         "events_quota": _q_events_quota,
         "events_debounce": _q_events_debounce,
         "events_ohlc_hourly": _q_events_ohlc_hourly,
@@ -4211,6 +4226,18 @@ WHERE user_id NOT IN (
 )""",
         "doc_hive_roundtrip": """
 SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'""",
+        # cluster labels from the sequential sidecar, split rule = the
+        # doc_split hash applied to cluster_id
+        "doc_cluster_split": (
+            f"SELECT doc_id, cluster_id,"
+            " CASE WHEN u < 3435973836 THEN 'train'"
+            "      WHEN u < 3865470566 THEN 'val'"
+            "      ELSE 'test' END AS split"
+            " FROM (SELECT doc_id, cluster_id,"
+            "  CAST(('0x' || substr(sha256('0:' || CAST(cluster_id AS VARCHAR)),"
+            "   1, 8)) AS UINTEGER) AS u"
+            f"  FROM read_parquet('{side}/doc_minhash_clusters.parquet'))"
+        ),
         "events_quota": """
 SELECT user_id, window_start, event_id, ts, CAST(rn AS BIGINT) AS rank
 FROM (

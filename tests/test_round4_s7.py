@@ -1059,3 +1059,26 @@ def test_purge_ids_routes_equivalent_and_nulls(ray_session):
         "k",
     ).take_all()
     assert [(r["k"], r["v"]) for r in got] == [(None, 1)]
+
+
+def test_cluster_split_never_straddles(ray_session):
+    from hyperpolyglot_ray.stages.curation import hash_split
+
+    # synthetic cluster labels: several docs per cluster
+    labels = pa.table(
+        {
+            "doc_id": pa.array(range(60), pa.int64()),
+            "cluster_id": pa.array([i // 4 for i in range(60)], pa.int64()),
+        }
+    )
+    out = hash_split(
+        ray.data.from_arrow(labels).repartition(4),
+        {"train": 0.5, "val": 0.25, "test": 0.25},
+        id_col="cluster_id",
+    ).take_all()
+    by_cluster: dict[int, set] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert len(out) == 60
+    assert all(len(s) == 1 for s in by_cluster.values()), "cluster straddles splits"
+    assert len({next(iter(s)) for s in by_cluster.values()}) > 1
