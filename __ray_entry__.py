@@ -2945,6 +2945,22 @@ def _q_lineitem_fingerprint(sf_dir: str):
     )
 
 
+def _q_doc_contamination(sf_dir: str):
+    """N-gram contamination scoring: distinct 8-token-shingle overlap
+    of every document against the derived benchmark set, exact integer
+    (n_shingles, n_hits) — catches paraphrases exact-substring
+    decontamination misses; benchmark shingle union broadcast once,
+    map-only scan."""
+    from hyperpolyglot_ray.stages.curation import (
+        contamination_score,
+        derive_benchmark_strings,
+    )
+
+    ds = _docs(sf_dir)
+    bench = derive_benchmark_strings(ds, every=37, n_words=13)
+    return contamination_score(ds, bench, width=8)
+
+
 def _q_doc_cluster_split(sf_dir: str):
     """Leakage-safe train/val/test split: assignment hashes the
     near-dup CLUSTER id, not the doc id, so a near-duplicate pair can
@@ -3413,6 +3429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_purged": _q_events_purged,
         "doc_hive_roundtrip": _q_doc_hive_roundtrip,
         "doc_cluster_split": _q_doc_cluster_split,
+        "doc_contamination": _q_doc_contamination,
         "events_quota": _q_events_quota,
         "events_debounce": _q_events_debounce,
         "events_ohlc_hourly": _q_events_ohlc_hourly,
@@ -4237,6 +4254,10 @@ SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'""",
             "  CAST(('0x' || substr(sha256('0:' || CAST(cluster_id AS VARCHAR)),"
             "   1, 8)) AS UINTEGER) AS u"
             f"  FROM read_parquet('{side}/doc_minhash_clusters.parquet'))"
+        ),
+        "doc_contamination": (
+            f"SELECT doc_id, n_shingles, n_hits"
+            f" FROM read_parquet('{side}/doc_contamination.parquet')"
         ),
         "events_quota": """
 SELECT user_id, window_start, event_id, ts, CAST(rn AS BIGINT) AS rank

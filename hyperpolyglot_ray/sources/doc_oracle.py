@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r4q"  # r4q: + events debounce sidecar
+ORACLE_VERSION = "r4r"  # r4r: + n-gram contamination-score sidecar
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -502,6 +502,39 @@ def _expected_video_frames(doc_ids, every: int = 4) -> pa.Table:
             "n_frames": pa.array(nf, type=pa.int64()),
             "n_sampled": pa.array(ns, type=pa.int64()),
             "frame_mean": pa.array(mean, type=pa.float64()),
+        }
+    )
+
+
+def _expected_contamination(texts, doc_ids, width: int = 8) -> pa.Table:
+    """Sequential n-gram contamination scoring (spec:
+    stages/curation.py:contamination_score): same derived benchmark set
+    as decontaminate_snip (13-token prefixes of every 37th doc), per doc
+    the distinct width-token shingles (``_shingles_s``) intersected with
+    the benchmark shingle union; contaminated docs only."""
+    bench_strs = sorted(
+        {
+            " ".join((t or "").split()[:13])
+            for i, t in zip(doc_ids, texts)
+            if int(i) % 37 == 0 and len((t or "").split()) >= 13
+        }
+    )
+    bench: set[int] = set()
+    for s in bench_strs:
+        bench |= _shingles_s(s, width)
+    out_id, out_n, out_h = [], [], []
+    for i, t in zip(doc_ids, texts):
+        sh = _shingles_s(t or "", width)
+        hits = len(sh & bench)
+        if hits:
+            out_id.append(int(i))
+            out_n.append(len(sh))
+            out_h.append(hits)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_shingles": pa.array(out_n, pa.int64()),
+            "n_hits": pa.array(out_h, pa.int64()),
         }
     )
 
@@ -1614,6 +1647,9 @@ def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
     pq.write_table(_expected_corpus_ppl(texts, doc_ids), out / "doc_corpus_ppl.parquet")
     pq.write_table(
         _expected_decontaminate_snip(texts, doc_ids), out / "doc_decontaminate_snip.parquet"
+    )
+    pq.write_table(
+        _expected_contamination(texts, doc_ids), out / "doc_contamination.parquet"
     )
     pq.write_table(_expected_video_frames(doc_ids), out / "doc_video_frames.parquet")
     pq.write_table(_expected_resize(texts, doc_ids), out / "doc_multimodal_resize.parquet")

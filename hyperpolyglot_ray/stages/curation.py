@@ -1414,3 +1414,62 @@ def purge_ids(
     return semi_join(
         ds, tombstones, key_col, tcol, n_buckets=n_buckets, anti=True
     )
+
+
+def contamination_score(
+    ds: ray.data.Dataset,
+    benchmark: list[str],
+    width: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Per-document n-gram overlap against a benchmark set (the GPT-3
+    appendix-C contamination measure): a document's distinct width-token
+    shingles are intersected with the union of the benchmark strings'
+    shingles, reported as exact integers ``(doc_id, n_shingles,
+    n_hits)`` for contaminated docs only — the overlap FRACTION is
+    ``n_hits / n_shingles`` downstream, kept rational here so the
+    result hash-compares exactly.
+
+    Unlike :func:`decontaminate` (exact substring), a paraphrase that
+    shares most-but-not-all n-grams still scores. Shingle spec =
+    ``text_ops._shingle_values`` over ``_token_hashes`` (the minhash
+    spec, sequential mirror ``doc_oracle._shingles_s``); the benchmark
+    shingle union broadcasts ONCE as a sorted uint64 array and the scan
+    is map-only — no shuffle at any scale.
+    """
+    from .graph import _member_mask
+    from .text_ops import _shingle_values, _token_hashes
+
+    if width < 1:
+        raise ValueError("contamination_score: width must be >= 1")
+    shs = [
+        _shingle_values(_token_hashes(s), width) for s in sorted(set(benchmark))
+    ]
+    bench = (
+        np.unique(np.concatenate(shs)) if shs else np.zeros(0, np.uint64)
+    )
+    ref = ray.put(bench)
+
+    def score(batch: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        out_id, out_n, out_h = [], [], []
+        ids = batch.column(id_col).to_pylist()
+        for i, t in zip(ids, batch.column(text_col).to_pylist()):
+            sh = _shingle_values(_token_hashes(t or ""), width)
+            hits = int(_member_mask(b, sh).sum()) if len(b) else 0
+            if hits:
+                out_id.append(i)
+                out_n.append(len(sh))
+                out_h.append(hits)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "n_shingles": pa.array(out_n, pa.int64()),
+                "n_hits": pa.array(out_h, pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -1082,3 +1082,41 @@ def test_cluster_split_never_straddles(ray_session):
     assert len(out) == 60
     assert all(len(s) == 1 for s in by_cluster.values()), "cluster straddles splits"
     assert len({next(iter(s)) for s in by_cluster.values()}) > 1
+
+
+def test_contamination_score_matches_sequential(ray_session):
+    from hyperpolyglot_ray.sources.doc_oracle import _expected_contamination
+    from hyperpolyglot_ray.stages.curation import (
+        contamination_score,
+        derive_benchmark_strings,
+    )
+
+    rng = np.random.RandomState(31)
+    vocab = [f"w{i}" for i in range(30)]
+    texts, ids = [], []
+    for i in range(80):
+        n = int(rng.randint(3, 40))
+        texts.append(" ".join(rng.choice(vocab, n)))
+        ids.append(i)
+    # plant a paraphrase: doc 5 shares a long prefix of benchmark doc 0
+    texts[5] = texts[0].rsplit(" ", 1)[0] + " zz"
+    tbl = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    bench = derive_benchmark_strings(ds, every=37, n_words=13)
+    got = sorted(
+        (r["doc_id"], r["n_shingles"], r["n_hits"])
+        for r in contamination_score(ds, bench, width=8).take_all()
+    )
+    want_tbl = _expected_contamination(texts, ids, width=8)
+    want = sorted(
+        zip(
+            want_tbl.column("doc_id").to_pylist(),
+            want_tbl.column("n_shingles").to_pylist(),
+            want_tbl.column("n_hits").to_pylist(),
+        )
+    )
+    assert got == want and len(got) >= 1
+    with pytest.raises(ValueError, match="width"):
+        contamination_score(ds, bench, width=0)
