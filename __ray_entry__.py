@@ -2945,6 +2945,42 @@ def _q_lineitem_fingerprint(sf_dir: str):
     )
 
 
+def _q_doc_notebook_cells(sf_dir: str):
+    """Notebook ingestion: every document rendered as a 2-cell nbformat
+    JSON blob (markdown prefix + code remainder), then exploded back to
+    its code cells — the .ipynb -> code-document conversion; JSON built
+    and parsed engine-side, the oracle states the expected cells
+    directly over the token stream."""
+    import json
+
+    import pyarrow as pa
+
+    from hyperpolyglot_ray.stages.semistructured import extract_notebook_cells
+
+    docs = _docs(sf_dir)
+
+    def to_nb(batch):
+        out = []
+        for t in batch.column("text").to_pylist():
+            toks = (t or "").split()
+            nb = {
+                "cells": [
+                    {"cell_type": "markdown", "source": [" ".join(toks[:5])]},
+                    {"cell_type": "code", "source": [" ".join(toks[5:])]},
+                ]
+            }
+            out.append(json.dumps(nb))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "notebook": pa.array(out, pa.string()),
+            }
+        )
+
+    nbs = docs.map_batches(to_nb, batch_format="pyarrow", zero_copy_batch=True)
+    return extract_notebook_cells(nbs)
+
+
 def _q_doc_contamination(sf_dir: str):
     """N-gram contamination scoring: distinct 8-token-shingle overlap
     of every document against the derived benchmark set, exact integer
@@ -3430,6 +3466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hive_roundtrip": _q_doc_hive_roundtrip,
         "doc_cluster_split": _q_doc_cluster_split,
         "doc_contamination": _q_doc_contamination,
+        "doc_notebook_cells": _q_doc_notebook_cells,
         "events_quota": _q_events_quota,
         "events_debounce": _q_events_debounce,
         "events_ohlc_hourly": _q_events_ohlc_hourly,
@@ -4259,6 +4296,12 @@ SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'""",
             f"SELECT doc_id, n_shingles, n_hits"
             f" FROM read_parquet('{side}/doc_contamination.parquet')"
         ),
+        # expected code cells stated directly over the token stream:
+        # cell 1 (0-based) = tokens from the 6th on
+        "doc_notebook_cells": r"""
+SELECT doc_id, CAST(1 AS BIGINT) AS cell_idx,
+       array_to_string(regexp_extract_all(COALESCE(text, ''), '\S+')[6:], ' ') AS source
+FROM documents""",
         "events_quota": """
 SELECT user_id, window_start, event_id, ts, CAST(rn AS BIGINT) AS rank
 FROM (

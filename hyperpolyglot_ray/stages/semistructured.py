@@ -151,3 +151,64 @@ def regexp_extract_rows(
         return kept.append_column(out_col, flat)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def extract_notebook_cells(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    json_col: str = "notebook",
+    cell_type: str = "code",
+    on_error: str = "raise",
+) -> ray.data.Dataset:
+    """Explode notebook-format JSON blobs (nbformat shape:
+    ``{"cells": [{"cell_type": ..., "source": [lines...]}]}``) into one
+    row per matching cell — the code-corpus ingestion step that turns
+    .ipynb files into trainable code documents (The Stack pipelines do
+    exactly this conversion).
+
+    Output: ``(id, cell_idx, source)`` where ``cell_idx`` is the cell's
+    0-based position in the notebook and ``source`` joins the cell's
+    line list (a bare string passes through). JSON parsing is
+    inherently per-document; the loop is over documents, never tokens.
+    ``on_error="raise"`` (default) surfaces malformed JSON with the row
+    id; ``"skip"`` drops malformed rows — pick per corpus hygiene.
+    """
+    import json
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError("extract_notebook_cells: on_error must be raise|skip")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_id, out_idx, out_src = [], [], []
+        for i, blob in zip(
+            batch.column(id_col).to_pylist(), batch.column(json_col).to_pylist()
+        ):
+            try:
+                nb = json.loads(blob or "")
+                cells = nb["cells"]
+            except (ValueError, TypeError, KeyError) as e:
+                if on_error == "skip":
+                    continue
+                raise ValueError(
+                    f"extract_notebook_cells: malformed notebook for id {i!r}"
+                ) from e
+            for ci, cell in enumerate(cells):
+                if cell.get("cell_type") != cell_type:
+                    continue
+                src = cell.get("source", "")
+                out_id.append(i)
+                out_idx.append(ci)
+                out_src.append(
+                    "".join(src) if isinstance(src, list) else str(src)
+                )
+        return pa.table(
+            {
+                id_col: pa.array(out_id, batch.schema.field(id_col).type),
+                "cell_idx": pa.array(out_idx, pa.int64()),
+                "source": pa.array(out_src, pa.string()),
+            }
+        )
+
+    return ds.select_columns([id_col, json_col]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -1120,3 +1120,36 @@ def test_contamination_score_matches_sequential(ray_session):
     assert got == want and len(got) >= 1
     with pytest.raises(ValueError, match="width"):
         contamination_score(ds, bench, width=0)
+
+
+def test_extract_notebook_cells(ray_session):
+    import json
+
+    from hyperpolyglot_ray.stages.semistructured import extract_notebook_cells
+
+    nb1 = json.dumps(
+        {
+            "cells": [
+                {"cell_type": "markdown", "source": ["# hi"]},
+                {"cell_type": "code", "source": ["x = 1\n", "y = 2"]},
+                {"cell_type": "raw", "source": "ignored"},
+                {"cell_type": "code", "source": "z = 3"},
+            ]
+        }
+    )
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([10, 11], pa.int64()),
+            "notebook": pa.array([nb1, "{not json"], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    got = sorted(
+        (r["doc_id"], r["cell_idx"], r["source"])
+        for r in extract_notebook_cells(ds, on_error="skip").take_all()
+    )
+    assert got == [(10, 1, "x = 1\ny = 2"), (10, 3, "z = 3")]
+    with pytest.raises(Exception, match="malformed notebook"):
+        extract_notebook_cells(ds).take_all()
+    with pytest.raises(ValueError, match="on_error"):
+        extract_notebook_cells(ds, on_error="nope")
