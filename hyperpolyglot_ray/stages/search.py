@@ -290,7 +290,11 @@ def rrf_fuse(
         raise ValueError("rrf_fuse: scale must be >= 1")
     ds = rankings if isinstance(rankings, ray.data.Dataset) else None
     if ds is None:
-        lists = list(rankings)
+        # project each list to (id, rank) BEFORE the union so rankings
+        # carrying different extra columns still fuse
+        lists = [
+            d.select_columns([id_col, rank_col]) for d in rankings
+        ]
         if not lists:
             raise ValueError("rrf_fuse: need at least one ranking")
         ds = lists[0].union(*lists[1:]) if len(lists) > 1 else lists[0]
