@@ -2945,6 +2945,50 @@ def _q_lineitem_fingerprint(sf_dir: str):
     )
 
 
+def _q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 (large-volume customers), composed from the engine's
+    primitives: slim per-order quantity reduce -> HAVING filter ->
+    hash-join orders + customer -> strict top-100 by (totalprice desc,
+    orderkey asc) via the two-level rank scan. Quantities are integral
+    doubles, so the float sums are exact."""
+    from hyperpolyglot_ray.stages.joins import hash_join
+    from hyperpolyglot_ray.stages.ordering import global_row_number
+    from hyperpolyglot_ray.stages.shuffle import bucketed_group_reduce
+
+    li = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+    sums = bucketed_group_reduce(
+        li, "l_orderkey", [("l_quantity", "sum")]
+    ).rename_columns({"sum(l_quantity)": "sum_qty"})
+    big = sums.filter(lambda r: r["sum_qty"] > 250.0)
+    orders = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    )
+    enriched = hash_join(big, orders, "l_orderkey", "o_orderkey")
+    cust = _read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    full = hash_join(enriched, cust, "o_custkey", "c_custkey")
+    ranked = global_row_number(
+        full.select_columns(["l_orderkey", "o_totalprice"]),
+        "o_totalprice",
+        id_col="l_orderkey",
+        descending=True,
+    ).filter(lambda r: r["rank"] <= 100)
+    top = hash_join(
+        ranked.drop_columns(["o_totalprice"]),
+        full.rename_columns({"l_orderkey": "ok2"}),
+        "l_orderkey",
+        "ok2",
+        n_buckets=16,
+    )
+    return top.rename_columns({"l_orderkey": "o_orderkey"}).select_columns(
+        ["c_name", "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"]
+    )
+
+
 def _q_doc_notebook_cells(sf_dir: str):
     """Notebook ingestion: every document rendered as a 2-cell nbformat
     JSON blob (markdown prefix + code remainder), then exploded back to
@@ -3467,6 +3511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_cluster_split": _q_doc_cluster_split,
         "doc_contamination": _q_doc_contamination,
         "doc_notebook_cells": _q_doc_notebook_cells,
+        "tpch_q18": _q_tpch_q18,
         "events_quota": _q_events_quota,
         "events_debounce": _q_events_debounce,
         "events_ohlc_hourly": _q_events_ohlc_hourly,
@@ -4302,6 +4347,21 @@ SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'""",
 SELECT doc_id, CAST(1 AS BIGINT) AS cell_idx,
        array_to_string(regexp_extract_all(COALESCE(text, ''), '\S+')[6:], ' ') AS source
 FROM documents""",
+        # strict top-100: rank on (totalprice DESC, orderkey ASC) so the
+        # LIMIT boundary is deterministic in both engines
+        "tpch_q18": """
+WITH s AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+), j AS (
+  SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+         o.o_totalprice, s.sum_qty
+  FROM s JOIN orders o ON s.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM (SELECT *, row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM j)
+WHERE rn <= 100""",
         "events_quota": """
 SELECT user_id, window_start, event_id, ts, CAST(rn AS BIGINT) AS rank
 FROM (
