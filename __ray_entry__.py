@@ -2989,6 +2989,836 @@ def _q_tpch_q18(sf_dir: str):
     )
 
 
+def _li_rev_c4(batch, price: str = "l_extendedprice", disc: str = "l_discount"):
+    """Exact int64 revenue in cents x (100 - discount pct) — the shared
+    expression every TPC-H composition and its SQL oracle mirror
+    (`CAST(round(p*100) AS BIGINT) * (100 - CAST(round(d*100) AS BIGINT))`)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cents = pc.round(pc.multiply(batch.column(price), pa.scalar(100.0))).cast(
+        pa.int64()
+    )
+    pct = pc.round(pc.multiply(batch.column(disc), pa.scalar(100.0))).cast(pa.int64())
+    return pc.multiply_checked(cents, pc.subtract(pa.scalar(100, type=pa.int64()), pct))
+
+
+def _q_tpch_q4(sf_dir: str):
+    """TPC-H Q4 shape (order-priority checking): orders in a quarter
+    window that have at least one RETURNED lineitem, counted per
+    priority. The reference Q4's EXISTS(l_commitdate < l_receiptdate)
+    predicate maps to l_returnflag = 'R' over this corpus's columns; the
+    topology is the canonical one — the EXISTS is a `semi_join` whose
+    right side ships only deduped order keys, never lineitem payload."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hyperpolyglot_ray.stages.joins import semi_join
+    from hyperpolyglot_ray.stages.shuffle import bucketed_group_reduce
+
+    lo, hi = datetime(1997, 1, 1), datetime(1997, 4, 1)
+
+    def ord_f(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        m = pc.and_(pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi)))
+        b = batch.filter(m)
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_orderpriority": b.column("o_orderpriority"),
+            }
+        )
+
+    orders = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(ord_f, batch_format="pyarrow", zero_copy_batch=True)
+
+    def li_f(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column("l_returnflag"), pa.scalar("R"))
+        return pa.table({"l_orderkey": batch.column("l_orderkey").filter(m)})
+
+    li = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    ).map_batches(li_f, batch_format="pyarrow", zero_copy_batch=True)
+    kept = semi_join(orders, li, "o_orderkey", "l_orderkey")
+    out = bucketed_group_reduce(
+        kept, "o_orderpriority", [("o_orderpriority", "count")], n_buckets=16
+    )
+    return out.rename_columns({"count(o_orderpriority)": "order_count"})
+
+
+def _q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 (forecasting revenue change): one column-pruned filter +
+    per-block partial sums, no shuffle at all — the discount band
+    compares exact integer pct, revenue is cents x pct (int64), and the
+    final add is a tiny driver fold over one row per block."""
+    from datetime import datetime
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    lo, hi = datetime(1996, 1, 1), datetime(1997, 1, 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("l_shipdate")
+        pct = pc.round(
+            pc.multiply(batch.column("l_discount"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        qty = pc.round(batch.column("l_quantity")).cast(pa.int64())
+        i64 = pa.int64()
+        m = pc.and_(
+            pc.and_(pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi))),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(pct, pa.scalar(5, type=i64)),
+                    pc.less_equal(pct, pa.scalar(7, type=i64)),
+                ),
+                pc.less(qty, pa.scalar(24, type=i64)),
+            ),
+        )
+        b = batch.filter(m)
+        cents = pc.round(
+            pc.multiply(b.column("l_extendedprice"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        rev = pc.multiply_checked(cents, pct.filter(m))
+        s = pc.sum(rev).as_py() or 0
+        return pa.table({"rev": pa.array([int(s)], pa.int64())})
+
+    parts = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    total = parts.sum("rev")
+    return pd.DataFrame({"revenue_c4": [int(total or 0)]})
+
+
+def _q_tpch_q7(sf_dir: str):
+    """TPC-H Q7 (volume shipping between two nations, by year): lineitem
+    meets orders and customer in hash joins; the supplier side of the
+    pair predicate rides a broadcast of the two qualifying nations'
+    suppliers only (2/25 of the supplier table — the dim-broadcast
+    assumption tpch_q5 documents). Revenue exact int64."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from hyperpolyglot_ray.stages.joins import broadcast_join, hash_join
+    from hyperpolyglot_ray.stages.shuffle import bucketed_group_reduce
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nmap = dict(
+        zip(nation.column("n_name").to_pylist(), nation.column("n_nationkey").to_pylist())
+    )
+    n1, n2 = int(nmap["NATION_1"]), int(nmap["NATION_2"])
+    names = {n1: "NATION_1", n2: "NATION_2"}
+    pair_keys = pa.array([n1, n2], pa.int32())
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    supp = supp.filter(pc.is_in(supp.column("s_nationkey"), value_set=pair_keys))
+
+    def cust_f(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_in(batch.column("c_nationkey"), value_set=pair_keys))
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "c_nationkey": b.column("c_nationkey").cast(pa.int64()),
+            }
+        )
+
+    cust = _read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_f, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    j1 = hash_join(orders, cust, "o_custkey", "c_custkey").select_columns(
+        ["o_orderkey", "c_nationkey"]
+    )
+
+    lo, hi = datetime(1996, 1, 1), datetime(1998, 1, 1)
+
+    def li_f(batch: pa.Table) -> pa.Table:
+        d = batch.column("l_shipdate")
+        m = pc.and_(pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi)))
+        b = batch.filter(m)
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "l_year": pc.year(b.column("l_shipdate")).cast(pa.int64()),
+                "rev": _li_rev_c4(b),
+            }
+        )
+
+    li = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(li_f, batch_format="pyarrow", zero_copy_batch=True)
+    j2 = hash_join(li, j1, "l_orderkey", "o_orderkey")
+    j3 = broadcast_join(j2, supp, "l_suppkey", "s_suppkey", ["s_nationkey"])
+
+    def pair_f(batch: pa.Table) -> pa.Table:
+        sn = batch.column("s_nationkey").cast(pa.int64())
+        cn = batch.column("c_nationkey")
+        i64 = pa.int64()
+        m = pc.or_(
+            pc.and_(
+                pc.equal(sn, pa.scalar(n1, type=i64)),
+                pc.equal(cn, pa.scalar(n2, type=i64)),
+            ),
+            pc.and_(
+                pc.equal(sn, pa.scalar(n2, type=i64)),
+                pc.equal(cn, pa.scalar(n1, type=i64)),
+            ),
+        )
+        m = pc.and_(pc.is_valid(batch.column("s_nationkey")), m)
+        b = batch.filter(m)
+        return pa.table(
+            {
+                "sn": b.column("s_nationkey").cast(i64),
+                "cn": b.column("c_nationkey"),
+                "l_year": b.column("l_year"),
+                "rev": b.column("rev"),
+            }
+        )
+
+    per = bucketed_group_reduce(
+        j3.map_batches(pair_f, batch_format="pyarrow", zero_copy_batch=True),
+        ["sn", "cn", "l_year"],
+        [("rev", "sum")],
+        n_buckets=8,
+    )
+
+    def close(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "supp_nation": pa.array(
+                    [names[k] for k in batch.column("sn").to_pylist()], pa.string()
+                ),
+                "cust_nation": pa.array(
+                    [names[k] for k in batch.column("cn").to_pylist()], pa.string()
+                ),
+                "l_year": batch.column("l_year"),
+                "revenue_c4": batch.column("sum(rev)"),
+            }
+        )
+
+    return per.map_batches(close, batch_format="pyarrow")
+
+
+def _q_tpch_q8(sf_dir: str):
+    """TPC-H Q8 (national market share): among PROMO-type parts sold to
+    customers of the ASIA region in 1996-1997, the share of revenue
+    supplied by NATION_3, per order year. The part predicate is a
+    `semi_join` (keys only), customer/supplier nation checks ride
+    broadcast dims, and the share closes with one fixed float division
+    over exact int64 numerator/denominator sums."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from hyperpolyglot_ray.stages.joins import broadcast_join, hash_join, semi_join
+    from hyperpolyglot_ray.stages.shuffle import bucketed_group_reduce
+
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rkeys = (
+        region.filter(pc.equal(region.column("r_name"), pa.scalar("ASIA")))
+        .column("r_regionkey")
+        .combine_chunks()
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nat_keys = nation.filter(
+        pc.is_in(nation.column("n_regionkey"), value_set=rkeys)
+    ).column("n_nationkey").combine_chunks()
+    nmap = dict(
+        zip(nation.column("n_name").to_pylist(), nation.column("n_nationkey").to_pylist())
+    )
+    target = int(nmap["NATION_3"])
+
+    def part_f(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column("p_type"), pa.scalar("PROMO"))
+        return pa.table({"p_partkey": batch.column("p_partkey").filter(m)})
+
+    part = _read_parquet_clean(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).map_batches(part_f, batch_format="pyarrow", zero_copy_batch=True)
+
+    li = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    li_promo = semi_join(li, part, "l_partkey", "p_partkey")
+
+    def li_f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_suppkey": batch.column("l_suppkey"),
+                "rev": _li_rev_c4(batch),
+            }
+        )
+
+    li_slim = li_promo.map_batches(li_f, batch_format="pyarrow", zero_copy_batch=True)
+
+    lo, hi = datetime(1996, 1, 1), datetime(1998, 1, 1)
+
+    def ord_f(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        m = pc.and_(pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi)))
+        b = batch.filter(m)
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+                "o_year": pc.year(b.column("o_orderdate")).cast(pa.int64()),
+            }
+        )
+
+    orders = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(ord_f, batch_format="pyarrow", zero_copy_batch=True)
+
+    def cust_f(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_in(batch.column("c_nationkey"), value_set=nat_keys))
+        return pa.table({"c_custkey": b.column("c_custkey")})
+
+    cust = _read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_f, batch_format="pyarrow", zero_copy_batch=True)
+
+    j1 = hash_join(li_slim, orders, "l_orderkey", "o_orderkey")
+    j2 = semi_join(j1, cust, "o_custkey", "c_custkey")
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    j3 = broadcast_join(j2, supp, "l_suppkey", "s_suppkey", ["s_nationkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sn = batch.column("s_nationkey").cast(pa.int64())
+        is_t = pc.equal(sn, pa.scalar(target, type=pa.int64()))
+        num = pc.if_else(is_t, batch.column("rev"), pa.scalar(0, type=pa.int64()))
+        return pa.table(
+            {
+                "o_year": batch.column("o_year"),
+                "num": num,
+                "den": batch.column("rev"),
+            }
+        )
+
+    per = bucketed_group_reduce(
+        j3.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "o_year",
+        [("num", "sum"), ("den", "sum")],
+        n_buckets=4,
+    )
+
+    def close(batch: pa.Table) -> pa.Table:
+        num = batch.column("sum(num)")
+        den = batch.column("sum(den)")
+        share = pc.divide(num.cast(pa.float64()), den.cast(pa.float64()))
+        return pa.table(
+            {
+                "o_year": batch.column("o_year"),
+                "num_c4": num,
+                "den_c4": den,
+                "mkt_share": share,
+            }
+        )
+
+    return per.map_batches(close, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_tpch_q10(sf_dir: str):
+    """TPC-H Q10 (returned-item reporting): revenue lost to returned
+    lineitems per customer over one quarter's orders, top-20 by
+    (revenue desc, custkey asc). Two hash joins on the corpus-scale
+    relations, a slim per-customer reduce BEFORE the customer join (the
+    join ships one row per customer, not per lineitem), nation broadcast,
+    strict top-k via per-block combiners."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from hyperpolyglot_ray.stages.joins import hash_join
+    from hyperpolyglot_ray.stages.shuffle import bucketed_group_reduce
+
+    lo, hi = datetime(1996, 7, 1), datetime(1996, 10, 1)
+
+    def li_f(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column("l_returnflag"), pa.scalar("R"))
+        b = batch.filter(m)
+        return pa.table({"l_orderkey": b.column("l_orderkey"), "rev": _li_rev_c4(b)})
+
+    li = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(li_f, batch_format="pyarrow", zero_copy_batch=True)
+
+    def ord_f(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        m = pc.and_(pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi)))
+        b = batch.filter(m)
+        return pa.table(
+            {"o_orderkey": b.column("o_orderkey"), "o_custkey": b.column("o_custkey")}
+        )
+
+    orders = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(ord_f, batch_format="pyarrow", zero_copy_batch=True)
+
+    j1 = hash_join(li, orders, "l_orderkey", "o_orderkey")
+    per_cust = bucketed_group_reduce(
+        j1.select_columns(["o_custkey", "rev"]), "o_custkey", [("rev", "sum")]
+    ).rename_columns({"sum(rev)": "revenue_c4"})
+
+    cust = _read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    j2 = hash_join(per_cust, cust, "o_custkey", "c_custkey")
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nmap = dict(
+        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[("revenue_c4", "descending"), ("o_custkey", "ascending")],
+        )
+        return batch.take(idx.slice(0, 20))
+
+    top = (
+        j2.map_batches(block_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(block_topk, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def close(batch: pa.Table) -> pa.Table:
+        names = [nmap[k] for k in batch.column("c_nationkey").to_pylist()]
+        return pa.table(
+            {
+                "c_custkey": batch.column("o_custkey"),
+                "c_name": batch.column("c_name"),
+                "revenue_c4": batch.column("revenue_c4"),
+                "c_acctbal": batch.column("c_acctbal"),
+                "n_name": pa.array(names, pa.string()),
+            }
+        )
+
+    return top.map_batches(close, batch_format="pyarrow")
+
+
+def _q_tpch_q12(sf_dir: str):
+    """TPC-H Q12 shape (shipping-mode priority split): per lineitem
+    linestatus (standing in for the absent l_shipmode), how many 1996
+    shipments belonged to high-priority orders vs the rest — the
+    join + CASE-conditional-count pattern. Partial 0/1 counts fold
+    per block; the exchange carries (status, hi, lo) rows only."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hyperpolyglot_ray.stages.joins import hash_join
+    from hyperpolyglot_ray.stages.shuffle import bucketed_group_reduce
+
+    lo_d, hi_d = datetime(1996, 1, 1), datetime(1997, 1, 1)
+
+    def li_f(batch: pa.Table) -> pa.Table:
+        d = batch.column("l_shipdate")
+        m = pc.and_(pc.greater_equal(d, pa.scalar(lo_d)), pc.less(d, pa.scalar(hi_d)))
+        b = batch.filter(m)
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_linestatus": b.column("l_linestatus"),
+            }
+        )
+
+    li = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+    ).map_batches(li_f, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    j = hash_join(li, orders, "l_orderkey", "o_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pr = batch.column("o_orderpriority")
+        hi = pc.is_in(
+            pr, value_set=pa.array(["1-URGENT", "2-HIGH"], pa.string())
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "l_linestatus": batch.column("l_linestatus"),
+                "hi": hi,
+                "lo": pc.subtract(pa.scalar(1, type=pa.int64()), hi),
+            }
+        )
+
+    out = bucketed_group_reduce(
+        j.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "l_linestatus",
+        [("hi", "sum"), ("lo", "sum")],
+        n_buckets=4,
+    )
+    return out.rename_columns(
+        {"sum(hi)": "high_line_count", "sum(lo)": "low_line_count"}
+    )
+
+
+def _q_tpch_q14(sf_dir: str):
+    """TPC-H Q14 (promotion effect): share of one month's revenue from
+    PROMO-type parts. lineitem joins part keys via hash_join (part
+    scales with the corpus — not broadcast); numerator and denominator
+    fold as exact int64 per-block partials; the percentage closes with
+    the fixed float tree `100.0 * num / den` mirrored by the oracle."""
+    from datetime import datetime
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hyperpolyglot_ray.stages.joins import hash_join
+
+    lo, hi = datetime(1996, 3, 1), datetime(1996, 4, 1)
+
+    def li_f(batch: pa.Table) -> pa.Table:
+        d = batch.column("l_shipdate")
+        m = pc.and_(pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi)))
+        b = batch.filter(m)
+        return pa.table({"l_partkey": b.column("l_partkey"), "rev": _li_rev_c4(b)})
+
+    li = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(li_f, batch_format="pyarrow", zero_copy_batch=True)
+    part = _read_parquet_clean(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    j = hash_join(li, part, "l_partkey", "p_partkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        is_promo = pc.equal(batch.column("p_type"), pa.scalar("PROMO"))
+        promo = pc.if_else(
+            is_promo, batch.column("rev"), pa.scalar(0, type=pa.int64())
+        )
+        return pa.table(
+            {
+                "promo": pa.array([pc.sum(promo).as_py() or 0], pa.int64()),
+                "total": pa.array(
+                    [pc.sum(batch.column("rev")).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    rows = j.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # one slim row per block
+    promo = sum(r["promo"] for r in rows)
+    total = sum(r["total"] for r in rows)
+    pct = 100.0 * float(promo) / float(total) if total else None
+    return pd.DataFrame(
+        {
+            "promo_revenue_c4": [promo],
+            "total_revenue_c4": [total],
+            "promo_pct": [pct],
+        }
+    )
+
+
+def _q_tpch_q15(sf_dir: str):
+    """TPC-H Q15 (top supplier): per-supplier revenue over one quarter,
+    keep the supplier(s) achieving the global maximum. The global max is
+    a two-pass pattern: the per-supplier reduce is supplier-cardinality
+    (tiny next to lineitem), its max folds on the driver as one scalar,
+    and a filtered second pass + supplier-name broadcast closes."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from hyperpolyglot_ray.stages.joins import broadcast_join
+    from hyperpolyglot_ray.stages.shuffle import bucketed_group_reduce
+
+    lo, hi = datetime(1996, 1, 1), datetime(1996, 4, 1)
+
+    def li_f(batch: pa.Table) -> pa.Table:
+        d = batch.column("l_shipdate")
+        m = pc.and_(pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi)))
+        b = batch.filter(m)
+        return pa.table({"l_suppkey": b.column("l_suppkey"), "rev": _li_rev_c4(b)})
+
+    li = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(li_f, batch_format="pyarrow", zero_copy_batch=True)
+    per_supp = bucketed_group_reduce(
+        li, "l_suppkey", [("rev", "sum")], n_buckets=64
+    ).rename_columns({"sum(rev)": "total_revenue_c4"}).materialize()
+    best = per_supp.max("total_revenue_c4")
+    top = per_supp.filter(lambda r: r["total_revenue_c4"] == best)
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    return broadcast_join(top, supp, "l_suppkey", "s_suppkey", ["s_name"]).rename_columns(
+        {"l_suppkey": "s_suppkey"}
+    )
+
+
+def _q_tpch_q17(sf_dir: str):
+    """TPC-H Q17 shape (small-quantity-order revenue): for one brand's
+    parts, revenue from lineitems whose quantity is below 20% of that
+    part's average quantity, divided by 7. The correlated avg-subquery
+    is a per-part integer-exact (sum_qty, n) reduce hash-joined back to
+    the brand's lineitems; the 0.2*avg comparison is the EXACT integer
+    inequality 5*qty*n < sum_qty (quantities are integral), so no float
+    enters until the final /7.0 — mirrored by the oracle."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hyperpolyglot_ray.stages.joins import hash_join, semi_join
+    from hyperpolyglot_ray.stages.shuffle import bucketed_group_reduce
+
+    def part_f(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column("p_brand"), pa.scalar("Brand#3"))
+        return pa.table({"p_partkey": batch.column("p_partkey").filter(m)})
+
+    part = _read_parquet_clean(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).map_batches(part_f, batch_format="pyarrow", zero_copy_batch=True)
+
+    def li_f(batch: pa.Table) -> pa.Table:
+        cents = pc.round(
+            pc.multiply(batch.column("l_extendedprice"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "l_partkey": batch.column("l_partkey"),
+                "qty": pc.round(batch.column("l_quantity")).cast(pa.int64()),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "cents": cents,
+            }
+        )
+
+    li = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(li_f, batch_format="pyarrow", zero_copy_batch=True)
+    li_b = semi_join(li, part, "l_partkey", "p_partkey").materialize()
+    # materialize the (brand-filtered part)-cardinality stats so the final
+    # execution consumes li_b exactly once — a dual-consumer plan makes the
+    # shared input buffer emit both 4-col and 3-col bundles (executor noise)
+    stats = bucketed_group_reduce(
+        li_b.map_batches(
+            lambda t: t.select(["l_partkey", "qty", "one"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        "l_partkey",
+        [("qty", "sum"), ("one", "sum")],
+        n_buckets=64,
+    ).rename_columns(
+        {"l_partkey": "pk", "sum(qty)": "sumq", "sum(one)": "n"}
+    ).materialize()
+    j = hash_join(li_b, stats, "l_partkey", "pk")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        small = pc.less(
+            pc.multiply_checked(
+                pc.multiply_checked(batch.column("qty"), pa.scalar(5, type=pa.int64())),
+                batch.column("n"),
+            ),
+            batch.column("sumq"),
+        )
+        b = batch.filter(small)
+        return pa.table(
+            {
+                "n_small": pa.array([b.num_rows], pa.int64()),
+                "cents": pa.array(
+                    [pc.sum(b.column("cents")).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    rows = j.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    n_small = sum(r["n_small"] for r in rows)
+    cents = sum(r["cents"] for r in rows)
+    avg_yearly_c = (float(cents) / 7.0) if n_small else None
+    return pd.DataFrame({"n_small": [n_small], "avg_yearly_c": [avg_yearly_c]})
+
+
+def _q_tpch_q19(sf_dir: str):
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): revenue
+    from lineitem x part pairs matching any of three (brand, quantity
+    band, size band) conjunctions — the OR-of-ANDs join predicate that
+    defeats naive pushdown. One hash join on partkey, then a vectorized
+    three-way boolean OR; exact int64 revenue, single-row output."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hyperpolyglot_ray.stages.joins import hash_join
+
+    def li_f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": batch.column("l_partkey"),
+                "qty": pc.round(batch.column("l_quantity")).cast(pa.int64()),
+                "rev": _li_rev_c4(batch),
+            }
+        )
+
+    li = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(li_f, batch_format="pyarrow", zero_copy_batch=True)
+    part = _read_parquet_clean(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    j = hash_join(li, part, "l_partkey", "p_partkey")
+
+    bands = [("Brand#1", 1, 11, 1, 5), ("Brand#2", 10, 20, 1, 10), ("Brand#3", 20, 30, 1, 15)]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = batch.column("qty")
+        size = batch.column("p_size").cast(pa.int64())
+        brand = batch.column("p_brand")
+        i64 = pa.int64()
+        m = None
+        for b_name, q_lo, q_hi, s_lo, s_hi in bands:
+            c = pc.and_(
+                pc.equal(brand, pa.scalar(b_name)),
+                pc.and_(
+                    pc.and_(
+                        pc.greater_equal(qty, pa.scalar(q_lo, type=i64)),
+                        pc.less_equal(qty, pa.scalar(q_hi, type=i64)),
+                    ),
+                    pc.and_(
+                        pc.greater_equal(size, pa.scalar(s_lo, type=i64)),
+                        pc.less_equal(size, pa.scalar(s_hi, type=i64)),
+                    ),
+                ),
+            )
+            m = c if m is None else pc.or_(m, c)
+        b = batch.filter(m)
+        return pa.table(
+            {"rev": pa.array([pc.sum(b.column("rev")).as_py() or 0], pa.int64())}
+        )
+
+    parts = j.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    total = parts.sum("rev")
+    return pd.DataFrame({"revenue_c4": [int(total or 0)]})
+
+
+def _q_tpch_q22(sf_dir: str):
+    """TPC-H Q22 shape (global-customer sales opportunity): customers
+    with above-average positive account balance and no RECENT orders
+    (none since 1999 — every customer in this corpus has SOME order, so
+    the canonical no-orders-at-all predicate would be degenerate),
+    grouped by nation (standing in for the absent phone country code).
+    The global average is a two-pass broadcast scalar over exact cent
+    sums; the dormancy predicate is the distributed anti `semi_join`
+    (orders ships only deduped, date-filtered customer keys)."""
+    from datetime import datetime
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hyperpolyglot_ray.stages.joins import semi_join
+    from hyperpolyglot_ray.stages.shuffle import bucketed_group_reduce
+
+    def cents_f(batch: pa.Table) -> pa.Table:
+        cents = pc.round(
+            pc.multiply(batch.column("c_acctbal"), pa.scalar(100.0))
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey"),
+                "c_nationkey": batch.column("c_nationkey").cast(pa.int64()),
+                "cents": cents,
+            }
+        )
+
+    cust = _read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    ).map_batches(cents_f, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def avg_partial(batch: pa.Table) -> pa.Table:
+        pos = batch.filter(pc.greater(batch.column("cents"), pa.scalar(0, pa.int64())))
+        return pa.table(
+            {
+                "s": pa.array([pc.sum(pos.column("cents")).as_py() or 0], pa.int64()),
+                "n": pa.array([pos.num_rows], pa.int64()),
+            }
+        )
+
+    rows = cust.map_batches(
+        avg_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    s, n = sum(r["s"] for r in rows), sum(r["n"] for r in rows)
+    thr = float(s) / float(n)  # threshold in CENTS, one float division
+
+    rich = cust.map_batches(
+        lambda b: b.filter(
+            pc.greater(b.column("cents").cast(pa.float64()), pa.scalar(thr))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cut = datetime(1999, 1, 1)
+
+    def recent_f(batch: pa.Table) -> pa.Table:
+        m = pc.greater_equal(batch.column("o_orderdate"), pa.scalar(cut))
+        return pa.table({"o_custkey": batch.column("o_custkey").filter(m)})
+
+    orders = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(recent_f, batch_format="pyarrow", zero_copy_batch=True)
+    no_orders = semi_join(rich, orders, "c_custkey", "o_custkey", anti=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_nationkey": batch.column("c_nationkey"),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "cents": batch.column("cents"),
+            }
+        )
+
+    out = bucketed_group_reduce(
+        no_orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "c_nationkey",
+        [("one", "sum"), ("cents", "sum")],
+        n_buckets=8,
+    )
+    return out.rename_columns(
+        {"sum(one)": "n_cust", "sum(cents)": "total_acctbal_c"}
+    )
+
+
 def _q_doc_notebook_cells(sf_dir: str):
     """Notebook ingestion: every document rendered as a 2-cell nbformat
     JSON blob (markdown prefix + code remainder), then exploded back to
@@ -3495,6 +4325,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ops, (4) the highest-value session-1/2 ops, then everything else
     # (never-checked first, then r2-checked, then r3-green).
     return {
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q22": _q_tpch_q22,
         "lineitem_zorder": _q_lineitem_zorder,
         "lineitem_pruned_scan": _q_lineitem_pruned_scan,
         "lineitem_fingerprint": _q_lineitem_fingerprint,
@@ -3815,6 +4656,168 @@ FROM (
         "graph_pagerank": (
             f'SELECT node, "rank" FROM read_parquet(\'{side}/graph_pagerank.parquet\')'
         ),
+        # mirrors _q_tpch_q4: EXISTS == IN over returned-lineitem keys
+        "tpch_q4": """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+GROUP BY o_orderpriority""",
+        # mirrors _q_tpch_q6: integer pct band, cents x pct revenue
+        "tpch_q6": """
+SELECT CAST(COALESCE(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(round(l_discount * 100) AS BIGINT)), 0) AS BIGINT)
+         AS revenue_c4
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND CAST(round(l_quantity) AS BIGINT) < 24""",
+        # mirrors _q_tpch_q7: both pair directions, ship-year group
+        "tpch_q7": """
+SELECT supp_nation, cust_nation, l_year, CAST(SUM(rev) AS BIGINT) AS revenue_c4
+FROM (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+  FROM lineitem, orders, customer, supplier, nation sn, nation cn
+  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND l_suppkey = s_suppkey
+    AND s_nationkey = sn.n_nationkey AND c_nationkey = cn.n_nationkey
+    AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+      OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+) GROUP BY supp_nation, cust_nation, l_year""",
+        # mirrors _q_tpch_q8: exact int64 num/den, one float division
+        "tpch_q8": """
+SELECT o_year,
+       CAST(SUM(CASE WHEN s_nat = 'NATION_3' THEN rev ELSE 0 END) AS BIGINT) AS num_c4,
+       CAST(SUM(rev) AS BIGINT) AS den_c4,
+       CAST(CAST(SUM(CASE WHEN s_nat = 'NATION_3' THEN rev ELSE 0 END) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(SUM(rev) AS BIGINT) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev,
+         n2.n_name AS s_nat
+  FROM lineitem, part, orders, customer, nation n1, nation n2, supplier, region
+  WHERE l_partkey = p_partkey AND p_type = 'PROMO'
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = 'ASIA'
+    AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+) GROUP BY o_year""",
+        # mirrors _q_tpch_q10: strict (revenue desc, custkey) top-20
+        "tpch_q10": """
+SELECT c_custkey, c_name, revenue_c4, c_acctbal, n_name FROM (
+  SELECT c_custkey, c_name, CAST(SUM(rev) AS BIGINT) AS revenue_c4,
+         c_acctbal, n_name
+  FROM (
+    SELECT o_custkey,
+           CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+    FROM lineitem, orders
+    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+  ) r, customer, nation
+  WHERE r.o_custkey = c_custkey AND c_nationkey = n_nationkey
+  GROUP BY c_custkey, c_name, c_acctbal, n_name
+) ORDER BY revenue_c4 DESC, c_custkey LIMIT 20""",
+        # mirrors _q_tpch_q12 (l_linestatus stands in for l_shipmode)
+        "tpch_q12": """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem, orders
+WHERE l_orderkey = o_orderkey
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus""",
+        # mirrors _q_tpch_q14: (100.0 * num) / den, left-assoc like Python
+        "tpch_q14": """
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT)
+         AS promo_revenue_c4,
+       CAST(SUM(rev) AS BIGINT) AS total_revenue_c4,
+       100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(SUM(rev) AS BIGINT) AS DOUBLE) AS promo_pct
+FROM (
+  SELECT l_partkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+) l, part
+WHERE l.l_partkey = p_partkey""",
+        # mirrors _q_tpch_q15: global max via subquery over the same view
+        "tpch_q15": """
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS total_revenue_c4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT r.s_suppkey, total_revenue_c4, s_name
+FROM rev r, supplier s
+WHERE r.s_suppkey = s.s_suppkey
+  AND total_revenue_c4 = (SELECT MAX(total_revenue_c4) FROM rev)""",
+        # mirrors _q_tpch_q17: EXACT integer 5*qty*n < sumq inequality,
+        # float enters only at the final /7.0
+        "tpch_q17": """
+WITH li AS (
+  SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3'
+), s AS (
+  SELECT l_partkey AS pk, CAST(SUM(qty) AS BIGINT) AS sumq,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM li GROUP BY l_partkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+       CAST(SUM(cents) AS DOUBLE) / 7.0 AS avg_yearly_c
+FROM li JOIN s ON li.l_partkey = s.pk
+WHERE 5 * qty * n < sumq""",
+        # mirrors _q_tpch_q19: OR of three (brand, qty band, size band)
+        "tpch_q19": """
+SELECT CAST(COALESCE(SUM(rev), 0) AS BIGINT) AS revenue_c4 FROM (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS qty, p_brand, p_size,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+  FROM lineitem, part WHERE l_partkey = p_partkey
+)
+WHERE (p_brand = 'Brand#1' AND qty BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#2' AND qty BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#3' AND qty BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""",
+        # mirrors _q_tpch_q22: threshold = sum_cents/ count as one double
+        # division; cents compared as double > threshold
+        "tpch_q22": """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(cents) AS BIGINT) AS total_acctbal_c
+FROM (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+)
+WHERE CAST(cents AS DOUBLE) >
+      (SELECT CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / COUNT(*)
+       FROM customer WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0)
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_nationkey""",
         # mirrors _q_tpch_q5: same int-cents revenue expression, same
         # date window and region literal
         "tpch_q5": """
