@@ -1218,6 +1218,24 @@ def _q_doc_multimodal(sf_dir: str):
     return out.map_batches(flatten, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_doc_audio_features(sf_dir: str):
+    """Audio feature extraction over the corpus's WAV payloads: exact
+    integer rate/channels/frames/peak/energy/zero-crossings plus the
+    two single-division floats (rms, duration) — the audio sibling of
+    doc_multimodal's pixel decode, same actor-pool small-batch stage,
+    payload dropped in-task. Non-WAV rows keep their media_kind with
+    all-null features."""
+    from hyperpolyglot_ray.stages.multimodal import (
+        attach_binary_payload,
+        audio_features,
+    )
+
+    ds = attach_binary_payload(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), media=True
+    )
+    return audio_features(ds).drop_columns(["text", "media_type"])
+
+
 def _q_doc_topk_per_lang(sf_dir: str):
     from hyperpolyglot_ray.stages.aggregates import top_k_per_group
 
@@ -4336,6 +4354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q17": _q_tpch_q17,
         "tpch_q19": _q_tpch_q19,
         "tpch_q22": _q_tpch_q22,
+        "doc_audio_features": _q_doc_audio_features,
         "lineitem_zorder": _q_lineitem_zorder,
         "lineitem_pruned_scan": _q_lineitem_pruned_scan,
         "lineitem_fingerprint": _q_lineitem_fingerprint,
@@ -6314,6 +6333,9 @@ SELECT doc_id, token AS keyword, score, rank FROM ranked WHERE rank <= 5""",
         ),
         "doc_langid": f"SELECT doc_id, langid_lang FROM read_parquet('{side}/doc_langid.parquet')",
         "doc_multimodal": f"SELECT * FROM read_parquet('{side}/doc_multimodal.parquet')",
+        "doc_audio_features": (
+            f"SELECT * FROM read_parquet('{side}/doc_audio_features.parquet')"
+        ),
         "emb_knn_ivf": f"SELECT query_id, neighbor_id, rank FROM read_parquet('{side}/emb_knn_ivf.parquet')",
         "emb_near_dup_ivf": f"SELECT vec_id FROM read_parquet('{side}/emb_near_dup_ivf.parquet')",
         "emb_pq": f"SELECT vec_id, sub, code FROM read_parquet('{side}/emb_pq.parquet')",

@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r4r"  # r4r: + n-gram contamination-score sidecar
+ORACLE_VERSION = "r4s"  # r4s: + audio-feature sidecar (r4r: contamination)
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -366,6 +366,74 @@ def _wav_rms_seq(p: bytes):
         (v,) = struct.unpack_from("<h", frames, 2 * k)
         sumsq += v * v
     return math.sqrt(sumsq / n)
+
+
+def _expected_audio_features(texts, doc_ids) -> pa.Table:
+    """Independent sequential spec of stages/multimodal.py
+    wav_audio_features: the stdlib ``wave`` module decodes (the stage
+    walks RIFF chunks manually), samples come from ``struct.iter_unpack``
+    and all reductions are pure-Python integer loops — no numpy. The two
+    float columns are each ONE division of exact integers, identical in
+    any implementation."""
+    import io
+    import math
+    import wave
+
+    from ..stages.multimodal import synth_media_payload
+
+    ids, kinds = [], []
+    cols = {k: [] for k in (
+        "rate", "channels", "n_frames", "peak", "energy", "zero_crossings",
+        "rms", "duration_s",
+    )}
+    for i, text in zip(doc_ids, texts):
+        payload, _mt = synth_media_payload(i, text)
+        ids.append(i)
+        kinds.append(_parse_header_seq(payload)[0])
+        feats = None
+        try:
+            with wave.open(io.BytesIO(payload)) as wf:
+                if wf.getsampwidth() == 2:
+                    ch = wf.getnchannels()
+                    rate = wf.getframerate()
+                    frames = wf.readframes(wf.getnframes())
+                    samples = [v for (v,) in struct.iter_unpack("<h", frames)]
+                    if samples:
+                        energy = 0
+                        peak = 0
+                        for v in samples:
+                            energy += v * v
+                            if abs(v) > peak:
+                                peak = abs(v)
+                        c0 = samples[::ch]
+                        zc = 0
+                        for a, b in zip(c0, c0[1:]):
+                            if a * b < 0:
+                                zc += 1
+                        n = len(samples)
+                        feats = {
+                            "rate": rate,
+                            "channels": ch,
+                            "n_frames": n // ch,
+                            "peak": peak,
+                            "energy": energy,
+                            "zero_crossings": zc,
+                            "rms": math.sqrt(energy / n),
+                            "duration_s": (n // ch) / rate,
+                        }
+        except (wave.Error, EOFError):
+            feats = None
+        for k in cols:
+            cols[k].append(feats[k] if feats is not None else None)
+    out = {
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "media_kind": pa.array(kinds, type=pa.string()),
+    }
+    for k in ("rate", "channels", "n_frames", "peak", "energy", "zero_crossings"):
+        out[k] = pa.array(cols[k], type=pa.int64())
+    for k in ("rms", "duration_s"):
+        out[k] = pa.array(cols[k], type=pa.float64())
+    return pa.table(out)
 
 
 def _expected_multimodal(texts, doc_ids) -> pa.Table:
@@ -1640,6 +1708,9 @@ def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
     pq.write_table(_expected_fingerprint(texts, doc_ids), out / "doc_fingerprint.parquet")
     pq.write_table(_expected_doc_langid(texts, langs, doc_ids), out / "doc_langid.parquet")
     pq.write_table(_expected_multimodal(texts, doc_ids), out / "doc_multimodal.parquet")
+    pq.write_table(
+        _expected_audio_features(texts, doc_ids), out / "doc_audio_features.parquet"
+    )
     pq.write_table(_expected_minhash_keep(texts, doc_ids), out / "doc_minhash_dedup.parquet")
     pq.write_table(
         _expected_minhash_clusters(texts, doc_ids), out / "doc_minhash_clusters.parquet"

@@ -308,6 +308,105 @@ def wav_sample_rms(payload: bytes) -> float | None:
     return math.sqrt(int((s * s).sum()) / len(s))
 
 
+def wav_audio_features(payload: bytes) -> dict | None:
+    """Full audio feature extraction over a 16-bit PCM WAV payload
+    (manual RIFF chunk walk, vectorized numpy kernels): exact-integer
+    ``rate`` / ``channels`` / ``n_frames`` / ``peak`` (max |sample|) /
+    ``energy`` (int64 sum of squares over ALL channels) /
+    ``zero_crossings`` (sign changes over the FIRST channel's frame
+    sequence: count of i with c[i-1]*c[i] < 0), plus the two floats
+    ``rms = sqrt(energy / n_samples)`` and ``duration_s = n_frames /
+    rate`` — each ONE division of exact integers, so the sequential
+    oracle reproduces them bitwise. None for non-WAV / non-16-bit /
+    empty payloads."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i = 12
+    bits, channels, rate, data = None, None, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        ln = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"fmt " and ln >= 16:
+            channels = int.from_bytes(payload[i + 10 : i + 12], "little")
+            rate = int.from_bytes(payload[i + 12 : i + 16], "little")
+            bits = int.from_bytes(payload[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            data = payload[i + 8 : i + 8 + ln]
+        i += 8 + ln + (ln & 1)
+    if bits != 16 or not data or not channels or not rate:
+        return None
+    s = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(np.int64)
+    n_samples = len(s)
+    if n_samples == 0:
+        return None
+    n_frames = n_samples // channels
+    c0 = s[::channels]
+    zc = int(((c0[:-1] * c0[1:]) < 0).sum()) if len(c0) > 1 else 0
+    energy = int((s * s).sum())
+    return {
+        "rate": int(rate),
+        "channels": int(channels),
+        "n_frames": int(n_frames),
+        "peak": int(np.abs(s).max()),
+        "energy": energy,
+        "zero_crossings": zc,
+        "rms": math.sqrt(energy / n_samples),
+        "duration_s": n_frames / rate,
+    }
+
+
+_AUDIO_FEATURE_FIELDS = [
+    ("rate", pa.int64()),
+    ("channels", pa.int64()),
+    ("n_frames", pa.int64()),
+    ("peak", pa.int64()),
+    ("energy", pa.int64()),
+    ("zero_crossings", pa.int64()),
+    ("rms", pa.float64()),
+    ("duration_s", pa.float64()),
+]
+
+
+class AudioFeatureStage:
+    """Actor-pool audio feature-extract stage: per payload, the
+    :func:`wav_audio_features` dict (all-null columns for non-WAV /
+    undecodable payloads — the DecodeStage never-crash policy). Drops
+    the heavy payload bytes after decoding, like every decode stage."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = [
+            p if p is not None else b"" for p in batch.column("payload").to_pylist()
+        ]
+        kinds = [parse_media_header(p)[0] for p in payloads]
+        rows = [wav_audio_features(p) for p in payloads]
+        out = batch.drop_columns(["payload"]).append_column(
+            "media_kind", pa.array(kinds, type=pa.string())
+        )
+        for name, typ in _AUDIO_FEATURE_FIELDS:
+            out = out.append_column(
+                name,
+                pa.array([r[name] if r is not None else None for r in rows], type=typ),
+            )
+        return out
+
+
+def audio_features(
+    ds: ray.data.Dataset,
+    concurrency=(1, 4),
+    batch_size: int = MULTIMODAL_BATCH_SIZE,
+) -> ray.data.Dataset:
+    """Audio feature extraction over a binary ``payload`` column — the
+    audio sibling of :func:`multimodal_features` (same actor-pool /
+    small-batch / drop-payload discipline for large binary columns)."""
+    return ds.map_batches(
+        AudioFeatureStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def decode_pixels(payload: bytes, kind: str) -> tuple[float | None, float | None]:
     """(pixel_mean, sample_rms) for one payload; nulls where not decodable
     (gif/jpeg entropy decode is out of scope — codec-table territory)."""

@@ -1,0 +1,89 @@
+"""Round-4 session-9 additions: audio feature extraction."""
+
+from __future__ import annotations
+
+import io
+import math
+import struct
+import wave
+
+import pyarrow as pa
+import ray.data
+
+from hyperpolyglot_ray.stages.multimodal import (
+    attach_binary_payload,
+    audio_features,
+    synth_media_payload,
+    wav_audio_features,
+)
+
+
+def _wave_ref(payload: bytes):
+    """Independent wave-module reference (mirrors the sidecar spec)."""
+    try:
+        with wave.open(io.BytesIO(payload)) as wf:
+            if wf.getsampwidth() != 2:
+                return None
+            ch = wf.getnchannels()
+            rate = wf.getframerate()
+            frames = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError):
+        return None
+    samples = [v for (v,) in struct.iter_unpack("<h", frames)]
+    if not samples:
+        return None
+    energy = sum(v * v for v in samples)
+    c0 = samples[::ch]
+    zc = sum(1 for a, b in zip(c0, c0[1:]) if a * b < 0)
+    n = len(samples)
+    return {
+        "rate": rate,
+        "channels": ch,
+        "n_frames": n // ch,
+        "peak": max(abs(v) for v in samples),
+        "energy": energy,
+        "zero_crossings": zc,
+        "rms": math.sqrt(energy / n),
+        "duration_s": (n // ch) / rate,
+    }
+
+
+def test_wav_audio_features_matches_wave_module():
+    for doc_id in range(4, 60, 5):  # doc_id % 5 == 4 -> wav payloads
+        payload, mt = synth_media_payload(doc_id, f"text {doc_id} " * 10)
+        assert mt == "audio/wav"
+        got = wav_audio_features(payload)
+        ref = _wave_ref(payload)
+        assert got is not None and ref is not None
+        for k in ("rate", "channels", "n_frames", "peak", "energy", "zero_crossings"):
+            assert got[k] == ref[k], (doc_id, k, got[k], ref[k])
+        assert got["rms"] == ref["rms"]
+        assert got["duration_s"] == ref["duration_s"]
+
+
+def test_wav_audio_features_rejects_non_wav():
+    png, _ = synth_media_payload(0, "x")  # doc_id 0 -> png
+    assert wav_audio_features(png) is None
+    assert wav_audio_features(b"") is None
+    assert wav_audio_features(b"RIFF\x00\x00\x00\x00WAVE") is None
+
+
+def test_audio_features_stage_nulls_and_values(ray_session):
+    rows = [{"doc_id": i, "text": f"doc {i} body " * 5} for i in range(10)]
+    ds = attach_binary_payload(ray.data.from_items(rows), media=True)
+    out = audio_features(ds).to_pandas().set_index("doc_id").sort_index()
+    assert "payload" not in out.columns
+    for i in range(10):
+        payload, _ = synth_media_payload(i, rows[i]["text"])
+        ref = _wave_ref(payload)
+        row = out.loc[i]
+        if i % 5 == 4:  # wav
+            assert row["media_kind"] == "wav"
+            assert int(row["energy"]) == ref["energy"]
+            assert int(row["zero_crossings"]) == ref["zero_crossings"]
+            assert float(row["rms"]) == ref["rms"]
+        else:
+            assert row["media_kind"] != "wav"
+            assert pa.compute.is_null(pa.scalar(row["energy"])).as_py() or (
+                row["energy"] != row["energy"]
+            )
