@@ -1236,6 +1236,68 @@ def _q_doc_audio_features(sf_dir: str):
     return audio_features(ds).drop_columns(["text", "media_type"])
 
 
+def _q_doc_vocab_overlap(sf_dir: str):
+    """Pairwise vocabulary Jaccard between document sources — the
+    corpus-comparison screen over distinct-token sets (one hash-bucketed
+    shuffle, int64 bitmask kernel, <= G² rows on the driver)."""
+    from hyperpolyglot_ray.stages.text_ops import source_vocab_overlap
+
+    return source_vocab_overlap(_docs(sf_dir))
+
+
+def _q_events_value_autocorr(sf_dir: str):
+    """Per-type lag-1 autocorrelation of event values: LAG within
+    (event_type ordered by ts, event_id), then the exact-sufficient-
+    statistics Pearson r between each value (as int cents) and its
+    predecessor — the serial-dependence screen over a metric stream.
+    Pure composition: `lag_delta_per_key` + `grouped_corr`."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hyperpolyglot_ray.stages.aggregates import grouped_corr
+    from hyperpolyglot_ray.stages.ordering import lag_delta_per_key
+
+    ev = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id", "value"],
+    )
+
+    def cents_f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "ts": batch.column("ts"),
+                "event_id": batch.column("event_id"),
+                "cents": pc.round(
+                    pc.multiply(batch.column("value"), pa.scalar(100.0))
+                ).cast(pa.int64()),
+            }
+        )
+
+    lagged = lag_delta_per_key(
+        ev.map_batches(cents_f, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type",
+        "ts",
+        "cents",
+        "event_id",
+    )
+
+    def keep_pairs(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_valid(batch.column("prev_value")))
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "x": b.column("cents"),
+                "y": b.column("prev_value"),
+            }
+        )
+
+    pairs = lagged.map_batches(
+        keep_pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_corr(pairs, "event_type", "x", "y", out_col="autocorr")
+
+
 def _q_doc_topk_per_lang(sf_dir: str):
     from hyperpolyglot_ray.stages.aggregates import top_k_per_group
 
@@ -4355,6 +4417,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q19": _q_tpch_q19,
         "tpch_q22": _q_tpch_q22,
         "doc_audio_features": _q_doc_audio_features,
+        "doc_vocab_overlap": _q_doc_vocab_overlap,
+        "events_value_autocorr": _q_events_value_autocorr,
         "lineitem_zorder": _q_lineitem_zorder,
         "lineitem_pruned_scan": _q_lineitem_pruned_scan,
         "lineitem_fingerprint": _q_lineitem_fingerprint,
@@ -5960,6 +6024,58 @@ FROM s""",
         ),
         # mirrors stages/aggregates.py:grouped_corr op-for-op: int64-exact
         # sufficient statistics, then the same double expression tree
+        # mirrors stages/text_ops.py:source_vocab_overlap — same token
+        # class as doc_vocab, DISTINCT (source, token), inner-join pairs
+        "doc_vocab_overlap": r"""
+WITH raw AS (
+  SELECT source, unnest(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS token
+  FROM documents
+), tok AS (
+  SELECT DISTINCT source, token FROM raw
+), sizes AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY source
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM tok a JOIN tok b ON a.token = b.token AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, n_common, x.n AS n_a, y.n AS n_b,
+       x.n + y.n - n_common AS n_union,
+       CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE)
+         AS jaccard
+FROM pairs JOIN sizes x ON source_a = x.source
+           JOIN sizes y ON source_b = y.source""",
+        # mirrors _q_events_value_autocorr: LAG pairs then the
+        # grouped_corr fixed float tree (the qty_discount_corr spec)
+        "events_value_autocorr": r"""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         LAG(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id) AS prev
+  FROM events
+), p AS (
+  SELECT event_type, cents AS x, prev AS y FROM c WHERE prev IS NOT NULL
+), s AS (
+  SELECT event_type, count(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM p GROUP BY event_type
+), f AS (
+  SELECT event_type, n,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mux,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS muy,
+         CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) AS exx,
+         CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) AS eyy,
+         CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) AS exy
+  FROM s
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CASE WHEN exx - mux * mux <= 0 OR eyy - muy * muy <= 0 THEN NULL
+            ELSE (exy - mux * muy)
+                 / sqrt((exx - mux * mux) * (eyy - muy * muy)) END
+         AS autocorr
+FROM f""",
         "lineitem_qty_discount_corr": r"""
 WITH p AS (
   SELECT l_returnflag,

@@ -2125,3 +2125,177 @@ def dup_cluster_sizes(
         .sum("__n")
         .map_batches(close, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+def source_vocab_overlap(
+    ds: ray.data.Dataset,
+    group_col: str = "source",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Pairwise vocabulary overlap between corpus slices — for every
+    unordered pair of ``group_col`` values: the distinct-token
+    intersection size, each side's vocabulary size, the union and the
+    Jaccard similarity. The corpus-comparison screen behind "is this new
+    crawl actually new material, or the same vocabulary re-scraped"
+    (a [[psi_drift]]-style shift test at the vocabulary level).
+
+    Token spec = ``vocab_stats``: ``ascii_split_whitespace`` with
+    empties dropped, tokens hashed ONCE to 64-bit (strings never enter
+    the exchange; an undetected collision perturbs a count with
+    probability ~V²/2⁶⁵ — the same documented bet as vocab_stats).
+
+    Topology: one map pass emits per-block DISTINCT (group, hash) pairs
+    (a large reduction on any real corpus), ONE bucketed shuffle by hash
+    co-locates each token's groups; the per-bucket kernel packs each
+    hash's group set into an int64 BITMASK (hence <= 63 distinct groups
+    — raise above) and reduces to (pair, count) partials vectorized —
+    G(G-1)/2 popcount passes, no per-hash Python. A tiny (group, group)
+    sum and a <= G² driver assembly close. Nothing vocabulary-scale
+    reaches the driver. Output: ``(source_a, source_b, n_common, n_a,
+    n_b, n_union, jaccard)``, ``source_a < source_b``, zero-intersection
+    pairs omitted (matching the SQL inner join); ``jaccard`` is ONE
+    float division of exact ints. Null group values raise.
+    """
+    from .shuffle import bucket_column, bucketed_group_reduce
+
+    g_type = ds.schema().base_schema.field(group_col).type
+    if not pa.types.is_string(g_type):
+        raise ValueError(
+            f"source_vocab_overlap: {group_col!r} must be a string column"
+        )
+    gvals = bucketed_group_reduce(
+        ds.select_columns([group_col]), group_col, [], n_buckets=8
+    ).take_all()
+    groups = sorted(r[group_col] for r in gvals)
+    if any(g is None for g in groups):
+        raise ValueError("source_vocab_overlap: null group values")
+    if len(groups) > 63:
+        raise ValueError(
+            "source_vocab_overlap: > 63 distinct groups; the int64-bitmask "
+            "kernel needs <= 63 — pre-bucket the group column"
+        )
+    groups_arr = pa.array(groups, type=pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.column(group_col).null_count:
+            raise ValueError("source_vocab_overlap: null group values")
+        toks_col = pc.ascii_split_whitespace(
+            pc.fill_null(pc.cast(batch.column(text_col), pa.string()), "")
+        )
+        if isinstance(toks_col, pa.ChunkedArray):
+            toks_col = toks_col.combine_chunks()
+        flat = pc.list_flatten(toks_col)
+        lens = pc.list_value_length(toks_col).to_numpy(zero_copy_only=False)
+        row_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        mask = pc.not_equal(flat, "")
+        tbl = pa.table(
+            {
+                "g": batch.column(group_col).take(
+                    pc.filter(pa.array(row_idx), mask)
+                ),
+                "tok": pc.filter(flat, mask),
+            }
+        )
+        d = tbl.group_by(["g", "tok"]).aggregate([])  # block-local distinct
+        tok = d.column("tok")
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        return pa.table(
+            {
+                "h": pa.array(
+                    _hash_string_array(tok).astype(np.int64), type=pa.int64()
+                ),
+                "g": d.column("g"),
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", bucket_column(batch, ["h"], n_buckets)
+        )
+
+    part_schema = pa.schema(
+        [
+            pa.field("sa", pa.string()),
+            pa.field("sb", pa.string()),
+            pa.field("cnt", pa.int64()),
+        ]
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return part_schema.empty_table()
+        d = group.select(["h", "g"]).group_by(["h", "g"]).aggregate([])
+        h = d.column("h").to_numpy(zero_copy_only=False)
+        gi = pc.index_in(d.column("g"), value_set=groups_arr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        uniq_h, inv = np.unique(h, return_inverse=True)
+        masks = np.zeros(len(uniq_h), dtype=np.int64)
+        np.bitwise_or.at(masks, inv, np.int64(1) << gi)
+        sa_out, sb_out, cnt_out = [], [], []
+        for i in range(len(groups)):
+            bit_i = (masks >> np.int64(i)) & 1
+            sa_out.append(groups[i])
+            sb_out.append(groups[i])
+            cnt_out.append(int(bit_i.sum()))
+            for j in range(i + 1, len(groups)):
+                inter = int((bit_i & ((masks >> np.int64(j)) & 1)).sum())
+                if inter:
+                    sa_out.append(groups[i])
+                    sb_out.append(groups[j])
+                    cnt_out.append(inter)
+        return pa.table(
+            {
+                "sa": pa.array(sa_out, pa.string()),
+                "sb": pa.array(sb_out, pa.string()),
+                "cnt": pa.array(cnt_out, pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.select_columns([group_col, text_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    totals = bucketed_group_reduce(parts, ["sa", "sb"], [("cnt", "sum")], n_buckets=8)
+    rows = totals.take_all()  # <= G² rows
+    size = {r["sa"]: int(r["sum(cnt)"]) for r in rows if r["sa"] == r["sb"]}
+    out = {
+        "source_a": [],
+        "source_b": [],
+        "n_common": [],
+        "n_a": [],
+        "n_b": [],
+        "n_union": [],
+        "jaccard": [],
+    }
+    for r in sorted(
+        (r for r in rows if r["sa"] != r["sb"]), key=lambda r: (r["sa"], r["sb"])
+    ):
+        nc = int(r["sum(cnt)"])
+        na, nb = size[r["sa"]], size[r["sb"]]
+        un = na + nb - nc
+        out["source_a"].append(r["sa"])
+        out["source_b"].append(r["sb"])
+        out["n_common"].append(nc)
+        out["n_a"].append(na)
+        out["n_b"].append(nb)
+        out["n_union"].append(un)
+        out["jaccard"].append(nc / un)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "source_a": pa.array(out["source_a"], pa.string()),
+                "source_b": pa.array(out["source_b"], pa.string()),
+                "n_common": pa.array(out["n_common"], pa.int64()),
+                "n_a": pa.array(out["n_a"], pa.int64()),
+                "n_b": pa.array(out["n_b"], pa.int64()),
+                "n_union": pa.array(out["n_union"], pa.int64()),
+                "jaccard": pa.array(out["jaccard"], pa.float64()),
+            }
+        )
+    )

@@ -87,3 +87,63 @@ def test_audio_features_stage_nulls_and_values(ray_session):
             assert pa.compute.is_null(pa.scalar(row["energy"])).as_py() or (
                 row["energy"] != row["energy"]
             )
+
+
+def test_source_vocab_overlap_sequential_parity(ray_session):
+    import itertools
+
+    rows = []
+    texts = {
+        "a": ["red green blue", "green blue", "  red\tred "],
+        "b": ["blue yellow", "yellow pink red"],
+        "c": ["orange"],
+        "d": [""],
+    }
+    i = 0
+    for src, ts in texts.items():
+        for t in ts:
+            rows.append({"doc_id": i, "source": src, "text": t})
+            i += 1
+    from hyperpolyglot_ray.stages.text_ops import source_vocab_overlap
+
+    got = (
+        source_vocab_overlap(ray.data.from_items(rows))
+        .to_pandas()
+        .set_index(["source_a", "source_b"])
+        .sort_index()
+    )
+    # sequential reference: distinct whitespace tokens per source
+    vocab = {s: set(" ".join(ts).split()) for s, ts in texts.items()}
+    expected = {}
+    for sa, sb in itertools.combinations(sorted(texts), 2):
+        inter = len(vocab[sa] & vocab[sb])
+        if inter:
+            expected[(sa, sb)] = (
+                inter,
+                len(vocab[sa]),
+                len(vocab[sb]),
+                len(vocab[sa] | vocab[sb]),
+            )
+    assert set(got.index) == set(expected)
+    for key, (nc, na, nb, un) in expected.items():
+        row = got.loc[key]
+        assert (row["n_common"], row["n_a"], row["n_b"], row["n_union"]) == (
+            nc,
+            na,
+            nb,
+            un,
+        )
+        assert row["jaccard"] == nc / un
+
+
+def test_source_vocab_overlap_validation(ray_session):
+    import pytest
+
+    from hyperpolyglot_ray.stages.text_ops import source_vocab_overlap
+
+    ds = ray.data.from_items([{"source": 1, "text": "x"}])
+    with pytest.raises(ValueError, match="string column"):
+        source_vocab_overlap(ds)
+    ds2 = ray.data.from_items([{"source": None, "text": "x"}])
+    with pytest.raises(Exception):  # null group values (raised in task)
+        source_vocab_overlap(ds2).materialize()
