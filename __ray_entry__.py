@@ -1298,6 +1298,30 @@ def _q_events_value_autocorr(sf_dir: str):
     return grouped_corr(pairs, "event_type", "x", "y", out_col="autocorr")
 
 
+def _q_doc_boilerplate(sf_dir: str):
+    """C4-style boilerplate line removal over a derived multi-line
+    corpus (words-as-lines + a 'COOKIE BANNER' footer planted in every
+    doc — the documents fixture is single-line, so the line view is
+    derived identically in the oracle): every line in > 400 distinct
+    docs is stripped from ALL docs, text rebuilt from survivors."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hyperpolyglot_ray.stages.curation import boilerplate_strip
+
+    def derive(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(batch.column("text"), pa.string()), "")
+        multi = pc.binary_join_element_wise(
+            pc.replace_substring(txt, " ", "\n"), "COOKIE BANNER", "\n"
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "text": multi})
+
+    docs = _docs(sf_dir).map_batches(
+        derive, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return boilerplate_strip(docs, max_docs=400)
+
+
 def _q_doc_topk_per_lang(sf_dir: str):
     from hyperpolyglot_ray.stages.aggregates import top_k_per_group
 
@@ -4419,6 +4443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_audio_features": _q_doc_audio_features,
         "doc_vocab_overlap": _q_doc_vocab_overlap,
         "events_value_autocorr": _q_events_value_autocorr,
+        "doc_boilerplate": _q_doc_boilerplate,
         "lineitem_zorder": _q_lineitem_zorder,
         "lineitem_pruned_scan": _q_lineitem_pruned_scan,
         "lineitem_fingerprint": _q_lineitem_fingerprint,
@@ -6024,6 +6049,31 @@ FROM s""",
         ),
         # mirrors stages/aggregates.py:grouped_corr op-for-op: int64-exact
         # sufficient statistics, then the same double expression tree
+        # mirrors stages/curation.py:boilerplate_strip over the same
+        # derived line view; list_filter lambda gets the boiler list via
+        # a cross join (scalar subqueries are invalid inside lambdas)
+        "doc_boilerplate": r"""
+WITH derived AS (
+  SELECT doc_id,
+         replace(coalesce(text, ''), ' ', chr(10)) || chr(10) || 'COOKIE BANNER'
+           AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM derived
+), df AS (
+  SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY line
+), boiler AS (
+  SELECT COALESCE(LIST(line), []) AS bl FROM df WHERE nd > 400
+), kept AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls,
+         list_filter(string_split(text, chr(10)),
+                     l -> NOT list_contains(bl, l)) AS kl
+  FROM derived, boiler
+)
+SELECT doc_id, COALESCE(array_to_string(kl, chr(10)), '') AS text,
+       CAST(len(kl) AS BIGINT) AS n_kept,
+       CAST(len(ls) - len(kl) AS BIGINT) AS n_dropped
+FROM kept""",
         # mirrors stages/text_ops.py:source_vocab_overlap — same token
         # class as doc_vocab, DISTINCT (source, token), inner-join pairs
         "doc_vocab_overlap": r"""

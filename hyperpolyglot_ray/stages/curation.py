@@ -1473,3 +1473,134 @@ def contamination_score(
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def boilerplate_strip(
+    ds: ray.data.Dataset,
+    max_docs: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    broadcast_budget: int = 5_000_000,
+) -> ray.data.Dataset:
+    """C4/RefinedWeb-style boilerplate LINE removal: any exact line that
+    appears in MORE than ``max_docs`` distinct documents (nav bars,
+    cookie banners, license headers) is stripped from EVERY document —
+    unlike [[paragraph_dedup]], which keeps the first occurrence, a
+    boilerplate line keeps none. Output: ``(id, text, n_kept,
+    n_dropped)`` with the text rebuilt from surviving lines (``\\n``
+    joins, split/join round-trip exact, null text treated as ``""``).
+
+    Topology: pass 1 computes line document-frequency the vocab_stats
+    way — per-block DISTINCT (line-hash64, doc) pairs (docs never span
+    blocks, so per-block distinct-doc partials SUM exactly), one
+    fixed-width bucketed reduce, strings never shuffled. The boilerplate
+    set (df > max_docs) is broadcast ONCE via ``ray.put``; its size is
+    bounded by total_lines/max_docs — raise when it exceeds
+    ``broadcast_budget`` rather than silently ship gigabytes (the
+    fallback topology would be an anti `semi_join` on line hash; not
+    implemented until a corpus needs it). Pass 2 is map-only: vectorized
+    line split, ``np.isin`` against the sorted hash set, Arrow list
+    rebuild + ``binary_join``. Hash collisions: the shared 64-bit
+    polynomial spec — a collision strips an innocent line with
+    probability ~L²/2⁶⁵ (the vocab_stats bet, documented there).
+    """
+    from .shuffle import bucketed_group_reduce
+    from .text_ops import _hash_string_array
+
+    if max_docs < 1:
+        raise ValueError("boilerplate_strip: max_docs must be >= 1")
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(batch.column(text_col), pa.string()), "")
+        lines = pc.split_pattern(txt, "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        flat = pc.list_flatten(lines)
+        lens = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        h = _hash_string_array(flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat)
+        d = (
+            pa.table(
+                {
+                    "h": pa.array(h.astype(np.int64), pa.int64()),
+                    "doc": pa.array(doc_idx, pa.int64()),
+                }
+            )
+            .group_by(["h", "doc"])
+            .aggregate([])
+        )
+        agg = d.group_by("h").aggregate([("doc", "count")])
+        return pa.table(
+            {
+                "h": agg.column("h"),
+                "nd": agg.column("doc_count").cast(pa.int64()),
+            }
+        )
+
+    df = bucketed_group_reduce(
+        ds.select_columns([text_col]).map_batches(
+            df_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "h",
+        [("nd", "sum")],
+        n_buckets=n_buckets,
+    )
+    boiler_parts = df.map_batches(
+        lambda b: b.filter(pc.greater(b.column("sum(nd)"), max_docs)).select(["h"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    hashes: list[np.ndarray] = []
+    total = 0
+    for b in boiler_parts.iter_batches(batch_format="pyarrow"):
+        arr = b.column("h").to_numpy(zero_copy_only=False)
+        total += len(arr)
+        if total > broadcast_budget:
+            raise ValueError(
+                f"boilerplate_strip: boilerplate set exceeds the "
+                f"{broadcast_budget}-hash broadcast budget; raise max_docs "
+                f"or route through an anti semi_join on line hash"
+            )
+        hashes.append(arr)
+    boiler = np.sort(np.concatenate(hashes)) if hashes else np.zeros(0, np.int64)
+    b_ref = ray.put(boiler)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        bl = ray.get(b_ref)
+        txt = pc.fill_null(pc.cast(batch.column(text_col), pa.string()), "")
+        lines = pc.split_pattern(txt, "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        flat = pc.list_flatten(lines)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        h = _hash_string_array(flat).astype(np.int64)
+        keep = np.logical_not(np.isin(h, bl, assume_unique=False))
+        # per-row kept counts -> new list offsets over the filtered flat
+        row_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        kept_per_row = np.bincount(row_idx[keep], minlength=len(lens)).astype(
+            np.int64
+        )
+        offsets = np.zeros(len(lens) + 1, dtype=np.int32)
+        np.cumsum(kept_per_row, out=offsets[1:])
+        kept_flat = flat.filter(pa.array(keep))
+        rebuilt = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept_flat),
+            "\n",
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                text_col: rebuilt,
+                "n_kept": pa.array(kept_per_row, pa.int64()),
+                "n_dropped": pa.array(
+                    lens.astype(np.int64) - kept_per_row, pa.int64()
+                ),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        strip, batch_format="pyarrow", zero_copy_batch=True
+    )

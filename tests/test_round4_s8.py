@@ -147,3 +147,46 @@ def test_source_vocab_overlap_validation(ray_session):
     ds2 = ray.data.from_items([{"source": None, "text": "x"}])
     with pytest.raises(Exception):  # null group values (raised in task)
         source_vocab_overlap(ds2).materialize()
+
+
+def test_boilerplate_strip_reference(ray_session):
+    from hyperpolyglot_ray.stages.curation import boilerplate_strip
+
+    footer = "(c) example corp"
+    docs = [
+        {"doc_id": 0, "text": f"alpha\nbeta\n{footer}"},
+        {"doc_id": 1, "text": f"beta\ngamma\n{footer}"},
+        {"doc_id": 2, "text": f"delta\n{footer}\nbeta"},
+        {"doc_id": 3, "text": ""},  # "" splits to one empty line
+        {"doc_id": 4, "text": None},  # null -> ""
+    ]
+    out = (
+        boilerplate_strip(ray.data.from_items(docs), max_docs=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # df: beta=3 docs, footer=3 docs (> 2 -> stripped); ""=2 docs (kept)
+    assert out.loc[0, "text"] == "alpha"
+    assert out.loc[0, "n_kept"] == 1 and out.loc[0, "n_dropped"] == 2
+    assert out.loc[1, "text"] == "gamma"
+    assert out.loc[2, "text"] == "delta"
+    assert out.loc[3, "text"] == "" and out.loc[3, "n_kept"] == 1
+    assert out.loc[4, "text"] == "" and out.loc[4, "n_kept"] == 1
+
+    # keep-none doc: every line boilerplate -> empty rebuild
+    docs2 = [{"doc_id": i, "text": "same\nsame2"} for i in range(4)]
+    out2 = (
+        boilerplate_strip(ray.data.from_items(docs2), max_docs=2)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert (out2["text"] == "").all() and (out2["n_kept"] == 0).all()
+
+    # budget raise
+    import pytest
+
+    with pytest.raises(Exception, match="broadcast budget"):
+        boilerplate_strip(
+            ray.data.from_items(docs2), max_docs=2, broadcast_budget=1
+        ).materialize()
