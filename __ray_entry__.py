@@ -1322,6 +1322,35 @@ def _q_doc_boilerplate(sf_dir: str):
     return boilerplate_strip(docs, max_docs=400)
 
 
+def _q_events_value_ttest(sf_dir: str):
+    """One-vs-rest Welch t-test per event type on value cents — the
+    parametric location screen beside the KS/chi2/PSI drift family."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hyperpolyglot_ray.stages.aggregates import grouped_ttest
+
+    ev = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def cents_f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "cents": pc.round(
+                    pc.multiply(batch.column("value"), pa.scalar(100.0))
+                ).cast(pa.int64()),
+            }
+        )
+
+    return grouped_ttest(
+        ev.map_batches(cents_f, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type",
+        "cents",
+    )
+
+
 def _q_doc_topk_per_lang(sf_dir: str):
     from hyperpolyglot_ray.stages.aggregates import top_k_per_group
 
@@ -4444,6 +4473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_vocab_overlap": _q_doc_vocab_overlap,
         "events_value_autocorr": _q_events_value_autocorr,
         "doc_boilerplate": _q_doc_boilerplate,
+        "events_value_ttest": _q_events_value_ttest,
         "lineitem_zorder": _q_lineitem_zorder,
         "lineitem_pruned_scan": _q_lineitem_pruned_scan,
         "lineitem_fingerprint": _q_lineitem_fingerprint,
@@ -6049,6 +6079,44 @@ FROM s""",
         ),
         # mirrors stages/aggregates.py:grouped_corr op-for-op: int64-exact
         # sufficient statistics, then the same double expression tree
+        # mirrors stages/aggregates.py:grouped_ttest — rest side as exact
+        # integer differences from the global totals, fixed float tree
+        "events_value_ttest": r"""
+WITH p AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x FROM events
+), g AS (
+  SELECT event_type, count(*) AS n, SUM(x) AS s, SUM(x * x) AS ss
+  FROM p GROUP BY event_type
+), t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(s) AS BIGINT) AS ts,
+         CAST(SUM(ss) AS BIGINT) AS tss
+  FROM g
+), f AS (
+  SELECT event_type,
+         CAST(n AS BIGINT) AS n1, CAST(s AS BIGINT) AS s1,
+         CAST(ss AS BIGINT) AS ss1,
+         tn - CAST(n AS BIGINT) AS n2, ts - CAST(s AS BIGINT) AS s2,
+         tss - CAST(ss AS BIGINT) AS ss2
+  FROM g, t
+), e AS (
+  SELECT event_type, n1, n2,
+         CAST(s1 AS DOUBLE) / n1 AS mu1,
+         CAST(s2 AS DOUBLE) / n2 AS mu2,
+         (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+           / (n1 - 1) AS v1,
+         (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
+           / (n2 - 1) AS v2
+  FROM f
+), w AS (
+  SELECT event_type, n1, n2, mu1, mu2, v1 / n1 AS a1, v2 / n2 AS a2 FROM e
+)
+SELECT event_type, n1 AS n, mu1 AS mean,
+       CASE WHEN n1 < 2 OR n2 < 2 OR a1 + a2 <= 0 THEN NULL
+            ELSE (mu1 - mu2) / sqrt(a1 + a2) END AS t_welch,
+       CASE WHEN n1 < 2 OR n2 < 2 OR a1 + a2 <= 0 THEN NULL
+            ELSE (a1 + a2) * (a1 + a2)
+                 / (a1 * a1 / (n1 - 1) + a2 * a2 / (n2 - 1)) END AS dof
+FROM w""",
         # mirrors stages/curation.py:boilerplate_strip over the same
         # derived line view; list_filter lambda gets the boiler list via
         # a cross join (scalar subqueries are invalid inside lambdas)

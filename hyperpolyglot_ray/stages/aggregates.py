@@ -1788,3 +1788,104 @@ def cooccurrence_pairs(
             zero_copy_batch=True,
         )
     )
+
+
+def grouped_ttest(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+) -> ray.data.Dataset:
+    """One-vs-rest Welch's t-test per key: for each ``key_col`` value,
+    the t statistic (and Welch–Satterthwaite dof) comparing that group's
+    ``val_col`` mean against ALL OTHER rows — the "is this slice's
+    metric actually different" screen complementing [[ks_drift]] /
+    chi2 / PSI with a parametric location test (A/B readouts, per-source
+    quality-mean audits).
+
+    Oracle exactness: ``val_col`` must be integer-typed (quantize
+    upstream — the `grouped_corr` contract). The three sufficient
+    statistics (n, Σx, Σx²) accumulate in int64 — exact under any block
+    layout — and the rest-side stats are INTEGER differences from the
+    global totals, so both sides of every test come from exact sums. The
+    closing float tree is fixed and mirrored op-for-op by the SQL
+    oracle: ``mu = double(Σ)/n``, ``v = (double(Σx²) - double(Σ)*
+    double(Σ)/n) / (n-1)``, ``se = v1/n1 + v2/n2``, ``t = (mu1-mu2)/
+    sqrt(se)``, ``dof = se² / ((v1/n1)²/(n1-1) + (v2/n2)²/(n2-1))``.
+    NULL t/dof when either side has < 2 rows or se == 0. int64 bounds:
+    per-side Σx² below 2^63 — rescale upstream if needed.
+
+    Topology: per-block Arrow group_by partials, one tiny groupby sum
+    (keys-per-block × blocks fixed-width rows), global totals folded
+    from the same aggregate, map-only close. No corpus-scale shuffle.
+    Output: ``(key_col, n, mean, t_welch, dof)``.
+    """
+    import numpy as np
+
+    t = ds.schema().base_schema.field(val_col).type
+    if not pa.types.is_integer(t):
+        raise ValueError(
+            f"grouped_ttest: {val_col!r} must be integer-typed for exact "
+            f"partials (got {t}); quantize upstream"
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(val_col).cast(pa.int64())
+        if x.null_count or batch.column(key_col).null_count:
+            raise ValueError("grouped_ttest: null key/value rows")
+        tbl = pa.table(
+            {
+                key_col: batch.column(key_col),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "s": x,
+                "ss": pc.multiply_checked(x, x),
+            }
+        )
+        g = tbl.group_by(key_col).aggregate(
+            [("n", "sum"), ("s", "sum"), ("ss", "sum")]
+        )
+        return g.rename_columns([key_col, "n", "s", "ss"])
+
+    agg = (
+        ds.select_columns([key_col, val_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .sum(["n", "s", "ss"])
+    ).materialize()
+
+    tot = {"n": 0, "s": 0, "ss": 0}
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        tot["n"] += int(pc.sum(b.column("sum(n)")).as_py() or 0)
+        tot["s"] += int(pc.sum(b.column("sum(s)")).as_py() or 0)
+        tot["ss"] += int(pc.sum(b.column("sum(ss)")).as_py() or 0)
+    N, S, SS = tot["n"], tot["s"], tot["ss"]
+
+    def close(batch: pa.Table) -> pa.Table:
+        n1 = batch.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.int64)
+        s1 = batch.column("sum(s)").to_numpy(zero_copy_only=False).astype(np.int64)
+        ss1 = batch.column("sum(ss)").to_numpy(zero_copy_only=False).astype(np.int64)
+        n2, s2, ss2 = N - n1, S - s1, SS - ss1
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mu1 = s1.astype(np.float64) / n1
+            mu2 = s2.astype(np.float64) / np.where(n2 > 0, n2, 1)
+            v1 = (ss1.astype(np.float64) - s1.astype(np.float64) * s1.astype(np.float64) / n1) / np.where(n1 > 1, n1 - 1, 1)
+            v2 = (ss2.astype(np.float64) - s2.astype(np.float64) * s2.astype(np.float64) / np.where(n2 > 0, n2, 1)) / np.where(n2 > 1, n2 - 1, 1)
+            a1 = v1 / n1
+            a2 = v2 / np.where(n2 > 0, n2, 1)
+            se = a1 + a2
+            tstat = (mu1 - mu2) / np.sqrt(se)
+            dof = se * se / (
+                a1 * a1 / np.where(n1 > 1, n1 - 1, 1)
+                + a2 * a2 / np.where(n2 > 1, n2 - 1, 1)
+            )
+        ok = (n1 > 1) & (n2 > 1) & (se > 0)
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                "n": pa.array(n1, pa.int64()),
+                "mean": pa.array(mu1, pa.float64()),
+                "t_welch": pa.array(tstat, pa.float64(), mask=~ok),
+                "dof": pa.array(dof, pa.float64(), mask=~ok),
+            }
+        )
+
+    return agg.map_batches(close, batch_format="pyarrow", zero_copy_batch=True)

@@ -190,3 +190,46 @@ def test_boilerplate_strip_reference(ray_session):
         boilerplate_strip(
             ray.data.from_items(docs2), max_docs=2, broadcast_budget=1
         ).materialize()
+
+
+def test_grouped_ttest_scipy_free_reference(ray_session):
+    import math
+
+    from hyperpolyglot_ray.stages.aggregates import grouped_ttest
+
+    rows = (
+        [{"k": "a", "v": v} for v in [10, 12, 14, 16, 18]]
+        + [{"k": "b", "v": v} for v in [30, 31, 29, 32]]
+        + [{"k": "c", "v": v} for v in [20]]  # n=1 -> NULL t
+    )
+    out = (
+        grouped_ttest(ray.data.from_items(rows), "k", "v")
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+
+    def welch(xs, ys):
+        n1, n2 = len(xs), len(ys)
+        mu1, mu2 = sum(xs) / n1, sum(ys) / n2
+        v1 = (sum(x * x for x in xs) - sum(xs) * sum(xs) / n1) / (n1 - 1)
+        v2 = (sum(y * y for y in ys) - sum(ys) * sum(ys) / n2) / (n2 - 1)
+        a1, a2 = v1 / n1, v2 / n2
+        t = (mu1 - mu2) / math.sqrt(a1 + a2)
+        dof = (a1 + a2) ** 2 / (a1 * a1 / (n1 - 1) + a2 * a2 / (n2 - 1))
+        return t, dof
+
+    a = [10, 12, 14, 16, 18]
+    rest_a = [30, 31, 29, 32, 20]
+    t_a, dof_a = welch(a, rest_a)
+    assert abs(out.loc["a", "t_welch"] - t_a) < 1e-12
+    assert abs(out.loc["a", "dof"] - dof_a) < 1e-12
+    assert out.loc["a", "n"] == 5 and out.loc["a", "mean"] == 14.0
+    # singleton group -> NULL t/dof but real n/mean
+    assert out.loc["c", "n"] == 1 and out.loc["c", "mean"] == 20.0
+    assert out.loc["c", "t_welch"] != out.loc["c", "t_welch"]  # NaN
+
+    import pytest
+
+    with pytest.raises(ValueError, match="integer-typed"):
+        grouped_ttest(ray.data.from_items([{"k": "a", "v": 1.5}]), "k", "v")
