@@ -1351,6 +1351,21 @@ def _q_events_value_ttest(sf_dir: str):
     )
 
 
+def _q_doc_image_hist(sf_dir: str):
+    """Exact 8-bin intensity histograms over the corpus's decodable
+    image payloads (PNG defiltered stream / BMP rows) — the image
+    profiling stage beside pixel_mean; all-null bins for gif/jpeg/wav."""
+    from hyperpolyglot_ray.stages.multimodal import (
+        attach_binary_payload,
+        image_histograms,
+    )
+
+    ds = attach_binary_payload(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), media=True
+    )
+    return image_histograms(ds).drop_columns(["text", "media_type"])
+
+
 def _q_doc_topk_per_lang(sf_dir: str):
     from hyperpolyglot_ray.stages.aggregates import top_k_per_group
 
@@ -4474,6 +4489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_autocorr": _q_events_value_autocorr,
         "doc_boilerplate": _q_doc_boilerplate,
         "events_value_ttest": _q_events_value_ttest,
+        "doc_image_hist": _q_doc_image_hist,
         "lineitem_zorder": _q_lineitem_zorder,
         "lineitem_pruned_scan": _q_lineitem_pruned_scan,
         "lineitem_fingerprint": _q_lineitem_fingerprint,
@@ -6569,6 +6585,9 @@ SELECT doc_id, token AS keyword, score, rank FROM ranked WHERE rank <= 5""",
         "doc_multimodal": f"SELECT * FROM read_parquet('{side}/doc_multimodal.parquet')",
         "doc_audio_features": (
             f"SELECT * FROM read_parquet('{side}/doc_audio_features.parquet')"
+        ),
+        "doc_image_hist": (
+            f"SELECT * FROM read_parquet('{side}/doc_image_hist.parquet')"
         ),
         "emb_knn_ivf": f"SELECT query_id, neighbor_id, rank FROM read_parquet('{side}/emb_knn_ivf.parquet')",
         "emb_near_dup_ivf": f"SELECT vec_id FROM read_parquet('{side}/emb_near_dup_ivf.parquet')",

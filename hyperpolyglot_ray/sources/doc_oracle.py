@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r4s"  # r4s: + audio-feature sidecar (r4r: contamination)
+ORACLE_VERSION = "r4t"  # r4t: + image-histogram sidecar (r4s: audio)
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -274,6 +274,16 @@ def _parse_header_seq(p: bytes):
 def _png_mean_seq(p: bytes):
     """Independent scalar PNG decode (vs stages/multimodal.py
     png_pixel_mean): bytearray defilter loops, no numpy."""
+    bs = _png_bytes_seq(p)
+    if bs is None or not bs:
+        return None
+    return sum(bs) / len(bs)
+
+
+def _png_bytes_seq(p: bytes):
+    """The defiltered channel-byte list of a PNG — the shared scalar
+    decode behind _png_mean_seq and the histogram sidecar (pure-Python
+    loops, no numpy; independent of stages/multimodal.py)."""
     import zlib
 
     if p[:8] != b"\x89PNG\r\n\x1a\n":
@@ -298,8 +308,10 @@ def _png_mean_seq(p: bytes):
     ch = chmap[ctype]
     raw = zlib.decompress(idat)
     stride = w * ch
+    if h * stride == 0:
+        return None
     prev = bytearray(stride)
-    total = 0
+    out: list[int] = []
     pos = 0
     for _y in range(h):
         f = raw[pos]
@@ -322,12 +334,21 @@ def _png_mean_seq(p: bytes):
                 qa, qb, qc = abs(q - a), abs(q - b), abs(q - c)
                 pred = a if qa <= qb and qa <= qc else (b if qb <= qc else c)
             cur[x] = (cur[x] + pred) & 0xFF
-        total += sum(cur)
+        out.extend(cur)
         prev = cur
-    return total / (h * stride) if h * stride else None
+    return out
 
 
 def _bmp_mean_seq(p: bytes):
+    bs = _bmp_bytes_seq(p)
+    if bs is None or not bs:
+        return None
+    return sum(bs) / len(bs)
+
+
+def _bmp_bytes_seq(p: bytes):
+    """RGB-byte list of an uncompressed 24-bit BMP (padding excluded) —
+    shared scalar decode behind _bmp_mean_seq and the histogram sidecar."""
     if p[:2] != b"BM" or len(p) < 54:
         return None
     off = int.from_bytes(p[10:14], "little")
@@ -337,11 +358,46 @@ def _bmp_mean_seq(p: bytes):
     if bpp != 24 or w <= 0 or h == 0:
         return None
     rows, stride = abs(h), (w * 3 + 3) & ~3
-    total = 0
+    out: list[int] = []
     for y in range(rows):
-        row = p[off + y * stride : off + y * stride + w * 3]
-        total += sum(row)
-    return total / (rows * w * 3)
+        out.extend(p[off + y * stride : off + y * stride + w * 3])
+    return out
+
+
+def _expected_image_hist(texts, doc_ids) -> pa.Table:
+    """Sequential spec of stages/multimodal.py image_histograms: shared
+    synthetic payloads, independent scalar decoders, pure-Python bin
+    counting (bin = byte >> 5)."""
+    from ..stages.multimodal import synth_media_payload
+
+    ids, kinds = [], []
+    bins: list[list[int] | None] = []
+    for i, text in zip(doc_ids, texts):
+        payload, _mt = synth_media_payload(i, text)
+        kind = _parse_header_seq(payload)[0]
+        ids.append(i)
+        kinds.append(kind)
+        bs = (
+            _png_bytes_seq(payload)
+            if kind == "png"
+            else _bmp_bytes_seq(payload) if kind == "bmp" else None
+        )
+        if bs is None:
+            bins.append(None)
+        else:
+            counts = [0] * 8
+            for v in bs:
+                counts[v >> 5] += 1
+            bins.append(counts)
+    cols = {
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "media_kind": pa.array(kinds, type=pa.string()),
+    }
+    for j in range(8):
+        cols[f"h{j}"] = pa.array(
+            [b[j] if b is not None else None for b in bins], type=pa.int64()
+        )
+    return pa.table(cols)
 
 
 def _wav_rms_seq(p: bytes):
@@ -1710,6 +1766,9 @@ def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
     pq.write_table(_expected_multimodal(texts, doc_ids), out / "doc_multimodal.parquet")
     pq.write_table(
         _expected_audio_features(texts, doc_ids), out / "doc_audio_features.parquet"
+    )
+    pq.write_table(
+        _expected_image_hist(texts, doc_ids), out / "doc_image_hist.parquet"
     )
     pq.write_table(_expected_minhash_keep(texts, doc_ids), out / "doc_minhash_dedup.parquet")
     pq.write_table(

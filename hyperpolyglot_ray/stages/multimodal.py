@@ -187,6 +187,17 @@ def png_pixel_mean(payload: bytes) -> float | None:
     all five filter types) and return the mean over every channel byte of
     the reconstructed image. None for unsupported layouts (interlaced,
     palette, 16-bit) or malformed data."""
+    arr = png_channel_bytes(payload)
+    if arr is None:
+        return None
+    return int(arr.astype(np.int64).sum()) / len(arr)
+
+
+def png_channel_bytes(payload: bytes) -> "np.ndarray | None":
+    """The reconstructed (defiltered) channel-byte stream of a
+    bit-depth-8 PNG as one uint8 array — THE shared decode for
+    png_pixel_mean and image_histograms, so the filter reconstruction
+    cannot diverge between them. None for unsupported layouts."""
     if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
         return None
     i, w, h, depth, ctype, interlace = 8, None, None, None, None, None
@@ -215,7 +226,7 @@ def png_pixel_mean(payload: bytes) -> float | None:
     if w == 0 or h == 0 or len(raw) < h * (stride + 1):
         return None
     prev = np.zeros(stride, dtype=np.uint8)
-    total = 0
+    out = np.empty(h * stride, dtype=np.uint8)
     pos = 0
     for _y in range(h):
         f = raw[pos]
@@ -243,9 +254,9 @@ def png_pixel_mean(payload: bytes) -> float | None:
                 cur[x] = (int(cur[x]) + pred) & 0xFF
         else:
             return None
-        total += int(cur.sum())
+        out[_y * stride : (_y + 1) * stride] = cur
         prev = cur
-    return total / (h * stride)
+    return out
 
 
 def _bmp_pixel_rows(payload: bytes) -> tuple["np.ndarray", int] | None:
@@ -306,6 +317,69 @@ def wav_sample_rms(payload: bytes) -> float | None:
     if len(s) == 0:
         return None
     return math.sqrt(int((s * s).sum()) / len(s))
+
+
+def image_byte_histogram(payload: bytes, kind: str) -> "np.ndarray | None":
+    """8-bin histogram (bin = byte >> 5, i.e. 32-wide intensity bands)
+    over a decodable image's channel bytes — PNG via the shared
+    defiltered stream, BMP via the shared row decode (padding bytes
+    excluded). Exact integer counts; None for gif/jpeg/wav/undecodable."""
+    if kind == "png":
+        arr = png_channel_bytes(payload)
+        if arr is None:
+            return None
+        return np.bincount(arr >> 5, minlength=8).astype(np.int64)
+    if kind == "bmp":
+        decoded = _bmp_pixel_rows(payload)
+        if decoded is None:
+            return None
+        data, w = decoded
+        px = data[:, : w * 3].reshape(-1)
+        return np.bincount(px >> 5, minlength=8).astype(np.int64)
+    return None
+
+
+class ImageHistogramStage:
+    """Actor-pool image-histogram stage: per payload, the exact 8-bin
+    intensity histogram as ``h0..h7`` int64 columns (all-null for
+    non-decodable kinds), payload dropped in-task."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = [
+            p if p is not None else b"" for p in batch.column("payload").to_pylist()
+        ]
+        kinds = [parse_media_header(p)[0] for p in payloads]
+        hists = [image_byte_histogram(p, k) for p, k in zip(payloads, kinds)]
+        out = batch.drop_columns(["payload"]).append_column(
+            "media_kind", pa.array(kinds, type=pa.string())
+        )
+        for j in range(8):
+            out = out.append_column(
+                f"h{j}",
+                pa.array(
+                    [int(h[j]) if h is not None else None for h in hists],
+                    type=pa.int64(),
+                ),
+            )
+        return out
+
+
+def image_histograms(
+    ds: ray.data.Dataset,
+    concurrency=(1, 4),
+    batch_size: int = MULTIMODAL_BATCH_SIZE,
+) -> ray.data.Dataset:
+    """Exact per-image intensity histograms over a binary ``payload``
+    column — the profiling stage between raw decode (pixel_mean) and
+    model featurization; same actor-pool discipline as
+    :func:`multimodal_features`."""
+    return ds.map_batches(
+        ImageHistogramStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
 
 
 def wav_audio_features(payload: bytes) -> dict | None:

@@ -233,3 +233,27 @@ def test_grouped_ttest_scipy_free_reference(ray_session):
 
     with pytest.raises(ValueError, match="integer-typed"):
         grouped_ttest(ray.data.from_items([{"k": "a", "v": 1.5}]), "k", "v")
+
+
+def test_image_histogram_matches_scalar_reference(ray_session):
+    import numpy as np
+
+    from hyperpolyglot_ray.sources.doc_oracle import _bmp_bytes_seq, _png_bytes_seq
+    from hyperpolyglot_ray.stages.multimodal import (
+        image_byte_histogram,
+        synth_media_payload,
+    )
+
+    for doc_id in range(0, 30):
+        payload, _ = synth_media_payload(doc_id, f"body {doc_id} " * 8)
+        kind = ("png", "gif", "jpeg", "bmp", "wav")[doc_id % 5]
+        got = image_byte_histogram(payload, kind)
+        if kind in ("png", "bmp"):
+            bs = _png_bytes_seq(payload) if kind == "png" else _bmp_bytes_seq(payload)
+            counts = [0] * 8
+            for v in bs:
+                counts[v >> 5] += 1
+            assert got is not None and got.tolist() == counts, doc_id
+            assert int(np.sum(got)) == len(bs)
+        else:
+            assert got is None
