@@ -1366,6 +1366,46 @@ def _q_doc_image_hist(sf_dir: str):
     return image_histograms(ds).drop_columns(["text", "media_type"])
 
 
+def _q_events_golden(sf_dir: str):
+    """Survivorship merge over the event stream: per user the latest
+    non-null value of each derived attribute (cents nulled on a shared
+    %3 rule so the newest-non-null-wins path is actually exercised) —
+    the entity-resolution golden record."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hyperpolyglot_ray.stages.incremental import golden_record
+
+    ev = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "event_type", "value"],
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        cents = (
+            pc.round(pc.multiply(batch.column("value"), pa.scalar(100.0)))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        # values are non-negative, so numpy % and SQL % agree
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_id": batch.column("event_id"),
+                "etype": batch.column("event_type"),
+                "cents": pa.array(cents, pa.int64(), mask=(cents % 3 == 0)),
+            }
+        )
+
+    return golden_record(
+        ev.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        "event_id",
+        ["etype", "cents"],
+    )
+
+
 def _q_doc_topk_per_lang(sf_dir: str):
     from hyperpolyglot_ray.stages.aggregates import top_k_per_group
 
@@ -4469,10 +4509,17 @@ def _q_events_value_runs_chunked(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordered for the driver's finite correctness window (~50 rows):
     # (1) the seven queries VERDICT r3 flagged as never driver-checked,
-    # (2) round-4 session-3 ops (never checked), (3) this session's new
-    # ops, (4) the highest-value session-1/2 ops, then everything else
+    # (2) session-9 additions (TPC-H completion batch + the new
+    # operators), (3) session-8 additions, then everything else
     # (never-checked first, then r2-checked, then r3-green).
     return {
+        "emb_quantize": _q_emb_quantize,
+        "emb_pq": _q_emb_pq,
+        "events_distinct_users_hll": _q_events_distinct_users_hll,
+        "events_sessionize_chunked": _q_events_sessionize_chunked,
+        "events_asof_chunked": _q_events_asof_chunked,
+        "events_session_join_chunked": _q_events_session_join_chunked,
+        "events_value_quantiles_refine": _q_events_value_quantiles_refine,
         "tpch_q4": _q_tpch_q4,
         "tpch_q6": _q_tpch_q6,
         "tpch_q7": _q_tpch_q7,
@@ -4490,6 +4537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_boilerplate": _q_doc_boilerplate,
         "events_value_ttest": _q_events_value_ttest,
         "doc_image_hist": _q_doc_image_hist,
+        "events_golden": _q_events_golden,
         "lineitem_zorder": _q_lineitem_zorder,
         "lineitem_pruned_scan": _q_lineitem_pruned_scan,
         "lineitem_fingerprint": _q_lineitem_fingerprint,
@@ -4515,13 +4563,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_fuzzy_clusters": _q_customer_fuzzy_clusters,
         "events_value_runs": _q_events_value_runs,
         "events_value_runs_chunked": _q_events_value_runs_chunked,
-        "emb_quantize": _q_emb_quantize,
-        "emb_pq": _q_emb_pq,
-        "events_distinct_users_hll": _q_events_distinct_users_hll,
-        "events_sessionize_chunked": _q_events_sessionize_chunked,
-        "events_asof_chunked": _q_events_asof_chunked,
-        "events_session_join_chunked": _q_events_session_join_chunked,
-        "events_value_quantiles_refine": _q_events_value_quantiles_refine,
         "customer_fuzzy_pairs": _q_customer_fuzzy_pairs,
         "doc_bpe_merges": _q_doc_bpe_merges,
         "part_skyline": _q_part_skyline,
@@ -6095,6 +6136,20 @@ FROM s""",
         ),
         # mirrors stages/aggregates.py:grouped_corr op-for-op: int64-exact
         # sufficient statistics, then the same double expression tree
+        # mirrors stages/incremental.py:golden_record — arg_max FILTER
+        # per attribute; (key, seq) uniqueness guaranteed by event_id
+        "events_golden": r"""
+WITH p AS (
+  SELECT user_id, event_id, event_type AS etype,
+         CASE WHEN CAST(round(value * 100) AS BIGINT) % 3 = 0 THEN NULL
+              ELSE CAST(round(value * 100) AS BIGINT) END AS cents
+  FROM events
+)
+SELECT user_id,
+       arg_max(etype, event_id) FILTER (etype IS NOT NULL) AS etype,
+       arg_max(cents, event_id) FILTER (cents IS NOT NULL) AS cents,
+       CAST(MAX(event_id) AS BIGINT) AS last_seq
+FROM p GROUP BY user_id""",
         # mirrors stages/aggregates.py:grouped_ttest — rest side as exact
         # integer differences from the global totals, fixed float tree
         "events_value_ttest": r"""

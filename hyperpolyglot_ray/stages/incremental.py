@@ -698,3 +698,128 @@ def scd2_merge(
 
     chained = tagged.groupby(key_col).map_groups(chain, batch_format="pyarrow")
     return hist.union(chained)
+
+
+_I64_MIN = np.iinfo(np.int64).min
+
+
+def golden_record(
+    ds: ray.data.Dataset,
+    key_col: str,
+    seq_col: str,
+    attr_cols: list[str],
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Survivorship merge (golden record): per key, each attribute's
+    value from the LATEST row (by ``seq_col``) where that attribute is
+    non-null — SQL ``arg_max(attr, seq) FILTER (attr IS NOT NULL)``
+    per column. The entity-resolution "merge duplicate records, newest
+    non-null field wins" rule that [[cdc_apply]]'s whole-row
+    last-write-wins cannot express (a newer row with a null field must
+    NOT erase the older value).
+
+    Duplicate ``(key, seq)`` pairs raise — a per-attribute tie at the
+    maximum would make the pick nondeterministic (detected in the block
+    combiner for same-block pairs and again at the bucket reduce for
+    cross-block pairs, where both candidates carry the tied seq). Null
+    key/seq raise. Output: ``(key_col, *attr_cols, last_seq)`` with
+    ``last_seq`` = the key's max seq overall, one row per key.
+
+    Topology: the `cdc_apply` bounded-combiner shape — each block
+    collapses to ONE candidate row per key it sees (per-attr latest
+    non-null value + its seq, fixed width), then one bucketed shuffle
+    and the same kernel finishes per bucket. The exchange carries
+    <= #keys x #blocks rows, never the stream.
+    """
+    from .shuffle import bucket_column
+
+    def pick(
+        t: pa.Table, seq_of_attr: dict[str, str], where: str
+    ) -> pa.Table:
+        order = pc.sort_indices(
+            t, sort_keys=[(key_col, "ascending"), (seq_col, "ascending")]
+        )
+        g = t.take(order)
+        keys = g.column(key_col)
+        n = g.num_rows
+        kv = keys.to_numpy(zero_copy_only=False)
+        seg_start = np.r_[True, kv[1:] != kv[:-1]] if n else np.array([], bool)
+        seg_id = np.cumsum(seg_start) - 1
+        n_seg = int(seg_id[-1]) + 1 if n else 0
+        seq = g.column(seq_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        # global duplicate (key, seq) detection on the sorted order
+        if n > 1 and bool(((kv[1:] == kv[:-1]) & (seq[1:] == seq[:-1])).any()):
+            raise ValueError(f"golden_record: duplicate (key, seq) rows ({where})")
+        starts = np.flatnonzero(seg_start)
+        firsts = pa.array(starts, pa.int64())
+        cols: dict = {key_col: keys.take(firsts)}
+        ends = np.r_[starts[1:], n] - 1
+        cols["__seq"] = pa.array(seq[ends], pa.int64())
+        for a in attr_cols:
+            av = g.column(a)
+            sa_name = seq_of_attr.get(a)
+            if sa_name is None:
+                sa = np.where(
+                    pc.is_valid(av).to_numpy(zero_copy_only=False), seq, _I64_MIN
+                )
+            else:
+                sa_col = g.column(sa_name)
+                sa = np.where(
+                    pc.is_valid(sa_col).to_numpy(zero_copy_only=False),
+                    pc.fill_null(sa_col, _I64_MIN)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    _I64_MIN,
+                )
+            o = np.lexsort((sa, seg_id))
+            last = o[ends]
+            sa_max = sa[last]
+            # cross-candidate tie at the max -> duplicate (key, seq)
+            prev = o[np.maximum(ends - 1, 0)]
+            dup = (
+                (ends > starts)
+                & (sa_max != _I64_MIN)
+                & (sa[prev] == sa_max)
+            )
+            if bool(dup.any()):
+                raise ValueError(
+                    f"golden_record: duplicate (key, seq) rows ({where})"
+                )
+            vals = av.take(pa.array(last, pa.int64()))
+            vals = pc.if_else(
+                pa.array(sa_max != _I64_MIN), vals, pa.scalar(None, av.type)
+            )
+            cols[a] = vals
+            cols[f"__seq_{a}"] = pa.array(sa_max, pa.int64())
+        return pa.table(cols)
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        if batch.column(key_col).null_count or batch.column(seq_col).null_count:
+            raise ValueError("golden_record: null key/seq rows")
+        if batch.num_rows == 0:
+            return batch
+        cand = pick(batch, {}, "block combiner")
+        cand = cand.rename_columns(
+            [seq_col if c == "__seq" else c for c in cand.column_names]
+        )
+        return cand.append_column(
+            "__bucket", bucket_column(cand, [key_col], n_buckets)
+        )
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["__bucket"])
+        out = pick(
+            t, {a: f"__seq_{a}" for a in attr_cols}, "bucket reduce"
+        )
+        final = {key_col: out.column(key_col)}
+        for a in attr_cols:
+            final[a] = out.column(a)
+        final["last_seq"] = out.column("__seq")
+        return pa.table(final)
+
+    proj = ds.select_columns([key_col, seq_col] + list(attr_cols))
+    return (
+        proj.map_batches(combiner, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(reduce_group, batch_format="pyarrow")
+    )

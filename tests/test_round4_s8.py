@@ -257,3 +257,45 @@ def test_image_histogram_matches_scalar_reference(ray_session):
             assert int(np.sum(got)) == len(bs)
         else:
             assert got is None
+
+
+def test_golden_record_reference(ray_session):
+    from hyperpolyglot_ray.stages.incremental import golden_record
+
+    rows = [
+        {"k": 1, "s": 1, "a": "x", "b": None},
+        {"k": 1, "s": 2, "a": None, "b": 10},
+        {"k": 1, "s": 3, "a": "y", "b": None},
+        {"k": 2, "s": 1, "a": None, "b": None},
+        {"k": 2, "s": 5, "a": "z", "b": 7},
+    ]
+    out = (
+        golden_record(ray.data.from_items(rows), "k", "s", ["a", "b"])
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    assert out.loc[1, "a"] == "y" and out.loc[1, "b"] == 10
+    assert out.loc[1, "last_seq"] == 3
+    assert out.loc[2, "a"] == "z" and out.loc[2, "b"] == 7
+    assert out.loc[2, "last_seq"] == 5
+
+    # newest row with null field must NOT erase the older value
+    rows2 = [{"k": 1, "s": 1, "a": "old"}, {"k": 1, "s": 2, "a": None}]
+    out2 = golden_record(ray.data.from_items(rows2), "k", "s", ["a"]).to_pandas()
+    assert out2.loc[0, "a"] == "old" and out2.loc[0, "last_seq"] == 2
+
+    # duplicate (key, seq) raises — block-local case
+    import pytest
+
+    dup = [{"k": 1, "s": 1, "a": "x"}, {"k": 1, "s": 1, "a": "y"}]
+    with pytest.raises(Exception, match="duplicate"):
+        golden_record(ray.data.from_items(dup), "k", "s", ["a"]).materialize()
+
+    # cross-block duplicate (key, seq): two single-row blocks
+    import ray.data as rd
+
+    b1 = rd.from_items([{"k": 1, "s": 1, "a": "x"}])
+    b2 = rd.from_items([{"k": 1, "s": 1, "a": "y"}])
+    with pytest.raises(Exception, match="duplicate"):
+        golden_record(b1.union(b2), "k", "s", ["a"]).materialize()
