@@ -1406,6 +1406,18 @@ def _q_events_golden(sf_dir: str):
     )
 
 
+def _q_doc_negative_samples(sf_dir: str):
+    """Deterministic contrastive negatives: 3 pseudo-random other docs
+    per anchor via the shared splitmix64 rank spec — stable across runs
+    and partitionings (one rank sort + one hash_join, nothing id-scale
+    on the driver)."""
+    from hyperpolyglot_ray.stages.ordering import negative_samples
+
+    return negative_samples(
+        _docs(sf_dir).select_columns(["doc_id"]), "doc_id", k=3, seed=42
+    )
+
+
 def _q_doc_topk_per_lang(sf_dir: str):
     from hyperpolyglot_ray.stages.aggregates import top_k_per_group
 
@@ -4538,6 +4550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_ttest": _q_events_value_ttest,
         "doc_image_hist": _q_doc_image_hist,
         "events_golden": _q_events_golden,
+        "doc_negative_samples": _q_doc_negative_samples,
         "lineitem_zorder": _q_lineitem_zorder,
         "lineitem_pruned_scan": _q_lineitem_pruned_scan,
         "lineitem_fingerprint": _q_lineitem_fingerprint,
@@ -6643,6 +6656,9 @@ SELECT doc_id, token AS keyword, score, rank FROM ranked WHERE rank <= 5""",
         ),
         "doc_image_hist": (
             f"SELECT * FROM read_parquet('{side}/doc_image_hist.parquet')"
+        ),
+        "doc_negative_samples": (
+            f"SELECT * FROM read_parquet('{side}/doc_negative_samples.parquet')"
         ),
         "emb_knn_ivf": f"SELECT query_id, neighbor_id, rank FROM read_parquet('{side}/emb_knn_ivf.parquet')",
         "emb_near_dup_ivf": f"SELECT vec_id FROM read_parquet('{side}/emb_near_dup_ivf.parquet')",

@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r4t"  # r4t: + image-histogram sidecar (r4s: audio)
+ORACLE_VERSION = "r4u"  # r4u: + negative-sampling sidecar (r4t: image hist)
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -422,6 +422,30 @@ def _wav_rms_seq(p: bytes):
         (v,) = struct.unpack_from("<h", frames, 2 * k)
         sumsq += v * v
     return math.sqrt(sumsq / n)
+
+
+def _expected_negative_samples(doc_ids, k: int, seed: int) -> pa.Table:
+    """Sequential spec of stages/ordering.py:negative_samples — sorted
+    ids, pure-Python splitmix64 (the shared _mix64_s scalar), same
+    rank/skip arithmetic."""
+    ids = sorted(int(i) for i in doc_ids)
+    n = len(ids)
+    out_a, out_j, out_n = [], [], []
+    for r0, anchor in enumerate(ids):
+        for j0 in range(k):
+            x = ((r0 * k + j0) * 0x9E3779B97F4A7C15 + seed) & _MASK64
+            pos = _mix64_s(x) % (n - 1)
+            nr = pos + (1 if pos >= r0 else 0)
+            out_a.append(anchor)
+            out_j.append(j0 + 1)
+            out_n.append(ids[nr])
+    return pa.table(
+        {
+            "doc_id": pa.array(out_a, pa.int64()),
+            "j": pa.array(out_j, pa.int64()),
+            "neg_id": pa.array(out_n, pa.int64()),
+        }
+    )
 
 
 def _expected_audio_features(texts, doc_ids) -> pa.Table:
@@ -1769,6 +1793,10 @@ def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
     )
     pq.write_table(
         _expected_image_hist(texts, doc_ids), out / "doc_image_hist.parquet"
+    )
+    pq.write_table(
+        _expected_negative_samples(doc_ids, 3, 42),
+        out / "doc_negative_samples.parquet",
     )
     pq.write_table(_expected_minhash_keep(texts, doc_ids), out / "doc_minhash_dedup.parquet")
     pq.write_table(

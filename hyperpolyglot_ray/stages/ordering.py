@@ -977,3 +977,89 @@ def zorder_sql_expr(cols: list[str], bits: int = 21) -> str:
         for b in range(bits)
     ]
     return " + ".join(terms)
+
+
+def negative_samples(
+    ds: ray.data.Dataset,
+    id_col: str,
+    k: int,
+    seed: int = 0,
+    n_buckets: int = 1024,
+) -> ray.data.Dataset:
+    """Deterministic uniform negative sampling (contrastive-training
+    prep): for every anchor id, ``k`` pseudo-random OTHER ids, stable
+    across runs, block layouts and cluster sizes — the spec is pure
+    integer arithmetic over the anchor's GLOBAL RANK in ascending-id
+    order, so any executor reproduces the same pairs bit-for-bit:
+    ``h = mix64((rank0*k + j0) * 0x9E3779B97F4A7C15 + seed)``,
+    ``pos = h % (N-1)``, skip-the-anchor mapping ``pos -> pos + (pos >=
+    rank0)`` (uniform over the N-1 others; mix64 = the shared splitmix64
+    finalizer, [[sha-row-keys]] discipline).
+
+    Topology: ONE rank sort of the slim id column
+    (:func:`global_row_number`), a map-only pair expansion over ranks,
+    and ONE `hash_join` back rank -> id to resolve negatives. Nothing
+    id-scale on the driver. ``id_col`` values must be unique non-null
+    integers; N >= 2, k >= 1. Output: ``(id_col, j, neg_id)`` with
+    ``j`` 1-based sample index.
+    """
+    from .joins import hash_join
+    from .text_ops import _mix64
+
+    if k < 1:
+        raise ValueError("negative_samples: k must be >= 1")
+    if not pa.types.is_integer(ds.schema().base_schema.field(id_col).type):
+        raise ValueError("negative_samples: id column must be integer")
+
+    def dup(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {id_col: batch.column(id_col), "__v": batch.column(id_col)}
+        )
+
+    ranked = global_row_number(
+        ds.select_columns([id_col]).map_batches(
+            dup, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "__v",
+        id_col=id_col,
+        descending=False,
+    ).materialize()
+    n = ranked.count()
+    if n < 2:
+        raise ValueError("negative_samples: need at least 2 distinct ids")
+
+    U = np.uint64
+
+    def expand(batch: pa.Table) -> pa.Table:
+        rank0 = (
+            batch.column("rank").to_numpy(zero_copy_only=False).astype(np.uint64)
+            - U(1)
+        )
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        m = len(rank0)
+        anchors = np.repeat(ids, k)
+        r0 = np.repeat(rank0, k)
+        j0 = np.tile(np.arange(k, dtype=np.uint64), m)
+        h = _mix64((r0 * U(k) + j0) * U(0x9E3779B97F4A7C15) + U(seed))
+        pos = h % U(n - 1)
+        neg_rank = pos + (pos >= r0).astype(np.uint64) + U(1)
+        return pa.table(
+            {
+                id_col: pa.array(anchors),
+                "j": pa.array((j0 + U(1)).astype(np.int64), pa.int64()),
+                "__nr": pa.array(neg_rank.astype(np.int64), pa.int64()),
+            }
+        )
+
+    pairs = ranked.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+
+    def rank_to_id(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"__r": batch.column("rank"), "neg_id": batch.column(id_col)}
+        )
+
+    lookup = ranked.map_batches(
+        rank_to_id, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = hash_join(pairs, lookup, "__nr", "__r", n_buckets=n_buckets)
+    return out.select_columns([id_col, "j", "neg_id"])

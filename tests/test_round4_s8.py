@@ -299,3 +299,36 @@ def test_golden_record_reference(ray_session):
     b2 = rd.from_items([{"k": 1, "s": 1, "a": "y"}])
     with pytest.raises(Exception, match="duplicate"):
         golden_record(b1.union(b2), "k", "s", ["a"]).materialize()
+
+
+def test_negative_samples_properties(ray_session):
+    from hyperpolyglot_ray.stages.ordering import negative_samples
+
+    ids = [5, 1, 9, 3, 7, 11, 2]
+    ds = ray.data.from_items([{"doc_id": i} for i in ids])
+    out = negative_samples(ds, "doc_id", k=4, seed=7).to_pandas()
+    assert len(out) == len(ids) * 4
+    # never self, always a real id, j covers 1..k per anchor
+    assert (out["doc_id"] != out["neg_id"]).all()
+    assert set(out["neg_id"]).issubset(set(ids))
+    per = out.groupby("doc_id")["j"].apply(sorted)
+    assert all(v == [1, 2, 3, 4] for v in per)
+
+    # determinism across a different partitioning
+    ds2 = ray.data.from_items([{"doc_id": i} for i in ids]).repartition(5)
+    out2 = negative_samples(ds2, "doc_id", k=4, seed=7).to_pandas()
+    a = out.sort_values(["doc_id", "j"]).reset_index(drop=True)
+    b = out2.sort_values(["doc_id", "j"]).reset_index(drop=True)
+    assert a.equals(b)
+
+    # different seed -> different draw (overwhelmingly)
+    out3 = negative_samples(ds, "doc_id", k=4, seed=8).to_pandas()
+    c = out3.sort_values(["doc_id", "j"]).reset_index(drop=True)
+    assert not a["neg_id"].equals(c["neg_id"])
+
+    import pytest
+
+    with pytest.raises(ValueError, match="at least 2"):
+        negative_samples(
+            ray.data.from_items([{"doc_id": 1}]), "doc_id", k=1
+        )
