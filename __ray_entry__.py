@@ -6769,6 +6769,66 @@ WITH e AS (
 SELECT user_id, session_id, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
 FROM s GROUP BY user_id, session_id""",
+        "events_sessionize_chunked": """
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+  FROM e
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, session_id""",
+        "events_asof_chunked": """
+SELECT p.user_id, p.event_id, v.event_id AS view_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts > v.ts""",
+        "events_session_join_chunked": """
+WITH v AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WHERE event_type = 'view'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+  FROM v
+), sess AS (
+  SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end
+  FROM s GROUP BY user_id, session_id
+)
+SELECT p.user_id, p.event_id, se.session_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN sess se
+  ON p.user_id = se.user_id AND p.ts BETWEEN se.session_start AND se.session_end""",
+        "events_value_quantiles_refine": """
+SELECT event_type,
+       quantile_disc(value, 0.5) AS q50,
+       quantile_disc(value, 0.9) AS q90,
+       quantile_disc(value, 0.99) AS q99
+FROM events GROUP BY 1""",
+        "events_value_runs_chunked": """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), g AS (
+  SELECT user_id, event_type, ts,
+         SUM(CASE WHEN prev IS NULL OR event_type <> prev THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS grp
+  FROM o
+)
+SELECT user_id, CAST(grp - 1 AS BIGINT) AS run_id, event_type AS value,
+       MIN(ts) AS valid_from, MAX(ts) AS valid_to,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, grp, event_type""",
     }
     # the hot-key-safe execution paths compute the same functions — same
     # oracle, different distributed topology
