@@ -1418,6 +1418,16 @@ def _q_doc_negative_samples(sf_dir: str):
     )
 
 
+def _q_events_sliding_distinct(sf_dir: str):
+    """Distinct active users per overlapping hour (30-min hop) — the
+    DISTINCT aggregate over hopping windows that per-partial sums can't
+    express; one bucketed pair-space dedup."""
+    from hyperpolyglot_ray.stages.windows import sliding_window_distinct
+
+    ev = _read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    return sliding_window_distinct(ev, window_minutes=60, slide_minutes=30)
+
+
 def _q_doc_topk_per_lang(sf_dir: str):
     from hyperpolyglot_ray.stages.aggregates import top_k_per_group
 
@@ -4551,6 +4561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_image_hist": _q_doc_image_hist,
         "events_golden": _q_events_golden,
         "doc_negative_samples": _q_doc_negative_samples,
+        "events_sliding_distinct": _q_events_sliding_distinct,
         "lineitem_zorder": _q_lineitem_zorder,
         "lineitem_pruned_scan": _q_lineitem_pruned_scan,
         "lineitem_fingerprint": _q_lineitem_fingerprint,
@@ -6149,6 +6160,16 @@ FROM s""",
         ),
         # mirrors stages/aggregates.py:grouped_corr op-for-op: int64-exact
         # sufficient statistics, then the same double expression tree
+        # mirrors stages/windows.py:sliding_window_distinct — same
+        # integer epoch-grid window math as events_sliding_window
+        "events_sliding_distinct": r"""
+SELECT window_start_us, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_ids
+FROM (
+  SELECT (epoch_us(ts) // 1800000000 - j.j) * 1800000000 AS window_start_us,
+         user_id
+  FROM events CROSS JOIN (VALUES (0), (1)) AS j(j)
+)
+GROUP BY window_start_us""",
         # mirrors stages/incremental.py:golden_record — arg_max FILTER
         # per attribute; (key, seq) uniqueness guaranteed by event_id
         "events_golden": r"""

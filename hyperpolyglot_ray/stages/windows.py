@@ -1389,3 +1389,79 @@ def interval_coverage(
         )
 
     return proj.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
+def sliding_window_distinct(
+    ds: ray.data.Dataset,
+    ts_col: str = "ts",
+    id_col: str = "user_id",
+    window_minutes: int = 60,
+    slide_minutes: int = 30,
+) -> ray.data.Dataset:
+    """Distinct-entity counts over hopping windows — "active users per
+    overlapping hour" — the DISTINCT aggregate the sum-based
+    :func:`sliding_window_agg` cannot express (distinct does not sum
+    across partials; it needs the (window, id) pair space deduplicated
+    first).
+
+    Topology: the same vectorized flat-map to epoch-grid window starts
+    (int64 microseconds, exact integer floor math the SQL oracle
+    mirrors), but partials are per-block DISTINCT (window, id) pairs —
+    a large reduction on any real stream — closed by ONE bucketed
+    distinct-and-count over the pair space (each (window, id) lands
+    wholly in one bucket, so per-bucket distinct is globally exact).
+    Output: ``(window_start_us int64, n_ids int64)``. Null ts/id raise.
+    """
+    from .shuffle import bucket_column, bucketed_group_reduce
+
+    window_us = window_minutes * 60 * 1_000_000
+    slide_us = slide_minutes * 60 * 1_000_000
+    assert window_us % slide_us == 0, "window must be a multiple of slide"
+    n_sub = window_us // slide_us
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        if batch.column(ts_col).null_count or batch.column(id_col).null_count:
+            raise ValueError("sliding_window_distinct: null ts/id rows")
+        us = (
+            batch.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        n = len(us)
+        base = (us // slide_us) * slide_us
+        starts = np.concatenate([base - j * slide_us for j in range(n_sub)])
+        tile = pa.array(np.tile(np.arange(n, dtype=np.int64), n_sub))
+        t = pa.table(
+            {
+                "window_start_us": pa.array(starts),
+                id_col: batch.column(id_col).take(tile),
+            }
+        )
+        return t.group_by(["window_start_us", id_col]).aggregate([])
+
+    distinct = bucketed_group_reduce(
+        ds.select_columns([ts_col, id_col]).map_batches(
+            pairs, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["window_start_us", id_col],
+        [],
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("window_start_us").aggregate([([], "count_all")])
+        return g.rename_columns(["window_start_us", "n"])
+
+    counts = bucketed_group_reduce(
+        distinct.map_batches(
+            count_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "window_start_us",
+        [("n", "sum")],
+        n_buckets=16,
+    )
+    return counts.map_batches(
+        lambda t: t.rename_columns(["window_start_us", "n_ids"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

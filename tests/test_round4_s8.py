@@ -332,3 +332,35 @@ def test_negative_samples_properties(ray_session):
         negative_samples(
             ray.data.from_items([{"doc_id": 1}]), "doc_id", k=1
         )
+
+
+def test_sliding_window_distinct_reference(ray_session):
+    from datetime import datetime
+
+    from hyperpolyglot_ray.stages.windows import sliding_window_distinct
+
+    # two users, events spread so windows overlap; duplicates within a
+    # window must count once
+    rows = []
+    base = datetime(2024, 1, 1, 10, 0, 0)
+    from datetime import timedelta
+
+    for m, u in [(0, 1), (10, 1), (20, 2), (40, 1), (70, 2), (75, 2)]:
+        rows.append({"ts": base + timedelta(minutes=m), "user_id": u})
+    out = (
+        sliding_window_distinct(
+            ray.data.from_items(rows), window_minutes=60, slide_minutes=30
+        )
+        .to_pandas()
+        .set_index("window_start_us")
+        .sort_index()
+    )
+    # sequential reference over the same grid
+    slide_us, n_sub = 30 * 60 * 1_000_000, 2
+    ref: dict[int, set] = {}
+    for r in rows:
+        us = int(r["ts"].timestamp() * 1_000_000)
+        for j in range(n_sub):
+            w = (us // slide_us - j) * slide_us
+            ref.setdefault(w, set()).add(r["user_id"])
+    assert dict(out["n_ids"]) == {w: len(s) for w, s in ref.items()}
