@@ -1428,6 +1428,18 @@ def _q_events_sliding_distinct(sf_dir: str):
     return sliding_window_distinct(ev, window_minutes=60, slide_minutes=30)
 
 
+def _q_events_late(sf_dir: str):
+    """Late-arrival audit: per user (arrival = event_id order), flag
+    events whose event time falls behind the running watermark — the
+    out-of-order-ness report before picking window allowed-lateness."""
+    from hyperpolyglot_ray.stages.ordering import late_events_per_key
+
+    ev = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+    return late_events_per_key(ev, "user_id", "ts", "event_id")
+
+
 def _q_doc_topk_per_lang(sf_dir: str):
     from hyperpolyglot_ray.stages.aggregates import top_k_per_group
 
@@ -4562,6 +4574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_golden": _q_events_golden,
         "doc_negative_samples": _q_doc_negative_samples,
         "events_sliding_distinct": _q_events_sliding_distinct,
+        "events_late": _q_events_late,
         "lineitem_zorder": _q_lineitem_zorder,
         "lineitem_pruned_scan": _q_lineitem_pruned_scan,
         "lineitem_fingerprint": _q_lineitem_fingerprint,
@@ -6160,6 +6173,21 @@ FROM s""",
         ),
         # mirrors stages/aggregates.py:grouped_corr op-for-op: int64-exact
         # sufficient statistics, then the same double expression tree
+        # mirrors stages/ordering.py:late_events_per_key — preceding-rows
+        # running MAX watermark, first arrival has NULL watermark
+        "events_late": r"""
+WITH w AS (
+  SELECT user_id, event_id, ts,
+         MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS wm
+  FROM events
+)
+SELECT user_id, event_id, ts,
+       COALESCE(ts < wm, FALSE) AS is_late,
+       CAST(CASE WHEN ts < wm THEN epoch_us(wm) - epoch_us(ts)
+                 ELSE 0 END AS BIGINT) AS lateness_us
+FROM w""",
         # mirrors stages/windows.py:sliding_window_distinct — same
         # integer epoch-grid window math as events_sliding_window
         "events_sliding_distinct": r"""

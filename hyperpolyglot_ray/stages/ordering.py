@@ -1063,3 +1063,107 @@ def negative_samples(
     )
     out = hash_join(pairs, lookup, "__nr", "__r", n_buckets=n_buckets)
     return out.select_columns([id_col, "j", "neg_id"])
+
+
+def late_events_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    seq_col: str,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Late-arrival audit (stream watermark hygiene): processing order
+    is ``seq_col`` (arrival), event time is ``ts_col``; a row is LATE
+    when its event time is strictly below the running maximum event
+    time of the rows that ARRIVED before it within the same key — SQL
+    ``ts < MAX(ts) OVER (PARTITION BY key ORDER BY seq ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)``. ``lateness_us`` is the gap
+    to that watermark (0 for on-time rows, NULL watermark on each key's
+    first arrival). The out-of-order-ness report a replayable ingest
+    needs before choosing window allowed-lateness.
+
+    Timestamps compare as exact int64 epoch-microseconds. Nulls raise;
+    ``seq_col`` must be unique per key (arrival order would otherwise
+    be ambiguous — duplicate (key, seq) raises). Same topology as
+    ``cumsum_per_key``: one slim bucketed shuffle, ONE in-group sort, a
+    vectorized segment-reset running max. Output: (key, seq, ts,
+    is_late bool, lateness_us int64).
+    """
+    from .shuffle import bucket_column
+
+    cols = [key_col, seq_col, ts_col]
+    slim = ds.select_columns(cols)
+    schema = ds.schema().base_schema
+    out_schema = pa.schema(
+        [pa.field(c, schema.field(c).type) for c in cols]
+        + [pa.field("is_late", pa.bool_()), pa.field("lateness_us", pa.int64())]
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            if batch.column(c).null_count:
+                raise ValueError(f"late_events_per_key: null values in {c!r}")
+        return batch.append_column(
+            "__bucket", bucket_column(batch, [key_col], n_buckets)
+        )
+
+    def late_groups(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        order = pa.compute.sort_indices(
+            group,
+            sort_keys=[(key_col, "ascending"), (seq_col, "ascending")],
+        )
+        g = group.take(order)
+        n = g.num_rows
+        kv = g.column(key_col).to_numpy(zero_copy_only=False)
+        sv = g.column(seq_col).to_numpy(zero_copy_only=False)
+        if n > 1 and bool(((kv[1:] == kv[:-1]) & (sv[1:] == sv[:-1])).any()):
+            raise ValueError("late_events_per_key: duplicate (key, seq) rows")
+        ts = (
+            g.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        seg_start = np.empty(n, dtype=bool)
+        seg_start[0] = True
+        seg_start[1:] = kv[1:] != kv[:-1]
+        seg_id = np.cumsum(seg_start) - 1
+        n_segs = int(seg_id[-1]) + 1
+        lo = int(ts.min())
+        span = int(ts.max()) - lo + 1
+        if n_segs * span < (1 << 62):
+            # segment-reset running max via disjoint offsets: one global
+            # accumulate, no per-segment Python (common case — guarded
+            # because offsets grow as segments-per-bucket x time-span)
+            shifted = (ts - lo) + seg_id * np.int64(span)
+            run = np.maximum.accumulate(shifted) - seg_id * np.int64(span) + lo
+        else:
+            # overflow-safe fallback: accumulate per segment slice
+            run = np.empty(n, dtype=np.int64)
+            starts_ = np.flatnonzero(seg_start)
+            bounds = np.append(starts_, n)
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                run[a:b] = np.maximum.accumulate(ts[a:b])
+        # watermark for row i = running max of PRECEDING rows
+        wm = np.empty(n, dtype=np.int64)
+        wm[1:] = run[:-1]
+        wm[0] = 0
+        first = seg_start
+        late = (~first) & (ts < wm)
+        lateness = np.where(late, wm - ts, 0)
+        return (
+            g.select(cols)
+            .append_column("is_late", pa.array(np.where(first, False, late)))
+            .append_column(
+                "lateness_us",
+                pa.array(np.where(first, 0, lateness), type=pa.int64()),
+            )
+        )
+
+    return (
+        slim.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(late_groups, batch_format="pyarrow")
+    )

@@ -364,3 +364,63 @@ def test_sliding_window_distinct_reference(ray_session):
             w = (us // slide_us - j) * slide_us
             ref.setdefault(w, set()).add(r["user_id"])
     assert dict(out["n_ids"]) == {w: len(s) for w, s in ref.items()}
+
+
+def test_late_events_reference_and_fallback(ray_session):
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from hyperpolyglot_ray.stages.ordering import late_events_per_key
+
+    base = datetime(2024, 1, 1)
+    # user 1: arrival order 1..5, event times with one late arrival
+    times = [0, 10, 5, 20, 19]  # minutes; seq 3 (5 < 10) and 5 (19 < 20) late
+    rows = [
+        {"k": 1, "s": i + 1, "ts": base + timedelta(minutes=m)}
+        for i, m in enumerate(times)
+    ] + [{"k": 2, "s": 1, "ts": base}]
+    out = (
+        late_events_per_key(ray.data.from_items(rows), "k", "ts", "s")
+        .to_pandas()
+        .set_index(["k", "s"])
+        .sort_index()
+    )
+    assert list(out.loc[1]["is_late"]) == [False, False, True, False, True]
+    assert out.loc[(1, 3), "lateness_us"] == 5 * 60 * 1_000_000
+    assert out.loc[(1, 5), "lateness_us"] == 1 * 60 * 1_000_000
+    assert not out.loc[(2, 1), "is_late"]
+
+    # fallback path (forced tiny overflow budget is not exposed; instead
+    # verify the two code paths agree by spanning a huge time range with
+    # many keys so n_segs*span crosses 2^62)
+    # 200 segments x ~2000-year span = n_segs*span ~ 1.3e19 > 2^62,
+    # forcing the per-segment-slice path in one bucket
+    big = [
+        {"k": k, "s": s, "ts": base + timedelta(days=365 * 2000 * (s % 2), minutes=k)}
+        for k in range(200)
+        for s in range(1, 4)
+    ]
+    res = late_events_per_key(
+        ray.data.from_items(big), "k", "ts", "s", n_buckets=1
+    ).to_pandas()
+    # sequential check
+    import collections
+
+    byk = collections.defaultdict(list)
+    for r in big:
+        byk[r["k"]].append((r["s"], r["ts"]))
+    exp = {}
+    for k, evs in byk.items():
+        wm = None
+        for s, t in sorted(evs):
+            exp[(k, s)] = wm is not None and t < wm
+            wm = t if wm is None else max(wm, t)
+    got = {(r.k, r.s): bool(r.is_late) for r in res.itertuples()}
+    assert got == exp
+
+    import pytest
+
+    dup = [{"k": 1, "s": 1, "ts": base}, {"k": 1, "s": 1, "ts": base}]
+    with pytest.raises(Exception, match="duplicate"):
+        late_events_per_key(ray.data.from_items(dup), "k", "ts", "s").materialize()
