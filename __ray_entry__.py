@@ -1440,6 +1440,18 @@ def _q_events_late(sf_dir: str):
     return late_events_per_key(ev, "user_id", "ts", "event_id")
 
 
+def _q_events_fd_check(sf_dir: str):
+    """Functional-dependency audit (does user_id determine event_type —
+    here deliberately violated): one row per violating determinant with
+    its distinct-dependent breadth."""
+    from hyperpolyglot_ray.stages.profile import fd_violations
+
+    ev = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return fd_violations(ev, "user_id", "event_type")
+
+
 def _q_doc_topk_per_lang(sf_dir: str):
     from hyperpolyglot_ray.stages.aggregates import top_k_per_group
 
@@ -4575,6 +4587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_negative_samples": _q_doc_negative_samples,
         "events_sliding_distinct": _q_events_sliding_distinct,
         "events_late": _q_events_late,
+        "events_fd_check": _q_events_fd_check,
         "lineitem_zorder": _q_lineitem_zorder,
         "lineitem_pruned_scan": _q_lineitem_pruned_scan,
         "lineitem_fingerprint": _q_lineitem_fingerprint,
@@ -6173,6 +6186,11 @@ FROM s""",
         ),
         # mirrors stages/aggregates.py:grouped_corr op-for-op: int64-exact
         # sufficient statistics, then the same double expression tree
+        # mirrors stages/profile.py:fd_violations
+        "events_fd_check": r"""
+SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_dep
+FROM events GROUP BY user_id
+HAVING COUNT(DISTINCT event_type) > 1""",
         # mirrors stages/ordering.py:late_events_per_key — preceding-rows
         # running MAX watermark, first arrival has NULL watermark
         "events_late": r"""

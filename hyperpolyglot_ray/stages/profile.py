@@ -952,3 +952,69 @@ def table_fingerprint(
             }
         )
     )
+
+
+def fd_violations(
+    ds: ray.data.Dataset,
+    det_col: str,
+    dep_col: str,
+    n_buckets: int = 64,
+    sample_k: int = 20,
+) -> ray.data.Dataset:
+    """Functional-dependency audit: does ``det_col`` determine
+    ``dep_col``? Reports every determinant value mapped to MORE than one
+    distinct dependent value, with the violation breadth — the schema
+    sanity check behind "is repo -> default_branch really 1:1" /
+    "does doc_id determine lang" before a join or a dimension build.
+
+    Topology: per-block DISTINCT (det, dep) pairs (a large reduction),
+    ONE bucketed pair dedup keyed by det (a determinant's pairs co-locate,
+    so per-bucket distinct-dep counts are globally exact), then a
+    map-only filter to violators. ``sample_k`` caps the reported rows
+    per determinant is NOT needed — the output is one row per violating
+    determinant, not per pair (``n_dep`` distinct dependents each).
+    Nulls raise on either column (SQL DISTINCT treats NULL as a value;
+    refusing beats diverging). Output: ``(det_col, n_dep)`` for
+    violators only, plus use ``ds.count()`` / the expectations gate for
+    the pass/fail scalar.
+    """
+    from .shuffle import bucket_column
+
+    del sample_k  # reserved; one row per violator needs no cap
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        if batch.column(det_col).null_count or batch.column(dep_col).null_count:
+            raise ValueError(f"fd_violations: null values in {det_col!r}/{dep_col!r}")
+        d = (
+            batch.select([det_col, dep_col])
+            .group_by([det_col, dep_col])
+            .aggregate([])
+        )
+        return d.append_column(
+            "__bucket", bucket_column(d, [det_col], n_buckets)
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        d = (
+            group.select([det_col, dep_col])
+            .group_by([det_col, dep_col])
+            .aggregate([])
+        )
+        agg = (
+            d.group_by(det_col)
+            .aggregate([(dep_col, "count")])
+            .rename_columns([det_col, "n_dep"])
+        )
+        agg = agg.set_column(
+            agg.schema.get_field_index("n_dep"),
+            "n_dep",
+            agg.column("n_dep").cast(pa.int64()),
+        )
+        return agg.filter(pc.greater(agg.column("n_dep"), pa.scalar(1, pa.int64())))
+
+    return (
+        ds.select_columns([det_col, dep_col])
+        .map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

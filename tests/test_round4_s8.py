@@ -424,3 +424,35 @@ def test_late_events_reference_and_fallback(ray_session):
     dup = [{"k": 1, "s": 1, "ts": base}, {"k": 1, "s": 1, "ts": base}]
     with pytest.raises(Exception, match="duplicate"):
         late_events_per_key(ray.data.from_items(dup), "k", "ts", "s").materialize()
+
+
+def test_fd_violations_reference(ray_session):
+    from hyperpolyglot_ray.stages.profile import fd_violations
+
+    rows = [
+        {"a": 1, "b": "x"},
+        {"a": 1, "b": "x"},  # duplicate pair — not a violation by itself
+        {"a": 1, "b": "y"},
+        {"a": 2, "b": "z"},
+        {"a": 3, "b": "p"},
+        {"a": 3, "b": "q"},
+        {"a": 3, "b": "r"},
+    ]
+    out = (
+        fd_violations(ray.data.from_items(rows), "a", "b")
+        .to_pandas()
+        .set_index("a")
+        .sort_index()
+    )
+    assert dict(out["n_dep"]) == {1: 2, 3: 3}  # key 2 holds the FD
+
+    # clean FD -> empty result
+    clean = [{"a": i, "b": str(i)} for i in range(10)]
+    assert fd_violations(ray.data.from_items(clean), "a", "b").count() == 0
+
+    import pytest
+
+    with pytest.raises(Exception, match="null"):
+        fd_violations(
+            ray.data.from_items([{"a": 1, "b": None}]), "a", "b"
+        ).materialize()
