@@ -1452,6 +1452,93 @@ def _q_events_fd_check(sf_dir: str):
     return fd_violations(ev, "user_id", "event_type")
 
 
+def _q_doc_dataset_card(sf_dir: str):
+    """Corpus dataset card: one tall (metric, value) table of the
+    headline corpus facts — docs, chars, whitespace tokens, distinct
+    languages/sources, exact-duplicate docs. Everything folds from
+    per-block int64 partials; the duplicate count is a bucketed distinct
+    over 64-bit text hashes (the exact_dedup discipline — doc-scale
+    hashes shuffle, text never does)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hyperpolyglot_ray.stages.shuffle import bucketed_group_reduce
+    from hyperpolyglot_ray.stages.text_ops import _hash_string_array
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text", "lang", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(batch.column("text"), pa.string()), "")
+        toks = pc.ascii_split_whitespace(txt)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        n_tok = int(
+            pc.sum(
+                pc.list_value_length(toks)
+            ).as_py() or 0
+        ) - int(pc.sum(pc.equal(flat, "").cast(pa.int8())).as_py() or 0)
+        return pa.table(
+            {
+                "n_docs": pa.array([batch.num_rows], pa.int64()),
+                "n_chars": pa.array(
+                    [int(pc.sum(batch.column("n_chars")).as_py() or 0)], pa.int64()
+                ),
+                "n_tokens": pa.array([n_tok], pa.int64()),
+            }
+        )
+
+    parts = docs.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    n_docs = sum(r["n_docs"] for r in parts)
+    n_chars = sum(r["n_chars"] for r in parts)
+    n_tokens = sum(r["n_tokens"] for r in parts)
+    n_langs = bucketed_group_reduce(
+        docs.select_columns(["lang"]), "lang", [], n_buckets=8
+    ).count()
+    n_sources = bucketed_group_reduce(
+        docs.select_columns(["source"]), "source", [], n_buckets=8
+    ).count()
+
+    def text_hash(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(batch.column("text"), pa.string()), "")
+        h = _hash_string_array(
+            txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
+        )
+        return pa.table({"h": pa.array(h.astype(np.int64), pa.int64())})
+
+    n_distinct_texts = bucketed_group_reduce(
+        docs.map_batches(text_hash, batch_format="pyarrow", zero_copy_batch=True),
+        "h",
+        [],
+    ).count()
+
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "metric": [
+                "n_docs",
+                "n_chars",
+                "n_tokens",
+                "n_langs",
+                "n_sources",
+                "exact_dup_docs",
+            ],
+            "value": [
+                n_docs,
+                n_chars,
+                n_tokens,
+                n_langs,
+                n_sources,
+                n_docs - n_distinct_texts,
+            ],
+        }
+    )
+
+
 def _q_doc_topk_per_lang(sf_dir: str):
     from hyperpolyglot_ray.stages.aggregates import top_k_per_group
 
@@ -4588,6 +4675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_distinct": _q_events_sliding_distinct,
         "events_late": _q_events_late,
         "events_fd_check": _q_events_fd_check,
+        "doc_dataset_card": _q_doc_dataset_card,
         "lineitem_zorder": _q_lineitem_zorder,
         "lineitem_pruned_scan": _q_lineitem_pruned_scan,
         "lineitem_fingerprint": _q_lineitem_fingerprint,
@@ -6186,6 +6274,18 @@ FROM s""",
         ),
         # mirrors stages/aggregates.py:grouped_corr op-for-op: int64-exact
         # sufficient statistics, then the same double expression tree
+        # mirrors _q_doc_dataset_card: same token class as doc_vocab,
+        # exact duplicate docs as count - distinct(text)
+        "doc_dataset_card": r"""
+SELECT 'n_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM documents
+UNION ALL SELECT 'n_chars', CAST(SUM(n_chars) AS BIGINT) FROM documents
+UNION ALL SELECT 'n_tokens',
+  CAST(SUM(len(regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0b\f\r]+'))) AS BIGINT)
+  FROM documents
+UNION ALL SELECT 'n_langs', CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents
+UNION ALL SELECT 'n_sources', CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents
+UNION ALL SELECT 'exact_dup_docs',
+  CAST(COUNT(*) - COUNT(DISTINCT coalesce(text, '')) AS BIGINT) FROM documents""",
         # mirrors stages/profile.py:fd_violations
         "events_fd_check": r"""
 SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_dep
