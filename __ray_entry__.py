@@ -1539,6 +1539,100 @@ def _q_doc_dataset_card(sf_dir: str):
     )
 
 
+def _q_events_error_streaks(sf_dir: str):
+    """Longest consecutive error streak per user (and streak count) —
+    the gaps-and-islands reliability readout, composed from the oracled
+    `value_runs_per_key` (runs of a derived error flag) + a tiny
+    max/count reduce; mirrors the classic ROW_NUMBER-difference SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hyperpolyglot_ray.stages.shuffle import bucketed_group_reduce
+    from hyperpolyglot_ray.stages.windows import value_runs_per_key
+
+    ev = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        is_err = pc.equal(batch.column("event_type"), pa.scalar("error"))
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "event_id": batch.column("event_id"),
+                "flag": pc.if_else(is_err, pa.scalar("E"), pa.scalar("O")),
+            }
+        )
+
+    runs = value_runs_per_key(
+        ev.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True),
+        key_col="user_id",
+        val_col="flag",
+        ts_col="ts",
+        id_col="event_id",
+    )
+    err = runs.filter(lambda r: r["value"] == "E")
+    out = bucketed_group_reduce(
+        err.select_columns(["user_id", "n_events"]),
+        "user_id",
+        [("n_events", "max"), ("n_events", "count")],
+        n_buckets=16,
+    )
+    return out.rename_columns(
+        {"max(n_events)": "max_streak", "count(n_events)": "n_streaks"}
+    )
+
+
+def _q_events_interarrival(sf_dir: str):
+    """Inter-arrival gap quantiles per event type (p50/p90/p99 of the
+    microsecond gap between consecutive same-type events) — the
+    arrival-process telemetry behind rate-limit and window sizing.
+    Composition: `lag_delta_per_key` on exact epoch-us ints →
+    `grouped_quantiles` (quantile_disc semantics)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hyperpolyglot_ray.stages.aggregates import grouped_quantiles
+    from hyperpolyglot_ray.stages.ordering import lag_delta_per_key
+
+    ev = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "event_id"]
+    )
+
+    def us_f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "ts": batch.column("ts"),
+                "event_id": batch.column("event_id"),
+                "us": batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+            }
+        )
+
+    lagged = lag_delta_per_key(
+        ev.map_batches(us_f, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type",
+        "ts",
+        "us",
+        "event_id",
+        out_delta="gap",
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_valid(batch.column("gap")))
+        return pa.table(
+            {"event_type": b.column("event_type"), "gap": b.column("gap")}
+        )
+
+    return grouped_quantiles(
+        lagged.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type",
+        "gap",
+    )
+
+
 def _q_doc_topk_per_lang(sf_dir: str):
     from hyperpolyglot_ray.stages.aggregates import top_k_per_group
 
@@ -4676,6 +4770,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_late": _q_events_late,
         "events_fd_check": _q_events_fd_check,
         "doc_dataset_card": _q_doc_dataset_card,
+        "events_error_streaks": _q_events_error_streaks,
+        "events_interarrival": _q_events_interarrival,
         "lineitem_zorder": _q_lineitem_zorder,
         "lineitem_pruned_scan": _q_lineitem_pruned_scan,
         "lineitem_fingerprint": _q_lineitem_fingerprint,
@@ -6274,6 +6370,36 @@ FROM s""",
         ),
         # mirrors stages/aggregates.py:grouped_corr op-for-op: int64-exact
         # sufficient statistics, then the same double expression tree
+        # mirrors _q_events_interarrival: LAG gaps + quantile_disc
+        "events_interarrival": r"""
+WITH d AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT event_type,
+       CAST(quantile_disc(gap, 0.5) AS DOUBLE) AS q50,
+       CAST(quantile_disc(gap, 0.9) AS DOUBLE) AS q90,
+       CAST(quantile_disc(gap, 0.99) AS DOUBLE) AS q99
+FROM d WHERE gap IS NOT NULL GROUP BY event_type""",
+        # mirrors _q_events_error_streaks: ROW_NUMBER-difference islands
+        "events_error_streaks": r"""
+WITH o AS (
+  SELECT user_id,
+         (event_type = 'error') AS is_err,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id, (event_type = 'error')
+                            ORDER BY ts, event_id) AS rn2
+  FROM events
+), runs AS (
+  SELECT user_id, rn - rn2 AS grp, COUNT(*) AS len
+  FROM o WHERE is_err GROUP BY user_id, rn - rn2
+)
+SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM runs GROUP BY user_id""",
         # mirrors _q_doc_dataset_card: same token class as doc_vocab,
         # exact duplicate docs as count - distinct(text)
         "doc_dataset_card": r"""
