@@ -1573,7 +1573,10 @@ def _q_events_error_streaks(sf_dir: str):
         ts_col="ts",
         id_col="event_id",
     )
-    err = runs.filter(lambda r: r["value"] == "E")
+    def err_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("value"), pa.scalar("E")))
+
+    err = runs.map_batches(err_only, batch_format="pyarrow", zero_copy_batch=True)
     out = bucketed_group_reduce(
         err.select_columns(["user_id", "n_events"]),
         "user_id",
@@ -3376,7 +3379,14 @@ def _q_tpch_q18(sf_dir: str):
     sums = bucketed_group_reduce(
         li, "l_orderkey", [("l_quantity", "sum")]
     ).rename_columns({"sum(l_quantity)": "sum_qty"})
-    big = sums.filter(lambda r: r["sum_qty"] > 250.0)
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    big = sums.map_batches(
+        lambda t: t.filter(_pc.greater(t.column("sum_qty"), _pa.scalar(250.0))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     orders = _read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
@@ -3391,7 +3401,13 @@ def _q_tpch_q18(sf_dir: str):
         "o_totalprice",
         id_col="l_orderkey",
         descending=True,
-    ).filter(lambda r: r["rank"] <= 100)
+    ).map_batches(
+        lambda t: t.filter(
+            _pc.less_equal(t.column("rank"), _pa.scalar(100, type=_pa.int64()))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     top = hash_join(
         ranked.drop_columns(["o_totalprice"]),
         full.rename_columns({"l_orderkey": "ok2"}),

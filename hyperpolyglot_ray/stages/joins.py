@@ -740,7 +740,13 @@ def join_key_stats(
         "n_pairs",
         id_col=left_on,
         descending=True,
-    ).filter(lambda r: r["rank"] <= top_k).take_all()
+    ).map_batches(
+        lambda t: t.filter(
+            pc.less_equal(t.column("rank"), pa.scalar(top_k, type=pa.int64()))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()
     rank_by_key = {r[left_on]: r["rank"] for r in head}
     key_set = pa.array(list(rank_by_key))
 
