@@ -4751,11 +4751,104 @@ def _q_events_value_runs_chunked(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordered for the driver's finite correctness window (~50 rows):
-    # (1) the seven queries VERDICT r3 flagged as never driver-checked,
-    # (2) session-9 additions (TPC-H completion batch + the new
-    # operators), (3) session-8 additions, then everything else
-    # (never-checked first, then r2-checked, then r3-green).
+    # round 5 puts the 92 queries that have never had a driver
+    # CORRECTNESS row first (VERDICT r4 lead item) -- the top-50 is the
+    # judge's named priority set, the remaining 42 never-checked queue
+    # behind them for the round-6 window, and every previously-checked
+    # query (111 green rows, r1-r4) follows in its prior order.
     return {
+        "doc_ngram_dedup": _q_doc_ngram_dedup,
+        "doc_ngram_clusters": _q_doc_ngram_clusters,
+        "doc_span_dedup": _q_doc_span_dedup,
+        "doc_dsir": _q_doc_dsir,
+        "doc_shuffle": _q_doc_shuffle,
+        "doc_normalize": _q_doc_normalize,
+        "doc_quality_gate": _q_doc_quality_gate,
+        "doc_pct_rank": _q_doc_pct_rank,
+        "doc_sample_per_lang": _q_doc_sample_per_lang,
+        "files_secrets": _q_files_secrets,
+        "files_mask_secrets": _q_files_mask_secrets,
+        "graph_pagerank": _q_graph_pagerank,
+        "tpch_q3_topk": _q_tpch_q3_topk,
+        "tpch_q5": _q_tpch_q5,
+        "orders_custdist": _q_orders_custdist,
+        "customer_semi_join": _q_customer_semi_join,
+        "customer_anti_join": _q_customer_anti_join,
+        "custkey_full_outer": _q_custkey_full_outer,
+        "events_heavy_hitters": _q_events_heavy_hitters,
+        "doc_zscore": _q_doc_zscore,
+        "events_lag_delta": _q_events_lag_delta,
+        "lineitem_running_qty": _q_lineitem_running_qty,
+        "events_rolling_sum": _q_events_rolling_sum,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
+        "events_twa": _q_events_twa,
+        "doc_split": _q_doc_split,
+        "doc_collocations": _q_doc_collocations,
+        "files_token_classes": _q_files_token_classes,
+        "files_imports": _q_files_imports,
+        "doc_winnow": _q_doc_winnow,
+        "doc_winnow_matches": _q_doc_winnow_matches,
+        "doc_winnow_contamination": _q_doc_winnow_contamination,
+        "events_debounce": _q_events_debounce,
+        "events_ohlc_hourly": _q_events_ohlc_hourly,
+        "events_new_users_daily": _q_events_new_users_daily,
+        "part_bfs_hops": _q_part_bfs_hops,
+        "customer_fuzzy_clusters": _q_customer_fuzzy_clusters,
+        "events_value_runs": _q_events_value_runs,
+        "events_value_runs_chunked": _q_events_value_runs_chunked,
+        "customer_fuzzy_pairs": _q_customer_fuzzy_pairs,
+        "doc_bpe_merges": _q_doc_bpe_merges,
+        "part_skyline": _q_part_skyline,
+        "doc_chunks": _q_doc_chunks,
+        "emb_cross_contaminated": _q_emb_cross_contaminated,
+        "doc_weighted_sample": _q_doc_weighted_sample,
+        "lineitem_triangles": _q_lineitem_triangles,
+        "events_value_psi": _q_events_value_psi,
+        "doc_langid_kappa": _q_doc_langid_kappa,
+        "files_dup_cluster_sizes": _q_files_dup_cluster_sizes,
+        "events_value_ks": _q_events_value_ks,
+        "doc_lang_source_chi2": _q_doc_lang_source_chi2,
+        "doc_global_rank": _q_doc_global_rank,
+        "lineitem_kcore": _q_lineitem_kcore,
+        "doc_bpe_token_counts": _q_doc_bpe_token_counts,
+        "events_ntile": _q_events_ntile,
+        "events_latest_per_pair": _q_events_latest_per_pair,
+        "events_first_last": _q_events_first_last,
+        "lineitem_regr": _q_lineitem_regr,
+        "events_hourly_gapfill": _q_events_hourly_gapfill,
+        "emb_centroids": _q_emb_centroids,
+        "files_license": _q_files_license,
+        "events_mad_outliers": _q_events_mad_outliers,
+        "doc_expectations": _q_doc_expectations,
+        "customer_rfm": _q_customer_rfm,
+        "emb_norms": _q_emb_norms,
+        "emb_covariance": _q_emb_covariance,
+        "doc_lang_share_by_source": _q_doc_lang_share_by_source,
+        "emb_pca": _q_emb_pca,
+        "files_code_metrics": _q_files_code_metrics,
+        "doc_ttr": _q_doc_ttr,
+        "doc_compression": _q_doc_compression,
+        "doc_byte_entropy": _q_doc_byte_entropy,
+        "lineitem_basket_pairs": _q_lineitem_basket_pairs,
+        "events_transitions": _q_events_transitions,
+        "events_winsorize": _q_events_winsorize,
+        "doc_lang_confusion": _q_doc_lang_confusion,
+        "orders_monthly_delta": _q_orders_monthly_delta,
+        "doc_jsonl_tokens": _q_doc_jsonl_tokens,
+        "events_csv_pricing": _q_events_csv_pricing,
+        "events_hourly_users": _q_events_hourly_users,
+        "doc_dup_rate_by_source": _q_doc_dup_rate_by_source,
+        "orders_pareto": _q_orders_pareto,
+        "events_props_sum": _q_events_props_sum,
+        "files_todo_extract": _q_files_todo_extract,
+        "events_value_histogram": _q_events_value_histogram,
+        "doc_snapshot_diff": _q_doc_snapshot_diff,
+        "doc_rollup": _q_doc_rollup,
+        "lineitem_qty_discount_corr": _q_lineitem_qty_discount_corr,
+        "events_mode_type": _q_events_mode_type,
+        "events_type_pivot": _q_events_type_pivot,
+        "lineitem_unpivot": _q_lineitem_unpivot,
         "emb_quantize": _q_emb_quantize,
         "emb_pq": _q_emb_pq,
         "events_distinct_users_hll": _q_events_distinct_users_hll,
@@ -4806,98 +4899,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_notebook_cells": _q_doc_notebook_cells,
         "tpch_q18": _q_tpch_q18,
         "events_quota": _q_events_quota,
-        "events_debounce": _q_events_debounce,
-        "events_ohlc_hourly": _q_events_ohlc_hourly,
-        "events_new_users_daily": _q_events_new_users_daily,
-        "part_bfs_hops": _q_part_bfs_hops,
-        "customer_fuzzy_clusters": _q_customer_fuzzy_clusters,
-        "events_value_runs": _q_events_value_runs,
-        "events_value_runs_chunked": _q_events_value_runs_chunked,
-        "customer_fuzzy_pairs": _q_customer_fuzzy_pairs,
-        "doc_bpe_merges": _q_doc_bpe_merges,
-        "part_skyline": _q_part_skyline,
-        "doc_chunks": _q_doc_chunks,
-        "emb_cross_contaminated": _q_emb_cross_contaminated,
-        "doc_weighted_sample": _q_doc_weighted_sample,
-        "lineitem_triangles": _q_lineitem_triangles,
-        "events_value_psi": _q_events_value_psi,
-        "doc_langid_kappa": _q_doc_langid_kappa,
-        "files_dup_cluster_sizes": _q_files_dup_cluster_sizes,
-        "events_value_ks": _q_events_value_ks,
-        "doc_lang_source_chi2": _q_doc_lang_source_chi2,
-        "doc_global_rank": _q_doc_global_rank,
-        "lineitem_kcore": _q_lineitem_kcore,
-        "doc_bpe_token_counts": _q_doc_bpe_token_counts,
-        "orders_custdist": _q_orders_custdist,
-        "tpch_q3_topk": _q_tpch_q3_topk,
-        "events_ntile": _q_events_ntile,
-        "events_latest_per_pair": _q_events_latest_per_pair,
-        "events_first_last": _q_events_first_last,
-        "lineitem_regr": _q_lineitem_regr,
-        "events_hourly_gapfill": _q_events_hourly_gapfill,
-        "emb_centroids": _q_emb_centroids,
-        "files_license": _q_files_license,
-        "events_mad_outliers": _q_events_mad_outliers,
-        "doc_expectations": _q_doc_expectations,
-        "customer_rfm": _q_customer_rfm,
-        "emb_norms": _q_emb_norms,
-        "emb_covariance": _q_emb_covariance,
-        "doc_lang_share_by_source": _q_doc_lang_share_by_source,
-        "emb_pca": _q_emb_pca,
-        "files_code_metrics": _q_files_code_metrics,
-        "doc_ttr": _q_doc_ttr,
-        "doc_compression": _q_doc_compression,
-        "doc_byte_entropy": _q_doc_byte_entropy,
-        "graph_pagerank": _q_graph_pagerank,
-        "tpch_q5": _q_tpch_q5,
-        "files_imports": _q_files_imports,
-        "doc_winnow": _q_doc_winnow,
-        "lineitem_basket_pairs": _q_lineitem_basket_pairs,
-        "events_transitions": _q_events_transitions,
-        "files_token_classes": _q_files_token_classes,
-        "events_winsorize": _q_events_winsorize,
-        "doc_winnow_matches": _q_doc_winnow_matches,
-        "doc_lang_confusion": _q_doc_lang_confusion,
-        "orders_monthly_delta": _q_orders_monthly_delta,
-        "doc_jsonl_tokens": _q_doc_jsonl_tokens,
-        "events_csv_pricing": _q_events_csv_pricing,
-        "doc_winnow_contamination": _q_doc_winnow_contamination,
-        "events_hourly_users": _q_events_hourly_users,
-        "doc_dup_rate_by_source": _q_doc_dup_rate_by_source,
-        "customer_semi_join": _q_customer_semi_join,
-        "customer_anti_join": _q_customer_anti_join,
-        "custkey_full_outer": _q_custkey_full_outer,
-        "events_heavy_hitters": _q_events_heavy_hitters,
-        "doc_zscore": _q_doc_zscore,
-        "events_lag_delta": _q_events_lag_delta,
-        "lineitem_running_qty": _q_lineitem_running_qty,
-        "events_twa": _q_events_twa,
-        "orders_pareto": _q_orders_pareto,
-        "events_funnel": _q_events_funnel,
-        "events_rolling_sum": _q_events_rolling_sum,
-        "events_props_sum": _q_events_props_sum,
-        "files_todo_extract": _q_files_todo_extract,
-        "events_value_histogram": _q_events_value_histogram,
-        "doc_collocations": _q_doc_collocations,
-        "events_retention": _q_events_retention,
-        "doc_snapshot_diff": _q_doc_snapshot_diff,
-        "doc_rollup": _q_doc_rollup,
-        "lineitem_qty_discount_corr": _q_lineitem_qty_discount_corr,
-        "events_mode_type": _q_events_mode_type,
-        "events_type_pivot": _q_events_type_pivot,
-        "doc_split": _q_doc_split,
-        "lineitem_unpivot": _q_lineitem_unpivot,
-        "files_secrets": _q_files_secrets,
-        "files_mask_secrets": _q_files_mask_secrets,
-        "doc_ngram_dedup": _q_doc_ngram_dedup,
-        "doc_dsir": _q_doc_dsir,
-        "doc_sample_per_lang": _q_doc_sample_per_lang,
-        "doc_ngram_clusters": _q_doc_ngram_clusters,
-        "doc_quality_gate": _q_doc_quality_gate,
-        "doc_normalize": _q_doc_normalize,
-        "doc_pct_rank": _q_doc_pct_rank,
-        "doc_span_dedup": _q_doc_span_dedup,
-        "doc_shuffle": _q_doc_shuffle,
         "events_window": _q_events_window,
         "events_value_quantiles": _q_events_value_quantiles,
         "events_distinct_users": _q_events_distinct_users,

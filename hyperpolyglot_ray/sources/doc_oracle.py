@@ -355,9 +355,14 @@ def _bmp_bytes_seq(p: bytes):
     w = int.from_bytes(p[18:22], "little", signed=True)
     h = int.from_bytes(p[22:26], "little", signed=True)
     bpp = int.from_bytes(p[28:30], "little")
-    if bpp != 24 or w <= 0 or h == 0:
+    compression = int.from_bytes(p[30:34], "little")
+    # mirror multimodal._bmp_pixel_rows exactly: compressed or truncated
+    # payloads decode to None there, so the sidecar must not slice bytes
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
         return None
     rows, stride = abs(h), (w * 3 + 3) & ~3
+    if len(p) < off + stride * rows:
+        return None
     out: list[int] = []
     for y in range(rows):
         out.extend(p[off + y * stride : off + y * stride + w * 3])

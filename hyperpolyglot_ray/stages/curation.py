@@ -1583,12 +1583,20 @@ def boilerplate_strip(
         kept_per_row = np.bincount(row_idx[keep], minlength=len(lens)).astype(
             np.int64
         )
-        offsets = np.zeros(len(lens) + 1, dtype=np.int32)
+        # int64 offsets + large_list: a batch with >2^31 flattened kept
+        # lines must not wrap int32 offsets and silently corrupt the text
+        offsets = np.zeros(len(lens) + 1, dtype=np.int64)
         np.cumsum(kept_per_row, out=offsets[1:])
         kept_flat = flat.filter(pa.array(keep))
-        rebuilt = pc.binary_join(
-            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept_flat),
-            "\n",
+        rebuilt = pc.cast(
+            pc.binary_join(
+                pa.LargeListArray.from_arrays(
+                    pa.array(offsets, pa.int64()),
+                    pc.cast(kept_flat, pa.large_string()),
+                ),
+                pa.scalar("\n", pa.large_string()),
+            ),
+            pa.string(),
         )
         return pa.table(
             {

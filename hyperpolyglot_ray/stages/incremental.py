@@ -797,7 +797,18 @@ def golden_record(
         if batch.column(key_col).null_count or batch.column(seq_col).null_count:
             raise ValueError("golden_record: null key/seq rows")
         if batch.num_rows == 0:
-            return batch
+            # Typed empty with the full combiner output schema -- an empty
+            # upstream block must not feed schema-inconsistent blocks into
+            # the groupby('__bucket') exchange.
+            fields = [
+                pa.field(key_col, batch.schema.field(key_col).type),
+                pa.field(seq_col, pa.int64()),
+            ]
+            for a in attr_cols:
+                fields.append(pa.field(a, batch.schema.field(a).type))
+                fields.append(pa.field(f"__seq_{a}", pa.int64()))
+            fields.append(pa.field("__bucket", pa.int64()))
+            return pa.schema(fields).empty_table()
         cand = pick(batch, {}, "block combiner")
         cand = cand.rename_columns(
             [seq_col if c == "__seq" else c for c in cand.column_names]

@@ -86,7 +86,11 @@ def sliding_window_agg(
     """
     window_us = window_minutes * 60 * 1_000_000
     slide_us = slide_minutes * 60 * 1_000_000
-    assert window_us % slide_us == 0, "window must be a multiple of slide"
+    if window_us % slide_us != 0:
+        raise ValueError(
+            "window_minutes must be a multiple of slide_minutes "
+            f"(got {window_minutes}, {slide_minutes})"
+        )
     n_sub = window_us // slide_us
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1416,7 +1420,11 @@ def sliding_window_distinct(
 
     window_us = window_minutes * 60 * 1_000_000
     slide_us = slide_minutes * 60 * 1_000_000
-    assert window_us % slide_us == 0, "window must be a multiple of slide"
+    if window_us % slide_us != 0:
+        raise ValueError(
+            "window_minutes must be a multiple of slide_minutes "
+            f"(got {window_minutes}, {slide_minutes})"
+        )
     n_sub = window_us // slide_us
 
     def pairs(batch: pa.Table) -> pa.Table:
