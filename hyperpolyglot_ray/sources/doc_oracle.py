@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r4u"  # r4u: + negative-sampling sidecar (r4t: image hist)
+ORACLE_VERSION = "r5a"  # r5a: gif pixel decode (r4u: negative-sampling)
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -369,6 +369,127 @@ def _bmp_bytes_seq(p: bytes):
     return out
 
 
+def _gif_mean_seq(p: bytes):
+    bs = _gif_bytes_seq(p)
+    if bs is None or not bs:
+        return None
+    return sum(bs) / len(bs)
+
+
+def _gif_bytes_seq(p: bytes):
+    """Palette-mapped RGB-byte list of a GIF's first frame — independent
+    scalar decode (vs stages/multimodal.py gif_channel_bytes): bit
+    cursor over the concatenated sub-block data instead of a shift
+    buffer, dict code table of int tuples, list output. Same spec:
+    GIF89a appendix LZW, non-interlaced only, 12-bit code cap, strict
+    end-of-information / exact-length checks."""
+    if len(p) < 13 or p[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    i = 13
+    gct = None
+    if p[10] & 0x80:
+        size = 2 << (p[10] & 7)
+        if len(p) < i + 3 * size:
+            return None
+        gct = [tuple(p[i + 3 * j : i + 3 * j + 3]) for j in range(size)]
+        i += 3 * size
+    while i < len(p):
+        blk = p[i]
+        if blk == 0x21:
+            i += 2
+            while i < len(p) and p[i]:
+                i += 1 + p[i]
+            i += 1
+            continue
+        if blk != 0x2C:
+            return None
+        iw = p[i + 5] | (p[i + 6] << 8)
+        ih = p[i + 7] | (p[i + 8] << 8)
+        lf = p[i + 9]
+        i += 10
+        ct = gct
+        if lf & 0x80:
+            size = 2 << (lf & 7)
+            if len(p) < i + 3 * size:
+                return None
+            ct = [tuple(p[i + 3 * j : i + 3 * j + 3]) for j in range(size)]
+            i += 3 * size
+        if lf & 0x40 or ct is None or iw * ih == 0 or i >= len(p):
+            return None
+        mcs = p[i]
+        i += 1
+        if not 2 <= mcs <= 8:
+            return None
+        data = bytearray()
+        ok = False
+        while i < len(p):
+            ln = p[i]
+            i += 1
+            if ln == 0:
+                ok = True
+                break
+            if i + ln > len(p):
+                return None
+            data += p[i : i + ln]
+            i += ln
+        if not ok:
+            return None
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        codes: dict[int, tuple[int, ...]] = {c: (c,) for c in range(clear)}
+        nxt, width = eoi + 1, mcs + 1
+        bitpos = 0
+        nbits_total = 8 * len(data)
+        prev: tuple[int, ...] | None = None
+        out: list[int] = []
+        while True:
+            if bitpos + width > nbits_total:
+                return None
+            code = 0
+            for k in range(width):
+                byte_i, bit_i = (bitpos + k) >> 3, (bitpos + k) & 7
+                code |= ((data[byte_i] >> bit_i) & 1) << k
+            bitpos += width
+            if code == clear:
+                codes = {c: (c,) for c in range(clear)}
+                nxt, width, prev = eoi + 1, mcs + 1, None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                if code >= clear:
+                    return None
+                entry = codes[code]
+            elif code in codes:
+                entry = codes[code]
+                if nxt < 4096:
+                    codes[nxt] = prev + entry[:1]
+                    nxt += 1
+                    if nxt == (1 << width) and width < 12:
+                        width += 1
+            elif code == nxt and nxt < 4096:
+                entry = prev + prev[:1]
+                codes[nxt] = entry
+                nxt += 1
+                if nxt == (1 << width) and width < 12:
+                    width += 1
+            else:
+                return None
+            out.extend(entry)
+            prev = entry
+            if len(out) > iw * ih:
+                return None
+        if len(out) != iw * ih:
+            return None
+        rgb: list[int] = []
+        npal = len(ct)
+        for v in out:
+            if v >= npal:
+                return None
+            rgb.extend(ct[v])
+        return rgb
+    return None
+
+
 def _expected_image_hist(texts, doc_ids) -> pa.Table:
     """Sequential spec of stages/multimodal.py image_histograms: shared
     synthetic payloads, independent scalar decoders, pure-Python bin
@@ -385,7 +506,11 @@ def _expected_image_hist(texts, doc_ids) -> pa.Table:
         bs = (
             _png_bytes_seq(payload)
             if kind == "png"
-            else _bmp_bytes_seq(payload) if kind == "bmp" else None
+            else (
+                _bmp_bytes_seq(payload)
+                if kind == "bmp"
+                else _gif_bytes_seq(payload) if kind == "gif" else None
+            )
         )
         if bs is None:
             bins.append(None)
@@ -540,7 +665,11 @@ def _expected_multimodal(texts, doc_ids) -> pa.Table:
         pmeans.append(
             _png_mean_seq(payload)
             if kind == "png"
-            else _bmp_mean_seq(payload) if kind == "bmp" else None
+            else (
+                _bmp_mean_seq(payload)
+                if kind == "bmp"
+                else _gif_mean_seq(payload) if kind == "gif" else None
+            )
         )
         rmss.append(_wav_rms_seq(payload) if kind == "wav" else None)
         digest = hashlib.sha256(payload).digest()

@@ -1,5 +1,9 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
+JPEG is HEADER-ONLY (kind/width/height; its DCT+Huffman entropy decode is
+codec-table territory — jpeg rows carry null pixel columns). PNG, GIF and
+BMP are pixel-real; WAV is sample-real.
+
 Image/audio payloads are carried as ``binary`` columns with a ``media_type``
 string column. Three layers, all REAL (no codec libraries needed):
 
@@ -9,12 +13,12 @@ string column. Three layers, all REAL (no codec libraries needed):
   sample-rate/channels. This is the metadata extraction layer a 100 TB
   multimodal pipeline runs on every payload.
 * **Pixel/sample decode.** ``DecodeStage(pixels=True)`` decodes PNG
-  (stdlib ``zlib`` inflate + full scanline defilter, filters 0-4), 24-bit
-  BMP rows, and 16-bit PCM WAV samples — pure stdlib+numpy — and emits
-  ``pixel_mean`` (mean over all channel bytes of the reconstructed image)
-  and ``sample_rms`` (RMS of the PCM stream). GIF/JPEG entropy decoding
-  genuinely needs codec tables not worth reimplementing; those kinds
-  yield null pixel columns. Both statistics are exact-integer
+  (stdlib ``zlib`` inflate + full scanline defilter, filters 0-4), GIF
+  (full LZW decompression of the first frame's indexed stream + global/
+  local color-table mapping, non-interlaced), 24-bit BMP rows, and 16-bit
+  PCM WAV samples — pure stdlib+numpy — and emits ``pixel_mean`` (mean
+  over all channel bytes of the reconstructed image) and ``sample_rms``
+  (RMS of the PCM stream). Both statistics are exact-integer
   accumulations followed by one float64 division (and one IEEE sqrt), so
   distributed == sequential bitwise.
 * **Stand-in features.** A deterministic sha-derived 8-float vector
@@ -99,6 +103,205 @@ def _synth_pixels(doc_id: int, w: int, h: int, ch: int) -> np.ndarray:
     return ((3 * xs + 7 * ys + 11 * cs + doc_id) % 256).astype(np.uint8)
 
 
+def _synth_palette(doc_id: int, size: int) -> np.ndarray:
+    """Deterministic (size, 3) uint8 RGB palette."""
+    j = np.arange(size, dtype=np.int64)
+    return np.stack(
+        [
+            (5 * j + doc_id) % 256,
+            (11 * j + 3 * doc_id) % 256,
+            (23 * j + 7 * doc_id) % 256,
+        ],
+        axis=1,
+    ).astype(np.uint8)
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW compression of an index stream (synthesis side of
+    the codec; LSB-first variable-width codes, clear/end codes, code size
+    grows at next_code == 2^size + 1, table reset at 4096 entries)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code_size + 1
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = b""
+    for c in indices:
+        wc = w + bytes([c])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        w = bytes([c])
+    if w:
+        emit(table[w])
+    emit(end)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(
+    data: bytes, min_code_size: int, expected: int
+) -> bytes | None:
+    """GIF-variant LZW decompression to exactly ``expected`` index bytes.
+    None on any malformed stream: bad first code, out-of-range code,
+    wrong output length, or truncation before the end-of-information
+    code. Spec: GIF89a appendix (LSB-first packing, decoder grows the
+    code width when the table length reaches 2^size, caps at 12 bits)."""
+    if not 2 <= min_code_size <= 8:
+        return None
+    clear = 1 << min_code_size
+    end = clear + 1
+    base: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitbuf = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < code_size:
+            if pos >= n:
+                return None  # truncated before end-of-information
+            bitbuf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = bitbuf & ((1 << code_size) - 1)
+        bitbuf >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                return None  # first code after clear must be a literal
+            entry = table[code]
+        else:
+            tlen = len(table)
+            if code < tlen:
+                entry = table[code]
+            elif code == tlen:
+                entry = prev + prev[:1]
+            else:
+                return None
+            if tlen < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+        out += entry
+        prev = entry
+        if len(out) > expected:
+            return None
+    return bytes(out) if len(out) == expected else None
+
+
+def gif_channel_bytes(payload: bytes) -> "np.ndarray | None":
+    """Palette-mapped RGB bytes of the FIRST frame of a GIF87a/89a — full
+    LZW entropy decode (pure stdlib+numpy), extension blocks skipped,
+    local color table honored. THE shared decode behind gif_pixel_mean
+    and image_byte_histogram. None for interlaced frames, missing color
+    table, out-of-palette indices, or malformed/truncated streams."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    flags = payload[10]
+    i = 13
+    gct = None
+    if flags & 0x80:
+        size = 1 << ((flags & 0x07) + 1)
+        if len(payload) < i + 3 * size:
+            return None
+        gct = np.frombuffer(payload, np.uint8, count=3 * size, offset=i).reshape(
+            size, 3
+        )
+        i += 3 * size
+    while i < len(payload):
+        b = payload[i]
+        if b == 0x21:  # extension: label byte then data sub-blocks
+            i += 2
+            while i < len(payload) and payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            if i + 10 > len(payload):
+                return None
+            iw = int.from_bytes(payload[i + 5 : i + 7], "little")
+            ih = int.from_bytes(payload[i + 7 : i + 9], "little")
+            lflags = payload[i + 9]
+            i += 10
+            ct = gct
+            if lflags & 0x80:
+                size = 1 << ((lflags & 0x07) + 1)
+                if len(payload) < i + 3 * size:
+                    return None
+                ct = np.frombuffer(
+                    payload, np.uint8, count=3 * size, offset=i
+                ).reshape(size, 3)
+                i += 3 * size
+            if lflags & 0x40 or ct is None or iw == 0 or ih == 0:
+                return None  # interlaced / no color table / degenerate
+            if i >= len(payload):
+                return None
+            min_code_size = payload[i]
+            i += 1
+            chunks: list[bytes] = []
+            terminated = False
+            while i < len(payload):
+                ln = payload[i]
+                i += 1
+                if ln == 0:
+                    terminated = True
+                    break
+                if i + ln > len(payload):
+                    return None
+                chunks.append(payload[i : i + ln])
+                i += ln
+            if not terminated:
+                return None
+            indices = _gif_lzw_decode(b"".join(chunks), min_code_size, iw * ih)
+            if indices is None:
+                return None
+            idx = np.frombuffer(indices, np.uint8)
+            if idx.size and int(idx.max()) >= ct.shape[0]:
+                return None
+            return ct[idx].reshape(-1)
+        elif b == 0x3B:  # trailer before any image frame
+            return None
+        else:
+            return None
+    return None
+
+
 def _png_chunk(typ: bytes, data: bytes) -> bytes:
     return (
         struct.pack(">I", len(data))
@@ -111,10 +314,11 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
 def synth_media_payload(doc_id: int, text: str) -> tuple[bytes, str]:
     """Deterministic synthetic media payload for fixtures/tests: a VALID,
     fully decodable container (dimensions and pixel/sample content derived
-    from doc_id) for png/bmp/wav; gif/jpeg carry valid headers plus an
-    opaque body (their entropy decode is out of scope). Lets header AND
-    pixel decode be exercised — and oracled — without real media files in
-    the container."""
+    from doc_id) for png/gif/bmp/wav — the gif branch emits a real
+    LZW-compressed index stream over a 2..256-entry global color table;
+    jpeg carries a valid header plus an opaque body (header-only by
+    design). Lets header AND pixel decode be exercised — and oracled —
+    without real media files in the container."""
     w = 4 + (doc_id * 7) % 60
     h = 4 + (doc_id * 13) % 40
     body = text.encode("utf-8")[:256]
@@ -142,10 +346,36 @@ def synth_media_payload(doc_id: int, text: str) -> tuple[bytes, str]:
         )
         return payload, "image/png"
     if kind == "gif":
-        return (
-            b"GIF89a" + struct.pack("<HH", w, h) + bytes([0xF7, 0, 0]) + body,
-            "image/gif",
-        )
+        # fully decodable GIF89a: global color table of 2^(n+1) entries,
+        # a comment extension carrying the text body (exercises the
+        # extension-skip path), and a real LZW-compressed index stream
+        n = doc_id % 8  # GCT size field: 2 .. 256 palette entries
+        pal_size = 1 << (n + 1)
+        palette = _synth_palette(doc_id, pal_size)
+        indices = (
+            _synth_pixels(doc_id, w, h, 1).reshape(-1) % pal_size
+        ).astype(np.uint8)
+        min_code_size = max(2, n + 1)
+        lzw = _gif_lzw_encode(indices.tobytes(), min_code_size)
+        parts = [
+            b"GIF89a",
+            struct.pack("<HH", w, h),
+            bytes([0x80 | 0x70 | n, 0, 0]),  # GCT present, 8-bit color res
+            palette.tobytes(),
+        ]
+        if body:
+            parts.append(b"\x21\xfe")  # comment extension
+            for j in range(0, len(body), 255):
+                sub = body[j : j + 255]
+                parts.append(bytes([len(sub)]) + sub)
+            parts.append(b"\x00")
+        parts.append(b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00")
+        parts.append(bytes([min_code_size]))
+        for j in range(0, len(lzw), 255):
+            sub = lzw[j : j + 255]
+            parts.append(bytes([len(sub)]) + sub)
+        parts.append(b"\x00\x3b")
+        return b"".join(parts), "image/gif"
     if kind == "jpeg":
         app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
         sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x01\x01\x11\x00"
@@ -259,6 +489,15 @@ def png_channel_bytes(payload: bytes) -> "np.ndarray | None":
     return out
 
 
+def gif_pixel_mean(payload: bytes) -> float | None:
+    """Decode a GIF's first frame (full LZW + palette map) and return the
+    mean over every RGB byte. None for undecodable payloads."""
+    arr = gif_channel_bytes(payload)
+    if arr is None or not len(arr):
+        return None
+    return int(arr.astype(np.int64).sum()) / len(arr)
+
+
 def _bmp_pixel_rows(payload: bytes) -> tuple["np.ndarray", int] | None:
     """Validate + decode an uncompressed 24-bit BMP to (rows x stride
     uint8 array, width). THE shared header/stride spec for the decode
@@ -322,10 +561,16 @@ def wav_sample_rms(payload: bytes) -> float | None:
 def image_byte_histogram(payload: bytes, kind: str) -> "np.ndarray | None":
     """8-bin histogram (bin = byte >> 5, i.e. 32-wide intensity bands)
     over a decodable image's channel bytes — PNG via the shared
-    defiltered stream, BMP via the shared row decode (padding bytes
-    excluded). Exact integer counts; None for gif/jpeg/wav/undecodable."""
+    defiltered stream, GIF via the shared LZW + palette decode, BMP via
+    the shared row decode (padding bytes excluded). Exact integer counts;
+    None for jpeg/wav/undecodable (jpeg stays header-only)."""
     if kind == "png":
         arr = png_channel_bytes(payload)
+        if arr is None:
+            return None
+        return np.bincount(arr >> 5, minlength=8).astype(np.int64)
+    if kind == "gif":
+        arr = gif_channel_bytes(payload)
         if arr is None:
             return None
         return np.bincount(arr >> 5, minlength=8).astype(np.int64)
@@ -483,9 +728,12 @@ def audio_features(
 
 def decode_pixels(payload: bytes, kind: str) -> tuple[float | None, float | None]:
     """(pixel_mean, sample_rms) for one payload; nulls where not decodable
-    (gif/jpeg entropy decode is out of scope — codec-table territory)."""
+    (jpeg stays header-only — its DCT+Huffman decode is codec-table
+    territory; gif is pixel-real via the stdlib LZW decoder)."""
     if kind == "png":
         return png_pixel_mean(payload), None
+    if kind == "gif":
+        return gif_pixel_mean(payload), None
     if kind == "bmp":
         return bmp_pixel_mean(payload), None
     if kind == "wav":
@@ -529,8 +777,9 @@ class DecodeStage:
     Parses real container headers (kind/width/height) per payload and
     appends a deterministic sha-derived stand-in feature vector.
     ``pixels=True`` additionally runs the pure-stdlib pixel/sample decode
-    (PNG zlib+defilter, BMP rows, WAV PCM) and appends ``pixel_mean`` /
-    ``sample_rms`` float64 columns (null for gif/jpeg/undecodable).
+    (PNG zlib+defilter, GIF LZW+palette, BMP rows, WAV PCM) and appends
+    ``pixel_mean`` / ``sample_rms`` float64 columns (null for
+    jpeg/undecodable — jpeg is header-only).
     """
 
     def __init__(self, pixels: bool = False):

@@ -1,0 +1,91 @@
+"""GIF LZW decode family: engine decoder (stages/multimodal.py
+gif_channel_bytes — numpy palette map, list code table) vs the
+independent sequential sidecar decoder (sources/doc_oracle.py
+_gif_bytes_seq — bit-cursor reader, dict code table), plus codec
+round-trips and malformed-payload handling."""
+
+import numpy as np
+
+from hyperpolyglot_ray.sources.doc_oracle import _gif_bytes_seq, _gif_mean_seq
+from hyperpolyglot_ray.stages.multimodal import (
+    _gif_lzw_decode,
+    _gif_lzw_encode,
+    _synth_palette,
+    _synth_pixels,
+    gif_channel_bytes,
+    gif_pixel_mean,
+    parse_media_header,
+    synth_media_payload,
+)
+
+
+def test_lzw_roundtrip_code_growth_and_reset():
+    rng = np.random.RandomState(11)
+    for mcs in (2, 3, 4, 5, 6, 7, 8):
+        for n in (1, 2, 37, 600):
+            idx = rng.randint(0, 1 << mcs, size=n).astype(np.uint8).tobytes()
+            enc = _gif_lzw_encode(idx, mcs)
+            assert _gif_lzw_decode(enc, mcs, n) == idx, (mcs, n)
+    # force the 12-bit table cap + clear-code reset path: a long low-entropy
+    # stream at mcs=2 adds >4094 table entries
+    idx = rng.randint(0, 4, size=20000).astype(np.uint8).tobytes()
+    enc = _gif_lzw_encode(idx, 2)
+    assert _gif_lzw_decode(enc, 2, 20000) == idx
+
+
+def test_lzw_decode_rejects_malformed():
+    idx = bytes(range(16)) * 4
+    enc = _gif_lzw_encode(idx, 4)
+    assert _gif_lzw_decode(enc, 4, len(idx)) == idx
+    assert _gif_lzw_decode(enc, 4, len(idx) + 1) is None  # wrong length
+    assert _gif_lzw_decode(enc, 4, len(idx) - 1) is None
+    assert _gif_lzw_decode(enc[:2], 4, len(idx)) is None  # truncated
+    assert _gif_lzw_decode(enc, 1, len(idx)) is None  # bad min code size
+    assert _gif_lzw_decode(enc, 9, len(idx)) is None
+    # first code after clear must be a literal: craft clear,then code==18
+    # (beyond the literal range) at mcs=4 / width 5
+    bad = bytes([0b010_10000, 0b0000001_0])  # 16 (clear) then 18
+    assert _gif_lzw_decode(bad, 4, 4) is None
+
+
+def test_engine_decoder_matches_sequential_sidecar():
+    for doc_id in range(1, 120, 5):  # doc_id % 5 == 1 -> gif
+        payload, mt = synth_media_payload(doc_id, f"doc {doc_id} body " * 20)
+        assert mt == "image/gif"
+        assert parse_media_header(payload)[0] == "gif"
+        eng = gif_channel_bytes(payload)
+        seq = _gif_bytes_seq(payload)
+        assert eng is not None and seq is not None, doc_id
+        assert eng.tolist() == seq, doc_id
+        assert gif_pixel_mean(payload) == _gif_mean_seq(payload)
+
+
+def test_container_decode_matches_generator_formula():
+    for doc_id in (6, 21, 36, 51, 101):
+        payload, _ = synth_media_payload(doc_id, "t" * 300)
+        _, w, h = parse_media_header(payload)
+        pal_size = 1 << ((doc_id % 8) + 1)
+        pal = _synth_palette(doc_id, pal_size)
+        idx = _synth_pixels(doc_id, w, h, 1).reshape(-1) % pal_size
+        assert np.array_equal(gif_channel_bytes(payload), pal[idx].reshape(-1))
+
+
+def test_container_decode_rejects_malformed():
+    payload, _ = synth_media_payload(1, "body " * 40)
+    assert gif_channel_bytes(payload[:12]) is None  # truncated header
+    assert _gif_bytes_seq(payload[:12]) is None
+    assert gif_channel_bytes(payload[:-10]) is None  # truncated data stream
+    assert _gif_bytes_seq(payload[:-10]) is None
+    # interlace flag on the image descriptor -> unsupported on both sides
+    i = payload.index(b"\x2c", 13)
+    while payload[i] != 0x2C or i + 10 > len(payload):
+        i = payload.index(b"\x2c", i + 1)
+    bad = bytearray(payload)
+    bad[i + 9] |= 0x40
+    assert gif_channel_bytes(bytes(bad)) is None
+    assert _gif_bytes_seq(bytes(bad)) is None
+    # no global color table and no local one -> None
+    no_gct = bytearray(payload)
+    no_gct[10] &= 0x7F  # clear GCT flag; palette bytes now parse as garbage
+    assert gif_channel_bytes(bytes(no_gct)) is None
+    assert _gif_bytes_seq(bytes(no_gct)) is None

@@ -238,18 +238,23 @@ def test_grouped_ttest_scipy_free_reference(ray_session):
 def test_image_histogram_matches_scalar_reference(ray_session):
     import numpy as np
 
-    from hyperpolyglot_ray.sources.doc_oracle import _bmp_bytes_seq, _png_bytes_seq
+    from hyperpolyglot_ray.sources.doc_oracle import (
+        _bmp_bytes_seq,
+        _gif_bytes_seq,
+        _png_bytes_seq,
+    )
     from hyperpolyglot_ray.stages.multimodal import (
         image_byte_histogram,
         synth_media_payload,
     )
 
+    seq = {"png": _png_bytes_seq, "bmp": _bmp_bytes_seq, "gif": _gif_bytes_seq}
     for doc_id in range(0, 30):
         payload, _ = synth_media_payload(doc_id, f"body {doc_id} " * 8)
         kind = ("png", "gif", "jpeg", "bmp", "wav")[doc_id % 5]
         got = image_byte_histogram(payload, kind)
-        if kind in ("png", "bmp"):
-            bs = _png_bytes_seq(payload) if kind == "png" else _bmp_bytes_seq(payload)
+        if kind in seq:
+            bs = seq[kind](payload)
             counts = [0] * 8
             for v in bs:
                 counts[v >> 5] += 1

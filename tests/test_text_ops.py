@@ -388,10 +388,24 @@ def test_multimodal_decode(docs_ds):
             assert byid.loc[i, "height"] == 4 + (i * 13) % 40
     # pixel/sample decode is real: recompute the generator's pattern mean
     # directly from its formula (independent of the decoders)
-    for i in (0, 3, 4, 5, 8, 9, 10, 13, 14):
+    for i in (0, 1, 3, 4, 5, 6, 8, 9, 10, 11, 13, 14, 16):
         kind = ("png", "gif", "jpeg", "bmp", "wav")[i % 5]
         w, h = 4 + (i * 7) % 60, 4 + (i * 13) % 40
-        if kind in ("png", "bmp"):
+        if kind == "gif":
+            # palette-mapped LZW decode: recompute from the generator's
+            # index + palette formulas (independent of the decoders)
+            pal_size = 1 << ((i % 8) + 1)
+            ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            idx = ((3 * xs + 7 * ys + i) % 256).reshape(-1) % pal_size
+            j = idx.astype(np.int64)
+            rgb = np.stack(
+                [(5 * j + i) % 256, (11 * j + 3 * i) % 256, (23 * j + 7 * i) % 256],
+                axis=1,
+            )
+            expect = rgb.sum() / (w * h * 3)
+            assert byid.loc[i, "pixel_mean"] == expect, (i, kind)
+            assert np.isnan(byid.loc[i, "sample_rms"])
+        elif kind in ("png", "bmp"):
             ch = 4 if kind == "png" else 3
             ys, xs, cs = np.meshgrid(
                 np.arange(h), np.arange(w), np.arange(ch), indexing="ij"
@@ -406,7 +420,7 @@ def test_multimodal_decode(docs_ds):
             expect = math.sqrt(int((s * s).sum()) / len(s))
             assert byid.loc[i, "sample_rms"] == expect, i
             assert np.isnan(byid.loc[i, "pixel_mean"])
-        else:  # gif/jpeg: entropy decode out of scope -> nulls
+        else:  # jpeg: header-only by design -> nulls
             assert np.isnan(byid.loc[i, "pixel_mean"])
             assert np.isnan(byid.loc[i, "sample_rms"])
 
