@@ -1648,6 +1648,129 @@ def add_simhash(
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _vocab_topk_pruned(
+    partials: ray.data.Dataset, top_k: int, min_count: int
+) -> ray.data.Dataset | None:
+    """Pruned-exchange top-k over materialized ``(token, h, n, nd)``
+    vocab partials — exact, or None when inapplicable (caller falls back
+    to the full reduce).
+
+    Scheme (r5, the bound that makes per-block pruning exact): only rows
+    with block-local ``n >= min_count`` enter the global exchange (a 10x
+    row cut on the 300k-file code corpus: 49.8M -> 5.0M). A token pruned
+    from a block loses at most ``min_count - 1`` there, so
+    ``pruned_sum <= true_sum <= pruned_sum + slack`` with
+    ``slack = (min_count - 1) * n_blocks``. Every true top-k token
+    therefore has ``pruned_sum >= thresh - slack`` where ``thresh`` is
+    the k-th largest pruned sum — that superset (the candidates) is tiny,
+    and ONE broadcast-filtered re-scan of the partials recomputes their
+    EXACT ``(n_total, n_docs)`` plus the winner strings, so the emitted
+    top-k values are identical to the unpruned path's. When
+    ``thresh <= slack`` the bound cannot exclude fully-pruned tokens
+    (true_sum <= slack each) and the function returns None instead of
+    guessing. Driver holds only per-bucket top-k heads and the candidate
+    rows — nothing proportional to vocabulary size."""
+    import pyarrow.compute as _pc
+
+    from .shuffle import bucketed_group_reduce
+
+    # exact group count from the n=0 marker rows (one per partial batch);
+    # an int-column scan of the fixed-width partials, ~0.1 s at sf0.1
+    def count_markers(b: pa.Table) -> pa.Table:
+        g = _pc.sum(_pc.equal(b.column("n"), 0).cast(pa.int64())).as_py() or 0
+        return pa.table({"g": pa.array([g], type=pa.int64())})
+
+    n_groups = sum(
+        r["g"]
+        for r in partials.map_batches(
+            count_markers, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+    )
+    if n_groups == 0:
+        return None  # markers absent (empty corpus): fall back
+    slack = (min_count - 1) * n_groups
+
+    def prune_block(b: pa.Table) -> pa.Table:
+        keep = _pc.greater_equal(b.column("n"), min_count)
+        return pa.table(
+            {"h": b.column("h").filter(keep), "n": b.column("n").filter(keep)}
+        )
+
+    pruned = bucketed_group_reduce(
+        partials.map_batches(
+            prune_block, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "h",
+        [("n", "sum")],
+        n_buckets=512,
+    ).materialize()  # reused: threshold heads + candidate filter
+
+    # k-th largest pruned sum, distributively: reduce buckets are disjoint
+    # in h, so the global top-k is inside the union of per-bucket top-k
+    def bucket_head(b: pa.Table) -> pa.Table:
+        if b.num_rows > top_k:
+            order = _pc.sort_indices(
+                b, sort_keys=[("sum(n)", "descending")]
+            )[:top_k]
+            b = b.take(order)
+        return b
+
+    heads = pruned.map_batches(
+        bucket_head, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    if len(heads) < top_k:
+        return None  # not enough heavy tokens to certify a cutoff
+    sums = sorted((r["sum(n)"] for r in heads), reverse=True)
+    thresh = sums[top_k - 1]
+    if thresh <= slack:
+        return None  # a fully-pruned token could still reach the top-k
+
+    def cand_filter(b: pa.Table) -> pa.Table:
+        return b.filter(_pc.greater_equal(b.column("sum(n)"), thresh - slack))
+
+    cand_rows = pruned.map_batches(
+        cand_filter, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    cand_set = pa.array(sorted(r["h"] for r in cand_rows), type=pa.int64())
+
+    def exact_scan(b: pa.Table) -> pa.Table:
+        return b.filter(_pc.is_in(b.column("h"), value_set=cand_set))
+
+    # exact counts + winner strings in ONE re-scan (at most |candidates|
+    # rows per block leave each task)
+    acc: dict[int, list] = {}
+    for b in partials.map_batches(
+        exact_scan, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for h, tok, n_, nd_ in zip(
+            b.column("h").to_pylist(),
+            b.column("token").to_pylist(),
+            b.column("n").to_pylist(),
+            b.column("nd").to_pylist(),
+        ):
+            cur = acc.get(h)
+            if cur is None:
+                acc[h] = [tok, n_, nd_]
+            else:
+                if cur[0] != tok:
+                    raise RuntimeError(
+                        f"64-bit token-hash collision in top-k: "
+                        f"{cur[0]!r} vs {tok!r}"
+                    )
+                cur[1] += n_
+                cur[2] += nd_
+    top = sorted(acc.values(), key=lambda r: (-r[1], r[0]))[:top_k]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "token": pa.array([r[0] for r in top], type=pa.string()),
+                "n_total": pa.array([r[1] for r in top], type=pa.int64()),
+                "n_docs": pa.array([r[2] for r in top], type=pa.int64()),
+            }
+        )
+    )
+
+
 def vocab_stats(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -1663,6 +1786,14 @@ def vocab_stats(
     singletons distributively and only the head vocabulary reaches the
     driver (any ``min_count`` <= the true top-k cutoff is lossless for
     the top-k result).
+
+    With ``min_count > 1`` the exchange itself is pruned (r5,
+    :func:`_vocab_topk_pruned`): only partial rows with batch-local
+    ``n >= min_count`` are shuffled — a 10x row cut on the code corpus —
+    and a certified candidate superset of the top-k gets its EXACT counts
+    from one broadcast-filtered re-scan, with automatic fallback to the
+    full reduce whenever the prune bound cannot certify the cutoff. The
+    emitted values are identical to the unpruned path's in every case.
 
     Topology (r3, hash-keyed shuffle): each block emits one
     pre-aggregated ``(token, n, nd)`` partial (``n`` = occurrences,
@@ -1712,7 +1843,7 @@ def vocab_stats(
         # hash ONCE here and carry it: both the reduce and the winner
         # recovery below key on it, saving a second full hash pass over
         # every partial row (tens of millions at sf0.1)
-        return pa.table(
+        out = pa.table(
             {
                 "token": tok,
                 "h": pa.array(
@@ -1722,6 +1853,24 @@ def vocab_stats(
                 "nd": agg.column("doc_count_distinct").cast(pa.int64()),
             }
         )
+        if min_count > 1:
+            # one marker row (n=0 — real tokens always have n >= 1) per
+            # aggregation group, so the pruned fast path can count groups
+            # EXACTLY for its slack bound (output blocks can merge several
+            # map batches, so num_blocks() would under-count)
+            marker = pa.table(
+                {
+                    "token": pa.array([""], type=pa.string()),
+                    "h": pa.array(
+                        _hash_string_array(pa.array([""])).astype(np.int64),
+                        type=pa.int64(),
+                    ),
+                    "n": pa.array([0], type=pa.int64()),
+                    "nd": pa.array([0], type=pa.int64()),
+                }
+            )
+            out = pa.concat_tables([out, marker])
+        return out
 
     def hashed_partial(batch: pa.Table) -> pa.Table:
         return batch.select(["h", "n", "nd"])
@@ -1735,6 +1884,12 @@ def vocab_stats(
     partials = ds.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+    if min_count > 1:
+        fast = _vocab_topk_pruned(partials, top_k, min_count)
+        if fast is not None:
+            return fast
+        # fall through to the exact full reduce when the prune bound
+        # cannot certify the top-k (cutoff too close to the slack)
     agg = bucketed_group_reduce(
         partials.map_batches(
             hashed_partial, batch_format="pyarrow", zero_copy_batch=True

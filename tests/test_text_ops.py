@@ -883,6 +883,90 @@ def test_vocab_stats_counts_and_tiebreak(ray_session):
     assert out2 == ["a", "b", "c", "rare", "z"]  # count-1 tie -> ascending
 
 
+def test_vocab_pruned_fastpath_exact(ray_session):
+    """_vocab_topk_pruned on hand-built partials: exact counts recovered
+    for a candidate whose pruned sum LOST mass to the per-batch prune
+    (the tie it participates in is decided by the re-scan), and fallback
+    (None) when the cutoff cannot be certified."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from hyperpolyglot_ray.stages.text_ops import (
+        _hash_string_array,
+        _vocab_topk_pruned,
+    )
+
+    def grp(rows):
+        toks = [t for t, _, _ in rows] + [""]  # marker row per group
+        ns = [n for _, n, _ in rows] + [0]
+        nds = [d for _, _, d in rows] + [0]
+        return pa.table(
+            {
+                "token": pa.array(toks, type=pa.string()),
+                "h": pa.array(
+                    _hash_string_array(pa.array(toks)).astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "n": pa.array(ns, type=pa.int64()),
+                "nd": pa.array(nds, type=pa.int64()),
+            }
+        )
+
+    # two groups, min_count=2 -> slack = 2; e loses 1 to the prune in
+    # group 1 (n=1 < min_count) yet ties b at true 11 — the exact re-scan
+    # must decide the (-n, token) tie as b before e
+    g1 = grp([("a", 10, 3), ("b", 6, 2), ("c", 2, 1), ("d", 1, 1), ("e", 1, 1)])
+    g2 = grp([("a", 10, 2), ("b", 5, 2), ("c", 2, 2), ("e", 10, 4)])
+    partials = ray.data.from_arrow([g1, g2]).materialize()
+    out = _vocab_topk_pruned(partials, top_k=3, min_count=2)
+    assert out is not None
+    got = [(r["token"], r["n_total"], r["n_docs"]) for r in out.take_all()]
+    assert got == [("a", 20, 5), ("b", 11, 4), ("e", 11, 5)]
+    # uncertifiable cutoff (thresh <= slack): huge min_count -> fallback
+    assert _vocab_topk_pruned(partials, top_k=3, min_count=12) is None
+
+
+def test_vocab_pruned_equals_full_reduce(ray_session):
+    """vocab_stats(min_count=2) on a corpus heavy enough to take the
+    pruned fast path must equal a driver-side Counter ground truth."""
+    import collections
+
+    import pyarrow as pa
+    import ray.data
+
+    from hyperpolyglot_ray.stages.text_ops import vocab_stats
+
+    rng_words = [f"w{j}" for j in range(40)]
+    docs = []
+    for i in range(120):
+        words = ["hot"] * 8 + [rng_words[(i * 7 + k) % 40] for k in range(6)]
+        docs.append(" ".join(words))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(120), type=pa.int64()),
+                "text": pa.array(docs, type=pa.string()),
+            }
+        )
+    ).repartition(4)
+    n_tot = collections.Counter()
+    n_doc = collections.Counter()
+    for d in docs:
+        c = collections.Counter(d.split())
+        n_tot.update(c)
+        n_doc.update(c.keys())
+    expect = sorted(
+        ((t, n, n_doc[t]) for t, n in n_tot.items() if n >= 2),
+        key=lambda r: (-r[1], r[0]),
+    )[:10]
+    got = [
+        (r["token"], r["n_total"], r["n_docs"])
+        for r in vocab_stats(ds, top_k=10, min_count=2).take_all()
+    ]
+    assert got == expect
+
+
 def test_video_frame_sample(ray_session):
     import ray.data
 
