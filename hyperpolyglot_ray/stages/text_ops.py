@@ -18,11 +18,11 @@ with plain Python integer arithmetic; ORACLE_VERSION r3a pins the pair.
 
 At 100 TB scale: the exact/near-dup ``groupby`` keys are fixed-width hashes
 (uniformly distributed -> no skew). The MinHash verify stage is fully
-distributed (r4): candidate pairs are deduped in a bucketed shuffle,
-shingle sets are routed to pair buckets with ``hash_join`` (a document in P
-pairs ships at most once per bucket it appears in, never once per pair),
-and exact Jaccard runs inside the bucket co-group — nothing pair- or
-shingle-shaped is ever collected to the driver. The verified-edge
+distributed (r4; r5 cut it to three exchanges): shingle sets are routed to
+pair buckets through an id-keyed bucket co-group (a document in P pairs
+ships at most once per bucket it appears in, never once per pair), and
+exact Jaccard + global pair dedup run inside the verify co-group — nothing
+pair- or shingle-shaped is ever collected to the driver. The verified-edge
 reduction runs a driver union-find only below
 ``MINHASH_DRIVER_UF_MAX_EDGES`` and auto-routes through the distributed
 ``stages/graph.py:hash_min_components`` above it.
@@ -865,6 +865,14 @@ MINHASH_VERIFY_BUCKETS = 4096
 # through the fully-distributed ``hash_min_components`` (VERDICT r3 #3).
 MINHASH_DRIVER_UF_MAX_EDGES = 1_000_000
 
+# candidate-pair budget for the broadcast shingle-routing fast path in
+# ``_distributed_verify``: below it the deduped (bucket, id) need list
+# (pair-scale, ~32 B/row) broadcasts once via ``ray.put`` and shingle
+# blobs are emitted by a plain map over the corpus — NO corpus-wide
+# shuffle; above it the id-keyed routing co-group takes over. Same
+# driver-envelope discipline as MINHASH_DRIVER_UF_MAX_EDGES.
+MINHASH_BROADCAST_PAIRS_MAX = 1_000_000
+
 
 def minhash_verified_edges(
     ds: ray.data.Dataset,
@@ -999,12 +1007,13 @@ def minhash_dedup_keep_ids(
     2. flat to (band_key, id) rows -> groupby(band_key) -> candidate id
        pairs (all intra-bucket pairs for small buckets; canonical +
        consecutive chain links for pathological mega-buckets)
-    3. pairs bucketed by pair hash -> per-bucket global dedup + per-bucket
-       shingle-need rows (same pair always lands in the same bucket)
-    4. verify: candidate shingle SETS (not texts) routed to each bucket
-       with the distributed ``hash_join`` and co-grouped with the bucket's
-       pairs — exact n-gram Jaccard inside the group; a hub document in P
-       pairs ships <= MINHASH_VERIFY_BUCKETS times, never P times
+    3. (bucket, id) shingle needs routed through an id-keyed co-group
+       with the corpus texts; needs are deduped in-group before any blob
+       is materialized, so a hub document in P pairs ships
+       <= MINHASH_VERIFY_BUCKETS times, never P times
+    4. verify: pairs (deduped in-group — the same pair always hashes to
+       the same bucket) + routed shingle SETS, exact n-gram Jaccard
+       inside the verify co-group
     5. verified edges -> components. Below ``driver_uf_max_edges``
        (default MINHASH_DRIVER_UF_MAX_EDGES): driver union-find + one
        broadcast ``pc.is_in`` keep filter (fast path, edges << rows).
@@ -1195,12 +1204,26 @@ def _distributed_verify(
     verified (a, b) edge dataset (``None`` when there are no pairs).
     Fully distributed (VERDICT r3 §wrong 1): pairs never leave the
     cluster; shingle SETS (not texts) are routed to each verify bucket
-    with the distributed ``hash_join`` and co-grouped with the bucket's
-    globally-deduped pairs — a hub document in P pairs ships at most
-    min(P, bucket count) times, never P times. Shared back half of the
-    MinHash and exact-Jaccard (prefix-filter) near-dup operators."""
-    from .joins import hash_join
+    and co-grouped with the bucket's pairs — a hub document in P pairs
+    ships at most min(P, bucket count) times, never P times. Shared back
+    half of the MinHash and exact-Jaccard near-dup operators.
 
+    Exchange count (r5): THREE all-to-alls — (1) the candidate-pair
+    bucket sort upstream, (2) the id-keyed shingle-routing join, (3) the
+    verify-bucket co-group — down from five. The former global pair-dedup
+    exchange is gone: duplicate pairs (one per agreeing band, <= ``bands``
+    copies of a 16-byte row) ride exchange (3) and are deduped inside
+    ``verify_group``; the (bucket, id) shingle-need rows are deduped
+    inside the routing join's bucket groups BEFORE any blob is
+    materialized, so per-doc shingle replication stays <= min(pair
+    degree, bucket count) exactly as before.
+
+    Below ``MINHASH_BROADCAST_PAIRS_MAX`` candidate pairs, exchange (2)
+    disappears too: the globally-deduped (bucket, id) need list is
+    pair-scale, so it broadcasts once via ``ray.put`` and blob rows are
+    emitted by a plain streamed map over the corpus — the corpus itself
+    is never shuffled. Two exchanges total on that route, both over
+    pair-scale rows."""
     n_pairs_raw = pairs_mat.count()
     if n_pairs_raw == 0:
         return None
@@ -1215,116 +1238,203 @@ def _distributed_verify(
     n_blocks = int(max(8, min(256, n_pairs_raw // 50_000)))
     n_blocks = min(n_blocks, max(8, V // 2))
 
-    def add_verify_bucket(batch: pa.Table) -> pa.Table:
+    from .shuffle import _column_hash
+
+    def pair_rows_fn(batch: pa.Table) -> pa.Table:
+        """Pairs tagged with their verify bucket, in the tagged-union
+        schema of the verify co-group. No global dedup here (r5):
+        duplicate pairs (<= one per agreeing band) are cheap 16-byte
+        rows deduped inside verify_group."""
         a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
         b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
         h = _mix64(_mix64(a) * _U64(0x9E3779B97F4A7C15) + b)
+        n = batch.num_rows
         return pa.table(
             {
                 "__vb": pa.array((h % _U64(V)).astype(np.int64), type=pa.int64()),
                 "a": batch.column("a"),
                 "b": batch.column("b"),
+                "__id": pa.nulls(n, pa.int64()),
+                "__sh": pa.nulls(n, pa.large_binary()),
             }
         )
 
-    def dedupe_and_tag(group: pa.Table) -> pa.Table:
-        """Per verify bucket: global pair dedup (identical pairs always
-        hash to the same bucket) + the bucket's shingle-need rows, emitted
-        as ONE tagged union: pair rows (a, b, __id=null) and need rows
-        (__id, a=b=null). One group pass replaces the former driver-side
-        ``pair_set`` and candidate-id collection."""
-        if group.num_rows == 0:
-            return pa.schema(
-                [
-                    pa.field("__vb", pa.int64()),
-                    pa.field("a", pa.int64()),
-                    pa.field("b", pa.int64()),
-                    pa.field("__id", pa.int64()),
-                ]
-            ).empty_table()
-        vb = int(group.column("__vb")[0].as_py())
-        a = group.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = group.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        if len(a):
-            keep = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
-            a, b = a[keep], b[keep]
-        need = np.unique(np.concatenate([a, b]))
-        n_p, n_n = len(a), len(need)
-        pair_null = np.concatenate([np.zeros(n_p, bool), np.ones(n_n, bool)])
+    def need_rows_fn(batch: pa.Table) -> pa.Table:
+        """Batch-local distinct (verify bucket, doc id) shingle needs,
+        tagged side 0 of the routing join (side 1 = the corpus texts)."""
+        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _mix64(
+            _mix64(a.astype(np.uint64)) * _U64(0x9E3779B97F4A7C15)
+            + b.astype(np.uint64)
+        )
+        vb = (h % _U64(V)).astype(np.int64)
+        ids = np.concatenate([a, b])
+        vbs = np.concatenate([vb, vb])
+        uniq = np.unique(np.stack([vbs, ids], axis=1), axis=0)
         return pa.table(
             {
-                "__vb": pa.array(np.full(n_p + n_n, vb, dtype=np.int64), type=pa.int64()),
-                "a": pa.array(
-                    np.concatenate([a, np.zeros(n_n, dtype=np.int64)]),
+                "__jb": pa.array(
+                    (
+                        _column_hash(pa.array(uniq[:, 1], type=pa.int64()))
+                        % np.uint64(V)
+                    ).astype(np.int64),
                     type=pa.int64(),
-                    mask=pair_null,
                 ),
-                "b": pa.array(
-                    np.concatenate([b, np.zeros(n_n, dtype=np.int64)]),
-                    type=pa.int64(),
-                    mask=pair_null,
-                ),
-                "__id": pa.array(
-                    np.concatenate([np.zeros(n_p, dtype=np.int64), need]),
-                    type=pa.int64(),
-                    mask=~pair_null,
-                ),
+                "__vb": pa.array(uniq[:, 0], type=pa.int64()),
+                "__need": pa.array(uniq[:, 1], type=pa.int64()),
+                "__text": pa.nulls(len(uniq), pa.string()),
             }
         )
 
-    tagged = (
-        pairs_mat.repartition(n_blocks)
-        .map_batches(add_verify_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__vb")
-        .map_groups(dedupe_and_tag, batch_format="pyarrow")
-        .materialize()
+    def text_rows_fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64())
+        return pa.table(
+            {
+                "__jb": pa.array(
+                    (_column_hash(ids) % np.uint64(V)).astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "__vb": pa.nulls(batch.num_rows, pa.int64()),
+                "__need": ids,
+                "__text": batch.column(text_col).cast(pa.string()),
+            }
+        )
+
+    _sh_schema = pa.schema(
+        [
+            pa.field("__vb", pa.int64()),
+            pa.field("a", pa.int64()),
+            pa.field("b", pa.int64()),
+            pa.field("__id", pa.int64()),
+            pa.field("__sh", pa.large_binary()),
+        ]
     )
 
-    def need_rows(batch: pa.Table) -> pa.Table:
-        sub = batch.filter(pc.is_valid(batch.column("__id")))
-        return pa.table(
-            {"__vb": sub.column("__vb"), "__need": sub.column("__id").cast(pa.int64())}
+    def route_shingles(group: pa.Table) -> pa.Table:
+        """One id-hash bucket of the routing join: dedup the (vb, id)
+        needs ACROSS pair batches, compute each needed doc's shingle set
+        once, and emit one (vb, id, blob) row per distinct need — blob
+        replication is therefore bounded by distinct bucket membership,
+        identical to the former globally-deduped topology."""
+        if group.num_rows == 0:
+            return _sh_schema.empty_table()
+        is_need = np.asarray(pc.is_valid(group.column("__vb")), dtype=bool)
+        needs = group.filter(pa.array(is_need))
+        vbs = needs.column("__vb").to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = needs.column("__need").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.unique(np.stack([vbs, ids], axis=1), axis=0)
+        # shingle ONLY the needed docs — this group holds its whole hash
+        # slice of the corpus, but only candidate-pair members cost CPU
+        texts_all = group.filter(pa.array(~is_need))
+        texts = texts_all.filter(
+            pc.is_in(
+                texts_all.column("__need"),
+                value_set=pa.array(np.unique(ids), type=pa.int64()),
+            )
         )
-
-    mem = tagged.map_batches(need_rows, batch_format="pyarrow", zero_copy_batch=True)
-    # route each candidate's text to the verify buckets that need it —
-    # replication is bounded by bucket membership (<= V per doc), not by
-    # pair degree; the join shuffles (id, bucket) vs (id, text) rows only
-    cand_text = hash_join(mem, slim, left_on="__need", right_on=id_col, n_buckets=V)
-
-    def to_sh_rows(batch: pa.Table) -> pa.Table:
-        blobs = [
-            _shingle_values(_token_hashes(t or ""), shingle_width).tobytes()
-            for t in batch.column(text_col).to_pylist()
-        ]
-        n = batch.num_rows
+        blob_by_id = {
+            int(i): _shingle_values(_token_hashes(t or ""), shingle_width).tobytes()
+            for i, t in zip(
+                texts.column("__need").to_pylist(), texts.column("__text").to_pylist()
+            )
+        }
+        out_vb: list[int] = []
+        out_id: list[int] = []
+        out_blob: list[bytes] = []
+        for vb, i in uniq:
+            blob = blob_by_id.get(int(i))
+            if blob is not None:
+                out_vb.append(int(vb))
+                out_id.append(int(i))
+                out_blob.append(blob)
+        n = len(out_vb)
         return pa.table(
             {
-                "__vb": batch.column("__vb"),
+                "__vb": pa.array(out_vb, type=pa.int64()),
                 "a": pa.nulls(n, pa.int64()),
                 "b": pa.nulls(n, pa.int64()),
-                "__id": batch.column("__need").cast(pa.int64()),
-                "__sh": pa.array(blobs, type=pa.large_binary()),
+                "__id": pa.array(out_id, type=pa.int64()),
+                "__sh": pa.array(out_blob, type=pa.large_binary()),
             }
         )
 
-    sh_rows = cand_text.map_batches(to_sh_rows, batch_format="pyarrow")
+    pair_rows = pairs_mat.map_batches(
+        pair_rows_fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if n_pairs_raw <= MINHASH_BROADCAST_PAIRS_MAX:
+        # broadcast route: dedup the (bucket, id) needs on the driver
+        # (pair-scale envelope, <= 2 * pairs rows of 16 B) and emit blob
+        # rows from a plain map over the corpus — no corpus shuffle
+        vb_parts: list[np.ndarray] = []
+        id_parts: list[np.ndarray] = []
+        for b in pairs_mat.iter_batches(batch_format="pyarrow"):
+            a = b.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+            bb = b.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+            h = _mix64(
+                _mix64(a.astype(np.uint64)) * _U64(0x9E3779B97F4A7C15)
+                + bb.astype(np.uint64)
+            )
+            vb = (h % _U64(V)).astype(np.int64)
+            vb_parts.append(np.concatenate([vb, vb]))
+            id_parts.append(np.concatenate([a, bb]))
+        uniq = np.unique(
+            np.stack(
+                [np.concatenate(id_parts), np.concatenate(vb_parts)], axis=1
+            ),
+            axis=0,
+        )  # sorted by id, then bucket
+        need_ref = ray.put((uniq[:, 0].copy(), uniq[:, 1].copy()))
 
-    def pair_rows_fn(batch: pa.Table) -> pa.Table:
-        sub = batch.filter(pc.is_valid(batch.column("a")))
-        return pa.table(
-            {
-                "__vb": sub.column("__vb"),
-                "a": sub.column("a"),
-                "b": sub.column("b"),
-                "__id": sub.column("__id"),
-                "__sh": pa.nulls(sub.num_rows, pa.large_binary()),
-            }
+        def blob_rows(batch: pa.Table) -> pa.Table:
+            nid, nvb = ray.get(need_ref)
+            ids = batch.column(id_col).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            sel = np.flatnonzero(np.isin(ids, nid))
+            out_vb: list[int] = []
+            out_id: list[int] = []
+            out_blob: list[bytes] = []
+            texts = batch.column(text_col)
+            for j in sel.tolist():
+                did = int(ids[j])
+                t = texts[j].as_py()
+                blob = _shingle_values(
+                    _token_hashes(t or ""), shingle_width
+                ).tobytes()
+                lo = int(np.searchsorted(nid, did, side="left"))
+                hi = int(np.searchsorted(nid, did, side="right"))
+                for vb in nvb[lo:hi].tolist():
+                    out_vb.append(int(vb))
+                    out_id.append(did)
+                    out_blob.append(blob)
+            n = len(out_vb)
+            return pa.table(
+                {
+                    "__vb": pa.array(out_vb, type=pa.int64()),
+                    "a": pa.nulls(n, pa.int64()),
+                    "b": pa.nulls(n, pa.int64()),
+                    "__id": pa.array(out_id, type=pa.int64()),
+                    "__sh": pa.array(out_blob, type=pa.large_binary()),
+                }
+            )
+
+        sh_rows = slim.map_batches(
+            blob_rows, batch_format="pyarrow", zero_copy_batch=True
         )
-
-    pair_rows = tagged.map_batches(pair_rows_fn, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        sh_rows = (
+            pairs_mat.map_batches(
+                need_rows_fn, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .union(
+                slim.map_batches(
+                    text_rows_fn, batch_format="pyarrow", zero_copy_batch=True
+                )
+            )
+            .groupby("__jb")
+            .map_groups(route_shingles, batch_format="pyarrow")
+        )
 
     def verify_group(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -1340,9 +1450,16 @@ def _distributed_verify(
             )
         }
         p_tbl = group.filter(pa.array(~is_sh))
+        pa_np = p_tbl.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        pb_np = p_tbl.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(pa_np):
+            # global pair dedup (r5, moved here from its own exchange:
+            # identical pairs always hash to the same verify bucket)
+            uniq = np.unique(np.stack([pa_np, pb_np], axis=1), axis=0)
+            pa_np, pb_np = uniq[:, 0], uniq[:, 1]
         a_out, b_out = [], []
-        for a, b in zip(p_tbl.column("a").to_pylist(), p_tbl.column("b").to_pylist()):
-            sa, sb = m.get(int(a)), m.get(int(b))
+        for a, b in zip(pa_np.tolist(), pb_np.tolist()):
+            sa, sb = m.get(a), m.get(b)
             if sa is not None and sb is not None and _jaccard_arrays(sa, sb) >= threshold:
                 a_out.append(a)
                 b_out.append(b)

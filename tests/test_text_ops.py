@@ -883,6 +883,36 @@ def test_vocab_stats_counts_and_tiebreak(ray_session):
     assert out2 == ["a", "b", "c", "rare", "z"]  # count-1 tie -> ascending
 
 
+def test_minhash_verify_routes_agree(ray_session, monkeypatch):
+    """The broadcast shingle-routing fast path and the distributed
+    id-keyed co-group fallback must produce identical surviving ids."""
+    import pyarrow as pa
+    import ray.data
+
+    import hyperpolyglot_ray.stages.text_ops as T
+
+    texts = []
+    for i in range(60):
+        base = f"alpha beta gamma delta epsilon zeta eta theta {i % 7}"
+        texts.append(base if i % 3 else base + " extra")
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(60), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+    ).repartition(4)
+    fast = sorted(
+        r["doc_id"] for r in T.minhash_dedup_keep_ids(ds, threshold=0.7).take_all()
+    )
+    monkeypatch.setattr(T, "MINHASH_BROADCAST_PAIRS_MAX", 0)
+    slow = sorted(
+        r["doc_id"] for r in T.minhash_dedup_keep_ids(ds, threshold=0.7).take_all()
+    )
+    assert fast == slow and len(fast) < 60
+
+
 def test_vocab_pruned_fastpath_exact(ray_session):
     """_vocab_topk_pruned on hand-built partials: exact counts recovered
     for a candidate whose pruned sum LOST mass to the per-batch prune
