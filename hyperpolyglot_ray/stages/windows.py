@@ -1225,13 +1225,28 @@ def debounce_per_key(
     """Keep an event iff it is at least ``min_gap_seconds`` after the
     previously KEPT event of the same key (the first event always
     kept) — debounce / throttling, the classic stream-dedup rule for
-    retry storms and double-fires. This is a §2.10 streaming-only
-    semantic: which event is kept depends on the full kept-prefix, so
-    unlike :func:`sessionize`/:func:`value_runs_per_key` there is NO
-    chunk-merge decomposition — state at a chunk boundary is the whole
-    prefix, and the operator shuffles whole keys (documented envelope:
-    one key's events fit one worker; SQL cannot express the rule
-    without recursion, hence the sequential-sidecar oracle).
+    retry storms and double-fires. (SQL cannot express the rule without
+    recursion, hence the sequential-sidecar oracle.)
+
+    WHY THERE IS NO CHUNKED HOT-KEY ROUTE (r5 proof — the
+    :func:`sessionize` / :func:`value_runs_per_key` two-phase shape
+    provably does not exist here). The cross-chunk state is small — just
+    the last KEPT timestamp T — but the chunk-local output as a function
+    of T is not boundary-local: the kept cascade inside a chunk starts at
+    the first event with ``ts >= T + gap``, and shifting that start by
+    one event can realign every subsequent kept decision in the chunk.
+    Counterexample: events at ts = 0, g/2, g, 3g/2, ... (gap g) — one
+    incoming T keeps the even-indexed events, a slightly later T keeps
+    the odd-indexed ones, so the two outputs differ at EVERY position,
+    arbitrarily far from the boundary. A sessionize-style phase 2 that
+    re-examines only O(1) boundary rows per chunk therefore cannot emit
+    exact kept ids; any exact chunked evaluation must re-scan each
+    chunk's full event list once its incoming T is known — i.e. either
+    ship whole chunks to the per-key merge (the same memory envelope as
+    whole-key groups) or run #chunks sequential distributed rounds
+    (latency linear in the time range). The operator keeps the
+    whole-key envelope, documented: one key's events fit one worker —
+    at 100 TB, debounce keys are users/devices, not corpus-wide values.
 
     Per key the scan is O(kept x log n), not a row loop: events sort
     once by ``(ts, id)``; from each kept index the next kept is
