@@ -1,0 +1,210 @@
+#!/usr/bin/env python
+"""10x-scale soak (VERDICT r4 next #5): run the four heaviest pipelines at
+sf1.0-equivalent row counts and record wall time, peak object-store use,
+and spill — the measured evidence behind the 100x-scale design claims.
+
+Inputs are synthesized deterministically (no external data):
+
+* ``files``   — ``build_files_fixture(1.0)``: 3,000,000 rows (the bench
+  fixture generator at 10x the bench corpus).
+* ``documents`` — sf0.1 documents tiled 10x; every 5th token of replica
+  k >= 1 is replaced with a replica-unique token, so replicas are NOT
+  near-dups of each other (3-gram Jaccard ~0.25 << 0.8) and the corpus
+  keeps the original per-replica dup structure — pair count scales ~10x
+  instead of exploding combinatorially.
+* ``lineitem``/``orders`` — sf0.1 tiled 10x with orderkey offsets, so
+  join fan-out scales linearly.
+
+Usage: python scripts/soak_sf1.py  (writes one JSON line; ~5 min)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import re
+import sys
+import threading
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+
+SOAK_ROOT = Path("/tmp/hyperpolyglot_ray/soak_sf1")
+SF01 = Path("/root/testdata/sf0.1")
+REPLICAS = 10
+
+
+def build_documents() -> Path:
+    out = SOAK_ROOT / "documents"
+    if (out / "_DONE").exists():
+        return out
+    out.mkdir(parents=True, exist_ok=True)
+    t = pq.read_table(SF01 / "documents.parquet")
+    n = t.num_rows
+    max_id = int(pc.max(t.column("doc_id")).as_py()) + 1
+    texts = t.column("text").to_pylist()
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    other_cols = {
+        c: t.column(c) for c in t.column_names if c not in ("doc_id", "text")
+    }
+    for k in range(REPLICAS):
+        if k == 0:
+            rep_texts = texts
+        else:
+            rep_texts = []
+            for d, txt in zip(ids, texts):
+                words = (txt or "").split(" ")
+                rep_texts.append(
+                    " ".join(
+                        f"s{int(d)}x{k}w{j}" if j % 5 == 2 else w
+                        for j, w in enumerate(words)
+                    )
+                )
+        cols = {
+            "doc_id": pa.array(ids + k * max_id, type=pa.int64()),
+            "text": pa.array(rep_texts, type=pa.string()),
+        }
+        cols.update(other_cols)
+        pq.write_table(pa.table(cols), out / f"part-{k:02d}.parquet")
+    (out / "_DONE").touch()
+    return out
+
+
+def build_tpch() -> tuple[Path, Path]:
+    li_out, od_out = SOAK_ROOT / "lineitem", SOAK_ROOT / "orders"
+    if (li_out / "_DONE").exists() and (od_out / "_DONE").exists():
+        return li_out, od_out
+    li = pq.read_table(SF01 / "lineitem.parquet")
+    od = pq.read_table(SF01 / "orders.parquet")
+    off = int(pc.max(od.column("o_orderkey")).as_py()) + 1
+    for tbl, outdir, keys in (
+        (li, li_out, ["l_orderkey"]),
+        (od, od_out, ["o_orderkey"]),
+    ):
+        outdir.mkdir(parents=True, exist_ok=True)
+        for k in range(REPLICAS):
+            cols = {}
+            for c in tbl.column_names:
+                col = tbl.column(c)
+                if c in keys:
+                    col = pc.add(col, k * off)
+                cols[c] = col
+            pq.write_table(pa.table(cols), outdir / f"part-{k:02d}.parquet")
+        (outdir / "_DONE").touch()
+    return li_out, od_out
+
+
+class StorePeak(threading.Thread):
+    """Samples object-store usage via ray.available_resources()."""
+
+    def __init__(self) -> None:
+        super().__init__(daemon=True)
+        self.total = ray.cluster_resources().get("object_store_memory", 0.0)
+        self.min_avail = self.total
+        self.stop = threading.Event()
+
+    def run(self) -> None:
+        while not self.stop.is_set():
+            avail = ray.available_resources().get("object_store_memory", self.total)
+            self.min_avail = min(self.min_avail, avail)
+            self.stop.wait(0.25)
+
+    def peak_gb(self) -> float:
+        return (self.total - self.min_avail) / 1e9
+
+
+def spilled_bytes() -> int:
+    total = 0
+    for f in glob.glob("/tmp/ray/session_latest/logs/raylet.out"):
+        try:
+            for line in open(f, errors="ignore"):
+                m = re.search(r"Spilled (\d+) MiB", line)
+                if m:
+                    total = max(total, int(m.group(1)) * 1024 * 1024)
+        except OSError:
+            pass
+    return total
+
+
+def main() -> None:
+    num_cpus = 32
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    from hyperpolyglot_ray.sources.fixtures import build_files_fixture
+    from hyperpolyglot_ray.sources.io import read_parquet_clean as rp
+    from hyperpolyglot_ray.stages.joins import hash_join
+    from hyperpolyglot_ray.stages.text_ops import (
+        minhash_dedup_keep_ids,
+        vocab_stats,
+    )
+
+    docs_dir = build_documents()
+    li_dir, od_dir = build_tpch()
+    # bench sizes the corpus as sf * 3,000,000 rows; match it at sf 1.0
+    fix = build_files_fixture(1.0, n_rows=3_000_000)
+    files_dir = str(fix / "files")
+
+    import bench  # repo-root harness; reuse its exact flagship topology
+
+    results: dict[str, dict] = {}
+
+    def timed(name, fn):
+        mon = StorePeak()
+        mon.start()
+        t0 = time.time()
+        rows = fn()
+        wall = time.time() - t0
+        mon.stop.set()
+        mon.join()
+        results[name] = {
+            "wall_s": round(wall, 2),
+            "rows": int(rows),
+            "peak_object_store_gb": round(mon.peak_gb(), 2),
+        }
+        print(name, results[name], flush=True)
+
+    timed(
+        "flagship_3M",
+        lambda: bench._flagship(files_dir, num_cpus, sink="write")[1],
+    )
+    timed(
+        "files_vocab_3M",
+        lambda: vocab_stats(
+            rp(files_dir, columns=["path", "content"]),
+            text_col="content",
+            id_col="path",
+            top_k=100,
+            min_count=5,
+        ).count(),
+    )
+    timed(
+        "doc_minhash_dedup_300k",
+        lambda: minhash_dedup_keep_ids(rp(str(docs_dir))).count(),
+    )
+    timed(
+        "lineitem_orders_join_6M",
+        lambda: hash_join(
+            rp(str(li_dir), columns=["l_orderkey", "l_quantity"]),
+            rp(str(od_dir), columns=["o_orderkey", "o_custkey"]),
+            left_on="l_orderkey",
+            right_on="o_orderkey",
+        ).count(),
+    )
+    out = {
+        "soak": "sf1.0 (10x bench scale)",
+        "num_cpus": num_cpus,
+        "spilled_mb_max_session": round(spilled_bytes() / 1e6, 1),
+        "pipelines": results,
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
