@@ -403,6 +403,8 @@ def _gif_bytes_seq(p: bytes):
             continue
         if blk != 0x2C:
             return None
+        if i + 10 > len(p):  # truncated inside the descriptor header
+            return None
         iw = p[i + 5] | (p[i + 6] << 8)
         ih = p[i + 7] | (p[i + 8] << 8)
         lf = p[i + 9]

@@ -865,6 +865,19 @@ MINHASH_VERIFY_BUCKETS = 4096
 # through the fully-distributed ``hash_min_components`` (VERDICT r3 #3).
 MINHASH_DRIVER_UF_MAX_EDGES = 1_000_000
 
+def _pair_verify_bucket(a: np.ndarray, b: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Verify-bucket id for candidate pairs (a < b) — THE one hash that
+    pair rows, shingle-need rows, and the broadcast need list must all
+    agree on: a divergent copy would silently drop verified edges
+    (pairs and their blobs landing in different buckets make
+    verify_group skip them as missing shingles)."""
+    h = _mix64(
+        _mix64(a.astype(np.uint64)) * _U64(0x9E3779B97F4A7C15)
+        + b.astype(np.uint64)
+    )
+    return (h % _U64(n_buckets)).astype(np.int64)
+
+
 # candidate-pair budget for the broadcast shingle-routing fast path in
 # ``_distributed_verify``: below it the deduped (bucket, id) need list
 # (pair-scale, ~32 B/row) broadcasts once via ``ray.put`` and shingle
@@ -1245,13 +1258,12 @@ def _distributed_verify(
         schema of the verify co-group. No global dedup here (r5):
         duplicate pairs (<= one per agreeing band) are cheap 16-byte
         rows deduped inside verify_group."""
-        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = _mix64(_mix64(a) * _U64(0x9E3779B97F4A7C15) + b)
+        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
         n = batch.num_rows
         return pa.table(
             {
-                "__vb": pa.array((h % _U64(V)).astype(np.int64), type=pa.int64()),
+                "__vb": pa.array(_pair_verify_bucket(a, b, V), type=pa.int64()),
                 "a": batch.column("a"),
                 "b": batch.column("b"),
                 "__id": pa.nulls(n, pa.int64()),
@@ -1264,11 +1276,7 @@ def _distributed_verify(
         tagged side 0 of the routing join (side 1 = the corpus texts)."""
         a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
-        h = _mix64(
-            _mix64(a.astype(np.uint64)) * _U64(0x9E3779B97F4A7C15)
-            + b.astype(np.uint64)
-        )
-        vb = (h % _U64(V)).astype(np.int64)
+        vb = _pair_verify_bucket(a, b, V)
         ids = np.concatenate([a, b])
         vbs = np.concatenate([vb, vb])
         uniq = np.unique(np.stack([vbs, ids], axis=1), axis=0)
@@ -1371,11 +1379,7 @@ def _distributed_verify(
         for b in pairs_mat.iter_batches(batch_format="pyarrow"):
             a = b.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
             bb = b.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
-            h = _mix64(
-                _mix64(a.astype(np.uint64)) * _U64(0x9E3779B97F4A7C15)
-                + bb.astype(np.uint64)
-            )
-            vb = (h % _U64(V)).astype(np.int64)
+            vb = _pair_verify_bucket(a, bb, V)
             vb_parts.append(np.concatenate([vb, vb]))
             id_parts.append(np.concatenate([a, bb]))
         uniq = np.unique(

@@ -70,6 +70,19 @@ def test_container_decode_matches_generator_formula():
         assert np.array_equal(gif_channel_bytes(payload), pal[idx].reshape(-1))
 
 
+def test_decoders_never_raise_on_truncation():
+    """Every truncation of a valid payload must yield None or a decode on
+    BOTH decoders — never an exception (the sidecar previously raised
+    IndexError when cut inside the image-descriptor header)."""
+    payload, _ = synth_media_payload(6, "words here " * 30)
+    for cut in range(0, len(payload)):
+        e = gif_channel_bytes(payload[:cut])
+        s = _gif_bytes_seq(payload[:cut])
+        assert (e is None) == (s is None), cut
+        if e is not None:
+            assert e.tolist() == s, cut
+
+
 def test_container_decode_rejects_malformed():
     payload, _ = synth_media_payload(1, "body " * 40)
     assert gif_channel_bytes(payload[:12]) is None  # truncated header
