@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r5a"  # r5a: gif pixel decode (r4u: negative-sampling)
+ORACLE_VERSION = "r5b"  # r5b: gif interlace + palette png (r5a: gif decode)
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -290,6 +290,7 @@ def _png_bytes_seq(p: bytes):
         return None
     i, w, h, depth, ctype, inter = 8, 0, 0, None, None, None
     idat = b""
+    plte = None
     while i + 8 <= len(p):
         ln = int.from_bytes(p[i : i + 4], "big")
         typ = p[i + 4 : i + 8]
@@ -297,13 +298,17 @@ def _png_bytes_seq(p: bytes):
             d = p[i + 8 : i + 8 + ln]
             w, h = int.from_bytes(d[0:4], "big"), int.from_bytes(d[4:8], "big")
             depth, ctype, inter = d[8], d[9], d[12]
+        elif typ == b"PLTE":
+            plte = p[i + 8 : i + 8 + ln]
         elif typ == b"IDAT":
             idat += p[i + 8 : i + 8 + ln]
         elif typ == b"IEND":
             break
         i += 12 + ln
-    chmap = {0: 1, 2: 3, 4: 2, 6: 4}
+    chmap = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
     if depth != 8 or ctype not in chmap or inter != 0 or not idat:
+        return None
+    if ctype == 3 and (plte is None or len(plte) % 3):
         return None
     ch = chmap[ctype]
     raw = zlib.decompress(idat)
@@ -336,6 +341,14 @@ def _png_bytes_seq(p: bytes):
             cur[x] = (cur[x] + pred) & 0xFF
         out.extend(cur)
         prev = cur
+    if ctype == 3:
+        npal = len(plte) // 3
+        rgb = []
+        for v in out:
+            if v >= npal:
+                return None
+            rgb.extend(plte[3 * v : 3 * v + 3])
+        return rgb
     return out
 
 
@@ -416,7 +429,8 @@ def _gif_bytes_seq(p: bytes):
                 return None
             ct = [tuple(p[i + 3 * j : i + 3 * j + 3]) for j in range(size)]
             i += 3 * size
-        if lf & 0x40 or ct is None or iw * ih == 0 or i >= len(p):
+        interlaced = bool(lf & 0x40)
+        if ct is None or iw * ih == 0 or i >= len(p):
             return None
         mcs = p[i]
         i += 1
@@ -482,6 +496,16 @@ def _gif_bytes_seq(p: bytes):
                 return None
         if len(out) != iw * ih:
             return None
+        if interlaced:
+            # 4-pass row interleave, walked sequentially (vs the engine's
+            # vectorized scatter): stored row r holds actual row order[r]
+            actual: list[list[int]] = [[] for _ in range(ih)]
+            stored = 0
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                for y in range(start, ih, step):
+                    actual[y] = out[stored * iw : (stored + 1) * iw]
+                    stored += 1
+            out = [v for row in actual for v in row]
         rgb: list[int] = []
         npal = len(ct)
         for v in out:

@@ -226,11 +226,26 @@ def _gif_lzw_decode(
     return bytes(out) if len(out) == expected else None
 
 
+def _gif_deinterlace_order(h: int) -> np.ndarray:
+    """Row order of a GIF interlaced frame: pass 1 rows 0,8,16..., pass 2
+    rows 4,12..., pass 3 rows 2,6,10..., pass 4 rows 1,3,5... Returns the
+    actual row index of each STORED row."""
+    return np.concatenate(
+        [
+            np.arange(0, h, 8),
+            np.arange(4, h, 8),
+            np.arange(2, h, 4),
+            np.arange(1, h, 2),
+        ]
+    )
+
+
 def gif_channel_bytes(payload: bytes) -> "np.ndarray | None":
     """Palette-mapped RGB bytes of the FIRST frame of a GIF87a/89a — full
     LZW entropy decode (pure stdlib+numpy), extension blocks skipped,
-    local color table honored. THE shared decode behind gif_pixel_mean
-    and image_byte_histogram. None for interlaced frames, missing color
+    local color table honored, interlaced frames deinterlaced (the
+    4-pass row order of the spec). THE shared decode behind
+    gif_pixel_mean and image_byte_histogram. None for missing color
     table, out-of-palette indices, or malformed/truncated streams."""
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         return None
@@ -268,8 +283,9 @@ def gif_channel_bytes(payload: bytes) -> "np.ndarray | None":
                     payload, np.uint8, count=3 * size, offset=i
                 ).reshape(size, 3)
                 i += 3 * size
-            if lflags & 0x40 or ct is None or iw == 0 or ih == 0:
-                return None  # interlaced / no color table / degenerate
+            interlaced = bool(lflags & 0x40)
+            if ct is None or iw == 0 or ih == 0:
+                return None  # no color table / degenerate
             if i >= len(payload):
                 return None
             min_code_size = payload[i]
@@ -294,6 +310,11 @@ def gif_channel_bytes(payload: bytes) -> "np.ndarray | None":
             idx = np.frombuffer(indices, np.uint8)
             if idx.size and int(idx.max()) >= ct.shape[0]:
                 return None
+            if interlaced:
+                rows = idx.reshape(ih, iw)
+                out = np.empty_like(rows)
+                out[_gif_deinterlace_order(ih)] = rows
+                idx = out.reshape(-1)
             return ct[idx].reshape(-1)
         elif b == 0x3B:  # trailer before any image frame
             return None
@@ -324,11 +345,22 @@ def synth_media_payload(doc_id: int, text: str) -> tuple[bytes, str]:
     body = text.encode("utf-8")[:256]
     kind = ("png", "gif", "jpeg", "bmp", "wav")[doc_id % 5]
     if kind == "png":
-        # RGBA, bit depth 8; alternating filter types 0 (None) and 2 (Up)
-        # so the defilter path is genuinely exercised
-        px = _synth_pixels(doc_id, w, h, 4)
+        # bit depth 8; alternating filter types 0 (None) and 2 (Up) so
+        # the defilter path is genuinely exercised. A quarter of png
+        # payloads are palette images (color type 3 + PLTE) so the
+        # palette-mapping path is exercised — and oracled — continuously
+        paletted = (doc_id // 5) % 4 == 1
+        if paletted:
+            pal_size = 1 << ((doc_id % 7) + 1)
+            px = (_synth_pixels(doc_id, w, h, 1)[:, :, 0] % pal_size).astype(
+                np.uint8
+            )[:, :, None]
+            ch, ctype = 1, 3
+        else:
+            px = _synth_pixels(doc_id, w, h, 4)
+            ch, ctype = 4, 6
         rows = []
-        prev = np.zeros(w * 4, dtype=np.uint8)
+        prev = np.zeros(w * ch, dtype=np.uint8)
         for y in range(h):
             row = px[y].reshape(-1)
             if y % 2 == 0:
@@ -336,15 +368,16 @@ def synth_media_payload(doc_id: int, text: str) -> tuple[bytes, str]:
             else:
                 rows.append(b"\x02" + (row - prev).tobytes())  # uint8 wrap = mod 256
             prev = row
-        ihdr = struct.pack(">II", w, h) + bytes([8, 6, 0, 0, 0])
+        ihdr = struct.pack(">II", w, h) + bytes([8, ctype, 0, 0, 0])
         idat = zlib.compress(b"".join(rows), 6)
-        payload = (
-            b"\x89PNG\r\n\x1a\n"
-            + _png_chunk(b"IHDR", ihdr)
-            + _png_chunk(b"IDAT", idat)
-            + _png_chunk(b"IEND", b"")
-        )
-        return payload, "image/png"
+        chunks = [_png_chunk(b"IHDR", ihdr)]
+        if paletted:
+            chunks.append(
+                _png_chunk(b"PLTE", _synth_palette(doc_id, pal_size).tobytes())
+            )
+        chunks.append(_png_chunk(b"IDAT", idat))
+        chunks.append(_png_chunk(b"IEND", b""))
+        return b"\x89PNG\r\n\x1a\n" + b"".join(chunks), "image/png"
     if kind == "gif":
         # fully decodable GIF89a: global color table of 2^(n+1) entries,
         # a comment extension carrying the text body (exercises the
@@ -352,9 +385,15 @@ def synth_media_payload(doc_id: int, text: str) -> tuple[bytes, str]:
         n = doc_id % 8  # GCT size field: 2 .. 256 palette entries
         pal_size = 1 << (n + 1)
         palette = _synth_palette(doc_id, pal_size)
-        indices = (
-            _synth_pixels(doc_id, w, h, 1).reshape(-1) % pal_size
-        ).astype(np.uint8)
+        index_rows = (_synth_pixels(doc_id, w, h, 1)[:, :, 0] % pal_size).astype(
+            np.uint8
+        )
+        # a quarter of gif payloads are interlaced (4-pass row order) so
+        # the deinterlace path is exercised — and oracled — continuously
+        interlaced = (doc_id // 5) % 4 == 1
+        if interlaced:
+            index_rows = index_rows[_gif_deinterlace_order(h)]
+        indices = index_rows.reshape(-1)
         min_code_size = max(2, n + 1)
         lzw = _gif_lzw_encode(indices.tobytes(), min_code_size)
         parts = [
@@ -369,7 +408,11 @@ def synth_media_payload(doc_id: int, text: str) -> tuple[bytes, str]:
                 sub = body[j : j + 255]
                 parts.append(bytes([len(sub)]) + sub)
             parts.append(b"\x00")
-        parts.append(b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00")
+        parts.append(
+            b"\x2c"
+            + struct.pack("<HHHH", 0, 0, w, h)
+            + (b"\x40" if interlaced else b"\x00")
+        )
         parts.append(bytes([min_code_size]))
         for j in range(0, len(lzw), 255):
             sub = lzw[j : j + 255]
@@ -409,7 +452,7 @@ def synth_media_payload(doc_id: int, text: str) -> tuple[bytes, str]:
 
 # -- pure-stdlib pixel / sample decoders ------------------------------------
 
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # 3 = palette (PLTE-mapped)
 
 
 def png_pixel_mean(payload: bytes) -> float | None:
@@ -427,11 +470,14 @@ def png_channel_bytes(payload: bytes) -> "np.ndarray | None":
     """The reconstructed (defiltered) channel-byte stream of a
     bit-depth-8 PNG as one uint8 array — THE shared decode for
     png_pixel_mean and image_histograms, so the filter reconstruction
-    cannot diverge between them. None for unsupported layouts."""
+    cannot diverge between them. Palette images (color type 3) are
+    mapped through their PLTE chunk to RGB bytes. None for unsupported
+    layouts (interlaced, 16-bit, sub-8-bit palette)."""
     if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
         return None
     i, w, h, depth, ctype, interlace = 8, None, None, None, None, None
     idat: list[bytes] = []
+    plte: bytes | None = None
     while i + 8 <= len(payload):
         ln = int.from_bytes(payload[i : i + 4], "big")
         typ = payload[i + 4 : i + 8]
@@ -440,12 +486,16 @@ def png_channel_bytes(payload: bytes) -> "np.ndarray | None":
             w = int.from_bytes(data[0:4], "big")
             h = int.from_bytes(data[4:8], "big")
             depth, ctype, interlace = data[8], data[9], data[12]
+        elif typ == b"PLTE":
+            plte = data
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
             break
         i += 12 + ln
     if not idat or depth != 8 or ctype not in _PNG_CHANNELS or interlace != 0:
+        return None
+    if ctype == 3 and (plte is None or len(plte) % 3):
         return None
     ch = _PNG_CHANNELS[ctype]
     try:
@@ -486,6 +536,11 @@ def png_channel_bytes(payload: bytes) -> "np.ndarray | None":
             return None
         out[_y * stride : (_y + 1) * stride] = cur
         prev = cur
+    if ctype == 3:
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        if int(out.max(initial=0)) >= pal.shape[0]:
+            return None
+        return pal[out].reshape(-1)
     return out
 
 

@@ -61,7 +61,9 @@ def test_engine_decoder_matches_sequential_sidecar():
 
 
 def test_container_decode_matches_generator_formula():
-    for doc_id in (6, 21, 36, 51, 101):
+    # 6 and 26 are interlaced payloads ((doc_id // 5) % 4 == 1): the
+    # decoder must return the ACTUAL image, deinterlaced
+    for doc_id in (6, 21, 26, 36, 51, 101):
         payload, _ = synth_media_payload(doc_id, "t" * 300)
         _, w, h = parse_media_header(payload)
         pal_size = 1 << ((doc_id % 8) + 1)
@@ -83,20 +85,45 @@ def test_decoders_never_raise_on_truncation():
             assert e.tolist() == s, cut
 
 
+def test_palette_png_decode_matches_formula_and_sidecar():
+    """Color-type-3 PNGs (a quarter of synth png payloads) decode through
+    PLTE on both the engine and the sequential sidecar."""
+    from hyperpolyglot_ray.sources.doc_oracle import _png_bytes_seq
+    from hyperpolyglot_ray.stages.multimodal import png_channel_bytes
+
+    for doc_id in (5, 25, 45, 105):  # png ids with (doc_id // 5) % 4 == 1
+        payload, mt = synth_media_payload(doc_id, "body " * 20)
+        assert mt == "image/png" and payload[25] == 3  # IHDR color type
+        eng = png_channel_bytes(payload)
+        seq = _png_bytes_seq(payload)
+        assert eng is not None and eng.tolist() == seq, doc_id
+        _, w, h = parse_media_header(payload)
+        pal_size = 1 << ((doc_id % 7) + 1)
+        pal = _synth_palette(doc_id, pal_size)
+        idx = _synth_pixels(doc_id, w, h, 1).reshape(-1) % pal_size
+        assert np.array_equal(eng, pal[idx].reshape(-1)), doc_id
+    # non-palette pngs keep their raw channel stream
+    p0, _ = synth_media_payload(0, "x" * 30)
+    assert p0[25] == 6 and png_channel_bytes(p0) is not None
+
+
 def test_container_decode_rejects_malformed():
     payload, _ = synth_media_payload(1, "body " * 40)
     assert gif_channel_bytes(payload[:12]) is None  # truncated header
     assert _gif_bytes_seq(payload[:12]) is None
     assert gif_channel_bytes(payload[:-10]) is None  # truncated data stream
     assert _gif_bytes_seq(payload[:-10]) is None
-    # interlace flag on the image descriptor -> unsupported on both sides
+    # flipping the interlace flag reorders rows but still decodes — and
+    # both decoders must agree on the (scrambled) result
     i = payload.index(b"\x2c", 13)
     while payload[i] != 0x2C or i + 10 > len(payload):
         i = payload.index(b"\x2c", i + 1)
     bad = bytearray(payload)
     bad[i + 9] |= 0x40
-    assert gif_channel_bytes(bytes(bad)) is None
-    assert _gif_bytes_seq(bytes(bad)) is None
+    eng = gif_channel_bytes(bytes(bad))
+    seq = _gif_bytes_seq(bytes(bad))
+    assert eng is not None and eng.tolist() == seq
+    assert eng.tolist() != gif_channel_bytes(payload).tolist()
     # no global color table and no local one -> None
     no_gct = bytearray(payload)
     no_gct[10] &= 0x7F  # clear GCT flag; palette bytes now parse as garbage

@@ -391,7 +391,20 @@ def test_multimodal_decode(docs_ds):
     for i in (0, 1, 3, 4, 5, 6, 8, 9, 10, 11, 13, 14, 16):
         kind = ("png", "gif", "jpeg", "bmp", "wav")[i % 5]
         w, h = 4 + (i * 7) % 60, 4 + (i * 13) % 40
-        if kind == "gif":
+        if kind == "png" and (i // 5) % 4 == 1:
+            # palette png: mean over PLTE-mapped RGB bytes
+            pal_size = 1 << ((i % 7) + 1)
+            ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            idx = ((3 * xs + 7 * ys + i) % 256).reshape(-1) % pal_size
+            j = idx.astype(np.int64)
+            rgb = np.stack(
+                [(5 * j + i) % 256, (11 * j + 3 * i) % 256, (23 * j + 7 * i) % 256],
+                axis=1,
+            )
+            expect = rgb.sum() / (w * h * 3)
+            assert byid.loc[i, "pixel_mean"] == expect, (i, kind)
+            assert np.isnan(byid.loc[i, "sample_rms"])
+        elif kind == "gif":
             # palette-mapped LZW decode: recompute from the generator's
             # index + palette formulas (independent of the decoders)
             pal_size = 1 << ((i % 8) + 1)
