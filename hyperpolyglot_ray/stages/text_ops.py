@@ -769,11 +769,40 @@ class MinHashStage:
         return (_mix64(acc) >> _U64(2)).astype(np.int64).tolist()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # r5: one vectorized pass over the batch's CONCATENATED shingle
+        # stream — the (a*h+b) % p permutations run on the whole batch at
+        # once and per-doc minima come from np.minimum.reduceat, instead
+        # of a k x |shingles| matrix per document. Permutation rows are
+        # processed in chunks of 8 so the temporary stays ~12 MB per 200k
+        # shingles at any batch size. Bitwise identical to the per-doc
+        # signature()/band_keys() path (property-tested).
         texts = batch.column(self.text_col).to_pylist()
-        all_keys = [self.band_keys(self.signature(t or "")) for t in texts]
+        n_docs = len(texts)
+        if n_docs == 0:
+            for j in range(self.bands):
+                batch = batch.append_column(
+                    f"band_{j}", pa.array([], type=pa.int64())
+                )
+            return batch
+        sh = [_shingle_hashes(t or "", self.width) for t in texts]
+        lens = np.array([len(s) for s in sh], dtype=np.int64)
+        flat = np.concatenate(sh)
+        starts = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        sig = np.empty((self.k, n_docs), dtype=np.uint64)
+        p = np.uint64(_MERSENNE)
+        for c0 in range(0, self.k, 8):
+            c1 = min(c0 + 8, self.k)
+            vals = (self.a[c0:c1, None] * flat[None, :] + self.b[c0:c1, None]) % p
+            sig[c0:c1] = np.minimum.reduceat(vals, starts, axis=1)
+        chunks = sig.reshape(self.bands, self.r, n_docs)
+        acc = np.repeat(self._band_seeds[:, None], n_docs, axis=1)
+        for j in range(self.r):
+            acc = acc * _B_BAND + chunks[:, j, :]
+        keys = (_mix64(acc) >> _U64(2)).astype(np.int64)
         for j in range(self.bands):
             batch = batch.append_column(
-                f"band_{j}", pa.array([k[j] for k in all_keys], type=pa.int64())
+                f"band_{j}", pa.array(keys[j], type=pa.int64())
             )
         return batch
 

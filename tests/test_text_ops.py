@@ -896,6 +896,34 @@ def test_vocab_stats_counts_and_tiebreak(ray_session):
     assert out2 == ["a", "b", "c", "rare", "z"]  # count-1 tie -> ascending
 
 
+def test_minhash_batch_vectorization_bitwise(ray_session):
+    """The vectorized reduceat batch path of MinHashStage must be bitwise
+    identical to the per-document signature()/band_keys() reference,
+    including empty and sub-width documents."""
+    import pyarrow as pa
+
+    from hyperpolyglot_ray.stages.text_ops import MinHashStage
+
+    st = MinHashStage()
+    texts = ["", "a", "x y", "one two three four five six"] + [
+        f"doc {i} " + " ".join(str(j * i) for j in range(i % 30))
+        for i in range(30)
+    ]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = st(batch)
+    for i, t in enumerate(texts):
+        ref = st.band_keys(st.signature(t))
+        got = [out.column(f"band_{j}")[i].as_py() for j in range(st.bands)]
+        assert got == ref, i
+    empty = st(batch.slice(0, 0))
+    assert empty.num_rows == 0 and f"band_{st.bands - 1}" in empty.column_names
+
+
 def test_minhash_verify_routes_agree(ray_session, monkeypatch):
     """The broadcast shingle-routing fast path and the distributed
     id-keyed co-group fallback must produce identical surviving ids."""
