@@ -1052,6 +1052,22 @@ def _q_doc_video_frames(sf_dir: str):
     return video_frame_sample(ds, every=4)
 
 
+def _q_doc_gif_video_frames(sf_dir: str):
+    """Frame sampling over REAL animated GIF payloads: every frame LZW-
+    decoded and palette-mapped in the actor-pool stage, every-4th frame
+    sampled, exact-int mean over the sampled RGB bytes — the pixel-real
+    counterpart of doc_video_frames' documented-synthetic container."""
+    from hyperpolyglot_ray.stages.multimodal import (
+        attach_video_payload,
+        video_frame_sample,
+    )
+
+    ds = attach_video_payload(
+        _docs(sf_dir).select_columns(["doc_id"]), container="gif"
+    )
+    return video_frame_sample(ds, every=4)
+
+
 def _q_doc_corpus_intersect(sf_dir: str):
     from hyperpolyglot_ray.stages.incremental import (
         corpus_intersect_ids,
@@ -4946,6 +4962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_incremental_dedup": _q_doc_incremental_dedup,
         "doc_corpus_intersect": _q_doc_corpus_intersect,
         "doc_video_frames": _q_doc_video_frames,
+        "doc_gif_video_frames": _q_doc_gif_video_frames,
         "doc_multimodal_resize": _q_doc_multimodal_resize,
         "doc_sample_mix": _q_doc_sample_mix,
         "doc_paragraph_dedup": _q_doc_paragraph_dedup,
@@ -6745,6 +6762,9 @@ SELECT doc_id, token AS keyword, score, rank FROM ranked WHERE rank <= 5""",
         ),
         "doc_video_frames": (
             f"SELECT doc_id, n_frames, n_sampled, frame_mean FROM read_parquet('{side}/doc_video_frames.parquet')"
+        ),
+        "doc_gif_video_frames": (
+            f"SELECT doc_id, n_frames, n_sampled, frame_mean FROM read_parquet('{side}/doc_gif_video_frames.parquet')"
         ),
         "doc_multimodal_resize": (
             f"SELECT doc_id, resized_mean FROM read_parquet('{side}/doc_multimodal_resize.parquet')"

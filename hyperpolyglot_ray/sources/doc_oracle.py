@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r5b"  # r5b: gif interlace + palette png (r5a: gif decode)
+ORACLE_VERSION = "r5c"  # r5c: animated-gif frame sampling (r5b: interlace)
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -390,12 +390,20 @@ def _gif_mean_seq(p: bytes):
 
 
 def _gif_bytes_seq(p: bytes):
-    """Palette-mapped RGB-byte list of a GIF's first frame — independent
-    scalar decode (vs stages/multimodal.py gif_channel_bytes): bit
+    """Palette-mapped RGB-byte list of a GIF's first frame (see
+    ``_gif_frames_seq``)."""
+    frames = _gif_frames_seq(p, max_frames=1)
+    return frames[0] if frames else None
+
+
+def _gif_frames_seq(p: bytes, max_frames=None):
+    """Per-frame palette-mapped RGB-byte lists of a GIF — independent
+    scalar decode (vs stages/multimodal.py _gif_decode_frames): bit
     cursor over the concatenated sub-block data instead of a shift
     buffer, dict code table of int tuples, list output. Same spec:
-    GIF89a appendix LZW, non-interlaced only, 12-bit code cap, strict
-    end-of-information / exact-length checks."""
+    GIF89a appendix LZW, 4-pass deinterlace, 12-bit code cap, strict
+    end-of-information / exact-length checks. None on any malformed
+    frame or zero frames."""
     if len(p) < 13 or p[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     i = 13
@@ -406,6 +414,7 @@ def _gif_bytes_seq(p: bytes):
             return None
         gct = [tuple(p[i + 3 * j : i + 3 * j + 3]) for j in range(size)]
         i += 3 * size
+    frames: list[list[int]] = []
     while i < len(p):
         blk = p[i]
         if blk == 0x21:
@@ -414,6 +423,8 @@ def _gif_bytes_seq(p: bytes):
                 i += 1 + p[i]
             i += 1
             continue
+        if blk == 0x3B:  # trailer
+            break
         if blk != 0x2C:
             return None
         if i + 10 > len(p):  # truncated inside the descriptor header
@@ -512,8 +523,10 @@ def _gif_bytes_seq(p: bytes):
             if v >= npal:
                 return None
             rgb.extend(ct[v])
-        return rgb
-    return None
+        frames.append(rgb)
+        if max_frames is not None and len(frames) >= max_frames:
+            return frames
+    return frames or None
 
 
 def _expected_image_hist(texts, doc_ids) -> pa.Table:
@@ -804,6 +817,38 @@ def _expected_video_frames(doc_ids, every: int = 4) -> pa.Table:
         nf.append(n)
         ns.append(len(picks))
         mean.append(total / (len(picks) * fsz))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_frames": pa.array(nf, type=pa.int64()),
+            "n_sampled": pa.array(ns, type=pa.int64()),
+            "frame_mean": pa.array(mean, type=pa.float64()),
+        }
+    )
+
+
+def _expected_gif_video_frames(doc_ids, every: int = 4) -> pa.Table:
+    """Sequential reference for frame sampling over REAL animated GIFs:
+    regenerates each payload via the shared generator, decodes every
+    frame with the independent sequential LZW decoder
+    (``_gif_frames_seq``), and samples every ``every``-th frame."""
+    from ..stages.multimodal import synth_animated_gif_payload
+
+    ids, nf, ns, mean = [], [], [], []
+    for i in doc_ids:
+        frames = _gif_frames_seq(synth_animated_gif_payload(int(i)))
+        ids.append(int(i))
+        if frames is None:
+            nf.append(None)
+            ns.append(None)
+            mean.append(None)
+            continue
+        picks = frames[::every]
+        total = sum(sum(f) for f in picks)
+        count = sum(len(f) for f in picks)
+        nf.append(len(frames))
+        ns.append(len(picks))
+        mean.append(total / count if count else None)
     return pa.table(
         {
             "doc_id": pa.array(ids, type=pa.int64()),
@@ -1970,6 +2015,9 @@ def build_oracle_sidecars(sf_dir: str, fixture_dir: Path) -> Path:
         _expected_contamination(texts, doc_ids), out / "doc_contamination.parquet"
     )
     pq.write_table(_expected_video_frames(doc_ids), out / "doc_video_frames.parquet")
+    pq.write_table(
+        _expected_gif_video_frames(doc_ids), out / "doc_gif_video_frames.parquet"
+    )
     pq.write_table(_expected_resize(texts, doc_ids), out / "doc_multimodal_resize.parquet")
     pq.write_table(_expected_simhash_dedup(texts, doc_ids), out / "doc_simhash_dedup.parquet")
     pq.write_table(_expected_span_dedup(texts, doc_ids), out / "doc_span_dedup.parquet")

@@ -240,13 +240,16 @@ def _gif_deinterlace_order(h: int) -> np.ndarray:
     )
 
 
-def gif_channel_bytes(payload: bytes) -> "np.ndarray | None":
-    """Palette-mapped RGB bytes of the FIRST frame of a GIF87a/89a — full
+def _gif_decode_frames(
+    payload: bytes, max_frames: int | None = None
+) -> "list[np.ndarray] | None":
+    """Palette-mapped RGB arrays for the frames of a GIF87a/89a — full
     LZW entropy decode (pure stdlib+numpy), extension blocks skipped,
-    local color table honored, interlaced frames deinterlaced (the
-    4-pass row order of the spec). THE shared decode behind
-    gif_pixel_mean and image_byte_histogram. None for missing color
-    table, out-of-palette indices, or malformed/truncated streams."""
+    local color tables honored, interlaced frames deinterlaced (the
+    4-pass row order of the spec). With ``max_frames`` the walk stops
+    early (``max_frames=1`` = the still-image decode). None for missing
+    color table, out-of-palette indices, zero frames, or
+    malformed/truncated streams."""
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     flags = payload[10]
@@ -260,6 +263,7 @@ def gif_channel_bytes(payload: bytes) -> "np.ndarray | None":
             size, 3
         )
         i += 3 * size
+    frames: list[np.ndarray] = []
     while i < len(payload):
         b = payload[i]
         if b == 0x21:  # extension: label byte then data sub-blocks
@@ -315,12 +319,22 @@ def gif_channel_bytes(payload: bytes) -> "np.ndarray | None":
                 out = np.empty_like(rows)
                 out[_gif_deinterlace_order(ih)] = rows
                 idx = out.reshape(-1)
-            return ct[idx].reshape(-1)
-        elif b == 0x3B:  # trailer before any image frame
-            return None
+            frames.append(ct[idx].reshape(-1))
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames
+        elif b == 0x3B:  # trailer
+            break
         else:
             return None
-    return None
+    return frames or None
+
+
+def gif_channel_bytes(payload: bytes) -> "np.ndarray | None":
+    """Palette-mapped RGB bytes of the FIRST frame of a GIF87a/89a — THE
+    shared decode behind gif_pixel_mean and image_byte_histogram (see
+    ``_gif_decode_frames`` for the full spec)."""
+    frames = _gif_decode_frames(payload, max_frames=1)
+    return frames[0] if frames else None
 
 
 def _png_chunk(typ: bytes, data: bytes) -> bytes:
@@ -900,6 +914,45 @@ def multimodal_features(
 VIDEO_MAGIC = b"HVID"
 
 
+def synth_animated_gif_payload(doc_id: int) -> bytes:
+    """Deterministic multi-frame ANIMATED GIF89a — a real video-ish
+    container (netscape-era animation): global color table, a graphic
+    control extension per frame, each frame a full-rect LZW-compressed
+    index image derived from (doc_id, frame). The REAL counterpart of
+    the documented-fake HVID container for the frame-sampling stage."""
+    w = 8 + doc_id % 12
+    h = 6 + doc_id % 7
+    n_frames = 6 + doc_id % 14
+    n = doc_id % 6  # GCT size field: 2 .. 64 entries
+    pal_size = 1 << (n + 1)
+    palette = _synth_palette(doc_id, pal_size)
+    min_code_size = max(2, n + 1)
+    parts = [
+        b"GIF89a",
+        struct.pack("<HH", w, h),
+        bytes([0x80 | 0x70 | n, 0, 0]),
+        palette.tobytes(),
+        # netscape looping application extension (skipped by the decoder)
+        b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00",
+    ]
+    for f in range(n_frames):
+        idx = (
+            (_synth_pixels(doc_id + 97 * f, w, h, 1)[:, :, 0] % pal_size)
+            .astype(np.uint8)
+            .reshape(-1)
+        )
+        lzw = _gif_lzw_encode(idx.tobytes(), min_code_size)
+        parts.append(b"\x21\xf9\x04\x00\x04\x00\x00\x00")  # graphic control
+        parts.append(b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00")
+        parts.append(bytes([min_code_size]))
+        for j in range(0, len(lzw), 255):
+            sub = lzw[j : j + 255]
+            parts.append(bytes([len(sub)]) + sub)
+        parts.append(b"\x00")
+    parts.append(b"\x3b")
+    return b"".join(parts)
+
+
 def synth_video_payload(doc_id: int) -> bytes:
     """Deterministic synthetic multi-frame 'video' container (the video
     codec libraries are absent in this environment, so the FORMAT is a
@@ -916,24 +969,32 @@ def synth_video_payload(doc_id: int) -> bytes:
 
 
 def attach_video_payload(
-    ds: ray.data.Dataset, id_col: str = "doc_id"
+    ds: ray.data.Dataset, id_col: str = "doc_id", container: str = "hvid"
 ) -> ray.data.Dataset:
+    """Attach a deterministic multi-frame payload: ``container="hvid"``
+    (the documented synthetic raw-frame container) or ``container="gif"``
+    (REAL animated GIF89a, LZW-encoded frames)."""
+    if container not in ("hvid", "gif"):
+        raise ValueError(f"unknown video container: {container!r}")
+    synth = synth_video_payload if container == "hvid" else synth_animated_gif_payload
+
     def fn(batch: pa.Table) -> pa.Table:
-        payloads = [
-            synth_video_payload(int(i)) for i in batch.column(id_col).to_pylist()
-        ]
+        payloads = [synth(int(i)) for i in batch.column(id_col).to_pylist()]
         return batch.append_column("payload", pa.array(payloads, type=pa.binary()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
 class FrameSampleStage:
-    """Actor-pool frame-sampling stage: decode the container header, take
-    every ``every``-th frame (0, every, 2·every, …), and emit per-payload
+    """Actor-pool frame-sampling stage: decode the container, take every
+    ``every``-th frame (0, every, 2·every, …), and emit per-payload
     ``(n_frames, n_sampled, frame_mean)`` where ``frame_mean`` is the mean
     pixel value over the sampled frames (one int sum per payload, one
-    float division — deterministic at any batching). Heavy payload bytes
-    are dropped in-task; ``batch_size`` bounds per-actor heap exactly like
+    float division — deterministic at any batching). Two containers:
+    ANIMATED GIF (real pixel decode — every frame LZW-decompressed and
+    palette-mapped, mean over the sampled frames' RGB bytes) and the
+    documented-synthetic raw-frame HVID. Heavy payload bytes are dropped
+    in-task; ``batch_size`` bounds per-actor heap exactly like
     ``DecodeStage``."""
 
     def __init__(self, every: int = 4):
@@ -942,6 +1003,20 @@ class FrameSampleStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n_frames_out, n_sampled_out, mean_out = [], [], []
         for p in batch.column("payload").to_pylist():
+            if p is not None and p[:6] in (b"GIF87a", b"GIF89a"):
+                frames = _gif_decode_frames(p)
+                if frames is None:
+                    n_frames_out.append(None)
+                    n_sampled_out.append(None)
+                    mean_out.append(None)
+                    continue
+                sampled = frames[:: self.every]
+                total = sum(int(f.astype(np.int64).sum()) for f in sampled)
+                count = sum(len(f) for f in sampled)
+                n_frames_out.append(len(frames))
+                n_sampled_out.append(len(sampled))
+                mean_out.append(total / count if count else None)
+                continue
             if p is None or len(p) < 10 or p[:4] != VIDEO_MAGIC:
                 n_frames_out.append(None)
                 n_sampled_out.append(None)

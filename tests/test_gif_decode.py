@@ -107,6 +107,51 @@ def test_palette_png_decode_matches_formula_and_sidecar():
     assert p0[25] == 6 and png_channel_bytes(p0) is not None
 
 
+def test_animated_gif_frames_engine_matches_sidecar():
+    """Multi-frame animated GIFs decode to the same frame list on the
+    engine and the sequential sidecar, and the frame-sampling stage's
+    numbers match a direct recomputation."""
+    import pyarrow as pa
+
+    from hyperpolyglot_ray.sources.doc_oracle import _gif_frames_seq
+    from hyperpolyglot_ray.stages.multimodal import (
+        FrameSampleStage,
+        _gif_decode_frames,
+        synth_animated_gif_payload,
+    )
+
+    for doc_id in (0, 3, 7, 12, 19):
+        p = synth_animated_gif_payload(doc_id)
+        eng = _gif_decode_frames(p)
+        seq = _gif_frames_seq(p)
+        assert eng is not None and seq is not None, doc_id
+        assert len(eng) == 6 + doc_id % 14 == len(seq), doc_id
+        for fe, fs in zip(eng, seq):
+            assert fe.tolist() == fs
+        # truncated stream -> None on both
+        assert _gif_decode_frames(p[:-5]) is None
+        assert _gif_frames_seq(p[:-5]) is None
+    stage = FrameSampleStage(every=4)
+    p = synth_animated_gif_payload(9)
+    out = stage(
+        pa.table(
+            {
+                "doc_id": pa.array([9, 10], pa.int64()),
+                "payload": pa.array([p, b"junk"], pa.binary()),
+            }
+        )
+    )
+    frames = _gif_decode_frames(p)
+    picks = frames[::4]
+    expect = sum(int(f.astype(np.int64).sum()) for f in picks) / sum(
+        len(f) for f in picks
+    )
+    assert out.column("n_frames")[0].as_py() == len(frames)
+    assert out.column("n_sampled")[0].as_py() == len(picks)
+    assert out.column("frame_mean")[0].as_py() == expect
+    assert out.column("n_frames")[1].as_py() is None  # junk payload -> nulls
+
+
 def test_container_decode_rejects_malformed():
     payload, _ = synth_media_payload(1, "body " * 40)
     assert gif_channel_bytes(payload[:12]) is None  # truncated header
