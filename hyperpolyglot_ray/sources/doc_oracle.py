@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r5c"  # r5c: animated-gif frame sampling (r5b: interlace)
+ORACLE_VERSION = "r5d"  # r5d: baseline-jpeg pixel decode (r5c: animated gif)
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -382,6 +382,236 @@ def _bmp_bytes_seq(p: bytes):
     return out
 
 
+# integer IDCT basis — the SAME spec constants as the engine
+# (stages/multimodal.py _JPEG_IDCT_BASIS); the implementations differ
+# (scalar per-pixel loops here vs numpy matmuls there)
+_IDCT18 = [
+    [185364, 185364, 185364, 185364, 185364, 185364, 185364, 185364],
+    [257107, 217965, 145639, 51142, -51142, -145639, -217965, -257107],
+    [242189, 100318, -100318, -242189, -242189, -100318, 100318, 242189],
+    [217965, -51142, -257107, -145639, 145639, 257107, 51142, -217965],
+    [185364, -185364, -185364, 185364, 185364, -185364, -185364, 185364],
+    [145639, -257107, 51142, 217965, -217965, -51142, 257107, -145639],
+    [100318, -242189, 242189, -100318, -100318, 242189, -242189, 100318],
+    [51142, -145639, 217965, -257107, 257107, -217965, 145639, -51142],
+]
+
+
+def _jpeg_mean_seq(p: bytes):
+    bs = _jpeg_bytes_seq(p)
+    if bs is None or not bs:
+        return None
+    return sum(bs) / len(bs)
+
+
+def _jpeg_bytes_seq(p: bytes):
+    """Grayscale pixel-byte list of a baseline single-component JPEG —
+    independent sequential decode (vs stages/multimodal.py
+    jpeg_channel_bytes): bit-cursor entropy reader, dict-of-prefix
+    Huffman lookup, per-pixel scalar IDCT loops with the shared integer
+    spec constants. None for non-baseline/multi-component/16-bit-quant/
+    restart streams and malformed/truncated payloads."""
+    n = len(p)
+    if n < 4 or p[:2] != b"\xff\xd8":
+        return None
+    # zigzag order, generated by the diagonal walk (T.81 scan order)
+    zig = []
+    for s in range(15):
+        rr = (
+            range(min(s, 7), max(0, s - 7) - 1, -1)
+            if s % 2 == 0
+            else range(max(0, s - 7), min(s, 7) + 1)
+        )
+        for r in rr:
+            zig.append(r * 8 + (s - r))
+    i = 2
+    qts: dict[int, list[int]] = {}
+    tabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = None
+    cq = cdc = cac = None
+    scan_at = None
+    while i + 4 <= n:
+        if p[i] != 0xFF:
+            return None
+        m = p[i + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if m == 0xD9:
+            return None
+        ln = (p[i + 2] << 8) | p[i + 3]
+        if ln < 2 or i + 2 + ln > n:
+            return None
+        seg = p[i + 4 : i + 2 + ln]
+        if m == 0xDB:
+            j = 0
+            while j < len(seg):
+                if seg[j] >> 4:
+                    return None
+                if j + 65 > len(seg):
+                    return None
+                qts[seg[j] & 15] = list(seg[j + 1 : j + 65])
+                j += 65
+        elif m == 0xC4:
+            j = 0
+            while j + 17 <= len(seg):
+                key = (seg[j] >> 4, seg[j] & 15)
+                bits = list(seg[j + 1 : j + 17])
+                cnt = sum(bits)
+                if j + 17 + cnt > len(seg):
+                    return None
+                vals = list(seg[j + 17 : j + 17 + cnt])
+                tab: dict[tuple[int, int], int] = {}
+                code = 0
+                vi = 0
+                for bl in range(1, 17):
+                    for _ in range(bits[bl - 1]):
+                        tab[(bl, code)] = vals[vi]
+                        vi += 1
+                        code += 1
+                    code <<= 1
+                tabs[key] = tab
+                j += 17 + cnt
+        elif m == 0xC0:
+            if len(seg) < 9 or seg[0] != 8 or seg[5] != 1 or seg[7] != 0x11:
+                return None
+            h = (seg[1] << 8) | seg[2]
+            w = (seg[3] << 8) | seg[4]
+            cq = seg[8]
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None
+        elif m == 0xDD:
+            if len(seg) < 2 or (seg[0] << 8) | seg[1]:
+                return None
+        elif m == 0xDA:
+            if len(seg) < 6 or seg[0] != 1:
+                return None
+            cdc, cac = seg[2] >> 4, seg[2] & 15
+            scan_at = i + 2 + ln
+            break
+        i += 2 + ln
+    if (
+        scan_at is None
+        or not w
+        or not h
+        or cq not in qts
+        or (0, cdc) not in tabs
+        or (1, cac) not in tabs
+    ):
+        return None
+    dc_tab, ac_tab = tabs[(0, cdc)], tabs[(1, cac)]
+    q = qts[cq]
+    stream = bytearray()
+    j = scan_at
+    while True:
+        if j >= n:
+            return None
+        b = p[j]
+        if b == 0xFF:
+            if j + 1 >= n:
+                return None
+            if p[j + 1] == 0x00:
+                stream.append(0xFF)
+                j += 2
+                continue
+            if p[j + 1] == 0xD9:
+                break
+            return None
+        stream.append(b)
+        j += 1
+    total_bits = 8 * len(stream)
+    cur = [0]  # bit cursor
+
+    def bit():
+        if cur[0] >= total_bits:
+            return None
+        v = (stream[cur[0] >> 3] >> (7 - (cur[0] & 7))) & 1
+        cur[0] += 1
+        return v
+
+    def bits_(k):
+        v = 0
+        for _ in range(k):
+            b = bit()
+            if b is None:
+                return None
+            v = (v << 1) | b
+        return v
+
+    def sym(tab):
+        code = 0
+        for bl in range(1, 17):
+            b = bit()
+            if b is None:
+                return None
+            code = (code << 1) | b
+            if (bl, code) in tab:
+                return tab[(bl, code)]
+        return None
+
+    def ext(v, cat):
+        return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+    mx, my = (w + 7) // 8, (h + 7) // 8
+    rows: list[list[int]] = [[0] * (mx * 8) for _ in range(my * 8)]
+    pred = 0
+    for by in range(my):
+        for bx in range(mx):
+            cz = [0] * 64
+            cat = sym(dc_tab)
+            if cat is None or cat > 15:
+                return None
+            if cat:
+                v = bits_(cat)
+                if v is None:
+                    return None
+                pred += ext(v, cat)
+            cz[0] = pred
+            k = 1
+            while k < 64:
+                s = sym(ac_tab)
+                if s is None:
+                    return None
+                if s == 0:
+                    break
+                run, size = s >> 4, s & 15
+                if size == 0:
+                    if run != 15:
+                        return None
+                    k += 16
+                    continue
+                k += run
+                if k > 63:
+                    return None
+                v = bits_(size)
+                if v is None:
+                    return None
+                cz[k] = ext(v, size)
+                k += 1
+            coef = [0] * 64
+            for z in range(64):
+                c = cz[z] * q[z]
+                if c >= (1 << 20) or c <= -(1 << 20):
+                    return None
+                coef[zig[z]] = c
+            for y in range(8):
+                for x in range(8):
+                    s_ = 0
+                    for v_ in range(8):
+                        bvy = _IDCT18[v_][y]
+                        row = coef[v_ * 8 : v_ * 8 + 8]
+                        for u in range(8):
+                            c = row[u]
+                            if c:
+                                s_ += c * bvy * _IDCT18[u][x]
+                    px = 128 + ((s_ + (1 << 37)) >> 38)
+                    rows[by * 8 + y][bx * 8 + x] = min(255, max(0, px))
+    out: list[int] = []
+    for y in range(h):
+        out.extend(rows[y][:w])
+    return out
+
+
 def _gif_mean_seq(p: bytes):
     bs = _gif_bytes_seq(p)
     if bs is None or not bs:
@@ -548,7 +778,11 @@ def _expected_image_hist(texts, doc_ids) -> pa.Table:
             else (
                 _bmp_bytes_seq(payload)
                 if kind == "bmp"
-                else _gif_bytes_seq(payload) if kind == "gif" else None
+                else (
+                    _gif_bytes_seq(payload)
+                    if kind == "gif"
+                    else _jpeg_bytes_seq(payload) if kind == "jpeg" else None
+                )
             )
         )
         if bs is None:
@@ -707,7 +941,11 @@ def _expected_multimodal(texts, doc_ids) -> pa.Table:
             else (
                 _bmp_mean_seq(payload)
                 if kind == "bmp"
-                else _gif_mean_seq(payload) if kind == "gif" else None
+                else (
+                    _gif_mean_seq(payload)
+                    if kind == "gif"
+                    else _jpeg_mean_seq(payload) if kind == "jpeg" else None
+                )
             )
         )
         rmss.append(_wav_rms_seq(payload) if kind == "wav" else None)

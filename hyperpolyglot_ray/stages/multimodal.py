@@ -1,8 +1,10 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-JPEG is HEADER-ONLY (kind/width/height; its DCT+Huffman entropy decode is
-codec-table territory — jpeg rows carry null pixel columns). PNG, GIF and
-BMP are pixel-real; WAV is sample-real.
+ALL FIVE container formats are decoded for real: PNG (zlib + defilter +
+PLTE palettes), GIF (full LZW, interlace, animation), JPEG (baseline
+grayscale: canonical Huffman + dequant + the shared integer IDCT —
+progressive/color streams yield null pixel columns), BMP rows, and PCM
+WAV samples.
 
 Image/audio payloads are carried as ``binary`` columns with a ``media_type``
 string column. Three layers, all REAL (no codec libraries needed):
@@ -13,9 +15,10 @@ string column. Three layers, all REAL (no codec libraries needed):
   sample-rate/channels. This is the metadata extraction layer a 100 TB
   multimodal pipeline runs on every payload.
 * **Pixel/sample decode.** ``DecodeStage(pixels=True)`` decodes PNG
-  (stdlib ``zlib`` inflate + full scanline defilter, filters 0-4), GIF
-  (full LZW decompression of the first frame's indexed stream + global/
-  local color-table mapping, non-interlaced), 24-bit BMP rows, and 16-bit
+  (stdlib ``zlib`` inflate + full scanline defilter, filters 0-4, PLTE
+  palettes), GIF (full LZW decompression + color-table mapping +
+  deinterlace), baseline grayscale JPEG (canonical Huffman entropy
+  decode + dequantization + integer IDCT), 24-bit BMP rows, and 16-bit
   PCM WAV samples — pure stdlib+numpy — and emits ``pixel_mean`` (mean
   over all channel bytes of the reconstructed image) and ``sample_rms``
   (RMS of the PCM stream). Both statistics are exact-integer
@@ -337,6 +340,391 @@ def gif_channel_bytes(payload: bytes) -> "np.ndarray | None":
     return frames[0] if frames else None
 
 
+# -- baseline grayscale JPEG codec (pure stdlib+numpy) ----------------------
+#
+# Shared INTEGER IDCT spec (engine and sidecar both use these exact
+# constants, so decoded pixels are bitwise comparable):
+# IB18[u][x] = round(C(u) * cos((2x+1) u pi / 16) * 2^18), C(0)=1/sqrt(2);
+# pixel(y, x) = clamp(128 + ((sum_{v,u} coef[v][u] IB18[v][y] IB18[u][x]
+#               + 2^37) >> 38), 0, 255)   [1/4 * 2^-36 fold, int64-safe]
+_JPEG_IDCT_BASIS = np.array(
+    [
+        [185364, 185364, 185364, 185364, 185364, 185364, 185364, 185364],
+        [257107, 217965, 145639, 51142, -51142, -145639, -217965, -257107],
+        [242189, 100318, -100318, -242189, -242189, -100318, 100318, 242189],
+        [217965, -51142, -257107, -145639, 145639, 257107, 51142, -217965],
+        [185364, -185364, -185364, 185364, 185364, -185364, -185364, 185364],
+        [145639, -257107, 51142, 217965, -217965, -51142, 257107, -145639],
+        [100318, -242189, 242189, -100318, -100318, 242189, -242189, 100318],
+        [51142, -145639, 217965, -257107, 257107, -217965, 145639, -51142],
+    ],
+    dtype=np.int64,
+)
+
+
+def _jpeg_zigzag() -> np.ndarray:
+    """Zigzag index -> raster index (the T.81 scan order)."""
+    order = []
+    for s in range(15):
+        rng = (
+            range(min(s, 7), max(0, s - 7) - 1, -1)
+            if s % 2 == 0
+            else range(max(0, s - 7), min(s, 7) + 1)
+        )
+        for r in rng:
+            order.append(r * 8 + (s - r))
+    return np.array(order, dtype=np.int64)
+
+
+_JPEG_ZIGZAG = _jpeg_zigzag()
+
+
+def _jpeg_build_huffman(bits: list[int], vals: list[int]) -> dict:
+    """Canonical Huffman per T.81 C.2: {(length, code): symbol}."""
+    table = {}
+    code = 0
+    idx = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[idx]
+            idx += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing (encoder side)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            byte = ((self.acc << (8 - self.nbits)) | ((1 << (8 - self.nbits)) - 1)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+        return bytes(self.out)
+
+
+def _jpeg_category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+# synth scan tables: one 4-bit-code DC table (categories 0..7) and one
+# 6-bit-code AC table (EOB, ZRL, (run 0..15, size 1..3)) — canonical,
+# emitted verbatim in the DHT segments
+_SYNTH_DC_VALS = list(range(8))
+_SYNTH_DC_BITS = [0, 0, 0, 8] + [0] * 12
+_SYNTH_AC_VALS = sorted([0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in (1, 2, 3)])
+_SYNTH_AC_BITS = [0, 0, 0, 0, 0, len(_SYNTH_AC_VALS)] + [0] * 10
+
+
+def _synth_jpeg_coefs(doc_id: int, bx: int, by: int) -> np.ndarray:
+    """Deterministic quantized coefficients (zigzag order) for one block."""
+    c = np.zeros(64, dtype=np.int64)
+    c[0] = ((doc_id * 7 + bx * 13 + by * 29) % 64) - 32
+    for z in range(1, 6):
+        c[z] = ((doc_id + 11 * z + 3 * bx + 5 * by) % 15) - 7
+    return c
+
+
+def synth_jpeg_payload(doc_id: int, w: int, h: int, body: bytes) -> bytes:
+    """Deterministic VALID baseline grayscale JPEG: one quant table, the
+    fixed canonical Huffman tables above, frequency-domain synthesized
+    blocks (no encoder-side DCT — pixel ground truth is the shared
+    integer IDCT of these coefficients), text body in a COM segment."""
+    q = np.array([1 + ((3 * z + doc_id) % 16) for z in range(64)], dtype=np.int64)
+
+    # canonical code assignment (encoder mirror of _jpeg_build_huffman)
+    def assign(bits, vals):
+        out = {}
+        code = 0
+        idx = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                out[vals[idx]] = (ln, code)
+                idx += 1
+                code += 1
+            code <<= 1
+        return out
+
+    dc_codes = assign(_SYNTH_DC_BITS, _SYNTH_DC_VALS)
+    ac_codes = assign(_SYNTH_AC_BITS, _SYNTH_AC_VALS)
+    bw = _JpegBitWriter()
+    mx, my = (w + 7) // 8, (h + 7) // 8
+    pred = 0
+    for by_ in range(my):
+        for bx in range(mx):
+            cz = _synth_jpeg_coefs(doc_id, bx, by_)
+            diff = int(cz[0]) - pred
+            pred = int(cz[0])
+            cat = _jpeg_category(diff)
+            ln, cd = dc_codes[cat]
+            bw.put(cd, ln)
+            if cat:
+                bw.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+            k = 1
+            while k < 64:
+                run = 0
+                while k < 64 and cz[k] == 0:
+                    run += 1
+                    k += 1
+                if k == 64:
+                    ln, cd = ac_codes[0x00]  # EOB
+                    bw.put(cd, ln)
+                    break
+                while run > 15:
+                    ln, cd = ac_codes[0xF0]  # ZRL
+                    bw.put(cd, ln)
+                    run -= 16
+                v = int(cz[k])
+                size = _jpeg_category(v)
+                ln, cd = ac_codes[(run << 4) | size]
+                bw.put(cd, ln)
+                bw.put(v if v >= 0 else v + (1 << size) - 1, size)
+                k += 1
+    scan = bw.flush()
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dqt = bytes([0x00]) + bytes(int(x) for x in q)
+    sof0 = bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(_SYNTH_DC_BITS) + bytes(_SYNTH_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(_SYNTH_AC_BITS) + bytes(_SYNTH_AC_VALS)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    parts = [b"\xff\xd8", seg(0xE0, app0)]
+    if body:
+        parts.append(seg(0xFE, body[:256]))
+    parts += [
+        seg(0xDB, dqt),
+        seg(0xC0, sof0),
+        seg(0xC4, dht_dc),
+        seg(0xC4, dht_ac),
+        seg(0xDA, sos),
+        scan,
+        b"\xff\xd9",
+    ]
+    return b"".join(parts)
+
+
+def jpeg_channel_bytes(payload: bytes) -> "np.ndarray | None":
+    """Grayscale byte stream of a BASELINE single-component JPEG — full
+    entropy decode: canonical Huffman (T.81 C.2), DC prediction, AC
+    run-length, byte unstuffing, dequantization, and the shared integer
+    IDCT spec above (bitwise identical to the sequential sidecar).
+    None for progressive/multi-component/subsampled/16-bit-quant/restart
+    streams and any malformed or truncated payload."""
+    n = len(payload)
+    if n < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    w = h = None
+    comp_q = dc_id = ac_id = None
+    scan_start = None
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None
+        m = payload[i + 1]
+        if m == 0xD8 or m == 0x01 or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if m == 0xD9:
+            return None  # EOI before SOS
+        ln = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if ln < 2 or i + 2 + ln > n:
+            return None
+        data = payload[i + 4 : i + 2 + ln]
+        if m == 0xDB:
+            j = 0
+            while j < len(data):
+                pq, tq = data[j] >> 4, data[j] & 15
+                if pq != 0:
+                    return None  # 16-bit quant unsupported
+                if j + 65 > len(data):
+                    return None
+                qt[tq] = np.frombuffer(
+                    data, np.uint8, count=64, offset=j + 1
+                ).astype(np.int64)
+                j += 65
+        elif m == 0xC4:
+            j = 0
+            while j + 17 <= len(data):
+                tc, th = data[j] >> 4, data[j] & 15
+                bits = list(data[j + 1 : j + 17])
+                cnt = sum(bits)
+                if j + 17 + cnt > len(data):
+                    return None
+                vals = list(data[j + 17 : j + 17 + cnt])
+                huff[(tc, th)] = _jpeg_build_huffman(bits, vals)
+                j += 17 + cnt
+        elif m == 0xC0:
+            if len(data) < 8 or data[0] != 8:
+                return None
+            h = int.from_bytes(data[1:3], "big")
+            w = int.from_bytes(data[3:5], "big")
+            if data[5] != 1 or len(data) < 9:
+                return None  # single-component (grayscale) only
+            if data[7] != 0x11:
+                return None  # no subsampling
+            comp_q = data[8]
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline frame
+        elif m == 0xDD:
+            if int.from_bytes(data[:2], "big") != 0:
+                return None  # restart intervals unsupported
+        elif m == 0xDA:
+            if len(data) < 6 or data[0] != 1:
+                return None
+            dc_id, ac_id = data[2] >> 4, data[2] & 15
+            scan_start = i + 2 + ln
+            break
+        i += 2 + ln
+    if (
+        scan_start is None
+        or w is None
+        or w == 0
+        or h == 0
+        or comp_q not in qt
+        or (0, dc_id) not in huff
+        or (1, ac_id) not in huff
+    ):
+        return None
+    dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
+    q = qt[comp_q]
+
+    # unstuff the entropy stream up to EOI
+    data = bytearray()
+    i = scan_start
+    while True:
+        if i >= n:
+            return None
+        b = payload[i]
+        if b == 0xFF:
+            if i + 1 >= n:
+                return None
+            b2 = payload[i + 1]
+            if b2 == 0x00:
+                data.append(0xFF)
+                i += 2
+                continue
+            if b2 == 0xD9:
+                break
+            return None  # restart marker / stray marker in scan
+        data.append(b)
+        i += 1
+
+    nbits_total = 8 * len(data)
+    pos = 0
+
+    def read_bit() -> int | None:
+        nonlocal pos
+        if pos >= nbits_total:
+            return None
+        byte_i, bit_i = pos >> 3, 7 - (pos & 7)
+        pos += 1
+        return (data[byte_i] >> bit_i) & 1
+
+    def read_bits(k: int) -> int | None:
+        v = 0
+        for _ in range(k):
+            b = read_bit()
+            if b is None:
+                return None
+            v = (v << 1) | b
+        return v
+
+    def read_symbol(tab: dict) -> int | None:
+        code = 0
+        for ln in range(1, 17):
+            b = read_bit()
+            if b is None:
+                return None
+            code = (code << 1) | b
+            sym = tab.get((ln, code))
+            if sym is not None:
+                return sym
+        return None
+
+    def extend(v: int, cat: int) -> int:
+        return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+    mx, my = (w + 7) // 8, (h + 7) // 8
+    img = np.empty((my * 8, mx * 8), dtype=np.uint8)
+    basis = _JPEG_IDCT_BASIS
+    pred = 0
+    for by_ in range(my):
+        for bx in range(mx):
+            cz = np.zeros(64, dtype=np.int64)
+            cat = read_symbol(dc_tab)
+            if cat is None or cat > 15:
+                return None
+            if cat:
+                v = read_bits(cat)
+                if v is None:
+                    return None
+                pred += extend(v, cat)
+            cz[0] = pred
+            k = 1
+            while k < 64:
+                sym = read_symbol(ac_tab)
+                if sym is None:
+                    return None
+                if sym == 0x00:
+                    break
+                run, size = sym >> 4, sym & 15
+                if size == 0:
+                    if run != 15:
+                        return None
+                    k += 16
+                    continue
+                k += run
+                if k > 63:
+                    return None
+                v = read_bits(size)
+                if v is None:
+                    return None
+                cz[k] = extend(v, size)
+                k += 1
+            coef = np.zeros(64, dtype=np.int64)
+            coef[_JPEG_ZIGZAG] = cz * q
+            if int(np.abs(coef).max()) >= (1 << 20):
+                return None  # out of the int64-safe envelope
+            block = coef.reshape(8, 8)
+            s = basis.T @ block @ basis
+            px = 128 + ((s + (1 << 37)) >> 38)
+            img[by_ * 8 : by_ * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                px, 0, 255
+            ).astype(np.uint8)
+    return img[:h, :w].reshape(-1)
+
+
+def jpeg_pixel_mean(payload: bytes) -> float | None:
+    """Decode a baseline grayscale JPEG and return the mean over every
+    pixel byte. None for undecodable payloads."""
+    arr = jpeg_channel_bytes(payload)
+    if arr is None or not len(arr):
+        return None
+    return int(arr.astype(np.int64).sum()) / len(arr)
+
+
 def _png_chunk(typ: bytes, data: bytes) -> bytes:
     return (
         struct.pack(">I", len(data))
@@ -348,12 +736,12 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
 
 def synth_media_payload(doc_id: int, text: str) -> tuple[bytes, str]:
     """Deterministic synthetic media payload for fixtures/tests: a VALID,
-    fully decodable container (dimensions and pixel/sample content derived
-    from doc_id) for png/gif/bmp/wav — the gif branch emits a real
-    LZW-compressed index stream over a 2..256-entry global color table;
-    jpeg carries a valid header plus an opaque body (header-only by
-    design). Lets header AND pixel decode be exercised — and oracled —
-    without real media files in the container."""
+    fully decodable container (dimensions and pixel/sample content
+    derived from doc_id) for ALL FIVE kinds — the gif branch emits a
+    real LZW-compressed index stream over a 2..256-entry global color
+    table, the jpeg branch a real Huffman-coded baseline grayscale scan.
+    Lets header AND pixel decode be exercised — and oracled — without
+    real media files in the container."""
     w = 4 + (doc_id * 7) % 60
     h = 4 + (doc_id * 13) % 40
     body = text.encode("utf-8")[:256]
@@ -434,9 +822,9 @@ def synth_media_payload(doc_id: int, text: str) -> tuple[bytes, str]:
         parts.append(b"\x00\x3b")
         return b"".join(parts), "image/gif"
     if kind == "jpeg":
-        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-        sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x01\x01\x11\x00"
-        return b"\xff\xd8" + app0 + sof0 + body + b"\xff\xd9", "image/jpeg"
+        # fully decodable baseline grayscale JPEG (real Huffman-coded
+        # scan; pixels defined by the shared integer IDCT spec)
+        return synth_jpeg_payload(doc_id, w, h, body), "image/jpeg"
     if kind == "bmp":
         # 24-bit bottom-up rows, padded to 4-byte boundaries
         px = _synth_pixels(doc_id, w, h, 3)
@@ -630,11 +1018,16 @@ def wav_sample_rms(payload: bytes) -> float | None:
 def image_byte_histogram(payload: bytes, kind: str) -> "np.ndarray | None":
     """8-bin histogram (bin = byte >> 5, i.e. 32-wide intensity bands)
     over a decodable image's channel bytes — PNG via the shared
-    defiltered stream, GIF via the shared LZW + palette decode, BMP via
-    the shared row decode (padding bytes excluded). Exact integer counts;
-    None for jpeg/wav/undecodable (jpeg stays header-only)."""
+    defiltered stream, GIF via the shared LZW + palette decode, JPEG via
+    the baseline grayscale decode, BMP via the shared row decode (padding
+    bytes excluded). Exact integer counts; None for wav/undecodable."""
     if kind == "png":
         arr = png_channel_bytes(payload)
+        if arr is None:
+            return None
+        return np.bincount(arr >> 5, minlength=8).astype(np.int64)
+    if kind == "jpeg":
+        arr = jpeg_channel_bytes(payload)
         if arr is None:
             return None
         return np.bincount(arr >> 5, minlength=8).astype(np.int64)
@@ -797,12 +1190,14 @@ def audio_features(
 
 def decode_pixels(payload: bytes, kind: str) -> tuple[float | None, float | None]:
     """(pixel_mean, sample_rms) for one payload; nulls where not decodable
-    (jpeg stays header-only — its DCT+Huffman decode is codec-table
-    territory; gif is pixel-real via the stdlib LZW decoder)."""
+    (jpeg = baseline grayscale only — progressive/color streams yield
+    null; gif via the stdlib LZW decoder)."""
     if kind == "png":
         return png_pixel_mean(payload), None
     if kind == "gif":
         return gif_pixel_mean(payload), None
+    if kind == "jpeg":
+        return jpeg_pixel_mean(payload), None
     if kind == "bmp":
         return bmp_pixel_mean(payload), None
     if kind == "wav":
@@ -846,9 +1241,9 @@ class DecodeStage:
     Parses real container headers (kind/width/height) per payload and
     appends a deterministic sha-derived stand-in feature vector.
     ``pixels=True`` additionally runs the pure-stdlib pixel/sample decode
-    (PNG zlib+defilter, GIF LZW+palette, BMP rows, WAV PCM) and appends
-    ``pixel_mean`` / ``sample_rms`` float64 columns (null for
-    jpeg/undecodable — jpeg is header-only).
+    (PNG zlib+defilter, GIF LZW+palette, baseline grayscale JPEG, BMP
+    rows, WAV PCM) and appends ``pixel_mean`` / ``sample_rms`` float64
+    columns (null only for undecodable payloads).
     """
 
     def __init__(self, pixels: bool = False):

@@ -1,0 +1,87 @@
+"""Baseline grayscale JPEG decode family: engine decoder
+(stages/multimodal.py jpeg_channel_bytes — numpy matmul IDCT) vs the
+independent sequential sidecar decoder (sources/doc_oracle.py
+_jpeg_bytes_seq — scalar per-pixel loops, shared integer spec constants),
+plus direct-formula parity and malformed-payload handling."""
+
+import numpy as np
+
+from hyperpolyglot_ray.sources.doc_oracle import _jpeg_bytes_seq, _jpeg_mean_seq
+from hyperpolyglot_ray.stages.multimodal import (
+    _JPEG_IDCT_BASIS,
+    _JPEG_ZIGZAG,
+    _synth_jpeg_coefs,
+    jpeg_channel_bytes,
+    jpeg_pixel_mean,
+    parse_media_header,
+    synth_jpeg_payload,
+    synth_media_payload,
+)
+
+
+def _formula_pixels(doc_id: int, w: int, h: int) -> np.ndarray:
+    """Ground truth straight from the coefficient formula + IDCT spec."""
+    q = np.array([1 + ((3 * z + doc_id) % 16) for z in range(64)], dtype=np.int64)
+    mx, my = (w + 7) // 8, (h + 7) // 8
+    img = np.empty((my * 8, mx * 8), dtype=np.uint8)
+    for by in range(my):
+        for bx in range(mx):
+            cz = _synth_jpeg_coefs(doc_id, bx, by)
+            coef = np.zeros(64, np.int64)
+            coef[_JPEG_ZIGZAG] = cz * q
+            s = _JPEG_IDCT_BASIS.T @ coef.reshape(8, 8) @ _JPEG_IDCT_BASIS
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                128 + ((s + (1 << 37)) >> 38), 0, 255
+            )
+    return img[:h, :w].reshape(-1)
+
+
+def test_engine_decoder_matches_formula_and_sidecar():
+    for doc_id in (2, 7, 12, 37, 102, 31):
+        w, h = 4 + (doc_id * 7) % 60, 4 + (doc_id * 13) % 40
+        p = synth_jpeg_payload(doc_id, w, h, f"body {doc_id} ".encode() * 12)
+        assert parse_media_header(p) == ("jpeg", w, h)
+        eng = jpeg_channel_bytes(p)
+        seq = _jpeg_bytes_seq(p)
+        assert eng is not None and seq is not None, doc_id
+        assert eng.tolist() == seq, doc_id
+        assert np.array_equal(eng, _formula_pixels(doc_id, w, h)), doc_id
+        assert jpeg_pixel_mean(p) == _jpeg_mean_seq(p)
+
+
+def test_synth_media_jpeg_is_decodable():
+    for doc_id in (2, 7, 12, 17, 22, 107):  # doc_id % 5 == 2 -> jpeg
+        p, mt = synth_media_payload(doc_id, f"text {doc_id} " * 30)
+        assert mt == "image/jpeg"
+        assert jpeg_channel_bytes(p) is not None, doc_id
+
+
+def test_decoders_never_raise_on_truncation():
+    p, _ = synth_media_payload(7, "words " * 40)
+    for cut in range(0, len(p)):
+        e = jpeg_channel_bytes(p[:cut])
+        s = _jpeg_bytes_seq(p[:cut])
+        assert (e is None) == (s is None), cut
+        if e is not None:
+            assert e.tolist() == s, cut
+
+
+def test_rejects_non_baseline_streams():
+    p, _ = synth_media_payload(2, "x" * 40)
+    # flip SOF0 (0xFFC0) to progressive SOF2 (0xFFC2) -> None on both
+    i = p.index(b"\xff\xc0")
+    prog = p[:i] + b"\xff\xc2" + p[i + 2 :]
+    assert jpeg_channel_bytes(prog) is None
+    assert _jpeg_bytes_seq(prog) is None
+    # corrupt the entropy stream: flip bits in the scan body and require
+    # the decoders to AGREE (decode-to-same or both-None), never raise
+    sos = p.index(b"\xff\xda")
+    for off in range(sos + 10, min(sos + 40, len(p) - 2)):
+        bad = bytearray(p)
+        bad[off] ^= 0x55
+        e = jpeg_channel_bytes(bytes(bad))
+        s = _jpeg_bytes_seq(bytes(bad))
+        assert (e is None) == (s is None), off
+        if e is not None:
+            assert e.tolist() == s, off
+    assert jpeg_channel_bytes(b"\xff\xd8\xff\xd9") is None

@@ -241,6 +241,7 @@ def test_image_histogram_matches_scalar_reference(ray_session):
     from hyperpolyglot_ray.sources.doc_oracle import (
         _bmp_bytes_seq,
         _gif_bytes_seq,
+        _jpeg_bytes_seq,
         _png_bytes_seq,
     )
     from hyperpolyglot_ray.stages.multimodal import (
@@ -248,7 +249,12 @@ def test_image_histogram_matches_scalar_reference(ray_session):
         synth_media_payload,
     )
 
-    seq = {"png": _png_bytes_seq, "bmp": _bmp_bytes_seq, "gif": _gif_bytes_seq}
+    seq = {
+        "png": _png_bytes_seq,
+        "bmp": _bmp_bytes_seq,
+        "gif": _gif_bytes_seq,
+        "jpeg": _jpeg_bytes_seq,
+    }
     for doc_id in range(0, 30):
         payload, _ = synth_media_payload(doc_id, f"body {doc_id} " * 8)
         kind = ("png", "gif", "jpeg", "bmp", "wav")[doc_id % 5]

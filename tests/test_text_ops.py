@@ -388,7 +388,7 @@ def test_multimodal_decode(docs_ds):
             assert byid.loc[i, "height"] == 4 + (i * 13) % 40
     # pixel/sample decode is real: recompute the generator's pattern mean
     # directly from its formula (independent of the decoders)
-    for i in (0, 1, 3, 4, 5, 6, 8, 9, 10, 11, 13, 14, 16):
+    for i in (0, 1, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 16):
         kind = ("png", "gif", "jpeg", "bmp", "wav")[i % 5]
         w, h = 4 + (i * 7) % 60, 4 + (i * 13) % 40
         if kind == "png" and (i // 5) % 4 == 1:
@@ -433,8 +433,13 @@ def test_multimodal_decode(docs_ds):
             expect = math.sqrt(int((s * s).sum()) / len(s))
             assert byid.loc[i, "sample_rms"] == expect, i
             assert np.isnan(byid.loc[i, "pixel_mean"])
-        else:  # jpeg: header-only by design -> nulls
-            assert np.isnan(byid.loc[i, "pixel_mean"])
+        else:  # jpeg: baseline grayscale decode, checked vs the
+            # independent sequential sidecar decoder
+            from hyperpolyglot_ray.sources.doc_oracle import _jpeg_mean_seq
+            from hyperpolyglot_ray.stages.multimodal import synth_media_payload
+
+            payload, _ = synth_media_payload(i, byid.loc[i, "text"] or "")
+            assert byid.loc[i, "pixel_mean"] == _jpeg_mean_seq(payload), i
             assert np.isnan(byid.loc[i, "sample_rms"])
 
 
