@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r5d"  # r5d: baseline-jpeg pixel decode (r5c: animated gif)
+ORACLE_VERSION = "r5e"  # r5e: all-format resize (r5d: baseline jpeg)
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -281,9 +281,16 @@ def _png_mean_seq(p: bytes):
 
 
 def _png_bytes_seq(p: bytes):
-    """The defiltered channel-byte list of a PNG — the shared scalar
-    decode behind _png_mean_seq and the histogram sidecar (pure-Python
-    loops, no numpy; independent of stages/multimodal.py)."""
+    """The defiltered channel-byte list of a PNG (see _png_grid_seq)."""
+    g = _png_grid_seq(p)
+    return g[0] if g is not None else None
+
+
+def _png_grid_seq(p: bytes):
+    """(channel-byte list, w, h, channels) of a PNG — the shared scalar
+    decode behind _png_mean_seq, the histogram sidecar and the resize
+    sidecar (pure-Python loops, no numpy; independent of
+    stages/multimodal.py). Palette images map to RGB (channels = 3)."""
     import zlib
 
     if p[:8] != b"\x89PNG\r\n\x1a\n":
@@ -348,8 +355,8 @@ def _png_bytes_seq(p: bytes):
             if v >= npal:
                 return None
             rgb.extend(plte[3 * v : 3 * v + 3])
-        return rgb
-    return out
+        return rgb, w, h, 3
+    return out, w, h, ch
 
 
 def _bmp_mean_seq(p: bytes):
@@ -991,37 +998,73 @@ def _components_keep(doc_ids, edges) -> pa.Table:
 
 def _expected_resize(texts, doc_ids, factor: int = 2) -> pa.Table:
     """Sequential resize reference: regenerates the shared synthetic media
-    payloads, then decimates BMPs with pure-Python byte indexing (no
-    numpy reshape path). Non-BMP payloads -> null."""
+    payloads, then decimates every pixel-real kind (r5: png/gif/jpeg/bmp)
+    with pure-Python indexing over the independent sequential decoders.
+    WAV/undecodable payloads -> null."""
     from ..stages.multimodal import synth_media_payload
 
     ids, vals = [], []
     for i, t in zip(doc_ids, texts):
         p, _ = synth_media_payload(int(i), t or "")
         ids.append(int(i))
-        if len(p) < 54 or p[:2] != b"BM":
-            vals.append(None)
+        kind = _parse_header_seq(p)[0]
+        if kind == "bmp":
+            if len(p) < 54:
+                vals.append(None)
+                continue
+            off = int.from_bytes(p[10:14], "little")
+            w = int.from_bytes(p[18:22], "little", signed=True)
+            h = int.from_bytes(p[22:26], "little", signed=True)
+            bpp = int.from_bytes(p[28:30], "little")
+            comp = int.from_bytes(p[30:34], "little")
+            if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+                vals.append(None)
+                continue
+            rows = abs(h)
+            stride = (w * 3 + 3) & ~3
+            if len(p) < off + stride * rows:
+                vals.append(None)
+                continue
+            total = 0
+            cnt = 0
+            for y in range(0, rows, factor):
+                base = off + y * stride
+                for x in range(0, w, factor):
+                    for c in range(3):
+                        total += p[base + x * 3 + c]
+                        cnt += 1
+            vals.append(total / cnt)
             continue
-        off = int.from_bytes(p[10:14], "little")
-        w = int.from_bytes(p[18:22], "little", signed=True)
-        h = int.from_bytes(p[22:26], "little", signed=True)
-        bpp = int.from_bytes(p[28:30], "little")
-        comp = int.from_bytes(p[30:34], "little")
-        if bpp != 24 or comp != 0 or w <= 0 or h == 0:
-            vals.append(None)
-            continue
-        rows = abs(h)
-        stride = (w * 3 + 3) & ~3
-        if len(p) < off + stride * rows:
+        if kind == "png":
+            g = _png_grid_seq(p)
+            if g is None:
+                vals.append(None)
+                continue
+            bs, w, h, ch = g
+        elif kind == "gif":
+            bs = _gif_bytes_seq(p)
+            _, w, h = _parse_header_seq(p)
+            ch = 3
+            if bs is None or w is None or len(bs) != w * h * 3:
+                vals.append(None)
+                continue
+        elif kind == "jpeg":
+            bs = _jpeg_bytes_seq(p)
+            _, w, h = _parse_header_seq(p)
+            ch = 1
+            if bs is None or not w or not h:
+                vals.append(None)
+                continue
+        else:
             vals.append(None)
             continue
         total = 0
         cnt = 0
-        for y in range(0, rows, factor):
-            base = off + y * stride
+        for y in range(0, h, factor):
             for x in range(0, w, factor):
-                for c in range(3):
-                    total += p[base + x * 3 + c]
+                base = (y * w + x) * ch
+                for c in range(ch):
+                    total += bs[base + c]
                     cnt += 1
         vals.append(total / cnt)
     return pa.table(

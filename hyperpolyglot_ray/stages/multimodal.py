@@ -875,6 +875,14 @@ def png_channel_bytes(payload: bytes) -> "np.ndarray | None":
     cannot diverge between them. Palette images (color type 3) are
     mapped through their PLTE chunk to RGB bytes. None for unsupported
     layouts (interlaced, 16-bit, sub-8-bit palette)."""
+    grid = png_pixel_grid(payload)
+    return grid[0] if grid is not None else None
+
+
+def png_pixel_grid(payload: bytes) -> "tuple[np.ndarray, int, int, int] | None":
+    """(channel bytes, w, h, channels) of a bit-depth-8 PNG — the shaped
+    variant of :func:`png_channel_bytes` (palette images map to RGB, so
+    channels = 3 there)."""
     if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
         return None
     i, w, h, depth, ctype, interlace = 8, None, None, None, None, None
@@ -942,8 +950,8 @@ def png_channel_bytes(payload: bytes) -> "np.ndarray | None":
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
         if int(out.max(initial=0)) >= pal.shape[0]:
             return None
-        return pal[out].reshape(-1)
-    return out
+        return pal[out].reshape(-1), w, h, 3
+    return out, w, h, ch
 
 
 def gif_pixel_mean(payload: bytes) -> float | None:
@@ -1476,18 +1484,59 @@ def bmp_resize_mean(payload: bytes, factor: int = 2) -> float | None:
     return float(int(dec.astype(np.int64).sum()) / dec.size)
 
 
+def image_resize_mean(payload: bytes, kind: str, factor: int = 2) -> float | None:
+    """Nearest-neighbor downsample (every ``factor``-th row and pixel,
+    all channels of kept pixels) over ANY pixel-real format — PNG (incl.
+    palette), GIF (first frame), baseline grayscale JPEG, 24-bit BMP —
+    returning the mean over the decimated bytes. None for wav/undecodable."""
+    f = max(1, factor)
+    if kind == "bmp":
+        return bmp_resize_mean(payload, f)
+    if kind == "png":
+        grid = png_pixel_grid(payload)
+        if grid is None:
+            return None
+        arr, w, h, ch = grid
+        px = arr.reshape(h, w, ch)
+    elif kind == "gif":
+        arr = gif_channel_bytes(payload)
+        hdr = parse_media_header(payload)
+        if arr is None or hdr[1] is None or hdr[2] is None:
+            return None
+        w, h = hdr[1], hdr[2]
+        if len(arr) != w * h * 3:
+            return None  # first frame smaller than the logical screen
+        px = arr.reshape(h, w, 3)
+    elif kind == "jpeg":
+        arr = jpeg_channel_bytes(payload)
+        hdr = parse_media_header(payload)
+        if arr is None or not hdr[1] or not hdr[2]:
+            return None
+        w, h = hdr[1], hdr[2]
+        px = arr.reshape(h, w, 1)
+    else:
+        return None
+    dec = px[::f, ::f, :]
+    return float(int(dec.astype(np.int64).sum()) / dec.size)
+
+
 class ResizeStage:
     """Actor-pool resize stage: appends ``resized_mean`` (float64; null
-    for payloads the resize can't reach) and drops the payload bytes
-    in-task. Same heap discipline as DecodeStage."""
+    for payloads the resize can't reach — wav/undecodable) and drops the
+    payload bytes in-task. r5: covers every pixel-real format via
+    :func:`image_resize_mean`, not just BMP. Same heap discipline as
+    DecodeStage."""
 
     def __init__(self, factor: int = 2):
         self.factor = factor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = [
+            p if p is not None else b"" for p in batch.column("payload").to_pylist()
+        ]
         vals = [
-            bmp_resize_mean(p, self.factor) if p is not None else None
-            for p in batch.column("payload").to_pylist()
+            image_resize_mean(p, parse_media_header(p)[0], self.factor)
+            for p in payloads
         ]
         return batch.drop_columns(["payload"]).append_column(
             "resized_mean", pa.array(vals, type=pa.float64())

@@ -1086,6 +1086,32 @@ def test_video_frame_sample_garbage_payload(ray_session):
     assert out.column("frame_mean").to_pylist() == [None, None]
 
 
+def test_image_resize_mean_all_formats(ray_session):
+    """The generalized resize covers every pixel-real kind: factor-1
+    equals the decoder's exact mean, factor-2 matches the independent
+    sequential sidecar decimation, wav stays null."""
+    from hyperpolyglot_ray.sources.doc_oracle import _expected_resize
+    from hyperpolyglot_ray.stages.multimodal import (
+        decode_pixels,
+        image_resize_mean,
+        parse_media_header,
+        synth_media_payload,
+    )
+
+    ids = list(range(20))
+    texts = [f"body {i} " * 15 for i in ids]
+    side = _expected_resize(texts, ids).to_pydict()
+    for i in ids:
+        p, _ = synth_media_payload(i, texts[i])
+        kind = parse_media_header(p)[0]
+        got = image_resize_mean(p, kind, 2)
+        assert got == side["resized_mean"][i], (i, kind)
+        if kind == "wav":
+            assert got is None
+        else:
+            assert image_resize_mean(p, kind, 1) == decode_pixels(p, kind)[0]
+
+
 def test_bmp_resize_mean_hand_grid(ray_session):
     from hyperpolyglot_ray.stages.multimodal import bmp_resize_mean, synth_media_payload
 
