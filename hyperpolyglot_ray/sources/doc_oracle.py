@@ -526,6 +526,12 @@ def _jpeg_bytes_seq(p: bytes):
             return None
         stream.append(b)
         j += 1
+    mx, my = (w + 7) // 8, (h + 7) // 8
+    # same dims-vs-payload bound as the engine: >= 2 entropy bits per
+    # MCU block, so huge header dims on a tiny stream reject BEFORE the
+    # pixel-grid allocation
+    if mx * my > 4 * len(stream):
+        return None
     total_bits = 8 * len(stream)
     cur = [0]  # bit cursor
 
@@ -559,7 +565,6 @@ def _jpeg_bytes_seq(p: bytes):
     def ext(v, cat):
         return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
-    mx, my = (w + 7) // 8, (h + 7) // 8
     rows: list[list[int]] = [[0] * (mx * 8) for _ in range(my * 8)]
     pred = 0
     for by in range(my):
@@ -1003,6 +1008,7 @@ def _expected_resize(texts, doc_ids, factor: int = 2) -> pa.Table:
     WAV/undecodable payloads -> null."""
     from ..stages.multimodal import synth_media_payload
 
+    factor = max(1, factor)  # mirror image_resize_mean's clamp exactly
     ids, vals = [], []
     for i, t in zip(doc_ids, texts):
         p, _ = synth_media_payload(int(i), t or "")
@@ -1052,7 +1058,7 @@ def _expected_resize(texts, doc_ids, factor: int = 2) -> pa.Table:
             bs = _jpeg_bytes_seq(p)
             _, w, h = _parse_header_seq(p)
             ch = 1
-            if bs is None or not w or not h:
+            if bs is None or not w or not h or len(bs) != w * h:
                 vals.append(None)
                 continue
         else:

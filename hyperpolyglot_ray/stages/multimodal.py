@@ -588,8 +588,11 @@ def jpeg_channel_bytes(payload: bytes) -> "np.ndarray | None":
         elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None  # non-baseline frame
         elif m == 0xDD:
-            if int.from_bytes(data[:2], "big") != 0:
-                return None  # restart intervals unsupported
+            # require the full 2-byte interval field (the sidecar does too
+            # — a short DRI body must not diverge the decoders) and a
+            # zero interval (restart markers unsupported)
+            if len(data) < 2 or int.from_bytes(data[:2], "big") != 0:
+                return None
         elif m == 0xDA:
             if len(data) < 6 or data[0] != 1:
                 return None
@@ -631,6 +634,16 @@ def jpeg_channel_bytes(payload: bytes) -> "np.ndarray | None":
         data.append(b)
         i += 1
 
+    mx, my = (w + 7) // 8, (h + 7) // 8
+    # dims-vs-payload sanity bound BEFORE allocating the pixel grid (the
+    # other formats bound output by input size): every MCU block costs at
+    # least 2 entropy bits (one DC code + one EOB code), so a stream of
+    # len(data) bytes cannot encode more than 4*len(data) blocks — a
+    # malformed 65535x65535 header in a 200-byte payload must not
+    # allocate gigabytes
+    if mx * my > 4 * len(data):
+        return None
+
     nbits_total = 8 * len(data)
     pos = 0
 
@@ -666,7 +679,6 @@ def jpeg_channel_bytes(payload: bytes) -> "np.ndarray | None":
     def extend(v: int, cat: int) -> int:
         return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
-    mx, my = (w + 7) // 8, (h + 7) // 8
     img = np.empty((my * 8, mx * 8), dtype=np.uint8)
     basis = _JPEG_IDCT_BASIS
     pred = 0
@@ -1513,6 +1525,9 @@ def image_resize_mean(payload: bytes, kind: str, factor: int = 2) -> float | Non
         if arr is None or not hdr[1] or not hdr[2]:
             return None
         w, h = hdr[1], hdr[2]
+        if len(arr) != w * h:
+            return None  # header dims (first SOF) disagree with the
+            # frame actually decoded (last SOF before SOS)
         px = arr.reshape(h, w, 1)
     else:
         return None

@@ -66,6 +66,54 @@ def test_decoders_never_raise_on_truncation():
             assert e.tolist() == s, cut
 
 
+def test_conflicting_sof_dims_yield_null_resize_not_crash():
+    """Two SOF0 segments with different dims: the decoder uses the last
+    one, the header parser reports the first — the resize must return
+    None (both sides), never raise on the reshape."""
+    import struct
+
+    from hyperpolyglot_ray.stages.multimodal import image_resize_mean
+
+    p, _ = synth_media_payload(7, "x" * 40)
+    i = p.index(b"\xff\xc0")
+    fake_sof = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", 4, 4)
+        + b"\x01\x01\x11\x00"
+    )
+    twisted = p[:i] + fake_sof + p[i:]
+    assert parse_media_header(twisted)[1:] == (4, 4)  # first SOF wins
+    got = jpeg_channel_bytes(twisted)
+    if got is not None:  # decoded with the LAST SOF's dims
+        assert image_resize_mean(twisted, "jpeg", 2) is None
+    seq = _jpeg_bytes_seq(twisted)
+    assert (got is None) == (seq is None)
+
+
+def test_short_dri_segment_rejected_by_both_decoders():
+    p, _ = synth_media_payload(2, "x" * 40)
+    i = p.index(b"\xff\xda")
+    bad = p[:i] + b"\xff\xdd\x00\x02" + p[i:]  # DRI with no interval body
+    assert jpeg_channel_bytes(bad) is None
+    assert _jpeg_bytes_seq(bad) is None
+    ok = p[:i] + b"\xff\xdd\x00\x04\x00\x00" + p[i:]  # proper zero DRI
+    assert jpeg_channel_bytes(ok) is not None
+    assert jpeg_channel_bytes(ok).tolist() == _jpeg_bytes_seq(ok)
+
+
+def test_huge_header_dims_rejected_before_allocation():
+    import struct
+
+    p, _ = synth_media_payload(12, "x" * 10)
+    i = p.index(b"\xff\xc0")
+    bad = bytearray(p)
+    bad[i + 5 : i + 9] = struct.pack(">HH", 65535, 65535)
+    assert jpeg_channel_bytes(bytes(bad)) is None
+    assert _jpeg_bytes_seq(bytes(bad)) is None
+
+
 def test_rejects_non_baseline_streams():
     p, _ = synth_media_payload(2, "x" * 40)
     # flip SOF0 (0xFFC0) to progressive SOF2 (0xFFC2) -> None on both
