@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r5e"  # r5e: all-format resize (r5d: baseline jpeg)
+ORACLE_VERSION = "r5f"  # r5f: 4:4:4 color jpeg (r5e: all-format resize)
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -412,12 +412,19 @@ def _jpeg_mean_seq(p: bytes):
 
 
 def _jpeg_bytes_seq(p: bytes):
-    """Grayscale pixel-byte list of a baseline single-component JPEG —
+    """Channel-byte list of a baseline JPEG (see _jpeg_grid_seq)."""
+    g = _jpeg_grid_seq(p)
+    return g[0] if g is not None else None
+
+
+def _jpeg_grid_seq(p: bytes):
+    """(channel-byte list, w, h, channels) of a baseline JPEG —
     independent sequential decode (vs stages/multimodal.py
-    jpeg_channel_bytes): bit-cursor entropy reader, dict-of-prefix
-    Huffman lookup, per-pixel scalar IDCT loops with the shared integer
-    spec constants. None for non-baseline/multi-component/16-bit-quant/
-    restart streams and malformed/truncated payloads."""
+    jpeg_pixel_grid): bit-cursor entropy reader, dict-of-prefix Huffman
+    lookup, per-pixel scalar IDCT loops and scalar YCbCr->RGB with the
+    shared integer spec constants. Grayscale and 3-component 4:4:4
+    color; None for progressive/subsampled/16-bit-quant/restart streams
+    and malformed/truncated payloads."""
     n = len(p)
     if n < 4 or p[:2] != b"\xff\xd8":
         return None
@@ -435,7 +442,8 @@ def _jpeg_bytes_seq(p: bytes):
     qts: dict[int, list[int]] = {}
     tabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = None
-    cq = cdc = cac = None
+    frame_comps = None
+    scomps = None
     scan_at = None
     while i + 4 <= n:
         if p[i] != 0xFF:
@@ -480,34 +488,49 @@ def _jpeg_bytes_seq(p: bytes):
                 tabs[key] = tab
                 j += 17 + cnt
         elif m == 0xC0:
-            if len(seg) < 9 or seg[0] != 8 or seg[5] != 1 or seg[7] != 0x11:
+            if len(seg) < 6 or seg[0] != 8 or seg[5] not in (1, 3):
                 return None
             h = (seg[1] << 8) | seg[2]
             w = (seg[3] << 8) | seg[4]
-            cq = seg[8]
+            nc = seg[5]
+            if len(seg) < 6 + 3 * nc:
+                return None
+            frame_comps = []
+            for c in range(nc):
+                if seg[7 + 3 * c] != 0x11:
+                    return None
+                frame_comps.append((seg[6 + 3 * c], seg[8 + 3 * c]))
         elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None
         elif m == 0xDD:
             if len(seg) < 2 or (seg[0] << 8) | seg[1]:
                 return None
         elif m == 0xDA:
-            if len(seg) < 6 or seg[0] != 1:
+            if frame_comps is None or len(seg) < 4 + 2 * len(frame_comps):
                 return None
-            cdc, cac = seg[2] >> 4, seg[2] & 15
+            if seg[0] != len(frame_comps):
+                return None
+            scomps = [
+                (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                for c in range(seg[0])
+            ]
             scan_at = i + 2 + ln
             break
         i += 2 + ln
-    if (
-        scan_at is None
-        or not w
-        or not h
-        or cq not in qts
-        or (0, cdc) not in tabs
-        or (1, cac) not in tabs
-    ):
+    if scan_at is None or not w or not h or frame_comps is None:
         return None
-    dc_tab, ac_tab = tabs[(0, cdc)], tabs[(1, cac)]
-    q = qts[cq]
+    tq_of = dict(frame_comps)
+    spec = []
+    for cid, dci, aci in scomps:
+        if (
+            cid not in tq_of
+            or tq_of[cid] not in qts
+            or (0, dci) not in tabs
+            or (1, aci) not in tabs
+        ):
+            return None
+        spec.append((tabs[(0, dci)], tabs[(1, aci)], qts[tq_of[cid]]))
+    ncomp = len(spec)
     stream = bytearray()
     j = scan_at
     while True:
@@ -530,7 +553,7 @@ def _jpeg_bytes_seq(p: bytes):
     # same dims-vs-payload bound as the engine: >= 2 entropy bits per
     # MCU block, so huge header dims on a tiny stream reject BEFORE the
     # pixel-grid allocation
-    if mx * my > 4 * len(stream):
+    if mx * my * ncomp > 4 * len(stream):
         return None
     total_bits = 8 * len(stream)
     cur = [0]  # bit cursor
@@ -565,63 +588,81 @@ def _jpeg_bytes_seq(p: bytes):
     def ext(v, cat):
         return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
-    rows: list[list[int]] = [[0] * (mx * 8) for _ in range(my * 8)]
-    pred = 0
+    grids = [
+        [[0] * (mx * 8) for _ in range(my * 8)] for _ in range(ncomp)
+    ]
+    preds = [0] * ncomp
     for by in range(my):
         for bx in range(mx):
-            cz = [0] * 64
-            cat = sym(dc_tab)
-            if cat is None or cat > 15:
-                return None
-            if cat:
-                v = bits_(cat)
-                if v is None:
+            for ci, (dc_tab, ac_tab, q) in enumerate(spec):
+                cz = [0] * 64
+                cat = sym(dc_tab)
+                if cat is None or cat > 15:
                     return None
-                pred += ext(v, cat)
-            cz[0] = pred
-            k = 1
-            while k < 64:
-                s = sym(ac_tab)
-                if s is None:
-                    return None
-                if s == 0:
-                    break
-                run, size = s >> 4, s & 15
-                if size == 0:
-                    if run != 15:
+                if cat:
+                    v = bits_(cat)
+                    if v is None:
                         return None
-                    k += 16
-                    continue
-                k += run
-                if k > 63:
-                    return None
-                v = bits_(size)
-                if v is None:
-                    return None
-                cz[k] = ext(v, size)
-                k += 1
-            coef = [0] * 64
-            for z in range(64):
-                c = cz[z] * q[z]
-                if c >= (1 << 20) or c <= -(1 << 20):
-                    return None
-                coef[zig[z]] = c
-            for y in range(8):
-                for x in range(8):
-                    s_ = 0
-                    for v_ in range(8):
-                        bvy = _IDCT18[v_][y]
-                        row = coef[v_ * 8 : v_ * 8 + 8]
-                        for u in range(8):
-                            c = row[u]
-                            if c:
-                                s_ += c * bvy * _IDCT18[u][x]
-                    px = 128 + ((s_ + (1 << 37)) >> 38)
-                    rows[by * 8 + y][bx * 8 + x] = min(255, max(0, px))
+                    preds[ci] += ext(v, cat)
+                cz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    s = sym(ac_tab)
+                    if s is None:
+                        return None
+                    if s == 0:
+                        break
+                    run, size = s >> 4, s & 15
+                    if size == 0:
+                        if run != 15:
+                            return None
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        return None
+                    v = bits_(size)
+                    if v is None:
+                        return None
+                    cz[k] = ext(v, size)
+                    k += 1
+                coef = [0] * 64
+                for z in range(64):
+                    c = cz[z] * q[z]
+                    if c >= (1 << 20) or c <= -(1 << 20):
+                        return None
+                    coef[zig[z]] = c
+                rows = grids[ci]
+                for y in range(8):
+                    for x in range(8):
+                        s_ = 0
+                        for v_ in range(8):
+                            bvy = _IDCT18[v_][y]
+                            row = coef[v_ * 8 : v_ * 8 + 8]
+                            for u in range(8):
+                                c = row[u]
+                                if c:
+                                    s_ += c * bvy * _IDCT18[u][x]
+                        px = 128 + ((s_ + (1 << 37)) >> 38)
+                        rows[by * 8 + y][bx * 8 + x] = min(255, max(0, px))
     out: list[int] = []
+    if ncomp == 1:
+        for y in range(h):
+            out.extend(grids[0][y][:w])
+        return out, w, h, 1
+    # scalar YCbCr -> RGB with the shared integer constants (SOF order
+    # is Y, Cb, Cr); Python >> on negatives floors, same as the engine
     for y in range(h):
-        out.extend(rows[y][:w])
-    return out
+        ry, rcb, rcr = grids[0][y], grids[1][y], grids[2][y]
+        for x in range(w):
+            yy, cb, cr = ry[x], rcb[x] - 128, rcr[x] - 128
+            r = yy + ((91881 * cr + 32768) >> 16)
+            g = yy - ((22554 * cb + 46802 * cr + 32768) >> 16)
+            b = yy + ((116130 * cb + 32768) >> 16)
+            out.append(min(255, max(0, r)))
+            out.append(min(255, max(0, g)))
+            out.append(min(255, max(0, b)))
+    return out, w, h, 3
 
 
 def _gif_mean_seq(p: bytes):
@@ -1055,12 +1096,12 @@ def _expected_resize(texts, doc_ids, factor: int = 2) -> pa.Table:
                 vals.append(None)
                 continue
         elif kind == "jpeg":
-            bs = _jpeg_bytes_seq(p)
-            _, w, h = _parse_header_seq(p)
-            ch = 1
-            if bs is None or not w or not h or len(bs) != w * h:
+            g = _jpeg_grid_seq(p)
+            _, hw, hh = _parse_header_seq(p)
+            if g is None or (g[1], g[2]) != (hw, hh):
                 vals.append(None)
                 continue
+            bs, w, h, ch = g
         else:
             vals.append(None)
             continue

@@ -442,11 +442,15 @@ def _synth_jpeg_coefs(doc_id: int, bx: int, by: int) -> np.ndarray:
     return c
 
 
-def synth_jpeg_payload(doc_id: int, w: int, h: int, body: bytes) -> bytes:
-    """Deterministic VALID baseline grayscale JPEG: one quant table, the
-    fixed canonical Huffman tables above, frequency-domain synthesized
-    blocks (no encoder-side DCT — pixel ground truth is the shared
-    integer IDCT of these coefficients), text body in a COM segment."""
+def synth_jpeg_payload(
+    doc_id: int, w: int, h: int, body: bytes, color: bool = False
+) -> bytes:
+    """Deterministic VALID baseline JPEG: one quant table, the fixed
+    canonical Huffman tables above, frequency-domain synthesized blocks
+    (no encoder-side DCT — pixel ground truth is the shared integer IDCT
+    of these coefficients), text body in a COM segment. ``color=True``
+    emits a 3-component 4:4:4 interleaved scan (components Y/Cb/Cr with
+    ids 1/2/3, per-component coefficient streams and DC predictors)."""
     q = np.array([1 + ((3 * z + doc_id) % 16) for z in range(64)], dtype=np.int64)
 
     # canonical code assignment (encoder mirror of _jpeg_build_huffman)
@@ -466,37 +470,39 @@ def synth_jpeg_payload(doc_id: int, w: int, h: int, body: bytes) -> bytes:
     ac_codes = assign(_SYNTH_AC_BITS, _SYNTH_AC_VALS)
     bw = _JpegBitWriter()
     mx, my = (w + 7) // 8, (h + 7) // 8
-    pred = 0
+    ncomp = 3 if color else 1
+    preds = [0] * ncomp
     for by_ in range(my):
         for bx in range(mx):
-            cz = _synth_jpeg_coefs(doc_id, bx, by_)
-            diff = int(cz[0]) - pred
-            pred = int(cz[0])
-            cat = _jpeg_category(diff)
-            ln, cd = dc_codes[cat]
-            bw.put(cd, ln)
-            if cat:
-                bw.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
-            k = 1
-            while k < 64:
-                run = 0
-                while k < 64 and cz[k] == 0:
-                    run += 1
-                    k += 1
-                if k == 64:
-                    ln, cd = ac_codes[0x00]  # EOB
-                    bw.put(cd, ln)
-                    break
-                while run > 15:
-                    ln, cd = ac_codes[0xF0]  # ZRL
-                    bw.put(cd, ln)
-                    run -= 16
-                v = int(cz[k])
-                size = _jpeg_category(v)
-                ln, cd = ac_codes[(run << 4) | size]
+            for ci in range(ncomp):
+                cz = _synth_jpeg_coefs(doc_id + 31 * ci, bx, by_)
+                diff = int(cz[0]) - preds[ci]
+                preds[ci] = int(cz[0])
+                cat = _jpeg_category(diff)
+                ln, cd = dc_codes[cat]
                 bw.put(cd, ln)
-                bw.put(v if v >= 0 else v + (1 << size) - 1, size)
-                k += 1
+                if cat:
+                    bw.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+                k = 1
+                while k < 64:
+                    run = 0
+                    while k < 64 and cz[k] == 0:
+                        run += 1
+                        k += 1
+                    if k == 64:
+                        ln, cd = ac_codes[0x00]  # EOB
+                        bw.put(cd, ln)
+                        break
+                    while run > 15:
+                        ln, cd = ac_codes[0xF0]  # ZRL
+                        bw.put(cd, ln)
+                        run -= 16
+                    v = int(cz[k])
+                    size = _jpeg_category(v)
+                    ln, cd = ac_codes[(run << 4) | size]
+                    bw.put(cd, ln)
+                    bw.put(v if v >= 0 else v + (1 << size) - 1, size)
+                    k += 1
     scan = bw.flush()
 
     def seg(marker: int, data: bytes) -> bytes:
@@ -504,10 +510,15 @@ def synth_jpeg_payload(doc_id: int, w: int, h: int, body: bytes) -> bytes:
 
     app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     dqt = bytes([0x00]) + bytes(int(x) for x in q)
-    sof0 = bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+    sof_comps = b"".join(bytes([cid, 0x11, 0]) for cid in range(1, ncomp + 1))
+    sof0 = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp]) + sof_comps
     dht_dc = bytes([0x00]) + bytes(_SYNTH_DC_BITS) + bytes(_SYNTH_DC_VALS)
     dht_ac = bytes([0x10]) + bytes(_SYNTH_AC_BITS) + bytes(_SYNTH_AC_VALS)
-    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    sos = (
+        bytes([ncomp])
+        + b"".join(bytes([cid, 0x00]) for cid in range(1, ncomp + 1))
+        + bytes([0, 63, 0])
+    )
     parts = [b"\xff\xd8", seg(0xE0, app0)]
     if body:
         parts.append(seg(0xFE, body[:256]))
@@ -523,13 +534,33 @@ def synth_jpeg_payload(doc_id: int, w: int, h: int, body: bytes) -> bytes:
     return b"".join(parts)
 
 
+# shared integer YCbCr -> RGB spec (JFIF / BT.601 coefficients scaled by
+# 2^16; +32768 then arithmetic >> 16 is the rounding rule on both sides):
+# R = Y + (91881*(Cr-128) + 32768 >> 16)
+# G = Y - (22554*(Cb-128) + 46802*(Cr-128) + 32768 >> 16)
+# B = Y + (116130*(Cb-128) + 32768 >> 16)
+_YCC_R_CR = 91881
+_YCC_G_CB = 22554
+_YCC_G_CR = 46802
+_YCC_B_CB = 116130
+
+
 def jpeg_channel_bytes(payload: bytes) -> "np.ndarray | None":
-    """Grayscale byte stream of a BASELINE single-component JPEG — full
-    entropy decode: canonical Huffman (T.81 C.2), DC prediction, AC
-    run-length, byte unstuffing, dequantization, and the shared integer
-    IDCT spec above (bitwise identical to the sequential sidecar).
-    None for progressive/multi-component/subsampled/16-bit-quant/restart
-    streams and any malformed or truncated payload."""
+    """Channel-byte stream of a baseline JPEG (see jpeg_pixel_grid):
+    grayscale bytes for single-component frames, interleaved RGB for
+    3-component 4:4:4 color frames."""
+    grid = jpeg_pixel_grid(payload)
+    return grid[0] if grid is not None else None
+
+
+def jpeg_pixel_grid(payload: bytes) -> "tuple[np.ndarray, int, int, int] | None":
+    """(channel bytes, w, h, channels) of a BASELINE JPEG — full entropy
+    decode: canonical Huffman (T.81 C.2), per-component DC prediction,
+    AC run-length, byte unstuffing, dequantization, the shared integer
+    IDCT spec above, and for 3-component 4:4:4 frames the shared integer
+    YCbCr->RGB conversion (bitwise identical to the sequential sidecar).
+    None for progressive/subsampled/16-bit-quant/restart streams and any
+    malformed or truncated payload."""
     n = len(payload)
     if n < 4 or payload[:2] != b"\xff\xd8":
         return None
@@ -537,7 +568,8 @@ def jpeg_channel_bytes(payload: bytes) -> "np.ndarray | None":
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     w = h = None
-    comp_q = dc_id = ac_id = None
+    sof_comps: list[tuple[int, int]] | None = None  # (component id, tq)
+    scan_comps: list[tuple[int, int, int]] | None = None  # (cid, dc, ac)
     scan_start = None
     while i + 4 <= n:
         if payload[i] != 0xFF:
@@ -576,15 +608,19 @@ def jpeg_channel_bytes(payload: bytes) -> "np.ndarray | None":
                 huff[(tc, th)] = _jpeg_build_huffman(bits, vals)
                 j += 17 + cnt
         elif m == 0xC0:
-            if len(data) < 8 or data[0] != 8:
+            if len(data) < 6 or data[0] != 8:
                 return None
             h = int.from_bytes(data[1:3], "big")
             w = int.from_bytes(data[3:5], "big")
-            if data[5] != 1 or len(data) < 9:
-                return None  # single-component (grayscale) only
-            if data[7] != 0x11:
-                return None  # no subsampling
-            comp_q = data[8]
+            nc = data[5]
+            if nc not in (1, 3) or len(data) < 6 + 3 * nc:
+                return None  # grayscale or 4:4:4 color only
+            sof_comps = []
+            for c in range(nc):
+                cid, hv, tq = data[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    return None  # no subsampling
+                sof_comps.append((cid, tq))
         elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None  # non-baseline frame
         elif m == 0xDD:
@@ -594,24 +630,28 @@ def jpeg_channel_bytes(payload: bytes) -> "np.ndarray | None":
             if len(data) < 2 or int.from_bytes(data[:2], "big") != 0:
                 return None
         elif m == 0xDA:
-            if len(data) < 6 or data[0] != 1:
+            if sof_comps is None or len(data) < 4 + 2 * len(sof_comps):
                 return None
-            dc_id, ac_id = data[2] >> 4, data[2] & 15
+            if data[0] != len(sof_comps):
+                return None  # interleaved full scan only
+            scan_comps = []
+            for c in range(data[0]):
+                cid, tabs_ = data[1 + 2 * c], data[2 + 2 * c]
+                scan_comps.append((cid, tabs_ >> 4, tabs_ & 15))
             scan_start = i + 2 + ln
             break
         i += 2 + ln
-    if (
-        scan_start is None
-        or w is None
-        or w == 0
-        or h == 0
-        or comp_q not in qt
-        or (0, dc_id) not in huff
-        or (1, ac_id) not in huff
-    ):
+    if scan_start is None or not w or not h or sof_comps is None:
         return None
-    dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
-    q = qt[comp_q]
+    tq_by_cid = dict(sof_comps)
+    planes_spec: list[tuple[dict, dict, np.ndarray]] = []
+    for cid, dcid, acid in scan_comps:
+        if cid not in tq_by_cid or tq_by_cid[cid] not in qt:
+            return None
+        if (0, dcid) not in huff or (1, acid) not in huff:
+            return None
+        planes_spec.append((huff[(0, dcid)], huff[(1, acid)], qt[tq_by_cid[cid]]))
+    ncomp = len(planes_spec)
 
     # unstuff the entropy stream up to EOI
     data = bytearray()
@@ -641,7 +681,7 @@ def jpeg_channel_bytes(payload: bytes) -> "np.ndarray | None":
     # len(data) bytes cannot encode more than 4*len(data) blocks — a
     # malformed 65535x65535 header in a 200-byte payload must not
     # allocate gigabytes
-    if mx * my > 4 * len(data):
+    if mx * my * ncomp > 4 * len(data):
         return None
 
     nbits_total = 8 * len(data)
@@ -679,58 +719,71 @@ def jpeg_channel_bytes(payload: bytes) -> "np.ndarray | None":
     def extend(v: int, cat: int) -> int:
         return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
-    img = np.empty((my * 8, mx * 8), dtype=np.uint8)
+    planes = [np.empty((my * 8, mx * 8), dtype=np.uint8) for _ in range(ncomp)]
     basis = _JPEG_IDCT_BASIS
-    pred = 0
+    preds = [0] * ncomp
     for by_ in range(my):
         for bx in range(mx):
-            cz = np.zeros(64, dtype=np.int64)
-            cat = read_symbol(dc_tab)
-            if cat is None or cat > 15:
-                return None
-            if cat:
-                v = read_bits(cat)
-                if v is None:
+            for ci, (dc_tab, ac_tab, q) in enumerate(planes_spec):
+                cz = np.zeros(64, dtype=np.int64)
+                cat = read_symbol(dc_tab)
+                if cat is None or cat > 15:
                     return None
-                pred += extend(v, cat)
-            cz[0] = pred
-            k = 1
-            while k < 64:
-                sym = read_symbol(ac_tab)
-                if sym is None:
-                    return None
-                if sym == 0x00:
-                    break
-                run, size = sym >> 4, sym & 15
-                if size == 0:
-                    if run != 15:
+                if cat:
+                    v = read_bits(cat)
+                    if v is None:
                         return None
-                    k += 16
-                    continue
-                k += run
-                if k > 63:
-                    return None
-                v = read_bits(size)
-                if v is None:
-                    return None
-                cz[k] = extend(v, size)
-                k += 1
-            coef = np.zeros(64, dtype=np.int64)
-            coef[_JPEG_ZIGZAG] = cz * q
-            if int(np.abs(coef).max()) >= (1 << 20):
-                return None  # out of the int64-safe envelope
-            block = coef.reshape(8, 8)
-            s = basis.T @ block @ basis
-            px = 128 + ((s + (1 << 37)) >> 38)
-            img[by_ * 8 : by_ * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                px, 0, 255
-            ).astype(np.uint8)
-    return img[:h, :w].reshape(-1)
+                    preds[ci] += extend(v, cat)
+                cz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    sym = read_symbol(ac_tab)
+                    if sym is None:
+                        return None
+                    if sym == 0x00:
+                        break
+                    run, size = sym >> 4, sym & 15
+                    if size == 0:
+                        if run != 15:
+                            return None
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        return None
+                    v = read_bits(size)
+                    if v is None:
+                        return None
+                    cz[k] = extend(v, size)
+                    k += 1
+                coef = np.zeros(64, dtype=np.int64)
+                coef[_JPEG_ZIGZAG] = cz * q
+                if int(np.abs(coef).max()) >= (1 << 20):
+                    return None  # out of the int64-safe envelope
+                block = coef.reshape(8, 8)
+                s = basis.T @ block @ basis
+                px = 128 + ((s + (1 << 37)) >> 38)
+                planes[ci][by_ * 8 : by_ * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    px, 0, 255
+                ).astype(np.uint8)
+    if ncomp == 1:
+        return planes[0][:h, :w].reshape(-1), w, h, 1
+    # SOF component order is (Y, Cb, Cr); shared integer conversion spec
+    y = planes[0][:h, :w].astype(np.int64)
+    cb = planes[1][:h, :w].astype(np.int64) - 128
+    cr = planes[2][:h, :w].astype(np.int64) - 128
+    r = y + ((_YCC_R_CR * cr + 32768) >> 16)
+    g = y - ((_YCC_G_CB * cb + _YCC_G_CR * cr + 32768) >> 16)
+    b = y + ((_YCC_B_CB * cb + 32768) >> 16)
+    rgb = np.stack(
+        [np.clip(r, 0, 255), np.clip(g, 0, 255), np.clip(b, 0, 255)], axis=2
+    ).astype(np.uint8)
+    return rgb.reshape(-1), w, h, 3
 
 
 def jpeg_pixel_mean(payload: bytes) -> float | None:
-    """Decode a baseline grayscale JPEG and return the mean over every
-    pixel byte. None for undecodable payloads."""
+    """Decode a baseline JPEG (grayscale or 4:4:4 color) and return the
+    mean over every channel byte. None for undecodable payloads."""
     arr = jpeg_channel_bytes(payload)
     if arr is None or not len(arr):
         return None
@@ -834,9 +887,12 @@ def synth_media_payload(doc_id: int, text: str) -> tuple[bytes, str]:
         parts.append(b"\x00\x3b")
         return b"".join(parts), "image/gif"
     if kind == "jpeg":
-        # fully decodable baseline grayscale JPEG (real Huffman-coded
-        # scan; pixels defined by the shared integer IDCT spec)
-        return synth_jpeg_payload(doc_id, w, h, body), "image/jpeg"
+        # fully decodable baseline JPEG (real Huffman-coded scan; pixels
+        # defined by the shared integer IDCT spec); a quarter of jpeg
+        # payloads are 3-component 4:4:4 COLOR frames so the YCbCr path
+        # is exercised — and oracled — continuously
+        color = (doc_id // 5) % 4 == 1
+        return synth_jpeg_payload(doc_id, w, h, body, color=color), "image/jpeg"
     if kind == "bmp":
         # 24-bit bottom-up rows, padded to 4-byte boundaries
         px = _synth_pixels(doc_id, w, h, 3)
@@ -1520,15 +1576,15 @@ def image_resize_mean(payload: bytes, kind: str, factor: int = 2) -> float | Non
             return None  # first frame smaller than the logical screen
         px = arr.reshape(h, w, 3)
     elif kind == "jpeg":
-        arr = jpeg_channel_bytes(payload)
+        grid = jpeg_pixel_grid(payload)
         hdr = parse_media_header(payload)
-        if arr is None or not hdr[1] or not hdr[2]:
+        if grid is None or not hdr[1] or not hdr[2]:
             return None
-        w, h = hdr[1], hdr[2]
-        if len(arr) != w * h:
+        arr, w, h, ch = grid
+        if (w, h) != (hdr[1], hdr[2]):
             return None  # header dims (first SOF) disagree with the
             # frame actually decoded (last SOF before SOS)
-        px = arr.reshape(h, w, 1)
+        px = arr.reshape(h, w, ch)
     else:
         return None
     dec = px[::f, ::f, :]

@@ -56,6 +56,69 @@ def test_synth_media_jpeg_is_decodable():
         assert jpeg_channel_bytes(p) is not None, doc_id
 
 
+def test_color_jpeg_decodes_and_matches_sidecar():
+    """3-component 4:4:4 color payloads (a quarter of synth jpeg ids)
+    decode through the shared integer YCbCr->RGB spec on both sides; the
+    RGB values match a direct recomputation from the per-component IDCT
+    planes."""
+    from hyperpolyglot_ray.sources.doc_oracle import _jpeg_grid_seq
+    from hyperpolyglot_ray.stages.multimodal import (
+        _YCC_B_CB,
+        _YCC_G_CB,
+        _YCC_G_CR,
+        _YCC_R_CR,
+        jpeg_pixel_grid,
+        synth_jpeg_payload,
+    )
+
+    for doc_id in (7, 27, 107):  # (doc_id // 5) % 4 == 1 -> color
+        p, mt = synth_media_payload(doc_id, f"t {doc_id} " * 20)
+        assert mt == "image/jpeg"
+        grid = jpeg_pixel_grid(p)
+        seq = _jpeg_grid_seq(p)
+        assert grid is not None and grid[3] == 3, doc_id
+        assert grid[1:] == seq[1:] and grid[0].tolist() == seq[0], doc_id
+    # direct-formula recomputation for one hand-built color payload
+    w, h = 11, 9
+    p = synth_jpeg_payload(5, w, h, b"c", color=True)
+    arr, gw, gh, ch = jpeg_pixel_grid(p)
+    assert (gw, gh, ch) == (w, h, 3)
+    planes = []
+    for ci in range(3):
+        q = np.array([1 + ((3 * z + 5) % 16) for z in range(64)], np.int64)
+        mx, my = (w + 7) // 8, (h + 7) // 8
+        img = np.empty((my * 8, mx * 8), np.int64)
+        for by in range(my):
+            for bx in range(mx):
+                cz = _synth_jpeg_coefs(5 + 31 * ci, bx, by)
+                coef = np.zeros(64, np.int64)
+                coef[_JPEG_ZIGZAG] = cz * q
+                s = _JPEG_IDCT_BASIS.T @ coef.reshape(8, 8) @ _JPEG_IDCT_BASIS
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    128 + ((s + (1 << 37)) >> 38), 0, 255
+                )
+        planes.append(img[:h, :w])
+    y, cb, cr = planes[0], planes[1] - 128, planes[2] - 128
+    r = np.clip(y + ((_YCC_R_CR * cr + 32768) >> 16), 0, 255)
+    g = np.clip(y - ((_YCC_G_CB * cb + _YCC_G_CR * cr + 32768) >> 16), 0, 255)
+    b = np.clip(y + ((_YCC_B_CB * cb + 32768) >> 16), 0, 255)
+    expect = np.stack([r, g, b], axis=2).astype(np.uint8).reshape(-1)
+    assert np.array_equal(arr, expect)
+
+
+def test_color_truncation_agreement():
+    from hyperpolyglot_ray.sources.doc_oracle import _jpeg_grid_seq
+    from hyperpolyglot_ray.stages.multimodal import jpeg_pixel_grid
+
+    p, _ = synth_media_payload(7, "words " * 20)
+    for cut in range(0, len(p), 3):
+        e = jpeg_pixel_grid(p[:cut])
+        s = _jpeg_grid_seq(p[:cut])
+        assert (e is None) == (s is None), cut
+        if e is not None:
+            assert e[0].tolist() == s[0], cut
+
+
 def test_decoders_never_raise_on_truncation():
     p, _ = synth_media_payload(7, "words " * 40)
     for cut in range(0, len(p)):
