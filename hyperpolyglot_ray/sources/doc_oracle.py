@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r5f"  # r5f: 4:4:4 color jpeg (r5e: all-format resize)
+ORACLE_VERSION = "r5g"  # r5g: 4:2:0 jpeg (r5f: 4:4:4 color jpeg)
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -422,9 +422,10 @@ def _jpeg_grid_seq(p: bytes):
     independent sequential decode (vs stages/multimodal.py
     jpeg_pixel_grid): bit-cursor entropy reader, dict-of-prefix Huffman
     lookup, per-pixel scalar IDCT loops and scalar YCbCr->RGB with the
-    shared integer spec constants. Grayscale and 3-component 4:4:4
-    color; None for progressive/subsampled/16-bit-quant/restart streams
-    and malformed/truncated payloads."""
+    shared integer spec constants. Grayscale, 4:4:4 and 4:2:0 color
+    (chroma upsampled by 2x2 replication); None for progressive/
+    other-sampling/16-bit-quant/restart streams and malformed/truncated
+    payloads."""
     n = len(p)
     if n < 4 or p[:2] != b"\xff\xd8":
         return None
@@ -445,6 +446,7 @@ def _jpeg_grid_seq(p: bytes):
     frame_comps = None
     scomps = None
     scan_at = None
+    sub420 = False
     while i + 4 <= n:
         if p[i] != 0xFF:
             return None
@@ -496,10 +498,14 @@ def _jpeg_grid_seq(p: bytes):
             if len(seg) < 6 + 3 * nc:
                 return None
             frame_comps = []
+            samps = []
             for c in range(nc):
-                if seg[7 + 3 * c] != 0x11:
-                    return None
+                samps.append(seg[7 + 3 * c])
                 frame_comps.append((seg[6 + 3 * c], seg[8 + 3 * c]))
+            if samps == [0x22, 0x11, 0x11]:
+                sub420 = True
+            elif any(s != 0x11 for s in samps):
+                return None
         elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None
         elif m == 0xDD:
@@ -549,11 +555,18 @@ def _jpeg_grid_seq(p: bytes):
             return None
         stream.append(b)
         j += 1
-    mx, my = (w + 7) // 8, (h + 7) // 8
+    if sub420 and ncomp != 3:
+        return None
+    if sub420:
+        mx, my = (w + 15) // 16, (h + 15) // 16
+        blocks_per_mcu = 6
+    else:
+        mx, my = (w + 7) // 8, (h + 7) // 8
+        blocks_per_mcu = ncomp
     # same dims-vs-payload bound as the engine: >= 2 entropy bits per
     # MCU block, so huge header dims on a tiny stream reject BEFORE the
     # pixel-grid allocation
-    if mx * my * ncomp > 4 * len(stream):
+    if mx * my * blocks_per_mcu > 4 * len(stream):
         return None
     total_bits = 8 * len(stream)
     cur = [0]  # bit cursor
@@ -588,64 +601,114 @@ def _jpeg_grid_seq(p: bytes):
     def ext(v, cat):
         return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
+    preds = [0] * ncomp
+
+    def dec_block(ci):
+        """One 8x8 block for component ci -> row-major 64-int list."""
+        dc_tab, ac_tab, q = spec[ci]
+        cz = [0] * 64
+        cat = sym(dc_tab)
+        if cat is None or cat > 15:
+            return None
+        if cat:
+            v = bits_(cat)
+            if v is None:
+                return None
+            preds[ci] += ext(v, cat)
+        cz[0] = preds[ci]
+        k = 1
+        while k < 64:
+            s = sym(ac_tab)
+            if s is None:
+                return None
+            if s == 0:
+                break
+            run, size = s >> 4, s & 15
+            if size == 0:
+                if run != 15:
+                    return None
+                k += 16
+                continue
+            k += run
+            if k > 63:
+                return None
+            v = bits_(size)
+            if v is None:
+                return None
+            cz[k] = ext(v, size)
+            k += 1
+        coef = [0] * 64
+        for z in range(64):
+            c = cz[z] * q[z]
+            if c >= (1 << 20) or c <= -(1 << 20):
+                return None
+            coef[zig[z]] = c
+        px64 = [0] * 64
+        for y in range(8):
+            for x in range(8):
+                s_ = 0
+                for v_ in range(8):
+                    bvy = _IDCT18[v_][y]
+                    row = coef[v_ * 8 : v_ * 8 + 8]
+                    for u in range(8):
+                        c = row[u]
+                        if c:
+                            s_ += c * bvy * _IDCT18[u][x]
+                px = 128 + ((s_ + (1 << 37)) >> 38)
+                px64[y * 8 + x] = min(255, max(0, px))
+        return px64
+
+    def paste(grid, px64, bx, by):
+        for y in range(8):
+            row = grid[by * 8 + y]
+            row[bx * 8 : bx * 8 + 8] = px64[y * 8 : y * 8 + 8]
+
+    if sub420:
+        ygrid = [[0] * (mx * 16) for _ in range(my * 16)]
+        cbg = [[0] * (mx * 8) for _ in range(my * 8)]
+        crg = [[0] * (mx * 8) for _ in range(my * 8)]
+        for by in range(my):
+            for bx in range(mx):
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        blk = dec_block(0)
+                        if blk is None:
+                            return None
+                        for y in range(8):
+                            row = ygrid[by * 16 + dy * 8 + y]
+                            xx = bx * 16 + dx * 8
+                            row[xx : xx + 8] = blk[y * 8 : y * 8 + 8]
+                for ci, grid in ((1, cbg), (2, crg)):
+                    blk = dec_block(ci)
+                    if blk is None:
+                        return None
+                    paste(grid, blk, bx, by)
+        out: list[int] = []
+        # chroma upsample = 2x2 replication (the shared spec): chroma
+        # sample for pixel (y, x) is grid[y // 2][x // 2]
+        for y in range(h):
+            ry, rcb, rcr = ygrid[y], cbg[y // 2], crg[y // 2]
+            for x in range(w):
+                yy, cb, cr = ry[x], rcb[x // 2] - 128, rcr[x // 2] - 128
+                r = yy + ((91881 * cr + 32768) >> 16)
+                g = yy - ((22554 * cb + 46802 * cr + 32768) >> 16)
+                b = yy + ((116130 * cb + 32768) >> 16)
+                out.append(min(255, max(0, r)))
+                out.append(min(255, max(0, g)))
+                out.append(min(255, max(0, b)))
+        return out, w, h, 3
+
     grids = [
         [[0] * (mx * 8) for _ in range(my * 8)] for _ in range(ncomp)
     ]
-    preds = [0] * ncomp
     for by in range(my):
         for bx in range(mx):
-            for ci, (dc_tab, ac_tab, q) in enumerate(spec):
-                cz = [0] * 64
-                cat = sym(dc_tab)
-                if cat is None or cat > 15:
+            for ci in range(ncomp):
+                blk = dec_block(ci)
+                if blk is None:
                     return None
-                if cat:
-                    v = bits_(cat)
-                    if v is None:
-                        return None
-                    preds[ci] += ext(v, cat)
-                cz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    s = sym(ac_tab)
-                    if s is None:
-                        return None
-                    if s == 0:
-                        break
-                    run, size = s >> 4, s & 15
-                    if size == 0:
-                        if run != 15:
-                            return None
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        return None
-                    v = bits_(size)
-                    if v is None:
-                        return None
-                    cz[k] = ext(v, size)
-                    k += 1
-                coef = [0] * 64
-                for z in range(64):
-                    c = cz[z] * q[z]
-                    if c >= (1 << 20) or c <= -(1 << 20):
-                        return None
-                    coef[zig[z]] = c
-                rows = grids[ci]
-                for y in range(8):
-                    for x in range(8):
-                        s_ = 0
-                        for v_ in range(8):
-                            bvy = _IDCT18[v_][y]
-                            row = coef[v_ * 8 : v_ * 8 + 8]
-                            for u in range(8):
-                                c = row[u]
-                                if c:
-                                    s_ += c * bvy * _IDCT18[u][x]
-                        px = 128 + ((s_ + (1 << 37)) >> 38)
-                        rows[by * 8 + y][bx * 8 + x] = min(255, max(0, px))
-    out: list[int] = []
+                paste(grids[ci], blk, bx, by)
+    out = []
     if ncomp == 1:
         for y in range(h):
             out.extend(grids[0][y][:w])

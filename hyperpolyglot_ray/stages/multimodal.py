@@ -443,14 +443,23 @@ def _synth_jpeg_coefs(doc_id: int, bx: int, by: int) -> np.ndarray:
 
 
 def synth_jpeg_payload(
-    doc_id: int, w: int, h: int, body: bytes, color: bool = False
+    doc_id: int,
+    w: int,
+    h: int,
+    body: bytes,
+    color: bool = False,
+    subsample: bool = False,
 ) -> bytes:
     """Deterministic VALID baseline JPEG: one quant table, the fixed
     canonical Huffman tables above, frequency-domain synthesized blocks
     (no encoder-side DCT — pixel ground truth is the shared integer IDCT
     of these coefficients), text body in a COM segment. ``color=True``
-    emits a 3-component 4:4:4 interleaved scan (components Y/Cb/Cr with
-    ids 1/2/3, per-component coefficient streams and DC predictors)."""
+    emits a 3-component interleaved scan (components Y/Cb/Cr with ids
+    1/2/3, per-component coefficient streams and DC predictors);
+    ``subsample=True`` additionally uses the common 4:2:0 layout
+    (Y sampling 0x22, 16x16 MCUs of 4 Y + Cb + Cr blocks)."""
+    if subsample and not color:
+        raise ValueError("subsample requires color=True")
     q = np.array([1 + ((3 * z + doc_id) % 16) for z in range(64)], dtype=np.int64)
 
     # canonical code assignment (encoder mirror of _jpeg_build_huffman)
@@ -469,40 +478,54 @@ def synth_jpeg_payload(
     dc_codes = assign(_SYNTH_DC_BITS, _SYNTH_DC_VALS)
     ac_codes = assign(_SYNTH_AC_BITS, _SYNTH_AC_VALS)
     bw = _JpegBitWriter()
-    mx, my = (w + 7) // 8, (h + 7) // 8
     ncomp = 3 if color else 1
     preds = [0] * ncomp
-    for by_ in range(my):
-        for bx in range(mx):
-            for ci in range(ncomp):
-                cz = _synth_jpeg_coefs(doc_id + 31 * ci, bx, by_)
-                diff = int(cz[0]) - preds[ci]
-                preds[ci] = int(cz[0])
-                cat = _jpeg_category(diff)
-                ln, cd = dc_codes[cat]
+
+    def put_block(ci: int, bx: int, by_: int) -> None:
+        cz = _synth_jpeg_coefs(doc_id + 31 * ci, bx, by_)
+        diff = int(cz[0]) - preds[ci]
+        preds[ci] = int(cz[0])
+        cat = _jpeg_category(diff)
+        ln, cd = dc_codes[cat]
+        bw.put(cd, ln)
+        if cat:
+            bw.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        k = 1
+        while k < 64:
+            run = 0
+            while k < 64 and cz[k] == 0:
+                run += 1
+                k += 1
+            if k == 64:
+                ln, cd = ac_codes[0x00]  # EOB
                 bw.put(cd, ln)
-                if cat:
-                    bw.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
-                k = 1
-                while k < 64:
-                    run = 0
-                    while k < 64 and cz[k] == 0:
-                        run += 1
-                        k += 1
-                    if k == 64:
-                        ln, cd = ac_codes[0x00]  # EOB
-                        bw.put(cd, ln)
-                        break
-                    while run > 15:
-                        ln, cd = ac_codes[0xF0]  # ZRL
-                        bw.put(cd, ln)
-                        run -= 16
-                    v = int(cz[k])
-                    size = _jpeg_category(v)
-                    ln, cd = ac_codes[(run << 4) | size]
-                    bw.put(cd, ln)
-                    bw.put(v if v >= 0 else v + (1 << size) - 1, size)
-                    k += 1
+                break
+            while run > 15:
+                ln, cd = ac_codes[0xF0]  # ZRL
+                bw.put(cd, ln)
+                run -= 16
+            v = int(cz[k])
+            size = _jpeg_category(v)
+            ln, cd = ac_codes[(run << 4) | size]
+            bw.put(cd, ln)
+            bw.put(v if v >= 0 else v + (1 << size) - 1, size)
+            k += 1
+
+    if subsample:
+        mx, my = (w + 15) // 16, (h + 15) // 16
+        for by_ in range(my):
+            for bx in range(mx):
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        put_block(0, 2 * bx + dx, 2 * by_ + dy)
+                put_block(1, bx, by_)
+                put_block(2, bx, by_)
+    else:
+        mx, my = (w + 7) // 8, (h + 7) // 8
+        for by_ in range(my):
+            for bx in range(mx):
+                for ci in range(ncomp):
+                    put_block(ci, bx, by_)
     scan = bw.flush()
 
     def seg(marker: int, data: bytes) -> bytes:
@@ -510,7 +533,10 @@ def synth_jpeg_payload(
 
     app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     dqt = bytes([0x00]) + bytes(int(x) for x in q)
-    sof_comps = b"".join(bytes([cid, 0x11, 0]) for cid in range(1, ncomp + 1))
+    sof_comps = b"".join(
+        bytes([cid, 0x22 if (subsample and cid == 1) else 0x11, 0])
+        for cid in range(1, ncomp + 1)
+    )
     sof0 = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp]) + sof_comps
     dht_dc = bytes([0x00]) + bytes(_SYNTH_DC_BITS) + bytes(_SYNTH_DC_VALS)
     dht_ac = bytes([0x10]) + bytes(_SYNTH_AC_BITS) + bytes(_SYNTH_AC_VALS)
@@ -557,10 +583,12 @@ def jpeg_pixel_grid(payload: bytes) -> "tuple[np.ndarray, int, int, int] | None"
     """(channel bytes, w, h, channels) of a BASELINE JPEG — full entropy
     decode: canonical Huffman (T.81 C.2), per-component DC prediction,
     AC run-length, byte unstuffing, dequantization, the shared integer
-    IDCT spec above, and for 3-component 4:4:4 frames the shared integer
+    IDCT spec above, and for 3-component frames the shared integer
     YCbCr->RGB conversion (bitwise identical to the sequential sidecar).
-    None for progressive/subsampled/16-bit-quant/restart streams and any
-    malformed or truncated payload."""
+    Layouts: grayscale, 4:4:4, and 4:2:0 (16x16 MCUs; chroma upsampled
+    by 2x2 replication — the documented spec). None for progressive/
+    other-sampling/16-bit-quant/restart streams and any malformed or
+    truncated payload."""
     n = len(payload)
     if n < 4 or payload[:2] != b"\xff\xd8":
         return None
@@ -571,6 +599,7 @@ def jpeg_pixel_grid(payload: bytes) -> "tuple[np.ndarray, int, int, int] | None"
     sof_comps: list[tuple[int, int]] | None = None  # (component id, tq)
     scan_comps: list[tuple[int, int, int]] | None = None  # (cid, dc, ac)
     scan_start = None
+    subsampled = False
     while i + 4 <= n:
         if payload[i] != 0xFF:
             return None
@@ -614,13 +643,21 @@ def jpeg_pixel_grid(payload: bytes) -> "tuple[np.ndarray, int, int, int] | None"
             w = int.from_bytes(data[3:5], "big")
             nc = data[5]
             if nc not in (1, 3) or len(data) < 6 + 3 * nc:
-                return None  # grayscale or 4:4:4 color only
+                return None  # grayscale or 3-component color only
             sof_comps = []
+            hvs = []
             for c in range(nc):
                 cid, hv, tq = data[6 + 3 * c : 9 + 3 * c]
-                if hv != 0x11:
-                    return None  # no subsampling
+                hvs.append(hv)
                 sof_comps.append((cid, tq))
+            # supported layouts: all 0x11 (gray / 4:4:4) or the common
+            # 4:2:0 (Y 0x22 + chroma 0x11)
+            if hvs == [0x22, 0x11, 0x11]:
+                subsampled = True
+            elif all(hv == 0x11 for hv in hvs):
+                subsampled = False
+            else:
+                return None
         elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None  # non-baseline frame
         elif m == 0xDD:
@@ -674,14 +711,21 @@ def jpeg_pixel_grid(payload: bytes) -> "tuple[np.ndarray, int, int, int] | None"
         data.append(b)
         i += 1
 
-    mx, my = (w + 7) // 8, (h + 7) // 8
+    if subsampled and ncomp != 3:
+        return None
+    if subsampled:
+        mx, my = (w + 15) // 16, (h + 15) // 16  # 16x16 MCUs
+        blocks_per_mcu = 6  # 4 Y + Cb + Cr
+    else:
+        mx, my = (w + 7) // 8, (h + 7) // 8
+        blocks_per_mcu = ncomp
     # dims-vs-payload sanity bound BEFORE allocating the pixel grid (the
     # other formats bound output by input size): every MCU block costs at
     # least 2 entropy bits (one DC code + one EOB code), so a stream of
     # len(data) bytes cannot encode more than 4*len(data) blocks — a
     # malformed 65535x65535 header in a 200-byte payload must not
     # allocate gigabytes
-    if mx * my * ncomp > 4 * len(data):
+    if mx * my * blocks_per_mcu > 4 * len(data):
         return None
 
     nbits_total = 8 * len(data)
@@ -719,59 +763,96 @@ def jpeg_pixel_grid(payload: bytes) -> "tuple[np.ndarray, int, int, int] | None"
     def extend(v: int, cat: int) -> int:
         return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
-    planes = [np.empty((my * 8, mx * 8), dtype=np.uint8) for _ in range(ncomp)]
     basis = _JPEG_IDCT_BASIS
     preds = [0] * ncomp
-    for by_ in range(my):
-        for bx in range(mx):
-            for ci, (dc_tab, ac_tab, q) in enumerate(planes_spec):
-                cz = np.zeros(64, dtype=np.int64)
-                cat = read_symbol(dc_tab)
-                if cat is None or cat > 15:
+
+    def decode_block(ci: int) -> "np.ndarray | None":
+        dc_tab, ac_tab, q = planes_spec[ci]
+        cz = np.zeros(64, dtype=np.int64)
+        cat = read_symbol(dc_tab)
+        if cat is None or cat > 15:
+            return None
+        if cat:
+            v = read_bits(cat)
+            if v is None:
+                return None
+            preds[ci] += extend(v, cat)
+        cz[0] = preds[ci]
+        k = 1
+        while k < 64:
+            sym = read_symbol(ac_tab)
+            if sym is None:
+                return None
+            if sym == 0x00:
+                break
+            run, size = sym >> 4, sym & 15
+            if size == 0:
+                if run != 15:
                     return None
-                if cat:
-                    v = read_bits(cat)
-                    if v is None:
-                        return None
-                    preds[ci] += extend(v, cat)
-                cz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    sym = read_symbol(ac_tab)
-                    if sym is None:
-                        return None
-                    if sym == 0x00:
-                        break
-                    run, size = sym >> 4, sym & 15
-                    if size == 0:
-                        if run != 15:
+                k += 16
+                continue
+            k += run
+            if k > 63:
+                return None
+            v = read_bits(size)
+            if v is None:
+                return None
+            cz[k] = extend(v, size)
+            k += 1
+        coef = np.zeros(64, dtype=np.int64)
+        coef[_JPEG_ZIGZAG] = cz * q
+        if int(np.abs(coef).max()) >= (1 << 20):
+            return None  # out of the int64-safe envelope
+        s = basis.T @ coef.reshape(8, 8) @ basis
+        px = 128 + ((s + (1 << 37)) >> 38)
+        return np.clip(px, 0, 255).astype(np.uint8)
+
+    if subsampled:
+        # 4:2:0: one 16x16 MCU = 4 Y blocks (x-fastest order) + Cb + Cr;
+        # chroma upsampled by 2x2 pixel replication (the documented spec)
+        yplane = np.empty((my * 16, mx * 16), dtype=np.uint8)
+        cbp = np.empty((my * 8, mx * 8), dtype=np.uint8)
+        crp = np.empty((my * 8, mx * 8), dtype=np.uint8)
+        for by_ in range(my):
+            for bx in range(mx):
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        blk = decode_block(0)
+                        if blk is None:
                             return None
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
+                        yy, xx = by_ * 16 + dy * 8, bx * 16 + dx * 8
+                        yplane[yy : yy + 8, xx : xx + 8] = blk
+                for ci, plane in ((1, cbp), (2, crp)):
+                    blk = decode_block(ci)
+                    if blk is None:
                         return None
-                    v = read_bits(size)
-                    if v is None:
+                    plane[by_ * 8 : by_ * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+        y = yplane[:h, :w].astype(np.int64)
+        cb = np.repeat(np.repeat(cbp, 2, axis=0), 2, axis=1)[:h, :w].astype(
+            np.int64
+        ) - 128
+        cr = np.repeat(np.repeat(crp, 2, axis=0), 2, axis=1)[:h, :w].astype(
+            np.int64
+        ) - 128
+    else:
+        planes = [
+            np.empty((my * 8, mx * 8), dtype=np.uint8) for _ in range(ncomp)
+        ]
+        for by_ in range(my):
+            for bx in range(mx):
+                for ci in range(ncomp):
+                    blk = decode_block(ci)
+                    if blk is None:
                         return None
-                    cz[k] = extend(v, size)
-                    k += 1
-                coef = np.zeros(64, dtype=np.int64)
-                coef[_JPEG_ZIGZAG] = cz * q
-                if int(np.abs(coef).max()) >= (1 << 20):
-                    return None  # out of the int64-safe envelope
-                block = coef.reshape(8, 8)
-                s = basis.T @ block @ basis
-                px = 128 + ((s + (1 << 37)) >> 38)
-                planes[ci][by_ * 8 : by_ * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                    px, 0, 255
-                ).astype(np.uint8)
-    if ncomp == 1:
-        return planes[0][:h, :w].reshape(-1), w, h, 1
-    # SOF component order is (Y, Cb, Cr); shared integer conversion spec
-    y = planes[0][:h, :w].astype(np.int64)
-    cb = planes[1][:h, :w].astype(np.int64) - 128
-    cr = planes[2][:h, :w].astype(np.int64) - 128
+                    planes[ci][
+                        by_ * 8 : by_ * 8 + 8, bx * 8 : bx * 8 + 8
+                    ] = blk
+        if ncomp == 1:
+            return planes[0][:h, :w].reshape(-1), w, h, 1
+        # SOF component order is (Y, Cb, Cr); shared integer conversion
+        y = planes[0][:h, :w].astype(np.int64)
+        cb = planes[1][:h, :w].astype(np.int64) - 128
+        cr = planes[2][:h, :w].astype(np.int64) - 128
     r = y + ((_YCC_R_CR * cr + 32768) >> 16)
     g = y - ((_YCC_G_CB * cb + _YCC_G_CR * cr + 32768) >> 16)
     b = y + ((_YCC_B_CB * cb + 32768) >> 16)
@@ -889,10 +970,16 @@ def synth_media_payload(doc_id: int, text: str) -> tuple[bytes, str]:
     if kind == "jpeg":
         # fully decodable baseline JPEG (real Huffman-coded scan; pixels
         # defined by the shared integer IDCT spec); a quarter of jpeg
-        # payloads are 3-component 4:4:4 COLOR frames so the YCbCr path
-        # is exercised — and oracled — continuously
-        color = (doc_id // 5) % 4 == 1
-        return synth_jpeg_payload(doc_id, w, h, body, color=color), "image/jpeg"
+        # payloads are 4:4:4 COLOR frames and a quarter 4:2:0 SUBSAMPLED
+        # color, so the YCbCr and chroma-upsample paths are exercised —
+        # and oracled — continuously
+        variant = (doc_id // 5) % 4
+        return (
+            synth_jpeg_payload(
+                doc_id, w, h, body, color=variant in (1, 2), subsample=variant == 2
+            ),
+            "image/jpeg",
+        )
     if kind == "bmp":
         # 24-bit bottom-up rows, padded to 4-byte boundaries
         px = _synth_pixels(doc_id, w, h, 3)

@@ -106,6 +106,70 @@ def test_color_jpeg_decodes_and_matches_sidecar():
     assert np.array_equal(arr, expect)
 
 
+def test_420_subsampled_decodes_and_matches_formula():
+    """4:2:0 payloads (variant (doc_id // 5) % 4 == 2 of synth jpeg ids):
+    16x16 MCUs of 4 Y + Cb + Cr blocks, chroma upsampled by 2x2
+    replication; engine == sidecar == direct recomputation."""
+    from hyperpolyglot_ray.sources.doc_oracle import _jpeg_grid_seq
+    from hyperpolyglot_ray.stages.multimodal import (
+        _YCC_B_CB,
+        _YCC_G_CB,
+        _YCC_G_CR,
+        _YCC_R_CR,
+        jpeg_pixel_grid,
+        synth_jpeg_payload,
+    )
+
+    for doc_id in (12, 32, 112):
+        p, mt = synth_media_payload(doc_id, f"t {doc_id} " * 20)
+        assert mt == "image/jpeg"
+        grid = jpeg_pixel_grid(p)
+        seq = _jpeg_grid_seq(p)
+        assert grid is not None and grid[3] == 3, doc_id
+        assert grid[1:] == seq[1:] and grid[0].tolist() == seq[0], doc_id
+    w, h = 21, 13
+    p = synth_jpeg_payload(4, w, h, b"c", color=True, subsample=True)
+    arr, gw, gh, ch = jpeg_pixel_grid(p)
+    assert (gw, gh, ch) == (w, h, 3)
+    mx, my = (w + 15) // 16, (h + 15) // 16
+
+    def plane(ci, bw8, bh8):
+        q = np.array([1 + ((3 * z + 4) % 16) for z in range(64)], np.int64)
+        img = np.empty((bh8 * 8, bw8 * 8), np.int64)
+        for by in range(bh8):
+            for bx in range(bw8):
+                cz = _synth_jpeg_coefs(4 + 31 * ci, bx, by)
+                coef = np.zeros(64, np.int64)
+                coef[_JPEG_ZIGZAG] = cz * q
+                s = _JPEG_IDCT_BASIS.T @ coef.reshape(8, 8) @ _JPEG_IDCT_BASIS
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    128 + ((s + (1 << 37)) >> 38), 0, 255
+                )
+        return img
+
+    y = plane(0, 2 * mx, 2 * my)[:h, :w]
+    cb = np.repeat(np.repeat(plane(1, mx, my), 2, 0), 2, 1)[:h, :w] - 128
+    cr = np.repeat(np.repeat(plane(2, mx, my), 2, 0), 2, 1)[:h, :w] - 128
+    r = np.clip(y + ((_YCC_R_CR * cr + 32768) >> 16), 0, 255)
+    g = np.clip(y - ((_YCC_G_CB * cb + _YCC_G_CR * cr + 32768) >> 16), 0, 255)
+    b = np.clip(y + ((_YCC_B_CB * cb + 32768) >> 16), 0, 255)
+    expect = np.stack([r, g, b], axis=2).astype(np.uint8).reshape(-1)
+    assert np.array_equal(arr, expect)
+
+
+def test_420_truncation_agreement():
+    from hyperpolyglot_ray.sources.doc_oracle import _jpeg_grid_seq
+    from hyperpolyglot_ray.stages.multimodal import jpeg_pixel_grid
+
+    p, _ = synth_media_payload(12, "words " * 20)
+    for cut in range(0, len(p), 3):
+        e = jpeg_pixel_grid(p[:cut])
+        s = _jpeg_grid_seq(p[:cut])
+        assert (e is None) == (s is None), cut
+        if e is not None:
+            assert e[0].tolist() == s[0], cut
+
+
 def test_color_truncation_agreement():
     from hyperpolyglot_ray.sources.doc_oracle import _jpeg_grid_seq
     from hyperpolyglot_ray.stages.multimodal import jpeg_pixel_grid
