@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "r5g"  # r5g: 4:2:0 jpeg (r5f: 4:4:4 color jpeg)
+ORACLE_VERSION = "r5h"  # r5h: jpeg restart intervals (r5g: 4:2:0 jpeg)
 ORACLE_ROOT = Path(
     os.environ.get("HYPLY_ORACLE_DIR", "/tmp/hyperpolyglot_ray/doc_oracle")
 )
@@ -447,6 +447,7 @@ def _jpeg_grid_seq(p: bytes):
     scomps = None
     scan_at = None
     sub420 = False
+    dri = 0
     while i + 4 <= n:
         if p[i] != 0xFF:
             return None
@@ -509,8 +510,9 @@ def _jpeg_grid_seq(p: bytes):
         elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None
         elif m == 0xDD:
-            if len(seg) < 2 or (seg[0] << 8) | seg[1]:
+            if len(seg) < 2:
                 return None
+            dri = (seg[0] << 8) | seg[1]
         elif m == 0xDA:
             if frame_comps is None or len(seg) < 4 + 2 * len(frame_comps):
                 return None
@@ -537,7 +539,8 @@ def _jpeg_grid_seq(p: bytes):
             return None
         spec.append((tabs[(0, dci)], tabs[(1, aci)], qts[tq_of[cid]]))
     ncomp = len(spec)
-    stream = bytearray()
+    segs: list[bytearray] = [bytearray()]
+    rst_seen: list[int] = []
     j = scan_at
     while True:
         if j >= n:
@@ -546,15 +549,26 @@ def _jpeg_grid_seq(p: bytes):
         if b == 0xFF:
             if j + 1 >= n:
                 return None
-            if p[j + 1] == 0x00:
-                stream.append(0xFF)
+            nb = p[j + 1]
+            if nb == 0x00:
+                segs[-1].append(0xFF)
                 j += 2
                 continue
-            if p[j + 1] == 0xD9:
+            if nb == 0xD9:
                 break
+            if 0xD0 <= nb <= 0xD7:
+                rst_seen.append(nb & 7)
+                segs.append(bytearray())
+                j += 2
+                continue
             return None
-        stream.append(b)
+        segs[-1].append(b)
         j += 1
+    if dri == 0 and len(segs) > 1:
+        return None
+    for k, rid in enumerate(rst_seen):
+        if rid != k % 8:
+            return None
     if sub420 and ncomp != 3:
         return None
     if sub420:
@@ -566,15 +580,23 @@ def _jpeg_grid_seq(p: bytes):
     # same dims-vs-payload bound as the engine: >= 2 entropy bits per
     # MCU block, so huge header dims on a tiny stream reject BEFORE the
     # pixel-grid allocation
-    if mx * my * blocks_per_mcu > 4 * len(stream):
+    total_mcus = mx * my
+    if total_mcus * blocks_per_mcu > 4 * sum(len(s) for s in segs):
         return None
-    total_bits = 8 * len(stream)
-    cur = [0]  # bit cursor
+    if dri and len(segs) != (total_mcus + dri - 1) // dri:
+        return None
+    state = {"stream": segs[0], "bits": 8 * len(segs[0]), "pos": 0}
+    cur = [0]  # bit cursor (mirrors state["pos"])
+
+    def use_segment(k):
+        state["stream"] = segs[k]
+        state["bits"] = 8 * len(segs[k])
+        cur[0] = 0
 
     def bit():
-        if cur[0] >= total_bits:
+        if cur[0] >= state["bits"]:
             return None
-        v = (stream[cur[0] >> 3] >> (7 - (cur[0] & 7))) & 1
+        v = (state["stream"][cur[0] >> 3] >> (7 - (cur[0] & 7))) & 1
         cur[0] += 1
         return v
 
@@ -602,6 +624,17 @@ def _jpeg_grid_seq(p: bytes):
         return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
     preds = [0] * ncomp
+    mcu_n = [0]
+
+    def at_mcu():
+        # restart bookkeeping: every dri MCUs switch to the next
+        # byte-aligned segment and reset DC predictors (same spec as the
+        # engine's at_mcu_start)
+        if dri and mcu_n[0] and mcu_n[0] % dri == 0:
+            use_segment(mcu_n[0] // dri)
+            for ci in range(ncomp):
+                preds[ci] = 0
+        mcu_n[0] += 1
 
     def dec_block(ci):
         """One 8x8 block for component ci -> row-major 64-int list."""
@@ -669,6 +702,7 @@ def _jpeg_grid_seq(p: bytes):
         crg = [[0] * (mx * 8) for _ in range(my * 8)]
         for by in range(my):
             for bx in range(mx):
+                at_mcu()
                 for dy in (0, 1):
                     for dx in (0, 1):
                         blk = dec_block(0)
@@ -703,6 +737,7 @@ def _jpeg_grid_seq(p: bytes):
     ]
     for by in range(my):
         for bx in range(mx):
+            at_mcu()
             for ci in range(ncomp):
                 blk = dec_block(ci)
                 if blk is None:

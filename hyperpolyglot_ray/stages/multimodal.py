@@ -449,6 +449,7 @@ def synth_jpeg_payload(
     body: bytes,
     color: bool = False,
     subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Deterministic VALID baseline JPEG: one quant table, the fixed
     canonical Huffman tables above, frequency-domain synthesized blocks
@@ -457,7 +458,9 @@ def synth_jpeg_payload(
     emits a 3-component interleaved scan (components Y/Cb/Cr with ids
     1/2/3, per-component coefficient streams and DC predictors);
     ``subsample=True`` additionally uses the common 4:2:0 layout
-    (Y sampling 0x22, 16x16 MCUs of 4 Y + Cb + Cr blocks)."""
+    (Y sampling 0x22, 16x16 MCUs of 4 Y + Cb + Cr blocks);
+    ``restart_interval=r`` emits a DRI segment and byte-aligned RSTn
+    markers every r MCUs with DC-predictor resets."""
     if subsample and not color:
         raise ValueError("subsample requires color=True")
     q = np.array([1 + ((3 * z + doc_id) % 16) for z in range(64)], dtype=np.int64)
@@ -513,20 +516,32 @@ def synth_jpeg_payload(
 
     if subsample:
         mx, my = (w + 15) // 16, (h + 15) // 16
-        for by_ in range(my):
-            for bx in range(mx):
+    else:
+        mx, my = (w + 7) // 8, (h + 7) // 8
+    mcus = [(bx, by_) for by_ in range(my) for bx in range(mx)]
+    r = max(0, int(restart_interval))
+    chunks = (
+        [mcus[k : k + r] for k in range(0, len(mcus), r)] if r else [mcus]
+    )
+    scan_parts: list[bytes] = []
+    for si, chunk in enumerate(chunks):
+        bw = _JpegBitWriter()  # each restart interval is byte-aligned
+        for ci in range(ncomp):
+            preds[ci] = 0
+        for bx, by_ in chunk:
+            if subsample:
                 for dy in (0, 1):
                     for dx in (0, 1):
                         put_block(0, 2 * bx + dx, 2 * by_ + dy)
                 put_block(1, bx, by_)
                 put_block(2, bx, by_)
-    else:
-        mx, my = (w + 7) // 8, (h + 7) // 8
-        for by_ in range(my):
-            for bx in range(mx):
+            else:
                 for ci in range(ncomp):
                     put_block(ci, bx, by_)
-    scan = bw.flush()
+        scan_parts.append(bw.flush())
+        if si < len(chunks) - 1:
+            scan_parts.append(bytes([0xFF, 0xD0 + si % 8]))
+    scan = b"".join(scan_parts)
 
     def seg(marker: int, data: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
@@ -553,10 +568,10 @@ def synth_jpeg_payload(
         seg(0xC0, sof0),
         seg(0xC4, dht_dc),
         seg(0xC4, dht_ac),
-        seg(0xDA, sos),
-        scan,
-        b"\xff\xd9",
     ]
+    if r:
+        parts.append(seg(0xDD, struct.pack(">H", r)))
+    parts += [seg(0xDA, sos), scan, b"\xff\xd9"]
     return b"".join(parts)
 
 
@@ -600,6 +615,7 @@ def jpeg_pixel_grid(payload: bytes) -> "tuple[np.ndarray, int, int, int] | None"
     scan_comps: list[tuple[int, int, int]] | None = None  # (cid, dc, ac)
     scan_start = None
     subsampled = False
+    dri = 0
     while i + 4 <= n:
         if payload[i] != 0xFF:
             return None
@@ -661,11 +677,11 @@ def jpeg_pixel_grid(payload: bytes) -> "tuple[np.ndarray, int, int, int] | None"
         elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None  # non-baseline frame
         elif m == 0xDD:
-            # require the full 2-byte interval field (the sidecar does too
-            # — a short DRI body must not diverge the decoders) and a
-            # zero interval (restart markers unsupported)
-            if len(data) < 2 or int.from_bytes(data[:2], "big") != 0:
+            # full 2-byte interval field required (the sidecar agrees);
+            # the interval value configures restart-marker handling below
+            if len(data) < 2:
                 return None
+            dri = int.from_bytes(data[:2], "big")
         elif m == 0xDA:
             if sof_comps is None or len(data) < 4 + 2 * len(sof_comps):
                 return None
@@ -690,8 +706,10 @@ def jpeg_pixel_grid(payload: bytes) -> "tuple[np.ndarray, int, int, int] | None"
         planes_spec.append((huff[(0, dcid)], huff[(1, acid)], qt[tq_by_cid[cid]]))
     ncomp = len(planes_spec)
 
-    # unstuff the entropy stream up to EOI
-    data = bytearray()
+    # unstuff the entropy stream up to EOI, splitting at restart markers
+    # (each restart interval is its own byte-aligned segment)
+    segments: list[bytearray] = [bytearray()]
+    rst_ids: list[int] = []
     i = scan_start
     while True:
         if i >= n:
@@ -702,14 +720,24 @@ def jpeg_pixel_grid(payload: bytes) -> "tuple[np.ndarray, int, int, int] | None"
                 return None
             b2 = payload[i + 1]
             if b2 == 0x00:
-                data.append(0xFF)
+                segments[-1].append(0xFF)
                 i += 2
                 continue
             if b2 == 0xD9:
                 break
-            return None  # restart marker / stray marker in scan
-        data.append(b)
+            if 0xD0 <= b2 <= 0xD7:
+                rst_ids.append(b2 & 7)
+                segments.append(bytearray())
+                i += 2
+                continue
+            return None  # stray marker in scan
+        segments[-1].append(b)
         i += 1
+    if dri == 0 and len(segments) > 1:
+        return None  # restart markers without a restart interval
+    if any(rid != k % 8 for k, rid in enumerate(rst_ids)):
+        return None  # RSTn ids must cycle 0..7 in order
+    data = segments[0]  # first interval; later ones swapped in below
 
     if subsampled and ncomp != 3:
         return None
@@ -721,15 +749,24 @@ def jpeg_pixel_grid(payload: bytes) -> "tuple[np.ndarray, int, int, int] | None"
         blocks_per_mcu = ncomp
     # dims-vs-payload sanity bound BEFORE allocating the pixel grid (the
     # other formats bound output by input size): every MCU block costs at
-    # least 2 entropy bits (one DC code + one EOB code), so a stream of
-    # len(data) bytes cannot encode more than 4*len(data) blocks — a
+    # least 2 entropy bits (one DC code + one EOB code), so the scan
+    # bytes cannot encode more than 4x their count in blocks — a
     # malformed 65535x65535 header in a 200-byte payload must not
     # allocate gigabytes
-    if mx * my * blocks_per_mcu > 4 * len(data):
+    total_mcus = mx * my
+    if total_mcus * blocks_per_mcu > 4 * sum(len(s) for s in segments):
         return None
+    if dri and len(segments) != (total_mcus + dri - 1) // dri:
+        return None  # wrong number of restart intervals
 
     nbits_total = 8 * len(data)
     pos = 0
+
+    def start_segment(k: int) -> None:
+        nonlocal data, nbits_total, pos
+        data = segments[k]
+        nbits_total = 8 * len(data)
+        pos = 0
 
     def read_bit() -> int | None:
         nonlocal pos
@@ -765,6 +802,18 @@ def jpeg_pixel_grid(payload: bytes) -> "tuple[np.ndarray, int, int, int] | None"
 
     basis = _JPEG_IDCT_BASIS
     preds = [0] * ncomp
+    mcu_i = 0
+
+    def at_mcu_start() -> None:
+        """Restart-interval bookkeeping: every ``dri`` MCUs switch to the
+        next byte-aligned segment and reset the DC predictors (T.81
+        restart semantics)."""
+        nonlocal mcu_i
+        if dri and mcu_i and mcu_i % dri == 0:
+            start_segment(mcu_i // dri)
+            for ci in range(ncomp):
+                preds[ci] = 0
+        mcu_i += 1
 
     def decode_block(ci: int) -> "np.ndarray | None":
         dc_tab, ac_tab, q = planes_spec[ci]
@@ -815,6 +864,7 @@ def jpeg_pixel_grid(payload: bytes) -> "tuple[np.ndarray, int, int, int] | None"
         crp = np.empty((my * 8, mx * 8), dtype=np.uint8)
         for by_ in range(my):
             for bx in range(mx):
+                at_mcu_start()
                 for dy in (0, 1):
                     for dx in (0, 1):
                         blk = decode_block(0)
@@ -840,6 +890,7 @@ def jpeg_pixel_grid(payload: bytes) -> "tuple[np.ndarray, int, int, int] | None"
         ]
         for by_ in range(my):
             for bx in range(mx):
+                at_mcu_start()
                 for ci in range(ncomp):
                     blk = decode_block(ci)
                     if blk is None:
@@ -969,14 +1020,20 @@ def synth_media_payload(doc_id: int, text: str) -> tuple[bytes, str]:
         return b"".join(parts), "image/gif"
     if kind == "jpeg":
         # fully decodable baseline JPEG (real Huffman-coded scan; pixels
-        # defined by the shared integer IDCT spec); a quarter of jpeg
-        # payloads are 4:4:4 COLOR frames and a quarter 4:2:0 SUBSAMPLED
-        # color, so the YCbCr and chroma-upsample paths are exercised —
-        # and oracled — continuously
+        # defined by the shared integer IDCT spec); the four doc_id
+        # variants exercise — and oracle — every supported layout:
+        # grayscale, 4:4:4 color, 4:2:0 subsampled color, and grayscale
+        # with restart intervals
         variant = (doc_id // 5) % 4
         return (
             synth_jpeg_payload(
-                doc_id, w, h, body, color=variant in (1, 2), subsample=variant == 2
+                doc_id,
+                w,
+                h,
+                body,
+                color=variant in (1, 2),
+                subsample=variant == 2,
+                restart_interval=3 if variant == 3 else 0,
             ),
             "image/jpeg",
         )

@@ -170,6 +170,41 @@ def test_420_truncation_agreement():
             assert e[0].tolist() == s[0], cut
 
 
+def test_restart_intervals_decode_and_validate():
+    """Variant 3 of synth jpeg ids carries DRI + RSTn markers: restart
+    payloads decode to the same pixels as a restart-free encoding of the
+    same coefficients, engine == sidecar, and broken marker sequences or
+    wrong interval counts reject on both sides."""
+    from hyperpolyglot_ray.sources.doc_oracle import _jpeg_grid_seq
+    from hyperpolyglot_ray.stages.multimodal import (
+        jpeg_pixel_grid,
+        synth_jpeg_payload,
+    )
+
+    for doc_id in (17, 57, 117):
+        p, mt = synth_media_payload(doc_id, f"t {doc_id} " * 20)
+        assert mt == "image/jpeg" and b"\xff\xdd" in p
+        e = jpeg_pixel_grid(p)
+        s = _jpeg_grid_seq(p)
+        assert e is not None and e[0].tolist() == s[0], doc_id
+        w, h = e[1], e[2]
+        plain = synth_jpeg_payload(doc_id, w, h, b"")
+        assert e[0].tolist() == jpeg_pixel_grid(plain)[0].tolist(), doc_id
+    # out-of-order RSTn id -> reject on both sides
+    p, _ = synth_media_payload(117, "w " * 30)
+    i = p.index(b"\xff\xd0")
+    bad = bytearray(p)
+    bad[i + 1] = 0xD5  # breaks the 0..7 cycle
+    assert jpeg_pixel_grid(bytes(bad)) is None
+    assert _jpeg_grid_seq(bytes(bad)) is None
+    # declared interval without any restart markers (but >interval MCUs)
+    noseg = synth_jpeg_payload(117, 60, 40, b"")
+    i = noseg.index(b"\xff\xda")
+    with_dri = noseg[:i] + b"\xff\xdd\x00\x04\x00\x03" + noseg[i:]
+    assert jpeg_pixel_grid(with_dri) is None
+    assert _jpeg_grid_seq(with_dri) is None
+
+
 def test_color_truncation_agreement():
     from hyperpolyglot_ray.sources.doc_oracle import _jpeg_grid_seq
     from hyperpolyglot_ray.stages.multimodal import jpeg_pixel_grid
