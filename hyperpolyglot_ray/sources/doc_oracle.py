@@ -423,9 +423,9 @@ def _jpeg_grid_seq(p: bytes):
     jpeg_pixel_grid): bit-cursor entropy reader, dict-of-prefix Huffman
     lookup, per-pixel scalar IDCT loops and scalar YCbCr->RGB with the
     shared integer spec constants. Grayscale, 4:4:4 and 4:2:0 color
-    (chroma upsampled by 2x2 replication); None for progressive/
-    other-sampling/16-bit-quant/restart streams and malformed/truncated
-    payloads."""
+    (chroma upsampled by 2x2 replication), each with or without restart
+    intervals; None for progressive/other-sampling/16-bit-quant/
+    non-interleaved streams and malformed/truncated payloads."""
     n = len(p)
     if n < 4 or p[:2] != b"\xff\xd8":
         return None
@@ -507,6 +507,9 @@ def _jpeg_grid_seq(p: bytes):
                 sub420 = True
             elif any(s != 0x11 for s in samps):
                 return None
+            else:
+                sub420 = False  # a later all-0x11 SOF overrides (the
+                # engine resets on every SOF; last one wins on both)
         elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None
         elif m == 0xDD:
@@ -522,6 +525,10 @@ def _jpeg_grid_seq(p: bytes):
                 (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
                 for c in range(seg[0])
             ]
+            # T.81 B.2.3: scan order must match frame order (planes are
+            # positional — same check as the engine)
+            if [c for c, _, _ in scomps] != [c for c, _ in frame_comps]:
+                return None
             scan_at = i + 2 + ln
             break
         i += 2 + ln
@@ -585,8 +592,8 @@ def _jpeg_grid_seq(p: bytes):
         return None
     if dri and len(segs) != (total_mcus + dri - 1) // dri:
         return None
-    state = {"stream": segs[0], "bits": 8 * len(segs[0]), "pos": 0}
-    cur = [0]  # bit cursor (mirrors state["pos"])
+    state = {"stream": segs[0], "bits": 8 * len(segs[0])}
+    cur = [0]  # bit cursor into the current segment
 
     def use_segment(k):
         state["stream"] = segs[k]

@@ -17,7 +17,7 @@ string column. Three layers, all REAL (no codec libraries needed):
 * **Pixel/sample decode.** ``DecodeStage(pixels=True)`` decodes PNG
   (stdlib ``zlib`` inflate + full scanline defilter, filters 0-4, PLTE
   palettes), GIF (full LZW decompression + color-table mapping +
-  deinterlace), baseline grayscale JPEG (canonical Huffman entropy
+  deinterlace), baseline JPEG in every standard layout (canonical
   decode + dequantization + integer IDCT), 24-bit BMP rows, and 16-bit
   PCM WAV samples — pure stdlib+numpy — and emits ``pixel_mean`` (mean
   over all channel bytes of the reconstructed image) and ``sample_rms``
@@ -340,7 +340,7 @@ def gif_channel_bytes(payload: bytes) -> "np.ndarray | None":
     return frames[0] if frames else None
 
 
-# -- baseline grayscale JPEG codec (pure stdlib+numpy) ----------------------
+# -- baseline JPEG codec (pure stdlib+numpy) --------------------------------
 #
 # Shared INTEGER IDCT spec (engine and sidecar both use these exact
 # constants, so decoded pixels are bitwise comparable):
@@ -589,7 +589,7 @@ _YCC_B_CB = 116130
 def jpeg_channel_bytes(payload: bytes) -> "np.ndarray | None":
     """Channel-byte stream of a baseline JPEG (see jpeg_pixel_grid):
     grayscale bytes for single-component frames, interleaved RGB for
-    3-component 4:4:4 color frames."""
+    3-component (4:4:4 or 4:2:0) color frames."""
     grid = jpeg_pixel_grid(payload)
     return grid[0] if grid is not None else None
 
@@ -600,10 +600,12 @@ def jpeg_pixel_grid(payload: bytes) -> "tuple[np.ndarray, int, int, int] | None"
     AC run-length, byte unstuffing, dequantization, the shared integer
     IDCT spec above, and for 3-component frames the shared integer
     YCbCr->RGB conversion (bitwise identical to the sequential sidecar).
-    Layouts: grayscale, 4:4:4, and 4:2:0 (16x16 MCUs; chroma upsampled
-    by 2x2 replication — the documented spec). None for progressive/
-    other-sampling/16-bit-quant/restart streams and any malformed or
-    truncated payload."""
+    Layouts: grayscale, 4:4:4, 4:2:0 (16x16 MCUs; chroma upsampled by
+    2x2 replication — the documented spec), each with or without restart
+    intervals (DRI/RSTn: byte-aligned segments, DC resets, cyclic-id and
+    interval-count validation). None for progressive/other-sampling/
+    16-bit-quant/non-interleaved/arithmetic-coded streams and any
+    malformed or truncated payload."""
     n = len(payload)
     if n < 4 or payload[:2] != b"\xff\xd8":
         return None
@@ -691,6 +693,11 @@ def jpeg_pixel_grid(payload: bytes) -> "tuple[np.ndarray, int, int, int] | None"
             for c in range(data[0]):
                 cid, tabs_ = data[1 + 2 * c], data[2 + 2 * c]
                 scan_comps.append((cid, tabs_ >> 4, tabs_ & 15))
+            # T.81 B.2.3: scan components must appear in frame-header
+            # order — the decoder assigns planes positionally (index 0 =
+            # Y), so a reordered SOS would silently swap channels
+            if [c for c, _, _ in scan_comps] != [c for c, _ in sof_comps]:
+                return None
             scan_start = i + 2 + ln
             break
         i += 2 + ln
@@ -914,8 +921,9 @@ def jpeg_pixel_grid(payload: bytes) -> "tuple[np.ndarray, int, int, int] | None"
 
 
 def jpeg_pixel_mean(payload: bytes) -> float | None:
-    """Decode a baseline JPEG (grayscale or 4:4:4 color) and return the
-    mean over every channel byte. None for undecodable payloads."""
+    """Decode a baseline JPEG (any supported layout — see
+    jpeg_pixel_grid) and return the mean over every channel byte. None
+    for undecodable payloads."""
     arr = jpeg_channel_bytes(payload)
     if arr is None or not len(arr):
         return None
@@ -1461,7 +1469,7 @@ class DecodeStage:
     Parses real container headers (kind/width/height) per payload and
     appends a deterministic sha-derived stand-in feature vector.
     ``pixels=True`` additionally runs the pure-stdlib pixel/sample decode
-    (PNG zlib+defilter, GIF LZW+palette, baseline grayscale JPEG, BMP
+    (PNG zlib+defilter, GIF LZW+palette, baseline JPEG, BMP
     rows, WAV PCM) and appends ``pixel_mean`` / ``sample_rms`` float64
     columns (null only for undecodable payloads).
     """
@@ -1699,7 +1707,7 @@ def bmp_resize_mean(payload: bytes, factor: int = 2) -> float | None:
 def image_resize_mean(payload: bytes, kind: str, factor: int = 2) -> float | None:
     """Nearest-neighbor downsample (every ``factor``-th row and pixel,
     all channels of kept pixels) over ANY pixel-real format — PNG (incl.
-    palette), GIF (first frame), baseline grayscale JPEG, 24-bit BMP —
+    palette), GIF (first frame), baseline JPEG, 24-bit BMP —
     returning the mean over the decimated bytes. None for wav/undecodable."""
     f = max(1, factor)
     if kind == "bmp":
@@ -1746,12 +1754,15 @@ class ResizeStage:
         self.factor = factor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = [
-            p if p is not None else b"" for p in batch.column("payload").to_pylist()
-        ]
+        # the header re-parse inside image_resize_mean's gif/jpeg
+        # branches (for dims) is negligible next to the pixel decode
         vals = [
-            image_resize_mean(p, parse_media_header(p)[0], self.factor)
-            for p in payloads
+            (
+                image_resize_mean(p, parse_media_header(p)[0], self.factor)
+                if p is not None
+                else None
+            )
+            for p in batch.column("payload").to_pylist()
         ]
         return batch.drop_columns(["payload"]).append_column(
             "resized_mean", pa.array(vals, type=pa.float64())

@@ -205,6 +205,49 @@ def test_restart_intervals_decode_and_validate():
     assert _jpeg_grid_seq(with_dri) is None
 
 
+def test_second_sof_overrides_sampling_on_both_sides():
+    """A later all-0x11 SOF must clear an earlier 4:2:0 declaration on
+    BOTH decoders (last SOF wins — the sidecar previously kept the stale
+    subsampled flag and diverged)."""
+    from hyperpolyglot_ray.sources.doc_oracle import _jpeg_grid_seq
+    from hyperpolyglot_ray.stages.multimodal import jpeg_pixel_grid
+
+    p, _ = synth_media_payload(2, "x" * 30)  # grayscale all-0x11
+    i = p.index(b"\xff\xc0")
+    import struct
+
+    fake_420 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", 4, 4)
+        + b"\x03"
+        + b"\x01\x22\x00\x02\x11\x00\x03\x11\x00"
+    )
+    twisted = p[:i] + fake_420 + p[i:]
+    e = jpeg_pixel_grid(twisted)
+    s = _jpeg_grid_seq(twisted)
+    assert (e is None) == (s is None)
+    if e is not None:
+        assert e[0].tolist() == s[0]
+
+
+def test_reordered_scan_components_rejected():
+    """SOS components out of frame-header order are rejected (planes are
+    positional; decoding them would silently swap channels)."""
+    from hyperpolyglot_ray.sources.doc_oracle import _jpeg_grid_seq
+    from hyperpolyglot_ray.stages.multimodal import jpeg_pixel_grid
+
+    p, _ = synth_media_payload(7, "x" * 30)  # 4:4:4 color
+    i = p.index(b"\xff\xda")
+    sos = bytearray(p[i : i + 2 + 12])
+    # swap component entries 1 and 2 in the SOS body
+    sos[5:7], sos[7:9] = sos[7:9], sos[5:7]
+    bad = p[:i] + bytes(sos) + p[i + 2 + 12 :]
+    assert jpeg_pixel_grid(bad) is None
+    assert _jpeg_grid_seq(bad) is None
+
+
 def test_color_truncation_agreement():
     from hyperpolyglot_ray.sources.doc_oracle import _jpeg_grid_seq
     from hyperpolyglot_ray.stages.multimodal import jpeg_pixel_grid
