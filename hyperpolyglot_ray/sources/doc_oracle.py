@@ -303,6 +303,8 @@ def _png_grid_seq(p: bytes):
         typ = p[i + 4 : i + 8]
         if typ == b"IHDR":
             d = p[i + 8 : i + 8 + ln]
+            if len(d) < 13:  # truncated header data: None, not a crash
+                return None
             w, h = int.from_bytes(d[0:4], "big"), int.from_bytes(d[4:8], "big")
             depth, ctype, inter = d[8], d[9], d[12]
         elif typ == b"PLTE":
@@ -318,15 +320,20 @@ def _png_grid_seq(p: bytes):
     if ctype == 3 and (plte is None or len(plte) % 3):
         return None
     ch = chmap[ctype]
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None  # corrupted stream: None, like the engine
     stride = w * ch
-    if h * stride == 0:
-        return None
+    if h * stride == 0 or len(raw) < h * (stride + 1):
+        return None  # short inflate: the engine length-checks too
     prev = bytearray(stride)
     out: list[int] = []
     pos = 0
     for _y in range(h):
         f = raw[pos]
+        if f > 4:
+            return None  # unknown filter type: None, like the engine
         cur = bytearray(raw[pos + 1 : pos + 1 + stride])
         pos += 1 + stride
         for x in range(stride):
@@ -973,7 +980,9 @@ def _wav_rms_seq(p: bytes):
             if wf.getsampwidth() != 2:
                 return None
             frames = wf.readframes(wf.getnframes())
-    except (wave.Error, EOFError):
+    except (wave.Error, EOFError, RuntimeError, ValueError):
+        # the stdlib wave/chunk modules raise RuntimeError/ValueError on
+        # some malformed payloads (bad chunk seeks, closed-file states)
         return None
     n = len(frames) // 2
     if n == 0:
@@ -1062,7 +1071,9 @@ def _expected_audio_features(texts, doc_ids) -> pa.Table:
                             "rms": math.sqrt(energy / n),
                             "duration_s": (n // ch) / rate,
                         }
-        except (wave.Error, EOFError):
+        except (wave.Error, EOFError, RuntimeError, ValueError):
+            # stdlib wave/chunk raise RuntimeError/ValueError on some
+            # malformed payloads (bad chunk seeks, closed-file states)
             feats = None
         for k in cols:
             cols[k].append(feats[k] if feats is not None else None)

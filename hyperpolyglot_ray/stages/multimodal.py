@@ -1112,7 +1112,9 @@ def png_pixel_grid(payload: bytes) -> "tuple[np.ndarray, int, int, int] | None":
         ln = int.from_bytes(payload[i : i + 4], "big")
         typ = payload[i + 4 : i + 8]
         data = payload[i + 8 : i + 8 + ln]
-        if typ == b"IHDR" and ln >= 13:
+        if typ == b"IHDR":
+            if len(data) < 13:  # truncated header data: None, not a crash
+                return None
             w = int.from_bytes(data[0:4], "big")
             h = int.from_bytes(data[4:8], "big")
             depth, ctype, interlace = data[8], data[9], data[12]
